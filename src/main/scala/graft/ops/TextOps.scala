@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (north star):
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Every operator here has a DuckDB-SQL twin generated from the SAME Scala
+  * constants (stopword lists, hash constants), so the Spark implementation
+  * and the oracle cannot drift. All hashes are derived from md5 — identical
+  * bytes in any engine — truncated to 60 bits so 64-bit arithmetic never
+  * overflows.
+  *
+  * Scale note: the array higher-order functions used here evaluate outside
+  * whole-stage codegen. That is acceptable because text ops are bounded by
+  * string processing cost, not expression dispatch; if profiling at scale
+  * says otherwise the hash pipeline is the candidate for a custom codegen
+  * Expression.
+  */
+object TextOps {
+
+  /** 60-bit stable hash of a string: first 15 hex digits of md5.
+    * Identical in Spark (`conv(...,16,10)`) and DuckDB (`'0x…'::BIGINT`). */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash64Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Whitespace tokenization — the reference vocabulary is single-spaced. */
+  def tokens(text: Column): Column = split(text, " ")
+  def tokensSql(e: String): String = s"string_split($e, ' ')"
+
+  /** Tiny multilingual stopword markers for the language-ID heuristic and
+    * the quality score's stopword ratio. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "is", "of", "to", "and", "in", "on", "for", "with")
+
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "es", "y", "de"),
+    "fr" -> Seq("le", "la", "est", "et", "un"),
+    "zh" -> Seq("de5", "shi4", "he2", "zai4", "le5"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Count of tokens belonging to `words`, as a Spark SQL expression over a
+    * token-array column named `toksCol`. */
+  def markerCountExpr(toksCol: String, words: Seq[String]): Column =
+    expr(s"size(filter($toksCol, t -> t IN ${inList(words)}))")
+  def markerCountSql(toksExpr: String, words: Seq[String]): String =
+    s"len(list_filter($toksExpr, t -> t IN ${inList(words)}))"
+
+  /** 3-token shingles (w_i w_i+1 w_i+2), distinct, as 60-bit hashes.
+    * Spark array indexing in SQL exprs is 0-based; DuckDB's is 1-based —
+    * both generators below produce the same shingle strings.
+    */
+  def shingleHashes(toksCol: String): Column = expr(
+    s"""array_distinct(CASE WHEN size($toksCol) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+        ELSE transform(sequence(0, size($toksCol) - 3),
+          j -> CAST(conv(substring(md5(concat_ws(' ', $toksCol[j], $toksCol[j+1], $toksCol[j+2])), 1, 15), 16, 10) AS BIGINT))
+        END)""")
+  def shingleHashesSql(toksExpr: String): String =
+    s"""list_distinct(list_transform(range(0, greatest(len($toksExpr) - 2, 0)),
+        j -> CAST('0x' || substr(md5(($toksExpr)[j+1] || ' ' || ($toksExpr)[j+2] || ' ' || ($toksExpr)[j+3]), 1, 15) AS BIGINT)))"""
+
+  /** SimHash: per-bit majority vote over token hashes (weight 1), `bits`
+    * wide. Near-identical documents land on near-identical fingerprints.
+    */
+  def simhash(toksCol: String, bits: Int = 16): Column = {
+    val hs = s"transform($toksCol, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+    val terms = (0 until bits).map { j =>
+      s"(CASE WHEN aggregate($hs, 0L, (acc, x) -> acc + CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j}L ELSE 0L END)"
+    }
+    expr(terms.mkString("(", " + ", ")"))
+  }
+  def simhashSql(toksExpr: String, bits: Int = 16): String = {
+    val hs = s"list_transform($toksExpr, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
+    val terms = (0 until bits).map { j =>
+      s"(CASE WHEN list_sum(list_transform($hs, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+}

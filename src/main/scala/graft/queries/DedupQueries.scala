@@ -1,3 +1,83 @@
 package graft.queries
-import graft.QueryDef
-object DedupQueries { val defs: Seq[QueryDef] = Seq.empty }
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops.{DedupOps, SimOps, TextOps}
+
+/** Deduplication surface over `documents` / `embeddings` (north star).
+  * The sf data contains planted near-duplicate pairs (trigram Jaccard
+  * >= 0.9, cleanly separated from the <0.1 noise floor), so threshold 0.8
+  * detects exactly the planted pairs. Oracle twins are generated from the
+  * same constants as the Spark plans (DedupOps) so hash pipelines match
+  * bit-for-bit.
+  */
+object DedupQueries {
+
+  val JaccardThreshold = 0.8
+  val CosineThreshold = 0.45
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash-groupBy on md5(text), keep min doc_id.
+    QueryDef("dedup_exact",
+      (s, d) => DedupOps.exactDedup(Tables.documents(s, d), "text", "doc_id"),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+             | count(*) AS n_copies FROM documents
+             | GROUP BY 1 ORDER BY keep_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("keep_id")),
+
+    // Exact n-gram (3-token shingle) Jaccard near-dup pairs via the
+    // inverted-index self-join — no O(n²) cross product.
+    QueryDef("dedup_ngram_jaccard",
+      (s, d) => DedupOps.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        JaccardThreshold),
+      Some(DedupOps.jaccardPairsSql("documents", "text", "doc_id", JaccardThreshold)),
+      presentOrder = Seq("doc_a", "doc_b")),
+
+    // MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs with exact
+    // verification — the 100 TB path (bucket-join instead of shingle-join).
+    QueryDef("dedup_minhash_lsh",
+      (s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+        JaccardThreshold),
+      Some(DedupOps.minhashLshPairsSql("documents", "text", "doc_id", JaccardThreshold)),
+      presentOrder = Seq("doc_a", "doc_b")),
+
+    // SimHash fingerprint dedup: near-identical docs land on identical
+    // 16-bit fingerprints; groups of >1 are dup candidates.
+    QueryDef("dedup_simhash",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("simhash16", TextOps.simhash("__toks"))
+        .groupBy(col("simhash16"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
+          max(col("doc_id")).as("max_id"))
+        .filter(col("n_docs") > 1),
+      Some {
+        val sh = TextOps.simhashSql("string_split(text, ' ')")
+        s"""WITH f AS (SELECT doc_id, $sh AS simhash16 FROM documents)
+            SELECT simhash16, count(*) AS n_docs, min(doc_id) AS keep_id,
+                   max(doc_id) AS max_id
+            FROM f GROUP BY simhash16 HAVING count(*) > 1 ORDER BY keep_id"""
+      },
+      presentOrder = Seq("keep_id")),
+
+    // Embedding-cosine near-dup pairs. Brute pairing at test SF; the LSH
+    // bucketing in SimQueries is the scale path for the same predicate.
+    QueryDef("dedup_embedding_cosine",
+      (s, d) => {
+        val v = Tables.embeddings(s, d).select("vec_id", "embedding")
+        v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(SimOps.cosine("a.embedding", "b.embedding"), 6).as("score"))
+          .filter(col("score") >= CosineThreshold)
+          .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("cosine"))
+      },
+      Some(s"""SELECT vec_a, vec_b, round(score, 4) AS cosine FROM (
+              | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  round(${SimOps.cosineSql("a.embedding", "b.embedding")}, 6) AS score
+              | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+              | WHERE score >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("vec_a", "vec_b"))
+  )
+}

@@ -1,3 +1,34 @@
 package graft.queries
-import graft.QueryDef
-object SimQueries { val defs: Seq[QueryDef] = Seq.empty }
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops.SimOps
+
+/** Similarity-search surface over `embeddings` (north star):
+  * brute-force cosine top-k (exact baseline) and random-hyperplane
+  * LSH-bucketed approximate top-k (the 100 TB scale path).
+  */
+object SimQueries {
+
+  val K = 10
+  /** Queries = the first 10 vectors; predicate kept SQL-expressible. */
+  val QueryPredSql = "vec_id < 10"
+  /** 6 hyperplanes → 64 buckets. */
+  val Planes = SimOps.hyperplanes(planes = 6, dim = 64)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("sim_topk_brute",
+      (s, d) => SimOps.topKBruteForce(Tables.embeddings(s, d),
+        col("vec_id") < 10, K),
+      Some(SimOps.topKBruteForceSql("embeddings", QueryPredSql, K)),
+      presentOrder = Seq("query_id", "rank")),
+
+    QueryDef("sim_topk_lsh",
+      (s, d) => SimOps.topKLsh(Tables.embeddings(s, d),
+        col("vec_id") < 10, K, Planes),
+      Some(SimOps.topKLshSql("embeddings", QueryPredSql, K, Planes)),
+      presentOrder = Seq("query_id", "rank"))
+  )
+}

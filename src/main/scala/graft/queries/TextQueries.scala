@@ -1,3 +1,124 @@
 package graft.queries
-import graft.QueryDef
-object TextQueries { val defs: Seq[QueryDef] = Seq.empty }
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextOps
+
+/** Text-analysis surface over `documents` (north star): token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * Oracle twins are generated from the same constants as the Spark plans
+  * (TextOps) so thresholds/word-lists cannot drift.
+  */
+object TextQueries {
+
+  private val stop = TextOps.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token statistics per language: one hash-agg pass, map-side combine.
+    QueryDef("text_token_stats",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars")),
+      Some("""SELECT lang, count(*) AS n_docs,
+             | sum(len(string_split(text, ' '))) AS total_tokens,
+             | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+             | min(len(string_split(text, ' '))) AS min_tokens,
+             | max(len(string_split(text, ' '))) AS max_tokens,
+             | round(avg(n_chars), 4) AS avg_chars
+             | FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("lang")),
+
+    // Per-document quality scoring: token count, stopword ratio, average
+    // token length, and a categorical quality label. Pure narrow map.
+    QueryDef("text_quality",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("n_tokens", size(col("__toks")))
+        .withColumn("n_stop", TextOps.markerCountExpr("__toks", TextOps.stopwords))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 4))
+        .withColumn("avg_token_len",
+          round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4))
+        .withColumn("quality",
+          when(col("n_tokens") >= 20 && col("stop_ratio") <= 0.3, "good")
+            .otherwise("low"))
+        .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "avg_token_len", "quality"),
+      Some(s"""WITH t AS (SELECT doc_id, n_chars,
+              |  string_split(text, ' ') AS toks FROM documents),
+              | q AS (SELECT doc_id, len(toks) AS n_tokens,
+              |  len(list_filter(toks, t -> t IN $stop)) AS n_stop,
+              |  round(len(list_filter(toks, t -> t IN $stop))::DOUBLE / len(toks), 4) AS stop_ratio,
+              |  round((n_chars - len(toks) + 1)::DOUBLE / len(toks), 4) AS avg_token_len
+              |  FROM t)
+              | SELECT doc_id, n_tokens, n_stop, stop_ratio, avg_token_len,
+              |  CASE WHEN n_tokens >= 20 AND stop_ratio <= 0.3 THEN 'good' ELSE 'low' END AS quality
+              | FROM q ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // Language-ID heuristic: marker-word votes per language, argmax with a
+    // fixed language-priority tie-break, reported as a confusion matrix
+    // against the labeled lang column.
+    QueryDef("text_lang_predict",
+      (s, d) => {
+        var df = Tables.documents(s, d)
+          .withColumn("__toks", TextOps.tokens(col("text")))
+        for ((l, words) <- TextOps.langMarkers)
+          df = df.withColumn(s"__s_$l", TextOps.markerCountExpr("__toks", words))
+        // argmax in declaration order: first language with the max score.
+        val scores = TextOps.langMarkers.map { case (l, _) => col(s"__s_$l") }
+        val maxScore = greatest(scores: _*)
+        val pred = TextOps.langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+          when(col(s"__s_$l") === maxScore && maxScore > 0, l).otherwise(acc)
+        }
+        df.withColumn("predicted", pred)
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some {
+        val scoreCols = TextOps.langMarkers.map { case (l, words) =>
+          s"${TextOps.markerCountSql("toks", words)} AS s_$l"
+        }.mkString(", ")
+        val maxExpr = TextOps.langMarkers.map { case (l, _) => s"s_$l" }
+          .mkString("greatest(", ", ", ")")
+        // Reversed foldRight: the FIRST declared language with the max
+        // score wins, same as the Spark when-chain.
+        val predExpr = TextOps.langMarkers.reverse.foldLeft("'und'") {
+          case (acc, (l, _)) => s"CASE WHEN s_$l = m AND m > 0 THEN '$l' ELSE $acc END"
+        }
+        s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+            sc AS (SELECT doc_id, lang, $scoreCols FROM t),
+            p AS (SELECT *, $maxExpr AS m FROM sc),
+            pr AS (SELECT lang, $predExpr AS predicted FROM p)
+            SELECT lang, predicted, count(*) AS n_docs FROM pr
+            GROUP BY lang, predicted ORDER BY lang, predicted"""
+      },
+      presentOrder = Seq("lang", "predicted")),
+
+    // Document fingerprinting: min-hash of 3-token shingles (rolling
+    // content fingerprint) + a 16-bit SimHash. Narrow map, no shuffle.
+    QueryDef("text_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__sh", TextOps.shingleHashes("__toks"))
+        .select(col("doc_id"),
+          size(col("__sh")).as("n_shingles"),
+          array_min(col("__sh")).as("fp_min"),
+          TextOps.simhash("__toks").as("simhash16")),
+      Some {
+        val sh = TextOps.shingleHashesSql("toks")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            SELECT doc_id, len($sh) AS n_shingles, list_min($sh) AS fp_min,
+                   ${TextOps.simhashSql("toks")} AS simhash16
+            FROM t ORDER BY doc_id"""
+      },
+      presentOrder = Seq("doc_id"))
+  )
+}
