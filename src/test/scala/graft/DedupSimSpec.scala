@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, SimOps, TextOps}
+
+class DedupSimSpec extends SparkSpec {
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base.replace("today", "tonight") // 1-token edit
+  private val unrelated = "completely different words populate this other document entirely now"
+
+  private def docs = {
+    import spark.implicits._
+    Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base))
+      .toDF("doc_id", "text")
+  }
+
+  test("exactDedup groups identical texts and keeps the smallest id") {
+    val out = DedupOps.exactDedup(docs, "text", "doc_id")
+      .select("keep_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(0L) === 2L) // docs 0 and 3 identical
+    assert(out(1L) === 1L && out(2L) === 1L)
+  }
+
+  test("jaccardPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = DedupOps.jaccardPairs(docs, "text", "doc_id", 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 3L)) === 1.0)              // identical
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.5) // near-dup
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("minhashLshPairs: subset of exact pairs, identical docs always found, deterministic") {
+    // LSH recall is probabilistic in J (our 1-token-edit pair sits at
+    // J≈0.57 where 4x4 bands may legitimately miss); the guarantees to
+    // test are: no false positives vs exact (verification step), J=1
+    // pairs always collide in every band, and determinism across runs.
+    val lsh = DedupOps.minhashLshPairs(docs, "text", "doc_id", 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupOps.jaccardPairs(docs, "text", "doc_id", 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 3L))) // identical docs: all bands collide
+    val again = DedupOps.minhashLshPairs(docs, "text", "doc_id", 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === again)
+  }
+
+  test("simhash of identical texts is identical; near-dups are close") {
+    import spark.implicits._
+    val f = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), TextOps.simhash("toks").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(f(0L) === f(3L))
+    val hamming = java.lang.Long.bitCount(f(0L) ^ f(1L))
+    assert(hamming <= 4, s"near-dup hamming distance was $hamming")
+  }
+
+  test("cosine ranks an identical vector first, orthogonal last") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f, 0f)),  // nearly identical to 0
+      (2L, Array(0f, 1f, 0f, 0f)),     // orthogonal to 0
+      (3L, Array(0.7f, 0.7f, 0f, 0f))  // 45 degrees
+    ).toDF("vec_id", "embedding")
+    val out = SimOps.topKBruteForce(vecs, col("vec_id") === 0, 3)
+      .select("rank", "neighbor_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(out(1) === 1L && out(2) === 3L && out(3) === 2L)
+  }
+
+  test("lsh bucket: identical vectors share a bucket; opposite vectors do not") {
+    import spark.implicits._
+    val planes = SimOps.hyperplanes(planes = 6, dim = 4)
+    val vecs = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)),
+      (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(-1f, -2f, -3f, -4f))
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), SimOps.lshBucket("embedding", planes).cast("long").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(vecs(0L) === vecs(1L))
+    assert(vecs(0L) !== vecs(2L)) // all plane signs flip
+  }
+}

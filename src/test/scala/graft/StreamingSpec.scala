@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.Schemas
+import graft.streaming.{EgvStreams, IdempotentBulkSink, InMemoryBulkClient, StatefulOps}
+
+/** End-to-end streaming tests: MemoryStream in, memory/foreachBatch sink
+  * out — the Spark analog of the reference's TopologyTestDriver pipe-in /
+  * read-out pattern (SURVEY.md §5.2). */
+class StreamingSpec extends SparkSpec {
+
+  /** Kafka-source-shaped record: (key, value, timestamp). */
+  case class KafkaRec(key: String, value: String, timestamp: Timestamp)
+
+  private def egvJson(value: Int, systemTime: String): String =
+    s"""{"systemTime":"$systemTime","displayTime":"$systemTime","value":$value,
+        "realtimeValue":$value,"smoothedValue":$value,"status":"ok",
+        "trend":"flat","trendRate":0.5}""".replaceAll("\n\\s*", "")
+
+  test("filter-high topology end-to-end: pipe 3 EGVs, only 265 survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KafkaRec]
+    val parsed = EgvStreams.parseEgvs(in.toDF())
+    val out = EgvStreams.filterHighTopology(parsed)
+    val q = out.writeStream.format("memory").queryName("high_egvs")
+      .outputMode("append").start()
+    in.addData(
+      KafkaRec("robert", egvJson(65, "2020-11-02T02:00:00"), Timestamp.valueOf("2020-11-02 02:00:00")),
+      KafkaRec("robert", egvJson(100, "2020-11-02T02:05:00"), Timestamp.valueOf("2020-11-02 02:05:00")),
+      KafkaRec("robert", egvJson(265, "2020-11-02T02:10:00"), Timestamp.valueOf("2020-11-02 02:10:00")))
+    q.processAllAvailable(); q.stop()
+    val vals = spark.table("high_egvs").select("value").collect().map(_.getInt(0))
+    assert(vals.toSeq === Seq(265))
+  }
+
+  test("categorize-lookup topology end-to-end reproduces reference asserts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KafkaRec]
+    val ranges = Schemas.fixtureRanges
+      .map(r => (r.rangeId, r.startSec, r.endSec, r.lowerBound, r.upperBound))
+      .toDF("range_id", "start_sec", "end_sec", "lower_bound", "upper_bound")
+    val out = EgvStreams.categorizeLookupTopology(
+      EgvStreams.parseEgvs(in.toDF()), ranges)
+    val q = out.writeStream.format("memory").queryName("categorized")
+      .outputMode("append").start()
+    in.addData(
+      KafkaRec("robert", egvJson(75, "2020-11-02T02:00:00"), new Timestamp(0)),
+      KafkaRec("robert", egvJson(100, "2020-11-02T12:00:00"), new Timestamp(1)),
+      KafkaRec("robert", egvJson(265, "2020-11-02T19:00:00"), new Timestamp(2)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("categorized").select("value", "range_id", "in_range")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === Set((75, 1, "false"), (100, 2, "true"), (265, 2, "false")))
+  }
+
+  test("windowed counts with watermark aggregate per 10-minute window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KafkaRec]
+    val out = EgvStreams.windowedCounts(EgvStreams.parseEgvs(in.toDF()))
+    val q = out.writeStream.format("memory").queryName("windowed")
+      .outputMode("complete").start()
+    in.addData(
+      KafkaRec("r", egvJson(100, "2020-11-02T02:01:00"), new Timestamp(0)),
+      KafkaRec("r", egvJson(110, "2020-11-02T02:09:00"), new Timestamp(1)),
+      KafkaRec("r", egvJson(120, "2020-11-02T02:11:00"), new Timestamp(2)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("windowed")
+      .select(col("window_start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("2020-11-02 02:00:00" -> 2L, "2020-11-02 02:10:00" -> 1L))
+  }
+
+  test("stateful deltas per user via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.Reading]
+    val out = StatefulOps.deltasPerUser(in.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("deltas")
+      .outputMode("append").start()
+    // Two micro-batches: state must carry 130 across the batch boundary.
+    in.addData(
+      StatefulOps.Reading("u1", Timestamp.valueOf("2020-11-02 02:00:00"), 100),
+      StatefulOps.Reading("u1", Timestamp.valueOf("2020-11-02 02:05:00"), 130))
+    q.processAllAvailable()
+    in.addData(
+      StatefulOps.Reading("u1", Timestamp.valueOf("2020-11-02 02:10:00"), 95),
+      StatefulOps.Reading("u2", Timestamp.valueOf("2020-11-02 02:10:00"), 80))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("deltas")
+      .select("userId", "value", "delta")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(got === Set(
+      ("u1", 100, None), ("u1", 130, Some(30)), ("u1", 95, Some(-35)),
+      ("u2", 80, None)))
+  }
+
+  test("idempotent bulk sink: batch replay after failure does not duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    InMemoryBulkClient.store.clear()
+    val in = MemoryStream[KafkaRec]
+    val parsed = EgvStreams.parseEgvs(in.toDF())
+      .select(col("key"), col("value"), col("systemTime"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+    def start() = parsed.writeStream
+      .foreachBatch(IdempotentBulkSink.writeBatch(
+        InMemoryBulkClient, Seq("key", "systemTime")) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // Batch 1 fails mid-write: offsets NOT committed.
+    InMemoryBulkClient.failNextBatches = 1
+    in.addData(
+      KafkaRec("robert", egvJson(100, "2020-11-02T02:00:00"), new Timestamp(0)),
+      KafkaRec("robert", egvJson(265, "2020-11-02T02:05:00"), new Timestamp(1)))
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    // Restart from the same checkpoint: the SAME batch replays with the
+    // SAME deterministic ids -> upsert, no duplicates.
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(InMemoryBulkClient.store.size() === 2)
+    assert(InMemoryBulkClient.store.containsKey("robert_2020-11-02T02:00:00"))
+  }
+}
