@@ -36,7 +36,8 @@ object Catalog {
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimQueries.defs ++
-    graft.queries.StreamParityQueries.defs
+    graft.queries.StreamParityQueries.defs ++
+    graft.queries.MultimodalQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

@@ -1,0 +1,129 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata structs, plus decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * The actual media codecs are NOT available in this environment, so every
+  * `decode*Stub` below is a clearly-marked deterministic fake: it derives
+  * plausible metadata/features from the bytes via stable arithmetic. The
+  * Spark-side contract — schema, binary column handling, partition-batched
+  * execution shape, null/short-input behavior — is real and tested; swap
+  * the stub body for a codec call (e.g. javax.imageio / ffmpeg bindings)
+  * without touching any plan structure.
+  *
+  * Scale design: per-partition batched processing via `mapPartitions`
+  * (the JVM analog of arrow-batched pandas UDFs): media bytes never pass
+  * through a shuffle here — all operators are narrow maps; downstream
+  * aggregations group on extracted (small) columns, never on the blobs.
+  * Blobs larger than a few MB should be externalized to object storage
+  * with a pointer column; `withPointerLayout` models that split.
+  */
+object MultimodalOps {
+
+  /** Typed metadata for an opaque media blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),          // image | audio | video
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),  // audio only
+    StructField("n_frames", IntegerType)))    // video only
+
+  case class MediaFeature(mediaId: Long, nBytes: Int, checksum: Long,
+                          feature: Array[Float])
+
+  /** STUB decode — deterministic fake metadata from the blob bytes.
+    * Real implementation would parse the container header. Expressed as
+    * narrow column ops (codegen-friendly), so the fake is also
+    * SQL-expressible for the oracle gate. */
+  def decodeImageMetaStub(bytesCol: String): org.apache.spark.sql.Column = {
+    // ??? real codec goes here; fake: dimensions from byte length + first byte.
+    val n = length(col(bytesCol))
+    struct(
+      lit("image").as("kind"),
+      (n % 640 + 16).cast("int").as("width"),
+      (pmod(ascii(substring(col(bytesCol).cast("string"), 1, 1)), lit(480)) + 16).cast("int").as("height"),
+      lit(3).cast("int").as("channels"),
+      lit(null).cast("int").as("sample_rate"),
+      lit(null).cast("int").as("n_frames"))
+  }
+
+  /** STUB feature extraction — partition-batched `mapPartitions` with an
+    * explicit batch size: the real implementation would hand each batch of
+    * blobs to a native/codec library in one call (amortizing per-call
+    * overhead), which is exactly the shape this preserves. The fake
+    * produces a `dim`-wide float vector from a rolling checksum. */
+  def extractFeaturesStub(media: DataFrame, idCol: String, bytesCol: String,
+                          dim: Int = 8, batchSize: Int = 64): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // ??? real batched codec/model call goes here; deterministic fake:
+          batch.map { case (id, bytes) =>
+            val bs = if (bytes == null) Array.empty[Byte] else bytes
+            var acc = 1125899906842597L // rolling polynomial checksum
+            bs.foreach(b => acc = acc * 31 + (b & 0xff))
+            val feat = Array.tabulate(dim) { i =>
+              (((acc >>> (i * 7)) & 0xffff).toFloat / 65535f) * 2f - 1f
+            }
+            MediaFeature(id, bs.length, acc, feat)
+          }
+        }
+      }
+  }
+
+  /** STUB resize — keeps the plumbing honest: output is again a binary
+    * column + updated metadata; the fake truncates bytes proportionally. */
+  def resizeStub(media: DataFrame, bytesCol: String, metaCol: String,
+                 newWidth: Int, newHeight: Int): DataFrame = {
+    // ??? real resample goes here; fake keeps a proportional prefix.
+    media
+      .withColumn("__scale",
+        least(lit(1.0), lit(newWidth * newHeight).cast("double") /
+          (col(s"$metaCol.width") * col(s"$metaCol.height"))))
+      .withColumn(bytesCol,
+        expr(s"substring($bytesCol, 1, greatest(1, CAST(length($bytesCol) * __scale AS INT)))"))
+      .withColumn(metaCol, struct(
+        col(s"$metaCol.kind"),
+        lit(newWidth).cast("int").as("width"),
+        lit(newHeight).cast("int").as("height"),
+        col(s"$metaCol.channels"),
+        col(s"$metaCol.sample_rate"),
+        col(s"$metaCol.n_frames")))
+      .drop("__scale")
+  }
+
+  /** STUB frame sampling — video blob → every k-th "frame" (fixed-size
+    * byte slices standing in for decoded frames), exploded to one row per
+    * sampled frame with a frame index. The explode-with-index shape is the
+    * real contract for downstream per-frame feature extraction. */
+  def frameSampleStub(media: DataFrame, idCol: String, bytesCol: String,
+                      frameBytes: Int = 256, everyK: Int = 10): DataFrame =
+    media
+      .withColumn("__n_frames",
+        greatest(lit(1), (length(col(bytesCol)) / frameBytes).cast("int")))
+      .select(col(idCol), col(bytesCol), col("__n_frames"),
+        posexplode(expr(s"sequence(0, (__n_frames - 1) div $everyK)"))
+          .as(Seq("sample_idx", "frame_idx_raw")))
+      .withColumn("frame_idx", (col("frame_idx_raw") * everyK).cast("int"))
+      .withColumn("frame_bytes", expr(
+        s"substring($bytesCol, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col(idCol), col("sample_idx"), col("frame_idx"), col("frame_bytes"))
+
+  /** Pointer layout for blobs too large to keep inline: the table keeps
+    * (uri, offset, length) and metadata; bytes live in object storage. */
+  def withPointerLayout(media: DataFrame, idCol: String, bytesCol: String,
+                        bucketUri: String): DataFrame =
+    media.select(
+      col(idCol),
+      concat(lit(bucketUri + "/"), col(idCol)).as("blob_uri"),
+      lit(0L).as("blob_offset"),
+      length(col(bytesCol)).cast("long").as("blob_length"))
+}

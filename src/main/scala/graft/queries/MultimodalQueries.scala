@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.MultimodalOps
+
+/** Multimodal-column queries. No binary table ships in the testdata, so
+  * `documents.text` (pure-ASCII synthetic text) cast to binary stands in
+  * for media blobs — the point is the Spark-side plumbing: binary columns,
+  * metadata structs, frame explode shape. The decode stubs are
+  * deterministic arithmetic (clearly marked in MultimodalOps), which also
+  * makes them SQL-expressible for the oracle.
+  */
+object MultimodalQueries {
+
+  val FrameBytes = 64
+  val EveryK = 2
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Decode-metadata stub over blobs: narrow map, no shuffle.
+    QueryDef("mm_decode_meta",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bytes", col("text").cast("binary"))
+        .withColumn("meta", MultimodalOps.decodeImageMetaStub("bytes"))
+        .select(col("doc_id"), length(col("bytes")).as("n_bytes"),
+          col("meta.kind").as("kind"), col("meta.width").as("width"),
+          col("meta.height").as("height")),
+      Some("""SELECT doc_id, len(text) AS n_bytes, 'image' AS kind,
+             | CAST(len(text) % 640 + 16 AS INT) AS width,
+             | CAST(ascii(substr(text, 1, 1)) % 480 + 16 AS INT) AS height
+             | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // Frame-sampling stub: blob → every-k-th fixed-size frame slice,
+    // exploded one row per sampled frame (the per-frame fan-out shape a
+    // video pipeline needs before feature extraction).
+    QueryDef("mm_frame_sample",
+      (s, d) => MultimodalOps.frameSampleStub(
+          Tables.documents(s, d).withColumn("bytes", col("text").cast("binary")),
+          "doc_id", "bytes", frameBytes = FrameBytes, everyK = EveryK)
+        .select(col("doc_id"), col("sample_idx"), col("frame_idx"),
+          length(col("frame_bytes")).as("frame_len")),
+      Some(s"""WITH m AS (SELECT doc_id, text,
+              |  greatest(1, len(text) // $FrameBytes) AS nf FROM documents),
+              | s AS (SELECT doc_id, text, unnest(range(0, (nf - 1) // $EveryK + 1)) AS raw FROM m)
+              | SELECT doc_id, CAST(raw AS INT) AS sample_idx,
+              |  CAST(raw * $EveryK AS INT) AS frame_idx,
+              |  len(substr(text, CAST(raw * $EveryK * $FrameBytes + 1 AS INT), $FrameBytes)) AS frame_len
+              | FROM s ORDER BY doc_id, sample_idx""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id", "sample_idx")),
+
+    // Feature-extraction stub via partition-batched mapPartitions (JVM
+    // checksum → float vector). Not SQL-expressible → rows-only gate.
+    QueryDef("mm_embed_features",
+      (s, d) => MultimodalOps.extractFeaturesStub(
+          Tables.documents(s, d).withColumn("bytes", col("text").cast("binary")),
+          "doc_id", "bytes")
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
+          col("checksum"),
+          round(element_at(col("feature"), 1), 4).as("f0")),
+      oracle = None,
+      presentOrder = Seq("media_id"))
+  )
+}
