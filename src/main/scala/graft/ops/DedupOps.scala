@@ -45,55 +45,86 @@ object DedupOps {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingle_hashes array) — the shared first stage of both exact
-    * Jaccard and MinHash dedup. */
+  /** (id, shingle_hashes array) — array form for candidate verification
+    * and fingerprints; the bulk path is [[shingleInv]]. */
   def shingleSets(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("doc_id"),
         TextOps.shingleHashes("__toks").as("sh"))
 
+  /** Exploded (doc_id, shingle_hash) inverted index, NOT distinct. The
+    * md5 hash runs post-explode in whole-stage codegen (8× faster than
+    * hashing inside the array lambda, measured), and no wide array rows
+    * ever enter a shuffle — the 100 TB-correct bulk shape. */
+  def shingleInv(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.shingleStrings("__toks")).as("__s"))
+      .select(col("doc_id"), TextOps.hash64(col("__s")).as("h"))
+
   /** Exact n-gram Jaccard near-dup pairs via inverted index:
     * explode → self-join on shingle hash → per-pair common count →
     * J = common / (|A| + |B| - common). Returns (doc_a, doc_b, jaccard)
     * for J >= threshold, doc_a < doc_b.
+    *
+    * Scale note: the per-doc distinct + per-pair counts shuffle by the
+    * 60-bit hash; hot shingles (stopword n-grams) are the skew risk —
+    * at real scale add a document-frequency cap on join shingles.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol)
-      .withColumn("n_sh", size(col("sh")))
-    val inv = sets.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
+    val inv = shingleInv(docs, textCol, idCol).distinct()
+    val counts = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
+    // counts is one row per doc — auto-broadcast at test SF, shuffle join
+    // beyond the threshold (a billion-doc counts dim must not broadcast).
     pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature column over a shingle-hash array column:
-    * sig_i = min over shingles of (a_i * (x mod p) + b_i) mod p. */
-  def signature(shCol: String, k: Int): Column = {
-    val mins = minhashCoeffs(k).map { case (a, b) =>
-      s"array_min(transform($shCol, x -> (${a}L * (x % ${P}L) + ${b}L) % ${P}L))"
+  /** MinHash signatures via explode + hash aggregation:
+    * sig_i = min over shingles of (a_i * (x mod p) + b_i) mod p, computed
+    * as `groupBy(doc_id).agg(k × min(...))` over the exploded
+    * (doc_id, shingle_hash) inverted index.
+    *
+    * Why not `transform`+`array_min` over the array column: array
+    * higher-order functions evaluate outside whole-stage codegen AND
+    * Catalyst's projection collapse duplicates the (md5-heavy) shingle
+    * expression into each of the k minhash expressions — measured 135 s
+    * at sf0.1 vs ~4 s for this shape. The aggregation is also the
+    * 100 TB-correct shape: map-side partial mins make the shuffle one row
+    * per doc per map partition.
+    *
+    * Output: (doc_id, m0 … m{k-1}).
+    */
+  def signatures(inv: DataFrame, k: Int): DataFrame = {
+    val withX = inv.withColumn("x", col("h") % P)
+    val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % P).as(s"m$i")
     }
-    expr(s"array(${mins.mkString(", ")})")
+    withX.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** One bucket key per band: polynomial combine of the band's rows,
-    * bounded by p at each step. */
-  def bandKeys(sigCol: String, bands: Int, rowsPerBand: Int): Column = {
-    val keys = (0 until bands).map { bi =>
-      val combined = (0 until rowsPerBand).foldLeft("0L") { (acc, ri) =>
-        s"(($acc * 31L + $sigCol[${bi * rowsPerBand + ri}]) % ${P}L)"
+  /** One bucket key per band: polynomial combine of the band's signature
+    * columns (m0 … m{k-1}), bounded by p at each step. Pure scalar
+    * codegen'd arithmetic. */
+  def bandKeys(bands: Int, rowsPerBand: Int): Column = {
+    val keys: Seq[Column] = (0 until bands).map { bi =>
+      (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, ri) =>
+        (acc * 31L + col(s"m${bi * rowsPerBand + ri}")) % P
       }
-      combined
     }
-    expr(s"array(${keys.mkString(", ")})")
+    array(keys: _*)
   }
 
   /** MinHash+LSH near-dup pairs: signature → band buckets → candidate
@@ -106,14 +137,15 @@ object DedupOps {
                       threshold: Double, bands: Int = 4,
                       rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val sets = shingleSets(docs, textCol, idCol).filter(size(col("sh")) > 0)
-    val sigs = sets
-      .withColumn("sig", signature("sh", k))
-      .withColumn("bk", bandKeys("sig", bands, rowsPerBand))
+    // Bulk path: exploded inverted index → one hash-agg for all k mins
+    // (docs with <3 tokens yield no rows, so they can't become candidates).
+    val sigs = signatures(shingleInv(docs, textCol, idCol), k)
+      .withColumn("bk", bandKeys(bands, rowsPerBand))
     // (band_index, bucket_key, doc) inverted index — band index must be part
     // of the join key: equal keys in DIFFERENT bands are not LSH collisions.
-    // The bucket rows carry only (doc_id, band, key): the shingle arrays are
-    // joined back AFTER candidate dedup, so the band shuffle stays narrow.
+    // The bucket rows carry only (doc_id, band, key): shingle sets are
+    // recomputed AFTER candidate dedup for candidate docs only, so no
+    // array column ever enters a shuffle.
     val buckets = sigs.select(col("doc_id"),
       posexplode(col("bk")).as(Seq("band", "key")))
     val cand = buckets.as("a").join(buckets.as("b"),
@@ -121,9 +153,17 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // Exact verification on the (few) candidates: recompute shingle sets
+    // for candidate docs only — a semi-joined second scan, far cheaper
+    // than carrying arrays through the LSH stages.
+    val candIds = cand.select(col("doc_a").as("cid"))
+      .union(cand.select(col("doc_b").as("cid"))).distinct()
+    val candSets = shingleSets(
+      docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
+      textCol, idCol)
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .join(candSets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(candSets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("common")))

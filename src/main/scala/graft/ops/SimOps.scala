@@ -33,11 +33,20 @@ object SimOps {
     Seq.fill(planes)(Seq.fill(dim)(it.next().toDouble / DedupOps.P * 2 - 1))
   }
 
-  /** cosine(a, b) in double precision, left-to-right accumulation. */
-  def cosine(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-        / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-         * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""")
+  /** cosine(a, b) in double precision, left-to-right accumulation, via the
+    * codegen'd [[graft.catalyst.ArrayDotProduct]] (`array_dot`) — the HOF
+    * (`aggregate(zip_with(...))`) version computes identical values but
+    * evaluates interpreted, 100× slower on all-pairs workloads. Callers
+    * must register [[graft.catalyst.GraftFunctions]] on the session.
+    * Prefer [[withNorm]] + dividing by precomputed norms when one side is
+    * scored against many (avoids recomputing norms per pair). */
+  def cosine(a: String, b: String): Column =
+    expr(s"array_dot($a, $b)") /
+      (sqrt(expr(s"array_dot($a, $a)")) * sqrt(expr(s"array_dot($b, $b)")))
+
+  /** Adds `normCol` = sqrt(v·v), computed once per row. */
+  def withNorm(df: DataFrame, vecCol: String, normCol: String): DataFrame =
+    df.withColumn(normCol, sqrt(expr(s"array_dot($vecCol, $vecCol)")))
 
   /** DuckDB twin: computed from double-cast lists so both sides run in
     * double precision; 4-dp output rounding absorbs the ~1e-15 tail. */
@@ -48,12 +57,14 @@ object SimOps {
     * `queryPred`), the k nearest non-self vectors by cosine.
     */
   def topKBruteForce(vectors: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val queries = vectors.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val scored = vectors.select(col("vec_id"), col("embedding"))
+    val queries = withNorm(vectors.filter(queryPred), "embedding", "qn")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("qn"))
+    val scored = withNorm(vectors.select(col("vec_id"), col("embedding")),
+        "embedding", "vn")
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine("q", "embedding"), 6))
+      .withColumn("score",
+        round(expr("array_dot(q, embedding)") / (col("qn") * col("vn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     scored
@@ -83,7 +94,7 @@ object SimOps {
   def lshBucket(vecCol: String, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (r, i) =>
       val arr = r.mkString("array(", "D, ", "D)")
-      s"(CASE WHEN aggregate(zip_with($vecCol, $arr, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) >= 0 THEN ${1L << i} ELSE 0 END)"
+      s"(CASE WHEN array_dot($vecCol, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
     }
     expr(bits.mkString("(", " + ", ")"))
   }
@@ -103,15 +114,16 @@ object SimOps {
     */
   def topKLsh(vectors: DataFrame, queryPred: Column, k: Int,
               planes: Seq[Seq[Double]]): DataFrame = {
-    val bucketed = vectors
+    val bucketed = withNorm(vectors, "embedding", "vn")
       .withColumn("bucket", lshBucket("embedding", planes))
     val queries = bucketed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        col("bucket"))
-    val scored = bucketed.select(col("vec_id"), col("embedding"), col("bucket"))
+        col("vn").as("qn"), col("bucket"))
+    val scored = bucketed.select(col("vec_id"), col("embedding"), col("vn"), col("bucket"))
       .join(queries, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine("q", "embedding"), 6))
+      .withColumn("score",
+        round(expr("array_dot(q, embedding)") / (col("qn") * col("vn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     scored

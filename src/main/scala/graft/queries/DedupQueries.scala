@@ -46,9 +46,7 @@ object DedupQueries {
     // SimHash fingerprint dedup: near-identical docs land on identical
     // 16-bit fingerprints; groups of >1 are dup candidates.
     QueryDef("dedup_simhash",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("__toks", TextOps.tokens(col("text")))
-        .withColumn("simhash16", TextOps.simhash("__toks"))
+      (s, d) => TextOps.simhashAgg(Tables.documents(s, d), "text", "doc_id")
         .groupBy(col("simhash16"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
           max(col("doc_id")).as("max_id"))
@@ -66,10 +64,13 @@ object DedupQueries {
     // bucketing in SimQueries is the scale path for the same predicate.
     QueryDef("dedup_embedding_cosine",
       (s, d) => {
-        val v = Tables.embeddings(s, d).select("vec_id", "embedding")
+        graft.catalyst.GraftFunctions.register(s)
+        val v = SimOps.withNorm(
+          Tables.embeddings(s, d).select("vec_id", "embedding"), "embedding", "n")
         v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            round(SimOps.cosine("a.embedding", "b.embedding"), 6).as("score"))
+            round(expr("array_dot(a.embedding, b.embedding)") /
+              (col("a.n") * col("b.n")), 6).as("score"))
           .filter(col("score") >= CosineThreshold)
           .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("cosine"))
       },

@@ -20,14 +20,18 @@ object SimQueries {
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("sim_topk_brute",
-      (s, d) => SimOps.topKBruteForce(Tables.embeddings(s, d),
-        col("vec_id") < 10, K),
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.topKBruteForce(Tables.embeddings(s, d), col("vec_id") < 10, K)
+      },
       Some(SimOps.topKBruteForceSql("embeddings", QueryPredSql, K)),
       presentOrder = Seq("query_id", "rank")),
 
     QueryDef("sim_topk_lsh",
-      (s, d) => SimOps.topKLsh(Tables.embeddings(s, d),
-        col("vec_id") < 10, K, Planes),
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.topKLsh(Tables.embeddings(s, d), col("vec_id") < 10, K, Planes)
+      },
       Some(SimOps.topKLshSql("embeddings", QueryPredSql, K, Planes)),
       presentOrder = Seq("query_id", "rank"))
   )

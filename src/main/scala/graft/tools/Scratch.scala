@@ -3,15 +3,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.EgvOps
-import graft.queries.EgvQueries
+import graft.ops.{DedupOps, TextOps}
 
 /** Dev scratchpad for isolating perf anomalies. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -19,18 +18,52 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     def time(tag: String)(f: => Any): Unit = {
       val t0 = System.nanoTime(); val r = f
-      println(f"$tag%-40s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($r)")
+      println(f"SCRATCH $tag%-46s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($r)")
     }
-    val ev = Tables.events(spark, d)
-    time("events.count")(ev.count())
-    time("events.count again")(ev.count())
-    time("tod only")(ev.withColumn("tod", EgvOps.secondsOfDay(col("ts"))).agg(sum("tod")).collect()(0))
-    val joined = EgvOps.categorizeWithLookup(ev, EgvQueries.rangesDf(spark))
-    time("lookup join count")(joined.count())
-    time("lookup join count again")(joined.count())
-    time("lookup join no-order collect-agg")(joined.agg(count(lit(1))).collect()(0))
-    val fast = EgvOps.lookupFirstMatch(ev, graft.model.Schemas.fixtureRanges)
-    time("fast lookup count")(fast.count())
+    val docs = Tables.documents(spark, d)
+    for (_ <- 1 to 2) {
+      // (a) tokens only
+      time("tokens size") {
+        docs.select(size(TextOps.tokens(col("text"))).as("n")).agg(sum("n")).collect()(0)
+      }
+      // (b) shingle strings via HOF, no hashing
+      time("shingle strings HOF") {
+        docs.withColumn("__toks", TextOps.tokens(col("text")))
+          .select(explode(expr(
+            """CASE WHEN size(__toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
+               ELSE transform(sequence(0, size(__toks) - 3),
+                 j -> concat_ws(' ', __toks[j], __toks[j+1], __toks[j+2])) END""")).as("s"))
+          .count()
+      }
+      // (c) full shingle-hash arrays via HOF (current shingleSets)
+      time("shingle hash arrays HOF (current)") {
+        DedupOps.shingleSets(docs, "text", "doc_id")
+          .select(size(col("sh")).as("n")).agg(sum("n")).collect()(0)
+      }
+      // (d) explode strings then codegen hash
+      time("explode strings then codegen md5/conv") {
+        docs.withColumn("__toks", TextOps.tokens(col("text")))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(__toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
+               ELSE transform(sequence(0, size(__toks) - 3),
+                 j -> concat_ws(' ', __toks[j], __toks[j+1], __toks[j+2])) END""")).as("s"))
+          .select(col("doc_id"), TextOps.hash64(col("s")).as("h"))
+          .distinct().count()
+      }
+      // (e) signatures from sets (current path)
+      time("signatures (explode+groupBy 16 mins)") {
+        DedupOps.signatures(
+          DedupOps.shingleInv(docs, "text", "doc_id"), 16).count()
+      }
+      // (f) full minhashLshPairs
+      time("minhashLshPairs full") {
+        DedupOps.minhashLshPairs(docs, "text", "doc_id", 0.8).count()
+      }
+      // (g) jaccardPairs full
+      time("jaccardPairs full") {
+        DedupOps.jaccardPairs(docs, "text", "doc_id", 0.8).count()
+      }
+    }
     spark.stop()
   }
 }

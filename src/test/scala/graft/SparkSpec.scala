@@ -14,6 +14,8 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // exercises the SparkSessionExtensions path for graft functions
+      .config("spark.sql.extensions", "graft.catalyst.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
