@@ -33,6 +33,7 @@ object Catalog {
   def all: Seq[QueryDef] =
     graft.queries.EgvQueries.defs ++
     graft.queries.RelQueries.defs ++
+    graft.queries.RelQueries2.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimQueries.defs ++

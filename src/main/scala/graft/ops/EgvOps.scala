@@ -112,9 +112,11 @@ object EgvOps {
 
   /** S6 — KTable semantics: latest value per key, ordered by (orderCol,
     * tieCol). `max_by(struct(payload), struct(order, tie))` is a single
-    * hash aggregation with map-side partial combine — no global sort, no
-    * window shuffle of the full row set; the shuffle carries one row per
-    * key per map partition.
+    * aggregation with map-side partial combine — no window shuffle of the
+    * full row set; the exchange carries one row per key per map partition.
+    * (Struct-valued buffers are not hash-aggregable, so Spark plans
+    * SortAggregate: per-partition sorts, but the shuffle volume — the
+    * thing that matters at 100 TB — is still one row per key per mapper.)
     */
   def latestByKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
                   tieCol: String): DataFrame = {

@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.{EgvQueries, RelQueries}
+
+/** Plan-quality assertions (the 100 TB contract): filters and projections
+  * must reach the parquet scan, dimension joins must broadcast, top-k must
+  * plan as TakeOrderedAndProject — on the real sf0.001 data through the
+  * real query definitions, so a regression in any operator's plan shape
+  * fails here before it shows up as a bench regression.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = Catalog.queries(name)(spark, d)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("threshold filter is pushed to the parquet scan with pruned schema") {
+    val p = planOf("ref_filter_high")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(value,200"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("props"), s"unused column not pruned from scan:\n$p")
+  }
+
+  test("Q1 aggregation scan reads only the referenced columns") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+    assert(!p.contains("l_orderkey"), s"l_orderkey should be pruned:\n$p")
+  }
+
+  test("interval lookup join plans as broadcast nested loop, not cartesian") {
+    val p = planOf("ref_categorize_lookup")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("dimension chain joins broadcast (no shuffle of the fact side)") {
+    val p = planOf("q_join_dims")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dims must not sort-merge:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = planOf("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("brute-force similarity broadcasts the query side") {
+    graft.catalyst.GraftFunctions.register(spark)
+    val p = planOf("sim_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$p")
+    assert(p.contains("array_dot"), s"codegen dot product missing from plan:\n$p")
+  }
+
+  test("latest-by-key is one partial+final aggregation, not a window sort") {
+    val p = planOf("ref_latest_by_key")
+    // struct-valued max_by buffers aren't hash-aggregable -> SortAggregate,
+    // but partial combine must exist and the full rows must not flow
+    // through a Window (which would shuffle every row, not one per key).
+    assert(p.contains("partial_max_by"), s"expected map-side partial agg:\n$p")
+    assert(!p.contains("Window"), s"must not use a window:\n$p")
+    assert(p.split("Exchange").length == 2, s"expected exactly one exchange:\n$p")
+  }
+
+  test("zero-shuffle first-match lookup has no exchange at all") {
+    val df = Catalog.queries("ref_categorize_lookup_fast")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"fast lookup must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"fast lookup must not join:\n$p")
+  }
+}
