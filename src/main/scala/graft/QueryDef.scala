@@ -38,7 +38,8 @@ object Catalog {
     graft.queries.DedupQueries.defs ++
     graft.queries.SimQueries.defs ++
     graft.queries.StreamParityQueries.defs ++
-    graft.queries.MultimodalQueries.defs
+    graft.queries.MultimodalQueries.defs ++
+    graft.queries.SkewQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

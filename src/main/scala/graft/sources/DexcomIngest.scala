@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Egv, Schemas}
+
+/** S1/S2 — the reference's ingestion edge (ProducerDexcom.java:91-141):
+  * OAuth2 token refresh + windowed EGV fetch from the Dexcom REST API,
+  * landed as a DataFrame.
+  *
+  * Ingestion is driver-side, single-machine work (the API returns ~2-3
+  * records per 10-minute window — ProducerDexcom.java:92-94): it stays
+  * OUT of the distributed engine core, exactly like the reference keeps
+  * it outside Kafka Streams. The HTTP edge is injected (`TokenClient` /
+  * `EgvClient`) so the module is testable in this zero-egress environment
+  * and swappable for a real java.net.http client in deployment.
+  */
+trait TokenClient extends Serializable {
+  /** POST /v2/oauth2/token with a refresh token → access token
+    * (ProducerDexcom.java:113-141). */
+  def refreshAccessToken(clientId: String, clientSecret: String,
+                         refreshToken: String): String
+}
+
+trait EgvClient extends Serializable {
+  /** GET /v2/users/self/egvs?startDate&endDate with a Bearer token →
+    * raw JSON response body (ProducerDexcom.java:91-111). */
+  def fetchEgvsJson(accessToken: String, startDate: String, endDate: String): String
+}
+
+object DexcomIngest {
+
+  /** Parse the API envelope JSON ({unit, rateUnit, egvs: [...]}) and
+    * explode the nested egvs array — DexcomEgvsResponse.java:5-9. */
+  def parseEnvelope(spark: SparkSession, responseJson: String): Dataset[Egv] = {
+    import spark.implicits._
+    spark.createDataset(Seq(responseJson))
+      .select(from_json(col("value"), Schemas.egvsResponse).as("r"))
+      .select(explode(col("r.egvs")).as("egv"))
+      .select("egv.*")
+      .as[Egv]
+  }
+
+  /** Token refresh → fetch → parse → explode: the full S1+S2 edge. */
+  def ingestWindow(spark: SparkSession, tokens: TokenClient, egvs: EgvClient,
+                   clientId: String, clientSecret: String, refreshToken: String,
+                   startDate: String, endDate: String): Dataset[Egv] = {
+    val access = tokens.refreshAccessToken(clientId, clientSecret, refreshToken)
+    parseEnvelope(spark, egvs.fetchEgvsJson(access, startDate, endDate))
+  }
+}
+
+/** Generic file-source readers beyond parquet: schema-enforced JSON-lines
+  * and CSV (header or not), plus the rate source for streaming tests.
+  * Explicit schemas keep the scan prunable and the ingestion contract
+  * honest (no runtime inference surprises at 100 TB).
+  */
+object FileSources {
+  def jsonLines(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** Streaming rate source: monotonically increasing (timestamp, value)
+    * rows — the broker-free stand-in for a Kafka stream in tests/demos. */
+  def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SkewOps
+import graft.sources.{DexcomIngest, EgvClient, TokenClient}
+
+class SourcesSkewSpec extends SparkSpec {
+
+  object FakeTokens extends TokenClient {
+    override def refreshAccessToken(id: String, secret: String, rt: String): String = {
+      assert(id == "cid" && secret == "sec" && rt == "refresh-1")
+      "access-xyz"
+    }
+  }
+  object FakeEgvs extends EgvClient {
+    override def fetchEgvsJson(token: String, start: String, end: String): String = {
+      assert(token == "access-xyz")
+      """{"unit":"mg/dL","rateUnit":"mg/dL/min","egvs":[
+        {"systemTime":"2020-11-02T02:00:00","displayTime":"2020-11-02T02:00:00",
+         "value":100,"realtimeValue":100,"smoothedValue":99,"status":"ok",
+         "trend":"flat","trendRate":0.1},
+        {"systemTime":"2020-11-02T02:05:00","displayTime":"2020-11-02T02:05:00",
+         "value":265,"realtimeValue":265,"smoothedValue":260,"status":"high",
+         "trend":"up","trendRate":1.5}]}"""
+    }
+  }
+
+  test("S1/S2 ingest edge: token refresh -> fetch -> envelope explode") {
+    val out = DexcomIngest.ingestWindow(spark, FakeTokens, FakeEgvs,
+      "cid", "sec", "refresh-1", "2020-11-02T02:00:00", "2020-11-02T02:10:00")
+    val rows = out.collect().sortBy(_.value)
+    assert(rows.map(_.value).toSeq === Seq(100, 265))
+    assert(rows.head.systemTime === "2020-11-02T02:00:00")
+    assert(rows.last.trend === "up")
+  }
+
+  test("envelope with no egvs yields empty dataset, malformed json yields empty") {
+    assert(DexcomIngest.parseEnvelope(spark,
+      """{"unit":"mg/dL","rateUnit":"x","egvs":[]}""").count() === 0)
+    assert(DexcomIngest.parseEnvelope(spark, "not json at all").count() === 0)
+  }
+
+  test("salted aggregation equals plain aggregation on skewed data") {
+    import spark.implicits._
+    // 10k rows for hot key, few for others
+    val skewed = (Seq.fill(10000)("hot") ++ Seq("a", "a", "b"))
+      .zipWithIndex.toDF("k", "v")
+    val expected = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewOps.saltedAgg(skewed, Seq("k"), saltBuckets = 8,
+      partials = Seq(
+        ("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+        ("s", sum(col("v")), (c: org.apache.spark.sql.Column) => sum(c))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === expected)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    val left = (Seq.fill(5000)(1) ++ Seq(2, 3)).zipWithIndex.toDF("k", "lv")
+    val right = Seq((1, "one"), (2, "two"), (4, "four")).toDF("k", "rv")
+    val expected = left.join(right, "k")
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val salted = SkewOps.saltedJoin(left, right, "k", saltBuckets = 8)
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted === expected)
+    assert(salted.size === 5001)
+  }
+}
