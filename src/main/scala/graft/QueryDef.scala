@@ -39,7 +39,8 @@ object Catalog {
     graft.queries.SimQueries.defs ++
     graft.queries.StreamParityQueries.defs ++
     graft.queries.MultimodalQueries.defs ++
-    graft.queries.SkewQueries.defs
+    graft.queries.SkewQueries.defs ++
+    graft.queries.SketchQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

@@ -88,6 +88,16 @@ object EgvStreams {
       .select(col("window.start").as("window_start"), col("trend"),
         col("n"), col("avg_value"))
 
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped; state for keys older than the
+    * watermark is evicted (the unbounded-state hazard of plain
+    * dropDuplicates on streams, solved the Spark-native way). */
+  def streamingDedup(parsed: DataFrame, keyCols: Seq[String],
+                     eventTimeCol: String, watermark: String): DataFrame =
+    parsed
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** S6 — KTable upsert view per micro-batch: latest value per key in
     * offset order, for use inside foreachBatch (SURVEY.md §7.3.1). */
   def latestByKeyBatch(df: DataFrame, keyCols: Seq[String],

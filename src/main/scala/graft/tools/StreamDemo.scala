@@ -80,6 +80,21 @@ object StreamDemo {
       .map(r => s"${r.getString(0).substring(11, 16)}=n${r.getLong(1)}")
       .sorted.mkString(" "))
 
+    // 3b. streaming dedup within watermark: cross-batch duplicate dropped
+    val in5 = MemoryStream[KafkaRec]
+    val q5 = graft.streaming.EgvStreams.streamingDedup(
+        EgvStreams.parseEgvs(in5.toDF())
+          .select(col("key"), col("systemTime"), col("value"), col("systemTs")),
+        Seq("key", "systemTime"), "systemTs", "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    in5.addData(
+      KafkaRec("r", egvJson(100, "2020-11-02T02:00:00"), new Timestamp(0)),
+      KafkaRec("r", egvJson(100, "2020-11-02T02:00:00"), new Timestamp(1)))
+    q5.processAllAvailable()
+    in5.addData(KafkaRec("r", egvJson(100, "2020-11-02T02:00:00"), new Timestamp(2)))
+    q5.processAllAvailable(); q5.stop()
+    println("DEMO streaming dedup rows: " + spark.table("dedup").count())
+
     // 4. idempotent bulk sink: injected failure then checkpoint replay
     InMemoryBulkClient.store.clear()
     val in4 = MemoryStream[KafkaRec]

@@ -59,6 +59,21 @@ class DedupSimSpec extends SparkSpec {
     assert(hamming <= 4, s"near-dup hamming distance was $hamming")
   }
 
+  test("minhash sketch aggregator: merge order invariant, self-similarity 1") {
+    val agg = new graft.catalyst.MinHashSketchAgg(32)
+    val hs = (1L to 500L).map(_ * 7919L)
+    // reduce all at once vs merge of two partials -> identical sketch
+    val whole = hs.foldLeft(agg.zero)(agg.reduce)
+    val partial = agg.merge(
+      hs.take(200).foldLeft(agg.zero)(agg.reduce),
+      hs.drop(200).foldLeft(agg.zero)(agg.reduce))
+    assert(whole.toSeq === partial.toSeq)
+    assert(graft.catalyst.MinHashSketchAgg.estimateJaccard(whole, partial) === 1.0)
+    // disjoint sets -> low estimated similarity
+    val other = (10001L to 10500L).map(_ * 104729L).foldLeft(agg.zero)(agg.reduce)
+    assert(graft.catalyst.MinHashSketchAgg.estimateJaccard(whole, other) < 0.2)
+  }
+
   test("cosine ranks an identical vector first, orthogonal last") {
     import spark.implicits._
     val vecs = Seq(

@@ -103,6 +103,27 @@ class StreamingSpec extends SparkSpec {
       ("u2", 80, None)))
   }
 
+  test("streaming dedup within watermark drops cross-batch duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KafkaRec]
+    val out = EgvStreams.streamingDedup(
+      EgvStreams.parseEgvs(in.toDF()).select(col("key"), col("systemTime"), col("value"), col("systemTs")),
+      Seq("key", "systemTime"), "systemTs", "1 hour")
+    val q = out.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    in.addData(
+      KafkaRec("robert", egvJson(100, "2020-11-02T02:00:00"), new Timestamp(0)),
+      KafkaRec("robert", egvJson(100, "2020-11-02T02:00:00"), new Timestamp(1))) // in-batch dup
+    q.processAllAvailable()
+    in.addData(
+      KafkaRec("robert", egvJson(100, "2020-11-02T02:00:00"), new Timestamp(2)), // cross-batch dup
+      KafkaRec("robert", egvJson(110, "2020-11-02T02:05:00"), new Timestamp(3))) // new reading
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("deduped").select("systemTime").collect().map(_.getString(0))
+    assert(got.sorted.toSeq === Seq("2020-11-02T02:00:00", "2020-11-02T02:05:00"))
+  }
+
   test("idempotent bulk sink: batch replay after failure does not duplicate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
