@@ -102,6 +102,28 @@ object TextQueries {
       },
       presentOrder = Seq("lang", "predicted")),
 
+    // BPE-ish sub-word tokenization: regex pieces (letter runs / digit
+    // runs / single punctuation), the pre-merge vocabulary a BPE trainer
+    // starts from. Pure narrow map; counts per doc.
+    QueryDef("text_bpe_tokens",
+      (s, d) => {
+        val piece = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+        Tables.documents(s, d)
+          .withColumn("__p", regexp_extract_all(col("text"), lit(piece), lit(0)))
+          .select(col("doc_id"),
+            size(col("__p")).as("n_pieces"),
+            expr("size(filter(__p, p -> p rlike '^[A-Za-z]+$'))").as("n_word_pieces"),
+            size(array_distinct(col("__p"))).as("n_distinct_pieces"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS pieces
+             |  FROM documents)
+             | SELECT doc_id, len(pieces) AS n_pieces,
+             |  len(list_filter(pieces, p -> regexp_matches(p, '^[A-Za-z]+$'))) AS n_word_pieces,
+             |  len(list_distinct(pieces)) AS n_distinct_pieces
+             | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // Document fingerprinting: min-hash of 3-token shingles (rolling
     // content fingerprint) + a 16-bit SimHash. Narrow map, no shuffle.
     QueryDef("text_fingerprint",

@@ -1,32 +1,35 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+
 import graft.Catalog
 
-/** Dev tool: run every catalog query twice in one JVM to separate
-  * cold (codegen/JIT/classload) cost from steady-state cost. */
+/** Warm per-query profiler: two timed passes over every catalog query at
+  * the given SF dir (arg 0, default sf0.1) — pass 1 ≈ codegen+JIT, pass 2
+  * ≈ steady state. Sorted by warm time, worst first. */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(f: => Unit): Double = {
+    def t(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val rows = Catalog.all.map { q =>
-      val cold = time(q.run(spark, sfDir).count())
-      val warm = time(q.run(spark, sfDir).count())
-      println(f"${q.name}%-30s cold ${cold}%7.2fs warm ${warm}%7.2fs")
+      val cold = t(q.run(spark, sfDir).count())
+      val warm = t(q.run(spark, sfDir).count())
       (q.name, cold, warm)
     }
-    println(f"TOTAL cold ${rows.map(_._2).sum}%.2fs warm ${rows.map(_._3).sum}%.2fs")
+    println(f"PROFILE ${"query"}%-30s ${"cold"}%8s ${"warm"}%8s   ($sfDir)")
+    rows.sortBy(-_._3).foreach { case (n, c, w) =>
+      println(f"PROFILE $n%-30s $c%8.2f $w%8.2f")
+    }
+    println(f"PROFILE TOTAL${""}%-25s ${rows.map(_._2).sum}%8.2f ${rows.map(_._3).sum}%8.2f")
     spark.stop()
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.catalyst.MinHashSketchAgg
+import graft.model.GlucoseRange
+import graft.ops.{EgvOps, SkewOps}
+
+/** Property tests (SURVEY.md §5.2.3): boundary algebra, lookup totality,
+  * sketch algebra, salt-invariance — seeded deterministic generators
+  * (scalacheck's scalatest bridge isn't in the offline dep set; the
+  * properties matter, not the harness).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new Random(42)
+
+  test("property: categorize(v) is in-range iff lower <= v <= upper") {
+    import spark.implicits._
+    val cases = Seq.fill(40) {
+      val (a, b) = (rnd.nextInt(200), rnd.nextInt(200))
+      (rnd.nextInt(400), math.min(a, b), math.max(a, b))
+    }
+    for (((v, lo, hi), i) <- cases.zipWithIndex) {
+      val got = EgvOps.categorizeSimple(Seq(v).toDF("value"), lower = lo, upper = hi)
+        .select("in_range").collect().head.getString(0)
+      assert(got === (if (lo <= v && v <= hi) "true" else "false"),
+        s"case $i: v=$v range=[$lo,$hi]")
+    }
+  }
+
+  test("property: first-match lookup is total on non-overlapping full-cover ranges") {
+    import spark.implicits._
+    for (_ <- 1 to 15) {
+      val cuts = Seq(rnd.nextInt(86398) + 1, rnd.nextInt(86398) + 1).sorted.distinct
+      val bounds = (0 +: cuts) :+ 86400
+      val ranges = bounds.sliding(2).zipWithIndex.collect {
+        case (Seq(s, e), i) if s < e => GlucoseRange(i + 1, s, e - 1, 70, 180)
+      }.toSeq
+      val tod = rnd.nextInt(86400)
+      val ts = java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(
+        2020, 1, 1, tod / 3600, tod / 60 % 60, tod % 60))
+      val n = EgvOps.lookupFirstMatch(Seq((100, ts)).toDF("value", "ts"), ranges).count()
+      assert(n === 1, s"tod=$tod must match exactly one of $ranges")
+    }
+  }
+
+  test("property: minhash sketch merge is commutative, associative, idempotent") {
+    val agg = new MinHashSketchAgg(16)
+    for (_ <- 1 to 25) {
+      val xs = List.fill(rnd.nextInt(50))(rnd.nextLong().abs + 1)
+      val ys = List.fill(rnd.nextInt(50))(rnd.nextLong().abs + 1)
+      val zs = List.fill(rnd.nextInt(50))(rnd.nextLong().abs + 1)
+      def sk(h: List[Long]) = h.foldLeft(agg.zero)(agg.reduce)
+      def cp(x: Array[Long]) = x.clone()
+      val (a, b, c) = (sk(xs), sk(ys), sk(zs))
+      assert(agg.merge(cp(a), cp(b)).toSeq === agg.merge(cp(b), cp(a)).toSeq)
+      assert(agg.merge(agg.merge(cp(a), cp(b)), cp(c)).toSeq ===
+        agg.merge(cp(a), agg.merge(cp(b), cp(c))).toSeq)
+      assert(agg.merge(cp(a), cp(a)).toSeq === a.toSeq)
+      assert(agg.merge(cp(a), agg.zero).toSeq === a.toSeq)
+      // order invariance of reduce
+      assert(sk(xs.reverse).toSeq === a.toSeq)
+      if (xs.nonEmpty) assert(MinHashSketchAgg.estimateJaccard(a, sk(xs.reverse)) === 1.0)
+    }
+  }
+
+  test("property: salted aggregation equals plain aggregation on random data") {
+    import spark.implicits._
+    for (_ <- 1 to 5) {
+      val rows = List.fill(rnd.nextInt(200) + 1)(
+        (Seq("a", "b", "hot")(rnd.nextInt(3)), rnd.nextInt(201) - 100))
+      val df = rows.toDF("k", "v")
+      val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val salted = SkewOps.saltedAgg(df, Seq("k"), 4, Seq(
+          ("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+          ("s", sum(col("v")), (c: org.apache.spark.sql.Column) => sum(c))))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(salted === plain)
+    }
+  }
+}
