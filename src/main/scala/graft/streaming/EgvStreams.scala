@@ -15,11 +15,13 @@ import graft.ops.EgvOps
   * driver's oracle gate checks; these wrappers add only the source/sink
   * edges (Kafka options, watermarks, output modes, checkpointing).
   *
-  * No Kafka broker exists in the test environment, so the Kafka edges are
-  * exercised by schema-faithful unit tests (the `key`/`value`/`timestamp`
-  * columns a Kafka source produces) and MemoryStream end-to-end tests; the
-  * option wiring matches the reference's delivery knobs
-  * (ProducerDexcom.java:66-89).
+  * No Kafka broker exists in the test environment, and the
+  * spark-sql-kafka connector jar is not in this Spark distribution
+  * (`format("kafka")` resolves only on a deployment classpath that ships
+  * it) — so the Kafka edges are exercised by schema-faithful unit tests
+  * (the `key`/`value`/`timestamp` columns a Kafka source produces) and
+  * MemoryStream end-to-end tests; the option wiring matches the
+  * reference's delivery knobs (ProducerDexcom.java:66-89).
   */
 object EgvStreams {
 
