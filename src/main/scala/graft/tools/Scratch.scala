@@ -13,9 +13,30 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("scratch-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // Bucketed co-located join: write both sides bucketed on the join key,
+    // join with broadcast disabled -> plan must contain no Exchange.
+    if (args.contains("bucketing")) {
+      import graft.sources.Bucketing
+      Bucketing.writeBucketed(Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderpriority")), "orders_b", "o_orderkey", 16, Some("o_orderkey"))
+      Bucketing.writeBucketed(Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_quantity")), "lineitem_b", "l_orderkey", 16, Some("l_orderkey"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing.coLocatedJoin(spark, "orders_b", "lineitem_b", "o_orderkey", "l_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      println("SCRATCH bucketed-join exchanges: " + (plan.split("Exchange").length - 1))
+      println("SCRATCH bucketed-join rows: " + j.count())
+      val t0 = System.nanoTime(); j.count()
+      println(f"SCRATCH bucketed-join time: ${(System.nanoTime()-t0)/1e9}%.2fs")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.stop(); return
+    }
     def time(tag: String)(f: => Any): Unit = {
       val t0 = System.nanoTime(); val r = f
       println(f"SCRATCH $tag%-46s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($r)")

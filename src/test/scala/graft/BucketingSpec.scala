@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Bucketing
+
+/** Bucketed co-located joins: the join over matching bucket specs must
+  * plan with NO Exchange on either side, and produce the same result as
+  * the shuffled join. */
+class BucketingSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("matching bucket specs join with zero exchange, same results") {
+    val orders = Tables.orders(spark, d).select("o_orderkey", "o_orderpriority")
+    val lineitem = Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+    Bucketing.writeBucketed(orders, "orders_b", "o_orderkey", 8, Some("o_orderkey"))
+    Bucketing.writeBucketed(lineitem, "lineitem_b", "l_orderkey", 8, Some("l_orderkey"))
+
+    val joined = Bucketing.coLocatedJoin(spark, "orders_b", "lineitem_b",
+      "o_orderkey", "l_orderkey")
+    // disable auto-broadcast so the bucketed sort-merge path is what's planned
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+
+      val viaBuckets = joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("q"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaShuffle = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("q"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaBuckets === viaShuffle)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}

@@ -16,6 +16,8 @@ object SparkSpec {
       .appName("graft-tests")
       // exercises the SparkSessionExtensions path for graft functions
       .config("spark.sql.extensions", "graft.catalyst.GraftSparkExtensions")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
