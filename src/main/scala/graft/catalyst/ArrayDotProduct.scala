@@ -86,10 +86,17 @@ object GraftFunctions {
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
 
   /** Idempotent per-session registration (for sessions built without the
-    * extensions config). */
-  def register(spark: SparkSession): Unit = fns.foreach { case (id, _, builder) =>
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    * extensions config). Also registers the `minhash_sketch` UDAF — the
+    * typed [[MinHashSketchAgg]] surfaced to SQL/DataFrame groupBy, which
+    * avoids the tuple-encoder overhead of the groupByKey path. */
+  def register(spark: SparkSession): Unit = {
+    fns.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+    spark.udf.register("minhash_sketch",
+      org.apache.spark.sql.functions.udaf(
+        new MinHashSketchAgg(16), org.apache.spark.sql.Encoders.scalaLong))
   }
 }
 

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.catalyst.MinHashSketchAgg
 import graft.ops.{DedupOps, TextOps}
 
 /** Corpus-level sketching: per-source MinHash sketches via the typed
@@ -20,17 +19,16 @@ object SketchQueries {
 
     QueryDef("q_source_sketch_sim",
       (s, d) => {
-        import s.implicits._
+        // minhash_sketch = MinHashSketchAgg surfaced as a registered UDAF:
+        // plain relational groupBy, no typed-encoder overhead.
+        graft.catalyst.GraftFunctions.register(s)
         // (source, shingle_hash) inverted index — hash post-explode, codegen.
         val inv = Tables.documents(s, d)
           .withColumn("__toks", TextOps.tokens(col("text")))
           .select(col("source"), explode(TextOps.shingleStrings("__toks")).as("__s"))
           .select(col("source"), TextOps.hash64(col("__s")).as("h"))
-          .as[(String, Long)]
-        val sketch = new MinHashSketchAgg(K)
-        val sigs = inv.groupByKey(_._1).mapValues(_._2)
-          .agg(sketch.toColumn.name("sig"))
-          .toDF("source", "sig")
+        val sigs = inv.groupBy("source")
+          .agg(expr("minhash_sketch(h)").as("sig"))
         // Pairwise estimated Jaccard = fraction of agreeing slots.
         sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
           .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
