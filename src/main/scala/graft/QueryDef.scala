@@ -34,6 +34,7 @@ object Catalog {
     graft.queries.EgvQueries.defs ++
     graft.queries.RelQueries.defs ++
     graft.queries.RelQueries2.defs ++
+    graft.queries.RelQueries3.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimQueries.defs ++

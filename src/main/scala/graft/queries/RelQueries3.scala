@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Relational inventory, batch 3: complex-type aggregation (collect +
+  * sort + serialize), union-by-name, approximate percentile sketch.
+  */
+object RelQueries3 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Complex types: per-customer order list collected, sorted, and
+    // serialized deterministically (nested results can't be hash-compared
+    // portably, so the contract output is the canonical string form).
+    QueryDef("q_collect_sorted",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_custkey") < 50)
+        .groupBy(col("o_custkey"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("order_keys"),
+          size(collect_set(col("o_orderpriority"))).as("n_priorities")),
+      Some("""SELECT o_custkey,
+             | string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys,
+             | count(DISTINCT o_orderpriority) AS n_priorities
+             | FROM orders WHERE o_custkey < 50
+             | GROUP BY o_custkey ORDER BY o_custkey""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("o_custkey")),
+
+    // unionByName: columns matched by NAME across differently-ordered
+    // projections — positional union would silently mis-align them.
+    QueryDef("q_union_by_name",
+      (s, d) => {
+        val a = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            lit("open").as("src"))
+        val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(lit("closed").as("src"), col("o_totalprice").as("price"),
+            col("o_orderkey").as("k")) // deliberately different column order
+        a.unionByName(b)
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("sum_price"))
+      },
+      Some("""SELECT src, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+             | FROM (SELECT o_orderkey, o_totalprice,
+             |   CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END AS src
+             |   FROM orders WHERE o_orderstatus IN ('O', 'F'))
+             | GROUP BY src ORDER BY src""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("src")),
+
+    // Approximate percentile sketch (t-digest-style) beside the exact
+    // value — engine-specific estimates -> rows-only gate, mirroring
+    // q_hll_approx.
+    QueryDef("q_approx_percentile",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("approx_p50"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50")),
+      oracle = None,
+      presentOrder = Seq("o_orderpriority"))
+  )
+}
