@@ -48,8 +48,7 @@ object IdempotentBulkSink {
   /** The foreachBatch body: serialize rows, bulk-upsert with deterministic
     * ids, bounded bulk size (the reference's max.poll.records=100 analog).
     * Runs on the driver per micro-batch after collecting the (small,
-    * post-aggregation) batch — for large sinks swap to foreachPartition
-    * with per-partition bulk clients; contract unchanged. */
+    * post-aggregation) batch — for large sinks use [[writeBatchDistributed]]. */
   def writeBatch(client: BulkClient, keyCols: Seq[String], bulkSize: Int = 100)
                 (df: DataFrame, batchId: Long): Unit = {
     val payload = df.withColumn("__id", docId(keyCols))
@@ -59,5 +58,26 @@ object IdempotentBulkSink {
       .map { case Row(id: String, doc: String) => (id, doc) }
       .grouped(bulkSize)
       .foreach(chunk => client.bulkUpsert(chunk.toSeq))
+  }
+
+  /** Executor-side variant — the at-scale contract: each partition bulks
+    * its own rows through a client it obtains itself (serializable
+    * factory, so connections are per-executor, never serialized from the
+    * driver). A partition failure fails the batch BEFORE the checkpoint
+    * commits; the replay re-upserts the same deterministic ids — the same
+    * effectively-once guarantee as the driver-side form, with no
+    * collect() bottleneck. */
+  def writeBatchDistributed(clientFactory: () => BulkClient, keyCols: Seq[String],
+                            bulkSize: Int = 100)
+                           (df: DataFrame, batchId: Long): Unit = {
+    val payload = df.withColumn("__id", docId(keyCols))
+      .withColumn("__doc", to_json(struct(df.columns.map(col): _*)))
+      .select("__id", "__doc")
+    payload.foreachPartition { (rows: Iterator[Row]) =>
+      val client = clientFactory()
+      rows.map { case Row(id: String, doc: String) => (id, doc) }
+        .grouped(bulkSize)
+        .foreach(chunk => client.bulkUpsert(chunk.toSeq))
+    }
   }
 }

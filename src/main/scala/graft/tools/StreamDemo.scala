@@ -119,6 +119,28 @@ object StreamDemo {
     println(s"DEMO store after replay: size=${InMemoryBulkClient.store.size()} ids=" +
       InMemoryBulkClient.store.keySet().toArray.map(_.toString).sorted.mkString(","))
 
+    // 5. executor-side distributed sink: partition failure -> batch fails
+    //    before checkpoint commit; replay converges, no duplicates.
+    InMemoryBulkClient.store.clear()
+    val in6 = MemoryStream[KafkaRec]
+    val parsed6 = EgvStreams.parseEgvs(in6.toDF())
+      .select(col("key"), col("value"), col("systemTime")).repartition(4)
+    val ckpt6 = java.nio.file.Files.createTempDirectory("demo-dist-ckpt").toString
+    def startDist() = parsed6.writeStream
+      .foreachBatch(IdempotentBulkSink.writeBatchDistributed(
+        () => InMemoryBulkClient, Seq("key", "systemTime"), bulkSize = 2) _)
+      .option("checkpointLocation", ckpt6).start()
+    InMemoryBulkClient.failNextBatches = 1
+    in6.addData((1 to 8).map(i =>
+      KafkaRec("u" + i % 2, egvJson(100 + i, f"2020-11-02T03:${i}%02d:00"), new Timestamp(i))): _*)
+    val d1 = startDist()
+    try d1.processAllAvailable() catch { case _: Exception =>
+      println("DEMO dist-sink batch failed as injected") }
+    d1.stop()
+    val d2 = startDist()
+    d2.processAllAvailable(); d2.stop()
+    println(s"DEMO dist-sink after replay: size=${InMemoryBulkClient.store.size()} (expect 8)")
+
     spark.stop()
   }
 }

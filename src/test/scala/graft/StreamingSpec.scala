@@ -124,6 +124,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted.toSeq === Seq("2020-11-02T02:00:00", "2020-11-02T02:05:00"))
   }
 
+  test("distributed bulk sink: executor-side partitions write the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    InMemoryBulkClient.store.clear()
+    val in = MemoryStream[KafkaRec]
+    val parsed = EgvStreams.parseEgvs(in.toDF())
+      .select(col("key"), col("value"), col("systemTime"))
+      .repartition(4) // force multi-partition executor-side writes
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dist-ckpt").toString
+    val q = parsed.writeStream
+      .foreachBatch(IdempotentBulkSink.writeBatchDistributed(
+        () => InMemoryBulkClient, Seq("key", "systemTime"), bulkSize = 2) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+    in.addData((1 to 10).map(i =>
+      KafkaRec("u" + i % 3, egvJson(100 + i, f"2020-11-02T02:${i}%02d:00"), new Timestamp(i))): _*)
+    q.processAllAvailable(); q.stop()
+    assert(InMemoryBulkClient.store.size() === 10)
+    assert(InMemoryBulkClient.store.containsKey("u1_2020-11-02T02:01:00"))
+  }
+
   test("idempotent bulk sink: batch replay after failure does not duplicate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
