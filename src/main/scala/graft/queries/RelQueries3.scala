@@ -49,6 +49,46 @@ object RelQueries3 {
              | GROUP BY src ORDER BY src""".stripMargin.replace("\n", "")),
       presentOrder = Seq("src")),
 
+    // Correlated LATERAL subquery through the SQL entry point: top-2
+    // orders per customer — the per-group-top-n shape as a correlated
+    // subquery rather than a window.
+    QueryDef("q_lateral_topn",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+                 FROM customer_v c JOIN LATERAL (
+                   SELECT o_orderkey, o_totalprice FROM orders_v
+                   WHERE o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                 WHERE c.c_custkey < 100""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             | FROM customer c JOIN LATERAL (
+             |   SELECT o_orderkey, o_totalprice FROM orders
+             |   WHERE o_custkey = c.c_custkey
+             |   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true
+             | WHERE c.c_custkey < 100
+             | ORDER BY c.c_custkey, t.o_orderkey""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("c_custkey", "o_orderkey")),
+
+    // Null semantics: null-safe equality, nullif/coalesce/nvl2 — the
+    // three-valued-logic surface, with nulls manufactured via nullif.
+    QueryDef("q_null_semantics",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("maybe_status", nullif(col("o_orderstatus"), lit("P")))
+        .select(col("o_orderkey"),
+          col("maybe_status"),
+          col("maybe_status").eqNullSafe("O").cast("int").as("is_open_nullsafe"),
+          coalesce(col("maybe_status"), lit("pending")).as("status_filled"),
+          expr("nvl2(maybe_status, 'known', 'unknown')").as("known")),
+      Some("""SELECT o_orderkey, nullif(o_orderstatus, 'P') AS maybe_status,
+             | CAST(nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O' AS INT) AS is_open_nullsafe,
+             | coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_filled,
+             | CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL THEN 'known' ELSE 'unknown' END AS known
+             | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("o_orderkey")),
+
     // Approximate percentile sketch (t-digest-style) beside the exact
     // value — engine-specific estimates -> rows-only gate, mirroring
     // q_hll_approx.
