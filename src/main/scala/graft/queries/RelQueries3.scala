@@ -89,6 +89,33 @@ object RelQueries3 {
              | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderkey")),
 
+    // RANGE window frames (value-based bounds, vs the ROWS frames in
+    // q_window_orders) + first/last_value over an explicit frame.
+    QueryDef("q_window_range_frame",
+      (s, d) => {
+        val byPrice = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 100)
+          .withColumn("n_within_10k", count(lit(1)).over(
+            byPrice.rangeBetween(-10000, 10000)))
+          .withColumn("cheapest", first(col("o_orderkey")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice"), col("o_orderkey"))
+              .rowsBetween(Long.MinValue, Long.MaxValue)))
+          .select("o_orderpriority", "o_orderkey", "n_within_10k", "cheapest")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             | count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             |   RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_within_10k,
+             | first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+             |   ORDER BY o_totalprice, o_orderkey
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest
+             | FROM orders WHERE o_custkey < 100
+             | ORDER BY o_orderpriority, o_orderkey""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("o_orderpriority", "o_orderkey")),
+
     // Approximate percentile sketch (t-digest-style) beside the exact
     // value — engine-specific estimates -> rows-only gate, mirroring
     // q_hll_approx.
