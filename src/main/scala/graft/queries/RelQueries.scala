@@ -29,18 +29,19 @@ object RelQueries {
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          // Rounded averages DECIMAL-cast for byte-stable cross-engine hashes.
+          round(avg(col("l_quantity")), 4).cast("decimal(18,4)").as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).cast("decimal(18,4)").as("avg_price"),
+          round(avg(col("l_discount")), 4).cast("decimal(18,4)").as("avg_disc"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
              | round(sum(l_quantity), 2) AS sum_qty,
              | round(sum(l_extendedprice), 2) AS sum_base_price,
              | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
              | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-             | round(avg(l_quantity), 4) AS avg_qty,
-             | round(avg(l_extendedprice), 4) AS avg_price,
-             | round(avg(l_discount), 4) AS avg_disc,
+             | CAST(round(avg(l_quantity), 4) AS DECIMAL(18,4)) AS avg_qty,
+             | CAST(round(avg(l_extendedprice), 4) AS DECIMAL(18,4)) AS avg_price,
+             | CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS avg_disc,
              | count(*) AS count_order
              | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
              | GROUP BY l_returnflag, l_linestatus
@@ -236,11 +237,11 @@ object RelQueries {
             .otherwise("large"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("o_totalprice")), 4).as("avg_price"),
+          round(avg(col("o_totalprice")), 4).cast("decimal(18,4)").as("avg_price"),
           sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open")),
       Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
              | WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS band,
-             | count(*) AS n, round(avg(o_totalprice), 4) AS avg_price,
+             | count(*) AS n, CAST(round(avg(o_totalprice), 4) AS DECIMAL(18,4)) AS avg_price,
              | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
              | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", "")),
       presentOrder = Seq("band"))

@@ -33,15 +33,16 @@ object RelQueries2 {
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
-          round(var_samp(col("l_quantity")), 4).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc")),
+          // Rounded DOUBLE stats DECIMAL-cast for byte-stable hashes.
+          round(stddev_samp(col("l_extendedprice")), 4).cast("decimal(18,4)").as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).cast("decimal(18,4)").as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).cast("decimal(18,4)").as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).cast("decimal(18,4)").as("cov_qty_disc")),
       Some("""SELECT l_returnflag,
-             | round(stddev_samp(l_extendedprice), 4) AS sd_price,
-             | round(var_samp(l_quantity), 4) AS var_qty,
-             | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-             | round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+             | CAST(round(stddev_samp(l_extendedprice), 4) AS DECIMAL(18,4)) AS sd_price,
+             | CAST(round(var_samp(l_quantity), 4) AS DECIMAL(18,4)) AS var_qty,
+             | CAST(round(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4)) AS corr_qty_price,
+             | CAST(round(covar_samp(l_quantity, l_discount), 4) AS DECIMAL(18,4)) AS cov_qty_disc
              | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", "")),
       presentOrder = Seq("l_returnflag")),
 
@@ -51,14 +52,14 @@ object RelQueries2 {
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(o_totalprice, 0.25)"), 4).cast("decimal(18,4)").as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).cast("decimal(18,4)").as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).cast("decimal(18,4)").as("p75"),
           count(lit(1)).as("n")),
       Some("""SELECT o_orderpriority,
-             | round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-             | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-             | round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             | CAST(round(quantile_cont(o_totalprice, 0.25), 4) AS DECIMAL(18,4)) AS p25,
+             | CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS p50,
+             | CAST(round(quantile_cont(o_totalprice, 0.75), 4) AS DECIMAL(18,4)) AS p75,
              | count(*) AS n
              | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderpriority")),
@@ -135,14 +136,14 @@ object RelQueries2 {
         Tables.orders(s, d)
           .withColumn("drank", dense_rank().over(w))
           .withColumn("quartile", ntile(4).over(w))
-          .withColumn("prank", round(percent_rank().over(w), 4))
+          .withColumn("prank", round(percent_rank().over(w), 4).cast("decimal(18,4)"))
           .filter(col("drank") <= 5)
           .select("o_orderpriority", "o_orderkey", "drank", "quartile", "prank")
       },
       Some("""SELECT o_orderpriority, o_orderkey, drank, quartile, prank FROM (
              | SELECT o_orderpriority, o_orderkey,
              |  dense_rank() OVER w AS drank, ntile(4) OVER w AS quartile,
-             |  round(percent_rank() OVER w, 4) AS prank
+             |  CAST(round(percent_rank() OVER w, 4) AS DECIMAL(18,4)) AS prank
              | FROM orders
              | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
              | WHERE drank <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin.replace("\n", "")),

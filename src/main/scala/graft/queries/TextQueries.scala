@@ -23,16 +23,19 @@ object TextQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          // DECIMAL-cast rounded averages: a rounded DOUBLE quotient is not
+          // byte-stable across engines (representation of e.g. 61.4400 can
+          // differ in the last ulp); DECIMAL(18,4) bytes are exact.
+          round(avg(col("n_tokens")), 4).cast("decimal(18,4)").as("avg_tokens"),
           min(col("n_tokens")).as("min_tokens"),
           max(col("n_tokens")).as("max_tokens"),
-          round(avg(col("n_chars")), 4).as("avg_chars")),
+          round(avg(col("n_chars")), 4).cast("decimal(18,4)").as("avg_chars")),
       Some("""SELECT lang, count(*) AS n_docs,
              | sum(len(string_split(text, ' '))) AS total_tokens,
-             | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+             | CAST(round(avg(len(string_split(text, ' '))), 4) AS DECIMAL(18,4)) AS avg_tokens,
              | min(len(string_split(text, ' '))) AS min_tokens,
              | max(len(string_split(text, ' '))) AS max_tokens,
-             | round(avg(n_chars), 4) AS avg_chars
+             | CAST(round(avg(n_chars), 4) AS DECIMAL(18,4)) AS avg_chars
              | FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", "")),
       presentOrder = Seq("lang")),
 
@@ -44,9 +47,10 @@ object TextQueries {
         .withColumn("n_tokens", size(col("__toks")))
         .withColumn("n_stop", TextOps.markerCountExpr("__toks", TextOps.stopwords))
         .withColumn("stop_ratio",
-          round(col("n_stop").cast("double") / col("n_tokens"), 4))
+          round(col("n_stop").cast("double") / col("n_tokens"), 4).cast("decimal(18,4)"))
         .withColumn("avg_token_len",
-          round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4))
+          round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4)
+            .cast("decimal(18,4)"))
         .withColumn("quality",
           when(col("n_tokens") >= 20 && col("stop_ratio") <= 0.3, "good")
             .otherwise("low"))
@@ -55,8 +59,8 @@ object TextQueries {
               |  string_split(text, ' ') AS toks FROM documents),
               | q AS (SELECT doc_id, len(toks) AS n_tokens,
               |  len(list_filter(toks, t -> t IN $stop)) AS n_stop,
-              |  round(len(list_filter(toks, t -> t IN $stop))::DOUBLE / len(toks), 4) AS stop_ratio,
-              |  round((n_chars - len(toks) + 1)::DOUBLE / len(toks), 4) AS avg_token_len
+              |  CAST(round(len(list_filter(toks, t -> t IN $stop))::DOUBLE / len(toks), 4) AS DECIMAL(18,4)) AS stop_ratio,
+              |  CAST(round((n_chars - len(toks) + 1)::DOUBLE / len(toks), 4) AS DECIMAL(18,4)) AS avg_token_len
               |  FROM t)
               | SELECT doc_id, n_tokens, n_stop, stop_ratio, avg_token_len,
               |  CASE WHEN n_tokens >= 20 AND stop_ratio <= 0.3 THEN 'good' ELSE 'low' END AS quality
