@@ -64,18 +64,34 @@ object DedupOps {
         explode(TextOps.shingleStrings("__toks")).as("__s"))
       .select(col("doc_id"), TextOps.hash64(col("__s")).as("h"))
 
+  /** Default document-frequency cap for [[jaccardPairs]]: shingles shared
+    * by more than this many documents are dropped from the shingle
+    * universe. Near-dup trigrams cluster in small groups; a shingle in
+    * hundreds of documents is corpus boilerplate with no pair signal but
+    * O(df²) join fan-out. Shared with the oracle twin. */
+  val MaxShingleFreq = 100
+
   /** Exact n-gram Jaccard near-dup pairs via inverted index:
     * explode → self-join on shingle hash → per-pair common count →
     * J = common / (|A| + |B| - common). Returns (doc_a, doc_b, jaccard)
     * for J >= threshold, doc_a < doc_b.
     *
     * Scale note: the per-doc distinct + per-pair counts shuffle by the
-    * 60-bit hash; hot shingles (stopword n-grams) are the skew risk —
-    * at real scale add a document-frequency cap on join shingles.
+    * 60-bit hash; hot shingles (stopword n-grams) are the skew risk — the
+    * `maxShingleFreq` document-frequency cap drops them from the universe
+    * (both the join AND the per-doc set sizes, so a planted hot shingle
+    * neither blows up the self-join fan-out nor shifts Jaccard values).
+    * The cap's groupBy and the semi-join hash-partition on the same key
+    * the self-join needs, so the guard rides the existing shuffle.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                   threshold: Double): DataFrame = {
-    val inv = shingleInv(docs, textCol, idCol).distinct()
+                   threshold: Double,
+                   maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
+    val invAll = shingleInv(docs, textCol, idCol).distinct()
+    val keep = invAll.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq)
+      .select("h")
+    val inv = invAll.join(keep, Seq("h"), "left_semi")
     val counts = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -179,17 +195,24 @@ object DedupOps {
         FROM $table"""
 
   def jaccardPairsSql(table: String, textCol: String, idCol: String,
-                      threshold: Double): String =
+                      threshold: Double,
+                      maxShingleFreq: Int = MaxShingleFreq): String =
     s"""WITH sets AS (${shingleSetsSql(table, textCol, idCol)}),
-        inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM sets),
+        inv0 AS (SELECT doc_id, unnest(sh) AS h FROM sets),
+        keep AS (SELECT h FROM inv0 GROUP BY h
+                 HAVING count(*) <= $maxShingleFreq),
+        inv AS (SELECT doc_id, h FROM inv0
+                WHERE h IN (SELECT h FROM keep)),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM inv GROUP BY doc_id),
         pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na,
-                 b.n_sh AS nb, count(*) AS common
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
           FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
-          GROUP BY 1, 2, 3, 4)
+          GROUP BY 1, 2)
         SELECT doc_a, doc_b,
-               round(common::DOUBLE / (na + nb - common), 4) AS jaccard
-        FROM pairs WHERE common::DOUBLE / (na + nb - common) >= $threshold
+               round(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+        FROM pairs JOIN counts ca ON pairs.doc_a = ca.doc_id
+                   JOIN counts cb ON pairs.doc_b = cb.doc_id
+        WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= $threshold
         ORDER BY doc_a, doc_b"""
 
   def signatureSql(shExpr: String, k: Int): String = {

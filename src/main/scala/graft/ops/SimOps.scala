@@ -133,6 +133,68 @@ object SimOps {
         round(col("score"), 4).as("cosine"))
   }
 
+  /** `tables` independent hyperplane sets (LSH tables) for near-dup
+    * pairing: more tables raise recall (a close pair only needs to
+    * collide in ONE table), more planes per table shrink buckets
+    * (2^planes buckets bound candidate fan-out). */
+  def lshTables(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => hyperplanes(planes, dim, seed = 101L + t))
+
+  /** Embedding-cosine near-dup pairs via multi-table hyperplane LSH —
+    * the 100 TB replacement for the all-pairs self-join: candidates are
+    * pairs sharing a (table, bucket) key in ANY table (a bucket equi-join,
+    * shuffled by bucket id — never an O(n²) nested loop), then verified
+    * with the exact cosine against the threshold. Recall < 1 is inherent
+    * to LSH and tuned by (tables, planes); the oracle twin replicates the
+    * identical pipeline so results still match exactly.
+    */
+  def cosineLshPairs(vectors: DataFrame, threshold: Double,
+                     tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
+      "embedding", "n")
+    // One row per (vector, table): bucket keys are scalar codegen'd
+    // sign-bit packs; no embedding array ever enters the candidate shuffle.
+    val keyed = v.withColumn("bks",
+      array(tables.map(p => lshBucket("embedding", p)): _*))
+    val buckets = keyed.select(col("vec_id"),
+      posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    // Exact verification on candidates only: embeddings re-join by id.
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("n").as("na")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("n").as("nb")), "vec_b")
+      .withColumn("score",
+        round(expr("array_dot(ea, eb)") / (col("na") * col("nb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("cosine"))
+  }
+
+  def cosineLshPairsSql(table: String, threshold: Double,
+                        tables: Seq[Seq[Seq[Double]]]): String = {
+    val bks = tables.map(p => lshBucketSql("embedding", p)).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, embedding FROM $table),
+        keyed AS (SELECT vec_id, $bks AS bks FROM v),
+        buckets AS (SELECT vec_id, generate_subscripts(bks, 1) AS tbl,
+                           unnest(bks) AS bucket FROM keyed),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM buckets a JOIN buckets b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        verified AS (
+          SELECT vec_a, vec_b,
+                 round(${cosineSql("va.embedding", "vb.embedding")}, 6) AS score
+          FROM cand JOIN v va ON cand.vec_a = va.vec_id
+                    JOIN v vb ON cand.vec_b = vb.vec_id)
+        SELECT vec_a, vec_b, round(score, 4) AS cosine FROM verified
+        WHERE score >= $threshold ORDER BY vec_a, vec_b"""
+  }
+
   def topKLshSql(table: String, queryPredSql: String, k: Int,
                  planes: Seq[Seq[Double]]): String =
     s"""WITH bucketed AS (

@@ -49,6 +49,48 @@ class DedupSimSpec extends SparkSpec {
     assert(lsh === again)
   }
 
+  test("hot-shingle document-frequency cap bounds fan-out without changing results") {
+    import spark.implicits._
+    // 300 planted docs sharing one hot shingle: without the cap they form
+    // 300*299/2 = 44850 J=1 pairs through a single join key (the quadratic
+    // skew blow-up); with the default cap (df <= 100) the shingle is
+    // dropped and the planted docs must not change the base corpus result.
+    val spam = (100L until 400L).map(i => (i, "spam spam spam spam spam"))
+    val all = docs.union(spam.toDF("doc_id", "text"))
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val baseline = toMapOf(DedupOps.jaccardPairs(docs, "text", "doc_id", 0.5))
+    val capped = toMapOf(DedupOps.jaccardPairs(all, "text", "doc_id", 0.5))
+    assert(capped === baseline)
+    val uncapped = DedupOps.jaccardPairs(all, "text", "doc_id", 0.5,
+      maxShingleFreq = Int.MaxValue).count()
+    assert(uncapped === baseline.size + 300L * 299 / 2)
+  }
+
+  test("cosineLshPairs: subset of brute pairs, identical vectors always pair, deterministic") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    val vecs = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)),
+      (1L, Array(1f, 2f, 3f, 4f)),      // identical to 0
+      (2L, Array(1.01f, 2f, 3f, 4f)),   // near-identical
+      (3L, Array(-1f, -2f, -3f, -4f)),  // opposite
+      (4L, Array(4f, -3f, 2f, -1f))     // orthogonal-ish
+    ).toDF("vec_id", "embedding")
+    val tables = SimOps.lshTables(tables = 4, planes = 3, dim = 4)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairsOf(SimOps.cosineLshPairs(vecs, 0.9, tables))
+    // exact reference: all-pairs cosine at the same threshold
+    val brute = Set((0L, 1L), (0L, 2L), (1L, 2L))
+    assert(lsh.subsetOf(brute)) // verification step kills false positives
+    assert(lsh.contains((0L, 1L))) // identical vectors collide in every table
+    val again = pairsOf(SimOps.cosineLshPairs(vecs, 0.9, tables))
+    assert(lsh === again)
+  }
+
   test("simhash of identical texts is identical; near-dups are close") {
     import spark.implicits._
     val f = docs.withColumn("toks", TextOps.tokens(col("text")))

@@ -56,6 +56,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("array_dot"), s"codegen dot product missing from plan:\n$p")
   }
 
+  test("LSH embedding dedup joins by bucket — never a nested loop over n² pairs") {
+    graft.catalyst.GraftFunctions.register(spark)
+    val p = planOf("dedup_embedding_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"n² nested loop in dedup path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in dedup path:\n$p")
+  }
+
   test("latest-by-key is one partial+final aggregation, not a window sort") {
     val p = planOf("ref_latest_by_key")
     // struct-valued max_by buffers aren't hash-aggregable -> SortAggregate,
