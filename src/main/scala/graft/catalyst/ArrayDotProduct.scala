@@ -35,17 +35,30 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** NULL on length mismatch or any null element — the exact semantics of
+    * `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)`
+    * (zip_with pads the shorter side with nulls, and null propagates
+    * through the sum), so swapping the HOF for this Expression never
+    * changes results on any input. */
+  override def nullable: Boolean = true
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val ln = elemNullable(left); val rn = elemNullable(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if ((ln && x.isNullAt(i)) || (rn && y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -61,13 +74,28 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // Element null checks compile away when containsNull is false on
+      // both sides (the fixed-dim embedding hot path stays a tight loop).
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right)) {
+          val checks = Seq(
+            if (elemNullable(left)) Some(s"$x.isNullAt($i)") else None,
+            if (elemNullable(right)) Some(s"$y.isNullAt($i)") else None
+          ).flatten.mkString(" || ")
+          s"if ($checks) { ${ev.isNull} = true; break; }"
+        } else ""
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+        if ($x.numElements() != $y.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $x.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
+            $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
   }

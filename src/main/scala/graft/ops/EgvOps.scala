@@ -57,21 +57,25 @@ object EgvOps {
     * config) each event matches at most once and no tie-break is needed.
     * For overlapping ranges the reference takes the FIRST match in key
     * order (EgvTransformer.java:74-79); set `firstMatchOnly=true` to
-    * reproduce that via a min_by-style window (costs one shuffle by event
-    * id — only pay it when ranges can overlap).
+    * reproduce that via a min_by-style window over a generated per-row id
+    * (costs one shuffle by that id — only pay it when ranges can overlap).
+    * The id, not the event columns, is the window key: two fully identical
+    * event rows are distinct events and must each emit their first match.
     */
   def categorizeWithLookup(events: DataFrame, ranges: DataFrame,
                            tsCol: String = "ts", valueCol: String = "value",
                            firstMatchOnly: Boolean = false): DataFrame = {
-    val e = events.withColumn("tod", secondsOfDay(col(tsCol)))
+    val e0 = events.withColumn("tod", secondsOfDay(col(tsCol)))
+    val e = if (firstMatchOnly) e0.withColumn("__eid", monotonically_increasing_id())
+            else e0
     val joined = e.join(broadcast(ranges),
       col("tod") >= col("start_sec") && col("tod") <= col("end_sec"), "inner")
     val picked =
       if (!firstMatchOnly) joined
       else {
-        val w = Window.partitionBy(e.columns.map(col): _*).orderBy(col("range_id"))
+        val w = Window.partitionBy(col("__eid")).orderBy(col("range_id"))
         joined.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+          .filter(col("__rn") === 1).drop("__rn", "__eid")
       }
     picked.withColumn("in_range",
       when(col(valueCol).between(col("lower_bound"), col("upper_bound")), "true")

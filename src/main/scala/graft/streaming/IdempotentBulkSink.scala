@@ -41,9 +41,17 @@ object InMemoryBulkClient extends BulkClient {
 object IdempotentBulkSink {
 
   /** Deterministic doc id from key columns — the analog of the reference's
-    * topic_partition_offset (ElasticSearchConsumer.java:45). */
+    * topic_partition_offset (ElasticSearchConsumer.java:45). Each component
+    * is length-prefixed (`len:value`) so key values containing the '_'
+    * separator cannot collide: ("a_b","c") → "3:a_b_1:c" vs ("a","b_c") →
+    * "1:a_3:b_c". A null component encodes as the bare token "null", which
+    * cannot collide with a prefixed part (those start with a digit). */
   def docId(keyCols: Seq[String]): org.apache.spark.sql.Column =
-    concat_ws("_", keyCols.map(col): _*)
+    concat_ws("_", keyCols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("null"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }: _*)
 
   /** The foreachBatch body: serialize rows, bulk-upsert with deterministic
     * ids, bounded bulk size (the reference's max.poll.records=100 analog).

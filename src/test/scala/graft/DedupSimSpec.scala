@@ -130,6 +130,31 @@ class DedupSimSpec extends SparkSpec {
     assert(out(1) === 1L && out(2) === 3L && out(3) === 2L)
   }
 
+  test("array_dot matches HOF semantics: NULL on length mismatch or null element") {
+    graft.catalyst.GraftFunctions.register(spark)
+    // Interpreted path (constant-folded literals).
+    val lit = spark.sql("""SELECT
+      array_dot(array(1D,2D), array(3D,4D)) AS ok,
+      array_dot(array(1D,2D,3D), array(1D,1D)) AS mismatch,
+      array_dot(array(1D,CAST(NULL AS DOUBLE)), array(1D,1D)) AS withnull""").collect()(0)
+    assert(lit.getDouble(0) === 11.0)
+    assert(lit.isNullAt(1) && lit.isNullAt(2))
+    // Codegen path (id*0 defeats constant folding).
+    val gen = spark.range(1).selectExpr(
+      "array_dot(array(1D,2D+id*0), array(3D,4D)) AS ok",
+      "array_dot(array(1D,2D+id*0,3D), array(1D,1D)) AS mismatch",
+      "array_dot(array(1D, IF(id>=0, CAST(NULL AS DOUBLE), 1D)), array(1D,1D)) AS withnull")
+      .collect()(0)
+    assert(gen.getDouble(0) === 11.0)
+    assert(gen.isNullAt(1) && gen.isNullAt(2))
+    // The HOF whose semantics array_dot claims: null on both cases too.
+    val hof = spark.sql("""SELECT
+      aggregate(zip_with(array(1D,2D,3D), array(1D,1D), (x,y) -> x*y), 0D, (s,v) -> s+v) AS m,
+      aggregate(zip_with(array(1D,CAST(NULL AS DOUBLE)), array(1D,1D), (x,y) -> x*y), 0D, (s,v) -> s+v) AS n""")
+      .collect()(0)
+    assert(hof.isNullAt(0) && hof.isNullAt(1))
+  }
+
   test("lsh bucket: identical vectors share a bucket; opposite vectors do not") {
     import spark.implicits._
     val planes = SimOps.hyperplanes(planes = 6, dim = 4)

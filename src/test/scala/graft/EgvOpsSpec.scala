@@ -49,6 +49,19 @@ class EgvOpsSpec extends SparkSpec {
     assert(out.toSet === Set((75, 1, "false"), (100, 2, "true"), (265, 2, "false")))
   }
 
+  test("firstMatchOnly emits one match per event even for identical event rows") {
+    import spark.implicits._
+    // Overlapping ranges + two byte-identical events: each event must emit
+    // its own first match (range 1), not collapse into one row.
+    val ranges = Seq((1, 0, 86399, 70, 180), (2, 0, 86399, 80, 200))
+      .toDF("range_id", "start_sec", "end_sec", "lower_bound", "upper_bound")
+    val out = EgvOps.categorizeWithLookup(
+      egvs(100 -> "2020-11-02T02:00:00", 100 -> "2020-11-02T02:00:00"),
+      ranges, firstMatchOnly = true)
+      .select("value", "range_id").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(out.toSeq === Seq(100 -> 1, 100 -> 1))
+  }
+
   test("lookupFirstMatch matches categorizeWithLookup on non-overlapping ranges") {
     import spark.implicits._
     val df = egvs(75 -> "2020-11-02T02:00:00", 100 -> "2020-11-02T12:00:00",

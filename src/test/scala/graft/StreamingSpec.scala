@@ -142,7 +142,15 @@ class StreamingSpec extends SparkSpec {
       KafkaRec("u" + i % 3, egvJson(100 + i, f"2020-11-02T02:${i}%02d:00"), new Timestamp(i))): _*)
     q.processAllAvailable(); q.stop()
     assert(InMemoryBulkClient.store.size() === 10)
-    assert(InMemoryBulkClient.store.containsKey("u1_2020-11-02T02:01:00"))
+    assert(InMemoryBulkClient.store.containsKey("2:u1_19:2020-11-02T02:01:00"))
+  }
+
+  test("docId: key values containing the separator cannot collide") {
+    import spark.implicits._
+    val ids = Seq(("a_b", "c"), ("a", "b_c")).toDF("k1", "k2")
+      .select(IdempotentBulkSink.docId(Seq("k1", "k2")).as("id"))
+      .collect().map(_.getString(0)).toSet
+    assert(ids === Set("3:a_b_1:c", "1:a_3:b_c"))
   }
 
   test("idempotent bulk sink: batch replay after failure does not duplicate") {
@@ -172,6 +180,6 @@ class StreamingSpec extends SparkSpec {
     val q2 = start()
     q2.processAllAvailable(); q2.stop()
     assert(InMemoryBulkClient.store.size() === 2)
-    assert(InMemoryBulkClient.store.containsKey("robert_2020-11-02T02:00:00"))
+    assert(InMemoryBulkClient.store.containsKey("6:robert_19:2020-11-02T02:00:00"))
   }
 }
