@@ -64,15 +64,24 @@ object RelQueries2 {
              | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderpriority")),
 
-    // HLL sketch: approx_count_distinct beside the exact count. Sketch
-    // estimates are engine-specific -> rows-only gate (no oracle); the
-    // operator is the point (map-side mergeable sketch, one narrow shuffle).
+    // HLL sketch: approx_count_distinct beside the exact count. The sketch
+    // estimate is engine-specific, so the gate uses a tolerance oracle:
+    // exact count compared exactly, the HLL value as a within-3×rsd
+    // boolean (default rsd = 0.05) whose twin is TRUE — an out-of-bound
+    // sketch flips the boolean and fails the hash compare.
     QueryDef("q_hll_approx",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts")),
-      oracle = None,
+        .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .withColumn("approx_within_bound",
+          abs(col("__approx") - col("exact_parts")) <=
+            col("exact_parts") * (3 * 0.05))
+        .select("l_returnflag", "exact_parts", "approx_within_bound"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             | TRUE AS approx_within_bound
+             | FROM lineitem GROUP BY l_returnflag
+             | ORDER BY l_returnflag""".stripMargin.replace("\n", "")),
       presentOrder = Seq("l_returnflag")),
 
     // Regexp scalar surface: extract / replace / match over part names.

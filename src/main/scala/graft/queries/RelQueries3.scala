@@ -116,16 +116,27 @@ object RelQueries3 {
              | ORDER BY o_orderpriority, o_orderkey""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderpriority", "o_orderkey")),
 
-    // Approximate percentile sketch (t-digest-style) beside the exact
-    // value — engine-specific estimates -> rows-only gate, mirroring
-    // q_hll_approx.
+    // Approximate percentile sketch beside the exact value. The sketch
+    // estimate is engine-specific, so the gate checks it with a tolerance
+    // oracle instead of going rows-only: the exact percentile is compared
+    // exactly (DECIMAL-cast), and the approx column is emitted as a
+    // within-5%-of-exact boolean whose oracle twin is TRUE — an
+    // out-of-bound sketch flips the boolean and fails the hash compare.
     QueryDef("q_approx_percentile",
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("approx_p50"),
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50")),
-      oracle = None,
+          round(expr("percentile(o_totalprice, 0.5)"), 2).cast("decimal(18,2)")
+            .as("exact_p50"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__approx"))
+        .withColumn("approx_within_5pct",
+          abs(col("__approx") - col("exact_p50")) <= col("exact_p50") * 0.05)
+        .select("o_orderpriority", "exact_p50", "approx_within_5pct"),
+      Some("""SELECT o_orderpriority,
+             | CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DECIMAL(18,2)) AS exact_p50,
+             | TRUE AS approx_within_5pct
+             | FROM orders GROUP BY o_orderpriority
+             | ORDER BY o_orderpriority""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderpriority"))
   )
 }
