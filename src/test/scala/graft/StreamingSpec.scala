@@ -145,6 +145,47 @@ class StreamingSpec extends SparkSpec {
     assert(InMemoryBulkClient.store.containsKey("2:u1_19:2020-11-02T02:01:00"))
   }
 
+  test("mid-stream range update takes effect for subsequent batches (KTable semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The reference's ranges KTable is a changelog: an update consumed
+    // mid-stream re-categorizes everything after it in offset order
+    // (CategorizeWithKTableLookup.java:59-62). Batch-aligned here
+    // (SURVEY §7.3.1): each micro-batch rebuilds the latest-by-key range
+    // snapshot from the accumulated changelog via latestByKeyBatch and
+    // joins against THAT, so an update lands exactly at a batch boundary.
+    val in = MemoryStream[KafkaRec]
+    val changelog = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int, Int, Long)]()
+    Schemas.fixtureRanges.zipWithIndex.foreach { case (r, i) =>
+      changelog += ((r.rangeId, r.startSec, r.endSec, r.lowerBound, r.upperBound, i.toLong))
+    }
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Int, String)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ktable-ckpt").toString
+    val q = EgvStreams.parseEgvs(in.toDF()).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val snapshot = EgvStreams.latestByKeyBatch(
+          changelog.toSeq.toDF("range_id", "start_sec", "end_sec",
+            "lower_bound", "upper_bound", "offset"),
+          Seq("range_id"), "offset", "offset").drop("offset")
+        EgvStreams.categorizeLookupTopology(batch, snapshot)
+          .select("value", "in_range").collect()
+          .foreach(r => results += ((batchId, r.getInt(0), r.getString(1))))
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    // Batch 0: noon reading of 100 against fixture range 2 [70,180] -> true.
+    in.addData(KafkaRec("robert", egvJson(100, "2020-11-02T12:00:00"), new Timestamp(0)))
+    q.processAllAvailable()
+    // Mid-stream update at offset 3: range 2 narrows to [110,180]
+    // (latest offset wins in the KTable view).
+    changelog += ((2, 6 * 3600, 22 * 3600 - 1, 110, 180, 3L))
+    in.addData(KafkaRec("robert", egvJson(100, "2020-11-02T12:00:00"), new Timestamp(1)))
+    q.processAllAvailable(); q.stop()
+    val byBatch = results.groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    assert(byBatch(0L) === Seq(100 -> "true"))
+    assert(byBatch(1L) === Seq(100 -> "false"))
+  }
+
   test("docId: key values containing the separator cannot collide") {
     import spark.implicits._
     val ids = Seq(("a_b", "c"), ("a", "b_c")).toDF("k1", "k2")
