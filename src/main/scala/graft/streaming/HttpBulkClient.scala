@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Production-shaped [[BulkClient]] over `java.net.http`: the reference's
+  * Elasticsearch bulk delivery (ElasticSearchConsumer.java:42-56) —
+  * build one bulk request for the chunk, write it, and only return (letting
+  * the caller commit offsets) after the store acknowledged every item.
+  *
+  * Request shape is the ES bulk NDJSON contract: an `index` action line
+  * carrying `_index`/`_id` (the idempotent doc id, ElasticSearchConsumer
+  * .java:45) followed by the document source, one pair per doc. Any
+  * non-2xx response, or a 2xx envelope flagging per-item errors, throws —
+  * failing the micro-batch BEFORE the checkpoint commits, so the replay
+  * re-upserts the same ids (effectively-once).
+  *
+  * Instances are cheap and serializable (the JDK client is rebuilt lazily
+  * per JVM), so `() => new HttpBulkClient(...)` works as the executor-side
+  * factory for [[IdempotentBulkSink.writeBatchDistributed]].
+  */
+class HttpBulkClient(endpoint: String, index: String,
+                     connectTimeoutMs: Long = 5000,
+                     requestTimeoutMs: Long = 30000) extends BulkClient {
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(connectTimeoutMs))
+    .build()
+
+  override def bulkUpsert(docs: Seq[(String, String)]): Unit = {
+    if (docs.isEmpty) return
+    val body = docs.map { case (id, json) =>
+      s"""{"index":{"_index":"$index","_id":"${escapeJson(id)}"}}""" + "\n" + json
+    }.mkString("", "\n", "\n")
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(s"$endpoint/_bulk"))
+      .timeout(Duration.ofMillis(requestTimeoutMs))
+      .header("Content-Type", "application/x-ndjson")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      sys.error(s"bulk write failed: HTTP ${resp.statusCode()}: " +
+        resp.body().take(500))
+    // ES signals per-item failures inside a 200 envelope.
+    if (resp.body().replace(" ", "").contains("\"errors\":true"))
+      sys.error(s"bulk write had item errors: ${resp.body().take(500)}")
+  }
+
+  private def escapeJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+}
