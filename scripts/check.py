@@ -46,7 +46,18 @@ def main():
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
-        neq = (got != exp) & ~(got.isna() & exp.isna())
+        # Float columns compare with a tiny absolute tolerance: Spark's
+        # BigDecimal HALF_UP round and DuckDB's double rounding can
+        # legitimately disagree by one ulp of the rounding quantum on
+        # boundary values (the residual flake class for round(avg, 4)
+        # outputs not yet DECIMAL-cast). Everything else compares exactly.
+        neq = pd.DataFrame(index=got.index, columns=got.columns, dtype=bool)
+        for c in got.columns:
+            if got[c].dtype.kind == "f" and exp[c].dtype.kind == "f":
+                neq[c] = ~((got[c] - exp[c]).abs() <= 1e-9) & \
+                         ~(got[c].isna() & exp[c].isna())
+            else:
+                neq[c] = (got[c] != exp[c]) & ~(got[c].isna() & exp[c].isna())
         if neq.any().any():
             bad = neq.any(axis=1)
             idx = bad[bad].index[:3]

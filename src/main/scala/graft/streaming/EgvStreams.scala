@@ -46,9 +46,20 @@ object EgvStreams {
       .select(col("key"), col("timestamp"), col("egv.*"))
       .withColumn("systemTs", to_timestamp(col("systemTime")))
 
+  /** The reference's producer delivery knobs (ProducerDexcom.java:66-89):
+    * idempotent producer, acks=all, snappy, linger 20 ms, 32 KB batches.
+    * A constant so tests can guard against drift from the reference even
+    * where `format("kafka")` itself cannot resolve (no connector jar in
+    * the test environment). */
+  val kafkaProducerOptions: Map[String, String] = Map(
+    "kafka.enable.idempotence" -> "true",
+    "kafka.acks" -> "all",
+    "kafka.compression.type" -> "snappy",
+    "kafka.linger.ms" -> "20",
+    "kafka.batch.size" -> "32768")
+
   /** S3/S7 — Kafka sink with the reference's delivery knobs
-    * (ProducerDexcom.java:66-89): idempotent producer, acks=all, snappy,
-    * linger 20 ms, 32 KB batches. `payload` rows are serialized to JSON. */
+    * ([[kafkaProducerOptions]]). `payload` rows are serialized to JSON. */
   def kafkaSink[T](ds: Dataset[T], bootstrap: String, topic: String,
                    checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     ds.toDF()
@@ -56,11 +67,7 @@ object EgvStreams {
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
-      .option("kafka.enable.idempotence", "true")
-      .option("kafka.acks", "all")
-      .option("kafka.compression.type", "snappy")
-      .option("kafka.linger.ms", "20")
-      .option("kafka.batch.size", "32768")
+      .options(kafkaProducerOptions)
       .option("checkpointLocation", checkpoint)
 
   /** The filter-high topology (StreamsFilterEgvs.java:24-32) as a

@@ -186,6 +186,19 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch(1L) === Seq(100 -> "false"))
   }
 
+  test("kafka sink options match the reference producer knobs") {
+    // ProducerDexcom.java:66-89 — idempotence, acks=all, snappy
+    // compression, linger.ms=20, batch.size=32768. format("kafka") cannot
+    // resolve here (no connector jar), so the guard pins the options map
+    // itself: drift from the reference's delivery contract fails this.
+    assert(EgvStreams.kafkaProducerOptions === Map(
+      "kafka.enable.idempotence" -> "true",
+      "kafka.acks" -> "all",
+      "kafka.compression.type" -> "snappy",
+      "kafka.linger.ms" -> "20",
+      "kafka.batch.size" -> "32768"))
+  }
+
   test("docId: key values containing the separator cannot collide") {
     import spark.implicits._
     val ids = Seq(("a_b", "c"), ("a", "b_c")).toDF("k1", "k2")
