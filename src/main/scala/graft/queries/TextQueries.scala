@@ -129,15 +129,25 @@ object TextQueries {
       presentOrder = Seq("doc_id")),
 
     // Document fingerprinting: min-hash of 3-token shingles (rolling
-    // content fingerprint) + a 16-bit SimHash. Narrow map, no shuffle.
+    // content fingerprint) + a 16-bit SimHash. Bulk shape: shingle and
+    // token hashes run post-explode in whole-stage codegen and reduce via
+    // hash aggregation — the array-lambda form (md5 inside `transform`)
+    // evaluates interpreted and measured ~5 s vs <1 s at sf0.1 under full
+    // materialization. Docs with <3 tokens keep n_shingles=0/fp_min=null
+    // via the left join.
     QueryDef("text_fingerprint",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("__toks", TextOps.tokens(col("text")))
-        .withColumn("__sh", TextOps.shingleHashes("__toks"))
-        .select(col("doc_id"),
-          size(col("__sh")).as("n_shingles"),
-          array_min(col("__sh")).as("fp_min"),
-          TextOps.simhash("__toks").as("simhash16")),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = graft.ops.DedupOps.shingleInv(docs, "text", "doc_id").distinct()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("__n_sh"), min(col("h")).as("fp_min"))
+        TextOps.simhashAgg(docs, "text", "doc_id")
+          .join(sh, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__n_sh"), lit(0)).as("n_shingles"),
+            col("fp_min"),
+            col("simhash16"))
+      },
       Some {
         val sh = TextOps.shingleHashesSql("toks")
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

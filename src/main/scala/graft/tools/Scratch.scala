@@ -41,6 +41,55 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"SCRATCH $tag%-46s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($r)")
     }
+
+    // Stage dissection of dedup_embedding_lsh at sf0.1.
+    if (args.contains("lsh")) {
+      import graft.ops.SimOps
+      graft.catalyst.GraftFunctions.register(spark)
+      val tables = graft.queries.DedupQueries.LshTables
+      val v = SimOps.withNorm(
+        Tables.embeddings(spark, d).select("vec_id", "embedding"), "embedding", "n")
+      for (pass <- 1 to 2) {
+        time(s"p$pass plain scan") {
+          Tables.embeddings(spark, d).select("vec_id", "embedding").count()
+        }
+        time(s"p$pass withNorm (1 array_dot)") { v.count() }
+        time(s"p$pass 1-table bucket (4 dots)") {
+          v.withColumn("b", SimOps.lshBucket("embedding", tables.head)).count()
+        }
+        time(s"p$pass 8-table buckets, no explode") {
+          v.withColumn("bks", array(tables.map(p => SimOps.lshBucket("embedding", p)): _*)).count()
+        }
+        time(s"p$pass buckets only") {
+          val keyed = v.withColumn("bks",
+            array(tables.map(p => SimOps.lshBucket("embedding", p)): _*))
+          keyed.select(col("vec_id"),
+            posexplode(col("bks")).as(Seq("tbl", "bucket"))).count()
+        }
+        time(s"p$pass candidates (pre-dedup)") {
+          val keyed = v.withColumn("bks",
+            array(tables.map(p => SimOps.lshBucket("embedding", p)): _*))
+          val b = keyed.select(col("vec_id"),
+            posexplode(col("bks")).as(Seq("tbl", "bucket")))
+          b.as("a").join(b.as("b"),
+            col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id")).count()
+        }
+        time(s"p$pass full pipeline") {
+          SimOps.cosineLshPairs(v.select("vec_id", "embedding"), 0.45, tables).count()
+        }
+      }
+      val keyed = v.withColumn("bks",
+        array(tables.map(p => SimOps.lshBucket("embedding", p)): _*))
+      val b = keyed.select(col("vec_id"),
+        posexplode(col("bks")).as(Seq("tbl", "bucket")))
+      val j = b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      j.count()
+      println("SCRATCH candidates plan:\n" + j.queryExecution.executedPlan.toString.take(4000))
+      spark.stop(); return
+    }
     val docs = Tables.documents(spark, d)
     for (_ <- 1 to 2) {
       // (a) tokens only
