@@ -42,6 +42,50 @@ object Scratch {
       println(f"SCRATCH $tag%-46s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($r)")
     }
 
+    // Plan + stage dissection of dedup_ngram_jaccard at sf0.1.
+    if (args.contains("jaccard")) {
+      def time(tag: String)(f: => Any): Unit = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCRATCH $tag%-46s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($r)")
+      }
+      val docs = Tables.documents(spark, d)
+      val q = DedupOps.jaccardPairs(docs, "text", "doc_id", 0.8)
+      q.count()
+      val p = q.queryExecution.executedPlan.toString
+      println("SCRATCH jaccard scans=" + (p.split("Scan parquet").length - 1) +
+        " exchanges=" + (p.split("\\bExchange").length - 1) +
+        " reused=" + (p.split("ReusedExchange").length - 1))
+      for (pass <- 1 to 2) {
+        time(s"p$pass invAll distinct") {
+          DedupOps.shingleInv(docs, "text", "doc_id").distinct().count()
+        }
+        time(s"p$pass full jaccardPairs") {
+          DedupOps.jaccardPairs(docs, "text", "doc_id", 0.8).count()
+        }
+        time(s"p$pass jaccardPairs persisted-inv") {
+          val invAll = DedupOps.shingleInv(docs, "text", "doc_id").distinct()
+            .persist()
+          try {
+            val keep = invAll.groupBy("h").agg(count(lit(1)).as("df"))
+              .filter(col("df") <= DedupOps.MaxShingleFreq).select("h")
+            val inv = invAll.join(keep, Seq("h"), "left_semi")
+            val counts = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+            val pairs = inv.as("a").join(inv.as("b"),
+                col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+              .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+              .agg(count(lit(1)).as("common"))
+            pairs
+              .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+              .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+              .withColumn("jaccard",
+                col("common").cast("double") / (col("na") + col("nb") - col("common")))
+              .filter(col("jaccard") >= 0.8).count()
+          } finally invAll.unpersist()
+        }
+      }
+      spark.stop(); return
+    }
+
     // Stage dissection of dedup_embedding_lsh at sf0.1.
     if (args.contains("lsh")) {
       import graft.ops.SimOps
