@@ -63,6 +63,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in dedup path:\n$p")
   }
 
+  test("as-of join plans as union+window — zero join nodes") {
+    val p = planOf("q_asof_join")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), s"expected the window pass:\n$p")
+  }
+
   test("latest-by-key is one partial+final aggregation, not a window sort") {
     val p = planOf("ref_latest_by_key")
     // struct-valued max_by buffers aren't hash-aggregable -> SortAggregate,
