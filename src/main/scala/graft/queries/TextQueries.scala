@@ -128,6 +128,48 @@ object TextQueries {
              | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // TF-IDF top-3 terms per document: explode → (doc, term) tf with
+    // map-side combine → term df → broadcast-scalar N → score → per-doc
+    // top-k window. The score is the rational tf·N/df, NOT tf·ln(N/df):
+    // integer-derived IEEE division is bit-identical across engines,
+    // while libm ln() may differ in the last ulp and flip rounded output
+    // (the cross-engine hash hazard). Ties break on term order.
+    QueryDef("text_tfidf_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy((col("tf").cast("double") * col("__n") / col("df")).desc,
+            col("term"))
+        tf.join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+            round(col("tf").cast("double") * col("__n") / col("df"), 4)
+              .cast("decimal(18,4)").as("tfidf"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             | tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+             | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             | scored AS (SELECT doc_id, term, tf,
+             |  tf * (SELECT count(*) FROM documents) * 1.0 / df AS score,
+             |  row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY tf * (SELECT count(*) FROM documents) * 1.0 / df DESC,
+             |    term) AS rk
+             |  FROM tf JOIN df USING (term))
+             | SELECT doc_id, rk, term, tf,
+             |  CAST(round(score, 4) AS DECIMAL(18,4)) AS tfidf
+             | FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id", "rk")),
+
     // Document fingerprinting: min-hash of 3-token shingles (rolling
     // content fingerprint) + a 16-bit SimHash. Bulk shape: shingle and
     // token hashes run post-explode in whole-stage codegen and reduce via
