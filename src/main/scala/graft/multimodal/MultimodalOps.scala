@@ -57,21 +57,26 @@ object MultimodalOps {
     * explicit batch size: the real implementation would hand each batch of
     * blobs to a native/codec library in one call (amortizing per-call
     * overhead), which is exactly the shape this preserves. The fake
-    * produces a `dim`-wide float vector from a rolling checksum. */
+    * derives a `dim`-wide float vector from a 60-bit md5 checksum of the
+    * bytes, with power-of-two scaling so every component is exactly
+    * representable — the fake is therefore bit-reproducible in ANY engine
+    * (md5 + integer shifts + exact float arithmetic), letting the oracle
+    * gate check this operator's output end to end. */
   def extractFeaturesStub(media: DataFrame, idCol: String, bytesCol: String,
                           dim: Int = 8, batchSize: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.grouped(batchSize).flatMap { batch =>
           // ??? real batched codec/model call goes here; deterministic fake:
           batch.map { case (id, bytes) =>
             val bs = if (bytes == null) Array.empty[Byte] else bytes
-            var acc = 1125899906842597L // rolling polynomial checksum
-            bs.foreach(b => acc = acc * 31 + (b & 0xff))
+            val hex = md.digest(bs).map("%02x".format(_)).mkString.take(15)
+            val acc = java.lang.Long.parseLong(hex, 16) // 60-bit, positive
             val feat = Array.tabulate(dim) { i =>
-              (((acc >>> (i * 7)) & 0xffff).toFloat / 65535f) * 2f - 1f
+              ((acc >>> (i * 7)) & 0xffff).toFloat / 65536f * 2f - 1f
             }
             MediaFeature(id, bs.length, acc, feat)
           }

@@ -51,17 +51,31 @@ object MultimodalQueries {
               | FROM s ORDER BY doc_id, sample_idx""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "sample_idx")),
 
-    // Feature-extraction stub via partition-batched mapPartitions (JVM
-    // checksum → float vector). Not SQL-expressible → rows-only gate.
+    // Feature-extraction stub via partition-batched mapPartitions. The
+    // fake is a 60-bit md5 checksum + power-of-two-scaled float
+    // components — bit-reproducible in DuckDB (md5 + integer shifts +
+    // exact float arithmetic), so the batched-UDF plumbing is checked by
+    // the full oracle gate, feature values included (emitted as scalar
+    // float columns; documents.text is pure ASCII so VARCHAR md5 ==
+    // binary md5).
     QueryDef("mm_embed_features",
       (s, d) => MultimodalOps.extractFeaturesStub(
           Tables.documents(s, d).withColumn("bytes", col("text").cast("binary")),
           "doc_id", "bytes")
         .toDF()
-        .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
-          col("checksum"),
-          round(element_at(col("feature"), 1), 4).as("f0")),
-      oracle = None,
+        .select(Seq(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
+          col("checksum")) ++
+          (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i")): _*),
+      Some {
+        val fs = (0 until 8).map(i =>
+          s"CAST(((checksum >> ${i * 7}) & 65535) / 65536.0 * 2 - 1 AS FLOAT) AS f$i")
+          .mkString(", ")
+        s"""WITH c AS (SELECT doc_id AS media_id, len(text) AS n_bytes,
+            CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS checksum
+            FROM documents)
+            SELECT media_id, n_bytes, checksum, $fs
+            FROM c ORDER BY media_id"""
+      },
       presentOrder = Seq("media_id"))
   )
 }
