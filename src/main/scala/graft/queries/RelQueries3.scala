@@ -116,6 +116,34 @@ object RelQueries3 {
              | ORDER BY o_orderpriority, o_orderkey""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderpriority", "o_orderkey")),
 
+    // Interval (time-range) self-join: for each high-value event, the
+    // same user's events within ±5 minutes. Plans as an equi-join on
+    // user_id with the range as a join filter — per-key fan-out bounded
+    // by window density, no cross product. Batch twin of the
+    // stream-stream interval join (StreamingSpec).
+    QueryDef("q_interval_selfjoin",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val high = e.filter(col("value") >= 200)
+          .select(col("user_id").as("h_user"), col("ts").as("h_ts"),
+            col("event_id").as("h_id"))
+        high.join(e,
+            col("user_id") === col("h_user") &&
+              col("ts") >= col("h_ts") - expr("INTERVAL 5 MINUTES") &&
+              col("ts") <= col("h_ts") + expr("INTERVAL 5 MINUTES"))
+          .groupBy(col("h_id"))
+          .agg(count(lit(1)).as("n_nearby"),
+            round(sum(col("value")), 2).as("sum_value"))
+      },
+      Some("""WITH high AS (SELECT user_id AS hu, ts AS hts, event_id AS hid
+             |  FROM events WHERE value >= 200)
+             | SELECT hid AS h_id, count(*) AS n_nearby,
+             |  round(sum(e.value), 2) AS sum_value
+             | FROM high JOIN events e ON e.user_id = hu
+             |  AND e.ts BETWEEN hts - INTERVAL 5 MINUTE AND hts + INTERVAL 5 MINUTE
+             | GROUP BY hid ORDER BY hid""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("h_id")),
+
     // Backward as-of (point-in-time) join: each event joined to the
     // user's most recent at-or-before "high" state change — the
     // union+window shape (one shuffle by key, zero join nodes, |left|

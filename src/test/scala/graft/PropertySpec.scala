@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalyst.MinHashSketchAgg
 import graft.model.GlucoseRange
-import graft.ops.{EgvOps, SkewOps}
+import graft.ops.{AsofOps, EgvOps, SkewOps}
 
 /** Property tests (SURVEY.md §5.2.3): boundary algebra, lookup totality,
   * sketch algebra, salt-invariance — seeded deterministic generators
@@ -16,6 +16,27 @@ import graft.ops.{EgvOps, SkewOps}
 class PropertySpec extends SparkSpec {
 
   private val rnd = new Random(42)
+
+  test("property: asofJoin equals the naive latest-at-or-before lookup") {
+    import spark.implicits._
+    val keys = Seq("a", "b", "c")
+    val left = Seq.fill(200)((keys(rnd.nextInt(3)), rnd.nextInt(1000)))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val right = Seq.fill(60)((keys(rnd.nextInt(3)), rnd.nextInt(1000)))
+      .distinct // unique (key, time) so "the" match is well-defined
+      .map { case (k, rt) => (k, rt, s"$k@$rt") }
+    val out = AsofOps.asofJoin(
+      left.toDF("k", "t", "row_id"), right.toDF("k", "rt", "state"),
+      Seq("k"), "t", "rt", Seq("state"))
+      .select("row_id", "asof_state").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === left.size)
+    for ((k, t, id) <- left) {
+      val expect = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3).orNull
+      assert(out(id) === expect, s"key=$k t=$t")
+    }
+  }
 
   test("property: categorize(v) is in-range iff lower <= v <= upper") {
     import spark.implicits._

@@ -145,6 +145,34 @@ class StreamingSpec extends SparkSpec {
     assert(InMemoryBulkClient.store.containsKey("2:u1_19:2020-11-02T02:01:00"))
   }
 
+  test("stream-stream interval join with watermark-bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Both sides watermarked + a time-range condition: Spark can bound the
+    // join state store (drop left/right rows older than watermark+range)
+    // instead of retaining both streams forever — the scale contract for
+    // stream-stream joins.
+    val alerts = MemoryStream[(String, Timestamp)]
+    val readings = MemoryStream[(String, Timestamp, Int)]
+    val a = alerts.toDF().toDF("a_user", "a_ts").withWatermark("a_ts", "10 minutes")
+    val r = readings.toDF().toDF("r_user", "r_ts", "value").withWatermark("r_ts", "10 minutes")
+    val joined = a.join(r, expr(
+      "a_user = r_user AND r_ts BETWEEN a_ts - INTERVAL 5 MINUTES AND a_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    def ts(m: Int) = Timestamp.valueOf(f"2020-11-02 02:$m%02d:00")
+    alerts.addData(("robert", ts(10)))
+    readings.addData(
+      ("robert", ts(7), 101),  // within [02:05, 02:10] -> joins
+      ("robert", ts(10), 102), // boundary inclusive -> joins
+      ("robert", ts(2), 103),  // too early -> no
+      ("robert", ts(12), 104), // after the alert -> no
+      ("other", ts(8), 105))   // different key -> no
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin").select("value").collect().map(_.getInt(0)).toSet
+    assert(got === Set(101, 102))
+  }
+
   test("mid-stream range update takes effect for subsequent batches (KTable semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
