@@ -41,7 +41,8 @@ object Catalog {
     graft.queries.StreamParityQueries.defs ++
     graft.queries.MultimodalQueries.defs ++
     graft.queries.SkewQueries.defs ++
-    graft.queries.SketchQueries.defs
+    graft.queries.SketchQueries.defs ++
+    graft.queries.SampleQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops.SampleOps
+
+/** Deterministic-sampling surface over `documents` (training-data
+  * subsampling and per-class mixing). Oracle twins are generated from the
+  * same salt/rate constants, so the sampled SETS — not just counts — are
+  * compared row by row.
+  */
+object SampleQueries {
+
+  val Salt = "graft-r2"
+  /** 20% global subsample. */
+  val GlobalRate10k = 2000
+  /** Per-language mixing rates (out of 10000): up-weight the rare
+    * classes, down-weight the dominant one. */
+  val LangRates: Seq[(String, Int)] = Seq(
+    "en" -> 1000, "de" -> 5000, "es" -> 5000, "fr" -> 8000, "zh" -> 8000)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Global deterministic subsample: the selected doc_ids are a stable
+    // function of (salt, doc_id) — identical across partitionings,
+    // retries, and engines.
+    QueryDef("sample_hash_global",
+      (s, d) => SampleOps.hashSample(
+          Tables.documents(s, d), "doc_id", GlobalRate10k, Salt)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some(s"""SELECT doc_id, lang, n_chars FROM documents
+              | WHERE ${SampleOps.sampleBucketSql("doc_id", Salt)} < $GlobalRate10k
+              | ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // Stratified class mixing: per-language keep rates via an unrolled
+    // when-chain (codegen scalar predicate, no rates-table join). Output
+    // is the per-class kept/total mix the pipeline would audit.
+    QueryDef("sample_stratified_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = SampleOps.stratifiedSample(
+            docs, "doc_id", "lang", LangRates, Salt)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+          .join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_total"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      },
+      Some {
+        val thr = SampleOps.stratifiedThresholdSql("lang", LangRates)
+        s"""WITH kept AS (
+              SELECT lang, count(*) AS n_kept FROM documents
+              WHERE ${SampleOps.sampleBucketSql("doc_id", Salt)} < $thr
+              GROUP BY lang),
+            total AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang)
+            SELECT total.lang, n_total, coalesce(n_kept, 0) AS n_kept
+            FROM total LEFT JOIN kept ON total.lang = kept.lang
+            ORDER BY total.lang"""
+      },
+      presentOrder = Seq("lang"))
+  )
+}
