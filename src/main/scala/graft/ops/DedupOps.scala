@@ -187,7 +187,64 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs → canonical keep id per
+    * document (the cluster step after pair generation: A~B, B~C must
+    * collapse to ONE cluster even though (A,C) was never scored).
+    *
+    * Iterative min-label propagation — the standard distributed CC:
+    * every node starts labeled with itself; each round joins labels
+    * across edges (both directions) and keeps the per-node min; stop at
+    * fixpoint. Rounds needed = cluster diameter (tiny for dup clusters);
+    * each round is one join + one groupBy shuffle on node id. Labels are
+    * persisted per round and the previous round unpersisted, so lineage
+    * stays O(1) instead of growing per iteration.
+    *
+    * Output: (doc_id, cluster) for every doc appearing in a pair, where
+    * cluster = min doc id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Persist the edge set: without it every propagation round (and the
+    // fixpoint check) would recompute the entire upstream pair pipeline.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id")).persist()
+    labels.count()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels.select(col("id"), col("label")))
+        .groupBy("id").agg(min("label").as("label"))
+        .persist()
+      changed = prop.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") < col("o.label")).count()
+      labels.unpersist()
+      labels = prop
+      iter += 1
+    }
+    edges.unpersist() // labels is persisted and already materialized
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
   // ---------------- DuckDB oracle twins (same constants) ----------------
+
+  /** CC oracle: recursive min-label walk over the (both-direction) edge
+    * set — `walk` holds every label that can reach a node along a
+    * decreasing path; min per node == min of its component. */
+  def connectedComponentsSql(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(id, label) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+          WHERE w.label < e.dst)
+        SELECT id AS doc_id, min(label) AS cluster FROM walk
+        GROUP BY id ORDER BY doc_id"""
 
   def shingleSetsSql(table: String, textCol: String, idCol: String): String =
     s"""SELECT $idCol AS doc_id,

@@ -60,6 +60,18 @@ object DedupQueries {
       },
       presentOrder = Seq("keep_id")),
 
+    // Cluster canonicalization over near-dup pairs: connected components
+    // (A~B, B~C collapse to one cluster even though (A,C) was never
+    // scored) via iterative min-label propagation; cluster = min doc_id.
+    // Oracle: recursive-CTE min-label walk over the same pairs.
+    QueryDef("dedup_clusters",
+      (s, d) => DedupOps.connectedComponents(
+        DedupOps.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          JaccardThreshold)),
+      Some(DedupOps.connectedComponentsSql(
+        DedupOps.jaccardPairsSql("documents", "text", "doc_id", JaccardThreshold))),
+      presentOrder = Seq("doc_id")),
+
     // Embedding-cosine near-dup pairs. Brute pairing at test SF; the LSH
     // bucketing in SimQueries is the scale path for the same predicate.
     QueryDef("dedup_embedding_cosine",

@@ -68,6 +68,17 @@ class DedupSimSpec extends SparkSpec {
     assert(uncapped === baseline.size + 300L * 299 / 2)
   }
 
+  test("connectedComponents: chains collapse transitively, components stay apart") {
+    import spark.implicits._
+    // 1-2, 2-3 chain (1,3 never paired) + separate 7-8 + 9-10-11 star.
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 10L), (9L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      9L -> 9L, 10L -> 9L, 11L -> 9L))
+  }
+
   test("cosineLshPairs: subset of brute pairs, identical vectors always pair, deterministic") {
     import spark.implicits._
     graft.catalyst.GraftFunctions.register(spark)
