@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** U1 — the reference's "UDF with keyed state" capability
   * (EgvTransformer.java:20-90, a ValueTransformer holding a state store),
@@ -44,5 +45,43 @@ object StatefulOps {
           last.foreach(state.update)
           out.iterator
       }
+  }
+
+  /** The same operator on the arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor`, Spark 4.x): typed
+    * per-key `ValueState` handles with optional TTL replace the single
+    * `GroupState` blob — the engine-current form of U1. Semantics are
+    * identical to [[deltasPerUser]]; `StreamingSpec` asserts both paths
+    * emit the same rows across micro-batches.
+    */
+  class DeltaProcessor extends StatefulProcessor[String, Reading, ReadingDelta] {
+    @transient private var last: ValueState[LastSeen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastSeen](
+        "last", Encoders.product[LastSeen], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Reading],
+                                 timers: TimerValues): Iterator[ReadingDelta] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.value))
+      val out = scala.collection.mutable.ArrayBuffer.empty[ReadingDelta]
+      var prev = if (last.exists()) Some(last.get()) else None
+      for (r <- sorted) {
+        out += ReadingDelta(key, r.ts, r.value,
+          prev.map(_.value), prev.map(l => r.value - l.value))
+        prev = Some(LastSeen(r.ts.getTime, r.value))
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** [[deltasPerUser]] via `transformWithState` (state API v2). */
+  def deltasPerUserV2(readings: Dataset[Reading]): Dataset[ReadingDelta] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.userId)
+      .transformWithState(new DeltaProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -103,6 +103,43 @@ class StreamingSpec extends SparkSpec {
       ("u2", 80, None)))
   }
 
+  test("stateful deltas via transformWithState (state API v2) match the v1 path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulOps.Reading]
+      val out = StatefulOps.deltasPerUserV2(in.toDS())
+      val q = out.toDF().writeStream.format("memory").queryName("deltas_v2")
+        .outputMode("append").start()
+      in.addData(
+        StatefulOps.Reading("u1", Timestamp.valueOf("2020-11-02 02:00:00"), 100),
+        StatefulOps.Reading("u1", Timestamp.valueOf("2020-11-02 02:05:00"), 130))
+      q.processAllAvailable()
+      in.addData(
+        StatefulOps.Reading("u1", Timestamp.valueOf("2020-11-02 02:10:00"), 95),
+        StatefulOps.Reading("u2", Timestamp.valueOf("2020-11-02 02:10:00"), 80))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("deltas_v2")
+        .select("userId", "value", "delta")
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+      // identical rows to the flatMapGroupsWithState path's assert set
+      assert(got === Set(
+        ("u1", 100, None), ("u1", 130, Some(30)), ("u1", 95, Some(-35)),
+        ("u2", 80, None)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
