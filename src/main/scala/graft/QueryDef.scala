@@ -42,7 +42,8 @@ object Catalog {
     graft.queries.MultimodalQueries.defs ++
     graft.queries.SkewQueries.defs ++
     graft.queries.SketchQueries.defs ++
-    graft.queries.SampleQueries.defs
+    graft.queries.SampleQueries.defs ++
+    graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops.{DedupOps, SampleOps, TextOps}
+
+/** End-to-end corpus curation: the composition a training-data pipeline
+  * actually runs — quality gate → exact-dup removal → near-dup cluster
+  * canonicalization → stratified class mixing → corpus stats. One gated
+  * query proves the operators COMPOSE (same constants as their individual
+  * gates), with the full pipeline mirrored in a single oracle SQL.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("pipeline_corpus_curation",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // 1. Quality gate (same thresholds as text_quality).
+        val qual = docs
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .withColumn("n_tokens", size(col("__toks")))
+          .withColumn("n_stop",
+            TextOps.markerCountExpr("__toks", TextOps.stopwords))
+          .filter(col("n_tokens") >= 20 &&
+            col("n_stop").cast("double") / col("n_tokens") <= 0.3)
+          .select("doc_id", "lang", "text", "n_tokens")
+        // 2. Exact-dup removal: keep the min doc_id per payload hash.
+        val keepExact = qual.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val exactKept = qual.join(keepExact.select("doc_id"), "doc_id")
+        // 3. Near-dup canonicalization over the FULL corpus (clusters are
+        //    a property of the data, not of this pipeline's filters):
+        //    drop docs that are in a cluster but not its canonical id.
+        val nonCanonical = DedupOps.connectedComponents(
+            DedupOps.jaccardPairs(docs, "text", "doc_id",
+              DedupQueries.JaccardThreshold))
+          .filter(col("doc_id") =!= col("cluster"))
+          .select("doc_id")
+        val deduped = exactKept.join(nonCanonical, Seq("doc_id"), "left_anti")
+        // 4. Stratified class mixing (same rates/salt as the sample gate).
+        val sampled = SampleOps.stratifiedSample(
+          deduped, "doc_id", "lang", SampleQueries.LangRates, SampleQueries.Salt)
+        // 5. Train-ready corpus stats.
+        sampled.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      },
+      Some {
+        val stop = TextOps.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+        val cc = DedupOps.connectedComponentsSql(
+          DedupOps.jaccardPairsSql("documents", "text", "doc_id",
+            DedupQueries.JaccardThreshold))
+        val thr = SampleOps.stratifiedThresholdSql("lang", SampleQueries.LangRates)
+        s"""WITH q AS (SELECT doc_id, lang, text,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(list_filter(string_split(text, ' '), t -> t IN $stop)) AS n_stop
+            FROM documents),
+           qual AS (SELECT doc_id, lang, text, n_tokens FROM q
+                    WHERE n_tokens >= 20 AND n_stop * 1.0 / n_tokens <= 0.3),
+           keep_exact AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+           ek AS (SELECT qual.* FROM qual JOIN keep_exact USING (doc_id)),
+           cc AS (SELECT * FROM ($cc) t),
+           noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
+           dd AS (SELECT * FROM ek
+                  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)),
+           samp AS (SELECT * FROM dd
+                    WHERE ${SampleOps.sampleBucketSql("doc_id", SampleQueries.Salt)} < $thr)
+           SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+           FROM samp GROUP BY lang ORDER BY lang"""
+      },
+      presentOrder = Seq("lang"))
+  )
+}
