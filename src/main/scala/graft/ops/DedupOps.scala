@@ -191,13 +191,16 @@ object DedupOps {
     * document (the cluster step after pair generation: A~B, B~C must
     * collapse to ONE cluster even though (A,C) was never scored).
     *
-    * Iterative min-label propagation — the standard distributed CC:
-    * every node starts labeled with itself; each round joins labels
-    * across edges (both directions) and keeps the per-node min; stop at
-    * fixpoint. Rounds needed = cluster diameter (tiny for dup clusters);
-    * each round is one join + one groupBy shuffle on node id. Labels are
-    * persisted per round and the previous round unpersisted, so lineage
-    * stays O(1) instead of growing per iteration.
+    * Iterative min-label propagation with pointer jumping — the standard
+    * distributed CC: every node starts labeled with itself; each round
+    * joins labels across edges (both directions), keeps the per-node
+    * min, then also adopts the label OF its label (path halving), so a
+    * length-L chain converges in O(log L) rounds. Labels are
+    * `localCheckpoint`ed each round: the round's self-join would
+    * otherwise DOUBLE the logical plan every iteration (exponential
+    * plan growth → planner OOM), and checkpointing truncates lineage to
+    * a leaf. (On a fault-tolerant cluster use a reliable checkpoint dir;
+    * local checkpoints trade executor-loss recovery for speed.)
     *
     * Output: (doc_id, cluster) for every doc appearing in a pair, where
     * cluster = min doc id of its component.
@@ -209,23 +212,35 @@ object DedupOps {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id")).persist()
-    labels.count()
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
+      // Fresh aliases on the union branch: the checkpointed `labels` leaf
+      // feeds both union children, and duplicate attribute ids across
+      // children trip Union's constraint rewrite.
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"))
-        .union(labels.select(col("id"), col("label")))
+        .union(labels.select(col("id").as("id"), col("label").as("label")))
         .groupBy("id").agg(min("label").as("label"))
-        .persist()
-      changed = prop.as("n").join(labels.as("o"), "id")
+        .localCheckpoint() // eager: truncates lineage, one compute per round
+      val jumped = prop
+        .join(prop.select(col("id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("label2"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = jumped.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") < col("o.label")).count()
-      labels.unpersist()
-      labels = prop
+      labels = jumped
       iter += 1
     }
-    edges.unpersist() // labels is persisted and already materialized
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "raise maxIters (component diameter exceeds 2^maxIters)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 

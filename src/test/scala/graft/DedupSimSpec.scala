@@ -79,6 +79,17 @@ class DedupSimSpec extends SparkSpec {
       9L -> 9L, 10L -> 9L, 11L -> 9L))
   }
 
+  test("connectedComponents: a 40-link chain converges in log rounds (pointer jumping)") {
+    import spark.implicits._
+    val chain = (100L until 140L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // maxIters=10 only suffices because path halving makes convergence
+    // O(log L); plain min-propagation would need 40 rounds.
+    val cc = DedupOps.connectedComponents(chain, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 41)
+    assert(cc.values.toSet === Set(100L))
+  }
+
   test("cosineLshPairs: subset of brute pairs, identical vectors always pair, deterministic") {
     import spark.implicits._
     graft.catalyst.GraftFunctions.register(spark)
