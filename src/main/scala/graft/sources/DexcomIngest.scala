@@ -71,4 +71,29 @@ object FileSources {
   def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetFileBytes`-sized files and atomically swap it in
+    * (write-to-tmp + rename via the Hadoop FS API, so it works on any
+    * Hadoop-compatible filesystem). The small-files problem is a real
+    * 100 TB failure mode — streaming sinks and fine-grained partitions
+    * leave millions of KB-sized files whose per-file open/footer cost
+    * dominates scans and whose listing OOMs the driver. Returns the
+    * output file count. */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetFileBytes: Long = 128L << 20): Int = {
+    val df = spark.read.parquet(dir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1,
+      math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
+    val tmp = dir.stripSuffix("/") + ".compact.tmp"
+    df.repartition(parts).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(conf)
+    fs.delete(target, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
+      sys.error(s"compaction swap failed: could not rename $tmp to $dir")
+    parts
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.SkewOps
-import graft.sources.{DexcomIngest, EgvClient, TokenClient}
+import graft.sources.{DexcomIngest, EgvClient, FileSources, TokenClient}
 
 class SourcesSkewSpec extends SparkSpec {
 
@@ -55,6 +55,20 @@ class SourcesSkewSpec extends SparkSpec {
         ("s", sum(col("v")), (c: org.apache.spark.sql.Column) => sum(c))))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted === expected)
+  }
+
+  test("compactParquet collapses a many-small-files dir, preserving data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    (0L until 10000L).toDF("id").repartition(64).write.parquet(dir)
+    def partFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles === 64)
+    val before = spark.read.parquet(dir).agg(sum("id")).collect()(0).getLong(0)
+    val n = FileSources.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(n === 1 && partFiles === 1)
+    val after = spark.read.parquet(dir).agg(sum("id")).collect()(0).getLong(0)
+    assert(after === before)
   }
 
   test("salted join equals plain join on skewed data") {
