@@ -31,4 +31,19 @@ object Bucketing {
     val r = spark.table(rightTable)
     l.join(r, l(leftKey) === r(rightKey))
   }
+
+  /** Hive-style partitioned layout: one directory per partition value.
+    * The complement of bucketing — an equality/IN filter on the
+    * partition column prunes whole directories at PLANNING time
+    * (`PartitionFilters` in the scan, zero I/O for pruned partitions),
+    * where a parquet row-group filter still has to open every file.
+    * Partition by low-cardinality columns a 100 TB query filters on
+    * (date, source, language); never by high-cardinality keys (that
+    * recreates the small-files problem `FileSources.compactParquet`
+    * exists to fix). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

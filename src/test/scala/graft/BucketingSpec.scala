@@ -40,4 +40,24 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("partitioned layout prunes whole partitions at planning time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    Bucketing.writePartitioned(
+      Tables.events(spark, d).select("event_id", "ts", "event_type", "value"),
+      dir, Seq("event_type"))
+    val types = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("event_type="))
+    assert(types > 1, "expected one directory per event_type")
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.toString
+    // The equality filter must land in PartitionFilters (directory-level
+    // pruning), not only in PushedFilters (file-level row-group skipping).
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter not applied at planning time:\n$scan")
+    val full = spark.read.parquet(dir).select("event_id").count()
+    val pruned = q.select("event_id").count()
+    assert(pruned > 0 && pruned < full)
+  }
 }
