@@ -223,14 +223,17 @@ object DedupOps {
         .select(col("dst").as("id"), col("label"))
         .union(labels.select(col("id").as("id"), col("label").as("label")))
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint() // eager: truncates lineage, one compute per round
+      // One checkpoint per round is enough to bound the plan: `prop` is
+      // referenced twice below (recomputed, cheap — it roots at the
+      // checkpointed `labels` leaf), and checkpointing `jumped` keeps the
+      // NEXT round's plan depth constant.
       val jumped = prop
         .join(prop.select(col("id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("label2"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: truncates lineage, materializes round
       changed = jumped.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") < col("o.label")).count()
       labels = jumped
