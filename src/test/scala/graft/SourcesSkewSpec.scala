@@ -57,6 +57,26 @@ class SourcesSkewSpec extends SparkSpec {
     assert(salted === expected)
   }
 
+  test("json ingestion captures corrupt records instead of dropping or failing") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 BROKEN
+        |{"id": 3, "v": "also ok"}
+        |""".stripMargin.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val rows = FileSources.jsonLines(spark, dir, schema)
+      .cache() // SPARK-21610: corrupt-record column needs a full-schema pass
+      .collect()
+    assert(rows.length === 3)
+    val bad = rows.filter(!_.isNullAt(2))
+    assert(bad.length === 1 && bad.head.getString(2).contains("BROKEN"))
+    assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
   test("compactParquet collapses a many-small-files dir, preserving data") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"

@@ -251,6 +251,29 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch(1L) === Seq(100 -> "false"))
   }
 
+  test("file stream with maxFilesPerTrigger bounds each micro-batch (backpressure)") {
+    import org.apache.spark.sql.types._
+    // The ingestion-rate knob a 100 TB backfill needs: without a per-batch
+    // cap, the first trigger of a large directory becomes one giant batch.
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    for (i <- 1 to 3)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"f$i.json"),
+        s"""{"id": $i}\n""".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count(); if (n > 0) batchSizes.synchronized { batchSizes += n }
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batchSizes.sum === 3)
+    assert(batchSizes.forall(_ === 1L), s"expected 1 file per batch, got $batchSizes")
+  }
+
   test("kafka sink options match the reference producer knobs") {
     // ProducerDexcom.java:66-89 — idempotence, acks=all, snappy
     // compression, linger.ms=20, batch.size=32768. format("kafka") cannot
