@@ -54,7 +54,10 @@ def main():
         neq = pd.DataFrame(index=got.index, columns=got.columns, dtype=bool)
         for c in got.columns:
             if got[c].dtype.kind == "f" and exp[c].dtype.kind == "f":
-                neq[c] = ~((got[c] - exp[c]).abs() <= 1e-9) & \
+                # Exact equality short-circuits first so equal infinities
+                # pass (inf - inf is NaN, which would fail the tolerance).
+                neq[c] = ~((got[c] == exp[c]) |
+                           ((got[c] - exp[c]).abs() <= 1e-9)) & \
                          ~(got[c].isna() & exp[c].isna())
             else:
                 neq[c] = (got[c] != exp[c]) & ~(got[c].isna() & exp[c].isna())

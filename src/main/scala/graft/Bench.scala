@@ -25,16 +25,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Noop-sink write, not .count(): under an Aggregate(count(1)) Catalyst
-    // prunes unreferenced projections, so pure-projection queries would be
-    // timed as little more than pruned scans. The noop v2 sink fully
-    // materializes every output column without writing bytes.
-    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
     // Warm-up: codegen + JIT at the smallest SF; failures surface in the
     // timed pass instead of aborting the bench.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
+      try Materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     // A crashing query is recorded as -1 s plus an entry in "errors" —
     // never as a (fast) healthy-looking timing.
@@ -42,7 +36,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { materialize(fn(spark, sfDir)); true }
+        try { Materialize(fn(spark, sfDir)); true }
         catch { case _: Throwable => errors += name; false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }

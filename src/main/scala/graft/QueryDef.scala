@@ -29,6 +29,15 @@ final case class QueryDef(
   }
 }
 
+/** Noop-sink materialization shared by Bench and Profile: fully
+  * materializes every output column. A `count()` pass instead lets
+  * Catalyst prune unreferenced projections, so narrow-map queries would
+  * be timed as little more than pruned scans. */
+object Materialize {
+  def apply(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+}
+
 object Catalog {
   def all: Seq[QueryDef] =
     graft.queries.EgvQueries.defs ++

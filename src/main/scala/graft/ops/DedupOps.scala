@@ -236,6 +236,9 @@ object DedupOps {
         .localCheckpoint() // eager: truncates lineage, materializes round
       changed = jumped.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") < col("o.label")).count()
+      // Superseded rounds' checkpoint blocks are reclaimed by Spark's
+      // ContextCleaner once the old `labels` reference is GC'd —
+      // Dataset.unpersist does not release local-checkpoint RDDs.
       labels = jumped
       iter += 1
     }

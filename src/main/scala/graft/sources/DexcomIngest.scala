@@ -91,9 +91,18 @@ object FileSources {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(conf)
-    fs.delete(target, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
+    // Swap via rename-aside, not delete-then-rename: the live data must
+    // survive a crash or failed rename at every step. Only after the new
+    // data is in place is the old generation deleted.
+    val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact.old")
+    fs.delete(old, true) // leftover from a previous failed swap
+    if (!fs.rename(target, old))
+      sys.error(s"compaction swap failed: could not move $dir aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target)) {
+      fs.rename(old, target) // restore the live generation
       sys.error(s"compaction swap failed: could not rename $tmp to $dir")
+    }
+    fs.delete(old, true)
     parts
   }
 }

@@ -48,6 +48,20 @@ class HttpBulkClient(endpoint: String, index: String,
       sys.error(s"bulk write had item errors: ${resp.body().take(500)}")
   }
 
-  private def escapeJson(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** JSON-string escaping for the action line. Control characters matter
+    * as much as quotes: a raw newline in a doc id would split the NDJSON
+    * action line and corrupt the bulk framing. */
+  private def escapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
 }

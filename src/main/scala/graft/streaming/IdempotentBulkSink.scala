@@ -45,7 +45,11 @@ object IdempotentBulkSink {
     * is length-prefixed (`len:value`) so key values containing the '_'
     * separator cannot collide: ("a_b","c") → "3:a_b_1:c" vs ("a","b_c") →
     * "1:a_3:b_c". A null component encodes as the bare token "null", which
-    * cannot collide with a prefixed part (those start with a digit). */
+    * cannot collide with a prefixed part (those start with a digit).
+    * MIGRATION NOTE: this scheme replaced a plain concat_ws("_") — a
+    * store populated under the old format will see replayed docs under
+    * NEW ids (duplicates, not upserts); reindex or clear before
+    * upgrading a live deployment. */
   def docId(keyCols: Seq[String]): org.apache.spark.sql.Column =
     concat_ws("_", keyCols.map { c =>
       val s = col(c).cast("string")

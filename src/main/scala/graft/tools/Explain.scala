@@ -6,8 +6,11 @@ import graft.Catalog
 
 /** Plan inspection for any catalog query:
   * `runMain graft.tools.Explain <queryName> [sfDir]` prints the
-  * formatted plan (codegen spans, pushed filters, exchanges) without
-  * executing it. No args lists the catalog. */
+  * formatted plan (codegen spans, pushed filters, exchanges). The final
+  * plan is not executed, but note that ITERATIVE queries
+  * (dedup_clusters, pipeline_corpus_curation) run their driver-side
+  * fixpoint loop during DataFrame construction — expect real Spark jobs
+  * before the plan prints for those. No args lists the catalog. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -20,13 +20,9 @@ object Profile {
     def t(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // Noop-sink materialization, same as Bench: .count() lets Catalyst
-    // prune unreferenced projections and under-measures narrow-map queries.
-    def mat(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
     val rows = Catalog.all.map { q =>
-      val cold = t(mat(q.run(spark, sfDir)))
-      val warm = t(mat(q.run(spark, sfDir)))
+      val cold = t(graft.Materialize(q.run(spark, sfDir)))
+      val warm = t(graft.Materialize(q.run(spark, sfDir)))
       (q.name, cold, warm)
     }
     println(f"PROFILE ${"query"}%-30s ${"cold"}%8s ${"warm"}%8s   ($sfDir)")

@@ -44,10 +44,6 @@ object Scratch {
 
     // Plan + stage dissection of dedup_ngram_jaccard at sf0.1.
     if (args.contains("jaccard")) {
-      def time(tag: String)(f: => Any): Unit = {
-        val t0 = System.nanoTime(); val r = f
-        println(f"SCRATCH $tag%-46s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($r)")
-      }
       val docs = Tables.documents(spark, d)
       val q = DedupOps.jaccardPairs(docs, "text", "doc_id", 0.8)
       q.count()
