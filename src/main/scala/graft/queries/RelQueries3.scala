@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -88,6 +89,55 @@ object RelQueries3 {
              | CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL THEN 'known' ELSE 'unknown' END AS known
              | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderkey")),
+
+    // SCD2 intervalization: a (key, ts, value) changelog becomes
+    // (key, value, valid_from, valid_to) rows — valid_to = next change's
+    // ts (NULL while current). One window shuffle per key; the standard
+    // point-in-time table build that feeds as-of joins downstream.
+    QueryDef("q_scd2_intervals",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts").as("valid_from"),
+            col("event_id"), col("value"))
+          .withColumn("valid_to",
+            lead(col("valid_from"), 1).over(
+              Window.partitionBy(col("user_id"))
+                .orderBy(col("valid_from"), col("event_id"))))
+      },
+      Some("""SELECT user_id, ts AS valid_from, event_id, value,
+             | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+             | FROM events ORDER BY event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id")),
+
+    // Gap-based sessionization (batch twin of session_window): a new
+    // session starts after a >30-minute silence; session_id = running
+    // count of gap-starts per user. Two stacked windows over ONE
+    // (user, time) sort/shuffle.
+    QueryDef("q_sessionize",
+      (s, d) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("__prev", lag(col("ts"), 1).over(byTime))
+          .withColumn("__new_session",
+            when(col("__prev").isNull ||
+              col("ts").cast("long") - col("__prev").cast("long") > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("__new_session")).over(
+              byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("user_id", "ts", "event_id", "session_id")
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             | SELECT user_id, ts, event_id,
+             |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             | FROM g ORDER BY event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id")),
 
     // RANGE window frames (value-based bounds, vs the ROWS frames in
     // q_window_orders) + first/last_value over an explicit frame.
