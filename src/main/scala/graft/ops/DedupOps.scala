@@ -205,7 +205,60 @@ object DedupOps {
     * Output: (doc_id, cluster) for every doc appearing in a pair, where
     * cluster = min doc id of its component.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** Size-guarded fast path: near-dup pair sets are usually tiny relative
+    * to the corpus (they ARE the duplicates), so below this many edges the
+    * component computation runs as driver-side union-find on one collected
+    * pass — one job instead of O(log diameter) rounds of shuffles. Same
+    * class of threshold as a broadcast-join cutoff: 1M edges ≈ 16 MB. */
+  val DriverCcMaxEdges: Long = 1L << 20
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          driverFastPathMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
+    val isLongIds = pairs.schema("doc_a").dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema("doc_b").dataType == org.apache.spark.sql.types.LongType
+    if (isLongIds && driverFastPathMaxEdges > 0) {
+      // Persist so the threshold count and the collect share one compute
+      // of the upstream pair pipeline.
+      val p = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .persist()
+      try {
+        val n = p.limit((driverFastPathMaxEdges + 1).toInt).count()
+        if (n <= driverFastPathMaxEdges)
+          return driverUnionFind(p)
+      } finally p.unpersist() // driverUnionFind collected before this runs
+      // fall through to the distributed path (pairs recomputed — the
+      // above-threshold case where one extra pass is noise)
+    }
+    connectedComponentsDistributed(pairs, maxIters)
+  }
+
+  /** Driver union-find with path compression and min-root union: exact
+    * same (doc_id, min-of-component) contract as the distributed path. */
+  private def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root wins -> cluster id = min of component
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("doc_id", "cluster")
+  }
+
+  private def connectedComponentsDistributed(pairs: DataFrame,
+                                             maxIters: Int): DataFrame = {
     // Persist the edge set: without it every propagation round (and the
     // fixpoint check) would recompute the entire upstream pair pipeline.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

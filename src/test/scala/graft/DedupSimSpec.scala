@@ -82,12 +82,30 @@ class DedupSimSpec extends SparkSpec {
   test("connectedComponents: a 40-link chain converges in log rounds (pointer jumping)") {
     import spark.implicits._
     val chain = (100L until 140L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    // maxIters=10 only suffices because path halving makes convergence
-    // O(log L); plain min-propagation would need 40 rounds.
-    val cc = DedupOps.connectedComponents(chain, maxIters = 10)
+    // Force the distributed path (fast path off): maxIters=10 only
+    // suffices because path halving makes convergence O(log L); plain
+    // min-propagation would need 40 rounds.
+    val cc = DedupOps.connectedComponents(chain, maxIters = 10,
+        driverFastPathMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size === 41)
     assert(cc.values.toSet === Set(100L))
+  }
+
+  test("connectedComponents: driver fast path and distributed path agree") {
+    import spark.implicits._
+    val rnd2 = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd2.nextInt(60).toLong, rnd2.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("doc_a", "doc_b")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = toMapOf(DedupOps.connectedComponents(pairs))
+    val dist = toMapOf(DedupOps.connectedComponents(pairs,
+      driverFastPathMaxEdges = 0))
+    assert(fast === dist)
+    assert(fast.nonEmpty)
   }
 
   test("cosineLshPairs: subset of brute pairs, identical vectors always pair, deterministic") {
