@@ -90,6 +90,34 @@ object RelQueries3 {
              | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderkey")),
 
+    // Full-outer join completing the join matrix (inner/broadcast/semi/
+    // anti/salted/as-of/interval are gated elsewhere): customers with no
+    // orders survive with a zero count (the null-producing side), and the
+    // coalesced key keeps the output total even if the fact side ever
+    // carried orphan keys.
+    QueryDef("q_join_outer",
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+          .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_mktsegment"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            col("sum_price"))
+      },
+      Some("""WITH pc AS (SELECT o_custkey, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |  FROM orders GROUP BY o_custkey)
+             | SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+             |  coalesce(n_orders, 0) AS n_orders, sum_price
+             | FROM customer FULL OUTER JOIN pc ON c_custkey = o_custkey
+             | ORDER BY custkey""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("custkey")),
+
     // SCD2 intervalization: a (key, ts, value) changelog becomes
     // (key, value, valid_from, valid_to) rows — valid_to = next change's
     // ts (NULL while current). One window shuffle per key; the standard
