@@ -90,6 +90,49 @@ object RelQueries3 {
              | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderkey")),
 
+    // Blocked fuzzy join (entity resolution): candidate pairs share a
+    // compound blocking key (last name token + first character — names
+    // repeat heavily, so the single-token block was ~18M pairs at sf0.1),
+    // then verify with edit distance inside blocks only and reduce to one
+    // row per left entity (match count, best distance, deterministic best
+    // partner) — the blocking+verify+resolve shape that keeps fuzzy
+    // matching off the O(n²) cliff at scale. levenshtein is codegen'd in
+    // Spark and semantics-identical in DuckDB.
+    QueryDef("q_fuzzy_join",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"),
+            concat(regexp_extract(col("p_name"), "[^ ]+$", 0), lit("|"),
+              substring(col("p_name"), 1, 1)).as("blk"))
+        val a = p.toDF("key_a", "name_a", "blk")
+        val b = p.toDF("key_b", "name_b", "blk")
+        val w = Window.partitionBy(col("key_a"))
+          .orderBy(col("dist"), col("key_b"))
+        a.join(b, Seq("blk"))
+          .filter(col("key_a") < col("key_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 4)
+          .withColumn("__rk", row_number().over(w))
+          .groupBy(col("key_a"))
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("dist")).as("best_dist"),
+            min(when(col("__rk") === 1, col("key_b"))).as("best_key"))
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_name,
+             |  regexp_extract(p_name, '[^ ]+$') || '|' || substr(p_name, 1, 1) AS blk
+             |  FROM part),
+             | pairs AS (
+             |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             |   levenshtein(a.p_name, b.p_name) AS dist
+             |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 4),
+             | ranked AS (SELECT *, row_number() OVER (PARTITION BY key_a
+             |   ORDER BY dist, key_b) AS rk FROM pairs)
+             | SELECT key_a, count(*) AS n_matches, min(dist) AS best_dist,
+             |  min(CASE WHEN rk = 1 THEN key_b END) AS best_key
+             | FROM ranked GROUP BY key_a ORDER BY key_a""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("key_a")),
+
     // Full-outer join completing the join matrix (inner/broadcast/semi/
     // anti/salted/as-of/interval are gated elsewhere): customers with no
     // orders survive with a zero count (the null-producing side), and the
