@@ -90,47 +90,71 @@ object RelQueries3 {
              | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderkey")),
 
-    // Blocked fuzzy join (entity resolution): candidate pairs share a
-    // compound blocking key (last name token + first character — names
-    // repeat heavily, so the single-token block was ~18M pairs at sf0.1),
-    // then verify with edit distance inside blocks only and reduce to one
-    // row per left entity (match count, best distance, deterministic best
-    // partner) — the blocking+verify+resolve shape that keeps fuzzy
-    // matching off the O(n²) cliff at scale. levenshtein is codegen'd in
-    // Spark and semantics-identical in DuckDB.
+    // Blocked fuzzy join (entity resolution), distinct-name factorized:
+    // entity names repeat heavily, so the fuzzy verify runs over DISTINCT
+    // names (~100s) instead of entities (~20k) — blocking key (last
+    // token + first char) → levenshtein over name pairs → per-name stats
+    // (count, two smallest keys) fan the result back to entities without
+    // ever materializing entity-level pairs. Output per entity: how many
+    // OTHER entities fuzzy-match it (dist <= 4), the best distance, and
+    // the deterministic best partner (lowest key at the best distance;
+    // for an entity that is itself its name-group's minimum, the
+    // group's second-smallest key stands in). Entities with no match
+    // beyond themselves are dropped.
     QueryDef("q_fuzzy_join",
       (s, d) => {
         val p = Tables.part(s, d)
           .select(col("p_partkey"), col("p_name"),
             concat(regexp_extract(col("p_name"), "[^ ]+$", 0), lit("|"),
               substring(col("p_name"), 1, 1)).as("blk"))
-        val a = p.toDF("key_a", "name_a", "blk")
-        val b = p.toDF("key_b", "name_b", "blk")
-        val w = Window.partitionBy(col("key_a"))
-          .orderBy(col("dist"), col("key_b"))
-        a.join(b, Seq("blk"))
-          .filter(col("key_a") < col("key_b"))
+        val stats0 = p.groupBy(col("p_name"), col("blk"))
+          .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("k1"))
+        val k2s = p.join(stats0.select(col("p_name"), col("k1")), "p_name")
+          .filter(col("p_partkey") > col("k1"))
+          .groupBy(col("p_name")).agg(min(col("p_partkey")).as("k2"))
+        val stats = stats0.join(k2s, Seq("p_name"), "left")
+        val namePairs = stats.toDF("name_a", "blk", "na", "ka1", "ka2")
+          .join(stats.toDF("name_b", "blk", "n", "k1", "k2"), Seq("blk"))
           .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
           .filter(col("dist") <= 4)
-          .withColumn("__rk", row_number().over(w))
-          .groupBy(col("key_a"))
-          .agg(count(lit(1)).as("n_matches"),
-            min(col("dist")).as("best_dist"),
-            min(when(col("__rk") === 1, col("key_b"))).as("best_key"))
+          .select("name_a", "name_b", "dist", "n", "k1", "k2")
+        p.join(namePairs, col("p_name") === col("name_a"))
+          .withColumn("cand",
+            when(col("name_b") === col("p_name") && col("k1") === col("p_partkey"),
+              col("k2")).otherwise(col("k1")))
+          .groupBy(col("p_partkey").as("key_a"))
+          .agg((sum(col("n")) - 1).as("n_matches"),
+            min(when(col("cand").isNotNull,
+              struct(col("dist"), col("cand")))).as("__best"))
+          .filter(col("n_matches") >= 1)
+          .select(col("key_a"), col("n_matches"),
+            col("__best.dist").as("best_dist"),
+            col("__best.cand").as("best_key"))
       },
       Some("""WITH p AS (SELECT p_partkey, p_name,
              |  regexp_extract(p_name, '[^ ]+$') || '|' || substr(p_name, 1, 1) AS blk
              |  FROM part),
-             | pairs AS (
-             |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-             |   levenshtein(a.p_name, b.p_name) AS dist
-             |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+             | nm AS (SELECT p_name, blk, count(*) AS n, min(p_partkey) AS k1
+             |  FROM p GROUP BY p_name, blk),
+             | nm2 AS (SELECT nm.*, (SELECT min(p2.p_partkey) FROM p p2
+             |   WHERE p2.p_name = nm.p_name AND p2.p_partkey > nm.k1) AS k2
+             |  FROM nm),
+             | np AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |   levenshtein(a.p_name, b.p_name) AS dist, b.n, b.k1, b.k2
+             |  FROM nm2 a JOIN nm2 b ON a.blk = b.blk
              |  WHERE levenshtein(a.p_name, b.p_name) <= 4),
+             | j AS (SELECT p.p_partkey AS key_a, np.dist, np.n,
+             |   CASE WHEN np.name_b = p.p_name AND np.k1 = p.p_partkey
+             |    THEN np.k2 ELSE np.k1 END AS cand
+             |  FROM p JOIN np ON p.p_name = np.name_a),
              | ranked AS (SELECT *, row_number() OVER (PARTITION BY key_a
-             |   ORDER BY dist, key_b) AS rk FROM pairs)
-             | SELECT key_a, count(*) AS n_matches, min(dist) AS best_dist,
-             |  min(CASE WHEN rk = 1 THEN key_b END) AS best_key
-             | FROM ranked GROUP BY key_a ORDER BY key_a""".stripMargin.replace("\n", "")),
+             |   ORDER BY CASE WHEN cand IS NULL THEN 1 ELSE 0 END, dist, cand) AS rk
+             |  FROM j)
+             | SELECT key_a, sum(n) - 1 AS n_matches,
+             |  min(CASE WHEN rk = 1 AND cand IS NOT NULL THEN dist END) AS best_dist,
+             |  min(CASE WHEN rk = 1 THEN cand END) AS best_key
+             | FROM ranked GROUP BY key_a HAVING sum(n) - 1 >= 1
+             | ORDER BY key_a""".stripMargin.replace("\n", "")),
       presentOrder = Seq("key_a")),
 
     // Full-outer join completing the join matrix (inner/broadcast/semi/
