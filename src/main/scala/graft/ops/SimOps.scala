@@ -83,8 +83,8 @@ object SimOps {
           FROM queries CROSS JOIN $table WHERE vec_id <> query_id)
         SELECT query_id, rank, neighbor_id, cosine FROM (
           SELECT query_id, vec_id AS neighbor_id,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY score DESC, vec_id) AS rank,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS INT) AS rank,
                  round(score, 4) AS cosine
           FROM scored)
         WHERE rank <= $k ORDER BY query_id, rank"""
@@ -212,8 +212,8 @@ object SimOps {
           WHERE vec_id <> query_id)
         SELECT query_id, rank, neighbor_id, cosine FROM (
           SELECT query_id, vec_id AS neighbor_id,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY score DESC, vec_id) AS rank,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS INT) AS rank,
                  round(score, 4) AS cosine
           FROM scored)
         WHERE rank <= $k ORDER BY query_id, rank"""

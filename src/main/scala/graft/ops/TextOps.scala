@@ -116,6 +116,8 @@ object TextOps {
     val terms = (0 until bits).map { j =>
       s"(CASE WHEN list_sum(list_transform($hs, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
     }
-    terms.mkString("(", " + ", ")")
+    // CAST to BIGINT: DuckDB folds the CASE-sum to INTEGER when it fits,
+    // but the Spark side packs into LongType — widths must match the gate.
+    terms.mkString("CAST((", " + ", ") AS BIGINT)")
   }
 }

@@ -27,7 +27,7 @@ object MultimodalQueries {
         .select(col("doc_id"), length(col("bytes")).as("n_bytes"),
           col("meta.kind").as("kind"), col("meta.width").as("width"),
           col("meta.height").as("height")),
-      Some("""SELECT doc_id, len(text) AS n_bytes, 'image' AS kind,
+      Some("""SELECT doc_id, CAST(len(text) AS INT) AS n_bytes, 'image' AS kind,
              | CAST(len(text) % 640 + 16 AS INT) AS width,
              | CAST(ascii(substr(text, 1, 1)) % 480 + 16 AS INT) AS height
              | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
@@ -47,7 +47,7 @@ object MultimodalQueries {
               | s AS (SELECT doc_id, text, unnest(range(0, (nf - 1) // $EveryK + 1)) AS raw FROM m)
               | SELECT doc_id, CAST(raw AS INT) AS sample_idx,
               |  CAST(raw * $EveryK AS INT) AS frame_idx,
-              |  len(substr(text, CAST(raw * $EveryK * $FrameBytes + 1 AS INT), $FrameBytes)) AS frame_len
+              |  CAST(len(substr(text, CAST(raw * $EveryK * $FrameBytes + 1 AS INT), $FrameBytes)) AS INT) AS frame_len
               | FROM s ORDER BY doc_id, sample_idx""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "sample_idx")),
 
@@ -70,7 +70,7 @@ object MultimodalQueries {
         val fs = (0 until 8).map(i =>
           s"CAST(((checksum >> ${i * 7}) & 65535) / 65536.0 * 2 - 1 AS FLOAT) AS f$i")
           .mkString(", ")
-        s"""WITH c AS (SELECT doc_id AS media_id, len(text) AS n_bytes,
+        s"""WITH c AS (SELECT doc_id AS media_id, CAST(len(text) AS INT) AS n_bytes,
             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS checksum
             FROM documents)
             SELECT media_id, n_bytes, checksum, $fs

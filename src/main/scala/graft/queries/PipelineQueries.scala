@@ -67,7 +67,8 @@ object PipelineQueries {
                   WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)),
            samp AS (SELECT * FROM dd
                     WHERE ${SampleOps.sampleBucketSql("doc_id", SampleQueries.Salt)} < $thr)
-           SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            FROM samp GROUP BY lang ORDER BY lang"""
       },
       presentOrder = Seq("lang"))

@@ -29,19 +29,21 @@ object RelQueries {
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          // Rounded averages DECIMAL-cast for byte-stable cross-engine hashes.
-          round(avg(col("l_quantity")), 4).cast("decimal(18,4)").as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).cast("decimal(18,4)").as("avg_price"),
-          round(avg(col("l_discount")), 4).cast("decimal(18,4)").as("avg_disc"),
+          // Rounded averages quantized in DECIMAL(18,4) (exact 4dp value both
+          // engines agree on) then cast back to DOUBLE (the rendering the
+          // driver's hash treats consistently — DECIMAL trailing zeros fail).
+          round(avg(col("l_quantity")), 4).cast("decimal(18,4)").cast("double").as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).cast("decimal(18,4)").cast("double").as("avg_price"),
+          round(avg(col("l_discount")), 4).cast("decimal(18,4)").cast("double").as("avg_disc"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
              | round(sum(l_quantity), 2) AS sum_qty,
              | round(sum(l_extendedprice), 2) AS sum_base_price,
              | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
              | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-             | CAST(round(avg(l_quantity), 4) AS DECIMAL(18,4)) AS avg_qty,
-             | CAST(round(avg(l_extendedprice), 4) AS DECIMAL(18,4)) AS avg_price,
-             | CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS avg_disc,
+             | CAST(round(avg(l_quantity), 4) AS DECIMAL(18,4))::DOUBLE AS avg_qty,
+             | CAST(round(avg(l_extendedprice), 4) AS DECIMAL(18,4))::DOUBLE AS avg_price,
+             | CAST(round(avg(l_discount), 4) AS DECIMAL(18,4))::DOUBLE AS avg_disc,
              | count(*) AS count_order
              | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
              | GROUP BY l_returnflag, l_linestatus
@@ -126,7 +128,7 @@ object RelQueries {
           .select("o_custkey", "o_orderkey", "order_seq", "prev_price", "running_spend")
       },
       Some("""SELECT o_custkey, o_orderkey,
-             | row_number() OVER w AS order_seq,
+             | CAST(row_number() OVER w AS INT) AS order_seq,
              | round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
              | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
@@ -205,8 +207,8 @@ object RelQueries {
           concat_ws("|", col("p_brand"), col("p_type")).as("brand_type")),
       Some("""SELECT p_partkey, upper(p_brand) AS brand_upper,
              | substring(p_name, 1, 8) AS name_prefix,
-             | length(p_name) AS name_len,
-             | len(string_split(p_type, ' ')) AS type_words,
+             | CAST(length(p_name) AS INT) AS name_len,
+             | CAST(len(string_split(p_type, ' ')) AS INT) AS type_words,
              | concat_ws('|', p_brand, p_type) AS brand_type
              | FROM part ORDER BY p_partkey""".stripMargin.replace("\n", "")),
       presentOrder = Seq("p_partkey")),
@@ -221,9 +223,9 @@ object RelQueries {
           month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("sum_price")),
-      Some("""SELECT date_part('year', o_orderdate) AS o_year,
-             | date_part('quarter', o_orderdate) AS o_quarter,
-             | date_part('month', o_orderdate) AS o_month,
+      Some("""SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+             | CAST(date_part('quarter', o_orderdate) AS INT) AS o_quarter,
+             | CAST(date_part('month', o_orderdate) AS INT) AS o_month,
              | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
              | FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_year", "o_quarter", "o_month")),
@@ -237,11 +239,11 @@ object RelQueries {
             .otherwise("large"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("o_totalprice")), 4).cast("decimal(18,4)").as("avg_price"),
+          round(avg(col("o_totalprice")), 4).cast("decimal(18,4)").cast("double").as("avg_price"),
           sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open")),
       Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
              | WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS band,
-             | count(*) AS n, CAST(round(avg(o_totalprice), 4) AS DECIMAL(18,4)) AS avg_price,
+             | count(*) AS n, CAST(round(avg(o_totalprice), 4) AS DECIMAL(18,4))::DOUBLE AS avg_price,
              | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
              | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", "")),
       presentOrder = Seq("band"))

@@ -33,16 +33,17 @@ object RelQueries2 {
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          // Rounded DOUBLE stats DECIMAL-cast for byte-stable hashes.
-          round(stddev_samp(col("l_extendedprice")), 4).cast("decimal(18,4)").as("sd_price"),
-          round(var_samp(col("l_quantity")), 4).cast("decimal(18,4)").as("var_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).cast("decimal(18,4)").as("corr_qty_price"),
-          round(covar_samp(col("l_quantity"), col("l_discount")), 4).cast("decimal(18,4)").as("cov_qty_disc")),
+          // Rounded stats quantized via DECIMAL(18,4) then output as DOUBLE
+          // (exact 4dp value, hash-stable rendering on both sides).
+          round(stddev_samp(col("l_extendedprice")), 4).cast("decimal(18,4)").cast("double").as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).cast("decimal(18,4)").cast("double").as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).cast("decimal(18,4)").cast("double").as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).cast("decimal(18,4)").cast("double").as("cov_qty_disc")),
       Some("""SELECT l_returnflag,
-             | CAST(round(stddev_samp(l_extendedprice), 4) AS DECIMAL(18,4)) AS sd_price,
-             | CAST(round(var_samp(l_quantity), 4) AS DECIMAL(18,4)) AS var_qty,
-             | CAST(round(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4)) AS corr_qty_price,
-             | CAST(round(covar_samp(l_quantity, l_discount), 4) AS DECIMAL(18,4)) AS cov_qty_disc
+             | CAST(round(stddev_samp(l_extendedprice), 4) AS DECIMAL(18,4))::DOUBLE AS sd_price,
+             | CAST(round(var_samp(l_quantity), 4) AS DECIMAL(18,4))::DOUBLE AS var_qty,
+             | CAST(round(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4))::DOUBLE AS corr_qty_price,
+             | CAST(round(covar_samp(l_quantity, l_discount), 4) AS DECIMAL(18,4))::DOUBLE AS cov_qty_disc
              | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", "")),
       presentOrder = Seq("l_returnflag")),
 
@@ -52,14 +53,14 @@ object RelQueries2 {
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 4).cast("decimal(18,4)").as("p25"),
-          round(expr("percentile(o_totalprice, 0.5)"), 4).cast("decimal(18,4)").as("p50"),
-          round(expr("percentile(o_totalprice, 0.75)"), 4).cast("decimal(18,4)").as("p75"),
+          round(expr("percentile(o_totalprice, 0.25)"), 4).cast("decimal(18,4)").cast("double").as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).cast("decimal(18,4)").cast("double").as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).cast("decimal(18,4)").cast("double").as("p75"),
           count(lit(1)).as("n")),
       Some("""SELECT o_orderpriority,
-             | CAST(round(quantile_cont(o_totalprice, 0.25), 4) AS DECIMAL(18,4)) AS p25,
-             | CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS p50,
-             | CAST(round(quantile_cont(o_totalprice, 0.75), 4) AS DECIMAL(18,4)) AS p75,
+             | CAST(round(quantile_cont(o_totalprice, 0.25), 4) AS DECIMAL(18,4))::DOUBLE AS p25,
+             | CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4))::DOUBLE AS p50,
+             | CAST(round(quantile_cont(o_totalprice, 0.75), 4) AS DECIMAL(18,4))::DOUBLE AS p75,
              | count(*) AS n
              | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderpriority")),
@@ -145,14 +146,15 @@ object RelQueries2 {
         Tables.orders(s, d)
           .withColumn("drank", dense_rank().over(w))
           .withColumn("quartile", ntile(4).over(w))
-          .withColumn("prank", round(percent_rank().over(w), 4).cast("decimal(18,4)"))
+          .withColumn("prank", round(percent_rank().over(w), 4).cast("decimal(18,4)").cast("double"))
           .filter(col("drank") <= 5)
           .select("o_orderpriority", "o_orderkey", "drank", "quartile", "prank")
       },
       Some("""SELECT o_orderpriority, o_orderkey, drank, quartile, prank FROM (
              | SELECT o_orderpriority, o_orderkey,
-             |  dense_rank() OVER w AS drank, ntile(4) OVER w AS quartile,
-             |  CAST(round(percent_rank() OVER w, 4) AS DECIMAL(18,4)) AS prank
+             |  CAST(dense_rank() OVER w AS INT) AS drank,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  CAST(round(percent_rank() OVER w, 4) AS DECIMAL(18,4))::DOUBLE AS prank
              | FROM orders
              | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
              | WHERE drank <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin.replace("\n", "")),
@@ -169,7 +171,7 @@ object RelQueries2 {
       Some("""SELECT o_orderkey,
              | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
              | last_day(CAST(o_orderdate AS DATE)) AS month_end,
-             | datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+             | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy,
              | CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
              | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderkey"))

@@ -24,7 +24,7 @@ object RelQueries3 {
           size(collect_set(col("o_orderpriority"))).as("n_priorities")),
       Some("""SELECT o_custkey,
              | string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys,
-             | count(DISTINCT o_orderpriority) AS n_priorities
+             | CAST(count(DISTINCT o_orderpriority) AS INT) AS n_priorities
              | FROM orders WHERE o_custkey < 50
              | GROUP BY o_custkey ORDER BY o_custkey""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_custkey")),
@@ -150,8 +150,8 @@ object RelQueries3 {
              | ranked AS (SELECT *, row_number() OVER (PARTITION BY key_a
              |   ORDER BY CASE WHEN cand IS NULL THEN 1 ELSE 0 END, dist, cand) AS rk
              |  FROM j)
-             | SELECT key_a, sum(n) - 1 AS n_matches,
-             |  min(CASE WHEN rk = 1 AND cand IS NOT NULL THEN dist END) AS best_dist,
+             | SELECT key_a, CAST(sum(n) - 1 AS BIGINT) AS n_matches,
+             |  CAST(min(CASE WHEN rk = 1 AND cand IS NOT NULL THEN dist END) AS INT) AS best_dist,
              |  min(CASE WHEN rk = 1 THEN cand END) AS best_key
              | FROM ranked GROUP BY key_a HAVING sum(n) - 1 >= 1
              | ORDER BY key_a""".stripMargin.replace("\n", "")),
@@ -229,8 +229,8 @@ object RelQueries3 {
              |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              | SELECT user_id, ts, event_id,
-             |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              | FROM g ORDER BY event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id")),
 
@@ -328,13 +328,13 @@ object RelQueries3 {
         .groupBy(col("o_orderpriority"))
         .agg(
           round(expr("percentile(o_totalprice, 0.5)"), 2).cast("decimal(18,2)")
-            .as("exact_p50"),
+            .cast("double").as("exact_p50"),
           expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__approx"))
         .withColumn("approx_within_5pct",
           abs(col("__approx") - col("exact_p50")) <= col("exact_p50") * 0.05)
         .select("o_orderpriority", "exact_p50", "approx_within_5pct"),
       Some("""SELECT o_orderpriority,
-             | CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DECIMAL(18,2)) AS exact_p50,
+             | CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DECIMAL(18,2))::DOUBLE AS exact_p50,
              | TRUE AS approx_within_5pct
              | FROM orders GROUP BY o_orderpriority
              | ORDER BY o_orderpriority""".stripMargin.replace("\n", "")),

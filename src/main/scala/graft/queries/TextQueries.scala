@@ -23,19 +23,22 @@ object TextQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          // DECIMAL-cast rounded averages: a rounded DOUBLE quotient is not
-          // byte-stable across engines (representation of e.g. 61.4400 can
-          // differ in the last ulp); DECIMAL(18,4) bytes are exact.
-          round(avg(col("n_tokens")), 4).cast("decimal(18,4)").as("avg_tokens"),
+          // Quantize-then-DOUBLE rounded averages: the DECIMAL(18,4) cast
+          // pins the exact 4dp value both engines agree on (a rounded DOUBLE
+          // quotient can differ in the last ulp), and the final DOUBLE cast
+          // restores the rendering the driver's hash canonicalizes
+          // consistently (DECIMAL output renders "25.0000" vs the oracle's
+          // "25.0" and fails the hash despite bit-identical values).
+          round(avg(col("n_tokens")), 4).cast("decimal(18,4)").cast("double").as("avg_tokens"),
           min(col("n_tokens")).as("min_tokens"),
           max(col("n_tokens")).as("max_tokens"),
-          round(avg(col("n_chars")), 4).cast("decimal(18,4)").as("avg_chars")),
+          round(avg(col("n_chars")), 4).cast("decimal(18,4)").cast("double").as("avg_chars")),
       Some("""SELECT lang, count(*) AS n_docs,
-             | sum(len(string_split(text, ' '))) AS total_tokens,
-             | CAST(round(avg(len(string_split(text, ' '))), 4) AS DECIMAL(18,4)) AS avg_tokens,
-             | min(len(string_split(text, ' '))) AS min_tokens,
-             | max(len(string_split(text, ' '))) AS max_tokens,
-             | CAST(round(avg(n_chars), 4) AS DECIMAL(18,4)) AS avg_chars
+             | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             | CAST(round(avg(len(string_split(text, ' '))), 4) AS DECIMAL(18,4))::DOUBLE AS avg_tokens,
+             | CAST(min(len(string_split(text, ' '))) AS INT) AS min_tokens,
+             | CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens,
+             | CAST(round(avg(n_chars), 4) AS DECIMAL(18,4))::DOUBLE AS avg_chars
              | FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", "")),
       presentOrder = Seq("lang")),
 
@@ -47,20 +50,20 @@ object TextQueries {
         .withColumn("n_tokens", size(col("__toks")))
         .withColumn("n_stop", TextOps.markerCountExpr("__toks", TextOps.stopwords))
         .withColumn("stop_ratio",
-          round(col("n_stop").cast("double") / col("n_tokens"), 4).cast("decimal(18,4)"))
+          round(col("n_stop").cast("double") / col("n_tokens"), 4).cast("decimal(18,4)").cast("double"))
         .withColumn("avg_token_len",
           round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4)
-            .cast("decimal(18,4)"))
+            .cast("decimal(18,4)").cast("double"))
         .withColumn("quality",
           when(col("n_tokens") >= 20 && col("stop_ratio") <= 0.3, "good")
             .otherwise("low"))
         .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "avg_token_len", "quality"),
       Some(s"""WITH t AS (SELECT doc_id, n_chars,
               |  string_split(text, ' ') AS toks FROM documents),
-              | q AS (SELECT doc_id, len(toks) AS n_tokens,
-              |  len(list_filter(toks, t -> t IN $stop)) AS n_stop,
-              |  CAST(round(len(list_filter(toks, t -> t IN $stop))::DOUBLE / len(toks), 4) AS DECIMAL(18,4)) AS stop_ratio,
-              |  CAST(round((n_chars - len(toks) + 1)::DOUBLE / len(toks), 4) AS DECIMAL(18,4)) AS avg_token_len
+              | q AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+              |  CAST(len(list_filter(toks, t -> t IN $stop)) AS INT) AS n_stop,
+              |  CAST(round(len(list_filter(toks, t -> t IN $stop))::DOUBLE / len(toks), 4) AS DECIMAL(18,4))::DOUBLE AS stop_ratio,
+              |  CAST(round((n_chars - len(toks) + 1)::DOUBLE / len(toks), 4) AS DECIMAL(18,4))::DOUBLE AS avg_token_len
               |  FROM t)
               | SELECT doc_id, n_tokens, n_stop, stop_ratio, avg_token_len,
               |  CASE WHEN n_tokens >= 20 AND stop_ratio <= 0.3 THEN 'good' ELSE 'low' END AS quality
@@ -122,9 +125,9 @@ object TextQueries {
       Some("""WITH p AS (SELECT doc_id,
              |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS pieces
              |  FROM documents)
-             | SELECT doc_id, len(pieces) AS n_pieces,
-             |  len(list_filter(pieces, p -> regexp_matches(p, '^[A-Za-z]+$'))) AS n_word_pieces,
-             |  len(list_distinct(pieces)) AS n_distinct_pieces
+             | SELECT doc_id, CAST(len(pieces) AS INT) AS n_pieces,
+             |  CAST(len(list_filter(pieces, p -> regexp_matches(p, '^[A-Za-z]+$'))) AS INT) AS n_word_pieces,
+             |  CAST(len(list_distinct(pieces)) AS INT) AS n_distinct_pieces
              | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
@@ -153,7 +156,7 @@ object TextQueries {
           .filter(col("rk") <= 3)
           .select(col("doc_id"), col("rk"), col("term"), col("tf"),
             round(col("tf").cast("double") * col("__n") / col("df"), 4)
-              .cast("decimal(18,4)").as("tfidf"))
+              .cast("decimal(18,4)").cast("double").as("tfidf"))
       },
       Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
              |  FROM documents),
@@ -161,12 +164,12 @@ object TextQueries {
              | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
              | scored AS (SELECT doc_id, term, tf,
              |  tf * (SELECT count(*) FROM documents) * 1.0 / df AS score,
-             |  row_number() OVER (PARTITION BY doc_id
+             |  CAST(row_number() OVER (PARTITION BY doc_id
              |    ORDER BY tf * (SELECT count(*) FROM documents) * 1.0 / df DESC,
-             |    term) AS rk
+             |    term) AS INT) AS rk
              |  FROM tf JOIN df USING (term))
              | SELECT doc_id, rk, term, tf,
-             |  CAST(round(score, 4) AS DECIMAL(18,4)) AS tfidf
+             |  CAST(round(score, 4) AS DECIMAL(18,4))::DOUBLE AS tfidf
              | FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "rk")),
 
@@ -193,7 +196,7 @@ object TextQueries {
       Some {
         val sh = TextOps.shingleHashesSql("toks")
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-            SELECT doc_id, len($sh) AS n_shingles, list_min($sh) AS fp_min,
+            SELECT doc_id, CAST(len($sh) AS INT) AS n_shingles, list_min($sh) AS fp_min,
                    ${TextOps.simhashSql("toks")} AS simhash16
             FROM t ORDER BY doc_id"""
       },
