@@ -48,7 +48,14 @@ object RelQueries2 {
       presentOrder = Seq("l_returnflag")),
 
     // Exact interpolated percentiles (Spark `percentile` == DuckDB
-    // `quantile_cont`). The approx sketch variant is q_hll_approx.
+    // `quantile_cont`). SCALE CUTOVER RULE: Spark's exact `percentile`
+    // buffers every value of a group in executor memory, so it is only
+    // valid on bounded-cardinality grouping keys with bounded group sizes
+    // that fit an executor (here: 5 order priorities). At 100 TB the
+    // gated answer for unbounded groups is `q_approx_percentile`
+    // (mergeable t-digest sketch, constant memory, tolerance oracle).
+    // PlanSpec("exact percentiles stay on bounded-group inputs") guards
+    // this query's group cardinality.
     QueryDef("q_percentiles",
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))

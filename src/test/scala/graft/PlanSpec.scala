@@ -79,6 +79,17 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length == 2, s"expected exactly one exchange:\n$p")
   }
 
+  test("exact percentiles stay on bounded-group inputs") {
+    // Spark's exact `percentile` buffers all values per group on an
+    // executor; q_percentiles is only allowed while its grouping key has
+    // trivially bounded cardinality (the 100 TB path for unbounded groups
+    // is q_approx_percentile's mergeable sketch — see RelQueries2).
+    val groups = Tables.orders(spark, d)
+      .select("o_orderpriority").distinct().count()
+    assert(groups <= 16, s"q_percentiles group key grew to $groups values; " +
+      "switch the gate to approx_percentile before this reaches scale")
+  }
+
   test("zero-shuffle first-match lookup has no exchange at all") {
     val df = Catalog.queries("ref_categorize_lookup_fast")(spark, d)
     val p = df.queryExecution.executedPlan.toString
