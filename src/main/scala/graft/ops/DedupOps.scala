@@ -68,7 +68,16 @@ object DedupOps {
     * by more than this many documents are dropped from the shingle
     * universe. Near-dup trigrams cluster in small groups; a shingle in
     * hundreds of documents is corpus boilerplate with no pair signal but
-    * O(df²) join fan-out. Shared with the oracle twin. */
+    * O(df²) join fan-out. Shared with the oracle twin.
+    *
+    * SEMANTICS NOTE: with any cap in effect the returned scores are
+    * capped-universe Jaccard — similarity over the shingles whose document
+    * frequency is <= the cap — NOT exact Jaccard, the moment any natural
+    * shingle's df exceeds the cap. Both the Spark plan and the oracle
+    * apply the same cap, so the gate can't detect drift from true Jaccard
+    * as a corpus grows: exactness-sensitive callers must pass an explicit
+    * cap sized to their corpus (e.g. a small fraction of doc count;
+    * Int.MaxValue disables the guard and restores exact Jaccard). */
   val MaxShingleFreq = 100
 
   /** Exact n-gram Jaccard near-dup pairs via inverted index:
@@ -106,6 +115,32 @@ object DedupOps {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Materialized-pair reuse: at 100 TB the near-dup pair table is
+    * computed once per corpus snapshot and consumed many times (cluster
+    * canonicalization, curation, audits) — recomputing the shingle
+    * self-join per consumer is the expensive anti-pattern. When the
+    * session conf `graft.pairs.dir` is set, the first caller materializes
+    * [[jaccardPairs]] as parquet under it (keyed by threshold + cap) and
+    * every later caller scans that parquet instead of re-running the
+    * pipeline; `_SUCCESS` guards against half-written directories. Unset
+    * (the driver gate's default), this is exactly [[jaccardPairs]]. */
+  def jaccardPairsCached(docs: DataFrame, textCol: String, idCol: String,
+                         threshold: Double,
+                         maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
+    val spark = docs.sparkSession
+    val dir = spark.conf.get("graft.pairs.dir", "")
+    if (dir.isEmpty) jaccardPairs(docs, textCol, idCol, threshold, maxShingleFreq)
+    else {
+      val path = s"$dir/jaccard_t${threshold}_f$maxShingleFreq"
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
+        jaccardPairs(docs, textCol, idCol, threshold, maxShingleFreq)
+          .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
   }
 
   /** MinHash signatures via explode + hash aggregation:
@@ -223,7 +258,11 @@ object DedupOps {
       val p = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
         .persist()
       try {
-        val n = p.limit((driverFastPathMaxEdges + 1).toInt).count()
+        // Clamp: limit() takes an Int; a caller-supplied threshold near
+        // Long.MaxValue must degrade to "count up to Int.MaxValue", not
+        // overflow to a negative limit and throw.
+        val lim = math.min(driverFastPathMaxEdges + 1, Int.MaxValue.toLong).toInt
+        val n = p.limit(lim).count()
         if (n <= driverFastPathMaxEdges)
           return driverUnionFind(p)
       } finally p.unpersist() // driverUnionFind collected before this runs

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.GlucoseRange
@@ -57,25 +56,34 @@ object EgvOps {
     * config) each event matches at most once and no tie-break is needed.
     * For overlapping ranges the reference takes the FIRST match in key
     * order (EgvTransformer.java:74-79); set `firstMatchOnly=true` to
-    * reproduce that via a min_by-style window over a generated per-row id
-    * (costs one shuffle by that id — only pay it when ranges can overlap).
-    * The id, not the event columns, is the window key: two fully identical
-    * event rows are distinct events and must each emit their first match.
+    * reproduce that. The tie-break is fully deterministic and retry-safe:
+    * identical event rows are indistinguishable, so first-match is a
+    * function of the DISTINCT event row — events aggregate to distinct
+    * rows with a multiplicity count, the min-by-range_id winner is picked
+    * per distinct row, and multiplicity re-expands. (A generated
+    * monotonically_increasing_id key would renumber rows if a speculative
+    * or retried task recomputes the pre-window stage, duplicating or
+    * dropping a first match in rare recovery scenarios.) Costs one
+    * shuffle on the distinct event row — only pay it when ranges overlap.
     */
   def categorizeWithLookup(events: DataFrame, ranges: DataFrame,
                            tsCol: String = "ts", valueCol: String = "value",
                            firstMatchOnly: Boolean = false): DataFrame = {
     val e0 = events.withColumn("tod", secondsOfDay(col(tsCol)))
-    val e = if (firstMatchOnly) e0.withColumn("__eid", monotonically_increasing_id())
-            else e0
-    val joined = e.join(broadcast(ranges),
-      col("tod") >= col("start_sec") && col("tod") <= col("end_sec"), "inner")
+    val cond = col("tod") >= col("start_sec") && col("tod") <= col("end_sec")
     val picked =
-      if (!firstMatchOnly) joined
+      if (!firstMatchOnly) e0.join(broadcast(ranges), cond, "inner")
       else {
-        val w = Window.partitionBy(col("__eid")).orderBy(col("range_id"))
-        joined.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn", "__eid")
+        val evCols = e0.columns.toSeq
+        // range_id leads the struct so min() == first match in key order.
+        val rCols = "range_id" +: ranges.columns.filterNot(_ == "range_id").toSeq
+        val grouped = e0.groupBy(evCols.map(col): _*)
+          .agg(count(lit(1)).as("__mult"))
+        grouped.join(broadcast(ranges), cond, "inner")
+          .groupBy((evCols :+ "__mult").map(col): _*)
+          .agg(min(struct(rCols.map(col): _*)).as("__m"))
+          .withColumn("__i", explode(sequence(lit(1L), col("__mult"))))
+          .selectExpr(evCols ++ Seq("__m.*"): _*)
       }
     picked.withColumn("in_range",
       when(col(valueCol).between(col("lower_bound"), col("upper_bound")), "true")

@@ -64,9 +64,12 @@ object DedupQueries {
     // (A~B, B~C collapse to one cluster even though (A,C) was never
     // scored) via iterative min-label propagation; cluster = min doc_id.
     // Oracle: recursive-CTE min-label walk over the same pairs.
+    // jaccardPairsCached: with `graft.pairs.dir` set the pair table is
+    // materialized once and shared with pipeline_corpus_curation (the
+    // 100 TB consumption shape); unset it computes inline — same oracle.
     QueryDef("dedup_clusters",
       (s, d) => DedupOps.connectedComponents(
-        DedupOps.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        DedupOps.jaccardPairsCached(Tables.documents(s, d), "text", "doc_id",
           JaccardThreshold)),
       Some(DedupOps.connectedComponentsSql(
         DedupOps.jaccardPairsSql("documents", "text", "doc_id", JaccardThreshold))),

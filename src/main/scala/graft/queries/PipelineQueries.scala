@@ -34,8 +34,12 @@ object PipelineQueries {
         // 3. Near-dup canonicalization over the FULL corpus (clusters are
         //    a property of the data, not of this pipeline's filters):
         //    drop docs that are in a cluster but not its canonical id.
+        //    jaccardPairsCached: when `graft.pairs.dir` is set this scans
+        //    the pair table dedup_clusters already materialized instead of
+        //    re-running the shingle self-join — pairs are computed once
+        //    per corpus, clusters consumed many times.
         val nonCanonical = DedupOps.connectedComponents(
-            DedupOps.jaccardPairs(docs, "text", "doc_id",
+            DedupOps.jaccardPairsCached(docs, "text", "doc_id",
               DedupQueries.JaccardThreshold))
           .filter(col("doc_id") =!= col("cluster"))
           .select("doc_id")

@@ -226,7 +226,7 @@ object RelQueries3 {
       },
       Some("""WITH g AS (SELECT user_id, ts, event_id,
              |  CASE WHEN lag(ts) OVER w IS NULL
-             |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+             |   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS ns
              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              | SELECT user_id, ts, event_id,
              |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -78,6 +78,66 @@ object StreamParityQueries {
              |  count(*) AS n_events, round(sum(value), 2) AS sum_value
              | FROM i GROUP BY user_id, session_id
              | ORDER BY user_id, session_start""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("user_id", "session_start"))
+      presentOrder = Seq("user_id", "session_start")),
+
+    // Batch twin of the watermark-bounded stream-stream join
+    // (StreamingSpec "stream-stream interval join"): each event enriched
+    // with same-user alert events (value >= 200) from the preceding 10
+    // minutes. The join condition is exactly the shape Structured
+    // Streaming requires to bound state — equi-key plus a two-sided
+    // event-time range — so with a watermark >= the range the streaming
+    // run emits these same rows. Plans as an equi-join on user_id with
+    // the time range as a join filter; per-key fan-out bounded by alert
+    // density, no cross product.
+    QueryDef("stream_interval_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val alerts = e.filter(col("value") >= 200)
+          .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+            col("event_id").as("alert_id"))
+        e.join(alerts,
+            col("user_id") === col("a_user") &&
+              col("a_ts") >= col("ts") - expr("INTERVAL 10 MINUTES") &&
+              col("a_ts") <= col("ts"))
+          .filter(col("event_id") =!= col("alert_id"))
+          .select(col("event_id"), col("alert_id"), col("user_id"),
+            (col("ts").cast("long") - col("a_ts").cast("long"))
+              .as("lag_seconds"))
+      },
+      Some("""SELECT e.event_id, a.event_id AS alert_id, e.user_id,
+             | CAST(floor(epoch(e.ts)) - floor(epoch(a.ts)) AS BIGINT) AS lag_seconds
+             | FROM events e JOIN events a ON a.user_id = e.user_id
+             |  AND a.value >= 200 AND a.ts <= e.ts
+             |  AND a.ts >= e.ts - INTERVAL 10 MINUTE
+             | WHERE e.event_id <> a.event_id
+             | ORDER BY e.event_id, a.event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id", "alert_id")),
+
+    // Batch twin of bounded-state streaming dedup over an event-time
+    // horizon (dropDuplicatesWithinWatermark class, EgvStreams
+    // deduplicate): an event is a duplicate if the previous event with
+    // the same (user_id, event_type) lies within 30 minutes; only
+    // horizon-separated occurrences survive. One window shuffle on the
+    // dedup key; a streaming runner holds one timestamp per key (bounded
+    // state, evicted by watermark).
+    QueryDef("stream_dedup_horizon",
+      (s, d) => {
+        val byKey = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("__prev", lag(col("ts"), 1).over(byKey))
+          .filter(col("__prev").isNull ||
+            col("ts").cast("long") - col("__prev").cast("long") > 1800)
+          .select("event_id", "user_id", "event_type", "ts")
+      },
+      Some("""WITH g AS (SELECT event_id, user_id, event_type, ts,
+             |  lag(ts) OVER (PARTITION BY user_id, event_type
+             |   ORDER BY ts, event_id) AS prev_ts
+             |  FROM events)
+             | SELECT event_id, user_id, event_type, ts FROM g
+             | WHERE prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+             | ORDER BY event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id"))
   )
 }

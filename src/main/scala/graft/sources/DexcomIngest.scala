@@ -82,27 +82,49 @@ object FileSources {
     * output file count. */
   def compactParquet(spark: SparkSession, dir: String,
                      targetFileBytes: Long = 128L << 20): Int = {
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val target0 = new org.apache.hadoop.fs.Path(dir)
+    val fs0 = target0.getFileSystem(conf0)
+    val oldGen = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact.old")
+    // Crash recovery: a previous run that died between the two renames
+    // leaves the live path missing and the data under .compact.old —
+    // restore it before reading (a naive re-run would fail on the scan).
+    if (!fs0.exists(target0) && fs0.exists(oldGen)) {
+      if (!fs0.rename(oldGen, target0))
+        sys.error(s"compaction recovery failed: could not restore $oldGen to $dir")
+    }
+    // Reject Hive-partitioned layouts: compacting one would silently
+    // inline the partition columns as data columns and lose the layout
+    // (and its planning-time pruning). Partition-aware compaction is a
+    // per-partition-directory rewrite — run this on each leaf directory.
+    val hasPartitionDirs = fs0.listStatus(target0).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    if (hasPartitionDirs)
+      sys.error(s"$dir contains Hive partition subdirectories; compact each " +
+        "leaf partition directory instead (whole-tree compaction would " +
+        "inline partition columns and break pruning)")
     val df = spark.read.parquet(dir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val parts = math.max(1,
       math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
     val tmp = dir.stripSuffix("/") + ".compact.tmp"
     df.repartition(parts).write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(dir)
-    val fs = target.getFileSystem(conf)
     // Swap via rename-aside, not delete-then-rename: the live data must
     // survive a crash or failed rename at every step. Only after the new
-    // data is in place is the old generation deleted.
-    val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact.old")
-    fs.delete(old, true) // leftover from a previous failed swap
-    if (!fs.rename(target, old))
+    // data is in place is the old generation deleted. READER-VISIBLE
+    // WINDOW: between the two renames the live path does not exist —
+    // concurrent readers see a transient missing-path error (single-digit
+    // milliseconds on HDFS-like stores; a crash inside the window is
+    // healed by the recovery step above on the next run). Readers needing
+    // zero-gap swaps should read through a manifest/view layer instead.
+    fs0.delete(oldGen, true) // leftover from a previous completed swap
+    if (!fs0.rename(target0, oldGen))
       sys.error(s"compaction swap failed: could not move $dir aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target)) {
-      fs.rename(old, target) // restore the live generation
+    if (!fs0.rename(new org.apache.hadoop.fs.Path(tmp), target0)) {
+      fs0.rename(oldGen, target0) // restore the live generation
       sys.error(s"compaction swap failed: could not rename $tmp to $dir")
     }
-    fs.delete(old, true)
+    fs0.delete(oldGen, true)
     parts
   }
 }

@@ -43,9 +43,25 @@ class HttpBulkClient(endpoint: String, index: String,
     if (resp.statusCode() / 100 != 2)
       sys.error(s"bulk write failed: HTTP ${resp.statusCode()}: " +
         resp.body().take(500))
-    // ES signals per-item failures inside a 200 envelope.
-    if (resp.body().replace(" ", "").contains("\"errors\":true"))
+    // ES signals per-item failures inside a 200 envelope. Parse the
+    // TOP-LEVEL `errors` field (anchored to the envelope prefix, any JSON
+    // whitespace around the colon) rather than substring-matching the
+    // whole body: an echoed document containing the text "errors":true
+    // must not fail a healthy batch into a permanent replay loop.
+    if (envelopeHasErrors(resp.body()))
       sys.error(s"bulk write had item errors: ${resp.body().take(500)}")
+  }
+
+  /** True iff the bulk response envelope's top-level `errors` field is
+    * true. The ES envelope is `{"took":N,"errors":BOOL,"items":[...]}` —
+    * `errors` appears before `items`, so scanning the prefix up to the
+    * first `[` or nested `{` can only see top-level fields. */
+  private[streaming] def envelopeHasErrors(body: String): Boolean = {
+    val openArr = body.indexOf('[')
+    val openObj = body.indexOf('{', body.indexOf('{') + 1) // 2nd '{' = first nested object
+    val ends = Seq(openArr, openObj).filter(_ >= 0)
+    val prefix = if (ends.isEmpty) body else body.substring(0, ends.min)
+    "\"errors\"\\s*:\\s*true".r.findFirstIn(prefix).isDefined
   }
 
   /** JSON-string escaping for the action line. Control characters matter

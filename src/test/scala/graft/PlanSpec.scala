@@ -79,6 +79,30 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length == 2, s"expected exactly one exchange:\n$p")
   }
 
+  test("materialized pair table is scanned, not recomputed, on reuse") {
+    import graft.ops.DedupOps
+    import graft.queries.DedupQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft-pairs").toString
+    spark.conf.set("graft.pairs.dir", dir)
+    try {
+      val docs = Tables.documents(spark, d)
+      val first = DedupOps.jaccardPairsCached(docs, "text", "doc_id",
+        DedupQueries.JaccardThreshold) // materializes
+      val again = DedupOps.jaccardPairsCached(docs, "text", "doc_id",
+        DedupQueries.JaccardThreshold) // must scan the parquet
+      val p = again.queryExecution.executedPlan.toString
+      assert(p.contains(dir), s"reuse must scan the materialized table:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 1 && !p.contains("Exchange"),
+        s"reuse must be a single parquet scan, no recompute:\n$p")
+      // and the cached table equals the inline computation
+      spark.conf.set("graft.pairs.dir", "")
+      val inline = DedupOps.jaccardPairs(docs, "text", "doc_id",
+        DedupQueries.JaccardThreshold)
+      assert(again.exceptAll(inline).isEmpty && inline.exceptAll(again).isEmpty)
+      assert(first.count() == inline.count())
+    } finally spark.conf.set("graft.pairs.dir", "")
+  }
+
   test("exact percentiles stay on bounded-group inputs") {
     // Spark's exact `percentile` buffers all values per group on an
     // executor; q_percentiles is only allowed while its grouping key has
