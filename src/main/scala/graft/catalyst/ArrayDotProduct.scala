@@ -124,7 +124,8 @@ object GraftFunctions {
     }
     spark.udf.register("minhash_sketch",
       org.apache.spark.sql.functions.udaf(
-        new MinHashSketchAgg(16), org.apache.spark.sql.Encoders.scalaLong))
+        new MinHashSketchAgg(MinHashSketchAgg.SketchK),
+        org.apache.spark.sql.Encoders.scalaLong))
   }
 }
 

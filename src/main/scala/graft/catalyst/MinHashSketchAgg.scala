@@ -51,6 +51,12 @@ class MinHashSketchAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]
 }
 
 object MinHashSketchAgg {
+  /** Width of the registered `minhash_sketch` UDAF (and its oracle twin):
+    * k=128 → ±1/sqrt(128) ≈ 0.09 standard error on estimated Jaccard —
+    * a useful estimate, not just a smoke check. Shared by the SQL
+    * registration and SketchQueries so the constants cannot drift. */
+  val SketchK = 128
+
   /** Estimated Jaccard = fraction of agreeing slots. */
   def estimateJaccard(a: Array[Long], b: Array[Long]): Double = {
     require(a.length == b.length)

@@ -13,7 +13,7 @@ import graft.ops.{DedupOps, TextOps}
   */
 object SketchQueries {
 
-  val K = 16
+  val K: Int = graft.catalyst.MinHashSketchAgg.SketchK
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -40,12 +40,15 @@ object SketchQueries {
         val mins = DedupOps.minhashCoeffs(K).zipWithIndex.map { case ((a, b), i) =>
           s"min(($a * (h % ${DedupOps.P}) + $b) % ${DedupOps.P}) AS m$i"
         }.mkString(", ")
+        // Flat list literal, not a 128-term `+` chain: DuckDB binds the
+        // chain left-deep and trips its recursion limit at k=128.
         val agree = (0 until K)
-          .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+          .mkString("list_sum([", ", ", "])")
         s"""WITH inv AS (SELECT source, unnest($sh) AS h FROM documents),
             sig AS (SELECT source, $mins FROM inv GROUP BY source)
             SELECT a.source AS src_a, b.source AS src_b,
-                   round(($agree) / 16.0, 4) AS est_jaccard
+                   round(($agree) / $K.0, 4) AS est_jaccard
             FROM sig a JOIN sig b ON a.source < b.source
             ORDER BY src_a, src_b"""
       },
