@@ -56,7 +56,7 @@ class HttpBulkClient(endpoint: String, index: String,
     * true. The ES envelope is `{"took":N,"errors":BOOL,"items":[...]}` —
     * `errors` appears before `items`, so scanning the prefix up to the
     * first `[` or nested `{` can only see top-level fields. */
-  private[streaming] def envelopeHasErrors(body: String): Boolean = {
+  private[graft] def envelopeHasErrors(body: String): Boolean = {
     val openArr = body.indexOf('[')
     val openObj = body.indexOf('{', body.indexOf('{') + 1) // 2nd '{' = first nested object
     val ends = Seq(openArr, openObj).filter(_ >= 0)

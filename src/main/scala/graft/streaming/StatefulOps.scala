@@ -47,6 +47,36 @@ object StatefulOps {
       }
   }
 
+  case class KeyedEvent(key: String, ts: java.sql.Timestamp, eventId: Long)
+  case class LastTs(sec: Long)
+
+  /** Streaming twin of the gated `stream_dedup_horizon` batch query:
+    * bounded-state dedup over an event-time horizon. An event is a
+    * duplicate iff the previous event with the same key (kept or NOT —
+    * lag semantics, matching the batch window) lies within `horizonSec`.
+    * State is ONE floor-second timestamp per key; in production add an
+    * event-time timeout at the watermark so idle keys evict. Timestamps
+    * floor to seconds exactly like the batch side's cast-to-long. */
+  def gapDedup(events: Dataset[KeyedEvent], horizonSec: Long): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LastTs, KeyedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[KeyedEvent], state: GroupState[LastTs]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.eventId))
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeyedEvent]
+          var last = state.getOption.map(_.sec)
+          for (r <- sorted) {
+            val sec = Math.floorDiv(r.ts.getTime, 1000L)
+            if (last.forall(p => sec - p > horizonSec)) out += r
+            last = Some(sec) // last SEEN, kept or not — lag() semantics
+          }
+          last.foreach(s => state.update(LastTs(s)))
+          out.iterator
+      }
+  }
+
   /** The same operator on the arbitrary-state v2 API
     * (`transformWithState` + `StatefulProcessor`, Spark 4.x): typed
     * per-key `ValueState` handles with optional TTL replace the single

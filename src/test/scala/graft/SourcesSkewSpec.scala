@@ -91,6 +91,41 @@ class SourcesSkewSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compactParquet recovers a crashed swap and rejects partitioned dirs") {
+    import spark.implicits._
+    // Crash window: previous run died after moving the live dir aside —
+    // the live path is missing, data sits under .compact.old. A re-run
+    // must restore it and complete.
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-rec").toString
+    val dir = base + "/t"
+    (0L until 1000L).toDF("id").repartition(8).write.parquet(dir)
+    val before = spark.read.parquet(dir).agg(sum("id")).collect()(0).getLong(0)
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".compact.old")))
+    val n = FileSources.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(n === 1)
+    assert(spark.read.parquet(dir).agg(sum("id")).collect()(0).getLong(0) === before)
+    // Hive-partitioned layout: whole-tree compaction would inline the
+    // partition columns and lose pruning — must refuse.
+    val pdir = base + "/p"
+    (0L until 100L).map(i => (i, i % 3)).toDF("id", "k")
+      .write.partitionBy("k").parquet(pdir)
+    val e = intercept[RuntimeException](
+      FileSources.compactParquet(spark, pdir, targetFileBytes = 1L << 30))
+    assert(e.getMessage.contains("partition"))
+    assert(spark.read.parquet(pdir).count() === 100) // untouched
+  }
+
+  test("bulk response envelope errors are detected at the top level only") {
+    val c = new graft.streaming.HttpBulkClient("http://localhost:0", "idx")
+    // healthy envelope whose ITEM content echoes the text "errors":true
+    assert(!c.envelopeHasErrors(
+      """{"took":3,"errors":false,"items":[{"index":{"_id":"a","error":"\"errors\":true"}}]}"""))
+    // top-level errors with assorted JSON whitespace around the colon
+    assert(c.envelopeHasErrors("{\"took\":3,\"errors\" :\ttrue,\"items\":[]}"))
+    assert(c.envelopeHasErrors("""{"errors":true,"items":[]}"""))
+    assert(!c.envelopeHasErrors("""{"took":3,"errors":false,"items":[]}"""))
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val left = (Seq.fill(5000)(1) ++ Seq(2, 3)).zipWithIndex.toDF("k", "lv")

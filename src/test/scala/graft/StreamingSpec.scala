@@ -210,6 +210,72 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(101, 102))
   }
 
+  test("gap-dedup streaming twin matches the gated batch query across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, hm: String) =
+      StatefulOps.KeyedEvent("robert", Timestamp.valueOf(s"2020-11-02 $hm:00"), id)
+    // 30-min horizon: e1 keep (no prev), e2 gap 600s drop, e3 gap 2400s
+    // keep, e4 gap 900s drop — e3/e4 arrive in a LATER micro-batch so the
+    // kept/dropped decision must flow through the per-key state.
+    val batch1 = Seq(ev(1, "02:00"), ev(2, "02:10"))
+    val batch2 = Seq(ev(3, "02:50"), ev(4, "03:05"))
+    val in = MemoryStream[StatefulOps.KeyedEvent]
+    val q = StatefulOps.gapDedup(in.toDS(), horizonSec = 1800)
+      .writeStream.format("memory").queryName("gap_dedup").outputMode("append").start()
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gap_dedup").select("eventId")
+      .collect().map(_.getLong(0)).toSet
+    // The gated batch twin's expression over the same rows.
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ts"), col("eventId"))
+    val batched = (batch1 ++ batch2).toDS().toDF()
+      .withColumn("__prev", lag(col("ts"), 1).over(byKey))
+      .filter(col("__prev").isNull ||
+        col("ts").cast("long") - col("__prev").cast("long") > 1800)
+      .select("eventId").collect().map(_.getLong(0)).toSet
+    assert(streamed === Set(1L, 3L))
+    assert(streamed === batched)
+  }
+
+  test("stream-stream interval join emits exactly its gated batch twin's rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2020-11-02 02:$m%02d:00")
+    // (user, ts, value, event_id) — alerts are value >= 200, the same
+    // predicate + 10-minute preceding range as stream_interval_join.
+    val rows = Seq(
+      ("robert", ts(0), 210, 1L), ("robert", ts(5), 100, 2L),
+      ("robert", ts(12), 250, 3L), ("robert", ts(15), 120, 4L),
+      ("robert", ts(40), 130, 5L), ("other", ts(5), 300, 6L),
+      ("other", ts(9), 90, 7L))
+    val cond = expr("user_id = a_user AND a_ts <= ts AND a_ts >= ts - INTERVAL 10 MINUTES")
+    def pairs(e: org.apache.spark.sql.DataFrame,
+              a: org.apache.spark.sql.DataFrame) =
+      e.join(a, cond).filter(col("event_id") =!= col("alert_id"))
+        .select(col("event_id"), col("alert_id"))
+    val ein = MemoryStream[(String, Timestamp, Int, Long)]
+    val ain = MemoryStream[(String, Timestamp, Int, Long)]
+    val es = ein.toDF().toDF("user_id", "ts", "value", "event_id")
+      .withWatermark("ts", "20 minutes")
+    val as = ain.toDF().toDF("a_user", "a_ts", "a_value", "alert_id")
+      .filter(col("a_value") >= 200).withWatermark("a_ts", "20 minutes")
+    val q = pairs(es, as).writeStream.format("memory").queryName("ssjoin_twin")
+      .outputMode("append").start()
+    ein.addData(rows: _*); ain.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssjoin_twin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val eb = rows.toDF("user_id", "ts", "value", "event_id")
+    val ab = rows.toDF("a_user", "a_ts", "a_value", "alert_id")
+      .filter(col("a_value") >= 200)
+    val batched = pairs(eb, ab)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batched)
+    assert(streamed.nonEmpty && streamed.contains((2L, 1L)))
+  }
+
   test("mid-stream range update takes effect for subsequent batches (KTable semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
