@@ -208,4 +208,35 @@ class DedupSimSpec extends SparkSpec {
     assert(vecs(0L) === vecs(1L))
     assert(vecs(0L) !== vecs(2L)) // all plane signs flip
   }
+
+  test("BoundedCollectSetAgg saturates at cap+1 distinct values and stays bounded") {
+    val agg = new graft.catalyst.BoundedCollectSetAgg(3)
+    // dedup: repeated values never grow the buffer
+    val b1 = Seq(1L, 2L, 1L, 2L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(b1.sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(agg.finish(b1).sorted.toSeq === Seq(1L, 2L, 3L))
+    // one more distinct value -> saturated: buffer capped at cap+1, NULL out
+    val b2 = agg.reduce(b1.clone(), 4L)
+    assert(b2.length === 4 && agg.finish(b2) === null)
+    // saturation is absorbing: further reduces cannot grow the buffer
+    assert(agg.reduce(b2, 5L).length === 4)
+    // merge: a saturated side saturates the result; two small sides that
+    // union past the cap saturate during the merge itself
+    assert(agg.finish(agg.merge(b1.clone(), b2)) === null)
+    val m = agg.merge(Array(1L, 2L), Array(3L, 4L, 5L))
+    assert(m.length === 4 && agg.finish(m) === null)
+    // disjoint small sides below the cap merge exactly
+    assert(agg.merge(Array(1L), Array(2L, 1L)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("BoundedCollectSet column: hot key -> NULL, cold keys exact, duplicates absorbed") {
+    import spark.implicits._
+    val rows = (0L until 10L).map(i => ("hot", i)) ++
+      Seq(("cold", 1L), ("cold", 1L), ("cold", 2L))
+    val out = rows.toDF("k", "v").groupBy("k")
+      .agg(graft.catalyst.BoundedCollectSet(col("v"), 5).as("s"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out("hot") === None) // 10 distinct > cap=5 -> NULL
+    assert(out("cold").get.sorted === Seq(1L, 2L))
+  }
 }
