@@ -97,20 +97,50 @@ object DedupOps {
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double,
-                   maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
-    // One groupBy(h) replaces the old distinct + df-cap groupBy +
-    // semi-join + self-join: the per-shingle doc list IS the df cap's
-    // count, the per-doc capped set size, and the pair source all at
-    // once. Pair fan-out happens post-shuffle inside the bounded (≤cap)
-    // group — O(df²) per shingle with df ≤ maxShingleFreq — and the old
-    // self-join's recompute of the entire upstream scan disappears.
-    // The set aggregate is [[graft.catalyst.BoundedCollectSet]], which
-    // SATURATES at cap+1 distinct docs (NULL = dropped hot shingle): a
-    // plain collect_set would build the full doc list for a 10^8-df
-    // stop-word shingle before the size filter could discard it. Its
-    // set semantics also absorb repeated (doc, shingle) rows, so no
-    // pre-distinct pass is needed. Net: ONE shuffle of the inverted
-    // index where the old shape had four (measured 3.9 → ~2 s at sf0.1).
+                   maxShingleFreq: Int = MaxShingleFreq): DataFrame =
+    pairStats(docs, textCol, idCol, maxShingleFreq)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Max-containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) over
+    * the same capped shingle universe as [[jaccardPairs]]. Containment
+    * catches what Jaccard misses — a short document copied INSIDE a much
+    * longer one scores C≈1 but J≈|A|/|B|≈0 — the sub-document/quote
+    * duplication and benchmark-contamination case. Same single-shuffle
+    * plan; only the scoring expression differs. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       threshold: Double,
+                       maxShingleFreq: Int = MaxShingleFreq): DataFrame =
+    pairStats(docs, textCol, idCol, maxShingleFreq)
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).cast("decimal(18,4)").cast("double")
+          .as("containment"))
+
+  /** Shared pair-statistics core: (doc_a, doc_b, common, na, nb) for every
+    * document pair sharing ≥1 shingle in the capped universe, where na/nb
+    * are the documents' capped distinct-shingle counts.
+    *
+    * One groupBy(h) replaces the old distinct + df-cap groupBy +
+    * semi-join + self-join: the per-shingle doc list IS the df cap's
+    * count, the per-doc capped set size, and the pair source all at
+    * once. Pair fan-out happens post-shuffle inside the bounded (≤cap)
+    * group — O(df²) per shingle with df ≤ maxShingleFreq — and the old
+    * self-join's recompute of the entire upstream scan disappears.
+    * The set aggregate is [[graft.catalyst.BoundedCollectSet]], which
+    * SATURATES at cap+1 distinct docs (NULL = dropped hot shingle): a
+    * plain collect_set would build the full doc list for a 10^8-df
+    * stop-word shingle before the size filter could discard it. Its
+    * set semantics also absorb repeated (doc, shingle) rows, so no
+    * pre-distinct pass is needed. Net: ONE shuffle of the inverted
+    * index where the old shape had four (measured 3.9 → ~2 s at sf0.1).
+    */
+  private def pairStats(docs: DataFrame, textCol: String, idCol: String,
+                        maxShingleFreq: Int): DataFrame = {
     val grouped = shingleInv(docs, textCol, idCol)
       .groupBy("h")
       .agg(graft.catalyst.BoundedCollectSet(col("doc_id"), maxShingleFreq)
@@ -131,10 +161,33 @@ object DedupOps {
     pairs
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Benchmark-contamination report: for every training document, how many
+    * of its distinct shingles also occur in the evaluation set (any eval
+    * document), as a count and a fraction. The standard n-gram-overlap
+    * decontamination check a training pipeline runs before shipping data.
+    *
+    * Scale shape: `evalPred` filters BEFORE the explode, so the eval
+    * branch's scan reads only the (tiny) eval partition of the corpus and
+    * its distinct shingle set broadcasts to the training side — the big
+    * side is never shuffled for the membership test; one hash-agg per
+    * train doc (with map-side combine) finishes the job. Output:
+    * (doc_id, n_sh, n_shared, overlap) for contaminated docs only.
+    */
+  def contamination(docs: DataFrame, textCol: String, idCol: String,
+                    evalPred: Column): DataFrame = {
+    val evalSh = shingleInv(docs.filter(evalPred), textCol, idCol)
+      .select("h").distinct().withColumn("__hit", lit(1))
+    val train = shingleInv(docs.filter(!evalPred), textCol, idCol).distinct()
+    train.join(broadcast(evalSh), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") / col("n_sh"), 4)
+          .cast("decimal(18,4)").cast("double"))
   }
 
   /** Materialized-pair reuse: at 100 TB the near-dup pair table is
@@ -384,10 +437,12 @@ object DedupOps {
         ${TextOps.shingleHashesSql(TextOps.tokensSql(textCol))} AS sh
         FROM $table"""
 
-  def jaccardPairsSql(table: String, textCol: String, idCol: String,
-                      threshold: Double,
-                      maxShingleFreq: Int = MaxShingleFreq): String =
-    s"""WITH sets AS (${shingleSetsSql(table, textCol, idCol)}),
+  /** Shared CTE block for the pair-statistics oracles: the inverted
+    * index, df-capped shingle universe, per-doc counts, and per-pair
+    * common counts — the SQL twin of [[pairStats]]. */
+  private def pairStatsCtes(table: String, textCol: String, idCol: String,
+                            maxShingleFreq: Int): String =
+    s"""sets AS (${shingleSetsSql(table, textCol, idCol)}),
         inv0 AS (SELECT doc_id, unnest(sh) AS h FROM sets),
         keep AS (SELECT h FROM inv0 GROUP BY h
                  HAVING count(*) <= $maxShingleFreq),
@@ -397,13 +452,49 @@ object DedupOps {
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
           FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+          GROUP BY 1, 2)"""
+
+  def jaccardPairsSql(table: String, textCol: String, idCol: String,
+                      threshold: Double,
+                      maxShingleFreq: Int = MaxShingleFreq): String =
+    s"""WITH ${pairStatsCtes(table, textCol, idCol, maxShingleFreq)}
         SELECT doc_a, doc_b,
                round(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
         FROM pairs JOIN counts ca ON pairs.doc_a = ca.doc_id
                    JOIN counts cb ON pairs.doc_b = cb.doc_id
         WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= $threshold
         ORDER BY doc_a, doc_b"""
+
+  def containmentPairsSql(table: String, textCol: String, idCol: String,
+                          threshold: Double,
+                          maxShingleFreq: Int = MaxShingleFreq): String =
+    s"""WITH ${pairStatsCtes(table, textCol, idCol, maxShingleFreq)}
+        SELECT doc_a, doc_b,
+               CAST(round(common::DOUBLE / least(ca.n_sh, cb.n_sh), 4)
+                    AS DECIMAL(18,4))::DOUBLE AS containment
+        FROM pairs JOIN counts ca ON pairs.doc_a = ca.doc_id
+                   JOIN counts cb ON pairs.doc_b = cb.doc_id
+        WHERE common::DOUBLE / least(ca.n_sh, cb.n_sh) >= $threshold
+        ORDER BY doc_a, doc_b"""
+
+  /** Oracle twin of [[contamination]]; `evalPredSql` is the eval-set
+    * predicate over the table's columns (e.g. "doc_id % 50 = 0"). */
+  def contaminationSql(table: String, textCol: String, idCol: String,
+                       evalPredSql: String): String =
+    s"""WITH sets AS (${shingleSetsSql(table, textCol, idCol)}),
+        inv AS (SELECT DISTINCT doc_id, h FROM
+                  (SELECT doc_id, unnest(sh) AS h FROM sets)),
+        eval_sh AS (SELECT DISTINCT h FROM inv WHERE $evalPredSql),
+        train AS (SELECT doc_id, h,
+                         CASE WHEN h IN (SELECT h FROM eval_sh)
+                              THEN 1 ELSE 0 END AS hit
+                  FROM inv WHERE NOT ($evalPredSql))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(sum(hit) AS BIGINT) AS n_shared,
+               CAST(round(sum(hit)::DOUBLE / count(*), 4)
+                    AS DECIMAL(18,4))::DOUBLE AS overlap
+        FROM train GROUP BY doc_id HAVING sum(hit) > 0
+        ORDER BY doc_id"""
 
   def signatureSql(shExpr: String, k: Int): String = {
     val mins = minhashCoeffs(k).map { case (a, b) =>

@@ -15,6 +15,7 @@ import graft.ops.{DedupOps, SimOps, TextOps}
 object DedupQueries {
 
   val JaccardThreshold = 0.8
+  val ContainmentThreshold = 0.9
   val CosineThreshold = 0.45
 
   val defs: Seq[QueryDef] = Seq(
@@ -95,6 +96,52 @@ object DedupQueries {
               | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
               | WHERE score >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin.replace("\n", "")),
       presentOrder = Seq("vec_a", "vec_b")),
+
+    // Max-containment pairs over the same capped shingle universe:
+    // C = common / min(|A|,|B|) catches a short document copied inside a
+    // longer one (C≈1, J≈0) — the sub-document duplication case Jaccard
+    // misses. Same single-shuffle pair-stats core as dedup_ngram_jaccard.
+    QueryDef("dedup_containment",
+      (s, d) => DedupOps.containmentPairs(Tables.documents(s, d), "text",
+        "doc_id", ContainmentThreshold),
+      Some(DedupOps.containmentPairsSql("documents", "text", "doc_id",
+        ContainmentThreshold)),
+      presentOrder = Seq("doc_a", "doc_b")),
+
+    // Benchmark-contamination check: training docs sharing ≥1 trigram
+    // shingle with the (held-out) eval slice, with overlap fraction — the
+    // n-gram decontamination report run before shipping training data.
+    // The eval predicate filters BEFORE the explode (pruned scan) and the
+    // eval shingle set broadcasts; the training side is never shuffled
+    // for the membership test.
+    QueryDef("dedup_contamination",
+      (s, d) => DedupOps.contamination(Tables.documents(s, d), "text",
+        "doc_id", col("doc_id") % 50 === 0),
+      Some(DedupOps.contaminationSql("documents", "text", "doc_id",
+        "doc_id % 50 = 0")),
+      presentOrder = Seq("doc_id")),
+
+    // Semantic dedup: connected components over the embedding-LSH
+    // near-dup pairs (the SemDeDup shape: cosine-similar groups collapse
+    // to one canonical representative = min vec_id), composing the
+    // 100 TB-path pair generator with the iterative CC operator.
+    QueryDef("dedup_semantic_clusters",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val pairs = SimOps.cosineLshPairs(
+          Tables.embeddings(s, d).select("vec_id", "embedding"),
+          CosineThreshold, LshTables)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        DedupOps.connectedComponents(pairs)
+          .select(col("doc_id").as("vec_id"), col("cluster"))
+      },
+      Some {
+        val pairsSql = s"""SELECT vec_a AS doc_a, vec_b AS doc_b FROM
+          (${SimOps.cosineLshPairsSql("embeddings", CosineThreshold, LshTables)})"""
+        s"""SELECT doc_id AS vec_id, cluster FROM
+            (${DedupOps.connectedComponentsSql(pairsSql)}) ORDER BY vec_id"""
+      },
+      presentOrder = Seq("vec_id")),
 
     // Embedding-cosine near-dup pairs via multi-table hyperplane LSH —
     // the 100 TB path for the same predicate: bucket equi-join (8 tables ×

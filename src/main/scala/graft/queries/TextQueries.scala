@@ -173,6 +173,43 @@ object TextQueries {
              | FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "rk")),
 
+    // Within-document repetition profile (the Gopher/C4-class quality
+    // rule): duplicate-token fraction and top-token share per document.
+    // Shape: explode → (doc, term) tf with map-side combine → per-doc
+    // roll-up — the shuffle carries one row per DISTINCT (doc, term), not
+    // per token, and both aggregations partition by doc_id prefixes so
+    // AQE coalesces them. Rounded quotients follow the
+    // quantize-then-DOUBLE rule (decimal pins the 4dp value, double
+    // restores the hash-stable rendering).
+    QueryDef("text_repetition",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        tf.groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("tf")).as("top_tf"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_tf"),
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+              .cast("decimal(18,4)").cast("double").as("dup_ratio"),
+            round(col("top_tf").cast("double") / col("n_tokens"), 4)
+              .cast("decimal(18,4)").cast("double").as("top_share"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             | tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2)
+             | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  CAST(max(tf) AS BIGINT) AS top_tf,
+             |  CAST(round(CAST(1 AS DOUBLE) - count(*)::DOUBLE / CAST(sum(tf) AS BIGINT), 4)
+             |    AS DECIMAL(18,4))::DOUBLE AS dup_ratio,
+             |  CAST(round(max(tf)::DOUBLE / CAST(sum(tf) AS BIGINT), 4)
+             |    AS DECIMAL(18,4))::DOUBLE AS top_share
+             | FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // Document fingerprinting: min-hash of 3-token shingles (rolling
     // content fingerprint) + a 16-bit SimHash. Bulk shape: shingle and
     // token hashes run post-explode in whole-stage codegen and reduce via

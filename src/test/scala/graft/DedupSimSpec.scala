@@ -209,6 +209,32 @@ class DedupSimSpec extends SparkSpec {
     assert(vecs(0L) !== vecs(2L)) // all plane signs flip
   }
 
+  test("containmentPairs finds a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 contains doc 0 verbatim plus enough extra text to push Jaccard
+    // far below threshold; containment = |A∩B|/min(|A|,|B|) stays 1.0.
+    val embedded = Seq((0L, base), (1L, base + " " + unrelated + " " + unrelated))
+      .toDF("doc_id", "text")
+    val j = DedupOps.jaccardPairs(embedded, "text", "doc_id", 0.8).count()
+    assert(j === 0) // diluted: Jaccard misses the copy
+    val c = DedupOps.containmentPairs(embedded, "text", "doc_id", 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(c === Map((0L, 1L) -> 1.0)) // every shingle of A is in B
+  }
+
+  test("contamination flags only train docs sharing shingles with the eval slice") {
+    import spark.implicits._
+    // eval = doc 0 (base). Train: doc 1 near-dups it (contaminated), doc 2
+    // shares nothing, doc 3 is an exact copy (fully contaminated).
+    val all = Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base))
+      .toDF("doc_id", "text")
+    val out = DedupOps.contamination(all, "text", "doc_id", col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(1L, 3L)) // doc 2 untouched by eval shingles
+    assert(out(3L)._1 === out(3L)._2)  // exact copy: every shingle shared
+    assert(out(1L)._2 < out(1L)._1)    // near-dup: strictly partial overlap
+  }
+
   test("BoundedCollectSetAgg saturates at cap+1 distinct values and stays bounded") {
     val agg = new graft.catalyst.BoundedCollectSetAgg(3)
     // dedup: repeated values never grow the buffer

@@ -120,4 +120,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"fast lookup must not shuffle:\n$p")
     assert(!p.contains("Join"), s"fast lookup must not join:\n$p")
   }
+
+  test("contamination check broadcasts the eval shingle set, never sort-merges") {
+    // The training side must not be shuffled for the membership test: the
+    // eval slice is tiny by construction, so its distinct shingle set
+    // broadcasts and the only shuffle left is the per-doc roll-up.
+    val p = planOf("dedup_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"membership test must not sort-merge:\n$p")
+  }
 }
