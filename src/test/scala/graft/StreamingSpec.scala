@@ -390,4 +390,47 @@ class StreamingSpec extends SparkSpec {
     assert(InMemoryBulkClient.store.size() === 2)
     assert(InMemoryBulkClient.store.containsKey("6:robert_19:2020-11-02T02:00:00"))
   }
+
+  test("streaming decontamination twin matches the batch contamination report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Decontaminating a document STREAM is stateless per doc once the eval
+    // set is fixed: the eval slice's distinct shingles (tiny by
+    // construction) ship to every task and each arriving doc is scored as
+    // a narrow map — no streaming state, no shuffle, any output mode. This
+    // is the streaming shape of DedupOps.contamination's broadcast side.
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base),                                      // eval
+      (1L, base.replace("today", "tonight")),          // train: near-dup
+      (2L, "completely different words populate this other document entirely"),
+      (3L, base),                                      // train: exact copy
+      (4L, "more unrelated filler text that shares nothing with the eval slice"))
+    val docsDF = docs.toDF("doc_id", "text")
+    val evalPred = col("doc_id") % 2 === 0 && col("doc_id") < 1
+    // Batch report (the gated operator) on the same data.
+    val batch = graft.ops.DedupOps.contamination(docsDF, "text", "doc_id", evalPred)
+      .select("doc_id", "n_sh", "n_shared")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Streaming twin: eval shingles pinned once, stream scored statelessly.
+    val evalSh = graft.ops.DedupOps.shingleInv(
+        docsDF.filter(evalPred), "text", "doc_id")
+      .select("h").distinct().as[Long].collect().sorted
+    val in = MemoryStream[(Long, String)]
+    val scored = graft.ops.DedupOps.shingleSets(
+        in.toDF().toDF("doc_id", "text").filter(!evalPred), "text", "doc_id")
+      .select(col("doc_id"),
+        size(array_distinct(col("sh"))).cast("long").as("n_sh"),
+        size(array_intersect(col("sh"), typedLit(evalSh))).cast("long")
+          .as("n_shared"))
+      .filter(col("n_shared") > 0)
+    val q = scored.writeStream.format("memory").queryName("decontam_twin")
+      .outputMode("append").start()
+    in.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("decontam_twin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Set(1L, 3L)) // near-dup + copy, not 2/4
+  }
 }
