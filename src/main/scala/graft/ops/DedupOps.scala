@@ -295,6 +295,104 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental dedup: match an ARRIVING batch (rows where `newPred`
+    * over the `doc_id` column holds) against the EXISTING corpus — the
+    * continuous-ingestion shape of a 100 TB pipeline, where the corpus
+    * was deduplicated long ago and each day's batch must only be checked
+    * against it. New-vs-new duplication is out of scope here (that is the
+    * batch operators' job on the arriving slice itself).
+    *
+    * Two arms, exact-match wins:
+    *  - exact: md5(text) equi-join new→old, min old id per new doc;
+    *  - near: MinHash band buckets, but the candidate join is
+    *    new-buckets ⋈ old-buckets — old×old pairs are NEVER generated,
+    *    which is the entire incremental advantage (the full-corpus
+    *    quadratic term disappears; cost is |new| × collision rate).
+    *    Candidates verify with exact shingle Jaccard >= threshold.
+    *
+    * In production the old corpus' signatures/buckets are computed once
+    * and persisted (the [[jaccardPairsCached]] pattern); here both sides
+    * derive inline from one table, which changes cost, not results.
+    * Output: (doc_id, dup_of, kind) — one row per duplicated new doc,
+    * dup_of = min matching old id, kind ∈ ('exact', 'near').
+    */
+  def incrementalDedup(docs: DataFrame, textCol: String, idCol: String,
+                       newPred: Column, threshold: Double,
+                       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = signatures(shingleInv(docs, textCol, idCol), k)
+      .withColumn("bk", bandKeys(bands, rowsPerBand))
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(col("bk")).as(Seq("band", "key")))
+    val cand = buckets.filter(newPred).as("n")
+      .join(buckets.filter(!newPred).as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    val candIds = cand.select(col("new_id").as("cid"))
+      .union(cand.select(col("old_id").as("cid"))).distinct()
+    val candSets = shingleSets(
+      docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
+      textCol, idCol)
+    val near = cand
+      .join(candSets.select(col("doc_id").as("new_id"), col("sh").as("shn")), "new_id")
+      .join(candSets.select(col("doc_id").as("old_id"), col("sh").as("sho")), "old_id")
+      .withColumn("common", size(array_intersect(col("shn"), col("sho"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("shn")) + size(col("sho")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
+    val exact = docs.filter(newPred)
+      .select(col(idCol).as("new_id"), md5(col(textCol)).as("__hn"))
+      .join(docs.filter(!newPred)
+        .select(col(idCol).as("old_id"), md5(col(textCol)).as("__ho")),
+        col("__hn") === col("__ho"))
+      .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
+    exact.withColumn("kind", lit("exact"))
+      .union(near.join(exact, Seq("new_id"), "left_anti")
+        .withColumn("kind", lit("near")))
+      .select(col("new_id").as("doc_id"), col("dup_of"), col("kind"))
+  }
+
+  /** Oracle twin of [[incrementalDedup]]; `newPredSql` renders the
+    * arriving-batch predicate for a given qualified id expression. */
+  def incrementalDedupSql(table: String, textCol: String, idCol: String,
+                          newPredSql: String => String, threshold: Double,
+                          bands: Int = 4, rowsPerBand: Int = 4): String = {
+    val k = bands * rowsPerBand
+    s"""WITH sets AS (${shingleSetsSql(table, textCol, idCol)}),
+        sigs AS (SELECT doc_id, sh, ${signatureSql("sh", k)} AS sig
+                 FROM sets WHERE len(sh) > 0),
+        keyed AS (SELECT doc_id, ${bandKeysSql("sig", bands, rowsPerBand)} AS bk
+                  FROM sigs),
+        buckets AS (SELECT doc_id, generate_subscripts(bk, 1) AS band,
+                           unnest(bk) AS key FROM keyed),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          FROM buckets n JOIN buckets o
+            ON n.band = o.band AND n.key = o.key
+          WHERE ${newPredSql("n.doc_id")} AND NOT (${newPredSql("o.doc_id")})),
+        verified AS (
+          SELECT new_id, old_id
+          FROM cand JOIN sets sn ON cand.new_id = sn.doc_id
+                    JOIN sets so ON cand.old_id = so.doc_id
+          WHERE len(list_intersect(sn.sh, so.sh))::DOUBLE /
+                (len(sn.sh) + len(so.sh) - len(list_intersect(sn.sh, so.sh)))
+                >= $threshold),
+        near AS (SELECT new_id, min(old_id) AS dup_of
+                 FROM verified GROUP BY new_id),
+        exact AS (
+          SELECT n.$idCol AS new_id, min(o.$idCol) AS dup_of
+          FROM $table n JOIN $table o ON md5(n.$textCol) = md5(o.$textCol)
+          WHERE ${newPredSql(s"n.$idCol")} AND NOT (${newPredSql(s"o.$idCol")})
+          GROUP BY 1)
+        SELECT new_id AS doc_id, dup_of, 'exact' AS kind FROM exact
+        UNION ALL
+        SELECT new_id AS doc_id, dup_of, 'near' AS kind FROM near
+        WHERE new_id NOT IN (SELECT new_id FROM exact)
+        ORDER BY doc_id"""
+  }
+
   /** Connected components over near-dup pairs → canonical keep id per
     * document (the cluster step after pair generation: A~B, B~C must
     * collapse to ONE cluster even though (A,C) was never scored).

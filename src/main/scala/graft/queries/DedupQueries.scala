@@ -121,6 +121,17 @@ object DedupQueries {
         "doc_id % 50 = 0")),
       presentOrder = Seq("doc_id")),
 
+    // Incremental dedup: the arriving 20% slice checked against the
+    // existing 80% corpus — exact (md5 equi-join) + near (MinHash band
+    // buckets, new⋈old only: old×old candidates are never generated,
+    // which is the whole incremental advantage at 100 TB).
+    QueryDef("dedup_incremental",
+      (s, d) => DedupOps.incrementalDedup(Tables.documents(s, d), "text",
+        "doc_id", col("doc_id") % 5 === 4, JaccardThreshold),
+      Some(DedupOps.incrementalDedupSql("documents", "text", "doc_id",
+        c => s"$c % 5 = 4", JaccardThreshold)),
+      presentOrder = Seq("doc_id")),
+
     // Semantic dedup: connected components over the embedding-LSH
     // near-dup pairs (the SemDeDup shape: cosine-similar groups collapse
     // to one canonical representative = min vec_id), composing the

@@ -235,6 +235,22 @@ class DedupSimSpec extends SparkSpec {
     assert(out(1L)._2 < out(1L)._1)    // near-dup: strictly partial overlap
   }
 
+  test("incrementalDedup matches new docs against the old corpus only, exact wins") {
+    import spark.implicits._
+    // old corpus: 0 (base), 2 (unrelated). arriving batch (odd ids):
+    // 1 near-dups 0, 3 exactly copies 0, 5 and 7 duplicate EACH OTHER
+    // but nothing old — new-vs-new must not be reported.
+    val fresh = "entirely novel sentences appear only in the arriving batch today"
+    val all = Seq((0L, base), (2L, unrelated), (1L, base + " extra"),
+      (3L, base), (5L, fresh), (7L, fresh)).toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(all, "text", "doc_id",
+        col("doc_id") % 2 === 1, 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out === Map(
+      3L -> (0L, "exact"), // exact beats near even though J=1 qualifies
+      1L -> (0L, "near"))) // superset doc: J = 11/12 over the shared prefix
+  }
+
   test("BoundedCollectSetAgg saturates at cap+1 distinct values and stays bounded") {
     val agg = new graft.catalyst.BoundedCollectSetAgg(3)
     // dedup: repeated values never grow the buffer
