@@ -68,6 +68,18 @@ class DedupSimSpec extends SparkSpec {
     assert(uncapped === baseline.size + 300L * 299 / 2)
   }
 
+  test("jaccardPairs results are identical with the checkpoint flag on") {
+    import spark.implicits._
+    val expected = DedupOps.jaccardPairs(docs, "text", "doc_id", 0.5)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("graft.jaccard.checkpoint", "true")
+    try {
+      val checkpointed = DedupOps.jaccardPairs(docs, "text", "doc_id", 0.5)
+        .collect().map(_.toSeq).toSet
+      assert(checkpointed === expected)
+    } finally spark.conf.set("graft.jaccard.checkpoint", "false")
+  }
+
   test("connectedComponents: chains collapse transitively, components stay apart") {
     import spark.implicits._
     // 1-2, 2-3 chain (1,3 never paired) + separate 7-8 + 9-10-11 star.
