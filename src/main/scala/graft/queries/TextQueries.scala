@@ -210,6 +210,34 @@ object TextQueries {
              | FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // Heavy hitters per language via the SpaceSaving sketch: top-5 terms
+    // with counts. The sketch shuffles at most `capacity` entries per
+    // (group × map partition) — bounded regardless of vocabulary size,
+    // unlike the exact GROUP BY term whose shuffle IS the corpus at
+    // 100 TB. Capacity 256 >> the 31-term corpus vocabulary, so counts
+    // are exact here and the plain-count oracle matches bit-for-bit
+    // (the sketch's labeled exactness regime).
+    QueryDef("text_top_terms",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+        toks.groupBy(col("lang"))
+          .agg(graft.catalyst.TopKSketch(col("term"), 256).as("entries"))
+          .select(col("lang"), posexplode(col("entries")).as(Seq("i", "e")))
+          .filter(col("i") < 5)
+          .select(col("lang"), (col("i") + 1).cast("int").as("rk"),
+            col("e._1").as("term"), col("e._2").as("cnt"))
+      },
+      Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             | c AS (SELECT lang, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+             | r AS (SELECT lang, term, cnt,
+             |  CAST(row_number() OVER (PARTITION BY lang
+             |    ORDER BY cnt DESC, term) AS INT) AS rk FROM c)
+             | SELECT lang, rk, term, CAST(cnt AS BIGINT) AS cnt
+             | FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("lang", "rk")),
+
     // Document fingerprinting: min-hash of 3-token shingles (rolling
     // content fingerprint) + a 16-bit SimHash. Bulk shape: shingle and
     // token hashes run post-explode in whole-stage codegen and reduce via

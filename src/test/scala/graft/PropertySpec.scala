@@ -88,6 +88,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: SpaceSaving sketch is exact below capacity, any split/merge") {
+    val agg = new graft.catalyst.TopKSketchAgg(32)
+    for (_ <- 1 to 25) {
+      // <= 32 distinct terms: the exactness regime, any merge tree.
+      val terms = List.fill(200)(s"t${rnd.nextInt(30)}")
+      val exact = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (l, r) = terms.splitAt(rnd.nextInt(terms.size + 1))
+      def sk(ts: List[String]) = ts.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(sk(l), sk(r))
+      assert(agg.finish(merged).toMap === exact)
+      // deterministic presentation: (count desc, term asc)
+      val fin = agg.finish(sk(terms))
+      assert(fin === fin.sortBy { case (t, c) => (-c, t) })
+    }
+  }
+
+  test("SpaceSaving sketch above capacity: heavy hitter survives, count overestimates") {
+    val agg = new graft.catalyst.TopKSketchAgg(4)
+    // 'hot' appears 50x among 10 distinct terms with capacity 4: the
+    // guaranteed-present regime (50 > N/capacity), counts overestimate by
+    // at most the evicted minimum.
+    val stream = rnd.shuffle(
+      List.fill(50)("hot") ++ (1 to 20).map(i => s"cold$i"))
+    val fin = agg.finish(stream.foldLeft(agg.zero)(agg.reduce)).toMap
+    assert(fin.contains("hot"))
+    assert(fin("hot") >= 50L && fin("hot") <= 70L) // true + at most N-50 error
+    assert(fin.size === 4) // buffer never exceeds capacity
+  }
+
   test("property: salted aggregation equals plain aggregation on random data") {
     import spark.implicits._
     for (_ <- 1 to 5) {
