@@ -323,6 +323,33 @@ object RelQueries3 {
     // exactly (DECIMAL-cast), and the approx column is emitted as a
     // within-5%-of-exact boolean whose oracle twin is TRUE — an
     // out-of-bound sketch flips the boolean and fails the hash compare.
+    // lag/lead offset windows: per-customer order history with previous/
+    // next order date and the inter-order gap — the offset-window row of
+    // the window-function matrix (frames, ranks, RANGE, and SCD2's lead
+    // are gated elsewhere). One shuffle on the partition key, sort within.
+    QueryDef("q_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val prev = lag(col("o_orderdate"), 1).over(w)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            prev.as("prev_date"),
+            lead(col("o_orderdate"), 1).over(w).as("next_date"),
+            datediff(to_date(col("o_orderdate")), to_date(prev))
+              .as("gap_days"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+             | lag(o_orderdate) OVER w AS prev_date,
+             | lead(o_orderdate) OVER w AS next_date,
+             | CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+             |   CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+             | FROM orders
+             | WINDOW w AS (PARTITION BY o_custkey
+             |   ORDER BY o_orderdate, o_orderkey)
+             | ORDER BY o_orderkey""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("o_orderkey")),
+
     QueryDef("q_approx_percentile",
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))

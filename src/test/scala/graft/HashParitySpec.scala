@@ -24,6 +24,11 @@ class HashParitySpec extends SparkSpec {
   private def renderStable(t: DataType): Boolean = t match {
     case IntegerType | LongType | FloatType | DoubleType | StringType |
          BooleanType | TimestampType | DateType | BinaryType => true
+    // Naive (no-timezone) timestamps are DuckDB's own TIMESTAMP: both
+    // engines render them identically with no zone math involved —
+    // strict gate confirms (q_window_lag passes DESCRIBE + rendering
+    // parity at every SF). The session is pinned UTC either way.
+    case TimestampNTZType => true
     case _ => false
   }
 
