@@ -75,6 +75,40 @@ object PipelineQueries {
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            FROM samp GROUP BY lang ORDER BY lang"""
       },
-      presentOrder = Seq("lang"))
+      presentOrder = Seq("lang")),
+
+    // Sequence packing (concat-and-split): lay every document into a
+    // per-source token stream and cut fixed ctx-sized windows — the
+    // sample-packing step that turns a curated corpus into training
+    // rows. Each doc's stream offset is the running token sum before it;
+    // pack_id = offset div ctx, pack_offset = offset mod ctx (a doc may
+    // span packs; it starts in pack_id). Partitioning by source shard is
+    // the scale shape: packing needs a total order, and a per-shard sort
+    // is one shuffle while a GLOBAL order would funnel 100 TB through a
+    // single range sort — shards are independent training files anyway.
+    QueryDef("pipeline_pack",
+      (s, d) => {
+        val ctx = 512
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+          .withColumn("__cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            expr(s"(__cum - n_tokens) div $ctx").as("pack_id"),
+            ((col("__cum") - col("n_tokens")) % ctx).as("pack_offset"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             | c AS (SELECT doc_id, source, n_tokens,
+             |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum FROM t)
+             | SELECT doc_id, source, n_tokens,
+             |  (cum - n_tokens) // 512 AS pack_id,
+             |  (cum - n_tokens) % 512 AS pack_offset
+             | FROM c ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id"))
   )
 }
