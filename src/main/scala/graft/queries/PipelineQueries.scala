@@ -109,6 +109,33 @@ object PipelineQueries {
              |  (cum - n_tokens) // 512 AS pack_id,
              |  (cum - n_tokens) % 512 AS pack_offset
              | FROM c ORDER BY doc_id""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("doc_id"))
+      presentOrder = Seq("doc_id")),
+
+    // Overlapping-window chunking: windows of 16 tokens at stride 8 per
+    // document (the retrieval/embedding sibling of pipeline_pack's
+    // concat-and-split). Chunk count and bounds are pure integer
+    // arithmetic — ceil(a/b) spelled (a+b-1) div b so both engines
+    // compute identical values with no float rounding — and the whole
+    // operator is a narrow explode: zero shuffles at any scale.
+    QueryDef("text_chunks",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n", size(TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("k",
+          when(col("n") <= 16, 1L)
+            .otherwise(lit(1L) + expr("(n - 16 + 7) div 8")))
+        .withColumn("chunk_idx", explode(sequence(lit(0L), col("k") - 1)))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * 8).as("start_tok"),
+          least(lit(16L), col("n") - col("chunk_idx") * 8).as("chunk_len")),
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+             | k AS (SELECT doc_id, n,
+             |  CASE WHEN n <= 16 THEN 1 ELSE 1 + (n - 16 + 7) // 8 END AS k FROM t),
+             | c AS (SELECT doc_id, n,
+             |  unnest(generate_series(0, k - 1)) AS chunk_idx FROM k)
+             | SELECT doc_id, chunk_idx, chunk_idx * 8 AS start_tok,
+             |  least(16, n - chunk_idx * 8) AS chunk_len
+             | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id", "chunk_idx"))
   )
 }
