@@ -391,6 +391,52 @@ class StreamingSpec extends SparkSpec {
     assert(InMemoryBulkClient.store.containsKey("6:robert_19:2020-11-02T02:00:00"))
   }
 
+  test("heavy-hitters sketch as streaming state: final top-k equals batch exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The sketch's merge/reduce make it per-key streaming state: each
+    // micro-batch folds its terms into the stored buffer; the emitted
+    // top-k converges to the full-stream answer. Bounded state by
+    // construction (capacity entries per key), unlike an exact per-term
+    // count map that grows with vocabulary.
+    val agg = new graft.catalyst.TopKSketchAgg(32)
+    val batch1 = Seq("en" -> "alpha", "en" -> "alpha", "en" -> "beta",
+      "de" -> "eins", "de" -> "zwei")
+    val batch2 = Seq("en" -> "beta", "en" -> "beta", "en" -> "beta",
+      "de" -> "eins", "de" -> "eins")
+    val all = batch1 ++ batch2
+    val in = MemoryStream[(String, String)]
+    val out = in.toDS().groupByKey(_._1)
+      .mapGroupsWithState[graft.catalyst.TopKBuf, (String, Long, String)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (lang, rows, state) =>
+          val buf = rows.foldLeft(state.getOption.getOrElse(agg.zero))(
+            (b, r) => agg.reduce(b, r._2))
+          state.update(buf)
+          val fin = agg.finish(buf)
+          (lang, fin.map(_._2).sum, fin.take(2).map(e => s"${e._1}:${e._2}").mkString(","))
+      }
+    val q = out.toDF().toDF("lang", "total", "top2").writeStream
+      .format("memory").queryName("sketch_state").outputMode("update").start()
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    // Final-state rows are the ones whose total equals the full stream's
+    // per-key count; their top-2 must equal the exact batch answer.
+    def exactTop2(lang: String) = all.filter(_._1 == lang).map(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(2)
+      .map(e => s"${e._1}:${e._2}").mkString(",")
+    val rows = spark.table("sketch_state")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    for (lang <- Seq("en", "de")) {
+      val total = all.count(_._1 == lang).toLong
+      val finals = rows.filter(r => r._1 == lang && r._2 == total)
+      assert(finals.nonEmpty, s"no final-state row for $lang")
+      assert(finals.forall(_._3 === exactTop2(lang)),
+        s"$lang top-2 drifted: ${finals.toSeq} vs ${exactTop2(lang)}")
+    }
+  }
+
   test("streaming decontamination twin matches the batch contamination report") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
