@@ -198,6 +198,156 @@ object SimOps {
         WHERE score >= $threshold ORDER BY vec_a, vec_b"""
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path beside LSH: a small coarse quantizer of `c` centroids partitions
+    * the corpus into inverted lists; a query scores only the lists of its
+    * `nprobe` nearest centroids.
+    *
+    * Scale design (FAISS-style IVF re-expressed declaratively):
+    *  - Centroids are a deterministic hash-ordered sample of the corpus
+    *    (the cheap, reproducible stand-in for a k-means train step — random
+    *    sampling is the standard initializer; a trained quantizer would
+    *    drop in here without changing any downstream plan). `orderBy(h)
+    *    .limit(c)` plans as TakeOrderedAndProject — a distributed partial
+    *    top-c, never a global sort.
+    *  - Assignment is `crossJoin(broadcast(centroids))` (n×c narrow rows)
+    *    reduced by a map-side-combinable `max_by` — ONE shuffle of slim
+    *    (vec_id, cell) rows; no embedding array is ever shuffled.
+    *  - Probing broadcasts the same centroid table against the (small)
+    *    query side; candidates come from an equi-join on cell id, and only
+    *    candidates are exactly scored (embeddings re-joined by id).
+    *
+    * Determinism: centroid choice is the engine-wide md5-derived
+    * [[graft.ops.TextOps.hash64]] order; every ranking uses the 6-dp
+    * rounded score with id tie-break, so the DuckDB twin matches exactly.
+    * Recall < 1 by construction (a neighbor in an unprobed cell is missed).
+    */
+  def topKIvf(vectors: DataFrame, queryPred: Column, k: Int,
+              c: Int, nprobe: Int, salt: String = "ivf"): DataFrame = {
+    val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
+      "embedding", "vn")
+    val centW = Window.orderBy(col("h"), col("vec_id"))
+    val cent = v
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(c) // TakeOrderedAndProject
+      .withColumn("cell", row_number().over(centW)) // c rows — tiny window
+      .select(col("cell"), col("embedding").as("cvec"), col("vn").as("cn"))
+    val scoredCells = v.crossJoin(broadcast(cent))
+      .withColumn("score",
+        round(expr("array_dot(embedding, cvec)") / (col("vn") * col("cn")), 6))
+    // argmax(score, tie: lowest cell) via max_by on a lexicographic struct —
+    // partial-aggregable, unlike a per-vector window sort over n×c rows.
+    val assign = scoredCells.groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
+    val probes = v.filter(queryPred).crossJoin(broadcast(cent))
+      .withColumn("score",
+        round(expr("array_dot(embedding, cvec)") / (col("vn") * col("cn")), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("vn").as("qn"), col("cell"))
+    val cand = probes.join(assign, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q"), col("qn"), col("vec_id"))
+    val scored = cand
+      .join(v.select(col("vec_id"), col("embedding").as("e"), col("vn")), "vec_id")
+      .withColumn("score",
+        round(expr("array_dot(q, e)") / (col("qn") * col("vn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cosine"))
+  }
+
+  def topKIvfSql(table: String, queryPredSql: String, k: Int,
+                 c: Int, nprobe: Int, salt: String = "ivf"): String = {
+    val h = graft.ops.TextOps.hash64Sql(s"'$salt' || CAST(vec_id AS VARCHAR)")
+    s"""WITH v AS (SELECT vec_id, embedding FROM $table),
+        cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cell,
+                 embedding AS cvec
+          FROM (SELECT vec_id, embedding, $h AS h FROM v
+                ORDER BY h, vec_id LIMIT $c)),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cent.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round(${cosineSql("v.embedding", "cvec")}, 6) DESC,
+                     cent.cell) AS rn
+            FROM v CROSS JOIN cent) WHERE rn = 1),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT v.vec_id AS query_id, cent.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round(${cosineSql("v.embedding", "cvec")}, 6) DESC,
+                     cent.cell) AS pr
+            FROM v CROSS JOIN cent WHERE $queryPredSql) WHERE pr <= $nprobe),
+        cand AS (
+          SELECT p.query_id, a.vec_id
+          FROM probes p JOIN assign a USING (cell)
+          WHERE a.vec_id <> p.query_id),
+        scored AS (
+          SELECT query_id, cand.vec_id,
+                 round(${cosineSql("q.embedding", "n.embedding")}, 6) AS score
+          FROM cand JOIN v q ON q.vec_id = cand.query_id
+                    JOIN v n ON n.vec_id = cand.vec_id)
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+          SELECT query_id, vec_id AS neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS INT) AS rank,
+                 round(score, 4) AS cosine
+          FROM scored)
+        WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** Int8 scalar quantization of an embedding column — the storage/ANN
+    * compression step (4× smaller vectors, SIMD-friendly int dot products)
+    * every large-scale vector pipeline runs before indexing.
+    *
+    * Per vector: `scale = max(|v_i|)/127`, `q_i = floor(v_i/scale + 0.5)`.
+    * floor(x + 0.5) is used instead of round(): both engines' round()
+    * differ on tie-breaking mode, floor is IEEE-exact in both. All math in
+    * double (float inputs upcast first); zero vectors quantize to zeros via
+    * a scale floor of 1. A narrow map — no shuffle, scale-free.
+    */
+  def quantizeInt8(vectors: DataFrame): DataFrame =
+    vectors
+      .withColumn("s",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))") / 127d)
+      .withColumn("s", when(col("s") === 0d, 1d).otherwise(col("s")))
+      .withColumn("q",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5d) AS INT))"))
+      .select(
+        col("vec_id"),
+        round(col("s"), 6).cast("decimal(18,6)").cast("double").as("scale"),
+        expr("CAST(aggregate(q, 0L, (acc, x) -> acc + x) AS BIGINT)").as("q_sum"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"))
+
+  def quantizeInt8Sql(table: String): String =
+    s"""WITH scaled AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 CASE WHEN m = 0 THEN 1 ELSE m END AS s
+          FROM (SELECT vec_id, embedding,
+                       list_max(list_transform(embedding::DOUBLE[],
+                                               x -> abs(x))) / 127 AS m
+                FROM $table)),
+        quant AS (
+          SELECT vec_id, s,
+                 list_transform(e, x -> CAST(floor(x / s + 0.5) AS INT)) AS q
+          FROM scaled)
+        SELECT vec_id,
+               CAST(CAST(round(s, 6) AS DECIMAL(18,6)) AS DOUBLE) AS scale,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               CAST(list_min(q) AS INT) AS q_min,
+               CAST(list_max(q) AS INT) AS q_max
+        FROM quant ORDER BY vec_id"""
+
   def topKLshSql(table: String, queryPredSql: String, k: Int,
                  planes: Seq[Seq[Double]]): String =
     s"""WITH bucketed AS (

@@ -221,6 +221,42 @@ class DedupSimSpec extends SparkSpec {
     assert(vecs(0L) !== vecs(2L)) // all plane signs flip
   }
 
+  test("IVF top-k finds the identical-vector neighbor and is rerun-deterministic") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    // 40 vectors in 4 orthogonal directions; vec 1 duplicates vec 0, so they
+    // quantize to the same cell and IVF must rank vec 1 first for query 0.
+    val vecs = (0L until 40L).map { i =>
+      val dir = if (i <= 1) 0 else (i % 3 + 1).toInt // only 0 and 1 on axis 0
+      val base = Array.fill(4)(0.01f)
+      base(dir) = if (i <= 1) 1f else 1f + (i % 7) * 0.1f
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val out = SimOps.topKIvf(vecs, col("vec_id") === 0, k = 3, c = 4, nprobe = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.length === 3)
+    assert(out.toMap.apply(1) === 1L) // the duplicate is rank 1
+    val again = SimOps.topKIvf(vecs, col("vec_id") === 0, k = 3, c = 4, nprobe = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("int8 quantization: exact scale, floor(+0.5) rounding, zero-vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(127f, -63.5f, 0f, 1f)), // scale exactly 1.0
+      (1L, Array(0f, 0f, 0f, 0f))        // zero vector: scale floor kicks in
+    ).toDF("vec_id", "embedding")
+    val rows = SimOps.quantizeInt8(vecs).orderBy("vec_id").collect()
+    val r0 = rows(0)
+    assert(r0.getDouble(1) === 1.0)
+    // q = [127, floor(-63.5+0.5) = -63, 0, 1] -> sum 65, min -63, max 127
+    assert(r0.getLong(2) === 65L && r0.getInt(3) === -63 && r0.getInt(4) === 127)
+    val r1 = rows(1)
+    assert(r1.getDouble(1) === 1.0) // scale floored to 1
+    assert(r1.getLong(2) === 0L && r1.getInt(3) === 0 && r1.getInt(4) === 0)
+  }
+
   test("containmentPairs finds a short doc embedded in a long one that Jaccard misses") {
     import spark.implicits._
     // doc 1 contains doc 0 verbatim plus enough extra text to push Jaccard

@@ -63,6 +63,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in dedup path:\n$p")
   }
 
+  test("IVF centroid pick is a distributed top-c; candidate join is hash, not n²") {
+    graft.catalyst.GraftFunctions.register(spark)
+    val p = planOf("sim_topk_ivf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"centroid sample must plan as partial top-c, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"probe->inverted-list join must be an equi-join on cell:\n$p")
+  }
+
   test("as-of join plans as union+window — zero join nodes") {
     val p = planOf("q_asof_join")
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
