@@ -45,6 +45,7 @@ object Catalog {
     graft.queries.RelQueries2.defs ++
     graft.queries.RelQueries3.defs ++
     graft.queries.TextQueries.defs ++
+    graft.queries.QualityQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimQueries.defs ++
     graft.queries.StreamParityQueries.defs ++

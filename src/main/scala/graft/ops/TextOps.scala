@@ -36,6 +36,13 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "is", "of", "to", "and", "in", "on", "for", "with")
 
+  /** PII scrub patterns, written in the Java-regex ∩ RE2 subset so Spark
+    * (java.util.regex) and DuckDB (RE2) match identically: no backrefs,
+    * no lookaround, explicit classes only. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+  val Ipv4Re  = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "is", "and", "of"),
     "de" -> Seq("der", "die", "und", "ist", "das"),

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextOps
+
+/** Corpus-hygiene surface over `documents`: PII redaction and the
+  * Gopher/C4-class composite quality filter. Both are pure narrow maps —
+  * zero shuffles, codegen'd regex/when-chains, trivially scale-free —
+  * and both share every pattern/threshold constant between the Spark
+  * plan and the DuckDB oracle so they cannot drift.
+  */
+object QualityQueries {
+
+  /** Redaction order is part of the semantics (emails first so the IP
+    * pattern can never fire inside a domain): email → phone → IPv4. */
+  private val Email = TextOps.EmailRe
+  private val Phone = TextOps.PhoneRe
+  private val Ip    = TextOps.Ipv4Re
+
+  // Gopher-style rule thresholds (first failing rule names the reason).
+  private val MinWords = 30
+  private val MaxWords = 100000
+  private val MinMeanWordLen = 3.0
+  private val MaxMeanWordLen = 5.0
+  private val MinStopRatio = 0.02
+  private val MaxTokenLen = 20
+
+  private val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // PII redaction: count then scrub emails / phone numbers / IPv4s.
+    // The corpus is synthetic word-salad, so the PII is composed
+    // deterministically from table columns (doc_id) — the gate exercises
+    // real matches, overlapping-pattern ordering, AND the zero-match path
+    // (docs where no branch fires). Counts are taken pre-redaction; the
+    // output carries an md5 of the redacted text so the oracle pins every
+    // replacement byte without shipping the full text through the gate.
+    QueryDef("text_pii_redact",
+      (s, d) => {
+        val id = col("doc_id")
+        val base = concat(
+          col("text"),
+          when(pmod(id, lit(2)) === 0,
+            concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(id, lit(3)) === 0,
+            concat(lit(" call +1-555-"),
+              lpad(pmod(id * 7919, lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(pmod(id, lit(5)) === 0,
+            concat(lit(" from "), pmod(id, lit(256)).cast("string"), lit(".0."),
+              pmod(id * 3, lit(256)).cast("string"), lit("."),
+              pmod(id, lit(100)).cast("string")))
+            .otherwise(lit("")))
+        Tables.documents(s, d)
+          .withColumn("__t", base)
+          .withColumn("__r",
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("__t"), Email, "<EMAIL>"),
+                Phone, "<PHONE>"),
+              Ip, "<IP>"))
+          .select(id,
+            size(regexp_extract_all(col("__t"), lit(Email), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("__t"), lit(Phone), lit(0))).as("n_phones"),
+            size(regexp_extract_all(col("__t"), lit(Ip), lit(0))).as("n_ips"),
+            length(col("__r")).as("redacted_len"),
+            md5(col("__r")).as("redacted_md5"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text
+              |  || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+              |  || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') ELSE '' END
+              |  || CASE WHEN doc_id % 5 = 0 THEN ' from ' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id * 3 % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+              |  AS t FROM documents),
+              | red AS (SELECT doc_id, t,
+              |  regexp_replace(regexp_replace(regexp_replace(t,
+              |    '$Email', '<EMAIL>', 'g'),
+              |    '$Phone', '<PHONE>', 'g'),
+              |    '$Ip', '<IP>', 'g') AS r FROM base)
+              | SELECT doc_id,
+              |  CAST(len(regexp_extract_all(t, '$Email')) AS INT) AS n_emails,
+              |  CAST(len(regexp_extract_all(t, '$Phone')) AS INT) AS n_phones,
+              |  CAST(len(regexp_extract_all(t, '$Ip')) AS INT) AS n_ips,
+              |  CAST(len(r) AS INT) AS redacted_len,
+              |  md5(r) AS redacted_md5
+              | FROM red ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // Gopher/C4-class composite quality filter: word-count bounds, mean
+    // word length bounds, minimum stopword ratio, maximum token length.
+    // keep = all rules pass; fail_reason = FIRST failing rule in a fixed
+    // order (the reported-reason convention quality pipelines use for
+    // rejection stats). Ratio comparisons run on the raw IEEE quotients
+    // (bit-identical in both engines); rounding happens only at output.
+    QueryDef("text_gopher_rules",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .withColumn("n_words", size(col("__toks")))
+          .withColumn("__mwl",
+            (col("n_chars") - col("n_words") + 1).cast("double") / col("n_words"))
+          .withColumn("__sr",
+            TextOps.markerCountExpr("__toks", TextOps.stopwords).cast("double") /
+              col("n_words"))
+          .withColumn("max_token_len",
+            expr("array_max(transform(__toks, t -> length(t)))"))
+        docs.select(
+          col("doc_id"), col("n_words"),
+          round(col("__mwl"), 4).cast("decimal(18,4)").cast("double").as("mean_word_len"),
+          round(col("__sr"), 4).cast("decimal(18,4)").cast("double").as("stop_ratio"),
+          col("max_token_len"),
+          (col("n_words").between(MinWords, MaxWords) &&
+            col("__mwl") >= MinMeanWordLen && col("__mwl") <= MaxMeanWordLen &&
+            col("__sr") >= MinStopRatio &&
+            col("max_token_len") <= MaxTokenLen).as("keep"),
+          when(!col("n_words").between(MinWords, MaxWords), "word_count")
+            .when(col("__mwl") < MinMeanWordLen || col("__mwl") > MaxMeanWordLen,
+              "word_len")
+            .when(col("__sr") < MinStopRatio, "stopwords")
+            .when(col("max_token_len") > MaxTokenLen, "long_token")
+            .as("fail_reason"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+              | m AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+              |  (n_chars - len(toks) + 1)::DOUBLE / len(toks) AS mwl,
+              |  len(list_filter(toks, t -> t IN $stopList))::DOUBLE / len(toks) AS sr,
+              |  CAST(list_max(list_transform(toks, t -> len(t))) AS INT) AS max_token_len
+              |  FROM t)
+              | SELECT doc_id, n_words,
+              |  CAST(round(mwl, 4) AS DECIMAL(18,4))::DOUBLE AS mean_word_len,
+              |  CAST(round(sr, 4) AS DECIMAL(18,4))::DOUBLE AS stop_ratio,
+              |  max_token_len,
+              |  (n_words BETWEEN $MinWords AND $MaxWords
+              |   AND mwl >= $MinMeanWordLen AND mwl <= $MaxMeanWordLen
+              |   AND sr >= $MinStopRatio AND max_token_len <= $MaxTokenLen) AS keep,
+              |  CASE WHEN n_words NOT BETWEEN $MinWords AND $MaxWords THEN 'word_count'
+              |       WHEN mwl < $MinMeanWordLen OR mwl > $MaxMeanWordLen THEN 'word_len'
+              |       WHEN sr < $MinStopRatio THEN 'stopwords'
+              |       WHEN max_token_len > $MaxTokenLen THEN 'long_token'
+              |  END AS fail_reason
+              | FROM m ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id"))
+  )
+}

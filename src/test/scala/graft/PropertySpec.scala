@@ -117,6 +117,40 @@ class PropertySpec extends SparkSpec {
     assert(fin.size === 4) // buffer never exceeds capacity
   }
 
+  test("PII redaction order: email scrubbed before the IP pattern can see its domain") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail me at a.b@host12.co or 10.0.0.1 then call +1-555-1234"),
+      (1L, "no pii here at all")
+    ).toDF("doc_id", "t")
+      .withColumn("r",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), graft.ops.TextOps.EmailRe, "<EMAIL>"),
+            graft.ops.TextOps.PhoneRe, "<PHONE>"),
+          graft.ops.TextOps.Ipv4Re, "<IP>"))
+      .orderBy("doc_id").collect()
+    assert(df(0).getString(2) ===
+      "mail me at <EMAIL> or <IP> then call <PHONE>")
+    assert(df(1).getString(2) === "no pii here at all") // zero-match path
+  }
+
+  test("gopher rules: first failing rule names the reason, all-pass keeps") {
+    val out = Catalog.queries("text_gopher_rules")(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val keep = r.getBoolean(5)
+      val reason = if (r.isNullAt(6)) None else Some(r.getString(6))
+      assert(keep === reason.isEmpty, s"keep/fail_reason disagree: $r")
+      // reason, when present, must be the FIRST failing rule in order.
+      val nWords = r.getInt(1)
+      if (nWords < 30) assert(reason.contains("word_count"), s"$r")
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "thresholds should produce both keeps and rejects on the corpus")
+  }
+
   test("property: salted aggregation equals plain aggregation on random data") {
     import spark.implicits._
     for (_ <- 1 to 5) {
