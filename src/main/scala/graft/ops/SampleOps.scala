@@ -51,4 +51,53 @@ object SampleOps {
     rates.foldRight("0") { case ((stratum, r), acc) =>
       s"CASE WHEN $strataExpr = '$stratum' THEN $r ELSE $acc END"
     }
+
+  /** Temperature-based domain re-weighting (the UniMax/multilingual-mix
+    * recipe at α = 0.5): domain d gets weight n_d^α / Σ n^α, a total
+    * budget of `target` docs is split by weight, and each domain is
+    * hash-sampled at rate min(1, target·w_d / n_d) — big domains are
+    * compressed, small ones promoted (possibly kept whole via the cap).
+    *
+    * Every value the gate compares is INTEGER: sqrt(n_d) is quantized to
+    * micro-units (floor(√n · 1e6) — IEEE sqrt is correctly rounded, so
+    * both engines produce the same BIGINT), the weight sum is an exact
+    * BIGINT sum, and the per-domain rate threshold is one BIGINT floor
+    * division `(10000·target·s_d) div (S·n_d)`. No cross-engine float
+    * accumulation order can flip a result.
+    *
+    * Scale shape: one count shuffle over domains, a broadcast of the
+    * (tiny) rate table back onto the corpus, and a narrow hash-bucket
+    * filter — the same plan at 500 docs or 100 TB.
+    */
+  def temperatureRates(docs: DataFrame, domainCol: Column, target: Long): DataFrame = {
+    val counts = docs.groupBy(domainCol.as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_units",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val total = counts.agg(sum(col("s_units")).as("__S"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("rate10k",
+        least(lit(10000L),
+          expr(s"(10000L * ${target}L * s_units) div (__S * n_docs)")))
+      .select(col("domain"), col("n_docs"), col("s_units"), col("rate10k"))
+  }
+
+  def temperatureSample(docs: DataFrame, domainCol: Column, idCol: String,
+                        target: Long, salt: String): DataFrame = {
+    val rates = temperatureRates(docs, domainCol, target)
+    docs.withColumn("domain", domainCol)
+      .withColumn("__b", sampleBucket(col(idCol), salt))
+      .join(broadcast(rates), "domain")
+      .filter(col("__b") < col("rate10k"))
+  }
+
+  def temperatureRatesSql(table: String, domainExpr: String, target: Long): String =
+    s"""WITH counts AS (
+          SELECT $domainExpr AS domain, count(*) AS n_docs,
+                 CAST(floor(sqrt(count(*)::DOUBLE) * 1e6) AS BIGINT) AS s_units
+          FROM $table GROUP BY 1),
+        tot AS (SELECT sum(s_units) AS s FROM counts)
+        SELECT domain, n_docs, s_units,
+               least(10000, (10000 * $target * s_units) // (s * n_docs)) AS rate10k
+        FROM counts, tot"""
 }

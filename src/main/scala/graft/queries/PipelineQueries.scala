@@ -111,6 +111,45 @@ object PipelineQueries {
              | FROM c ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // Curriculum phase assignment: equi-depth deciles over an integer
+    // quality score (token count), best scores in phase 1. The 100 TB
+    // shape matters here: a naive `ntile(10) OVER (ORDER BY score)` is a
+    // single-partition global sort. Instead the decile boundaries come
+    // from the score HISTOGRAM — one hash-agg over distinct scores
+    // (bounded by max document length, not corpus size), a tiny window
+    // over that histogram for cumulative counts, and a broadcast join
+    // back. Phase ids are exact integer math: 1 + (10·cum_higher) div n.
+    QueryDef("pipeline_curriculum",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("score", size(TextOps.tokens(col("text"))))
+        val hist = docs.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        val tot = hist.agg(sum(col("c")).as("__n"))
+        // Window over ~|distinct scores| rows — single partition by
+        // construction and bounded by construction (documented trade).
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val phases = hist
+          .withColumn("cum_higher", coalesce(sum(col("c")).over(w), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("score"),
+            (lit(1L) + expr("(10 * cum_higher) div __n")).cast("int").as("phase"))
+        docs.join(broadcast(phases), "score")
+          .select(col("doc_id"), col("score"), col("phase"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS score FROM documents),
+             | hist AS (SELECT score, count(*) AS c FROM t GROUP BY score),
+             | ph AS (SELECT score,
+             |  CAST(1 + (10 * coalesce(sum(c) OVER (ORDER BY score DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+             |    // (SELECT sum(c) FROM hist) AS INT) AS phase
+             |  FROM hist)
+             | SELECT doc_id, t.score, phase FROM t JOIN ph ON t.score = ph.score
+             | ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // Overlapping-window chunking: windows of 16 tokens at stride 8 per
     // document (the retrieval/embedding sibling of pipeline_pack's
     // concat-and-split). Chunk count and bounds are pure integer

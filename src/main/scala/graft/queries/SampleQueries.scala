@@ -19,6 +19,9 @@ object SampleQueries {
     * classes, down-weight the dominant one. */
   val LangRates: Seq[(String, Int)] = Seq(
     "en" -> 1000, "de" -> 5000, "es" -> 5000, "fr" -> 8000, "zh" -> 8000)
+  /** Temperature-mix document budget — sized so small domains hit the
+    * rate cap (kept whole) while the big one is compressed. */
+  val TempTarget = 400L
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -59,6 +62,39 @@ object SampleQueries {
             FROM total LEFT JOIN kept ON total.lang = kept.lang
             ORDER BY total.lang"""
       },
-      presentOrder = Seq("lang"))
+      presentOrder = Seq("lang")),
+
+    // Temperature-based domain mixing (α = 0.5): domains derive from the
+    // source id's first digit, which merges src1, src10..src19 into one
+    // 11×-sized domain — real skew for the re-weighting to compress. The
+    // gate compares the full integer audit row per domain: size, √-units,
+    // the derived rate threshold (cap exercised: small domains saturate
+    // at 10000), and the docs actually sampled at that rate.
+    QueryDef("sample_temperature",
+      (s, d) => {
+        val domain = substring(col("source"), 4, 1)
+        val docs = Tables.documents(s, d)
+        val rates = SampleOps.temperatureRates(docs, domain, TempTarget)
+        val sampled = SampleOps
+          .temperatureSample(docs, domain, "doc_id", TempTarget, Salt)
+          .groupBy(col("domain")).agg(count(lit(1)).as("n_sampled"))
+        rates.join(sampled, Seq("domain"), "left")
+          .select(col("domain"), col("n_docs"), col("s_units"), col("rate10k"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      },
+      Some {
+        val dom = "substr(source, 4, 1)"
+        s"""WITH rates AS (${SampleOps.temperatureRatesSql("documents", dom, TempTarget)}),
+            sampled AS (
+              SELECT $dom AS domain, count(*) AS n_sampled FROM documents
+              JOIN rates ON $dom = rates.domain
+              WHERE ${SampleOps.sampleBucketSql("doc_id", Salt)} < rate10k
+              GROUP BY 1)
+            SELECT rates.domain, n_docs, s_units, CAST(rate10k AS BIGINT) AS rate10k,
+                   coalesce(n_sampled, 0) AS n_sampled
+            FROM rates LEFT JOIN sampled ON rates.domain = sampled.domain
+            ORDER BY rates.domain"""
+      },
+      presentOrder = Seq("domain"))
   )
 }
