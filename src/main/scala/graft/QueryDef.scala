@@ -44,6 +44,7 @@ object Catalog {
     graft.queries.RelQueries.defs ++
     graft.queries.RelQueries2.defs ++
     graft.queries.RelQueries3.defs ++
+    graft.queries.MergeQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.QualityQueries.defs ++
     graft.queries.DedupQueries.defs ++

@@ -126,6 +126,60 @@ class SourcesSkewSpec extends SparkSpec {
     assert(!c.envelopeHasErrors("""{"took":3,"errors":false,"items":[]}"""))
   }
 
+  test("orc round-trips documents with predicate pushdown at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/t"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.orc(dir)
+    val back = spark.read.orc(dir).filter(org.apache.spark.sql.functions.col("n_chars") > 300)
+      .select("doc_id", "n_chars")
+    val expected = docs.filter(org.apache.spark.sql.functions.col("n_chars") > 300)
+      .select("doc_id", "n_chars").collect().map(_.getLong(0)).sorted
+    assert(back.collect().map(_.getLong(0)).sorted === expected)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(n_chars,300"),
+      s"orc scan must push the predicate:\n$plan")
+    assert(!plan.contains("text"), s"unused text column must be pruned from the orc scan:\n$plan")
+  }
+
+  test("AQE splits a skewed shuffle-join partition at runtime (the no-salt path)") {
+    import spark.implicits._
+    // One hot key carrying megabytes against a flat right side: with the
+    // skew thresholds lowered to test scale, AQE's runtime re-plan must
+    // mark the sort-merge join skew-handled. This is the engine's OTHER
+    // skew answer beside SkewOps' explicit salting: no query rewrite, at
+    // the price of only kicking in above the configured partition size.
+    // Per-row pseudo-random pad: MapStatus sizes are COMPRESSED bytes, so a
+    // constant pad would deflate the hot partition below any threshold.
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 60000)
+      .map(i => (if (i % 3 > 0) 0L else i.toLong, rnd.alphanumeric.take(200).mkString))
+      .toDF("k", "pad")
+    val right = (0L until 2000L).map(i => (i, i * 2)).toDF("k", "w")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = left.join(right, "k")
+      // collect() (not count()) so the SAME query execution we inspect
+      // below is the one that ran — count() plans a separate query.
+      // key 0: 40001 left rows; keys 3,6,...,1998: 666 more matches.
+      assert(joined.collect().length === 40001 + 666)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE should have split the skewed partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val left = (Seq.fill(5000)(1) ++ Seq(2, 3)).zipWithIndex.toDF("k", "lv")
