@@ -52,6 +52,34 @@ object SketchQueries {
             FROM sig a JOIN sig b ON a.source < b.source
             ORDER BY src_a, src_b"""
       },
-      presentOrder = Seq("src_a", "src_b"))
+      presentOrder = Seq("src_a", "src_b")),
+
+    // Incremental cardinality via mergeable HLL sketches (DataSketches):
+    // one sketch per source shard, then a sketch-union roll-up — the
+    // 100 TB pattern where per-partition sketches are MATERIALIZED once
+    // and merged forever after, instead of re-scanning raw ids (the same
+    // two-level shape a streaming/backfill pipeline persists). The gate
+    // pins shard count, exact cardinality, and that the merged estimate
+    // lands within the ±3σ bound of lgConfigK=12 (σ ≈ 1.04/√2¹²);
+    // the oracle's TRUE column makes a drifting estimator fail the hash.
+    QueryDef("q_hll_partial_merge",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val shards = docs.groupBy(col("source"))
+          .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk"))
+        val merged = shards.agg(
+          count(lit(1)).as("n_sources"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("__est"))
+        val exact = docs.agg(countDistinct(col("doc_id")).as("exact_docs"))
+        merged.crossJoin(exact)
+          .select(col("n_sources"), col("exact_docs"),
+            (abs(col("__est") - col("exact_docs")) <=
+              col("exact_docs") * (3 * 1.04 / math.sqrt(1 << 12)))
+              .as("merged_within_bound"))
+      },
+      Some("""SELECT count(DISTINCT source) AS n_sources,
+             | count(DISTINCT doc_id) AS exact_docs,
+             | TRUE AS merged_within_bound FROM documents""".stripMargin
+        .replace("\n", "")))
   )
 }
