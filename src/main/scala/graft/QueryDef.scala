@@ -47,6 +47,7 @@ object Catalog {
     graft.queries.MergeQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.QualityQueries.defs ++
+    graft.queries.IndexQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimQueries.defs ++
     graft.queries.StreamParityQueries.defs ++

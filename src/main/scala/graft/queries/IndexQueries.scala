@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextOps
+
+/** Index-construction surface over `documents`: the search-index and
+  * tokenizer-training artifacts a corpus pipeline materializes beside
+  * the training data itself.
+  */
+object IndexQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Inverted-index build: per-term document frequency, total term
+    // frequency, and the head of the (doc-id-sorted) posting list. Shape:
+    // explode → (term, doc) tf with map-side combine, then ONE shuffle by
+    // term that serves both the window (posting rank) and the roll-up —
+    // Spark reuses the hashpartitioning, so no second exchange. The
+    // posting HEAD is bounded (5 ids) in the gate; a full index build
+    // writes the complete list the same way, and hot terms are exactly
+    // the stopword class a production index caps or elides (see
+    // DedupOps.MaxShingleFreq for the capped pattern).
+    QueryDef("text_inverted_index",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+        tf.withColumn("rn", row_number().over(w))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"),
+            sum(col("tf")).as("total_tf"),
+            concat_ws(",",
+              expr("transform(sort_array(collect_list(CASE WHEN rn <= 5 THEN doc_id END)), x -> CAST(x AS STRING))"))
+              .as("postings_head"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             | tf AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+             | r AS (SELECT term, doc_id, tf, row_number() OVER (PARTITION BY term
+             |  ORDER BY doc_id) AS rn FROM tf)
+             | SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+             |  coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             |    FILTER (rn <= 5), '') AS postings_head
+             | FROM r GROUP BY term ORDER BY term""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("term")),
+
+    // BPE pair counting — the distributed step of tokenizer training:
+    // count adjacent sub-word piece pairs over the corpus, emit the
+    // top-10 merge candidates. (Full BPE training iterates this count →
+    // merge-top-pair loop with a driver-held vocab, re-broadcasting the
+    // merge table each round; each round IS this query.) Adjacent pairs
+    // come from zip_with over two slices — no index generation, no UDF —
+    // then explode → hash-agg → TakeOrderedAndProject.
+    QueryDef("text_bpe_top_pairs",
+      (s, d) => {
+        val piece = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+        Tables.documents(s, d)
+          .withColumn("__p", regexp_extract_all(col("text"), lit(piece), lit(0)))
+          .withColumn("pair", explode(expr(
+            """CASE WHEN size(__p) < 2 THEN array()
+               ELSE zip_with(slice(__p, 1, size(__p) - 1),
+                             slice(__p, 2, size(__p) - 1),
+                             (a, b) -> concat(a, '~', b)) END""")))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(10)
+      },
+      Some("""WITH p AS (SELECT regexp_extract_all(text,
+             |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS p FROM documents),
+             | pairs AS (SELECT unnest(list_transform(range(1, len(p)),
+             |   i -> p[i] || '~' || p[i+1])) AS pair FROM p),
+             | c AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair)
+             | SELECT pair, cnt FROM c
+             | ORDER BY cnt DESC, pair LIMIT 10""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("pair"))
+  )
+}

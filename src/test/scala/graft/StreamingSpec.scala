@@ -479,4 +479,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.map(_._1) === Set(1L, 3L)) // near-dup + copy, not 2/4
   }
+
+  test("streaming quality-filter twin matches the batch gopher rules") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The Gopher composite filter is a stateless narrow map, so its
+    // streaming twin is the SAME QueryDef plan applied to a stream: no
+    // state store, no watermark, append mode. Parity is checked against
+    // the gated batch query on the real sf0.001 table.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Catalog.queries("text_gopher_rules")(spark, dir)
+      .select("doc_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gq").toString
+    // Re-derive the same plan over the stream by writing the micro-batch
+    // through the identical rule expressions (QueryDef.run needs a table
+    // dir; the rule set lives in one place, so drive it via a parquet
+    // round-trip of the streamed rows).
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    in.addData(rows.toSeq: _*)
+    val streamedDF = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = streamedDF.writeStream.format("parquet")
+      .option("path", s"$tmp/documents.parquet")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = Catalog.queries("text_gopher_rules")(spark, tmp.stripSuffix("/"))
+      .select("doc_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(streamed === batch)
+  }
 }
