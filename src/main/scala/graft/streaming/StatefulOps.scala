@@ -114,4 +114,57 @@ object StatefulOps {
       .transformWithState(new DeltaProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One (band, key) bucket row of an arriving document: its id and full
+    * MinHash signature. In a live topology these rows derive from the doc
+    * stream as a narrow map (per-doc HOF minhash) + flatMap to bands —
+    * no pre-aggregation, streaming-legal. */
+  case class BucketDoc(band: Int, key: Long, docId: Long, sig: Seq[Long])
+  case class NearDupHit(docId: Long, dupOf: Long, agree: Double)
+  case class BucketSeen(docs: List[(Long, Seq[Long])])
+
+  /** Streaming near-duplicate detection — the streaming twin of
+    * `DedupOps.incrementalDedup`'s band arm: documents arrive, each is
+    * checked against everything PREVIOUSLY seen in any shared LSH band
+    * bucket, matches above the signature-agreement threshold are flagged
+    * with the earliest matching id.
+    *
+    * State is keyed by (band, bucket): the list of (doc_id, signature)
+    * seen there, capped at `maxPerBucket` — a hot bucket (the stop-word
+    * shingle class) saturates instead of growing without bound, exactly
+    * the MaxShingleFreq regime; production additionally evicts idle
+    * buckets via an event-time timeout at the watermark. Verification is
+    * signature agreement (matching minhash positions / k), the standard
+    * streaming regime where historical document TEXT is no longer in
+    * hand — est. Jaccard, not exact.
+    *
+    * Intra-batch order contract: doc_id order (arrival order is not
+    * promised within a micro-batch), so earlier ids are visible to later
+    * ones arriving together. A doc colliding in several bands emits one
+    * hit per (band, stored doc); consumers reduce with min(dupOf).
+    */
+  def streamingNearDup(bucketed: Dataset[BucketDoc], threshold: Double,
+                       maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    import bucketed.sparkSession.implicits._
+    bucketed
+      .groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState[BucketSeen, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[BucketDoc], state: GroupState[BucketSeen]) =>
+          val sorted = rows.toSeq.sortBy(_.docId)
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+          for (b <- sorted) {
+            val k = b.sig.length
+            for ((oldId, oldSig) <- seen if oldId != b.docId && oldSig.length == k) {
+              val agree = b.sig.iterator.zip(oldSig.iterator)
+                .count { case (x, y) => x == y }.toDouble / k
+              if (agree >= threshold) out += NearDupHit(b.docId, oldId, agree)
+            }
+            if (seen.size < maxPerBucket) seen = (b.docId, b.sig) :: seen
+          }
+          state.update(BucketSeen(seen))
+          out.iterator
+      }
+  }
 }

@@ -141,6 +141,24 @@ class SourcesSkewSpec extends SparkSpec {
     assert(!plan.contains("text"), s"unused text column must be pruned from the orc scan:\n$plan")
   }
 
+  test("schema evolution: mergeSchema unions parquet generations, old rows null-fill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString + "/t"
+    // Generation 1: (id, a). Generation 2 adds column b — the additive
+    // evolution a long-lived 100 TB table actually undergoes.
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a").write.parquet(dir)
+    Seq((3L, "z", 30L)).toDF("id", "a", "b").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted === Array("a", "b", "id"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)) === Array(1L, 2L, 3L))
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2)) // old generation null-fills
+    assert(rows(2).getLong(2) === 30L)
+    // Without mergeSchema the footer-sampled schema wins — pin the
+    // default so a conf change that silently widens scans is caught.
+    assert(spark.read.parquet(dir).columns.length <= 3)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime (the no-salt path)") {
     import spark.implicits._
     // One hot key carrying megabytes against a flat right side: with the

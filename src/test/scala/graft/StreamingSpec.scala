@@ -480,6 +480,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) === Set(1L, 3L)) // near-dup + copy, not 2/4
   }
 
+  test("streaming near-dup flags arrivals against state from earlier batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{BucketDoc, NearDupHit}
+    val base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " indeed"),                              // near-dup of 0 (J≈0.92)
+      (2L, "completely different words populate this other document entirely now"),
+      (3L, base),                                          // exact copy of 0
+      (4L, "more unrelated filler text that shares nothing with anything else here"))
+    val (bands, rpb) = (4, 4)
+    // Bucket rows prepared with the SAME signature/band math as the batch
+    // operators (in a live topology this is a narrow per-doc map).
+    val sigs = graft.ops.DedupOps.signatures(
+      graft.ops.DedupOps.shingleInv(docs.toDF("doc_id", "text"), "text", "doc_id"),
+      bands * rpb)
+    val bucketRows = sigs
+      .withColumn("bk", graft.ops.DedupOps.bandKeys(bands, rpb))
+      .withColumn("sig", array((0 until bands * rpb).map(i => col(s"m$i")): _*))
+      .select(col("doc_id"),
+        posexplode(col("bk")).as(Seq("band", "key")), col("sig"))
+      .collect()
+      .map(r => BucketDoc(r.getInt(1), r.getLong(2), r.getLong(0),
+        r.getSeq[Long](3)))
+    // Expected: for docs a < b sharing any bucket, flag b if signature
+    // agreement >= threshold (computed naively on the driver).
+    val sigById = bucketRows.map(b => b.docId -> b.sig).toMap
+    val expected = (for {
+      a <- bucketRows; b <- bucketRows
+      if a.band == b.band && a.key == b.key && a.docId < b.docId
+      agree = sigById(a.docId).zip(sigById(b.docId))
+        .count { case (x, y) => x == y }.toDouble / (bands * rpb)
+      if agree >= 0.5
+    } yield (b.docId, a.docId)).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    // Stream in two batches split mid-corpus: doc 3's duplicate-of-0 hit
+    // can only come from bucket STATE carried over from batch 1.
+    val in = MemoryStream[BucketDoc]
+    val q = graft.streaming.StatefulOps.streamingNearDup(in.toDS(), 0.5)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    in.addData(bucketRows.filter(_.docId <= 2).toSeq: _*)
+    q.processAllAvailable()
+    in.addData(bucketRows.filter(_.docId >= 3).toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup_stream").as[NearDupHit].collect()
+      .groupBy(_.docId).view.mapValues(_.map(_.dupOf).min).toMap
+    assert(got === expected)
+    assert(got.get(3L).contains(0L), "cross-batch exact copy must flag via state")
+    assert(got.contains(1L) && !got.contains(2L) && !got.contains(4L))
+  }
+
   test("streaming quality-filter twin matches the batch gopher rules") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
