@@ -76,6 +76,52 @@ object EgvQueries {
              |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("user_id")),
 
+    // Sensor-stream gap filling — the downstream consumer of the
+    // reference's EGV feed (Dexcom readings drop out; dashboards
+    // forward-fill): per user, a 6-hour bucket grid from first to last
+    // reading, the last reading in each bucket (max_by on (ts, event_id)
+    // — deterministic, partial-aggregable), and forward fill via
+    // last(ignoreNulls) over an unbounded-preceding frame. The grid is
+    // SPAN-bounded (sequence over bucket range), not corpus-bounded, so
+    // output size is users × span regardless of event density.
+    QueryDef("ref_gap_fill",
+      (s, d) => {
+        val bucket = 21600L
+        val ev = Tables.events(s, d)
+          .withColumn("b", expr(s"CAST(ts AS LONG) div $bucket"))
+        val perBucket = ev.groupBy(col("user_id"), col("b"))
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v_last"))
+        val grid = perBucket.groupBy(col("user_id"))
+          .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+          .select(col("user_id"), explode(expr("sequence(b0, b1)")).as("b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        grid.join(perBucket, Seq("user_id", "b"), "left")
+          .select(col("user_id"), col("b").as("bucket"),
+            last(col("v_last"), ignoreNulls = true).over(w).as("filled"),
+            col("v_last").isNull.as("is_gap"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, value,
+             |  CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS b, epoch(ts) AS es
+             |  FROM events),
+             | pb AS (SELECT user_id, b, v_last FROM (
+             |  SELECT user_id, b, value AS v_last, row_number() OVER (
+             |    PARTITION BY user_id, b ORDER BY es DESC, event_id DESC) AS rn
+             |  FROM ev) WHERE rn = 1),
+             | spans AS (SELECT user_id, min(b) AS b0, max(b) AS b1
+             |  FROM pb GROUP BY user_id),
+             | grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+             |  FROM spans)
+             | SELECT grid.user_id, bucket,
+             |  last_value(v_last IGNORE NULLS) OVER (PARTITION BY grid.user_id
+             |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS filled,
+             |  v_last IS NULL AS is_gap
+             | FROM grid LEFT JOIN pb ON grid.user_id = pb.user_id AND bucket = pb.b
+             | ORDER BY grid.user_id, bucket""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id", "bucket")),
+
     // P1 — lenient JSON scalar extraction with NPE-to-0 semantics
     // (StreamsFilterEgvs.java:43-52) made explicit via coalesce.
     QueryDef("ref_json_extract",

@@ -365,6 +365,24 @@ object RelQueries3 {
              | TRUE AS approx_within_5pct
              | FROM orders GROUP BY o_orderpriority
              | ORDER BY o_orderpriority""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("o_orderpriority"))
+      presentOrder = Seq("o_orderpriority")),
+
+    // Unpivot (wide → long), the inverse of q_pivot_status: measure
+    // columns melt into (metric, val) rows via stack() — a codegen'd
+    // generator, no shuffle; the oracle spells the same reshape as the
+    // portable UNION ALL. Both measures cast to DOUBLE so the long
+    // column is one type.
+    QueryDef("q_unpivot",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("""stack(2, 'price', CAST(o_totalprice AS DOUBLE),
+                           'cust',  CAST(o_custkey  AS DOUBLE))""")
+            .as(Seq("metric", "val"))),
+      Some("""SELECT o_orderkey, 'price' AS metric,
+             |  CAST(o_totalprice AS DOUBLE) AS val FROM orders
+             | UNION ALL
+             | SELECT o_orderkey, 'cust', CAST(o_custkey AS DOUBLE) FROM orders
+             | ORDER BY o_orderkey, metric""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("o_orderkey", "metric"))
   )
 }
