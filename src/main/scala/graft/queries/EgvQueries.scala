@@ -122,6 +122,35 @@ object EgvQueries {
              | ORDER BY grid.user_id, bucket""".stripMargin.replace("\n", "")),
       presentOrder = Seq("user_id", "bucket")),
 
+    // Per-user anomaly scoring on the sensor feed: z = (v − μ_user)/σ_user,
+    // the alerting sibling of the reference's fixed-threshold filterHigh.
+    // Shape: one groupBy over users (map-side combine) broadcast-joined
+    // back — never a per-row window sort over the full feed. The anomaly
+    // flag compares the QUANTIZED z (both engines see the identical 4-dp
+    // value), so a last-ulp difference in the stddev accumulation cannot
+    // flip a boundary row's flag.
+    QueryDef("ref_anomaly_zscore",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val stats = ev.groupBy(col("user_id"))
+          .agg(avg(col("value")).as("__mu"), stddev_samp(col("value")).as("__sd"))
+        ev.join(broadcast(stats), "user_id")
+          .withColumn("z",
+            round((col("value") - col("__mu")) / col("__sd"), 4)
+              .cast("decimal(18,4)").cast("double"))
+          .select(col("event_id"), col("user_id"), col("value"), col("z"),
+            (abs(col("z")) > 2.0).as("is_anomaly"))
+      },
+      Some("""WITH st AS (SELECT user_id, avg(value) AS mu,
+             |  stddev_samp(value) AS sd FROM events GROUP BY user_id)
+             | SELECT event_id, events.user_id, value,
+             |  CAST(round((value - mu) / sd, 4) AS DECIMAL(18,4))::DOUBLE AS z,
+             |  abs(CAST(round((value - mu) / sd, 4) AS DECIMAL(18,4))::DOUBLE) > 2.0
+             |    AS is_anomaly
+             | FROM events JOIN st ON events.user_id = st.user_id
+             | ORDER BY event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id")),
+
     // P1 — lenient JSON scalar extraction with NPE-to-0 semantics
     // (StreamsFilterEgvs.java:43-52) made explicit via coalesce.
     QueryDef("ref_json_extract",

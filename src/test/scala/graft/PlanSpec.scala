@@ -63,6 +63,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in dedup path:\n$p")
   }
 
+  test("join-strategy hints override the planner (MERGE forces sort-merge on a dim)") {
+    // The planner-control surface a tuner reaches for when stats mislead:
+    // the same dim join that PlanSpec pins as broadcast above must
+    // sort-merge when hinted — proving hints flow through our query paths.
+    import org.apache.spark.sql.functions.col
+    val dims = Catalog.queries("q_join_dims")(spark, d)
+    val hinted = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d).hint("MERGE"),
+        col("o_custkey") === col("c_custkey"))
+    val p = hinted.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"MERGE hint ignored:\n$p")
+    assert(dims.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("IVF centroid pick is a distributed top-c; candidate join is hash, not n²") {
     graft.catalyst.GraftFunctions.register(spark)
     val p = planOf("sim_topk_ivf")
