@@ -653,4 +653,61 @@ object DedupOps {
         SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM verified
         WHERE j >= $threshold ORDER BY doc_a, doc_b"""
   }
+
+  /** SimHash near-dup PAIRING (Manku/Charikar): block on equal
+    * fingerprint bands, verify candidates by Hamming distance. With
+    * `bands` bands and `maxHamming < bands`, a qualifying pair differs
+    * in at most `maxHamming` bands, so by pigeonhole it agrees on at
+    * least one band — band blocking has RECALL 1 for the Hamming radius
+    * (unlike MinHash bands' probabilistic recall), which is why web-scale
+    * simhash dedup uses exactly this shape.
+    *
+    * Scale: candidates come from a band equi-join (never n²); Hamming is
+    * one codegen'd `bit_count(xor)`. Band width is the fan-out knob: this
+    * 32-bit/4-band default suits the gate corpus; at 100 TB use 64-bit
+    * fingerprints and 16-bit bands, and cap pathological band groups with
+    * the [[BoundedCollectSet]]/[[MaxShingleFreq]] regime.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   bits: Int = 32, bands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sh = TextOps.simhashAgg(docs, textCol, idCol, bits)
+      .select(col(idCol).as("doc_id"), col(s"simhash$bits").as("s"))
+    val banded = sh.select(col("doc_id"), col("s"),
+      posexplode(array((0 until bands).map(i =>
+        shiftright(col("s"), i * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  def simhashPairsSql(table: String, textCol: String, idCol: String,
+                      bits: Int = 32, bands: Int = 4,
+                      maxHamming: Int = 3): String = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val bandIdx = (0 until bands).mkString("[", ", ", "]")
+    s"""WITH sh AS (SELECT $idCol AS doc_id,
+          ${TextOps.simhashSql(TextOps.tokensSql(textCol), bits)} AS s
+          FROM $table),
+        bands AS (SELECT doc_id, s, unnest($bandIdx) AS band FROM sh),
+        b2 AS (SELECT doc_id, s, band,
+               (s >> ($bandBits * band)) & $mask AS bv FROM bands),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.s AS sa, b.s AS sb
+                 FROM b2 a JOIN b2 b ON a.band = b.band AND a.bv = b.bv
+                   AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
+        ORDER BY doc_a, doc_b"""
+  }
 }

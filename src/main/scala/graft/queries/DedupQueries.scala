@@ -61,6 +61,15 @@ object DedupQueries {
       },
       presentOrder = Seq("keep_id")),
 
+    // SimHash near-dup PAIRING: band blocking with pigeonhole-exact
+    // recall for hamming <= 3, candidates verified by codegen'd
+    // bit_count(xor). Completes the simhash method (fingerprints above,
+    // pairs here) beside the MinHash and embedding LSH families.
+    QueryDef("dedup_simhash_pairs",
+      (s, d) => DedupOps.simhashPairs(Tables.documents(s, d), "text", "doc_id"),
+      Some(DedupOps.simhashPairsSql("documents", "text", "doc_id")),
+      presentOrder = Seq("doc_a", "doc_b")),
+
     // Cluster canonicalization over near-dup pairs: connected components
     // (A~B, B~C collapse to one cluster even though (A,C) was never
     // scored) via iterative min-label propagation; cluster = min doc_id.

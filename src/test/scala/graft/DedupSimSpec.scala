@@ -221,6 +221,29 @@ class DedupSimSpec extends SparkSpec {
     assert(vecs(0L) !== vecs(2L)) // all plane signs flip
   }
 
+  test("simhashPairs equals brute-force Hamming pairs (pigeonhole recall 1)") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    // Overlapping vocab slices: nearby docs share most words (small
+    // Hamming distance), distant docs differ in many bits.
+    val docs = (0 until 12).map { i =>
+      (i.toLong, (0 until 8).map(j => words((i + j) % words.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = DedupOps.simhashPairs(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // Brute force over ALL pairs from the fingerprints themselves.
+    val fp = graft.ops.TextOps.simhashAgg(docs, "text", "doc_id", 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b))
+      if h <= 3
+    } yield ((a, b), h)).toMap
+    assert(got === expected) // recall 1 within the radius AND no extras
+    assert(expected.nonEmpty, "fixture should produce at least one close pair")
+  }
+
   test("IVF top-k finds the identical-vector neighbor and is rerun-deterministic") {
     import spark.implicits._
     graft.catalyst.GraftFunctions.register(spark)

@@ -532,6 +532,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(1L) && !got.contains(2L) && !got.contains(4L))
   }
 
+  test("streaming near-dup hot bucket saturates at maxPerBucket, comparisons continue") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{BucketDoc, NearDupHit}
+    val sig = Seq(1L, 2L, 3L, 4L)
+    val in = MemoryStream[BucketDoc]
+    val q = graft.streaming.StatefulOps
+      .streamingNearDup(in.toDS(), threshold = 0.5, maxPerBucket = 1)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append").start()
+    in.addData(BucketDoc(0, 5L, 1L, sig), BucketDoc(0, 5L, 2L, sig))
+    q.processAllAvailable()
+    in.addData(BucketDoc(0, 5L, 3L, sig))
+    q.processAllAvailable(); q.stop()
+    val hits = spark.table("neardup_cap").as[NearDupHit].collect()
+      .map(h => (h.docId, h.dupOf)).toSet
+    // doc 1 fills the bucket; docs 2 and 3 still compare against it, but
+    // doc 2 was never STORED, so (3 -> 2) must not exist.
+    assert(hits === Set((2L, 1L), (3L, 1L)))
+  }
+
   test("streaming quality-filter twin matches the batch gopher rules") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
