@@ -175,6 +175,70 @@ object PipelineQueries {
              | SELECT doc_id, chunk_idx, chunk_idx * 8 AS start_tok,
              |  least(16, n - chunk_idx * 8) AS chunk_len
              | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id", "chunk_idx")),
+
+    // RAG ingestion prep, end to end: chunk (text_chunks' 16/8 windows,
+    // now with materialized chunk text) → deterministic embedding (the
+    // mm_embed_features recipe re-expressed declaratively: 60-bit md5
+    // checksum → 16-bit shift slices → exact power-of-two scaling, every
+    // component exactly representable) → int8 quantization audit →
+    // hyperplane LSH bucket for the vector index. One narrow
+    // explode-then-map plan — zero shuffles at any scale — composing
+    // four operator families under one oracle.
+    QueryDef("pipeline_rag_prep",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val planes = graft.ops.SimOps.hyperplanes(planes = 4, dim = 8, seed = 31L)
+        val chunks = Tables.documents(s, d)
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .withColumn("n", size(col("__toks")).cast("long"))
+          .withColumn("k",
+            when(col("n") <= 16, 1L).otherwise(lit(1L) + expr("(n - 16 + 7) div 8")))
+          .withColumn("chunk_idx", explode(sequence(lit(0L), col("k") - 1)))
+          .withColumn("__ct",
+            array_join(expr("slice(__toks, CAST(1 + chunk_idx * 8 AS INT), 16)"), " "))
+        val embedded = chunks
+          .withColumn("__h", TextOps.hash64(col("__ct")))
+          .withColumn("embedding", expr(
+            """transform(sequence(0, 7),
+               i -> (CAST((__h >> (7 * i)) & 65535 AS DOUBLE) / 65536.0) * 2.0 - 1.0)"""))
+        embedded
+          .withColumn("__s",
+            expr("array_max(transform(embedding, x -> abs(x)))") / 127d)
+          .withColumn("__s", when(col("__s") === 0d, 1d).otherwise(col("__s")))
+          .select(col("doc_id"), col("chunk_idx"),
+            length(col("__ct")).as("chunk_chars"),
+            round(col("__s"), 6).cast("decimal(18,6)").cast("double").as("scale"),
+            expr("CAST(aggregate(transform(embedding, x -> CAST(floor(x / __s + 0.5d) AS LONG)), 0L, (acc, x) -> acc + x) AS BIGINT)")
+              .as("q_sum"),
+            graft.ops.SimOps.lshBucket("embedding", planes).cast("long").as("bucket"))
+      },
+      Some {
+        val planes = graft.ops.SimOps.hyperplanes(planes = 4, dim = 8, seed = 31L)
+        val h = TextOps.hash64Sql("ct")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+            k AS (SELECT doc_id, toks, n,
+              CASE WHEN n <= 16 THEN 1 ELSE 1 + (n - 16 + 7) // 8 END AS k FROM t),
+            c AS (SELECT doc_id, toks,
+              unnest(generate_series(0, k - 1)) AS chunk_idx FROM k),
+            ct AS (SELECT doc_id, chunk_idx,
+              array_to_string(list_slice(toks, 1 + chunk_idx * 8,
+                                         chunk_idx * 8 + 16), ' ') AS ct FROM c),
+            emb AS (SELECT doc_id, chunk_idx, ct,
+              list_transform(range(0, 8),
+                i -> (CAST((($h) >> (7 * i)) & 65535 AS DOUBLE) / 65536.0) * 2.0 - 1.0)
+                AS e FROM ct),
+            sc AS (SELECT doc_id, chunk_idx, ct, e,
+              CASE WHEN m = 0 THEN 1 ELSE m END AS s FROM (
+                SELECT *, list_max(list_transform(e, x -> abs(x))) / 127 AS m FROM emb))
+            SELECT doc_id, chunk_idx, CAST(len(ct) AS INT) AS chunk_chars,
+              CAST(CAST(round(s, 6) AS DECIMAL(18,6)) AS DOUBLE) AS scale,
+              CAST(list_sum(list_transform(e, x -> CAST(floor(x / s + 0.5) AS BIGINT)))
+                AS BIGINT) AS q_sum,
+              CAST(${graft.ops.SimOps.lshBucketSql("e", planes)} AS BIGINT) AS bucket
+            FROM sc ORDER BY doc_id, chunk_idx"""
+      },
       presentOrder = Seq("doc_id", "chunk_idx"))
   )
 }

@@ -77,6 +77,13 @@ class PlanSpec extends SparkSpec {
     assert(dims.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("RAG prep composition is one narrow pass — zero exchanges") {
+    graft.catalyst.GraftFunctions.register(spark)
+    val p = planOf("pipeline_rag_prep")
+    assert(!p.contains("Exchange"),
+      s"chunk->embed->quantize->bucket must not shuffle:\n$p")
+  }
+
   test("IVF centroid pick is a distributed top-c; candidate join is hash, not n²") {
     graft.catalyst.GraftFunctions.register(spark)
     val p = planOf("sim_topk_ivf")
