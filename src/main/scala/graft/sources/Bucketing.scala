@@ -46,4 +46,23 @@ object Bucketing {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Clustered layout write — the table-maintenance pass a 100 TB store
+    * runs so later scans can SKIP row groups: range-repartition by the
+    * cluster key (contiguous key ranges per file, so per-file min/max
+    * stats are disjoint and a key predicate prunes to ~one file), sort
+    * within partitions (ordered row groups inside each file), and bound
+    * file size with maxRecordsPerFile (splits honor the sort, so extra
+    * files stay range-disjoint). This is the parquet-native sibling of
+    * Z-ordering: 1-D clustering, exact, no curve math.
+    */
+  def writeClustered(df: DataFrame, path: String, clusterCol: String,
+                     files: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.repartitionByRange(files, org.apache.spark.sql.functions.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(path)
+  }
 }
