@@ -75,10 +75,14 @@ object SampleOps {
       .withColumn("s_units",
         floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
     val total = counts.agg(sum(col("s_units")).as("__S"))
+    // Two sequential floor divisions, NOT one division by (__S · n_docs):
+    // for positive integers floor(floor(a/b)/c) = floor(a/(b·c)) exactly,
+    // and the single-divide form overflows Long once __S · n_docs passes
+    // 2^63 (≈10^9 docs in one domain) while the numerator stays < 2^59.
     counts.crossJoin(broadcast(total))
       .withColumn("rate10k",
         least(lit(10000L),
-          expr(s"(10000L * ${target}L * s_units) div (__S * n_docs)")))
+          expr(s"(10000L * ${target}L * s_units) div __S div n_docs")))
       .select(col("domain"), col("n_docs"), col("s_units"), col("rate10k"))
   }
 
@@ -98,6 +102,6 @@ object SampleOps {
           FROM $table GROUP BY 1),
         tot AS (SELECT sum(s_units) AS s FROM counts)
         SELECT domain, n_docs, s_units,
-               least(10000, (10000 * $target * s_units) // (s * n_docs)) AS rate10k
+               least(10000, (10000 * $target * s_units) // s // n_docs) AS rate10k
         FROM counts, tot"""
 }
