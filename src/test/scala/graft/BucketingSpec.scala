@@ -28,12 +28,17 @@ class BucketingSpec extends SparkSpec {
       case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: ${ranges.toSeq}")
       case _ =>
     }
-    // A point predicate must scan ~1/4 of the rows, not the full table:
-    // with disjoint ranges Spark's parquet reader prunes the other files'
-    // row groups via footer stats (numOutputRows of the scan would show
-    // it; here we pin the layout property the pruning depends on).
+    // Runtime proof, not plan text: a point predicate on the clustered
+    // key must make the parquet scan OUTPUT ~one file's rows, because
+    // footer min/max stats of the other three files exclude the key.
     val key = ranges(2)._1 // a key owned by the third file
-    assert(back.filter(col("o_orderkey") === key).count() >= 1)
+    val q = back.filter(col("o_orderkey") === key)
+    assert(q.collect().length >= 1)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    val scanned = scan.metrics("numOutputRows").value
+    val total = orders.count()
+    assert(scanned <= total / 2,
+      s"scan read $scanned of $total rows — stats pruning did not engage")
   }
 
   test("matching bucket specs join with zero exchange, same results") {

@@ -532,6 +532,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(1L) && !got.contains(2L) && !got.contains(4L))
   }
 
+  test("Trigger.AvailableNow drains a backlog in bounded batches then stops itself") {
+    import spark.implicits._
+    // The backfill pattern: reprocess a historical table through the
+    // SAME streaming topology, rate-limited by maxFilesPerTrigger, and
+    // terminate when caught up — no manual stop, no always-on cluster.
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    (0 until 4).foreach { i =>
+      Seq.tabulate(25)(j => (i * 25L + j, s"v${i * 25 + j}"))
+        .toDF("id", "v").coalesce(1).write.parquet(s"$dir/in/batch$i")
+    }
+    val in = spark.readStream
+      .schema("id LONG, v STRING")
+      .option("maxFilesPerTrigger", "1") // bounded work per micro-batch
+      .parquet(s"$dir/in/*")
+    val q = in.writeStream.format("memory").queryName("avnow")
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow must self-terminate")
+    assert(spark.table("avnow").count() === 100)
+    assert(q.recentProgress.length >= 4, // one micro-batch per file
+      s"expected the backlog in multiple bounded batches, got ${q.recentProgress.length}")
+  }
+
   test("streaming near-dup hot bucket saturates at maxPerBucket, comparisons continue") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
