@@ -367,6 +367,62 @@ object RelQueries3 {
              | ORDER BY o_orderpriority""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderpriority")),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): iterate-to-fixpoint INSIDE
+    // one SQL query — the hierarchy/graph-walk shape that previously
+    // forced a driver loop (cf. DedupOps.connectedComponents' iterative
+    // min-label rounds). The fixture is the implicit binary tree over
+    // supplier keys (parent = k div 2): each recursion level joins the
+    // next tree level, so depth(k) = floor(log2 k) comes out of pure
+    // recursion, checked exactly by the identical DuckDB recursion.
+    QueryDef("q_recursive_cte",
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+        s.sql("""WITH RECURSIVE t(k, depth) AS (
+                   SELECT CAST(1 AS BIGINT), 0
+                   UNION ALL
+                   SELECT s.s_suppkey, t.depth + 1
+                   FROM supplier_v s JOIN t ON s.s_suppkey div 2 = t.k
+                   WHERE s.s_suppkey > 1)
+                 SELECT k, depth FROM t""")
+      },
+      Some("""WITH RECURSIVE t(k, depth) AS (
+             |  SELECT CAST(1 AS BIGINT), 0
+             |  UNION ALL
+             |  SELECT s.s_suppkey, t.depth + 1
+             |  FROM supplier s JOIN t ON s.s_suppkey // 2 = t.k
+             |  WHERE s.s_suppkey > 1)
+             | SELECT k, CAST(depth AS INT) AS depth FROM t
+             | ORDER BY k""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("k")),
+
+    // Higher-order array functions as a first-class gate: the HOF family
+    // (transform/filter/aggregate/zip_with/sort/slice) every array-heavy
+    // op in this engine leans on, exercised end-to-end on derived arrays
+    // with integer-only math so both engines agree bit-for-bit.
+    QueryDef("q_array_funcs",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("arr",
+          expr("sequence(CAST(1 AS INT), CAST(1 + o_orderkey % 5 AS INT))"))
+        .select(col("o_orderkey"),
+          expr("CAST(aggregate(transform(arr, x -> x * x), 0, (a, x) -> a + x) AS BIGINT)")
+            .as("sum_sq"),
+          expr("size(filter(arr, x -> x % 2 = 0))").as("n_even"),
+          expr("array_join(transform(slice(sort_array(arr, false), 1, 3), x -> CAST(x AS STRING)), ',')")
+            .as("top3_desc"),
+          expr("CAST(element_at(zip_with(arr, arr, (a, b) -> a + b), 1) AS INT)")
+            .as("first_doubled")),
+      Some("""WITH t AS (SELECT o_orderkey,
+             |  generate_series(1, CAST(1 + o_orderkey % 5 AS INT)) AS arr
+             |  FROM orders)
+             | SELECT o_orderkey,
+             |  CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq,
+             |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+             |  array_to_string(list_transform(list_slice(list_reverse_sort(arr), 1, 3),
+             |    x -> CAST(x AS VARCHAR)), ',') AS top3_desc,
+             |  CAST(arr[1] + arr[1] AS INT) AS first_doubled
+             | FROM t ORDER BY o_orderkey""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("o_orderkey")),
+
     // Unpivot (wide → long), the inverse of q_pivot_status: measure
     // columns melt into (metric, val) rows via stack() — a codegen'd
     // generator, no shuffle; the oracle spells the same reshape as the
