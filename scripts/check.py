@@ -47,10 +47,16 @@ def render_all_varchar(con, sql, cols):
     the canonical string rendering (DECIMAL keeps trailing zeros, DOUBLE
     does not), sorted columns-by-name then rows-by-all-columns."""
     ordered = sorted(cols)
-    sel = ", ".join(f'CAST("{c}" AS VARCHAR) AS "{c}"' for c in ordered)
+    # COALESCE to a sentinel INSIDE DuckDB so a genuine NULL stays
+    # distinguishable from the literal string 'None' (astype(str) would
+    # render both identically and mask a NULL-vs-'None' divergence the
+    # driver's hash treats as a mismatch).
+    sel = ", ".join(
+        f'COALESCE(CAST("{c}" AS VARCHAR), \'\\x00NULL\\x00\') AS "{c}"'
+        for c in ordered)
     df = con.execute(f"SELECT {sel} FROM ({sql}) __t").df()
     for c in df.columns:
-        df[c] = df[c].astype(str)  # None -> 'None' consistently on both sides
+        df[c] = df[c].astype(str)
     return df.sort_values(by=ordered, kind="mergesort").reset_index(drop=True)
 
 def main():

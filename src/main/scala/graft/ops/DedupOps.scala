@@ -223,9 +223,18 @@ object DedupOps {
                          maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
     val spark = docs.sparkSession
     val dir = spark.conf.get("graft.pairs.dir", "")
-    if (dir.isEmpty) jaccardPairs(docs, textCol, idCol, threshold, maxShingleFreq)
+    // Cache key must identify the CORPUS, not just the parameters: the
+    // same threshold at two scale factors (check.py runs sf0.001 AND
+    // sf0.01) must not read each other's pair tables. The input file set
+    // is the corpus identity; an in-memory frame has none, so caching is
+    // unsafe and we fall through to the direct computation.
+    val corpus = docs.inputFiles.sorted.mkString("\n")
+    if (dir.isEmpty || corpus.isEmpty)
+      jaccardPairs(docs, textCol, idCol, threshold, maxShingleFreq)
     else {
-      val path = s"$dir/jaccard_t${threshold}_f$maxShingleFreq"
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(corpus.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path = s"$dir/jaccard_${tag}_t${threshold}_f$maxShingleFreq"
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))

@@ -60,10 +60,11 @@ object SampleOps {
     *
     * Every value the gate compares is INTEGER: sqrt(n_d) is quantized to
     * micro-units (floor(√n · 1e6) — IEEE sqrt is correctly rounded, so
-    * both engines produce the same BIGINT), the weight sum is an exact
-    * BIGINT sum, and the per-domain rate threshold is one BIGINT floor
-    * division `(10000·target·s_d) div (S·n_d)`. No cross-engine float
-    * accumulation order can flip a result.
+    * both engines produce the same BIGINT) and the weight sum is an exact
+    * BIGINT sum. The rate threshold is a fixed-order double product/
+    * quotient chain + floor — bit-identical across engines (scalar IEEE
+    * ops, no accumulation) and overflow-free where 64-bit integer
+    * products wrap. No cross-engine divergence can flip a result.
     *
     * Scale shape: one count shuffle over domains, a broadcast of the
     * (tiny) rate table back onto the corpus, and a narrow hash-bucket
@@ -75,23 +76,31 @@ object SampleOps {
       .withColumn("s_units",
         floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
     val total = counts.agg(sum(col("s_units")).as("__S"))
-    // Two sequential floor divisions, NOT one division by (__S · n_docs):
-    // for positive integers floor(floor(a/b)/c) = floor(a/(b·c)) exactly,
-    // and the single-divide form overflows Long once __S · n_docs passes
-    // 2^63 (≈10^9 docs in one domain) while the numerator stays < 2^59.
+    // The rate threshold is computed in DOUBLE with a fixed operation
+    // order — ((((1e4 · T) · s) / S) / n), then floor. IEEE doubles make
+    // this bit-identical in Spark and DuckDB, and unlike 64-bit integer
+    // products it cannot overflow for ANY corpus/target combination
+    // (a naive (1e4·T·s) div (S·n) wraps once either product passes
+    // 2^63). The result is within 1 ulp of the exact integer division —
+    // a ±1/10000 rate difference at worst, and the same ±1 on BOTH sides.
     counts.crossJoin(broadcast(total))
       .withColumn("rate10k",
         least(lit(10000L),
-          expr(s"(10000L * ${target}L * s_units) div __S div n_docs")))
+          floor(lit(10000.0) * target.toDouble * col("s_units").cast("double") /
+            col("__S").cast("double") / col("n_docs").cast("double"))
+            .cast("long")))
       .select(col("domain"), col("n_docs"), col("s_units"), col("rate10k"))
   }
 
+  /** Pass `rates` when the caller already computed [[temperatureRates]]
+    * (one domain-count shuffle instead of two over the same corpus). */
   def temperatureSample(docs: DataFrame, domainCol: Column, idCol: String,
-                        target: Long, salt: String): DataFrame = {
-    val rates = temperatureRates(docs, domainCol, target)
+                        target: Long, salt: String,
+                        rates: Option[DataFrame] = None): DataFrame = {
+    val r = rates.getOrElse(temperatureRates(docs, domainCol, target))
     docs.withColumn("domain", domainCol)
       .withColumn("__b", sampleBucket(col(idCol), salt))
-      .join(broadcast(rates), "domain")
+      .join(broadcast(r), "domain")
       .filter(col("__b") < col("rate10k"))
   }
 
@@ -102,6 +111,7 @@ object SampleOps {
           FROM $table GROUP BY 1),
         tot AS (SELECT sum(s_units) AS s FROM counts)
         SELECT domain, n_docs, s_units,
-               least(10000, (10000 * $target * s_units) // s // n_docs) AS rate10k
+               least(10000, CAST(floor(10000.0 * $target * CAST(s_units AS DOUBLE)
+                 / CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT)) AS rate10k
         FROM counts, tot"""
 }

@@ -36,6 +36,17 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "is", "of", "to", "and", "in", "on", "for", "with")
 
+  /** Chunking geometry shared by `text_chunks` and `pipeline_rag_prep`
+    * (Spark AND oracle sides): 16-token windows at stride 8. The chunk
+    * count for n tokens is 1 + ceil((n-W)/S) when n > W else 1, spelled
+    * with the (a + b - 1) div b integer-ceil on both engines. */
+  val ChunkWindow = 16
+  val ChunkStride = 8
+  def chunkCountExpr: String =
+    s"CASE WHEN n <= $ChunkWindow THEN 1 ELSE 1 + (n - $ChunkWindow + ${ChunkStride - 1}) div $ChunkStride END"
+  def chunkCountSql: String =
+    s"CASE WHEN n <= $ChunkWindow THEN 1 ELSE 1 + (n - $ChunkWindow + ${ChunkStride - 1}) // $ChunkStride END"
+
   /** PII scrub patterns, written in the Java-regex ∩ RE2 subset so Spark
     * (java.util.regex) and DuckDB (RE2) match identically: no backrefs,
     * no lookaround, explicit classes only. */

@@ -159,21 +159,19 @@ object PipelineQueries {
     QueryDef("text_chunks",
       (s, d) => Tables.documents(s, d)
         .withColumn("n", size(TextOps.tokens(col("text"))).cast("long"))
-        .withColumn("k",
-          when(col("n") <= 16, 1L)
-            .otherwise(lit(1L) + expr("(n - 16 + 7) div 8")))
+        .withColumn("k", expr(TextOps.chunkCountExpr))
         .withColumn("chunk_idx", explode(sequence(lit(0L), col("k") - 1)))
         .select(col("doc_id"), col("chunk_idx"),
-          (col("chunk_idx") * 8).as("start_tok"),
-          least(lit(16L), col("n") - col("chunk_idx") * 8).as("chunk_len")),
-      Some("""WITH t AS (SELECT doc_id,
+          (col("chunk_idx") * TextOps.ChunkStride).as("start_tok"),
+          least(lit(TextOps.ChunkWindow.toLong),
+            col("n") - col("chunk_idx") * TextOps.ChunkStride).as("chunk_len")),
+      Some(s"""WITH t AS (SELECT doc_id,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
-             | k AS (SELECT doc_id, n,
-             |  CASE WHEN n <= 16 THEN 1 ELSE 1 + (n - 16 + 7) // 8 END AS k FROM t),
+             | k AS (SELECT doc_id, n, ${TextOps.chunkCountSql} AS k FROM t),
              | c AS (SELECT doc_id, n,
              |  unnest(generate_series(0, k - 1)) AS chunk_idx FROM k)
-             | SELECT doc_id, chunk_idx, chunk_idx * 8 AS start_tok,
-             |  least(16, n - chunk_idx * 8) AS chunk_len
+             | SELECT doc_id, chunk_idx, chunk_idx * ${TextOps.ChunkStride} AS start_tok,
+             |  least(${TextOps.ChunkWindow}, n - chunk_idx * ${TextOps.ChunkStride}) AS chunk_len
              | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "chunk_idx")),
 
@@ -192,11 +190,10 @@ object PipelineQueries {
         val chunks = Tables.documents(s, d)
           .withColumn("__toks", TextOps.tokens(col("text")))
           .withColumn("n", size(col("__toks")).cast("long"))
-          .withColumn("k",
-            when(col("n") <= 16, 1L).otherwise(lit(1L) + expr("(n - 16 + 7) div 8")))
+          .withColumn("k", expr(TextOps.chunkCountExpr))
           .withColumn("chunk_idx", explode(sequence(lit(0L), col("k") - 1)))
           .withColumn("__ct",
-            array_join(expr("slice(__toks, CAST(1 + chunk_idx * 8 AS INT), 16)"), " "))
+            array_join(expr(s"slice(__toks, CAST(1 + chunk_idx * ${TextOps.ChunkStride} AS INT), ${TextOps.ChunkWindow})"), " "))
         val embedded = chunks
           .withColumn("__h", TextOps.hash64(col("__ct")))
           .withColumn("embedding", expr(
@@ -216,15 +213,15 @@ object PipelineQueries {
       Some {
         val planes = graft.ops.SimOps.hyperplanes(planes = 4, dim = 8, seed = 31L)
         val h = TextOps.hash64Sql("ct")
+        val (cw, cs) = (TextOps.ChunkWindow, TextOps.ChunkStride)
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
-            k AS (SELECT doc_id, toks, n,
-              CASE WHEN n <= 16 THEN 1 ELSE 1 + (n - 16 + 7) // 8 END AS k FROM t),
+            k AS (SELECT doc_id, toks, n, ${TextOps.chunkCountSql} AS k FROM t),
             c AS (SELECT doc_id, toks,
               unnest(generate_series(0, k - 1)) AS chunk_idx FROM k),
             ct AS (SELECT doc_id, chunk_idx,
-              array_to_string(list_slice(toks, 1 + chunk_idx * 8,
-                                         chunk_idx * 8 + 16), ' ') AS ct FROM c),
+              array_to_string(list_slice(toks, 1 + chunk_idx * $cs,
+                                         chunk_idx * $cs + $cw), ' ') AS ct FROM c),
             emb AS (SELECT doc_id, chunk_idx, ct,
               list_transform(range(0, 8),
                 i -> (CAST((($h) >> (7 * i)) & 65535 AS DOUBLE) / 65536.0) * 2.0 - 1.0)

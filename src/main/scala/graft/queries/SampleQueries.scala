@@ -76,7 +76,7 @@ object SampleQueries {
         val docs = Tables.documents(s, d)
         val rates = SampleOps.temperatureRates(docs, domain, TempTarget)
         val sampled = SampleOps
-          .temperatureSample(docs, domain, "doc_id", TempTarget, Salt)
+          .temperatureSample(docs, domain, "doc_id", TempTarget, Salt, Some(rates))
           .groupBy(col("domain")).agg(count(lit(1)).as("n_sampled"))
         rates.join(sampled, Seq("domain"), "left")
           .select(col("domain"), col("n_docs"), col("s_units"), col("rate10k"),

@@ -53,15 +53,42 @@ class HttpBulkClient(endpoint: String, index: String,
   }
 
   /** True iff the bulk response envelope's top-level `errors` field is
-    * true. The ES envelope is `{"took":N,"errors":BOOL,"items":[...]}` —
-    * `errors` appears before `items`, so scanning the prefix up to the
-    * first `[` or nested `{` can only see top-level fields. */
+    * true. ES conventionally emits `{"took":N,"errors":BOOL,"items":[…]}`
+    * but JSON key order is NOT contractual (OpenSearch, proxies), so this
+    * walks the whole body tracking string/brace/bracket nesting and only
+    * matches `"errors": true` at depth 1 — an echoed document containing
+    * the text cannot false-positive (it sits at depth ≥ 2 or in a
+    * string), and `errors` AFTER `items` is still seen. */
   private[graft] def envelopeHasErrors(body: String): Boolean = {
-    val openArr = body.indexOf('[')
-    val openObj = body.indexOf('{', body.indexOf('{') + 1) // 2nd '{' = first nested object
-    val ends = Seq(openArr, openObj).filter(_ >= 0)
-    val prefix = if (ends.isEmpty) body else body.substring(0, ends.min)
-    "\"errors\"\\s*:\\s*true".r.findFirstIn(prefix).isDefined
+    var depth = 0
+    var inStr = false
+    var esc = false
+    var i = 0
+    val key = "\"errors\""
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+        i += 1
+      } else c match {
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case '"' if depth == 1 && body.startsWith(key, i) =>
+          var j = i + key.length
+          while (j < body.length && body.charAt(j).isWhitespace) j += 1
+          if (j < body.length && body.charAt(j) == ':') {
+            j += 1
+            while (j < body.length && body.charAt(j).isWhitespace) j += 1
+            if (body.startsWith("true", j)) return true
+          }
+          i += key.length
+        case '"' => inStr = true; i += 1
+        case _ => i += 1
+      }
+    }
+    false
   }
 
   /** JSON-string escaping for the action line. Control characters matter

@@ -161,7 +161,12 @@ object StatefulOps {
                 .count { case (x, y) => x == y }.toDouble / k
               if (agree >= threshold) out += NearDupHit(b.docId, oldId, agree)
             }
-            if (seen.size < maxPerBucket) seen = (b.docId, b.sig) :: seen
+            // At-least-once sources replay rows: a doc already in state
+            // must not occupy another cap slot (a hot doc's redeliveries
+            // would otherwise burn the whole bucket) or re-emit as its
+            // own duplicate.
+            if (seen.size < maxPerBucket && !seen.exists(_._1 == b.docId))
+              seen = (b.docId, b.sig) :: seen
           }
           state.update(BucketSeen(seen))
           out.iterator

@@ -124,6 +124,12 @@ class SourcesSkewSpec extends SparkSpec {
     assert(c.envelopeHasErrors("{\"took\":3,\"errors\" :\ttrue,\"items\":[]}"))
     assert(c.envelopeHasErrors("""{"errors":true,"items":[]}"""))
     assert(!c.envelopeHasErrors("""{"took":3,"errors":false,"items":[]}"""))
+    // key order is not contractual: top-level errors AFTER items must be
+    // seen, and a nested (item-level) "errors":true must still not trip.
+    assert(c.envelopeHasErrors(
+      """{"items":[{"index":{"status":429}}],"errors":true,"took":3}"""))
+    assert(!c.envelopeHasErrors(
+      """{"items":[{"index":{"errors":true}}],"errors":false}"""))
   }
 
   test("orc round-trips documents with predicate pushdown at the scan") {
