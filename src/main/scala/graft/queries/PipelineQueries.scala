@@ -175,6 +175,62 @@ object PipelineQueries {
              | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "chunk_idx")),
 
+    // Sub-document exact dedup — the C4 line-level dedup step, over the
+    // shared 16/8 chunk windows (the corpus has no newlines, so chunks
+    // stand in for lines): a chunk text kept only at its first
+    // (doc, chunk) occurrence corpus-wide, every doc reporting how much
+    // of it survived. Shape: one hash-agg over chunk md5 (map-side
+    // combine; the shuffle carries one row per DISTINCT chunk) + a
+    // broadcast-free re-join by hash, then a per-doc roll-up.
+    QueryDef("dedup_chunk_exact",
+      (s, d) => {
+        val chunks = Tables.documents(s, d)
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .withColumn("n", size(col("__toks")).cast("long"))
+          .withColumn("k", expr(TextOps.chunkCountExpr))
+          .withColumn("chunk_idx", explode(sequence(lit(0L), col("k") - 1)))
+          .withColumn("__h", md5(array_join(
+            expr(s"slice(__toks, CAST(1 + chunk_idx * ${TextOps.ChunkStride} AS INT), ${TextOps.ChunkWindow})"),
+            " ")))
+          .select(col("doc_id"), col("chunk_idx"), col("__h"))
+        val firstOwner = chunks.groupBy(col("__h"))
+          .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__o"))
+          .select(col("__h"), col("__o.doc_id").as("__od"),
+            col("__o.chunk_idx").as("__oc"))
+        chunks.join(firstOwner, "__h")
+          .withColumn("kept",
+            (col("doc_id") === col("__od") && col("chunk_idx") === col("__oc"))
+              .cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("kept")).as("n_kept"),
+            round(sum(col("kept")).cast("double") / count(lit(1)), 4)
+              .cast("decimal(18,4)").cast("double").as("keep_frac"))
+      },
+      Some {
+        val (cw, cs) = (TextOps.ChunkWindow, TextOps.ChunkStride)
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+            k AS (SELECT doc_id, toks, n, ${TextOps.chunkCountSql} AS k FROM t),
+            c AS (SELECT doc_id, toks,
+              unnest(generate_series(0, k - 1)) AS chunk_idx FROM k),
+            ch AS (SELECT doc_id, chunk_idx,
+              md5(array_to_string(list_slice(toks, 1 + chunk_idx * $cs,
+                chunk_idx * $cs + $cw), ' ')) AS h FROM c),
+            own AS (SELECT h, doc_id AS od, chunk_idx AS oc FROM (
+              SELECT h, doc_id, chunk_idx, row_number() OVER (PARTITION BY h
+                ORDER BY doc_id, chunk_idx) AS rn FROM ch) WHERE rn = 1)
+            SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(CASE WHEN ch.doc_id = od AND ch.chunk_idx = oc
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(round(sum(CASE WHEN ch.doc_id = od AND ch.chunk_idx = oc
+                THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+                AS DECIMAL(18,4))::DOUBLE AS keep_frac
+            FROM ch JOIN own ON ch.h = own.h
+            GROUP BY ch.doc_id ORDER BY ch.doc_id"""
+      },
+      presentOrder = Seq("doc_id")),
+
     // RAG ingestion prep, end to end: chunk (text_chunks' 16/8 windows,
     // now with materialized chunk text) → deterministic embedding (the
     // mm_embed_features recipe re-expressed declaratively: 60-bit md5

@@ -77,6 +77,22 @@ class PlanSpec extends SparkSpec {
     assert(dims.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("temperature mix broadcasts the tiny rate table onto the corpus") {
+    val p = planOf("sample_temperature")
+    // The corpus-side join (every doc against ~10 rates) must be a
+    // broadcast hash join keyed on domain. The final rates⋈sampled
+    // presentation join is two 10-row aggregates — its static plan may
+    // say sort-merge and AQE converts it at runtime; not asserted here.
+    assert(p.contains("BroadcastHashJoin [domain"),
+      s"docs->rates join must broadcast the rate table:\n$p")
+  }
+
+  test("chunk dedup's shuffle is keyed by chunk hash — no sort-merge, no cartesian") {
+    val p = planOf("dedup_chunk_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk ownership must resolve via hash join:\n$p")
+  }
+
   test("RAG prep composition is one narrow pass — zero exchanges") {
     graft.catalyst.GraftFunctions.register(spark)
     val p = planOf("pipeline_rag_prep")
