@@ -367,6 +367,24 @@ object RelQueries3 {
              | ORDER BY o_orderpriority""".stripMargin.replace("\n", "")),
       presentOrder = Seq("o_orderpriority")),
 
+    // Equi-width histogram: integer bucketing by floor division — one
+    // hash-agg, the profiling pass every pipeline runs before choosing
+    // thresholds. Bucket ids are exact integer math; only the bucket
+    // bounds are derived (bucket·width), so no float can drift.
+    QueryDef("q_histogram",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("bucket", expr("CAST(floor(o_totalprice / 25000) AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).cast("decimal(18,2)").cast("double").as("lo"),
+          round(max(col("o_totalprice")), 2).cast("decimal(18,2)").cast("double").as("hi")),
+      Some("""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+             | count(*) AS n,
+             | CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2))::DOUBLE AS lo,
+             | CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2))::DOUBLE AS hi
+             | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("bucket")),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): iterate-to-fixpoint INSIDE
     // one SQL query — the hierarchy/graph-walk shape that previously
     // forced a driver loop (cf. DedupOps.connectedComponents' iterative

@@ -22,6 +22,8 @@ object SampleQueries {
   /** Temperature-mix document budget — sized so small domains hit the
     * rate cap (kept whole) while the big one is compressed. */
   val TempTarget = 400L
+  /** Fixed per-source quota for the deterministic reservoir. */
+  val QuotaPerSource = 5
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -95,6 +97,31 @@ object SampleQueries {
             FROM rates LEFT JOIN sampled ON rates.domain = sampled.domain
             ORDER BY rates.domain"""
       },
-      presentOrder = Seq("domain"))
+      presentOrder = Seq("domain")),
+
+    // Fixed-quota per-domain sampling — the deterministic reservoir: each
+    // source keeps its N docs with the smallest salted hash. Unlike a
+    // rate (sample_hash_global) the output SIZE is exact per domain, and
+    // unlike reservoir sampling with RNG state the selection is a pure
+    // function of (salt, id) — partition/retry/engine invariant. Window
+    // top-N per modest-cardinality domain; a TakeOrdered-per-group shape
+    // at extreme per-domain skew.
+    QueryDef("sample_quota",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(SampleOps.sampleBucket(col("doc_id"), Salt), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= QuotaPerSource)
+          .select(col("source"), col("rk"), col("doc_id"))
+      },
+      Some(s"""SELECT source, rk, doc_id FROM (
+              |  SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source
+              |   ORDER BY ${SampleOps.sampleBucketSql("doc_id", Salt)}, doc_id) AS INT) AS rk
+              |  FROM documents)
+              | WHERE rk <= $QuotaPerSource ORDER BY source, rk""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("source", "rk"))
   )
 }
