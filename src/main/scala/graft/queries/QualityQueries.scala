@@ -89,6 +89,30 @@ object QualityQueries {
               | FROM red ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // Text normalization — the canonicalization pass that precedes every
+    // hash-based dedup in a real pipeline: lowercase, strip punctuation
+    // to spaces, collapse whitespace runs, trim. The gate pins the full
+    // normalized bytes via md5 plus the char-count delta, so any drift
+    // in the normalization rules (or engine regex semantics) fails loud.
+    QueryDef("text_normalize",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " "))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(col("text")).as("raw_chars"),
+            length(norm).as("norm_chars"),
+            md5(norm).as("norm_md5"))
+      },
+      Some("""SELECT doc_id, CAST(len(text) AS INT) AS raw_chars,
+             | CAST(len(trim(regexp_replace(regexp_replace(lower(text),
+             |   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_chars,
+             | md5(trim(regexp_replace(regexp_replace(lower(text),
+             |   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+             | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // Gopher/C4-class composite quality filter: word-count bounds, mean
     // word length bounds, minimum stopword ratio, maximum token length.
     // keep = all rules pass; fail_reason = FIRST failing rule in a fixed

@@ -115,6 +115,45 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class RunningZ(userId: String, ts: java.sql.Timestamp, value: Int,
+                      n: Long, z: Option[Double])
+  case class Moments(n: Long, mean: Double, m2: Double)
+
+  /** Streaming per-key running z-score via Welford's online algorithm —
+    * the live-alerting twin of the batch `ref_anomaly_zscore` (which
+    * scores against FINAL per-user stats): each reading is scored
+    * against the stats of everything seen so far, then folded in. State
+    * is three doubles per key, O(1) forever; Welford (not naive Σx/Σx²)
+    * keeps m2 numerically stable over unbounded streams. z is None
+    * until a key has ≥ 2 prior readings (sample stddev undefined/zero).
+    */
+  def runningZscore(readings: Dataset[Reading]): Dataset[RunningZ] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[Moments, RunningZ](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: String, rows: Iterator[Reading], state: GroupState[Moments]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.value))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RunningZ]
+          var m = state.getOption.getOrElse(Moments(0L, 0d, 0d))
+          for (r <- sorted) {
+            val z =
+              if (m.n >= 2) {
+                val sd = math.sqrt(m.m2 / (m.n - 1))
+                if (sd > 0) Some((r.value - m.mean) / sd) else None
+              } else None
+            out += RunningZ(userId, r.ts, r.value, m.n, z)
+            val n1 = m.n + 1
+            val d = r.value - m.mean
+            val mean1 = m.mean + d / n1
+            m = Moments(n1, mean1, m.m2 + d * (r.value - mean1))
+          }
+          state.update(m)
+          out.iterator
+      }
+  }
+
   /** One (band, key) bucket row of an arriving document: its id and full
     * MinHash signature. In a live topology these rows derive from the doc
     * stream as a narrow map (per-doc HOF minhash) + flatMap to bands —

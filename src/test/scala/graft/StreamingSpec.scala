@@ -480,6 +480,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) === Set(1L, 3L)) // near-dup + copy, not 2/4
   }
 
+  test("running z-score state matches batch cumulative stats across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{Reading, RunningZ}
+    val readings = (0 until 40).map { i =>
+      Reading(s"u${i % 3}", new java.sql.Timestamp(1700000000000L + i * 60000L),
+        80 + (i * 37) % 90)
+    }
+    // Batch expectation: z against the PRECEDING readings' sample stats
+    // (cumulative window, frame ending 1 before current).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId")).orderBy(col("ts"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val batch = readings.toDF()
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("z", when(col("n") >= 2 && col("sd") > 0,
+        (col("value") - col("mu")) / col("sd")))
+      .select("userId", "value", "n", "z").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val in = MemoryStream[Reading]
+    val q = graft.streaming.StatefulOps.runningZscore(in.toDS())
+      .writeStream.format("memory").queryName("runz")
+      .outputMode("append").start()
+    in.addData(readings.take(20): _*)
+    q.processAllAvailable()
+    in.addData(readings.drop(20): _*) // state must carry n/mean/m2 over
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("runz").as[RunningZ].collect()
+      .map(r => (r.userId, r.value, r.n, r.z)).toSet
+    // Welford vs sum-based window stddev agree to ~1e-9 relative; compare
+    // with rounding rather than bit equality.
+    def canon(s: Set[(String, Int, Long, Option[Double])]) =
+      s.map { case (u, v, n, z) => (u, v, n, z.map(x => math.round(x * 1e6))) }
+    assert(canon(streamed) === canon(batch))
+  }
+
   test("streaming near-dup flags arrivals against state from earlier batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
