@@ -175,6 +175,56 @@ object PipelineQueries {
              | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "chunk_idx")),
 
+    // Length-bucketed batching stats — the padding-waste audit that
+    // decides a training job's bucket boundaries: docs grouped into
+    // 32-token length buckets, each reporting size, the bucket's max
+    // length, and the fraction of padding a max-length-padded batch
+    // would waste. One hash-agg; padding math is exact integers until
+    // the final quantized fraction.
+    QueryDef("pipeline_length_buckets",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n", size(TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("bucket", expr("n div 32"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n")).as("max_len"),
+          sum(col("n")).as("total_tokens"))
+        .withColumn("padding_frac",
+          round(lit(1.0) - col("total_tokens").cast("double") /
+            (col("n_docs") * col("max_len")), 4)
+            .cast("decimal(18,4)").cast("double")),
+      Some("""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents)
+             | SELECT n // 32 AS bucket, count(*) AS n_docs,
+             |  CAST(max(n) AS BIGINT) AS max_len,
+             |  CAST(sum(n) AS BIGINT) AS total_tokens,
+             |  CAST(round(1.0 - CAST(sum(n) AS BIGINT)::DOUBLE /
+             |    (count(*) * max(n)), 4) AS DECIMAL(18,4))::DOUBLE AS padding_frac
+             | FROM t GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("bucket")),
+
+    // Deterministic epoch shuffle — training order must be "random" AND
+    // reproducible across restarts/retries: rank by salted hash within
+    // each source shard. A new salt (epoch number) is a fresh
+    // permutation; the same salt always replays the same order. Narrow
+    // map + per-shard window, never a global sort.
+    QueryDef("pipeline_shuffle_order",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(SampleOps.sampleBucket(col("doc_id"), "epoch1"),
+            col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("epoch_rank", row_number().over(w))
+          .select(col("source"), col("epoch_rank"), col("doc_id"))
+      },
+      Some(s"""SELECT source, CAST(row_number() OVER (PARTITION BY source
+              |  ORDER BY ${SampleOps.sampleBucketSql("doc_id", "epoch1")}, doc_id)
+              |  AS INT) AS epoch_rank, doc_id
+              | FROM documents ORDER BY source, epoch_rank""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("source", "epoch_rank")),
+
     // Sub-document exact dedup — the C4 line-level dedup step, over the
     // shared 16/8 chunk windows (the corpus has no newlines, so chunks
     // stand in for lines): a chunk text kept only at its first
