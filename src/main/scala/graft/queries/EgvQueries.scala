@@ -151,6 +151,60 @@ object EgvQueries {
              | ORDER BY event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id")),
 
+    // Event-sequence funnel (view → click → purchase): the ordered
+    // conversion analysis MATCH_RECOGNIZE engines sell, composed from
+    // three stage-anchored min-aggregations — each stage's earliest
+    // occurrence strictly after the previous anchor AND within a 6-hour
+    // conversion window (without the window the dense corpus converts
+    // everyone — 150 → 19 → 1 with it). Three
+    // user-keyed agg shuffles + broadcast-size joins per stage; no
+    // per-user event sorting, no cross join, scales with distinct users.
+    QueryDef("ref_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val users = ev.select(col("user_id")).distinct()
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id")
+          .filter(col("ts") > col("t_view") &&
+            col("ts") <= col("t_view") + expr("INTERVAL 6 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id")
+          .filter(col("ts") > col("t_click") &&
+            col("ts") <= col("t_click") + expr("INTERVAL 6 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        users.join(t1, Seq("user_id"), "left")
+          .join(t2, Seq("user_id"), "left")
+          .join(t3, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+            when(col("t_purchase").isNotNull, 3)
+              .when(col("t_click").isNotNull, 2)
+              .when(col("t_view").isNotNull, 1)
+              .otherwise(0).as("stage"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             | t1 AS (SELECT user_id, min(ts) AS t_view FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             | t2 AS (SELECT e.user_id, min(ts) AS t_click FROM events e
+             |  JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE event_type = 'click' AND ts > t_view
+             |   AND ts <= t_view + INTERVAL 6 HOUR GROUP BY e.user_id),
+             | t3 AS (SELECT e.user_id, min(ts) AS t_purchase FROM events e
+             |  JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE event_type = 'purchase' AND ts > t_click
+             |   AND ts <= t_click + INTERVAL 6 HOUR GROUP BY e.user_id)
+             | SELECT u.user_id, t_view, t_click, t_purchase,
+             |  CASE WHEN t_purchase IS NOT NULL THEN 3
+             |       WHEN t_click IS NOT NULL THEN 2
+             |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+             | FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+             |  LEFT JOIN t2 ON u.user_id = t2.user_id
+             |  LEFT JOIN t3 ON u.user_id = t3.user_id
+             | ORDER BY u.user_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id")),
+
     // P1 — lenient JSON scalar extraction with NPE-to-0 semantics
     // (StreamsFilterEgvs.java:43-52) made explicit via coalesce.
     QueryDef("ref_json_extract",
