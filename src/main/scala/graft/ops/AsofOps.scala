@@ -55,4 +55,41 @@ object AsofOps {
       .select(keyCols.map(col) ++ Seq(col("__t").as(leftTime)) ++
         leftPayload.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Forward as-of: for each left row, the single right row with the
+    * SMALLEST `rightTime` >= `leftTime` in the key — "the next reading
+    * at or after t" (scheduling lookups, next-maintenance windows,
+    * forward feature leakage checks). Same union+one-window shape as
+    * [[asofJoin]], mirrored: left rows sort BEFORE right rows at equal
+    * timestamps so a right row AT t matches (inclusive >=), and the
+    * frame runs current-row → unbounded FOLLOWING with first(ignoreNulls)
+    * carrying the next payload backward. Zero join nodes, |left| rows.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTime: String, rightTime: String,
+                      rightPayload: Seq[String]): DataFrame = {
+    val leftPayload =
+      left.columns.filterNot(c => keyCols.contains(c) || c == leftTime).toSeq
+    val rType = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lType = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val l = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(0).as("__side")) ++
+        leftPayload.map(col) ++
+        rightPayload.map(c => lit(null).cast(rType(c)).as(s"__r_$c")): _*)
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(1).as("__side")) ++
+        leftPayload.map(c => lit(null).cast(lType(c)).as(c)) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .select(col("*") +: rightPayload.map(c =>
+        first(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .filter(col("__side") === 0)
+      .select(keyCols.map(col) ++ Seq(col("__t").as(leftTime)) ++
+        leftPayload.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
+  }
 }

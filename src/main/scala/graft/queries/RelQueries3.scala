@@ -317,6 +317,31 @@ object RelQueries3 {
              | ORDER BY e.event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id")),
 
+    // Forward as-of: the NEXT high reading at or after each event —
+    // mirror of q_asof_join, same zero-join union+window shape with the
+    // frame reversed; oracle = DuckDB's native forward ASOF (>=).
+    QueryDef("q_asof_forward",
+      (s, d) => {
+        val events = Tables.events(s, d)
+        val high = events.filter(col("value") >= 200)
+          .groupBy(col("user_id"), col("ts").as("high_ts"))
+          .agg(max(col("value")).as("high_value"))
+        graft.ops.AsofOps.asofJoinForward(
+          events.select("user_id", "ts", "event_id", "value"),
+          high,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "high_ts",
+          rightPayload = Seq("high_ts", "high_value"))
+      },
+      Some("""WITH high AS (
+             |  SELECT user_id, ts AS high_ts, max(value) AS high_value
+             |  FROM events WHERE value >= 200 GROUP BY user_id, ts)
+             | SELECT e.user_id, e.ts, e.event_id, e.value,
+             |  h.high_ts AS asof_high_ts, h.high_value AS asof_high_value
+             | FROM events e ASOF LEFT JOIN high h
+             |  ON e.user_id = h.user_id AND h.high_ts >= e.ts
+             | ORDER BY e.event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id")),
+
     // Approximate percentile sketch beside the exact value. The sketch
     // estimate is engine-specific, so the gate checks it with a tolerance
     // oracle instead of going rows-only: the exact percentile is compared

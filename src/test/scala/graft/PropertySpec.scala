@@ -38,6 +38,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: asofJoinForward equals the naive earliest-at-or-after lookup") {
+    import spark.implicits._
+    val keys = Seq("a", "b", "c")
+    val left = Seq.fill(200)((keys(rnd.nextInt(3)), rnd.nextInt(1000)))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val right = Seq.fill(60)((keys(rnd.nextInt(3)), rnd.nextInt(1000)))
+      .distinct
+      .map { case (k, rt) => (k, rt, s"$k@$rt") }
+    val out = AsofOps.asofJoinForward(
+      left.toDF("k", "t", "row_id"), right.toDF("k", "rt", "state"),
+      Seq("k"), "t", "rt", Seq("state"))
+      .select("row_id", "asof_state").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === left.size)
+    for ((k, t, id) <- left) {
+      val expect = right.filter(r => r._1 == k && r._2 >= t)
+        .sortBy(_._2).headOption.map(_._3).orNull
+      assert(out(id) === expect, s"key=$k t=$t")
+    }
+  }
+
   test("property: categorize(v) is in-range iff lower <= v <= upper") {
     import spark.implicits._
     val cases = Seq.fill(40) {
