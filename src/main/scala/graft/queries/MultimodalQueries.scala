@@ -51,6 +51,32 @@ object MultimodalQueries {
               | FROM s ORDER BY doc_id, sample_idx""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "sample_idx")),
 
+    // Audio windowing — the PCM sibling of mm_frame_sample: bytes read
+    // as 16-bit/8 kHz samples, cut into 1-second windows, one row per
+    // window with its sample offset and length. Pure integer arithmetic
+    // over blob lengths (ceil spelled (a+b-1) div b), narrow explode,
+    // blobs never shuffled.
+    QueryDef("mm_audio_windows",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bytes", col("text").cast("binary"))
+        .withColumn("n_samples", (length(col("bytes")).cast("long") / 2).cast("long"))
+        .withColumn("n_windows", expr("greatest(1L, (n_samples + 7999) div 8000)"))
+        .withColumn("win", explode(expr("sequence(0L, n_windows - 1)")))
+        .select(col("doc_id"), col("win").cast("int").as("win"),
+          (col("win") * 8000).cast("long").as("start_sample"),
+          least(lit(8000L), col("n_samples") - col("win") * 8000)
+            .as("win_samples")),
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(text) // 2 AS BIGINT) AS n_samples FROM documents),
+             | w AS (SELECT doc_id, n_samples,
+             |  unnest(range(0, greatest(1, (n_samples + 7999) // 8000))) AS win
+             |  FROM m)
+             | SELECT doc_id, CAST(win AS INT) AS win,
+             |  CAST(win * 8000 AS BIGINT) AS start_sample,
+             |  CAST(least(8000, n_samples - win * 8000) AS BIGINT) AS win_samples
+             | FROM w ORDER BY doc_id, win""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id", "win")),
+
     // Feature-extraction stub via partition-batched mapPartitions. The
     // fake is a 60-bit md5 checksum + power-of-two-scaled float
     // components — bit-reproducible in DuckDB (md5 + integer shifts +

@@ -113,6 +113,51 @@ object QualityQueries {
              | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // Language-ID with a confidence score: marker votes per language,
+    // argmax with declaration-order tie-break (same rule as
+    // text_lang_predict), plus the rational vote share best/total —
+    // integer-derived IEEE division, no softmax/exp, so both engines
+    // agree bit-for-bit. Zero-vote docs report 'und' at confidence 0.
+    QueryDef("text_lang_confidence",
+      (s, d) => {
+        var df = Tables.documents(s, d)
+          .withColumn("__toks", TextOps.tokens(col("text")))
+        for ((l, words) <- TextOps.langMarkers)
+          df = df.withColumn(s"__s_$l", TextOps.markerCountExpr("__toks", words))
+        val scores = TextOps.langMarkers.map { case (l, _) => col(s"__s_$l") }
+        val total = scores.reduce(_ + _)
+        val best = greatest(scores: _*)
+        val pred = TextOps.langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+          when(col(s"__s_$l") === best && best > 0, l).otherwise(acc)
+        }
+        df.select(col("doc_id"), pred.as("predicted"),
+          total.cast("long").as("n_votes"),
+          when(total > 0,
+            round(best.cast("double") / total, 4)
+              .cast("decimal(18,4)").cast("double"))
+            .otherwise(0.0).as("confidence"))
+      },
+      Some {
+        val scoreCols = TextOps.langMarkers.map { case (l, words) =>
+          s"${TextOps.markerCountSql("toks", words)} AS s_$l"
+        }.mkString(", ")
+        val names = TextOps.langMarkers.map { case (l, _) => s"s_$l" }
+        val total = names.mkString(" + ")
+        val best = names.mkString("greatest(", ", ", ")")
+        val pred = TextOps.langMarkers.reverse.foldLeft("'und'") {
+          case (acc, (l, _)) => s"CASE WHEN s_$l = b AND b > 0 THEN '$l' ELSE $acc END"
+        }
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            sc AS (SELECT doc_id, $scoreCols FROM t),
+            p AS (SELECT *, $best AS b, CAST(($total) AS BIGINT) AS tot FROM sc)
+            SELECT doc_id, $pred AS predicted, tot AS n_votes,
+              CASE WHEN tot > 0 THEN
+                CAST(CAST(round(b::DOUBLE / tot, 4) AS DECIMAL(18,4)) AS DOUBLE)
+              ELSE 0.0 END AS confidence
+            FROM p ORDER BY doc_id"""
+      },
+      presentOrder = Seq("doc_id")),
+
     // Gopher/C4-class composite quality filter: word-count bounds, mean
     // word length bounds, minimum stopword ratio, maximum token length.
     // keep = all rules pass; fail_reason = FIRST failing rule in a fixed
