@@ -154,6 +154,53 @@ object StatefulOps {
       }
   }
 
+  case class FunnelEvent(userId: String, ts: java.sql.Timestamp, eventType: String)
+  case class FunnelTransition(userId: String, stage: Int, ts: java.sql.Timestamp)
+  case class FunnelState(stage: Int, anchorMs: Long)
+
+  /** Streaming twin of the batch `ref_funnel`: a per-user stage machine
+    * advancing view → click → purchase, each stage strictly after the
+    * previous anchor and within `windowMs` of it. Greedy in-order
+    * advance equals the batch min-anchored formula (the first view IS
+    * min(view ts); the first qualifying click after it IS the batch t2;
+    * same for purchase) — the parity test pins this. State is two fields
+    * per user, O(1) forever; one FunnelTransition row emitted per stage
+    * reached. Intra-batch order contract: event time (ties by type in
+    * funnel order), matching the batch side's min() semantics.
+    */
+  def streamingFunnel(events: Dataset[FunnelEvent],
+                      windowMs: Long): Dataset[FunnelTransition] = {
+    import events.sparkSession.implicits._
+    val order = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelTransition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: String, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, order.getOrElse(e.eventType, 3)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelTransition]
+          var st = state.getOption.getOrElse(FunnelState(0, 0L))
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            val want = st.stage match {
+              case 0 => "view"
+              case 1 => "click"
+              case 2 => "purchase"
+              case _ => ""
+            }
+            val qualifies = e.eventType == want &&
+              (st.stage == 0 || (t > st.anchorMs && t <= st.anchorMs + windowMs))
+            if (qualifies) {
+              st = FunnelState(st.stage + 1, t)
+              out += FunnelTransition(userId, st.stage, e.ts)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One (band, key) bucket row of an arriving document: its id and full
     * MinHash signature. In a live topology these rows derive from the doc
     * stream as a narrow map (per-doc HOF minhash) + flatMap to bands —

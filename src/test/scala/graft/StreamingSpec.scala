@@ -480,6 +480,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) === Set(1L, 3L)) // near-dup + copy, not 2/4
   }
 
+  test("streaming funnel transitions match the gated batch funnel across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{FunnelEvent, FunnelTransition}
+    val dir = "/root/testdata/sf0.001"
+    // Batch truth: the gated query's per-user final stage + anchors.
+    val batch = Catalog.queries("ref_funnel")(spark, dir).collect()
+      .map(r => (r.getLong(0).toString, r.getInt(4))).toMap
+    // Stream the same events in event-time order, split into 3 batches —
+    // stage anchors must survive in state across the splits.
+    val evs = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("string"), col("ts"), col("event_type"))
+      .orderBy("ts").collect()
+      .map(r => FunnelEvent(r.getString(0), r.getTimestamp(1), r.getString(2)))
+    val in = MemoryStream[FunnelEvent]
+    val q = graft.streaming.StatefulOps
+      .streamingFunnel(in.toDS(), windowMs = 6L * 3600 * 1000)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("funnel_stream").as[FunnelTransition].collect()
+    // One transition per stage reached; max stage per user == batch stage.
+    val perUser = streamed.groupBy(_.userId).view
+      .mapValues(ts => ts.map(_.stage).max).toMap
+    batch.foreach { case (u, stage) =>
+      assert(perUser.getOrElse(u, 0) === stage, s"user $u")
+    }
+    assert(streamed.groupBy(t => (t.userId, t.stage)).forall(_._2.length == 1),
+      "each stage must be reached exactly once per user")
+  }
+
   test("running z-score state matches batch cumulative stats across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
