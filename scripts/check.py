@@ -50,7 +50,10 @@ def render_all_varchar(con, sql, cols):
     # COALESCE to a sentinel INSIDE DuckDB so a genuine NULL stays
     # distinguishable from the literal string 'None' (astype(str) would
     # render both identically and mask a NULL-vs-'None' divergence the
-    # driver's hash treats as a mismatch).
+    # driver's hash treats as a mismatch). The sentinel is the literal
+    # 12-char text \x00NULL\x00 (DuckDB standard strings do not process
+    # backslash escapes) — collision requires a real cell holding exactly
+    # that text, which no gated query produces.
     sel = ", ".join(
         f'COALESCE(CAST("{c}" AS VARCHAR), \'\\x00NULL\\x00\') AS "{c}"'
         for c in ordered)

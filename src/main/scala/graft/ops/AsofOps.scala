@@ -60,10 +60,14 @@ object AsofOps {
     * SMALLEST `rightTime` >= `leftTime` in the key — "the next reading
     * at or after t" (scheduling lookups, next-maintenance windows,
     * forward feature leakage checks). Same union+one-window shape as
-    * [[asofJoin]], mirrored: left rows sort BEFORE right rows at equal
-    * timestamps so a right row AT t matches (inclusive >=), and the
-    * frame runs current-row → unbounded FOLLOWING with first(ignoreNulls)
-    * carrying the next payload backward. Zero join nodes, |left| rows.
+    * [[asofJoin]], run in DESCENDING time order so the frame stays
+    * unboundedPreceding → currentRow — the frame Spark evaluates
+    * incrementally in O(n) per key (a currentRow → unboundedFollowing
+    * frame re-scans the partition tail per row: O(n²)). Scanning down
+    * in time, `last(right payload, ignoreNulls)` is the most recently
+    * seen right = the smallest rightTime still >= the current left time.
+    * Right rows sort before left rows at equal timestamps (inclusive
+    * >=). Zero join nodes, |left| rows.
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                       leftTime: String, rightTime: String,
@@ -82,12 +86,13 @@ object AsofOps {
         Seq(col(rightTime).as("__t"), lit(1).as("__side")) ++
         leftPayload.map(c => lit(null).cast(lType(c)).as(c)) ++
         rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+    // Descending time; at equal __t the right row (side 1) sorts first.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__t").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .select(col("*") +: rightPayload.map(c =>
-        first(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
       .filter(col("__side") === 0)
       .select(keyCols.map(col) ++ Seq(col("__t").as(leftTime)) ++
         leftPayload.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)

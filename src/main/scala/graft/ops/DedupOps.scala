@@ -225,15 +225,19 @@ object DedupOps {
     val dir = spark.conf.get("graft.pairs.dir", "")
     // Cache key must identify the CORPUS, not just the parameters: the
     // same threshold at two scale factors (check.py runs sf0.001 AND
-    // sf0.01) must not read each other's pair tables. The input file set
-    // is the corpus identity; an in-memory frame has none, so caching is
-    // unsafe and we fall through to the direct computation.
+    // sf0.01) must not read each other's pair tables. Identity = input
+    // file set + the (textCol, idCol) pair read from it; an in-memory
+    // frame has no files, so caching is unsafe and we fall through.
+    // LIMIT: filters/transformations applied to `docs` are invisible to
+    // inputFiles — callers passing a derived frame must leave
+    // graft.pairs.dir unset.
     val corpus = docs.inputFiles.sorted.mkString("\n")
     if (dir.isEmpty || corpus.isEmpty)
       jaccardPairs(docs, textCol, idCol, threshold, maxShingleFreq)
     else {
       val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(corpus.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        .digest(s"$corpus|$textCol|$idCol".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
       val path = s"$dir/jaccard_${tag}_t${threshold}_f$maxShingleFreq"
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)

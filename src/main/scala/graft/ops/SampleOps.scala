@@ -71,6 +71,11 @@ object SampleOps {
     * filter — the same plan at 500 docs or 100 TB.
     */
   def temperatureRates(docs: DataFrame, domainCol: Column, target: Long): DataFrame = {
+    // Beyond ~1e12 the 1e4·target double product passes 2^53 and the two
+    // engines' rounding (and BIGINT-cast overflow behavior) can diverge;
+    // a larger budget than a trillion docs is a caller bug anyway.
+    require(target > 0 && target <= 1000000000000L,
+      s"target must be in (0, 1e12], got $target")
     val counts = docs.groupBy(domainCol.as("domain"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("s_units",
@@ -111,7 +116,8 @@ object SampleOps {
           FROM $table GROUP BY 1),
         tot AS (SELECT sum(s_units) AS s FROM counts)
         SELECT domain, n_docs, s_units,
-               least(10000, CAST(floor(10000.0 * $target * CAST(s_units AS DOUBLE)
+               least(10000, CAST(floor(CAST(10000 AS DOUBLE) * CAST($target AS DOUBLE)
+                 * CAST(s_units AS DOUBLE)
                  / CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT)) AS rate10k
         FROM counts, tot"""
 }

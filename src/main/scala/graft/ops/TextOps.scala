@@ -46,6 +46,13 @@ object TextOps {
     s"CASE WHEN n <= $ChunkWindow THEN 1 ELSE 1 + (n - $ChunkWindow + ${ChunkStride - 1}) div $ChunkStride END"
   def chunkCountSql: String =
     s"CASE WHEN n <= $ChunkWindow THEN 1 ELSE 1 + (n - $ChunkWindow + ${ChunkStride - 1}) // $ChunkStride END"
+  /** Chunk `chunk_idx`'s token slice of `toksCol` (1-based starts; Spark
+    * slice takes a LENGTH, DuckDB list_slice an inclusive stop — these
+    * two spell the identical window). */
+  def chunkSliceExpr(toksCol: String): String =
+    s"slice($toksCol, CAST(1 + chunk_idx * $ChunkStride AS INT), $ChunkWindow)"
+  def chunkSliceSql(toksExpr: String): String =
+    s"list_slice($toksExpr, 1 + chunk_idx * $ChunkStride, chunk_idx * $ChunkStride + $ChunkWindow)"
 
   /** PII scrub patterns, written in the Java-regex ∩ RE2 subset so Spark
     * (java.util.regex) and DuckDB (RE2) match identically: no backrefs,

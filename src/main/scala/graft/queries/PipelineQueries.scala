@@ -240,8 +240,7 @@ object PipelineQueries {
           .withColumn("k", expr(TextOps.chunkCountExpr))
           .withColumn("chunk_idx", explode(sequence(lit(0L), col("k") - 1)))
           .withColumn("__h", md5(array_join(
-            expr(s"slice(__toks, CAST(1 + chunk_idx * ${TextOps.ChunkStride} AS INT), ${TextOps.ChunkWindow})"),
-            " ")))
+            expr(TextOps.chunkSliceExpr("__toks")), " ")))
           .select(col("doc_id"), col("chunk_idx"), col("__h"))
         val firstOwner = chunks.groupBy(col("__h"))
           .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__o"))
@@ -258,15 +257,13 @@ object PipelineQueries {
               .cast("decimal(18,4)").cast("double").as("keep_frac"))
       },
       Some {
-        val (cw, cs) = (TextOps.ChunkWindow, TextOps.ChunkStride)
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
             k AS (SELECT doc_id, toks, n, ${TextOps.chunkCountSql} AS k FROM t),
             c AS (SELECT doc_id, toks,
               unnest(generate_series(0, k - 1)) AS chunk_idx FROM k),
             ch AS (SELECT doc_id, chunk_idx,
-              md5(array_to_string(list_slice(toks, 1 + chunk_idx * $cs,
-                chunk_idx * $cs + $cw), ' ')) AS h FROM c),
+              md5(array_to_string(${TextOps.chunkSliceSql("toks")}, ' ')) AS h FROM c),
             own AS (SELECT h, doc_id AS od, chunk_idx AS oc FROM (
               SELECT h, doc_id, chunk_idx, row_number() OVER (PARTITION BY h
                 ORDER BY doc_id, chunk_idx) AS rn FROM ch) WHERE rn = 1)
@@ -299,7 +296,7 @@ object PipelineQueries {
           .withColumn("k", expr(TextOps.chunkCountExpr))
           .withColumn("chunk_idx", explode(sequence(lit(0L), col("k") - 1)))
           .withColumn("__ct",
-            array_join(expr(s"slice(__toks, CAST(1 + chunk_idx * ${TextOps.ChunkStride} AS INT), ${TextOps.ChunkWindow})"), " "))
+            array_join(expr(TextOps.chunkSliceExpr("__toks")), " "))
         val embedded = chunks
           .withColumn("__h", TextOps.hash64(col("__ct")))
           .withColumn("embedding", expr(
@@ -319,15 +316,13 @@ object PipelineQueries {
       Some {
         val planes = graft.ops.SimOps.hyperplanes(planes = 4, dim = 8, seed = 31L)
         val h = TextOps.hash64Sql("ct")
-        val (cw, cs) = (TextOps.ChunkWindow, TextOps.ChunkStride)
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
             k AS (SELECT doc_id, toks, n, ${TextOps.chunkCountSql} AS k FROM t),
             c AS (SELECT doc_id, toks,
               unnest(generate_series(0, k - 1)) AS chunk_idx FROM k),
             ct AS (SELECT doc_id, chunk_idx,
-              array_to_string(list_slice(toks, 1 + chunk_idx * $cs,
-                                         chunk_idx * $cs + $cw), ' ') AS ct FROM c),
+              array_to_string(${TextOps.chunkSliceSql("toks")}, ' ') AS ct FROM c),
             emb AS (SELECT doc_id, chunk_idx, ct,
               list_transform(range(0, 8),
                 i -> (CAST((($h) >> (7 * i)) & 65535 AS DOUBLE) / 65536.0) * 2.0 - 1.0)

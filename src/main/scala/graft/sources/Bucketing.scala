@@ -51,9 +51,13 @@ object Bucketing {
     * runs so later scans can SKIP row groups: range-repartition by the
     * cluster key (contiguous key ranges per file, so per-file min/max
     * stats are disjoint and a key predicate prunes to ~one file), sort
-    * within partitions (ordered row groups inside each file), and bound
-    * file size with maxRecordsPerFile (splits honor the sort, so extra
-    * files stay range-disjoint). This is the parquet-native sibling of
+    * within partitions (ordered row groups inside each file), and
+    * optionally bound file size with maxRecordsPerFile. Splits honor the
+    * sort, but a key whose duplicate run straddles a cut appears in two
+    * adjacent files — their ranges then touch at that one boundary key
+    * (a point predicate reads 2 files, not 1); strict pairwise
+    * disjointness holds when the cluster key is unique or
+    * maxRecordsPerFile is unset. The parquet-native sibling of
     * Z-ordering: 1-D clustering, exact, no curve math.
     */
   def writeClustered(df: DataFrame, path: String, clusterCol: String,
