@@ -10,6 +10,14 @@ object Verify {
     // for fast local iteration. The driver always runs the full dump.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // A filtered run rewrites oracle_sql.json with only the subset; any
+    // result dirs left over from a previous full dump would then be
+    // compared as rows-only. Make that state impossible to miss.
+    only.foreach { names =>
+      System.err.println(
+        s"[verify] FILTERED RUN (${names.size} queries): $outDir is NOT a " +
+          "full dump; oracle_sql.json covers only the filtered subset.")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

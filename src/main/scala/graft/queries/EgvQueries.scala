@@ -134,9 +134,14 @@ object EgvQueries {
         val ev = Tables.events(s, d)
         val stats = ev.groupBy(col("user_id"))
           .agg(avg(col("value")).as("__mu"), stddev_samp(col("value")).as("__sd"))
+        // NULLIF(sd,0): a constant-valued user has sd=0; Spark's 0/0 is
+        // NaN (→ NULL after decimal cast) while DuckDB raises on
+        // CAST(round(nan)) — NULL-ing the divisor keeps both engines at
+        // a deterministic NULL z.
         ev.join(broadcast(stats), "user_id")
           .withColumn("z",
-            round((col("value") - col("__mu")) / col("__sd"), 4)
+            round((col("value") - col("__mu")) /
+              nullif(col("__sd"), lit(0.0)), 4)
               .cast("decimal(18,4)").cast("double"))
           .select(col("event_id"), col("user_id"), col("value"), col("z"),
             (abs(col("z")) > 2.0).as("is_anomaly"))
@@ -144,8 +149,8 @@ object EgvQueries {
       Some("""WITH st AS (SELECT user_id, avg(value) AS mu,
              |  stddev_samp(value) AS sd FROM events GROUP BY user_id)
              | SELECT event_id, events.user_id, value,
-             |  CAST(round((value - mu) / sd, 4) AS DECIMAL(18,4))::DOUBLE AS z,
-             |  abs(CAST(round((value - mu) / sd, 4) AS DECIMAL(18,4))::DOUBLE) > 2.0
+             |  CAST(round((value - mu) / NULLIF(sd, 0), 4) AS DECIMAL(18,4))::DOUBLE AS z,
+             |  abs(CAST(round((value - mu) / NULLIF(sd, 0), 4) AS DECIMAL(18,4))::DOUBLE) > 2.0
              |    AS is_anomaly
              | FROM events JOIN st ON events.user_id = st.user_id
              | ORDER BY event_id""".stripMargin.replace("\n", "")),

@@ -228,6 +228,13 @@ object StatefulOps {
     * promised within a micro-batch), so earlier ids are visible to later
     * ones arriving together. A doc colliding in several bands emits one
     * hit per (band, stored doc); consumers reduce with min(dupOf).
+    *
+    * Delivery contract: EMISSION is at-least-once. The replay guard below
+    * keeps redelivered docs from corrupting state (no duplicate cap slots,
+    * no self-hits), but a redelivered doc still re-emits its hits against
+    * already-stored docs. That is exactly the contract the min(dupOf)
+    * reduce absorbs; a sink needing exactly-once hit rows must either
+    * dedup on (docId, dupOf) or track emitted ids in state.
     */
   def streamingNearDup(bucketed: Dataset[BucketDoc], threshold: Double,
                        maxPerBucket: Int = 64): Dataset[NearDupHit] = {
