@@ -264,6 +264,32 @@ class DedupSimSpec extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("multi-table LSH top-k: scores are exact on candidates, recall audited") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 13) % 19).toFloat - 9f))
+    }.toDF("vec_id", "embedding")
+    val tabs = SimOps.lshTables(tables = 4, planes = 3, dim = 4)
+    val brute = SimOps.topKBruteForce(vecs, col("vec_id") < 5, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val approx = SimOps.topKLshMulti(vecs, col("vec_id") < 5, 5, tabs)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    // Every emitted neighbor carries the EXACT cosine: any pair also in the
+    // brute top-k must agree bit-for-bit (verification is never approximate).
+    approx.foreach { case (key, score) =>
+      brute.get(key).foreach(exact => assert(score === exact)) }
+    val again = SimOps.topKLshMulti(vecs, col("vec_id") < 5, 5, tabs)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    assert(approx.toSeq === again.toSeq) // rerun-deterministic
+    // The audit's floor boolean actually bites: impossible floor → false.
+    val audit = SimOps.recallAudit(vecs, col("vec_id") < 5, 5, tabs,
+        c = 4, nprobe = 2, lshFloor = 1.01, ivfFloor = 0.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!audit("lsh")._2 && audit("ivf")._2)
+    assert(audit("lsh")._1 > 0.0 && audit("lsh")._1 <= 1.0)
+  }
+
   test("int8 quantization: exact scale, floor(+0.5) rounding, zero-vector safe") {
     import spark.implicits._
     val vecs = Seq(

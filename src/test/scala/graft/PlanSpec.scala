@@ -63,6 +63,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in dedup path:\n$p")
   }
 
+  test("multi-table LSH top-k: candidates come from a bucket equi-join, not a loop") {
+    graft.catalyst.GraftFunctions.register(spark)
+    val p = planOf("sim_topk_lsh")
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH top-k:\n$p")
+    // The (tbl, bucket) candidate join must be an equi-join (hash or
+    // sort-merge — never a nested loop scoring all n² pairs).
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"n² loop in LSH top-k:\n$p")
+  }
+
   test("join-strategy hints override the planner (MERGE forces sort-merge on a dim)") {
     // The planner-control surface a tuner reaches for when stats mislead:
     // the same dim join that PlanSpec pins as broadcast above must
