@@ -201,6 +201,63 @@ object StatefulOps {
       }
   }
 
+  /** One tagged record of the two-stream temporal-enrichment union:
+    * dimension updates (`isDim = true`, carrying `dimValue`) and fact
+    * lookups (`isDim = false`, carrying `eventId`) share the key and an
+    * event timestamp. */
+  case class AsofEvent(key: String, ts: java.sql.Timestamp, isDim: Boolean,
+                       eventId: Long, dimValue: Option[Int])
+  case class AsofEnriched(key: String, ts: java.sql.Timestamp, eventId: Long,
+                          asofValue: Option[Int],
+                          asofTs: Option[java.sql.Timestamp])
+  case class DimState(tsMs: Long, value: Int)
+
+  /** Streaming as-of enrichment — the streaming twin of the gated batch
+    * `q_asof_join` (`AsofOps.asofJoin`) and the Spark shape of the
+    * reference's whole topology: a fact stream enriched against the
+    * latest-so-far state of a changelog
+    * (CategorizeWithKTableLookup.java:65-66 does exactly this with a
+    * KTable lookup inside a ValueTransformer).
+    *
+    * Each lookup row gets the dim row with the greatest dim ts <= lookup
+    * ts seen SO FAR — at equal timestamps the dim update wins (inclusive
+    * <=, matching `asofJoin`'s right-before-left tie order). State is ONE
+    * (ts, value) per key, O(1) forever: a NEWER dim update replaces an
+    * older one, which is lossy only for lookups that arrive AFTER a dim
+    * row that postdates them — the stream contract here, as with every
+    * twin in this file, is event-time-ordered arrival across micro-batches
+    * (enforced upstream by watermark + event-time sort, proven by the
+    * cross-batch parity test). Lookups before any dim row emit NULLs
+    * (left-join semantics, like the batch side).
+    */
+  def streamingAsof(events: Dataset[AsofEvent]): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DimState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[AsofEvent], state: GroupState[DimState]) =>
+          // Event-time order; dim rows first at equal ts (inclusive <=).
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, !r.isDim, r.eventId))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofEnriched]
+          var cur = state.getOption
+          for (r <- sorted) {
+            if (r.isDim) {
+              // Guard against an out-of-order STALE dim slipping into a
+              // batch: never replace a newer state with an older row.
+              if (cur.forall(_.tsMs <= r.ts.getTime))
+                cur = Some(DimState(r.ts.getTime, r.dimValue.get))
+            } else {
+              val m = cur.filter(_.tsMs <= r.ts.getTime)
+              out += AsofEnriched(key, r.ts, r.eventId, m.map(_.value),
+                m.map(s => new java.sql.Timestamp(s.tsMs)))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** One (band, key) bucket row of an arriving document: its id and full
     * MinHash signature. In a live topology these rows derive from the doc
     * stream as a narrow map (per-doc HOF minhash) + flatMap to bands —

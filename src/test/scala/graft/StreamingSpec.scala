@@ -515,6 +515,56 @@ class StreamingSpec extends SparkSpec {
       "each stage must be reached exactly once per user")
   }
 
+  test("streaming as-of enrichment matches the batch as-of join across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{AsofEnriched, AsofEvent}
+    // Interleaved changelog + lookups over 3 keys: dim updates every 70 s,
+    // lookups every 60 s, including exact timestamp collisions (every
+    // 420 s) where the inclusive-<= tie rule decides the answer, and
+    // lookups before any dim row (NULL enrichment).
+    val t0 = 1700000000000L
+    val dims = for (k <- 0 until 3; i <- 0 until 20) yield
+      AsofEvent(s"k$k", new java.sql.Timestamp(t0 + 30000L + i * 70000L + k * 7000L),
+        isDim = true, eventId = -1L, dimValue = Some(k * 100 + i))
+    val lookups = for (k <- 0 until 3; i <- 0 until 25) yield
+      AsofEvent(s"k$k", new java.sql.Timestamp(t0 + i * 60000L + (k % 2) * 30000L),
+        isDim = false, eventId = k * 1000L + i, dimValue = None)
+    // Batch truth: the gated operator on the same two tables.
+    val left = lookups.toSeq.toDF("key", "ts", "isDim", "eventId", "dimValue")
+      .select("key", "ts", "eventId")
+    val right = dims.toSeq.toDF("key", "ts", "isDim", "eventId", "dimValue")
+      .select(col("key"), col("ts").as("dim_ts"), col("dimValue").as("value"))
+    val batch = graft.ops.AsofOps.asofJoin(left, right, Seq("key"),
+        "ts", "dim_ts", Seq("value", "dim_ts"))
+      .collect().map(r => (r.getLong(2),
+        (Option(r.get(3)).map(_.asInstanceOf[Int]),
+         Option(r.getTimestamp(4))))).toMap
+    // Stream the union in event-time order (dim first at equal ts), split
+    // across 3 micro-batches — state must carry the last dim across splits.
+    val evs = (dims ++ lookups).sortBy(e => (e.ts.getTime, !e.isDim, e.eventId))
+    val in = MemoryStream[AsofEvent]
+    val q = graft.streaming.StatefulOps.streamingAsof(in.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("asof_stream").as[AsofEnriched].collect()
+    assert(streamed.length === lookups.length) // one output row per lookup
+    streamed.foreach { e =>
+      val (bv, bt) = batch(e.eventId)
+      assert(e.asofValue === bv, s"value for lookup ${e.eventId}")
+      assert(e.asofTs === bt, s"ts for lookup ${e.eventId}")
+    }
+    // The fixture exercises both edges: some NULL (pre-dim) lookups and
+    // at least one exact ts collision resolved by the inclusive rule.
+    assert(streamed.exists(_.asofValue.isEmpty))
+    assert(lookups.exists(l => dims.exists(d =>
+      d.key == l.key && d.ts.getTime == l.ts.getTime)))
+  }
+
   test("running z-score state matches batch cumulative stats across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
