@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface (north star):
@@ -144,5 +144,112 @@ object TextOps {
     // CAST to BIGINT: DuckDB folds the CASE-sum to INTEGER when it fits,
     // but the Spark side packs into LongType — widths must match the gate.
     terms.mkString("CAST((", " + ", ") AS BIGINT)")
+  }
+
+  /** BPE tokenizer-training merge loop — the iterated form of
+    * `text_bpe_top_pairs` (which is one count step): per round, count
+    * adjacent piece pairs over the corpus, adopt the most frequent pair
+    * (ties: lexicographic) as a merge, rewrite every sequence greedily
+    * left-to-right, repeat. Emits one row per round: the adopted merge,
+    * its pre-merge count, and the re-tokenized corpus's piece total +
+    * order-independent fingerprint (bit_xor of per-doc 60-bit hashes —
+    * mergeable, no driver-side corpus assembly).
+    *
+    * Scale shape, per round: ONE pair-count shuffle (map-side combined)
+    * reduced to a single driver row via TakeOrderedAndProject-style
+    * limit(1); the rewrite is a narrow per-row HOF fold (no shuffle); the
+    * stats are one partial-aggregable pass. The driver holds only the
+    * current merge pair — the CC-rounds pattern. (Production BPE runs
+    * thousands of rounds and batches non-conflicting merges per round;
+    * the loop body is identical.)
+    *
+    * The greedy rewrite folds left-to-right over the sequence joined by a
+    * \u001f separator (absent from the corpus by construction of the
+    * piece regex inputs): if the accumulator's LAST piece equals `pa` and
+    * the next piece equals `pb`, append `pb` directly (merging — and the
+    * merged symbol, being pa||pb, can no longer left-match pa, which is
+    * exactly BPE's non-overlapping skip); otherwise append with a
+    * separator. Identical `list_reduce` fold in DuckDB.
+    */
+  val BpePieceRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  private val BpeSep = "\u001f"
+
+  /** Greedy non-overlapping single-merge rewrite of a piece-array column. */
+  def bpeMergeOnce(pieces: Column, pa: String, pb: String): Column = {
+    val merged = aggregate(
+      slice(pieces, lit(2), size(pieces) - 1),
+      element_at(pieces, 1),
+      (acc, x) => when(x === lit(pb) &&
+          (acc === lit(pa) || acc.endsWith(lit(BpeSep + pa))),
+          concat(acc, x))
+        .otherwise(concat(acc, lit(BpeSep), x)))
+    when(size(pieces) < 2, pieces).otherwise(split(merged, BpeSep))
+  }
+
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var pieces = docs.select(col("doc_id"),
+      regexp_extract_all(col("text"), lit(BpePieceRe), lit(0)).as("p"))
+      .persist()
+    val out = (1 to rounds).map { r =>
+      val top = pieces.filter(size(col("p")) >= 2)
+        .select(explode(expr(
+          """zip_with(slice(p, 1, size(p) - 1), slice(p, 2, size(p) - 1),
+             (a, b) -> named_struct('a', a, 'b', b))""")).as("u"))
+        .groupBy(col("u.a").as("pa"), col("u.b").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1).collect()(0)
+      val (pa, pb, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      val next = pieces
+        .select(col("doc_id"), bpeMergeOnce(col("p"), pa, pb).as("p"))
+        .persist()
+      next.count() // materialize before dropping the previous round
+      pieces.unpersist()
+      pieces = next
+      val st = pieces
+        .select(size(col("p")).cast("long").as("n"),
+          hash64(concat_ws(BpeSep, col("p"))).as("h"))
+        .agg(sum(col("n")).as("tot"), expr("bit_xor(h)").as("fp"))
+        .collect()(0)
+      (r, pa, pb, cnt, st.getLong(0), st.getLong(1))
+    }
+    pieces.unpersist()
+    import spark.implicits._
+    out.toDF("merge_round", "pa", "pb", "cnt", "pieces_total", "corpus_fp")
+  }
+
+  def bpeTrainSql(table: String, rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH s0 AS (SELECT doc_id, regexp_extract_all(text, '$BpePieceRe') AS p FROM $table)")
+    for (r <- 1 to rounds) {
+      val prev = s"s${r - 1}"
+      sb.append(s""",
+        t$r AS (SELECT pa, pb, CAST(cnt AS BIGINT) AS cnt FROM (
+                  SELECT (u).a AS pa, (u).b AS pb, count(*) AS cnt
+                  FROM (SELECT unnest(list_transform(range(1, len(p)),
+                         i -> struct_pack(a := p[i], b := p[i + 1]))) AS u
+                        FROM $prev WHERE len(p) >= 2)
+                  GROUP BY 1, 2)
+                ORDER BY cnt DESC, pa, pb LIMIT 1),
+        s$r AS (SELECT doc_id,
+                  CASE WHEN len(p) < 2 THEN p
+                  ELSE string_split(list_reduce(p, (acc, x) ->
+                    CASE WHEN x = t$r.pb AND (acc = t$r.pa
+                           OR ends_with(acc, chr(31) || t$r.pa))
+                      THEN acc || x ELSE acc || chr(31) || x END), chr(31))
+                  END AS p
+                FROM $prev, t$r),
+        st$r AS (SELECT CAST(sum(len(p)) AS BIGINT) AS pieces_total,
+                        bit_xor(${hash64Sql("array_to_string(p, chr(31))")})
+                          AS corpus_fp
+                 FROM s$r)""")
+    }
+    sb.append("\n")
+    sb.append((1 to rounds).map(r =>
+        s"SELECT $r AS merge_round, pa, pb, cnt, pieces_total, corpus_fp FROM t$r, st$r")
+      .mkString(" UNION ALL "))
+    sb.append(" ORDER BY merge_round")
+    sb.toString
   }
 }

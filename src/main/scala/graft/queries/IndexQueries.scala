@@ -77,6 +77,16 @@ object IndexQueries {
              | c AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair)
              | SELECT pair, cnt FROM c
              | ORDER BY cnt DESC, pair LIMIT 10""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("pair"))
+      presentOrder = Seq("pair")),
+
+    // The actual tokenizer-training artifact: 3 driver-iterated merge
+    // rounds (count → adopt top pair → greedy rewrite → recount), gated
+    // on the adopted merges AND the re-tokenized corpus (piece total +
+    // order-independent fingerprint). The oracle replays the identical
+    // loop as chained CTEs with a list_reduce fold.
+    QueryDef("text_bpe_merges",
+      (s, d) => graft.ops.TextOps.bpeTrain(Tables.documents(s, d), rounds = 3),
+      Some(graft.ops.TextOps.bpeTrainSql("documents", rounds = 3)),
+      presentOrder = Seq("merge_round"))
   )
 }

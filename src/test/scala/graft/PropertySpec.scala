@@ -17,6 +17,37 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new Random(42)
 
+  test("property: bpeMergeOnce equals the naive greedy non-overlapping merge") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    def naive(p: Seq[String], pa: String, pb: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < p.length) {
+        if (i + 1 < p.length && p(i) == pa && p(i + 1) == pb) {
+          out += (pa + pb); i += 2
+        } else { out += p(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val vocab = Seq("a", "b", "ab", "c", ".")
+    val cases = Seq(
+      Seq("a", "b", "a", "b"),        // adjacent merges
+      Seq("a", "a", "a"),             // overlap: greedy takes the first
+      Seq("a", "a", "b"),             // merge at the end
+      Seq("ab", "b", "a", "b", "a"),  // merged-looking piece as plain input
+      Seq("a"), Seq.empty[String]     // degenerate lengths
+    ) ++ Seq.fill(40)(Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))))
+    for ((pa, pb) <- Seq(("a", "b"), ("a", "a"), ("ab", "a"), ("b", "."))) {
+      val df = cases.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+      val got = df.select(col("id"), TextOps.bpeMergeOnce(col("p"), pa, pb).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      cases.zipWithIndex.foreach { case (p, i) =>
+        assert(got(i.toLong) === naive(p, pa, pb), s"pair=($pa,$pb) seq=$p")
+      }
+    }
+  }
+
   test("property: asofJoin equals the naive latest-at-or-before lookup") {
     import spark.implicits._
     val keys = Seq("a", "b", "c")
