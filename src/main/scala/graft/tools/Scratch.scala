@@ -42,6 +42,65 @@ object Scratch {
       println(f"SCRATCH $tag%-46s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($r)")
     }
 
+    // latest-by-key shapes: max_by(struct) SortAggregate vs window
+    // row_number vs two-pass (hash-aggregable max(struct(ord)) + self-join).
+    if (args.contains("latest")) {
+      val ev = Tables.events(spark, d)
+      def aggKind(df: org.apache.spark.sql.DataFrame): String = {
+        val p = df.queryExecution.executedPlan.toString
+        if (p.contains("SortAggregate")) "SortAggregate"
+        else if (p.contains("HashAggregate")) "HashAggregate"
+        else "other"
+      }
+      val maxBy = graft.ops.EgvOps.latestByKey(ev, Seq("user_id"), "ts", "event_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      val window = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val mx = ev.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"))).as("__mx"))
+        .select(col("user_id").as("__u"), col("__mx"))
+      val twoPass = ev.as("e").join(mx,
+        col("e.user_id") === col("__u") &&
+          struct(col("e.ts"), col("e.event_id")) === col("__mx"))
+        .select(ev.columns.map(c => col(s"e.$c")): _*)
+      println("SCRATCH latest aggKinds: max_by=" + aggKind(maxBy) +
+        " twoPassAgg=" + aggKind(mx))
+      for (pass <- 1 to 3) {
+        time(s"p$pass latest max_by(struct)") { maxBy.count() }
+        time(s"p$pass latest window rn=1") { window.count() }
+        time(s"p$pass latest two-pass join") { twoPass.count() }
+      }
+      // Same three shapes on the upsert-merge workload (orders + updates).
+      val orders = Tables.orders(spark, d)
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(0).as("v"))
+      val updates = orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit(1).as("v"))
+      val allr = base.unionAll(updates)
+      val mMaxBy = allr.groupBy(col("o_orderkey"))
+        .agg(max_by(struct(col("o_orderstatus"), col("o_totalprice"), col("v")),
+          col("v")).as("__m"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("v").desc)
+      val mWindow = allr.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1).drop("rn")
+      val mvx = allr.groupBy(col("o_orderkey")).agg(max(col("v")).as("__v"))
+        .select(col("o_orderkey").as("__k"), col("__v"))
+      val mTwoPass = allr.as("a").join(mvx,
+        col("a.o_orderkey") === col("__k") && col("a.v") === col("__v"))
+        .select(allr.columns.map(c => col(s"a.$c")): _*)
+      println("SCRATCH merge aggKinds: max_by=" + aggKind(mMaxBy) +
+        " twoPassAgg=" + aggKind(mvx))
+      for (pass <- 1 to 3) {
+        time(s"p$pass merge max_by(struct)") { mMaxBy.count() }
+        time(s"p$pass merge window rn=1") { mWindow.count() }
+        time(s"p$pass merge two-pass join") { mTwoPass.count() }
+      }
+      spark.stop(); return
+    }
+
     // Plan + stage dissection of dedup_ngram_jaccard at sf0.1.
     if (args.contains("jaccard")) {
       val docs = Tables.documents(spark, d)
