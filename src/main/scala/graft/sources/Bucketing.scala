@@ -69,4 +69,54 @@ object Bucketing {
       w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
       .parquet(path)
   }
+
+  /** Morton (Z-order) key: the low `bits` bits of `a` and `b` interleaved
+    * (a on odd positions, b on even) — a space-filling curve mapping 2-D
+    * proximity to 1-D proximity. Inputs must be non-negative and below
+    * 2^bits (higher bits are dropped; rescale or rank first if not).
+    * Plain shift/mask Column algebra — codegen'd, no UDF. */
+  def mortonCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int = 21): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    import org.apache.spark.sql.functions._
+    val terms = (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** 2-column Z-order clustered write — [[writeClustered]]'s
+    * multi-dimension sibling: range-repartition + sort on the Morton key
+    * of (colA, colB), so each file covers a compact Z-range and therefore
+    * a SMALL BOUNDING BOX in (colA, colB) space. Parquet footer min/max
+    * stats on BOTH columns then prune files for predicates on EITHER
+    * column (or both) — where 1-D clustering only ever prunes its single
+    * key. The curve key is computed for partition+sort only and is not
+    * written.
+    *
+    * Both columns are first rescaled to the curve's bit width from their
+    * write-time min/max (one cheap agg): interleaving RAW values gives
+    * the wider-ranged column all the high bits and degenerates to 1-D
+    * clustering. Linear rescale matches uniform-ish keys; heavily skewed
+    * columns want quantile (range-id) normalization instead — the same
+    * slot, different bucket function. This is the layout pass a 100 TB
+    * store runs when two independent filter columns matter (date ×
+    * source, key × time); pruning is proven at runtime in `BucketingSpec`
+    * via scan numOutputRows, not plan text. */
+  def writeClusteredZ(df: DataFrame, path: String, colA: String, colB: String,
+                      files: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(min(colA), max(colA), min(colB), max(colB)).collect()(0)
+    def norm(c: String, lo: Long, hi: Long) = {
+      val span = math.max(hi - lo, 1L)
+      (((col(c) - lo).cast("double") * ((1L << bits) - 1)) / span).cast("long")
+    }
+    val z = mortonCol(norm(colA, r.getLong(0), r.getLong(1)),
+      norm(colB, r.getLong(2), r.getLong(3)), bits)
+    df.repartitionByRange(files, z)
+      .sortWithinPartitions(z)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
 }

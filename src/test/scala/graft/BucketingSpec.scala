@@ -41,6 +41,59 @@ class BucketingSpec extends SparkSpec {
       s"scan read $scanned of $total rows — stats pruning did not engage")
   }
 
+  test("Z-order clustered write: both columns prune; 1-D layout cannot") {
+    import org.apache.spark.sql.functions._
+    // Morton key unit check against a bit-twiddling reference.
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((z, i) =>
+        z | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i)))
+    val got = spark.range(1).select(
+        Bucketing.mortonCol(lit(3L), lit(1L), 2),
+        Bucketing.mortonCol(lit(5L), lit(6L), 3),
+        Bucketing.mortonCol(lit(0L), lit(0L), 21)).collect()(0)
+    assert(got.getLong(0) === ref(3, 1, 2) && got.getLong(0) === 11L)
+    assert(got.getLong(1) === ref(5, 6, 3))
+    assert(got.getLong(2) === 0L)
+
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val orders = Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val total = orders.count()
+    Bucketing.writeClusteredZ(orders, s"$base/z", "o_orderkey", "o_custkey", 16)
+    Bucketing.writeClustered(orders, s"$base/oned", "o_orderkey", 16)
+    val z = spark.read.parquet(s"$base/z")
+    val oned = spark.read.parquet(s"$base/oned")
+    assert(z.count() === total) // lossless, curve key not written
+    assert(z.columns.toSeq === Seq("o_orderkey", "o_custkey", "o_totalprice"))
+
+    def scanned(df: org.apache.spark.sql.DataFrame,
+                pred: org.apache.spark.sql.Column): Long = {
+      val q = df.filter(pred)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val r0 = orders.agg(min("o_orderkey"), max("o_orderkey"),
+      min("o_custkey"), max("o_custkey")).collect()(0)
+    val (kLo, kHi, cLo, cHi) =
+      (r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3))
+    // A 1/8-wide slice per dimension — narrow relative to the key space at
+    // any SF, wide enough to hit several rows.
+    val predA = col("o_orderkey").between(kLo, kLo + (kHi - kLo) / 8)
+    val predB = col("o_custkey").between(cLo, cLo + (cHi - cLo) / 8)
+    // Either single column prunes on the Z layout (small bounding boxes).
+    assert(scanned(z, predA) <= total / 2, "Z layout must prune on colA")
+    assert(scanned(z, predB) <= total / 2, "Z layout must prune on colB")
+    // The 2-predicate rectangle prunes harder than either alone.
+    assert(scanned(z, predA && predB) <= total / 4,
+      "Z layout must prune the 2-predicate rectangle")
+    // The 1-D layout prunes its own key but reads ~everything for colB —
+    // the gap Z-ordering exists to close.
+    assert(scanned(oned, predA) <= total / 2)
+    assert(scanned(oned, predB) > total / 2,
+      "1-D layout unexpectedly pruned the non-cluster column")
+  }
+
   test("matching bucket specs join with zero exchange, same results") {
     val orders = Tables.orders(spark, d).select("o_orderkey", "o_orderpriority")
     val lineitem = Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
