@@ -371,6 +371,90 @@ object SimOps {
                CAST(list_max(q) AS INT) AS q_max
         FROM quant ORDER BY vec_id"""
 
+  /** Product quantization — the 100 TB ANN memory story beside int8:
+    * each vector splits into `m` subvectors; a per-subspace codebook of
+    * `k` centroids (rows of the same deterministic hash-ordered corpus
+    * sample IVF uses — the reproducible stand-in for a k-means train; a
+    * trained codebook drops in without changing any plan) assigns every
+    * subvector its nearest centroid id. Storage per vector falls from
+    * dim×4 bytes to m codes (m×log2(k) bits) + one shared codebook.
+    *
+    * Scale shape: the codebook is k×dim doubles — a model artifact —
+    * collected once to the driver (bounded, like BPE's top-pair) and
+    * shipped as literals, so ASSIGNMENT IS A NARROW MAP: zero shuffle,
+    * zero join; argmin per subspace is array_min over (dist, id) structs
+    * (lexicographic, so ties break to the lowest centroid id — each
+    * distance evaluated once).
+    *
+    * Determinism: distances rounded to 6 dp before compare;
+    * reconstruction error emitted as micro-units via the engine-exact
+    * floor(x+0.5) and summed in INTEGER space (order-free — a float sum
+    * across subspaces would depend on aggregation order). The oracle
+    * recomputes the identical pipeline relationally (row_number argmin).
+    */
+  def quantizePq(vectors: DataFrame, m: Int, k: Int, dim: Int,
+                 salt: String = "pq"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val d = dim / m
+    val cent: Array[Array[Double]] = vectors
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val emb = col("embedding")
+    def dist(mi: Int, ki: Int): Column = {
+      val c = typedLit(cent(ki).slice(mi * d, mi * d + d).toSeq)
+      round(aggregate(
+        zip_with(slice(emb, mi * d + 1, d), c,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0d), (acc, x) => acc + x), 6)
+    }
+    val mins = (0 until m).map { mi =>
+      array_min(array((0 until k).map(ki =>
+        struct(dist(mi, ki).as("d"), lit(ki).as("k"))): _*)).as(s"__m$mi")
+    }
+    vectors.select(col("vec_id") +: mins: _*)
+      .select(
+        col("vec_id") +:
+          (0 until m).map(mi => col(s"__m$mi.k").as(s"code_$mi")) :+
+          (0 until m).map(mi =>
+              floor(col(s"__m$mi.d") * 1e6 + 0.5).cast("long"))
+            .reduce(_ + _).as("err_micro"): _*)
+  }
+
+  def quantizePqSql(table: String, m: Int, k: Int, dim: Int,
+                    salt: String = "pq"): String = {
+    val d = dim / m
+    val h = graft.ops.TextOps.hash64Sql(s"'$salt' || CAST(vec_id AS VARCHAR)")
+    val codeCols = (0 until m).map(mi =>
+      s"CAST(max(CASE WHEN mi = $mi THEN ki END) AS INT) AS code_$mi")
+      .mkString(", ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $table),
+        cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS ki,
+                 e AS c
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS e, $h AS h FROM $table
+                ORDER BY h, vec_id LIMIT $k)),
+        dists AS (
+          SELECT v.vec_id, s.mi, cent.ki,
+                 round(list_sum(list_transform(range(1, ${d + 1}),
+                   j -> (e[s.mi * $d + j] - c[s.mi * $d + j])
+                      * (e[s.mi * $d + j] - c[s.mi * $d + j]))), 6) AS dd
+          FROM v CROSS JOIN cent
+               CROSS JOIN (SELECT unnest(range(0, $m)) AS mi) s),
+        amin AS (
+          SELECT vec_id, mi, ki, dd FROM (
+            SELECT vec_id, mi, ki, dd,
+                   row_number() OVER (PARTITION BY vec_id, mi
+                                      ORDER BY dd, ki) AS rn
+            FROM dists) WHERE rn = 1)
+        SELECT vec_id, $codeCols,
+               CAST(sum(CAST(floor(dd * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS err_micro
+        FROM amin GROUP BY vec_id ORDER BY vec_id"""
+  }
+
   def topKLshMultiSql(table: String, queryPredSql: String, k: Int,
                       tables: Seq[Seq[Seq[Double]]]): String = {
     val bks = tables.map(p => lshBucketSql("embedding", p)).mkString("[", ", ", "]")

@@ -62,6 +62,15 @@ object SimQueries {
       Some(SimOps.quantizeInt8Sql("embeddings")),
       presentOrder = Seq("vec_id")),
 
+    // Product quantization: 8 subspaces × 16 centroids over the 64-dim
+    // embeddings — codebook assignment (one code per subspace) plus the
+    // reconstruction-error audit in order-free integer micro-units.
+    QueryDef("sim_quantize_pq",
+      (s, d) => SimOps.quantizePq(Tables.embeddings(s, d),
+        m = 8, k = 16, dim = 64),
+      Some(SimOps.quantizePqSql("embeddings", m = 8, k = 16, dim = 64)),
+      presentOrder = Seq("vec_id")),
+
     // Recall@k quality gate: hash-exact matched/total/recall per method,
     // plus the floor boolean the oracle pins to TRUE — a plane/centroid/
     // knob change that craters approximate-index recall goes red here

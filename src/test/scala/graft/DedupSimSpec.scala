@@ -290,6 +290,28 @@ class DedupSimSpec extends SparkSpec {
     assert(audit("lsh")._1 > 0.0 && audit("lsh")._1 <= 1.0)
   }
 
+  test("product quantization: codebook rows reconstruct exactly, codes bounded") {
+    import spark.implicits._
+    val (m, k, dim) = (4, 8, 8)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(j => (((i * 11 + j * 5) % 17).toFloat - 8f) / 4f))
+    }.toDF("vec_id", "embedding")
+    val out = SimOps.quantizePq(vecs, m, k, dim)
+      .collect().map(r => (r.getLong(0),
+        (1 to m).map(r.getInt), r.getLong(m + 1)))
+    assert(out.length === 40)
+    out.foreach { case (id, codes, err) =>
+      assert(codes.forall(c => c >= 0 && c < k), s"code out of range for $id")
+      assert(err >= 0L)
+    }
+    // The k sampled codebook vectors quantize to themselves: err exactly 0.
+    assert(out.count(_._3 == 0L) >= k)
+    val again = SimOps.quantizePq(vecs, m, k, dim)
+      .collect().map(r => (r.getLong(0),
+        (1 to m).map(r.getInt), r.getLong(m + 1)))
+    assert(out.toSeq === again.toSeq) // deterministic codebook + assignment
+  }
+
   test("int8 quantization: exact scale, floor(+0.5) rounding, zero-vector safe") {
     import spark.implicits._
     val vecs = Seq(
