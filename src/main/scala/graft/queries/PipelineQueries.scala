@@ -13,6 +13,11 @@ import graft.ops.{DedupOps, SampleOps, TextOps}
   */
 object PipelineQueries {
 
+  /** Per-source cap for the mixed-curation variant — a safety rail, not
+    * a sampler: wide enough that temperature mixing does the shaping and
+    * the cap only trims runaway sources. */
+  val MixQuota = 50
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("pipeline_corpus_curation",
@@ -76,6 +81,72 @@ object PipelineQueries {
            FROM samp GROUP BY lang ORDER BY lang"""
       },
       presentOrder = Seq("lang")),
+
+    // The curation pipeline with the OTHER mixing stages plugged in:
+    // quality gate → exact-dup removal (stages 1-2 of
+    // pipeline_corpus_curation, same constants) → temperature-based
+    // domain re-weighting computed on the FILTERED corpus (composition
+    // matters: the rates differ from sample_temperature's whole-corpus
+    // gate) → per-source quota cap (no single source dominates the mix)
+    // → per-domain audit. Proves the samplers compose as selectable
+    // stages: same ops, same salts, different slot in the pipeline.
+    QueryDef("pipeline_curation_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val qual = docs
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .withColumn("n_tokens", size(col("__toks")))
+          .withColumn("n_stop",
+            TextOps.markerCountExpr("__toks", TextOps.stopwords))
+          .filter(col("n_tokens") >= 20 &&
+            col("n_stop").cast("double") / col("n_tokens") <= 0.3)
+          .select("doc_id", "source", "text", "n_tokens")
+        val keepExact = qual.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val ek = qual.join(keepExact.select("doc_id"), "doc_id")
+        val domain = substring(col("source"), 4, 1)
+        val rates = SampleOps.temperatureRates(ek, domain, SampleQueries.TempTarget)
+        val tempered = SampleOps.temperatureSample(ek, domain, "doc_id",
+          SampleQueries.TempTarget, SampleQueries.Salt, Some(rates))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(SampleOps.sampleBucket(col("doc_id"), SampleQueries.Salt),
+            col("doc_id"))
+        val capped = tempered.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= MixQuota)
+        capped.groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            countDistinct(col("source")).as("n_sources"))
+      },
+      Some {
+        val stop = TextOps.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+        val dom = "substr(source, 4, 1)"
+        val bucket = SampleOps.sampleBucketSql("doc_id", SampleQueries.Salt)
+        s"""WITH q AS (SELECT doc_id, source, text,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(list_filter(string_split(text, ' '), t -> t IN $stop)) AS n_stop
+            FROM documents),
+           qual AS (SELECT doc_id, source, text, n_tokens FROM q
+                    WHERE n_tokens >= 20 AND n_stop * 1.0 / n_tokens <= 0.3),
+           keep_exact AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+           ek AS (SELECT qual.* FROM qual JOIN keep_exact USING (doc_id)),
+           rates AS (${SampleOps.temperatureRatesSql("ek", dom,
+              SampleQueries.TempTarget)}),
+           tempered AS (
+             SELECT ek.*, rates.domain FROM ek
+             JOIN rates ON $dom = rates.domain
+             WHERE $bucket < rate10k),
+           capped AS (SELECT * FROM (
+             SELECT *, CAST(row_number() OVER (PARTITION BY source
+               ORDER BY $bucket, doc_id) AS INT) AS rk FROM tempered)
+             WHERE rk <= $MixQuota)
+           SELECT domain, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             count(DISTINCT source) AS n_sources
+           FROM capped GROUP BY domain ORDER BY domain"""
+      },
+      presentOrder = Seq("domain")),
 
     // Sequence packing (concat-and-split): lay every document into a
     // per-source token stream and cut fixed ctx-sized windows — the
