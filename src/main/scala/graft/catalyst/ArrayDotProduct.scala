@@ -111,7 +111,11 @@ object GraftFunctions {
   val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
+    (FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) =>
+        PqEncode(children(0), children(1), children(2), children(3))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config). Also registers the `minhash_sketch` UDAF — the

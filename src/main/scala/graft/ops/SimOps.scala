@@ -399,7 +399,7 @@ object SimOps {
     * 500 rows × 512 (mi, ki) pairs. The oracle computes the identical
     * expansion (its ‖c‖² from the same left-to-right fold), so the 6-dp
     * rounding agrees bit-for-bit. */
-  private def pqSubDist(vecCol: Column, cent: Array[Array[Double]],
+  private[graft] def pqSubDist(vecCol: Column, cent: Array[Array[Double]],
                         mi: Int, ki: Int, d: Int): Column = {
     val c = cent(ki).slice(mi * d, mi * d + d)
     val c2 = c.foldLeft(0d)((a, x) => a + x * x)
@@ -407,6 +407,14 @@ object SimOps {
     round((call_function("array_dot", sub, sub) + lit(c2)) -
       lit(2d) * call_function("array_dot", sub, typedLit(c.toSeq)), 6)
   }
+
+  /** [[graft.catalyst.PqEncode]] call: the whole m×k distance table in
+    * one expression node (tree-size O(1)); bit-parity with the
+    * [[pqSubDist]] tree form is pinned by `DedupSimSpec`. */
+  private def pqEncode(vecCol: Column, cent: Array[Array[Double]],
+                       m: Int, mode: String): Column =
+    call_function("pq_encode", vecCol,
+      typedLit(cent.map(_.toSeq).toSeq), lit(m), lit(mode))
 
   /** The same expansion for the oracle, with `mi` a SQL column. */
   private def pqSubDistSql(vecExpr: String, centExpr: String,
@@ -420,25 +428,22 @@ object SimOps {
   def quantizePq(vectors: DataFrame, m: Int, k: Int, dim: Int,
                  salt: String = "pq"): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
-    val d = dim / m
+    graft.catalyst.GraftFunctions.register(vectors.sparkSession)
     val cent: Array[Array[Double]] = vectors
       .withColumn("h", graft.ops.TextOps.hash64(
         concat(lit(salt), col("vec_id").cast("string"))))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    def dist(mi: Int, ki: Int): Column =
-      pqSubDist(col("embedding"), cent, mi, ki, d)
-    val mins = (0 until m).map { mi =>
-      array_min(array((0 until k).map(ki =>
-        struct(dist(mi, ki).as("d"), lit(ki).as("k"))): _*)).as(s"__m$mi")
-    }
-    vectors.select(col("vec_id") +: mins: _*)
+    vectors
+      .select(col("vec_id"), pqEncode(col("embedding"), cent, m, "mins").as("__mins"))
       .select(
         col("vec_id") +:
-          (0 until m).map(mi => col(s"__m$mi.k").as(s"code_$mi")) :+
           (0 until m).map(mi =>
-              floor(col(s"__m$mi.d") * 1e6 + 0.5).cast("long"))
+            element_at(col("__mins"), mi + 1).getField("k").as(s"code_$mi")) :+
+          (0 until m).map(mi =>
+              floor(element_at(col("__mins"), mi + 1).getField("d") * 1e6 + 0.5)
+                .cast("long"))
             .reduce(_ + _).as("err_micro"): _*)
   }
 
@@ -490,7 +495,7 @@ object SimOps {
                 m: Int, k: Int, dim: Int, shortlist: Int,
                 salt: String = "pq"): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
-    val d = dim / m
+    graft.catalyst.GraftFunctions.register(vectors.sparkSession)
     val vRaw = withNorm(vectors.select(col("vec_id"), col("embedding")),
       "embedding", "vn")
     val nrm = col("vn")
@@ -505,18 +510,11 @@ object SimOps {
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("ne")).collect()
       .map(_.getSeq[Double](0).toArray)
-    def dist(mi: Int, ki: Int): Column = pqSubDist(col("ne"), cent, mi, ki, d)
-    val codeArr = array((0 until m).map { mi =>
-      array_min(array((0 until k).map(ki =>
-        struct(dist(mi, ki).as("d"), lit(ki).as("k"))): _*)).getField("k")
-    }: _*)
-    val codes = vNorm.select(col("vec_id"), codeArr.as("codes"))
-    val lutArr = array((0 until m).map { mi =>
-      array((0 until k).map(ki =>
-        floor(dist(mi, ki) * 1e6 + 0.5).cast("long")): _*)
-    }: _*)
+    val codes = vNorm.select(col("vec_id"),
+      pqEncode(col("ne"), cent, m, "codes").as("codes"))
     val qlut = vNorm.filter(queryPred)
-      .select(col("vec_id").as("query_id"), lutArr.as("lm"))
+      .select(col("vec_id").as("query_id"),
+        pqEncode(col("ne"), cent, m, "lut").as("lm"))
     val adcExpr = (0 until m).map(mi =>
       element_at(element_at(col("lm"), mi + 1),
         (element_at(col("codes"), mi + 1) + 1).cast("int")))

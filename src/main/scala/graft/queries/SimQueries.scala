@@ -76,8 +76,10 @@ object SimQueries {
     // embeddings — codebook assignment (one code per subspace) plus the
     // reconstruction-error audit in order-free integer micro-units.
     QueryDef("sim_quantize_pq",
-      (s, d) => SimOps.quantizePq(Tables.embeddings(s, d),
-        m = 8, k = 16, dim = 64),
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.quantizePq(Tables.embeddings(s, d), m = 8, k = 16, dim = 64)
+      },
       Some(SimOps.quantizePqSql("embeddings", m = 8, k = 16, dim = 64)),
       presentOrder = Seq("vec_id")),
 

@@ -6,10 +6,13 @@ import graft.Catalog
 
 /** Warm per-query profiler: two timed passes over every catalog query at
   * the given SF dir (arg 0, default sf0.1) — pass 1 ≈ codegen+JIT, pass 2
-  * ≈ steady state. Sorted by warm time, worst first. */
+  * ≈ steady state. Sorted by warm time, worst first. Optional arg 1: a
+  * comma-separated query-name filter (same convention as Verify). */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only: Option[Set[String]] =
+      args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -20,7 +23,7 @@ object Profile {
     def t(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val rows = Catalog.all.map { q =>
+    val rows = Catalog.all.filter(q => only.forall(_(q.name))).map { q =>
       val cold = t(graft.Materialize(q.run(spark, sfDir)))
       val warm = t(graft.Materialize(q.run(spark, sfDir)))
       (q.name, cold, warm)

@@ -233,6 +233,52 @@ object Scratch {
         DedupOps.jaccardPairs(docs, "text", "doc_id", 0.8).count()
       }
     }
+
+    // PQ-ADC stage bisect: which stage of topKPqAdc carries the ~8 s
+    // warm cost at sf0.01 (500 vectors)?
+    if (args.contains("pq")) {
+      import graft.ops.SimOps
+      import graft.queries.SimQueries._
+      graft.catalyst.GraftFunctions.register(spark)
+      val sf = "/root/testdata/sf0.01"
+      val vecs = Tables.embeddings(spark, sf)
+      val d = Dim / PqM
+      def vNorm = {
+        val vRaw = vecs.select(col("vec_id"), col("embedding"),
+          sqrt(expr("array_dot(embedding, embedding)")).as("vn"))
+        vRaw.select(col("vec_id"),
+          when(col("vn") === 0d, transform(col("embedding"), x => x.cast("double")))
+            .otherwise(transform(col("embedding"), x => x.cast("double") / col("vn")))
+            .as("ne"))
+      }
+      val cent: Array[Array[Double]] = vNorm
+        .withColumn("h", TextOps.hash64(concat(lit("pq"), col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(PqK)
+        .select(col("ne")).collect().map(_.getSeq[Double](0).toArray)
+      def dist(mi: Int, ki: Int) = SimOps.pqSubDist(col("ne"), cent, mi, ki, d)
+      val codeArr = array((0 until PqM).map { mi =>
+        array_min(array((0 until PqK).map(ki =>
+          struct(dist(mi, ki).as("d"), lit(ki).as("k"))): _*)).getField("k")
+      }: _*)
+      val lutArr = array((0 until PqM).map { mi =>
+        array((0 until PqK).map(ki =>
+          floor(dist(mi, ki) * 1e6 + 0.5).cast("long")): _*)
+      }: _*)
+      for (pass <- Seq("cold", "warm")) {
+        time(s"$pass norm only") {
+          vNorm.agg(sum(element_at(col("ne"), 1))).collect() }
+        time(s"$pass codes (500x512 dists)") {
+          vNorm.select(col("vec_id"), codeArr.as("codes"))
+            .agg(sum(element_at(col("codes"), 1))).collect() }
+        time(s"$pass lut (10x512 dists)") {
+          vNorm.filter(col("vec_id") < 10)
+            .select(col("vec_id"), lutArr.as("lm"))
+            .agg(sum(element_at(element_at(col("lm"), 1), 1))).collect() }
+        time(s"$pass full topKPqAdc") {
+          SimOps.topKPqAdc(vecs, col("vec_id") < 10, K, PqM, PqK, Dim,
+            PqShortlist).count() }
+      }
+    }
     spark.stop()
   }
 }

@@ -310,6 +310,65 @@ class DedupSimSpec extends SparkSpec {
       brute.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("pq_encode expression matches the composed-builtin tree bit-for-bit") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    val (m, dim) = (4, 8)
+    val d = dim / m
+    // Float corpus incl. a zero vector and an exact centroid copy; the
+    // codebook duplicates row 1 so at least one argmin is a genuine tie
+    // (dist bit-equal for ki=1 and ki=2) exercising the smallest-ki rule.
+    val vecs = (0L until 30L).map { i =>
+      (i, if (i == 7) Array.fill(dim)(0f)
+          else Array.tabulate(dim)(j => (((i * 11 + j * 5) % 17).toFloat - 8f) / 4f))
+    }.toDF("vec_id", "embedding")
+    val base = vecs.filter(col("vec_id") < 4).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cent = Array(base(0), base(1), base(1), base(2), base(3))
+    val k = cent.length
+    def treeDist(mi: Int, ki: Int, c: org.apache.spark.sql.Column) =
+      SimOps.pqSubDist(c, cent, mi, ki, d)
+    def check(df: org.apache.spark.sql.DataFrame, vc: org.apache.spark.sql.Column): Unit = {
+      val treeCodes = array((0 until m).map { mi =>
+        array_min(array((0 until k).map(ki =>
+          struct(treeDist(mi, ki, vc).as("d"), lit(ki).as("k"))): _*)).getField("k")
+      }: _*)
+      val treeLut = array((0 until m).map { mi =>
+        array((0 until k).map(ki =>
+          floor(treeDist(mi, ki, vc) * 1e6 + 0.5).cast("long")): _*)
+      }: _*)
+      val treeMinD = array((0 until m).map { mi =>
+        array_min(array((0 until k).map(ki =>
+          struct(treeDist(mi, ki, vc).as("d"), lit(ki).as("k"))): _*)).getField("d")
+      }: _*)
+      def enc(mode: String) = call_function("pq_encode", vc,
+        typedLit(cent.map(_.toSeq).toSeq), lit(m), lit(mode))
+      val rows = df.select(col("vec_id"),
+          treeCodes.as("tc"), enc("codes").as("nc"),
+          treeLut.as("tl"), enc("lut").as("nl"),
+          treeMinD.as("td"),
+          transform(enc("mins"), s => s.getField("d")).as("nd"),
+          transform(enc("mins"), s => s.getField("k")).as("nk"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"codes @${r.get(0)}")
+        assert(r.getSeq[Seq[Long]](3) === r.getSeq[Seq[Long]](4), s"lut @${r.get(0)}")
+        assert(r.getSeq[Double](5) === r.getSeq[Double](6), s"min d @${r.get(0)}")
+        assert(r.getSeq[Int](1) === r.getSeq[Int](7), s"mins k @${r.get(0)}")
+      }
+    }
+    check(vecs, col("embedding")) // float input (storage-quantization path)
+    check(vecs.select(col("vec_id"), // double input (normalized ADC path)
+      transform(col("embedding"), x => x.cast("double") * 0.5d).as("ne")),
+      col("ne"))
+    // the duplicated codebook row can never win an argmin under its
+    // higher id (tie -> smallest ki), on either implementation
+    val codes = vecs.select(explode(call_function("pq_encode", col("embedding"),
+      typedLit(cent.map(_.toSeq).toSeq), lit(m), lit("codes"))).as("c"))
+      .collect().map(_.getInt(0))
+    assert(!codes.contains(2) && codes.contains(1))
+  }
+
   test("product quantization: codebook rows reconstruct exactly, codes bounded") {
     import spark.implicits._
     val (m, k, dim) = (4, 8, 8)
