@@ -596,6 +596,184 @@ object SimOps {
         WHERE rank <= $topK ORDER BY query_id, rank"""
   }
 
+  /** IVF-PQ composite index — the canonical billion-scale ANN shape
+    * (coarse inverted file × product quantization, non-residual
+    * variant): the coarse quantizer bounds WHICH vectors a query scans
+    * (`nprobe` of `c` cells instead of the whole corpus) and PQ-ADC
+    * bounds WHAT is read per candidate (m one-byte codes instead of
+    * `dim` floats). Composes the two gated paths unchanged: cell
+    * build/assignment/probing is bit-identical to [[topKIvf]], the
+    * codebook/codes/LUT/ADC machinery bit-identical to [[topKPqAdc]] —
+    * the only structural change is that the ADC scan joins the
+    * cell-partitioned code index on `cell` (broadcast of
+    * queries×nprobe probe rows) instead of cross-joining the corpus.
+    *
+    * At 100 TB the code index is written bucketed by `cell`, so a query
+    * reads nprobe buckets of 32-byte rows — both the scan set and the
+    * bytes-per-row are bounded, which neither ingredient achieves
+    * alone. Degeneracy proof in `DedupSimSpec`: nprobe=c +
+    * full-corpus shortlist ≡ brute force. Recall@10 gated by
+    * `sim_recall_audit` (cell pruning dominates the loss: measured
+    * ≈ IVF's recall, the PQ shortlist costs nearly nothing).
+    */
+  def topKIvfPq(vectors: DataFrame, queryPred: Column, topK: Int,
+                c: Int, nprobe: Int, m: Int, k: Int, dim: Int,
+                shortlist: Int, saltIvf: String = "ivf",
+                saltPq: String = "pq"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    graft.catalyst.GraftFunctions.register(vectors.sparkSession)
+    val vRaw = withNorm(vectors.select(col("vec_id"), col("embedding")),
+      "embedding", "vn")
+    // Coarse cells, assignment, probes: the topKIvf shapes verbatim.
+    val centW = Window.orderBy(col("h"), col("vec_id"))
+    val cent = vRaw
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(saltIvf), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(c)
+      .withColumn("cell", row_number().over(centW))
+      .select(col("cell"), col("embedding").as("cvec"), col("vn").as("cn"))
+    val assign = vRaw.crossJoin(broadcast(cent))
+      .withColumn("score",
+        round(expr("array_dot(embedding, cvec)") / (col("vn") * col("cn")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
+    val probes = vRaw.filter(queryPred).crossJoin(broadcast(cent))
+      .withColumn("score",
+        round(expr("array_dot(embedding, cvec)") / (col("vn") * col("cn")), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // Normalized vectors, codebook, codes, LUT: the topKPqAdc shapes.
+    val nrm = col("vn")
+    val vNorm = vRaw.select(col("vec_id"),
+      when(nrm === 0d,
+        transform(col("embedding"), x => x.cast("double")))
+        .otherwise(transform(col("embedding"), x => x.cast("double") / nrm))
+        .as("ne"))
+    val centPq: Array[Array[Double]] = vNorm
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(saltPq), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("ne")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // The cell-partitioned code index (at scale: written bucketed by cell).
+    val index = vNorm
+      .select(col("vec_id"), pqEncode(col("ne"), centPq, m, "codes").as("codes"))
+      .join(assign, "vec_id")
+    val qlut = vNorm.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        pqEncode(col("ne"), centPq, m, "lut").as("lm"))
+    val probesLut = probes.join(qlut, "query_id")
+    val adcExpr = (0 until m).map(mi =>
+      element_at(element_at(col("lm"), mi + 1),
+        (element_at(col("codes"), mi + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val short = index.join(broadcast(probesLut), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcExpr.as("adc_micro"))
+      .withColumn("sr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_micro"), col("vec_id"))))
+      .filter(col("sr") <= shortlist)
+    val scored = short
+      .join(vRaw.select(col("vec_id"), col("embedding").as("e"), col("vn")),
+        "vec_id")
+      .join(vRaw.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("embedding").as("q"), col("vn").as("qn")), "query_id")
+      .withColumn("score",
+        round(expr("array_dot(q, e)") / (col("qn") * col("vn")), 6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cosine"))
+  }
+
+  def topKIvfPqSql(table: String, queryPredSql: String, topK: Int,
+                   c: Int, nprobe: Int, m: Int, k: Int, dim: Int,
+                   shortlist: Int, saltIvf: String = "ivf",
+                   saltPq: String = "pq"): String = {
+    val d = dim / m
+    val hi = graft.ops.TextOps.hash64Sql(s"'$saltIvf' || CAST(vec_id AS VARCHAR)")
+    val hp = graft.ops.TextOps.hash64Sql(s"'$saltPq' || CAST(vec_id AS VARCHAR)")
+    s"""WITH v AS (SELECT vec_id, embedding FROM $table),
+        centi AS (
+          SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cell,
+                 embedding AS cvec
+          FROM (SELECT vec_id, embedding, $hi AS h FROM v
+                ORDER BY h, vec_id LIMIT $c)),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT v.vec_id, centi.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round(${cosineSql("v.embedding", "cvec")}, 6) DESC,
+                     centi.cell) AS rn
+            FROM v CROSS JOIN centi) WHERE rn = 1),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT v.vec_id AS query_id, centi.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round(${cosineSql("v.embedding", "cvec")}, 6) DESC,
+                     centi.cell) AS pr
+            FROM v CROSS JOIN centi WHERE $queryPredSql) WHERE pr <= $nprobe),
+        vd AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $table),
+        vn AS (SELECT vec_id,
+                 CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+                 ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                 END AS ne
+               FROM vd),
+        centp AS (
+          SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS ki,
+                 ne AS cp
+          FROM (SELECT vec_id, ne, $hp AS h FROM vn ORDER BY h, vec_id LIMIT $k)),
+        dists AS (
+          SELECT vn.vec_id, s.mi, centp.ki,
+                 ${pqSubDistSql("ne", "cp", "s.mi", d)} AS dd
+          FROM vn CROSS JOIN centp
+               CROSS JOIN (SELECT unnest(range(0, $m)) AS mi) s),
+        codes AS (
+          SELECT vec_id, mi, ki FROM (
+            SELECT vec_id, mi, ki,
+                   row_number() OVER (PARTITION BY vec_id, mi
+                                      ORDER BY dd, ki) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (
+          SELECT vec_id AS query_id, mi, ki,
+                 CAST(floor(dd * 1000000 + 0.5) AS BIGINT) AS d_micro
+          FROM dists WHERE $queryPredSql),
+        cand AS (
+          SELECT p.query_id, a.vec_id
+          FROM probes p JOIN assign a USING (cell)
+          WHERE a.vec_id <> p.query_id),
+        adc AS (
+          SELECT ca.query_id, ca.vec_id,
+                 CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+          FROM cand ca
+               JOIN codes c ON c.vec_id = ca.vec_id
+               JOIN lut l ON l.query_id = ca.query_id
+                         AND l.mi = c.mi AND l.ki = c.ki
+          GROUP BY 1, 2),
+        short AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_micro, vec_id) AS sr
+            FROM adc) WHERE sr <= $shortlist),
+        scored AS (
+          SELECT query_id, short.vec_id,
+                 round(${cosineSql("q.embedding", "n.embedding")}, 6) AS score
+          FROM short JOIN $table q ON q.vec_id = short.query_id
+                     JOIN $table n ON n.vec_id = short.vec_id)
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+          SELECT query_id, vec_id AS neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS INT) AS rank,
+                 round(score, 4) AS cosine
+          FROM scored)
+        WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
+
   def topKLshMultiSql(table: String, queryPredSql: String, k: Int,
                       tables: Seq[Seq[Seq[Double]]]): String = {
     val bks = tables.map(p => lshBucketSql("embedding", p)).mkString("[", ", ", "]")
@@ -636,7 +814,7 @@ object SimOps {
                   tables: Seq[Seq[Seq[Double]]], c: Int, nprobe: Int,
                   pqM: Int, pqK: Int, dim: Int, pqShortlist: Int,
                   lshFloor: Double, ivfFloor: Double,
-                  pqFloor: Double): DataFrame = {
+                  pqFloor: Double, ivfpqFloor: Double): DataFrame = {
     val bruteK = topKBruteForce(vectors, queryPred, k)
       .select(col("query_id"), col("neighbor_id"))
     def one(name: String, approx: DataFrame, floor: Double): DataFrame =
@@ -654,6 +832,9 @@ object SimOps {
       .union(one("lsh", topKLshMulti(vectors, queryPred, k, tables), lshFloor))
       .union(one("pq",
         topKPqAdc(vectors, queryPred, k, pqM, pqK, dim, pqShortlist), pqFloor))
+      .union(one("ivfpq",
+        topKIvfPq(vectors, queryPred, k, c, nprobe, pqM, pqK, dim,
+          pqShortlist), ivfpqFloor))
   }
 
   def recallAuditSql(table: String, queryPredSql: String, k: Int,
@@ -664,6 +845,8 @@ object SimOps {
         lshk AS (SELECT * FROM (${topKLshMultiSql(table, queryPredSql, k, tables)}) tl),
         pqk AS (SELECT * FROM (${topKPqAdcSql(table, queryPredSql, k,
                   pqM, pqK, dim, pqShortlist)}) tp),
+        ivfpqk AS (SELECT * FROM (${topKIvfPqSql(table, queryPredSql, k,
+                  c, nprobe, pqM, pqK, dim, pqShortlist)}) tq),
         m AS (
           SELECT 'ivf' AS method,
                  CAST(count(a.neighbor_id) AS BIGINT) AS matched,
@@ -678,7 +861,12 @@ object SimOps {
           SELECT 'pq' AS method,
                  CAST(count(a.neighbor_id) AS BIGINT) AS matched,
                  CAST(count(*) AS BIGINT) AS total
-          FROM brute b LEFT JOIN pqk a USING (query_id, neighbor_id))
+          FROM brute b LEFT JOIN pqk a USING (query_id, neighbor_id)
+          UNION ALL
+          SELECT 'ivfpq' AS method,
+                 CAST(count(a.neighbor_id) AS BIGINT) AS matched,
+                 CAST(count(*) AS BIGINT) AS total
+          FROM brute b LEFT JOIN ivfpqk a USING (query_id, neighbor_id))
         SELECT method, matched, total,
                CAST(CAST(round(CAST(matched AS DOUBLE) / CAST(total AS DOUBLE), 4)
                     AS DECIMAL(18,4)) AS DOUBLE) AS recall,

@@ -38,6 +38,10 @@ object SimQueries {
   val LshFloor = 0.5
   val IvfFloor = 0.35
   val PqFloor = 0.7
+  /** IVF-PQ: recall is bounded above by the IVF cell pruning (measured
+    * 0.50); the PQ-ADC shortlist inside probed cells costs ~nothing at
+    * this corpus/shortlist ratio. */
+  val IvfPqFloor = 0.3
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -92,7 +96,7 @@ object SimQueries {
         graft.catalyst.GraftFunctions.register(s)
         SimOps.recallAudit(Tables.embeddings(s, d), col("vec_id") < 10, K,
           LshTabs, Cells, NProbe, PqM, PqK, Dim, PqShortlist,
-          LshFloor, IvfFloor, PqFloor)
+          LshFloor, IvfFloor, PqFloor, IvfPqFloor)
       },
       Some(SimOps.recallAuditSql("embeddings", QueryPredSql, K,
         LshTabs, Cells, NProbe, PqM, PqK, Dim, PqShortlist)),
@@ -109,6 +113,16 @@ object SimQueries {
       },
       Some(SimOps.topKPqAdcSql("embeddings", QueryPredSql, K,
         PqM, PqK, Dim, PqShortlist)),
+      presentOrder = Seq("query_id", "rank")),
+
+    // IVF-PQ composite: coarse cells bound WHICH vectors are scanned
+    // (nprobe/c of the corpus), PQ codes bound WHAT is read per
+    // candidate (m bytes, not dim floats) — the billion-scale ANN shape.
+    QueryDef("sim_topk_ivfpq",
+      (s, d) => SimOps.topKIvfPq(Tables.embeddings(s, d),
+        col("vec_id") < 10, K, Cells, NProbe, PqM, PqK, Dim, PqShortlist),
+      Some(SimOps.topKIvfPqSql("embeddings", QueryPredSql, K,
+        Cells, NProbe, PqM, PqK, Dim, PqShortlist)),
       presentOrder = Seq("query_id", "rank"))
   )
 }

@@ -285,11 +285,30 @@ class DedupSimSpec extends SparkSpec {
     // The audit's floor boolean actually bites: impossible floor → false.
     val audit = SimOps.recallAudit(vecs, col("vec_id") < 5, 5, tabs,
         c = 4, nprobe = 2, pqM = 2, pqK = 4, dim = 4, pqShortlist = 10,
-        lshFloor = 1.01, ivfFloor = 0.0, pqFloor = 0.0)
+        lshFloor = 1.01, ivfFloor = 0.0, pqFloor = 0.0, ivfpqFloor = 0.0)
       .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
     assert(!audit("lsh")._2 && audit("ivf")._2 && audit("pq")._2)
     assert(audit("lsh")._1 > 0.0 && audit("lsh")._1 <= 1.0)
     assert(audit("pq")._1 > 0.0 && audit("pq")._1 <= 1.0)
+    assert(audit("ivfpq")._1 >= 0.0 && audit("ivfpq")._1 <= audit("ivf")._1 + 1e-9)
+  }
+
+  test("IVF-PQ with all cells probed and a full-corpus shortlist equals brute force") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 13) % 19).toFloat - 9f))
+    }.toDF("vec_id", "embedding")
+    // nprobe = c: every cell is probed, so coarse pruning loses nothing;
+    // shortlist >= corpus: the exact re-rank sees every candidate, so the
+    // ADC scan loses nothing — the composite must equal brute force.
+    val brute = SimOps.topKBruteForce(vecs, col("vec_id") < 5, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val ivfpq = SimOps.topKIvfPq(vecs, col("vec_id") < 5, 5,
+        c = 4, nprobe = 4, m = 2, k = 4, dim = 4, shortlist = 60)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(ivfpq.sortBy(t => (t._1, t._2)).toSeq ===
+      brute.sortBy(t => (t._1, t._2)).toSeq)
   }
 
   test("PQ-ADC top-k with a full-corpus shortlist equals brute force") {

@@ -119,6 +119,19 @@ class PlanSpec extends SparkSpec {
       s"probe->inverted-list join must be an equi-join on cell:\n$p")
   }
 
+  test("IVF-PQ code index joins probes by cell; exactly one pq_encode per side") {
+    graft.catalyst.GraftFunctions.register(spark)
+    val p = planOf("sim_topk_ivfpq")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"code-index->probe join must be an equi-join on cell:\n$p")
+    // The ADC scan must read precomputed codes/LUT columns — pq_encode
+    // appears once for the corpus codes and once for the query LUT, not
+    // inlined per candidate pair above a join.
+    assert("pq_encode".r.findAllIn(p).size == 2,
+      s"expected exactly 2 pq_encode calls (codes + lut):\n$p")
+  }
+
   test("as-of join plans as union+window — zero join nodes") {
     val p = planOf("q_asof_join")
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")

@@ -17,6 +17,49 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new Random(42)
 
+  test("property: pq_encode equals the composed-builtin tree on random vectors") {
+    import spark.implicits._
+    import graft.ops.SimOps
+    graft.catalyst.GraftFunctions.register(spark)
+    for ((m, k, dim) <- Seq((2, 3, 8), (4, 6, 16), (8, 5, 16))) {
+      val d = dim / m
+      val raw = (0L until 40L).map { i =>
+        (i, Array.tabulate(dim)(_ => (rnd.nextInt(2001) - 1000) / 250.0f))
+      }
+      val vecs = raw.toDF("vec_id", "embedding")
+      // Half the codebook rows are exact corpus vectors (zero-distance
+      // subspaces, tie-heavy), half random; one row duplicated so the
+      // smallest-ki tie-break is exercised on every run.
+      val cent: Array[Array[Double]] = (0 until k).map { ki =>
+        if (ki < k / 2) raw(ki)._2.map(_.toDouble)
+        else if (ki == k / 2 && k > 1) raw(0)._2.map(_.toDouble)
+        else Array.tabulate(dim)(_ => (rnd.nextInt(2001) - 1000) / 250.0)
+      }.toArray
+      def treeDist(mi: Int, ki: Int) =
+        SimOps.pqSubDist(col("embedding"), cent, mi, ki, d)
+      val treeCodes = array((0 until m).map { mi =>
+        array_min(array((0 until k).map(ki =>
+          struct(treeDist(mi, ki).as("d"), lit(ki).as("k"))): _*)).getField("k")
+      }: _*)
+      val treeLut = array((0 until m).map { mi =>
+        array((0 until k).map(ki =>
+          floor(treeDist(mi, ki) * 1e6 + 0.5).cast("long")): _*)
+      }: _*)
+      def enc(mode: String) = call_function("pq_encode", col("embedding"),
+        typedLit(cent.map(_.toSeq).toSeq), lit(m), lit(mode))
+      val rows = vecs.select(col("vec_id"),
+          treeCodes.as("tc"), enc("codes").as("nc"),
+          treeLut.as("tl"), enc("lut").as("nl"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+          s"codes m=$m k=$k @${r.get(0)}")
+        assert(r.getSeq[Seq[Long]](3) === r.getSeq[Seq[Long]](4),
+          s"lut m=$m k=$k @${r.get(0)}")
+      }
+    }
+  }
+
   test("property: bpeMergeOnce equals the naive greedy non-overlapping merge") {
     import spark.implicits._
     import graft.ops.TextOps
