@@ -53,6 +53,18 @@ object SimOps {
   def cosineSql(a: String, b: String): String =
     s"list_cosine_similarity(($a)::DOUBLE[], ($b)::DOUBLE[])"
 
+  /** 4-dp output quantization, bit-identical across engines. `round(x,4)`
+    * is NOT: Spark rounds the shortest-decimal string (BigDecimal
+    * HALF_UP — 0.26685 → 0.2669) while DuckDB rounds the binary double
+    * (0.26684999… → 0.2668), so a 6-dp score landing on a 4-dp half
+    * boundary renders differently (first seen on `sim_knn_graph`'s 2500
+    * rows: query 23, neighbor 141). floor(x·10⁴ + 0.5)/10⁴ is pure IEEE
+    * arithmetic — same product, same floor, same division in both
+    * engines. */
+  def quant4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+  def quant4Sql(e: String): String =
+    s"floor(($e) * 10000 + 0.5) / CAST(10000 AS DOUBLE)"
+
   /** Brute-force exact top-k: for each query vector (filtered by
     * `queryPred`), the k nearest non-self vectors by cosine.
     */
@@ -71,7 +83,7 @@ object SimOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("score"), 4).as("cosine"))
+        quant4(col("score")).as("cosine"))
   }
 
   def topKBruteForceSql(table: String, queryPredSql: String, k: Int): String =
@@ -85,7 +97,7 @@ object SimOps {
           SELECT query_id, vec_id AS neighbor_id,
                  CAST(row_number() OVER (PARTITION BY query_id
                                     ORDER BY score DESC, vec_id) AS INT) AS rank,
-                 round(score, 4) AS cosine
+                 ${quant4Sql("score")} AS cosine
           FROM scored)
         WHERE rank <= $k ORDER BY query_id, rank"""
 
@@ -156,7 +168,7 @@ object SimOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("score"), 4).as("cosine"))
+        quant4(col("score")).as("cosine"))
   }
 
   /** `tables` independent hyperplane sets (LSH tables) for near-dup
@@ -198,7 +210,7 @@ object SimOps {
       .withColumn("score",
         round(expr("array_dot(ea, eb)") / (col("na") * col("nb")), 6))
       .filter(col("score") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("cosine"))
+      .select(col("vec_a"), col("vec_b"), quant4(col("score")).as("cosine"))
   }
 
   def cosineLshPairsSql(table: String, threshold: Double,
@@ -217,7 +229,7 @@ object SimOps {
                  round(${cosineSql("va.embedding", "vb.embedding")}, 6) AS score
           FROM cand JOIN v va ON cand.vec_a = va.vec_id
                     JOIN v vb ON cand.vec_b = vb.vec_id)
-        SELECT vec_a, vec_b, round(score, 4) AS cosine FROM verified
+        SELECT vec_a, vec_b, ${quant4Sql("score")} AS cosine FROM verified
         WHERE score >= $threshold ORDER BY vec_a, vec_b"""
   }
 
@@ -284,7 +296,7 @@ object SimOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("score"), 4).as("cosine"))
+        quant4(col("score")).as("cosine"))
   }
 
   def topKIvfSql(table: String, queryPredSql: String, k: Int,
@@ -323,7 +335,7 @@ object SimOps {
           SELECT query_id, vec_id AS neighbor_id,
                  CAST(row_number() OVER (PARTITION BY query_id
                                     ORDER BY score DESC, vec_id) AS INT) AS rank,
-                 round(score, 4) AS cosine
+                 ${quant4Sql("score")} AS cosine
           FROM scored)
         WHERE rank <= $k ORDER BY query_id, rank"""
   }
@@ -537,7 +549,7 @@ object SimOps {
         .orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("score"), 4).as("cosine"))
+        quant4(col("score")).as("cosine"))
   }
 
   def topKPqAdcSql(table: String, queryPredSql: String, topK: Int,
@@ -591,7 +603,7 @@ object SimOps {
           SELECT query_id, vec_id AS neighbor_id,
                  CAST(row_number() OVER (PARTITION BY query_id
                                     ORDER BY score DESC, vec_id) AS INT) AS rank,
-                 round(score, 4) AS cosine
+                 ${quant4Sql("score")} AS cosine
           FROM scored)
         WHERE rank <= $topK ORDER BY query_id, rank"""
   }
@@ -687,7 +699,7 @@ object SimOps {
         .orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("score"), 4).as("cosine"))
+        quant4(col("score")).as("cosine"))
   }
 
   def topKIvfPqSql(table: String, queryPredSql: String, topK: Int,
@@ -769,7 +781,7 @@ object SimOps {
           SELECT query_id, vec_id AS neighbor_id,
                  CAST(row_number() OVER (PARTITION BY query_id
                                     ORDER BY score DESC, vec_id) AS INT) AS rank,
-                 round(score, 4) AS cosine
+                 ${quant4Sql("score")} AS cosine
           FROM scored)
         WHERE rank <= $topK ORDER BY query_id, rank"""
   }
@@ -796,7 +808,7 @@ object SimOps {
           SELECT query_id, vec_id AS neighbor_id,
                  CAST(row_number() OVER (PARTITION BY query_id
                                     ORDER BY score DESC, vec_id) AS INT) AS rank,
-                 round(score, 4) AS cosine
+                 ${quant4Sql("score")} AS cosine
           FROM scored)
         WHERE rank <= $k ORDER BY query_id, rank"""
   }

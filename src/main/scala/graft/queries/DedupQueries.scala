@@ -97,9 +97,10 @@ object DedupQueries {
             round(expr("array_dot(a.embedding, b.embedding)") /
               (col("a.n") * col("b.n")), 6).as("score"))
           .filter(col("score") >= CosineThreshold)
-          .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("cosine"))
+          .select(col("vec_a"), col("vec_b"),
+            SimOps.quant4(col("score")).as("cosine"))
       },
-      Some(s"""SELECT vec_a, vec_b, round(score, 4) AS cosine FROM (
+      Some(s"""SELECT vec_a, vec_b, ${SimOps.quant4Sql("score")} AS cosine FROM (
               | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               |  round(${SimOps.cosineSql("a.embedding", "b.embedding")}, 6) AS score
               | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)

@@ -32,6 +32,9 @@ object SimQueries {
   val PqM = 16
   val PqK = 32
   val PqShortlist = 100
+  /** k-NN graph degree: enough for cluster linkage, small enough that
+    * the graph stays O(n·KnnK) rows. */
+  val KnnK = 5
   /** Recall floors: comfortably below measured (0.67 lsh / 0.50 ivf /
     * 0.95 pq) so corpus jitter passes, high enough that a cratered index
     * fails. */
@@ -113,6 +116,20 @@ object SimQueries {
       },
       Some(SimOps.topKPqAdcSql("embeddings", QueryPredSql, K,
         PqM, PqK, Dim, PqShortlist)),
+      presentOrder = Seq("query_id", "rank")),
+
+    // Corpus-wide k-NN graph: every vector is a query (the artifact
+    // semantic-clustering consumes). Same multi-table LSH machinery with
+    // an all-true predicate — the candidate step degrades to a bucket
+    // SELF-join (still an equi-join shuffled by (tbl, bucket), never a
+    // broadcast of the query side or an n² loop), so the build cost
+    // scales with bucket occupancy, not corpus².
+    QueryDef("sim_knn_graph",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.topKLshMulti(Tables.embeddings(s, d), lit(true), KnnK, LshTabs)
+      },
+      Some(SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs)),
       presentOrder = Seq("query_id", "rank")),
 
     // IVF-PQ composite: coarse cells bound WHICH vectors are scanned
