@@ -383,6 +383,157 @@ object SimOps {
                CAST(list_max(q) AS INT) AS q_max
         FROM quant ORDER BY vec_id"""
 
+  /** Per-dimension corpus statistics (count / mean / population
+    * variance) over an embedding column — the whitening / feature-
+    * normalization prep step every embedding pipeline runs before
+    * training or indexing.
+    *
+    * Cross-engine exactness: floating-point SUMS are partition-order-
+    * dependent, so both engines first quantize elements to integer
+    * micro-units (floor(x·10⁶ + 0.5) — the repo's engine-exact
+    * quantizer) and aggregate Σv and Σv² as DECIMAL(38,0) — exact,
+    * order-free, overflow-safe far beyond 10⁹ rows. mean = Σv/n and
+    * popvar = (n·Σv² − (Σv)²)/n² are then single correctly-rounded
+    * double operations on exact integers, quantized to 4 dp via
+    * [[quant4]]. Scale shape: posexplode to slim (dim, v) rows, one
+    * hash-agg shuffle with map-side partials — 64·partitions rows move,
+    * regardless of corpus size.
+    */
+  def dimStats(vectors: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    vectors
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"),
+        floor(col("v").cast("double") * lit(1e6) + lit(0.5)).as("vm"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vm").cast(dec)).as("s"),
+        sum((col("vm") * col("vm")).cast(dec)).as("s2"))
+      .select(col("dim"), col("n"),
+        quant4(col("s").cast("double") /
+          (col("n") * lit(1000000L)).cast("double")).as("mean"),
+        quant4((col("n").cast(dec) * col("s2") - col("s") * col("s"))
+            .cast("double") /
+          (col("n") * col("n")).cast("double") / lit(1e12))
+          .as("popvar"))
+  }
+
+  /** DuckDB twin: the same integer-micro-unit pipeline with HUGEINT
+    * (128-bit exact) sums in place of Spark's DECIMAL(38,0) — both hold
+    * the identical integers, so the single double conversion agrees. */
+  def dimStatsSql(table: String, dim: Int): String =
+    s"""WITH x AS (
+          SELECT s.j AS dim,
+                 CAST(floor(e[s.j + 1] * 1000000 + 0.5) AS BIGINT) AS vm
+          FROM (SELECT embedding::DOUBLE[] AS e FROM $table)
+               CROSS JOIN (SELECT unnest(range(0, $dim)) AS j) s),
+        agg AS (
+          SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 sum(vm) AS s, sum(vm * vm) AS s2
+          FROM x GROUP BY dim)
+        SELECT CAST(dim AS INT) AS dim, n,
+               ${quant4Sql("CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)")} AS mean,
+               ${quant4Sql(
+                 "CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)" +
+                 " / CAST(n * n AS DOUBLE) / 1e12")} AS popvar
+        FROM agg ORDER BY dim"""
+
+  /** Incremental IVF-PQ index maintenance — continuous ingestion for
+    * the ANN index, the vector-side twin of `dedup_incremental`: the
+    * coarse centroids and PQ codebook are FROZEN from the already-
+    * indexed corpus (`oldPred`), and only the arriving batch is
+    * assigned a cell and encoded. Cost scales with the batch, not the
+    * corpus — at 100 TB the batch's (cell, codes) rows append to the
+    * cell-bucketed code index, no existing row is touched, and queries
+    * see the union. Re-clustering/re-training is a separate offline
+    * decision (drift is observable via [[dimStats]] on old vs new).
+    *
+    * Output is flat (vec_id, cell, code_0..code_{m-1}) — the gated-
+    * output contract (no nested columns in hashed results).
+    */
+  def indexIncremental(vectors: DataFrame, oldPred: Column,
+                       c: Int, m: Int, k: Int, dim: Int,
+                       saltIvf: String = "ivf",
+                       saltPq: String = "pq"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    graft.catalyst.GraftFunctions.register(vectors.sparkSession)
+    val old = vectors.filter(oldPred)
+    val batch = withNorm(vectors.filter(!oldPred)
+      .select(col("vec_id"), col("embedding")), "embedding", "vn")
+    val centW = Window.orderBy(col("h"), col("vec_id"))
+    val cent = withNorm(old.select(col("vec_id"), col("embedding")),
+      "embedding", "cn0")
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(saltIvf), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(c)
+      .withColumn("cell", row_number().over(centW))
+      .select(col("cell"), col("embedding").as("cvec"), col("cn0").as("cn"))
+    val assign = batch.crossJoin(broadcast(cent))
+      .withColumn("score",
+        round(expr("array_dot(embedding, cvec)") / (col("vn") * col("cn")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
+    val cb: Array[Array[Double]] = old
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(saltPq), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    batch
+      .select(col("vec_id"), pqEncode(col("embedding"), cb, m, "codes").as("__c"))
+      .join(assign, "vec_id")
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(mi =>
+          element_at(col("__c"), mi + 1).as(s"code_$mi")): _*)
+  }
+
+  def indexIncrementalSql(table: String, oldPredSql: String,
+                          c: Int, m: Int, k: Int, dim: Int,
+                          saltIvf: String = "ivf",
+                          saltPq: String = "pq"): String = {
+    val d = dim / m
+    val hi = graft.ops.TextOps.hash64Sql(s"'$saltIvf' || CAST(vec_id AS VARCHAR)")
+    val hp = graft.ops.TextOps.hash64Sql(s"'$saltPq' || CAST(vec_id AS VARCHAR)")
+    val codeCols = (0 until m).map(mi =>
+      s"CAST(max(CASE WHEN mi = $mi THEN ki END) AS INT) AS code_$mi")
+      .mkString(", ")
+    s"""WITH old AS (SELECT vec_id, embedding FROM $table WHERE $oldPredSql),
+        batch AS (SELECT vec_id, embedding FROM $table
+                  WHERE NOT ($oldPredSql)),
+        cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cell,
+                 embedding AS cvec
+          FROM (SELECT vec_id, embedding, $hi AS h FROM old
+                ORDER BY h, vec_id LIMIT $c)),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT b.vec_id, cent.cell,
+                   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                     round(${cosineSql("b.embedding", "cvec")}, 6) DESC,
+                     cent.cell) AS rn
+            FROM batch b CROSS JOIN cent) WHERE rn = 1),
+        cb AS (
+          SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS ki,
+                 embedding::DOUBLE[] AS cvec
+          FROM (SELECT vec_id, embedding, $hp AS h FROM old
+                ORDER BY h, vec_id LIMIT $k)),
+        dists AS (
+          SELECT b.vec_id, s.mi, cb.ki,
+                 ${pqSubDistSql("e", "cvec", "s.mi", d)} AS dd
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM batch) b
+               CROSS JOIN cb
+               CROSS JOIN (SELECT unnest(range(0, $m)) AS mi) s),
+        amin AS (
+          SELECT vec_id, mi, ki FROM (
+            SELECT vec_id, mi, ki,
+                   row_number() OVER (PARTITION BY vec_id, mi
+                                      ORDER BY dd, ki) AS rn
+            FROM dists) WHERE rn = 1)
+        SELECT vec_id, cell, $codeCols
+        FROM amin JOIN assign USING (vec_id)
+        GROUP BY vec_id, cell ORDER BY vec_id"""
+  }
+
   /** Product quantization — the 100 TB ANN memory story beside int8:
     * each vector splits into `m` subvectors; a per-subspace codebook of
     * `k` centroids (rows of the same deterministic hash-ordered corpus

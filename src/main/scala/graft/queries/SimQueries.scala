@@ -118,6 +118,25 @@ object SimQueries {
         PqM, PqK, Dim, PqShortlist)),
       presentOrder = Seq("query_id", "rank")),
 
+    // Incremental IVF-PQ index maintenance: centroids + codebook frozen
+    // from the already-indexed 80%, only the arriving 20% batch is
+    // assigned and encoded — append-only continuous ingestion, cost
+    // scales with the batch (the vector twin of dedup_incremental).
+    QueryDef("sim_index_incremental",
+      (s, d) => SimOps.indexIncremental(Tables.embeddings(s, d),
+        col("vec_id") % 10 < 8, Cells, m = 8, k = 16, dim = Dim),
+      Some(SimOps.indexIncrementalSql("embeddings", "vec_id % 10 < 8",
+        Cells, m = 8, k = 16, dim = Dim)),
+      presentOrder = Seq("vec_id")),
+
+    // Per-dimension corpus stats (whitening / normalization prep):
+    // exact integer-micro-unit sums so float summation order can never
+    // diverge across engines or runs; one slim-row hash-agg shuffle.
+    QueryDef("sim_dim_stats",
+      (s, d) => SimOps.dimStats(Tables.embeddings(s, d)),
+      Some(SimOps.dimStatsSql("embeddings", Dim)),
+      presentOrder = Seq("dim")),
+
     // Corpus-wide k-NN graph: every vector is a query (the artifact
     // semantic-clustering consumes). Same multi-table LSH machinery with
     // an all-true predicate — the candidate step degrades to a bucket

@@ -388,6 +388,67 @@ class DedupSimSpec extends SparkSpec {
     assert(!codes.contains(2) && codes.contains(1))
   }
 
+  test("indexIncremental: batch-only output, codebook frozen from the old corpus") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    val (c, m, k, dim) = (4, 2, 4, 8)
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(dim)(j => (((i * 11 + j * 5) % 17).toFloat - 8f) / 4f))
+    }.toDF("vec_id", "embedding")
+    val oldPred = col("vec_id") < 24
+    val out = SimOps.indexIncremental(vecs, oldPred, c, m, k, dim)
+      .orderBy("vec_id").collect()
+    // Exactly the batch, once each; cells and codes in range.
+    assert(out.map(_.getLong(0)).toSeq === (24L until 30L).toSeq)
+    assert(out.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= c))
+    assert(out.forall(r => (0 until m).forall { mi =>
+      val code = r.getInt(2 + mi); code >= 0 && code < k }))
+    // Freeze semantics: batch codes must equal pq_encode against the
+    // codebook drawn (same salt, same hash order) from the OLD rows only.
+    val cb = vecs.filter(oldPred)
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit("pq"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val exp = vecs.filter(!oldPred)
+      .select(col("vec_id"), call_function("pq_encode", col("embedding"),
+        typedLit(cb.map(_.toSeq).toSeq), lit(m), lit("codes")).as("cd"))
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    out.foreach { r =>
+      assert((0 until m).map(mi => r.getInt(2 + mi)) === exp(r.getLong(0)),
+        s"codes @${r.getLong(0)}")
+    }
+  }
+
+  test("dimStats: exact vs driver-side micro-unit math, partition-invariant") {
+    import spark.implicits._
+    val dim = 3
+    val data = (0L until 25L).map { i =>
+      (i, Array.tabulate(dim)(j => (((i * 13 + j * 7) % 31).toFloat - 15f) / 4f))
+    }
+    val vecs = data.toDF("vec_id", "embedding")
+    // Driver-side ground truth in the same exact integer space.
+    val expect = (0 until dim).map { j =>
+      val vm = data.map(d => math.floor(d._2(j).toDouble * 1e6 + 0.5).toLong)
+      val n = vm.size.toLong
+      val s = vm.map(BigInt(_)).sum
+      val s2 = vm.map(v => BigInt(v) * BigInt(v)).sum
+      val mean = math.floor(s.toDouble / (n * 1000000L).toDouble * 1e4 + 0.5) / 1e4
+      val popvar = math.floor((BigInt(n) * s2 - s * s).toDouble /
+        (n * n).toDouble / 1e12 * 1e4 + 0.5) / 1e4
+      (j, n, mean, popvar)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimOps.dimStats(df).orderBy("dim").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(run(vecs) === expect)
+    // Integer-space aggregation makes the result partition-order-free —
+    // the property plain double sums do NOT have.
+    assert(run(vecs.repartition(7)) === run(vecs.repartition(1)))
+  }
+
   test("product quantization: codebook rows reconstruct exactly, codes bounded") {
     import spark.implicits._
     val (m, k, dim) = (4, 8, 8)
