@@ -438,6 +438,42 @@ object SimOps {
                  " / CAST(n * n AS DOUBLE) / 1e12")} AS popvar
         FROM agg ORDER BY dim"""
 
+  /** Embedding drift monitor — [[dimStats]] computed independently over
+    * a reference slice and a current slice, joined per dimension, with
+    * the absolute mean shift and variance ratio as the drift signals.
+    * This is the observable that triggers offline re-training of the
+    * frozen [[indexIncremental]] centroids/codebook. Two slim hash-agg
+    * shuffles (one per slice) + a 64-row join — corpus-size-free
+    * movement; every number inherits dimStats' exact-integer
+    * determinism, ratios quantized via [[quant4]] with a NULL on a
+    * zero reference variance (both engines). */
+  def dimDrift(vectors: DataFrame, refPred: Column): DataFrame = {
+    val ref = dimStats(vectors.filter(refPred))
+      .select(col("dim"), col("n").as("ref_n"), col("mean").as("ref_mean"),
+        col("popvar").as("ref_var"))
+    val cur = dimStats(vectors.filter(!refPred))
+      .select(col("dim"), col("n").as("cur_n"), col("mean").as("cur_mean"),
+        col("popvar").as("cur_var"))
+    ref.join(cur, "dim")
+      .select(col("dim"), col("ref_n"), col("cur_n"),
+        col("ref_mean"), col("cur_mean"),
+        quant4(abs(col("cur_mean") - col("ref_mean"))).as("mean_shift"),
+        quant4(col("cur_var") / when(col("ref_var") === 0d, lit(null))
+          .otherwise(col("ref_var"))).as("var_ratio"))
+  }
+
+  def dimDriftSql(table: String, refPredSql: String, dim: Int): String =
+    s"""WITH ref AS (
+          SELECT dim, n AS ref_n, mean AS ref_mean, popvar AS ref_var
+          FROM (${dimStatsSql(s"(SELECT * FROM $table WHERE $refPredSql)", dim)})),
+        cur AS (
+          SELECT dim, n AS cur_n, mean AS cur_mean, popvar AS cur_var
+          FROM (${dimStatsSql(s"(SELECT * FROM $table WHERE NOT ($refPredSql))", dim)}))
+        SELECT dim, ref_n, cur_n, ref_mean, cur_mean,
+               ${quant4Sql("abs(cur_mean - ref_mean)")} AS mean_shift,
+               ${quant4Sql("cur_var / nullif(ref_var, 0)")} AS var_ratio
+        FROM ref JOIN cur USING (dim) ORDER BY dim"""
+
   /** Incremental IVF-PQ index maintenance — continuous ingestion for
     * the ANN index, the vector-side twin of `dedup_incremental`: the
     * coarse centroids and PQ codebook are FROZEN from the already-

@@ -129,6 +129,15 @@ object SimQueries {
         Cells, m = 8, k = 16, dim = Dim)),
       presentOrder = Seq("vec_id")),
 
+    // Embedding drift monitor: dimStats over the indexed 80% vs the
+    // arriving 20%, joined per dimension — the observable that triggers
+    // re-training of sim_index_incremental's frozen centroids/codebook.
+    QueryDef("sim_dim_drift",
+      (s, d) => SimOps.dimDrift(Tables.embeddings(s, d),
+        col("vec_id") % 10 < 8),
+      Some(SimOps.dimDriftSql("embeddings", "vec_id % 10 < 8", Dim)),
+      presentOrder = Seq("dim")),
+
     // Per-dimension corpus stats (whitening / normalization prep):
     // exact integer-micro-unit sums so float summation order can never
     // diverge across engines or runs; one slim-row hash-agg shuffle.
