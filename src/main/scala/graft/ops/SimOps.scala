@@ -392,7 +392,10 @@ object SimOps {
     * dependent, so both engines first quantize elements to integer
     * micro-units (floor(x·10⁶ + 0.5) — the repo's engine-exact
     * quantizer) and aggregate Σv and Σv² as DECIMAL(38,0) — exact,
-    * order-free, overflow-safe far beyond 10⁹ rows. mean = Σv/n and
+    * order-free, overflow-safe far beyond 10⁹ rows. (The per-element
+    * vm² square is 64-bit: elements must stay below ~3·10³ in
+    * magnitude, amply true for normalized/bounded embeddings; both
+    * engines fail loudly, not silently, beyond it.) mean = Σv/n and
     * popvar = (n·Σv² − (Σv)²)/n² are then single correctly-rounded
     * double operations on exact integers, quantized to 4 dp via
     * [[quant4]]. Scale shape: posexplode to slim (dim, v) rows, one
