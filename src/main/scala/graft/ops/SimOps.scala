@@ -60,10 +60,16 @@ object SimOps {
     * boundary renders differently (first seen on `sim_knn_graph`'s 2500
     * rows: query 23, neighbor 141). floor(x·10⁴ + 0.5)/10⁴ is pure IEEE
     * arithmetic — same product, same floor, same division in both
-    * engines. */
-  def quant4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+    * engines. NaN/±Inf pass through unchanged on BOTH sides (Spark's
+    * long-typed floor would silently turn NaN into 0 and ±Inf into
+    * ±Long.Max; DuckDB's double floor keeps them — the guard restores
+    * round(x,4)'s NaN-preserving behavior and keeps engines aligned). */
+  def quant4(c: Column): Column =
+    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+      .otherwise(floor(c * lit(1e4) + lit(0.5)) / lit(1e4))
   def quant4Sql(e: String): String =
-    s"floor(($e) * 10000 + 0.5) / CAST(10000 AS DOUBLE)"
+    s"""CASE WHEN isnan($e) OR isinf($e) THEN ($e)
+        ELSE floor(($e) * 10000 + 0.5) / CAST(10000 AS DOUBLE) END"""
 
   /** Brute-force exact top-k: for each query vector (filtered by
     * `queryPred`), the k nearest non-self vectors by cosine.
@@ -392,10 +398,9 @@ object SimOps {
     * dependent, so both engines first quantize elements to integer
     * micro-units (floor(x·10⁶ + 0.5) — the repo's engine-exact
     * quantizer) and aggregate Σv and Σv² as DECIMAL(38,0) — exact,
-    * order-free, overflow-safe far beyond 10⁹ rows. (The per-element
-    * vm² square is 64-bit: elements must stay below ~3·10³ in
-    * magnitude, amply true for normalized/bounded embeddings; both
-    * engines fail loudly, not silently, beyond it.) mean = Σv/n and
+    * order-free, overflow-safe far beyond 10⁹ rows (the vm² square is
+    * taken in DECIMAL/HUGEINT space too, so no 64-bit wrap at any
+    * plausible element magnitude). mean = Σv/n and
     * popvar = (n·Σv² − (Σv)²)/n² are then single correctly-rounded
     * double operations on exact integers, quantized to 4 dp via
     * [[quant4]]. Scale shape: posexplode to slim (dim, v) rows, one
@@ -409,9 +414,14 @@ object SimOps {
       .select(col("dim"),
         floor(col("v").cast("double") * lit(1e6) + lit(0.5)).as("vm"))
       .groupBy(col("dim"))
-      .agg(count(lit(1)).as("n"),
+      // count(vm): null elements are excluded from n on BOTH engines
+      // (the oracle's range-join manufactures a row per dimension even
+      // for short/null arrays — counting vm, not *, keeps them aligned).
+      // The square multiplies DECIMAL, not LONG: a 64-bit vm² would
+      // silently wrap on Spark for |v| > ~3e3 while DuckDB errors.
+      .agg(count(col("vm")).as("n"),
         sum(col("vm").cast(dec)).as("s"),
-        sum((col("vm") * col("vm")).cast(dec)).as("s2"))
+        sum(col("vm").cast(dec) * col("vm").cast(dec)).as("s2"))
       .select(col("dim"), col("n"),
         quant4(col("s").cast("double") /
           (col("n") * lit(1000000L)).cast("double")).as("mean"),
@@ -431,8 +441,8 @@ object SimOps {
           FROM (SELECT embedding::DOUBLE[] AS e FROM $table)
                CROSS JOIN (SELECT unnest(range(0, $dim)) AS j) s),
         agg AS (
-          SELECT dim, CAST(count(*) AS BIGINT) AS n,
-                 sum(vm) AS s, sum(vm * vm) AS s2
+          SELECT dim, CAST(count(vm) AS BIGINT) AS n,
+                 sum(vm) AS s, sum(CAST(vm AS HUGEINT) * vm) AS s2
           FROM x GROUP BY dim)
         SELECT CAST(dim AS INT) AS dim, n,
                ${quant4Sql("CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)")} AS mean,
@@ -1017,17 +1027,21 @@ object SimOps {
                   pqM: Int, pqK: Int, dim: Int, pqShortlist: Int,
                   lshFloor: Double, ivfFloor: Double,
                   pqFloor: Double, ivfpqFloor: Double): DataFrame = {
+    // persist: all four method branches join against the same exact
+    // top-k; without it the all-pairs brute scan re-executes per branch.
     val bruteK = topKBruteForce(vectors, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).persist()
     def one(name: String, approx: DataFrame, floor: Double): DataFrame =
       bruteK.join(
           approx.select(col("query_id"), col("neighbor_id"))
             .withColumn("hit", lit(1)),
           Seq("query_id", "neighbor_id"), "left")
         .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
+        // quant4, not round(x,4): matched/total ratios land on 4-dp half
+        // boundaries easily (7/160 = 0.04375) and round() diverges
+        // between engines there.
         .withColumn("recall",
-          round(col("matched").cast("double") / col("total").cast("double"), 4)
-            .cast("decimal(18,4)").cast("double"))
+          quant4(col("matched").cast("double") / col("total").cast("double")))
         .select(lit(name).as("method"), col("matched"), col("total"),
           col("recall"), (col("recall") >= floor).as("meets_floor"))
     one("ivf", topKIvf(vectors, queryPred, k, c, nprobe), ivfFloor)
@@ -1070,8 +1084,8 @@ object SimOps {
                  CAST(count(*) AS BIGINT) AS total
           FROM brute b LEFT JOIN ivfpqk a USING (query_id, neighbor_id))
         SELECT method, matched, total,
-               CAST(CAST(round(CAST(matched AS DOUBLE) / CAST(total AS DOUBLE), 4)
-                    AS DECIMAL(18,4)) AS DOUBLE) AS recall,
+               ${quant4Sql("CAST(matched AS DOUBLE) / CAST(total AS DOUBLE)")}
+                 AS recall,
                TRUE AS meets_floor
         FROM m ORDER BY method"""
 }

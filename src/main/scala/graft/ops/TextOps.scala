@@ -171,7 +171,12 @@ object TextOps {
     * exactly BPE's non-overlapping skip); otherwise append with a
     * separator. Identical `list_reduce` fold in DuckDB.
     */
-  val BpePieceRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  /** The catch-all branch excludes U+001F: a corpus byte equal to the
+    * internal join separator would otherwise become a piece and corrupt
+    * the join/split rewrite (pieces [a, SEP, b] -> split yields empty
+    * tokens) -- silently and identically on BOTH engines, so the gate
+    * could never catch it. */
+  val BpePieceRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \u001f]"
   private val BpeSep = "\u001f"
 
   /** Greedy non-overlapping single-merge rewrite of a piece-array column. */
@@ -199,8 +204,14 @@ object TextOps {
         .groupBy(col("u.a").as("pa"), col("u.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pa"), col("pb"))
-        .limit(1).collect()(0)
-      val (pa, pb, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        .limit(1).collect()
+      // Fail loudly if the corpus ran out of adjacent pairs: the SQL
+      // twin's cross join with an empty top-pair CTE would silently
+      // empty the corpus instead — diverging, not erroring.
+      require(top.nonEmpty,
+        s"bpeTrain: no adjacent pair left at round $r — reduce rounds")
+      val (pa, pb, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       val next = pieces
         .select(col("doc_id"), bpeMergeOnce(col("p"), pa, pb).as("p"))
         .persist()

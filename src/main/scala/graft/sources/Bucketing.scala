@@ -107,7 +107,12 @@ object Bucketing {
   def writeClusteredZ(df: DataFrame, path: String, colA: String, colB: String,
                       files: Int, bits: Int = 16): Unit = {
     import org.apache.spark.sql.functions._
-    val r = df.agg(min(colA), max(colA), min(colB), max(colB)).collect()(0)
+    // Cast the bounds (not just the rows) to long so integer/date/short
+    // cluster columns work as advertised; empty input fails loudly.
+    val r = df.agg(min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"writeClusteredZ: empty input or all-null cluster column ($colA/$colB)")
     def norm(c: String, lo: Long, hi: Long) = {
       val span = math.max(hi - lo, 1L)
       (((col(c) - lo).cast("double") * ((1L << bits) - 1)) / span).cast("long")

@@ -388,6 +388,19 @@ class DedupSimSpec extends SparkSpec {
     assert(!codes.contains(2) && codes.contains(1))
   }
 
+  test("quant4: half-boundary goes to the binary-double side, NaN/Inf pass through") {
+    import spark.implicits._
+    val got = Seq(0.26685, -0.26685, 1.0, Double.NaN,
+        Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("x").select(SimOps.quant4(col("x")).as("q"))
+      .collect().map(_.getDouble(0))
+    // 0.26685 is stored as 0.26684999…, so the IEEE floor quantizer gives
+    // 0.2668 — what DuckDB's round gives, NOT Spark round's 0.2669.
+    assert(got(0) === 0.2668 && got(1) === -0.2668 && got(2) === 1.0)
+    assert(got(3).isNaN)                       // not 0.0 (long-floor trap)
+    assert(got(4).isPosInfinity && got(5).isNegInfinity)
+  }
+
   test("indexIncremental: batch-only output, codebook frozen from the old corpus") {
     import spark.implicits._
     graft.catalyst.GraftFunctions.register(spark)
