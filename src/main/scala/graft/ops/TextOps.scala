@@ -193,6 +193,30 @@ object TextOps {
 
   def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
+    val (out, last) = bpeTrainCore(docs, rounds)
+    last.unpersist()
+    import spark.implicits._
+    out.toDF("merge_round", "pa", "pb", "cnt", "pieces_total", "corpus_fp")
+  }
+
+  /** Tokenizer APPLY — the per-document corpus after the `rounds`
+    * trained merges (train-then-apply composition): piece count + a
+    * per-doc fingerprint of the final piece sequence. The merge list is
+    * re-derived by the same driver-iterated loop (each learned pair is a
+    * literal in the rewrite plan, so the result recomputes without the
+    * training cache); a production tokenizer would persist the merge
+    * list once and stream the narrow per-row rewrite. */
+  def bpeApply(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, last) = bpeTrainCore(docs, rounds)
+    val res = last.select(col("doc_id"),
+      size(col("p")).cast("long").as("n_pieces"),
+      hash64(concat_ws(BpeSep, col("p"))).as("doc_fp"))
+    last.unpersist()
+    res
+  }
+
+  private def bpeTrainCore(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long, Long, Long)], DataFrame) = {
     var pieces = docs.select(col("doc_id"),
       regexp_extract_all(col("text"), lit(BpePieceRe), lit(0)).as("p"))
       .persist()
@@ -225,12 +249,27 @@ object TextOps {
         .collect()(0)
       (r, pa, pb, cnt, st.getLong(0), st.getLong(1))
     }
-    pieces.unpersist()
-    import spark.implicits._
-    out.toDF("merge_round", "pa", "pb", "cnt", "pieces_total", "corpus_fp")
+    (out, pieces)
   }
 
   def bpeTrainSql(table: String, rounds: Int): String = {
+    val sb = new StringBuilder(bpeCtesSql(table, rounds))
+    sb.append("\n")
+    sb.append((1 to rounds).map(r =>
+        s"SELECT $r AS merge_round, pa, pb, cnt, pieces_total, corpus_fp FROM t$r, st$r")
+      .mkString(" UNION ALL "))
+    sb.append(" ORDER BY merge_round")
+    sb.toString
+  }
+
+  def bpeApplySql(table: String, rounds: Int): String =
+    bpeCtesSql(table, rounds) + s"""
+      SELECT doc_id, CAST(len(p) AS BIGINT) AS n_pieces,
+             ${hash64Sql("array_to_string(p, chr(31))")} AS doc_fp
+      FROM s$rounds ORDER BY doc_id"""
+
+  /** Shared CTE chain s0..s{rounds}: s_r = the corpus after merge r. */
+  private def bpeCtesSql(table: String, rounds: Int): String = {
     val sb = new StringBuilder(
       s"WITH s0 AS (SELECT doc_id, regexp_extract_all(text, '$BpePieceRe') AS p FROM $table)")
     for (r <- 1 to rounds) {
@@ -256,11 +295,6 @@ object TextOps {
                           AS corpus_fp
                  FROM s$r)""")
     }
-    sb.append("\n")
-    sb.append((1 to rounds).map(r =>
-        s"SELECT $r AS merge_round, pa, pb, cnt, pieces_total, corpus_fp FROM t$r, st$r")
-      .mkString(" UNION ALL "))
-    sb.append(" ORDER BY merge_round")
     sb.toString
   }
 }

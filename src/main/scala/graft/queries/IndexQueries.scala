@@ -87,6 +87,14 @@ object IndexQueries {
     QueryDef("text_bpe_merges",
       (s, d) => graft.ops.TextOps.bpeTrain(Tables.documents(s, d), rounds = 3),
       Some(graft.ops.TextOps.bpeTrainSql("documents", rounds = 3)),
-      presentOrder = Seq("merge_round"))
+      presentOrder = Seq("merge_round")),
+
+    // Tokenizer APPLY: the per-document corpus after the trained merges
+    // (piece count + per-doc fingerprint) — the train-then-apply
+    // composition a tokenizer deployment actually runs.
+    QueryDef("text_bpe_apply",
+      (s, d) => graft.ops.TextOps.bpeApply(Tables.documents(s, d), rounds = 3),
+      Some(graft.ops.TextOps.bpeApplySql("documents", rounds = 3)),
+      presentOrder = Seq("doc_id"))
   )
 }

@@ -60,6 +60,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpeApply reconciles with bpeTrain: piece totals and XOR fingerprint") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "a dog sat, a dog ran!"),
+      (4L, "cats cats cats")).toDF("doc_id", "text")
+    val last = TextOps.bpeTrain(docs, rounds = 2)
+      .orderBy(col("merge_round").desc).collect()(0)
+    val applied = TextOps.bpeApply(docs, rounds = 2)
+    val agg = applied.agg(sum(col("n_pieces")),
+      expr("bit_xor(doc_fp)")).collect()(0)
+    // The train summary's pieces_total and corpus_fp are exactly the sum
+    // and XOR of the apply output — the two ops describe one corpus.
+    assert(agg.getLong(0) === last.getAs[Long]("pieces_total"))
+    assert(agg.getLong(1) === last.getAs[Long]("corpus_fp"))
+    assert(applied.count() === 4)
+  }
+
   test("property: bpeMergeOnce equals the naive greedy non-overlapping merge") {
     import spark.implicits._
     import graft.ops.TextOps
