@@ -130,6 +130,9 @@ object GraftFunctions {
       org.apache.spark.sql.functions.udaf(
         new MinHashSketchAgg(MinHashSketchAgg.SketchK),
         org.apache.spark.sql.Encoders.scalaLong))
+    spark.udf.register("bloom_bits",
+      org.apache.spark.sql.functions.udaf(
+        new BloomSetAgg, org.apache.spark.sql.Encoders.scalaLong))
   }
 }
 

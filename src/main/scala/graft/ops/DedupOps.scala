@@ -209,6 +209,74 @@ object DedupOps {
           .cast("decimal(18,4)").cast("double"))
   }
 
+  /** Bloom-filter decontamination AUDIT: [[contamination]] with the exact
+    * broadcast shingle SET replaced by a [[graft.catalyst.BloomSetAgg]]
+    * bitset, PLUS the exact check kept alongside so the realized
+    * false-positive behavior is gate-visible. Per training doc:
+    * (n_sh, n_bloom = shingles the filter flags, n_shared = exact shared
+    * count, no_false_neg = n_bloom >= n_shared — the Bloom guarantee).
+    *
+    * Scale shape: the eval side folds into ONE 8 KiB bitset row
+    * (mergeable OR, map-side partials) that broadcasts regardless of the
+    * eval shingle cardinality — the exact-set broadcast in
+    * [[contamination]] grows with the eval suite; this does not. The
+    * membership test is pure codegen bit arithmetic on the training side
+    * (no UDF, no shuffle of the training shingles). A production
+    * decontamination pass drops the exact-set join and keeps only the
+    * Bloom arm; this audit form is what the oracle gates, and the oracle
+    * replays the identical positions as a position-set membership test
+    * (same LCG coefficients), so Spark's bitset semantics are pinned
+    * bit-for-bit. */
+  def contaminationBloomAudit(docs: DataFrame, textCol: String, idCol: String,
+                              evalPred: Column): DataFrame = {
+    import graft.catalyst.BloomSetAgg
+    graft.catalyst.GraftFunctions.register(docs.sparkSession)
+    val evalSh = shingleInv(docs.filter(evalPred), textCol, idCol)
+      .select("h").distinct()
+    val bloom = evalSh.agg(expr("bloom_bits(h)").as("__bits"))
+    val evalExact = evalSh.withColumn("__hit", lit(1))
+    val train = shingleInv(docs.filter(!evalPred), textCol, idCol).distinct()
+    train
+      .crossJoin(broadcast(bloom))
+      .join(broadcast(evalExact), Seq("h"), "left")
+      .withColumn("__bloom", expr(BloomSetAgg.memberSql("h", "__bits")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("__bloom"), lit(1L)).otherwise(lit(0L))).as("n_bloom"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_shared"))
+      .filter(col("n_bloom") > 0)
+      .withColumn("no_false_neg", col("n_bloom") >= col("n_shared"))
+  }
+
+  /** Oracle twin of [[contaminationBloomAudit]]: membership replayed as a
+    * position-SET test — `h` is flagged iff all K of its derived bit
+    * positions appear in the eval side's position set, which is exactly
+    * "all K bits set" in the bitset formulation. */
+  def contaminationBloomAuditSql(table: String, textCol: String, idCol: String,
+                                 evalPredSql: String): String = {
+    import graft.catalyst.BloomSetAgg
+    val pos = BloomSetAgg.positionSqls("h")
+    val posList = pos.mkString("[", ", ", "]")
+    val allIn = pos.map(p => s"($p) IN (SELECT pos FROM eval_pos)")
+      .mkString("(", " AND ", ")")
+    s"""WITH sets AS (${shingleSetsSql(table, textCol, idCol)}),
+        inv AS (SELECT DISTINCT doc_id, h FROM
+                  (SELECT doc_id, unnest(sh) AS h FROM sets)),
+        eval_sh AS (SELECT DISTINCT h FROM inv WHERE $evalPredSql),
+        eval_pos AS (SELECT DISTINCT unnest($posList) AS pos FROM eval_sh),
+        flags AS (SELECT doc_id, h,
+                         CASE WHEN $allIn THEN 1 ELSE 0 END AS bloom_hit,
+                         CASE WHEN h IN (SELECT h FROM eval_sh)
+                              THEN 1 ELSE 0 END AS hit
+                  FROM inv WHERE NOT ($evalPredSql))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(sum(bloom_hit) AS BIGINT) AS n_bloom,
+               CAST(sum(hit) AS BIGINT) AS n_shared,
+               sum(bloom_hit) >= sum(hit) AS no_false_neg
+        FROM flags GROUP BY doc_id HAVING sum(bloom_hit) > 0
+        ORDER BY doc_id"""
+  }
+
   /** Materialized-pair reuse: at 100 TB the near-dup pair table is
     * computed once per corpus snapshot and consumed many times (cluster
     * canonicalization, curation, audits) — recomputing the shingle

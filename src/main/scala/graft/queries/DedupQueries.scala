@@ -131,6 +131,20 @@ object DedupQueries {
         "doc_id % 50 = 0")),
       presentOrder = Seq("doc_id")),
 
+    // Bloom-filter decontamination audit: the exact eval-shingle-set
+    // broadcast of dedup_contamination replaced by one mergeable 8 KiB
+    // bitset (BloomSetAgg) — the membership artifact whose size does NOT
+    // grow with the eval suite. Audit form keeps the exact twin beside
+    // the Bloom count so realized false positives (and the no-false-
+    // negative guarantee) are gate-visible; the oracle replays the same
+    // bit positions as a position-set test.
+    QueryDef("dedup_contamination_bloom",
+      (s, d) => DedupOps.contaminationBloomAudit(Tables.documents(s, d),
+        "text", "doc_id", col("doc_id") % 50 === 0),
+      Some(DedupOps.contaminationBloomAuditSql("documents", "text", "doc_id",
+        "doc_id % 50 = 0")),
+      presentOrder = Seq("doc_id")),
+
     // Incremental dedup: the arriving 20% slice checked against the
     // existing 80% corpus — exact (md5 equi-join) + near (MinHash band
     // buckets, new⋈old only: old×old candidates are never generated,

@@ -572,4 +572,50 @@ class DedupSimSpec extends SparkSpec {
     assert(out("hot") === None) // 10 distinct > cap=5 -> NULL
     assert(out("cold").get.sorted === Seq(1L, 2L))
   }
+
+  test("BloomSetAgg: bitset bits are exactly the derived positions; merge is OR; partition-invariant") {
+    import graft.catalyst.BloomSetAgg
+    val agg = new BloomSetAgg
+    val hashes = Seq(7L, 12345678901234L, (1L << 59) - 3L, 0L)
+    val bits = hashes.foldLeft(agg.zero)(agg.reduce)
+    // every derived position set; no OTHER bit set
+    val expected = hashes.flatMap(BloomSetAgg.positions(_).toSeq).toSet
+    val actual = (0 until BloomSetAgg.BloomBits)
+      .filter(p => (bits(p >> 6) & (1L << (p & 63))) != 0).toSet
+    assert(actual === expected)
+    // merge == OR == building from the union stream, any split
+    val (l, r) = hashes.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq === bits.toSeq)
+    // the distributed UDAF agrees with the local fold regardless of partitioning
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    val viaUdaf = hashes.toDF("h").repartition(7)
+      .agg(expr("bloom_bits(h)")).collect()(0).getSeq[Long](0)
+    assert(viaUdaf.toSeq === bits.toSeq)
+  }
+
+  test("contaminationBloomAudit: flags every exactly-contaminated doc, never under-counts") {
+    import spark.implicits._
+    // doc 0 = eval; doc 10 copies it (fully contaminated); doc 11 shares a
+    // 3-token prefix window; doc 12 disjoint.
+    val evalText = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (0L, evalText),
+      (10L, evalText),
+      (11L, "alpha beta gamma other words entirely here"),
+      (12L, "totally disjoint vocabulary in this document")).toDF("doc_id", "text")
+    val out = DedupOps.contaminationBloomAudit(d, "text", "doc_id",
+        col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val (n10, b10, s10, ok10) = out(10L)
+    assert(n10 === 4L && s10 === 4L && b10 >= s10 && ok10)
+    val (_, b11, s11, ok11) = out(11L)
+    assert(s11 === 1L && b11 >= 1L && ok11)
+    // doc 12 may appear ONLY via Bloom false positives, and then must
+    // still satisfy the no-false-negative invariant
+    out.get(12L).foreach { case (_, b, s, ok) => assert(s === 0L && b > 0L && ok) }
+  }
 }
