@@ -277,6 +277,78 @@ object DedupOps {
         ORDER BY doc_id"""
   }
 
+  /** Duplicate-SPAN length: token windows this long, at EVERY start
+    * offset (stride 1), are the unit of exact-substring duplication
+    * detection — the arbitrary-offset semantic of suffix-array training-
+    * data dedup, which the fixed 16/8 chunk grid of `dedup_chunk_exact`
+    * cannot see (a duplicated run straddling chunk boundaries hashes into
+    * different chunks). Shared with the oracle twin. */
+  val SpanLen = 8
+
+  /** Per-document duplicated-span coverage (exact-substring dedup):
+    * every [[SpanLen]]-token window (stride 1) is hashed; a window GRAM
+    * occurring >= 2 times anywhere in the corpus (any doc, any offset —
+    * same-doc internal repetition counts) is duplicated; a doc's covered
+    * positions are the union of its duplicated windows' [pos, pos+L)
+    * ranges. Output per doc: (n_tokens, n_covered, dup_frac), all docs.
+    *
+    * Scale shape: the occurrence table (doc, pos, h) is linear in corpus
+    * tokens; ONE h-shuffle computes per-gram occurrence counts (window
+    * count over h — no self-join, no pair fan-out: hot grams cost their
+    * occurrence count, never df²); covered positions then explode L rows
+    * per duplicated window and reduce by count(DISTINCT pos) per doc.
+    * Every stage is linear in (tokens × small constant) at any corpus
+    * size — this is the cheap exactness complement to the probabilistic
+    * near-dup family. */
+  def spanCoverage(docs: DataFrame, textCol: String, idCol: String,
+                   spanLen: Int = SpanLen): DataFrame = {
+    val toks = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), col("__toks"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
+            ELSE transform(sequence(0, size(__toks) - $spanLen),
+              j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
+      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
+    val counted = grams.withColumn("__cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    val covered = counted.filter(col("__cnt") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tok"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_covered"))
+    toks.select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("dup_frac",
+        SimOps.quant4(col("n_covered").cast("double") / col("n_tokens")))
+  }
+
+  /** Oracle twin of [[spanCoverage]]. */
+  def spanCoverageSql(table: String, textCol: String, idCol: String,
+                      spanLen: Int = SpanLen): String =
+    s"""WITH toks AS (SELECT $idCol AS doc_id,
+                             ${TextOps.tokensSql(textCol)} AS t FROM $table),
+        grams AS (SELECT doc_id,
+                         unnest(generate_series(0, len(t) - $spanLen)) AS pos,
+                         t FROM toks WHERE len(t) >= $spanLen),
+        hashed AS (SELECT doc_id, pos,
+                          ${TextOps.hash64Sql(
+                            s"array_to_string(list_slice(t, pos + 1, pos + $spanLen), ' ')")} AS h
+                   FROM grams),
+        counted AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt
+                    FROM hashed),
+        cov AS (SELECT doc_id AS cov_doc, count(DISTINCT tok) AS n_covered FROM
+                  (SELECT doc_id, pos + unnest(generate_series(0, ${spanLen - 1})) AS tok
+                   FROM counted WHERE cnt >= 2)
+                GROUP BY doc_id)
+        SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
+               ${SimOps.quant4Sql("coalesce(n_covered, 0)::DOUBLE / len(t)")} AS dup_frac
+        FROM toks LEFT JOIN cov ON toks.doc_id = cov.cov_doc
+        ORDER BY doc_id"""
+
   /** Materialized-pair reuse: at 100 TB the near-dup pair table is
     * computed once per corpus snapshot and consumed many times (cluster
     * canonicalization, curation, audits) — recomputing the shingle

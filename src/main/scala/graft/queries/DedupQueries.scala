@@ -145,6 +145,16 @@ object DedupQueries {
         "doc_id % 50 = 0")),
       presentOrder = Seq("doc_id")),
 
+    // Exact duplicate-SPAN coverage: 8-token windows at every offset;
+    // a window occurring >=2 times anywhere in the corpus marks its
+    // positions duplicated — the arbitrary-offset substring-dedup
+    // semantic the fixed chunk grid can't see. One h-shuffle (window
+    // count, no self-join, no pair fan-out), per-doc covered fraction.
+    QueryDef("dedup_span_coverage",
+      (s, d) => DedupOps.spanCoverage(Tables.documents(s, d), "text", "doc_id"),
+      Some(DedupOps.spanCoverageSql("documents", "text", "doc_id")),
+      presentOrder = Seq("doc_id")),
+
     // Incremental dedup: the arriving 20% slice checked against the
     // existing 80% corpus — exact (md5 equi-join) + near (MinHash band
     // buckets, new⋈old only: old×old candidates are never generated,

@@ -618,4 +618,27 @@ class DedupSimSpec extends SparkSpec {
     // still satisfy the no-false-negative invariant
     out.get(12L).foreach { case (_, b, s, ok) => assert(s === 0L && b > 0L && ok) }
   }
+
+  test("spanCoverage: shared run found at DIFFERENT offsets; unique and short docs zero") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight" // exactly SpanLen=8 tokens
+    val d = Seq(
+      (0L, s"$run nine ten"),                    // run at pos 0, 10 tokens
+      (1L, s"zzz yyy $run extra tail here"),     // same run at pos 2, 13 tokens
+      (2L, "totally different words populate this other document entirely now ok"),
+      (3L, "short doc")).toDF("doc_id", "text")  // < SpanLen tokens
+    val out = DedupOps.spanCoverage(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((10L, 8L, 0.8)))         // positions 0..7 covered
+    assert(out(1L)._1 === 13L && out(1L)._2 === 8L) // positions 2..9 covered
+    assert(out(2L) === ((10L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+    // internal same-doc repetition also counts as duplication
+    val rep = Seq((9L, s"$run filler $run")).toDF("doc_id", "text")
+    val r9 = DedupOps.spanCoverage(rep, "text", "doc_id").collect()(0)
+    // run at pos 0 and pos 9 duplicate each other; "filler" (pos 8) is in
+    // no duplicated window -> 16 of 17 tokens covered
+    assert(r9.getLong(1) === 17L && r9.getLong(2) === 16L)
+  }
 }
