@@ -149,6 +149,21 @@ object SimOps {
     */
   def topKLshMulti(vectors: DataFrame, queryPred: Column, k: Int,
                    tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    lshScored(vectors, queryPred, tables)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        quant4(col("score")).as("cosine"))
+  }
+
+  /** Shared multi-table-LSH candidate scoring: (query_id, vec_id, score)
+    * for every deduped (query, candidate) bucket collision — the common
+    * core of [[topKLshMulti]] and [[hardNegatives]]. Expression order is
+    * bit-stable; both consumers inherit the identical scores. */
+  private def lshScored(vectors: DataFrame, queryPred: Column,
+                        tables: Seq[Seq[Seq[Double]]]): DataFrame = {
     val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
       "embedding", "vn")
     val keyed = v.withColumn("bks",
@@ -162,19 +177,39 @@ object SimOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-    val scored = cand
+    cand
       .join(v.select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("vn").as("qn")), "query_id")
       .join(v.select(col("vec_id"), col("embedding").as("e"), col("vn")), "vec_id")
       .withColumn("score",
         round(expr("array_dot(q, e)") / (col("qn") * col("vn")), 6))
+  }
+
+  /** Hard-negative mining for contrastive training: per anchor (query),
+    * the top-n candidates whose cosine falls in [lo, hi) — above the
+    * unrelated floor (a hard negative must be plausibly confusable) and
+    * below the near-duplicate cutoff (a near-dup is a false negative
+    * that would poison the loss). The band test runs on the engine-exact
+    * 4-dp quantized cosine so a boundary score cannot flip membership
+    * across engines; ranking reuses the 6-dp score ordering of
+    * [[topKLshMulti]].
+    *
+    * Scale shape: identical to the k-NN graph build (the shared
+    * [[lshScored]] bucket equi-join — candidates from bucket occupancy,
+    * never n²); the band filter drops rows before the per-anchor window
+    * ranks them. */
+  def hardNegatives(vectors: DataFrame, queryPred: Column,
+                    lo: Double, hi: Double, n: Int,
+                    tables: Seq[Seq[Seq[Double]]]): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    scored
+    lshScored(vectors, queryPred, tables)
+      .withColumn("cosine", quant4(col("score")))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= n)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        quant4(col("score")).as("cosine"))
+        col("cosine"))
   }
 
   /** `tables` independent hyperplane sets (LSH tables) for near-dup
@@ -986,10 +1021,12 @@ object SimOps {
         WHERE rank <= $topK ORDER BY query_id, rank"""
   }
 
-  def topKLshMultiSql(table: String, queryPredSql: String, k: Int,
-                      tables: Seq[Seq[Seq[Double]]]): String = {
+  /** Shared CTE prefix (v … scored) for the multi-table-LSH oracles —
+    * the SQL twin of [[lshScored]]. */
+  private def lshScoredCtes(table: String, queryPredSql: String,
+                            tables: Seq[Seq[Seq[Double]]]): String = {
     val bks = tables.map(p => lshBucketSql("embedding", p)).mkString("[", ", ", "]")
-    s"""WITH v AS (SELECT vec_id, embedding FROM $table),
+    s"""v AS (SELECT vec_id, embedding FROM $table),
         keyed AS (SELECT vec_id, embedding, $bks AS bks FROM v),
         buckets AS (SELECT vec_id, generate_subscripts(bks, 1) AS tbl,
                            unnest(bks) AS bucket FROM keyed),
@@ -1003,7 +1040,12 @@ object SimOps {
           SELECT query_id, cand.vec_id,
                  round(${cosineSql("q.embedding", "n.embedding")}, 6) AS score
           FROM cand JOIN v q ON q.vec_id = cand.query_id
-                    JOIN v n ON n.vec_id = cand.vec_id)
+                    JOIN v n ON n.vec_id = cand.vec_id)"""
+  }
+
+  def topKLshMultiSql(table: String, queryPredSql: String, k: Int,
+                      tables: Seq[Seq[Seq[Double]]]): String =
+    s"""WITH ${lshScoredCtes(table, queryPredSql, tables)}
         SELECT query_id, rank, neighbor_id, cosine FROM (
           SELECT query_id, vec_id AS neighbor_id,
                  CAST(row_number() OVER (PARTITION BY query_id
@@ -1011,7 +1053,24 @@ object SimOps {
                  ${quant4Sql("score")} AS cosine
           FROM scored)
         WHERE rank <= $k ORDER BY query_id, rank"""
-  }
+
+  /** Oracle twin of [[hardNegatives]]: band filter on the quantized
+    * cosine, then the per-anchor rank, over the same scored CTEs. */
+  def hardNegativesSql(table: String, queryPredSql: String,
+                       lo: Double, hi: Double, n: Int,
+                       tables: Seq[Seq[Seq[Double]]]): String =
+    s"""WITH ${lshScoredCtes(table, queryPredSql, tables)},
+        banded AS (SELECT * FROM (
+            SELECT query_id, vec_id, score, ${quant4Sql("score")} AS cosine
+            FROM scored)
+          WHERE cosine >= $lo AND cosine < $hi)
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+          SELECT query_id, vec_id AS neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS INT) AS rank,
+                 cosine
+          FROM banded)
+        WHERE rank <= $n ORDER BY query_id, rank"""
 
   /** Recall@k regression gate for the two approximate indexes: joins each
     * approximate top-k to the brute-force exact top-k and emits per-method

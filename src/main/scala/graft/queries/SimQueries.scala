@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.ops.SimOps
+import graft.ops.{GraphOps, SimOps}
 
 /** Similarity-search surface over `embeddings` (north star):
   * brute-force cosine top-k (exact baseline) and random-hyperplane
@@ -35,6 +35,13 @@ object SimQueries {
   /** k-NN graph degree: enough for cluster linkage, small enough that
     * the graph stays O(n·KnnK) rows. */
   val KnnK = 5
+  /** Hard-negative band: cosine in [0.25, 0.45) — above the unrelated
+    * floor (top-5 cosines on this corpus span 0.22–0.49), below the
+    * 0.45 near-dup cutoff (`DedupQueries.CosineThreshold`) so true
+    * duplicates never become training negatives. 3 negatives/anchor. */
+  val HnLo = 0.25
+  val HnHi = 0.45
+  val HnN = 3
   /** Recall floors: comfortably below measured (0.67 lsh / 0.50 ivf /
     * 0.95 pq) so corpus jitter passes, high enough that a cratered index
     * fails. */
@@ -163,6 +170,41 @@ object SimQueries {
     // IVF-PQ composite: coarse cells bound WHICH vectors are scanned
     // (nprobe/c of the corpus), PQ codes bound WHAT is read per
     // candidate (m bytes, not dim floats) — the billion-scale ANN shape.
+    // Hard-negative mining (contrastive-training prep): per anchor, the
+    // top-3 candidates in the [0.25, 0.45) cosine band — confusable but
+    // NOT near-duplicate (>= 0.45 is the dedup cutoff; mining those as
+    // negatives would poison the loss). Same LSH bucket equi-join as the
+    // k-NN graph; band tested on the engine-exact quantized cosine.
+    QueryDef("sim_hard_negatives",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.hardNegatives(Tables.embeddings(s, d), lit(true),
+          HnLo, HnHi, HnN, LshTabs)
+      },
+      Some(SimOps.hardNegativesSql("embeddings", "TRUE", HnLo, HnHi, HnN,
+        LshTabs)),
+      presentOrder = Seq("query_id", "rank")),
+
+    // Damped PageRank over the k-NN graph (3 exact-integer rounds):
+    // centrality over semantic neighborhoods — the coverage-weighting
+    // signal for curation. Scores are BIGINT micro-units end-to-end
+    // (floor-division damping), so the gate is hash-exact with zero
+    // float columns; the oracle replays the rounds as chained CTEs.
+    QueryDef("graph_pagerank",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.topKLshMulti(Tables.embeddings(s, d), lit(true),
+            KnnK, LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        GraphOps.pageRank(nodes, edges)
+      },
+      Some(GraphOps.pageRankSql(
+        "SELECT vec_id AS node_id FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
+      presentOrder = Seq("node_id")),
+
     QueryDef("sim_topk_ivfpq",
       (s, d) => SimOps.topKIvfPq(Tables.embeddings(s, d),
         col("vec_id") < 10, K, Cells, NProbe, PqM, PqK, Dim, PqShortlist),

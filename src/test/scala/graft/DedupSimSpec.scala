@@ -641,4 +641,33 @@ class DedupSimSpec extends SparkSpec {
     // no duplicated window -> 16 of 17 tokens covered
     assert(r9.getLong(1) === 17L && r9.getLong(2) === 16L)
   }
+
+  test("pageRank: distributed rounds equal a naive driver reference; cycle stationary; isolated = base") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // cycle 1->2->3->1, feeder 4->2, feeder 5->1, isolated 6
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (5L, 1L))
+    def naive(iters: Int): Map[Long, Long] = {
+      val od = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = ns.map(_ -> GraphOps.PrS0).toMap
+      for (_ <- 1 to iters) {
+        val in = es.groupBy(_._2).view
+          .mapValues(_.map { case (s, _) => r(s) / od(s) }.sum).toMap
+        r = ns.map(n => n -> (GraphOps.PrBase +
+          GraphOps.PrDampNum * in.getOrElse(n, 0L) / GraphOps.PrDampDen)).toMap
+      }
+      r
+    }
+    val out = GraphOps.pageRank(ns.toDF("node_id"), es.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === naive(3))
+    assert(out(6L) === GraphOps.PrBase) // isolated: pure teleport mass
+    // a pure cycle is exactly stationary at S0 in integer arithmetic:
+    // base + (85 * S0) div 100 = S0 at these constants
+    val cyc = GraphOps.pageRank(Seq(10L, 11L, 12L).toDF("node_id"),
+        Seq((10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst"), 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(cyc === Set(GraphOps.PrS0))
+  }
 }
