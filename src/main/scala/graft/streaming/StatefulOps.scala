@@ -322,4 +322,41 @@ object StatefulOps {
           out.iterator
       }
   }
+
+  case class TermEvent(grp: String, term: String)
+  case class TopTermRow(grp: String, rk: Int, term: String, cnt: Long)
+
+  /** Streaming twin of the gated `text_top_terms` heavy-hitters query:
+    * ONE SpaceSaving sketch per group carried in keyed state — the
+    * "streaming-updatable state" the sketch's mergeability promises,
+    * exercised for real. Each micro-batch folds its terms into the
+    * state buffer via the SAME `TopKSketchAgg.reduce` the batch UDAF
+    * runs (one code path, no drift possible) and emits the current
+    * top-k snapshot (Update semantics: later batches re-emit refined
+    * rows; the latest snapshot per group is the result).
+    *
+    * State is bounded at `capacity` entries per group forever. In the
+    * exact regime (distinct terms <= capacity) the final snapshot equals
+    * the batch query on the same corpus REGARDLESS of how the stream is
+    * micro-batched — the cross-batch parity proof in `StreamingSpec`.
+    * Beyond capacity, intra-batch fold order is pinned (sorted) so
+    * replays of the same batching are deterministic. */
+  def streamingTopTerms(events: Dataset[TermEvent], capacity: Int,
+                        k: Int): Dataset[TopTermRow] = {
+    import events.sparkSession.implicits._
+    import graft.catalyst.{TopKBuf, TopKSketchAgg}
+    val agg = new TopKSketchAgg(capacity)
+    events
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[TopKBuf, TopTermRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[TermEvent], state: GroupState[TopKBuf]) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          rows.map(_.term).toSeq.sorted.foreach(t => buf = agg.reduce(buf, t))
+          state.update(buf)
+          agg.finish(buf).take(k).zipWithIndex.iterator.map {
+            case ((t, c), i) => TopTermRow(grp, i + 1, t, c)
+          }
+      }
+  }
 }

@@ -734,4 +734,36 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getBoolean(1))).toSet
     assert(streamed === batch)
   }
+
+  test("streaming heavy hitters match the gated batch sketch across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{TermEvent, TopTermRow}
+    val dir = "/root/testdata/sf0.001"
+    // Batch truth: the gated SpaceSaving query (exact regime: capacity
+    // 256 >> vocabulary).
+    val batch = graft.Catalog.queries("text_top_terms")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val evs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+      .orderBy("doc_id").select("lang", "term").collect()
+      .map(r => TermEvent(r.getString(0), r.getString(1)))
+    // The per-group sketch state must carry across micro-batch splits.
+    val latest = scala.collection.mutable.Map[String, Array[TopTermRow]]()
+    val in = MemoryStream[TermEvent]
+    val q = graft.streaming.StatefulOps.streamingTopTerms(in.toDS(), 256, 5)
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[TopTermRow], _: Long) =>
+        ds.collect().groupBy(_.grp).foreach { case (g, rows) => latest(g) = rows }
+      }.start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    val streamed = latest.values.flatten
+      .map(t => (t.grp, t.rk, t.term, t.cnt)).toSet
+    assert(streamed === batch)
+  }
 }
