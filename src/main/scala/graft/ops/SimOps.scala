@@ -1147,4 +1147,153 @@ object SimOps {
                  AS recall,
                TRUE AS meets_floor
         FROM m ORDER BY method"""
+
+  /** Lloyd's k-means over the embedding column — the trained coarse
+    * quantizer [[topKIvf]]'s hash-ordered sample stands in for, and the
+    * semantic-clustering step (cluster-then-sample curation, per-cluster
+    * dedup budgets) every large curation pipeline runs.
+    *
+    * Cross-engine exactness (no float accumulation anywhere):
+    *  - Vectors quantize once to integer micro-units
+    *    (floor(x·10⁶ + 0.5), the repo's engine-exact quantizer); every
+    *    distance is then an exact BIGINT Σ(vᵢ−cᵢ)² (≤ 64·(2·10⁶)² ≈
+    *    2.6·10¹⁴ — no wrap), compared exactly, tie-broken by lowest
+    *    cluster id (first-minimum `array_position`).
+    *  - Init = first k vectors in the engine-wide md5 hash order (the
+    *    same deterministic-sample rule as IVF), so runs are reproducible
+    *    on any partitioning.
+    *  - The update step floors the per-dimension mean back to integer
+    *    micro-units: component sums aggregate as DECIMAL(38,0) (Spark) /
+    *    HUGEINT (DuckDB) — exact at any corpus size — and
+    *    floor(s/n + 0.5) is a single correctly-rounded double division
+    *    of exact integers, identical in both engines. An empty cluster
+    *    keeps its previous centroid (the FAISS rule), on both sides.
+    *
+    * Scale shape (per round): assignment is a NARROW map — the k×dim
+    * centroid table rides along as one array literal (a single codegen
+    * reference, not a k·dim expression tree) and each row scores k HOF
+    * distances in place; the update is ONE hash-agg shuffle of slim
+    * (cluster, dim, partial-sum) rows — k·dim rows per partition after
+    * map-side combine, corpus-size-free. Rounds iterate on the driver
+    * holding only k·dim longs (the CC/BPE driver-iteration pattern).
+    * Output is k summary rows: size, centroid checksums, inertia.
+    */
+  def kmeans(vectors: DataFrame, k: Int, rounds: Int, dim: Int,
+             salt: String = "km"): DataFrame = {
+    val micro = vectors.select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0d + 0.5d) AS BIGINT))")
+        .as("vm"))
+    val init: Seq[Seq[Long]] = micro
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(k) // TakeOrderedAndProject
+      .select(col("vm")).collect().map(_.getSeq[Long](0).toIndexedSeq).toSeq
+
+    // Assignment against a fixed centroid set: exact integer distances,
+    // first-minimum (= lowest cluster id) tie-break.
+    def assigned(cents: Seq[Seq[Long]]): DataFrame =
+      micro
+        .withColumn("dists", transform(typedLit(cents), c =>
+          aggregate(zip_with(col("vm"), c, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)))
+        .withColumn("cl",
+          array_position(col("dists"), array_min(col("dists"))).cast("int"))
+        .withColumn("d", array_min(col("dists")))
+
+    def step(cents: Seq[Seq[Long]]): Seq[Seq[Long]] = {
+      val comps = assigned(cents)
+        .select(col("cl"), posexplode(col("vm")).as(Seq("j", "v")))
+        .groupBy(col("cl"), col("j"))
+        .agg(sum(col("v").cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cl"), col("j"),
+          floor(col("s").cast("double") / col("n").cast("double") + lit(0.5))
+            .cast("long").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      cents.indices.map { i =>
+        if (comps.contains((i + 1, 0)))
+          (0 until dim).map(j => comps((i + 1, j)))
+        else cents(i) // empty cluster: centroid carries forward
+      }
+    }
+
+    val fin = (1 to rounds).foldLeft(init)((c, _) => step(c))
+    val centDf = vectors.sparkSession
+      .createDataFrame(fin.zipWithIndex.map { case (c, i) =>
+        (i + 1, c.sum, c.min, c.max)
+      })
+      .toDF("cl", "c_sum", "c_min", "c_max")
+    assigned(fin)
+      .groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"),
+        quant4(sum(col("d").cast("decimal(38,0)")).cast("double") / lit(1e12))
+          .as("inertia"))
+      .join(broadcast(centDf), "cl")
+      .select(col("cl").as("cluster"), col("n"),
+        col("c_sum"), col("c_min"), col("c_max"), col("inertia"))
+  }
+
+  /** DuckDB twin: the identical rounds unrolled as chained CTEs —
+    * cross-join assignment ranked by (exact distance, cluster id),
+    * HUGEINT component sums, the same floor-mean and empty-cluster
+    * carry-forward (LEFT JOIN + COALESCE against the previous round). */
+  def kmeansSql(table: String, k: Int, rounds: Int, dim: Int,
+                salt: String = "km"): String = {
+    def assignCte(r: Int): String =
+      s"""a$r AS (
+          SELECT vec_id, vm, cl, d FROM (
+            SELECT vec_id, vm, cl, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cl) AS rn
+            FROM (SELECT v.vec_id, v.vm, c.cl,
+                         list_sum(list_transform(range(1, ${dim + 1}),
+                           j -> (v.vm[j] - c.c[j]) * (v.vm[j] - c.c[j]))) AS d
+                  FROM vmt v CROSS JOIN c${r - 1} c))
+          WHERE rn = 1)"""
+    def updateCte(r: Int): String =
+      s"""c$r AS (
+          SELECT p.cl, COALESCE(u.c, p.c) AS c
+          FROM c${r - 1} p LEFT JOIN (
+            SELECT cl, list(cv ORDER BY j) AS c FROM (
+              SELECT cl, s.j AS j,
+                     CAST(floor(CAST(sum(vm[s.j]) AS DOUBLE) /
+                                CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+                       AS cv
+              FROM a$r CROSS JOIN
+                   (SELECT unnest(range(1, ${dim + 1})) AS j) s
+              GROUP BY cl, s.j)
+            GROUP BY cl) u ON p.cl = u.cl)"""
+    val roundCtes = (1 to rounds)
+      .map(r => assignCte(r) + ",\n        " + updateCte(r))
+      .mkString(",\n        ")
+    val fr = rounds + 1
+    s"""WITH vmt AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+          FROM $table),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cl,
+                 vm AS c
+          FROM (SELECT vec_id, vm,
+                       ${graft.ops.TextOps.hash64Sql(
+                         s"'$salt' || CAST(vec_id AS VARCHAR)")} AS h
+                FROM vmt ORDER BY h, vec_id LIMIT $k)),
+        $roundCtes,
+        ${assignCte(fr)},
+        stats AS (
+          SELECT cl, CAST(count(*) AS BIGINT) AS n,
+                 ${quant4Sql("CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) / 1e12")}
+                   AS inertia
+          FROM a$fr GROUP BY cl),
+        csum AS (
+          SELECT cl, CAST(list_sum(c) AS BIGINT) AS c_sum,
+                 CAST(list_min(c) AS BIGINT) AS c_min,
+                 CAST(list_max(c) AS BIGINT) AS c_max
+          FROM c$rounds)
+        SELECT CAST(s.cl AS INT) AS cluster, n, c_sum, c_min, c_max, inertia
+        FROM stats s JOIN csum ON s.cl = csum.cl ORDER BY cluster"""
+  }
 }

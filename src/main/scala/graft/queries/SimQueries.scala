@@ -42,6 +42,11 @@ object SimQueries {
   val HnLo = 0.25
   val HnHi = 0.45
   val HnN = 3
+  /** k-means: 8 clusters, 2 Lloyd rounds — enough to move every centroid
+    * off its seed vector while keeping the unrolled oracle CTE chain
+    * readable. */
+  val KmK = 8
+  val KmRounds = 2
   /** Recall floors: comfortably below measured (0.67 lsh / 0.50 ivf /
     * 0.95 pq) so corpus jitter passes, high enough that a cratered index
     * fails. */
@@ -204,6 +209,19 @@ object SimQueries {
         "SELECT query_id AS src, neighbor_id AS dst FROM (" +
           SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
       presentOrder = Seq("node_id")),
+
+    // Trained semantic clustering: Lloyd's k-means in exact integer
+    // micro-unit space (hash-ordered init, floored-mean update, 2 driver-
+    // iterated rounds) — the cluster-then-sample curation primitive and
+    // the trained replacement for IVF's sampled coarse quantizer. Gate
+    // emits k summary rows (size, centroid checksums, inertia), all
+    // engine-exact; the oracle replays the identical rounds as CTEs.
+    QueryDef("sim_kmeans",
+      (s, d) => SimOps.kmeans(Tables.embeddings(s, d), k = KmK,
+        rounds = KmRounds, dim = Dim),
+      Some(SimOps.kmeansSql("embeddings", k = KmK, rounds = KmRounds,
+        dim = Dim)),
+      presentOrder = Seq("cluster")),
 
     QueryDef("sim_topk_ivfpq",
       (s, d) => SimOps.topKIvfPq(Tables.embeddings(s, d),

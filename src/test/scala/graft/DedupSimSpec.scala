@@ -670,4 +670,30 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(cyc === Set(GraphOps.PrS0))
   }
+
+  test("kmeans partitions the corpus, converges, and separates planted clusters") {
+    import spark.implicits._
+    // Two well-separated planted blobs in 4-d: members differ from their
+    // blob center by ±0.01 in one coordinate, the blobs by 10.
+    def v(c: Double, j: Int, eps: Double) =
+      (0 until 4).map(i => if (i == j) c + eps else c)
+    val emb = (0 until 8).map { i =>
+      val c = if (i < 4) 0.0 else 10.0
+      (i.toLong, v(c, i % 4, if (i % 2 == 0) 0.01 else -0.01))
+    }.toDF("vec_id", "embedding")
+    val out = SimOps.kmeans(emb, k = 2, rounds = 2, dim = 4).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 8L) // partition covers corpus
+    assert(out.map(_.getAs[Long]("n")).toSet === Set(4L, 4L)) // blob split
+    // After convergence each centroid sits at its blob's floored mean, so
+    // per-vector distance is the planted jitter only: 4 members × (0.01
+    // in micro-units)² = 4·10⁸ micro² = 4·10⁻⁴ units² per cluster.
+    assert(out.forall(_.getAs[Double]("inertia") <= 0.001))
+    // Lloyd monotonicity: iterating never increases total inertia.
+    def total(rounds: Int) =
+      SimOps.kmeans(Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        k = 8, rounds = rounds, dim = 64)
+        .agg(sum("inertia")).collect()(0).getDouble(0)
+    val seq = (0 to 2).map(total)
+    assert(seq(1) <= seq(0) && seq(2) <= seq(1))
+  }
 }
