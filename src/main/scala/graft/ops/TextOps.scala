@@ -297,4 +297,76 @@ object TextOps {
     }
     sb.toString
   }
+
+  /** Bigram language-model fluency score — the statistical-LM quality
+    * signal (CCNet/KenLM-style) re-expressed libm-free: each document is
+    * scored by the ARITHMETIC mean of its bigrams' corpus conditional
+    * probabilities P(w2|w1) = c(w1,w2)/c(w1·). True perplexity needs ln()
+    * (whose last-ulp behavior differs between libm and DuckDB — not
+    * oracle-exact), so the gate uses the mean-probability variant: same
+    * monotone "how typical are this doc's transitions" signal, fully
+    * order-free.
+    *
+    * Cross-engine exactness: each conditional probability quantizes to
+    * integer micro-units via INTEGRAL division, (c2·10⁶) div c1, with the
+    * product taken in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so no
+    * count magnitude can wrap; the per-doc sum of those BIGINTs is exact
+    * and order-free, and the final mean is one correctly-rounded double
+    * division quantized by [[SimOps.quant4]]. Single-token docs emit
+    * n_bigrams = 0 with a NULL score (both engines).
+    *
+    * Scale shape: bigram/prefix count tables are hash-agg shuffles with
+    * map-side combine (distinct-bigram-bounded, not token-bounded); the
+    * conditional probability is computed AT the distinct-bigram level
+    * (bc⋈pc — a small join), so the token-scale work is ONE equi-join of
+    * slim (doc_id, w1, w2) rows against the per-bigram probability —
+    * hot-bigram skew there is AQE skew-split territory, not a
+    * one-reducer prefix join. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> struct(a AS w1, b AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val pc = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val prob = bc.join(pc, "w1")
+      .select(col("w1"), col("w2"),
+        expr("CAST((CAST(c2 AS DECIMAL(38,0)) * 1000000) div c1 AS BIGINT)")
+          .as("p_micro"))
+    val perDoc = bg.join(prob, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("m"), sum(col("p_micro")).as("sp"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m"), lit(0L)).as("n_bigrams"),
+        SimOps.quant4(col("sp").cast("double") /
+          (col("m") * lit(1000000L)).cast("double")).as("lm_score"))
+  }
+
+  def lmScoreSql(table: String): String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $table),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                   j -> {'w1': t[j], 'w2': t[j + 1]})) AS b
+          FROM toks),
+        bg2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY w1, w2),
+        pc AS (SELECT w1, count(*) AS c1 FROM bg2 GROUP BY w1),
+        prob AS (
+          SELECT w1, w2,
+                 CAST((CAST(c2 AS HUGEINT) * 1000000) // c1 AS BIGINT)
+                   AS p_micro
+          FROM bc JOIN pc USING (w1)),
+        perdoc AS (
+          SELECT doc_id, count(*) AS m, sum(p_micro) AS sp
+          FROM bg2 JOIN prob USING (w1, w2) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(m, 0) AS BIGINT) AS n_bigrams,
+               ${SimOps.quant4Sql(
+                 "CAST(sp AS DOUBLE) / CAST(m * 1000000 AS DOUBLE)")}
+                 AS lm_score
+        FROM $table d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"""
 }

@@ -266,5 +266,14 @@ object TextQueries {
             FROM t ORDER BY doc_id"""
       },
       presentOrder = Seq("doc_id"))
+,
+    // Statistical-LM fluency score (CCNet/KenLM-class signal, libm-free):
+    // mean corpus conditional probability of each doc's bigrams, in exact
+    // integer micro-units end to end — per-bigram probability computed at
+    // distinct-bigram scale, one token-scale equi-join, order-free sums.
+    QueryDef("text_lm_score",
+      (s, d) => TextOps.lmScore(Tables.documents(s, d)),
+      Some(TextOps.lmScoreSql("documents")),
+      presentOrder = Seq("doc_id"))
   )
 }

@@ -80,6 +80,21 @@ class PropertySpec extends SparkSpec {
     assert(applied.count() === 4)
   }
 
+  test("lmScore: hand-computed conditional probabilities, single-token doc NULL") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // Corpus bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> P(b|a)=2/3, P(a|b)=1,
+    // P(c|a)=1/3. Micro-quantized integral division: 666666, 1000000,
+    // 333333. Doc 1 mean = 1999999/3e6 -> quant4 0.6667; doc 2 = 0.6667.
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    assert(out(1L) === ((3L, Some(0.6667))))
+    assert(out(2L) === ((1L, Some(0.6667))))
+    assert(out(3L) === ((0L, None))) // no bigrams: NULL score, not 0
+  }
+
   test("property: bpeMergeOnce equals the naive greedy non-overlapping merge") {
     import spark.implicits._
     import graft.ops.TextOps
