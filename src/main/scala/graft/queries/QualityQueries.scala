@@ -29,6 +29,20 @@ object QualityQueries {
 
   private val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Linear quality-classifier weights (micro-unit feature space, BIGINT
+    * margin). Fixed constants = an offline-trained model's artifact; the
+    * engine's job is serving it at corpus scale, not training it. Signs:
+    * length (capped) and stopword density indicate prose; duplicate-token
+    * fraction penalizes boilerplate; mean word length is penalized by
+    * distance from the English-prose ideal (~4 chars). */
+  private val ClfCapTokens = 256L  // length feature saturates here
+  private val ClfBias      = 1000000L
+  private val ClfWTokens   = 3000L
+  private val ClfWStop     = 2L
+  private val ClfWDup      = -2L
+  private val ClfAwlIdeal  = 4000000L // 4.0 chars in micro-units
+  private val ClfAwlDiv    = 4L
+
   val defs: Seq[QueryDef] = Seq(
 
     // PII redaction: count then scrub emails / phone numbers / IPv4s.
@@ -211,6 +225,51 @@ object QualityQueries {
               |       WHEN max_token_len > $MaxTokenLen THEN 'long_token'
               |  END AS fail_reason
               | FROM m ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id"))
+,
+    // Model-based quality filtering (the FineWeb-edu / DCLM-classifier
+    // step): a linear classifier applied at corpus scale. The weights are
+    // FIXED constants standing in for an offline-trained model — serving
+    // the model over 100 TB is the engine's job; training it is not.
+    // Every feature is integer-exact (integral division to micro-units),
+    // the margin is one BIGINT dot product of literals — a pure narrow
+    // codegen'd map, no weight table to broadcast, no shuffle, and a
+    // hash-exact gate (no float columns at all).
+    QueryDef("text_quality_classifier",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("n_tokens", size(col("__toks")).cast("long"))
+        .withColumn("__cap", least(col("n_tokens"), lit(ClfCapTokens)))
+        .withColumn("stop_micro",
+          expr(s"(CAST(${"size(filter(__toks, t -> t IN " +
+            stopList + "))"} AS BIGINT) * 1000000) div n_tokens"))
+        .withColumn("dup_micro", expr(
+          "((n_tokens - size(array_distinct(__toks))) * 1000000) div n_tokens"))
+        .withColumn("awl_micro", expr(
+          "((CAST(n_chars AS BIGINT) - n_tokens + 1) * 1000000) div n_tokens"))
+        .withColumn("margin_micro", expr(
+          s"CAST($ClfBias + $ClfWTokens * __cap + $ClfWStop * stop_micro" +
+            s" + $ClfWDup * dup_micro" +
+            s" - (abs(awl_micro - $ClfAwlIdeal) div $ClfAwlDiv) AS BIGINT)"))
+        .select(col("doc_id"), col("n_tokens"), col("stop_micro"),
+          col("dup_micro"), col("awl_micro"), col("margin_micro"),
+          (col("margin_micro") >= 0L).as("keep")),
+      Some(s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+              | f AS (SELECT doc_id,
+              |  CAST(len(toks) AS BIGINT) AS n_tokens,
+              |  least(CAST(len(toks) AS BIGINT), $ClfCapTokens) AS cap,
+              |  (CAST(len(list_filter(toks, t -> t IN $stopList)) AS BIGINT) * 1000000) // len(toks) AS stop_micro,
+              |  ((CAST(len(toks) AS BIGINT) - len(list_distinct(toks))) * 1000000) // len(toks) AS dup_micro,
+              |  ((CAST(n_chars AS BIGINT) - len(toks) + 1) * 1000000) // len(toks) AS awl_micro
+              |  FROM t)
+              | SELECT doc_id, n_tokens, stop_micro, dup_micro, awl_micro,
+              |  CAST($ClfBias + $ClfWTokens * cap + $ClfWStop * stop_micro
+              |   + $ClfWDup * dup_micro
+              |   - abs(awl_micro - $ClfAwlIdeal) // $ClfAwlDiv AS BIGINT) AS margin_micro,
+              |  ($ClfBias + $ClfWTokens * cap + $ClfWStop * stop_micro
+              |   + $ClfWDup * dup_micro
+              |   - abs(awl_micro - $ClfAwlIdeal) // $ClfAwlDiv) >= 0 AS keep
+              | FROM f ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id"))
   )
 }

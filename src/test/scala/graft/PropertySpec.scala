@@ -95,6 +95,15 @@ class PropertySpec extends SparkSpec {
     assert(out(3L) === ((0L, None))) // no bigrams: NULL score, not 0
   }
 
+  test("quality classifier: decision is margin sign and both classes occur") {
+    val out = graft.Catalog
+      .queries("text_quality_classifier")(spark, "/root/testdata/sf0.001")
+      .select(col("margin_micro"), col("keep")).collect()
+    assert(out.forall(r => r.getBoolean(1) === (r.getLong(0) >= 0L)))
+    val keeps = out.count(_.getBoolean(1))
+    assert(keeps > 0 && keeps < out.length) // boundary splits the corpus
+  }
+
   test("property: bpeMergeOnce equals the naive greedy non-overlapping merge") {
     import spark.implicits._
     import graft.ops.TextOps
