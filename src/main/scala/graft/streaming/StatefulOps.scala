@@ -359,4 +359,38 @@ object StatefulOps {
           }
       }
   }
+
+  case class IdEvent(grp: String, id: Long)
+  case class DistinctEst(grp: String, est: Long)
+
+  /** Streaming twin of the batch HLL cardinality roll-up
+    * (`q_hll_partial_merge`): ONE DataSketches HLL sketch per group in
+    * keyed state — the "materialize per-partition sketches once, merge
+    * forever" pattern run live. Each micro-batch folds its ids into the
+    * stored sketch (same lgConfigK and HLL_8 target type as Spark's
+    * `hll_sketch_agg`, verified estimate-equal in `StreamingSpec`) and
+    * emits the refreshed estimate (Update semantics).
+    *
+    * State is the sketch's updatable byte image — bounded by lgConfigK
+    * (~2^lgK bytes) FOREVER, regardless of stream cardinality; HLL
+    * updates are set-semantics (order- and duplicate-insensitive), so
+    * replayed ids under at-least-once delivery cannot move the estimate,
+    * and any micro-batching of the same id set converges to the same
+    * final state. */
+  def streamingDistinct(events: Dataset[IdEvent],
+                        lgK: Int): Dataset[DistinctEst] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[Array[Byte], DistinctEst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[IdEvent], state: GroupState[Array[Byte]]) =>
+          import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+          val sk = state.getOption.map(HllSketch.heapify)
+            .getOrElse(new HllSketch(lgK, TgtHllType.HLL_8))
+          rows.foreach(r => sk.update(r.id))
+          state.update(sk.toUpdatableByteArray)
+          Iterator(DistinctEst(grp, Math.round(sk.getEstimate)))
+      }
+  }
 }

@@ -279,6 +279,22 @@ object Scratch {
             PqShortlist).count() }
       }
     }
+    // Which TgtHllType does Spark's hll_sketch_agg build? Compare the SQL
+    // aggregate's estimate against driver-side DataSketches HllSketch in
+    // HLL_4 and HLL_8 on identical ids.
+    if (args.contains("hll")) {
+      import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+      val ids = Tables.documents(spark, "/root/testdata/sf0.01")
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val sparkEst = Tables.documents(spark, "/root/testdata/sf0.01")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(doc_id, 12))"))
+        .collect()(0).getLong(0)
+      for (t <- Seq(TgtHllType.HLL_4, TgtHllType.HLL_8)) {
+        val sk = new HllSketch(12, t)
+        ids.foreach(sk.update)
+        println(s"HLLCHECK $t driver=${Math.round(sk.getEstimate)} spark=$sparkEst")
+      }
+    }
     spark.stop()
   }
 }

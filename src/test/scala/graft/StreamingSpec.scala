@@ -766,4 +766,34 @@ class StreamingSpec extends SparkSpec {
       .map(t => (t.grp, t.rk, t.term, t.cnt)).toSet
     assert(streamed === batch)
   }
+
+  test("streaming HLL distinct estimate matches the batch sketch across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{DistinctEst, IdEvent}
+    val dir = "/root/testdata/sf0.001"
+    // Batch truth: Spark's own hll_sketch_agg at the same lgConfigK.
+    val batch = graft.Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(doc_id, 12))").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val evs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id")).orderBy("doc_id").collect()
+      .map(r => IdEvent(r.getString(0), r.getLong(1)))
+    val latest = scala.collection.mutable.Map[String, Long]()
+    val in = MemoryStream[IdEvent]
+    val q = graft.streaming.StatefulOps.streamingDistinct(in.toDS(), 12)
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[DistinctEst], _: Long) =>
+        ds.collect().foreach(e => latest(e.grp) = e.est)
+      }.start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    // Replay the first batch in full (at-least-once): set semantics mean
+    // the duplicates cannot move any estimate.
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(latest.toMap === batch)
+  }
 }
