@@ -198,4 +198,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"eval set should broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"membership test must not sort-merge:\n$p")
   }
+
+  test("quality classifier is a pure narrow map — zero exchanges, zero joins") {
+    val p = planOf("text_quality_classifier")
+    assert(!p.contains("Exchange"), s"classifier must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"classifier must not join:\n$p")
+  }
+
+  test("k-means output stage: hash aggregation plus a broadcast of the k-row centroid table") {
+    // The per-round update shuffles only slim (cluster, dim) partials;
+    // the FINAL gated stage must be a hash agg (no sort-based fallback,
+    // no window) joined broadcast-style to the k-row centroid summary.
+    val p = planOf("sim_kmeans")
+    assert(p.contains("BroadcastHashJoin"), s"centroid summary should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"k rows must never sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must stay a narrow map, not a loop join:\n$p")
+  }
+
+  test("LM score joins bigrams by (w1,w2) hash — no prefix-keyed token-scale join, no loops") {
+    val p = planOf("text_lm_score")
+    // The token-scale join must be the (w1, w2) equi-join against the
+    // per-bigram probability; the prefix (w1-only) join happens at
+    // distinct-bigram scale. No nested loop anywhere.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected loop join:\n$p")
+    val tokenJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(tokenJoins + broadcasts >= 3, s"expected count+prob+restore joins:\n$p")
+  }
 }
