@@ -346,6 +346,83 @@ object TextOps {
           (col("m") * lit(1000000L)).cast("double")).as("lm_score"))
   }
 
+  /** Corpus vocabulary drift — the text twin of [[SimOps.dimDrift]]: the
+    * TOTAL-VARIATION distance between the term distributions of a
+    * reference slice and a current slice, TV = ½ Σ_t |p_t − q_t|. This is
+    * the ingestion observable that triggers re-training of frequency-
+    * derived artifacts (BPE vocab, stopword lists, LM counts); TV is
+    * chosen over KL precisely because it needs no ln() — the whole
+    * statistic stays in exact integer arithmetic.
+    *
+    * Cross-engine exactness: with N_r/N_c the slice token totals, each
+    * term contributes |c_t·N_c − d_t·N_r| over the common denominator
+    * N_r·N_c — numerators summed as DECIMAL(38,0)/HUGEINT (exact at any
+    * corpus size), ONE correctly-rounded double division at the end
+    * ([[SimOps.quant4]]'d). The top-drifting term is an exact-integer
+    * argmax, tie-broken to the lexicographically smallest term.
+    *
+    * Scale shape: one (term, slice-flag) hash-agg shuffle with map-side
+    * combine (distinct-term-bounded), two broadcast-scalar totals, then
+    * a term-level narrow pass + single-row agg. No token-scale joins. */
+  def vocabDrift(docs: DataFrame, refPred: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val toks = docs
+      .select(refPred.as("is_ref"), explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy(col("term"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("d"))
+    val totals = counts
+      .agg(sum(col("c")).as("nr"), sum(col("d")).as("nc"))
+    val dev = counts.crossJoin(broadcast(totals))
+      .withColumn("num",
+        abs(col("c").cast(dec) * col("nc") - col("d").cast(dec) * col("nr")))
+    dev
+      .agg(max(col("nr")).as("ref_tokens"), max(col("nc")).as("cur_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("num")).as("__s"),
+        // max num, then SMALLEST term: min over the (−num, term) struct.
+        min_by(col("term"), struct((col("num") * lit(-1)).as("nn"),
+          col("term"))).as("top_term"),
+        max(col("num")).as("__m"))
+      .select(col("ref_tokens"), col("cur_tokens"), col("n_terms"),
+        // An EMPTY slice has no distribution to compare against: NULL
+        // tv/top_dev on both engines (the NULLIF guard, like the
+        // z-score's sd=0 case), never a divide-by-zero.
+        SimOps.quant4(col("__s").cast("double") / (lit(2d) *
+          nullif(col("ref_tokens").cast("double") *
+            col("cur_tokens").cast("double"), lit(0d)))).as("tv"),
+        col("top_term"),
+        SimOps.quant4(col("__m").cast("double") /
+          nullif(col("ref_tokens").cast("double") *
+            col("cur_tokens").cast("double"), lit(0d))).as("top_dev"))
+  }
+
+  def vocabDriftSql(table: String, refPredSql: String): String =
+    s"""WITH toks AS (
+          SELECT ($refPredSql) AS is_ref, unnest(${tokensSql("text")}) AS term
+          FROM $table),
+        counts AS (
+          SELECT term,
+                 sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c,
+                 sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS d
+          FROM toks GROUP BY term),
+        totals AS (SELECT sum(c) AS nr, sum(d) AS nc FROM counts),
+        dev AS (
+          SELECT term, abs(CAST(c AS HUGEINT) * nc - CAST(d AS HUGEINT) * nr)
+                   AS num, nr, nc
+          FROM counts CROSS JOIN totals)
+        SELECT CAST(max(nr) AS BIGINT) AS ref_tokens,
+               CAST(max(nc) AS BIGINT) AS cur_tokens,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               ${SimOps.quant4Sql("CAST(sum(num) AS DOUBLE) / (2.0 * " +
+                 "NULLIF(CAST(max(nr) AS DOUBLE) * CAST(max(nc) AS DOUBLE), 0))")}
+                 AS tv,
+               min(term) FILTER (WHERE num = mx) AS top_term,
+               ${SimOps.quant4Sql("CAST(max(num) AS DOUBLE) / " +
+                 "NULLIF(CAST(max(nr) AS DOUBLE) * CAST(max(nc) AS DOUBLE), 0)")}
+                 AS top_dev
+        FROM dev CROSS JOIN (SELECT max(num) AS mx FROM dev) m"""
+
   def lmScoreSql(table: String): String =
     s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $table),
         bg AS (

@@ -275,5 +275,15 @@ object TextQueries {
       (s, d) => TextOps.lmScore(Tables.documents(s, d)),
       Some(TextOps.lmScoreSql("documents")),
       presentOrder = Seq("doc_id"))
+,
+    // Vocabulary drift between the indexed slice and the arriving slice
+    // (the text twin of sim_dim_drift): total-variation distance over
+    // term distributions — KL-free by design so the statistic stays in
+    // exact integer arithmetic; the re-train trigger for BPE vocab /
+    // stopword / LM-count artifacts under continuous ingestion.
+    QueryDef("text_vocab_drift",
+      (s, d) => TextOps.vocabDrift(Tables.documents(s, d),
+        col("doc_id") % 10 < 8),
+      Some(TextOps.vocabDriftSql("documents", "doc_id % 10 < 8")))
   )
 }

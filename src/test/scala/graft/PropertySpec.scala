@@ -95,6 +95,24 @@ class PropertySpec extends SparkSpec {
     assert(out(3L) === ((0L, None))) // no bigrams: NULL score, not 0
   }
 
+  test("vocabDrift: hand-computed TV distance with a top-term tie") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // ref = "a a b" (N=3), cur = "a b b b" (N=4).
+    // TV = (|2*4-1*3| + |1*4-3*3|) / (2*12) = (5+5)/24 = 5/12 -> 0.4167.
+    // Both terms deviate by 5/12 — the tie must resolve to min(term).
+    val docs = Seq((0L, "a a b"), (9L, "a b b b")).toDF("doc_id", "text")
+    val r = TextOps.vocabDrift(docs, col("doc_id") % 10 < 8).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 4L, 2L)))
+    assert(r.getDouble(3) === 0.4167)
+    assert(r.getString(4) === "a") // tie-break: smallest term
+    assert(r.getDouble(5) === 0.4167)
+    // An empty slice yields NULL drift (no distribution to compare), not
+    // a divide-by-zero.
+    val e = TextOps.vocabDrift(docs, lit(true)).collect()(0)
+    assert(e.isNullAt(3) && e.isNullAt(5))
+  }
+
   test("quality classifier: decision is margin sign and both classes occur") {
     val out = graft.Catalog
       .queries("text_quality_classifier")(spark, "/root/testdata/sf0.001")
