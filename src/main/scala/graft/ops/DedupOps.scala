@@ -46,6 +46,60 @@ object DedupOps {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-source dedup attribution — the curation report every corpus
+    * owner asks for after [[exactDedup]]: for each source, how many docs
+    * it contributed, how many survive (they ARE the min-id keeper), how
+    * many were dropped, and how many of those losses went to a keeper in
+    * a DIFFERENT source (cross-source duplication, the licensing /
+    * provenance signal — intra-source boilerplate and cross-source
+    * scraping are different problems).
+    *
+    * Scale shape: the dedup hash-agg (O(distinct texts) shuffle) keeps
+    * (text_hash, keep_id, keep_source); docs re-join it by text_hash —
+    * ONE equi-join of slim (hash, source, id) rows, then a per-source
+    * roll-up. No self-join of the corpus, no array/text columns in any
+    * shuffle (the md5 is computed in codegen on both sides of the
+    * equi-join rather than shipping text). */
+  def dedupAttribution(docs: DataFrame, textCol: String, idCol: String,
+                       srcCol: String): DataFrame = {
+    val slim = docs.select(md5(col(textCol)).as("text_hash"),
+      col(idCol).as("id"), col(srcCol).as("source"))
+    val keepers = slim.groupBy(col("text_hash"))
+      .agg(min(col("id")).as("keep_id"),
+        min_by(col("source"), col("id")).as("keep_source"))
+    slim.join(keepers, "text_hash")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("id") === col("keep_id"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("id") =!= col("keep_id") &&
+            col("source") =!= col("keep_source"), 1L).otherwise(0L))
+          .as("n_lost_cross_source"))
+  }
+
+  def dedupAttributionSql(table: String, textCol: String, idCol: String,
+                          srcCol: String): String =
+    s"""WITH slim AS (
+          SELECT md5($textCol) AS text_hash, $idCol AS id, $srcCol AS source
+          FROM $table),
+        keepers AS (
+          SELECT text_hash,
+                 min(id) AS keep_id,
+                 min_by(source, id) AS keep_source
+          FROM slim GROUP BY text_hash)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(CASE WHEN id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(sum(CASE WHEN id <> keep_id AND source <> keep_source
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lost_cross_source
+        FROM slim JOIN keepers USING (text_hash)
+        GROUP BY source ORDER BY source"""
+
   /** (id, shingle_hashes array) — array form for candidate verification
     * and fingerprints; the bulk path is [[shingleInv]]. */
   def shingleSets(docs: DataFrame, textCol: String, idCol: String): DataFrame =

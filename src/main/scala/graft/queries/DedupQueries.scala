@@ -28,6 +28,39 @@ object DedupQueries {
              | GROUP BY 1 ORDER BY keep_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("keep_id")),
 
+    // Per-source dedup attribution: after exact dedup, which sources
+    // lose how many docs, and how many losses cross source boundaries
+    // (licensing/provenance signal) — the curation accounting report.
+    // The synthetic corpus has no exact duplicates, so (the pii_redact
+    // pattern) the query plants them deterministically on BOTH engines:
+    // every doc_id % 7 == 0 is mirrored into a 'scraper' source (those
+    // all lose cross-source to the original), and every doc_id % 11 == 0
+    // is re-posted within its own source (intra-source losses) — all
+    // four report columns carry non-trivial values under the gate.
+    QueryDef("dedup_attribution",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val scraped = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id") + lit(1000000000L), lit("scraper"),
+            col("text"))
+        val reposts = docs.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id") + lit(2000000000L), col("source"),
+            col("text"))
+        DedupOps.dedupAttribution(docs.unionAll(scraped).unionAll(reposts),
+          "text", "doc_id", "source")
+      },
+      Some(DedupOps.dedupAttributionSql(
+        """(SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000000, 'scraper', text FROM documents
+            WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 2000000000, source, text FROM documents
+            WHERE doc_id % 11 = 0)""",
+        "text", "doc_id", "source")),
+      presentOrder = Seq("source")),
+
     // Exact n-gram (3-token shingle) Jaccard near-dup pairs via the
     // inverted-index self-join — no O(n²) cross product.
     QueryDef("dedup_ngram_jaccard",

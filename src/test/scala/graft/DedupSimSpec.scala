@@ -24,6 +24,24 @@ class DedupSimSpec extends SparkSpec {
     assert(out(1L) === 1L && out(2L) === 1L)
   }
 
+  test("dedupAttribution: kept/dropped/cross-source accounting is exact") {
+    import spark.implicits._
+    // s1: doc 0 (original of everything), doc 3 (unique).
+    // s2: doc 1 (copy of 0 -> cross-source loss), doc 2 (copy of 1 ->
+    //     also loses to doc 0, cross-source), doc 4 (unique).
+    // s1 also reposts doc 0 as doc 5 (intra-source loss).
+    val docs = Seq(
+      (0L, "s1", base), (3L, "s1", unrelated), (5L, "s1", base),
+      (1L, "s2", base), (2L, "s2", base), (4L, "s2", nearDup))
+      .toDF("doc_id", "source", "text")
+    val out = DedupOps.dedupAttribution(docs, "text", "doc_id", "source")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("s1") === ((3L, 2L, 1L, 0L))) // repost lost intra-source
+    assert(out("s2") === ((3L, 1L, 2L, 2L))) // both copies lost to s1
+  }
+
   test("jaccardPairs finds exact and near duplicates, not unrelated docs") {
     val pairs = DedupOps.jaccardPairs(docs, "text", "doc_id", 0.5)
       .select("doc_a", "doc_b", "jaccard").collect()
