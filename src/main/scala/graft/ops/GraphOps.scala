@@ -67,6 +67,107 @@ object GraphOps {
     r.select(col("node_id"), col("pr").as("pagerank"))
   }
 
+  /** Scale of the local-clustering-coefficient fixed-point output
+    * (10⁶ micro-units, floor division — integer-exact on both engines). */
+  val LccScale = 1000000L
+
+  /** Per-node triangle count, degree, and local clustering coefficient
+    * over an arbitrary directed edge list (symmetrized internally) — the
+    * cohesion observable over the corpus k-NN graph: a node whose
+    * neighbors also neighbor each other sits inside a tight semantic
+    * clique (boilerplate family, template farm), while a hub with
+    * lcc ≈ 0 bridges unrelated regions.
+    *
+    * Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    * "Counting triangles and the curse of the last reducer", WWW'11).
+    * Each undirected edge is oriented from its lower-(degree, id)
+    * endpoint to the higher; the orientation is a total order, so the
+    * oriented graph is acyclic and every triangle has exactly ONE apex
+    * with two out-edges — counted once, no /3 or /6 correction, and no
+    * orientation ever needs repair. The scale property: oriented
+    * out-degree is O(√m) even when raw degree is O(n), so the wedge
+    * self-join (the only super-linear step) generates Σ d⁺(v)² = O(m^1.5)
+    * rows WORST-case instead of the O(n²) a raw-degree wedge join hits on
+    * a hub node — the "last reducer" under celebrity skew is exactly what
+    * the orientation removes.
+    *
+    * Plan shape: three hash equi-joins over slim (long, long) rows (wedge
+    * build on apex, close on (y, z), degree attach), one explode +
+    * hash-agg for per-node counts. No text, arrays, or floats shuffle;
+    * lcc is exact integer micro-units (2·tri·10⁶ div deg·(deg−1) — Long
+    * overflows only past ~4.6e12 triangles/node), NULL when deg < 2
+    * (undefined, both engines). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val o = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+      .persist() // read three times by the triangle join
+    val tri = o.select(col("a").as("x"), col("b").as("y"))
+      .join(o.select(col("a").as("x2"), col("b").as("z")),
+        col("x") === col("x2"))
+      .select(col("x"), col("y"), col("z"))
+      .join(o.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("node_id"), col("deg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2, expr(
+          s"(2 * coalesce(tri, CAST(0 AS BIGINT)) * $LccScale)" +
+            " div (deg * (deg - 1))"))
+          .as("lcc_micro"))
+  }
+
+  /** Oracle twin of [[triangleStats]] — the identical orientation and
+    * joins; `//` is DuckDB's floor division on BIGINT, matching Spark's
+    * `div`. */
+  def triangleStatsSql(edgesSql: String): String =
+    s"""WITH edges AS ($edgesSql),
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM edges WHERE src <> dst),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                  SELECT u AS node FROM und
+                  UNION ALL SELECT v FROM und) GROUP BY node),
+        o AS (SELECT CASE WHEN du.deg < dv.deg
+                            OR (du.deg = dv.deg AND und.u < und.v)
+                          THEN und.u ELSE und.v END AS a,
+                     CASE WHEN du.deg < dv.deg
+                            OR (du.deg = dv.deg AND und.u < und.v)
+                          THEN und.v ELSE und.u END AS b
+              FROM und JOIN deg du ON und.u = du.node
+                       JOIN deg dv ON und.v = dv.node),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM o e1 JOIN o e2 ON e1.a = e2.a
+                          JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b),
+        pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+                 SELECT x AS node FROM tri
+                 UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri) GROUP BY node)
+        SELECT d.node AS node_id, d.deg AS degree,
+               COALESCE(p.tri, CAST(0 AS BIGINT)) AS triangles,
+               CASE WHEN d.deg >= 2
+                    THEN (2 * COALESCE(p.tri, CAST(0 AS BIGINT)) * $LccScale)
+                         // (d.deg * (d.deg - 1)) END AS lcc_micro
+        FROM deg d LEFT JOIN pn p ON d.node = p.node
+        ORDER BY node_id"""
+
   /** Oracle twin of [[pageRank]]: the same rounds as chained CTEs (the
     * `text_bpe_merges` replay pattern). DuckDB widens integer SUM to
     * HUGEINT internally; the final CAST restores BIGINT — values are

@@ -210,6 +210,25 @@ object SimQueries {
           SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
       presentOrder = Seq("node_id")),
 
+    // Triangle count + local clustering coefficient over the k-NN graph
+    // (degree-ordered orientation, so the wedge join is O(m^1.5) worst-
+    // case instead of hub-degree² — the "last reducer" fix): which
+    // documents sit inside tight semantic cliques (template/boilerplate
+    // families) vs. bridge hubs. All-integer output; lcc in exact
+    // micro-units via floor division.
+    QueryDef("graph_triangles",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.topKLshMulti(Tables.embeddings(s, d), lit(true),
+            KnnK, LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        GraphOps.triangleStats(edges)
+      },
+      Some(GraphOps.triangleStatsSql(
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
+      presentOrder = Seq("node_id")),
+
     // Trained semantic clustering: Lloyd's k-means in exact integer
     // micro-unit space (hash-ordered init, floored-mean update, 2 driver-
     // iterated rounds) — the cluster-then-sample curation primitive and

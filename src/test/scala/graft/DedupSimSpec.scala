@@ -689,6 +689,40 @@ class DedupSimSpec extends SparkSpec {
     assert(cyc === Set(GraphOps.PrS0))
   }
 
+  test("triangleStats: hand graph exact; random graph equals naive driver count") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // Two triangles sharing edge 2-3, pendant 5; input is dirty on
+    // purpose: reversed duplicates and a self-loop must be absorbed by
+    // the symmetrize step.
+    val es = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (3L, 3L))
+    val out = GraphOps.triangleStats(es.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 1L, 333333L)))   // 2*1*1e6 div (3*2)
+    assert(out(2L) === ((3L, 2L, 666666L)))
+    assert(out(3L) === ((3L, 2L, 666666L)))
+    assert(out(4L) === ((2L, 1L, 1000000L)))  // its one wedge closes
+    assert(out(5L) === ((1L, 0L, -1L)))       // deg < 2 -> NULL lcc
+    // Seeded Erdős–Rényi graph vs a naive O(n³) driver reference.
+    val rnd = new scala.util.Random(42)
+    val n = 24
+    val re = for { i <- 0 until n; j <- i + 1 until n
+                   if rnd.nextDouble() < 0.3 } yield (i.toLong, j.toLong)
+    val adj = re.toSet
+    def conn(a: Long, b: Long) =
+      adj.contains((a min b, a max b))
+    val naiveTri = (for { i <- 0 until n; j <- i + 1 until n
+                          k <- j + 1 until n
+                          if conn(i, j) && conn(j, k) && conn(i, k) }
+      yield 1).size.toLong
+    val got = GraphOps.triangleStats(re.toDF("src", "dst"))
+      .agg(sum("triangles")).collect()(0).getLong(0)
+    assert(got === 3L * naiveTri) // each triangle counts at its 3 corners
+  }
+
   test("kmeans partitions the corpus, converges, and separates planted clusters") {
     import spark.implicits._
     // Two well-separated planted blobs in 4-d: members differ from their

@@ -72,6 +72,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"n² loop in LSH top-k:\n$p")
   }
 
+  test("triangle counting is pure equi-joins over the oriented edge cache") {
+    graft.catalyst.GraftFunctions.register(spark)
+    val p = planOf("graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle join must stay equi (wedge + close), never a loop:\n$p")
+    // The oriented edge list is built once and read three times.
+    assert(p.contains("InMemoryTableScan"),
+      s"oriented edges should come from the persisted cache:\n$p")
+  }
+
   test("join-strategy hints override the planner (MERGE forces sort-merge on a dim)") {
     // The planner-control surface a tuner reaches for when stats mislead:
     // the same dim join that PlanSpec pins as broadcast above must
