@@ -446,4 +446,91 @@ object TextOps {
                  "CAST(sp AS DOUBLE) / CAST(m * 1000000 AS DOUBLE)")}
                  AS lm_score
         FROM $table d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"""
+
+  /** Phrase search over the positional inverted index — the retrieval
+    * consumer `text_inverted_index` exists for: find every occurrence of
+    * an exact 3-token phrase by intersecting posting lists at adjacent
+    * positions, never re-scanning raw text. The query phrases are derived
+    * from the corpus itself (top-`nPhrases` trigrams, count-desc then
+    * lexicographic — deterministic on both engines), so the gate needs no
+    * fixture and the derivation count independently cross-checks the
+    * positional join (`n_hits` must equal the derivation's count — two
+    * disjoint code paths agreeing, asserted in the spec).
+    *
+    * Scale shape: the positional index (doc, pos, term) is built once and
+    * persisted (read three times); the tiny phrase table broadcasts into
+    * the first-word probe, then each subsequent word is ONE hash equi-join
+    * on (doc_id, pos+i, term) — slim long/string rows, work proportional
+    * to the POSTING LIST of the rarest matched prefix, not the corpus.
+    * This is exactly how a production engine answers phrase queries over
+    * a distributed index (position intersection), and the plan contains
+    * no cartesian and no regex over full text. */
+  def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
+                   nPhrases: Int): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .persist()
+    val top = docs
+      .select(explode(expr(
+        s"""CASE WHEN size(${tokensSql2Spark(textCol)}) < 3 THEN array()
+            ELSE transform(sequence(1, size(${tokensSql2Spark(textCol)}) - 2),
+              i -> concat_ws(' ', element_at(${tokensSql2Spark(textCol)}, i),
+                                  element_at(${tokensSql2Spark(textCol)}, i + 1),
+                                  element_at(${tokensSql2Spark(textCol)}, i + 2)))
+            END""")).as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase")).limit(nPhrases)
+      .select(col("phrase"),
+        split(col("phrase"), " ").getItem(0).as("w1"),
+        split(col("phrase"), " ").getItem(1).as("w2"),
+        split(col("phrase"), " ").getItem(2).as("w3"))
+    val m1 = pos.join(broadcast(top), col("term") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("phrase"), col("w2"), col("w3"))
+    val p2 = pos.select(col("doc_id").as("d2"), col("pos").as("p2"),
+      col("term").as("t2"))
+    val m2 = m1.join(p2, col("doc_id") === col("d2") &&
+        col("p2") === col("pos") + 1 && col("t2") === col("w2"))
+      .select(col("doc_id"), col("pos"), col("phrase"), col("w3"))
+    val p3 = pos.select(col("doc_id").as("d3"), col("pos").as("p3"),
+      col("term").as("t3"))
+    val m3 = m2.join(p3, col("doc_id") === col("d3") &&
+        col("p3") === col("pos") + 2 && col("t3") === col("w3"))
+    m3.groupBy("phrase")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** `tokens(col)` as a SQL-expr string for use inside `expr(...)`. */
+  private def tokensSql2Spark(textCol: String): String =
+    s"split($textCol, ' ')"
+
+  /** Oracle twin of [[phraseSearch]]. DuckDB zips parallel `unnest`s, so
+    * (term, pos) comes from one projection; `range(1, len-1)` is already
+    * empty below 3 tokens (no CASE needed — DuckDB range never descends,
+    * unlike Spark `sequence`). */
+  def phraseSearchSql(table: String, nPhrases: Int): String =
+    s"""WITH tok AS (SELECT doc_id, ${tokensSql("text")} AS l FROM $table),
+        pos AS (SELECT doc_id, unnest(l) AS term,
+                       unnest(range(0, len(l))) AS pos FROM tok),
+        tri AS (SELECT unnest(list_transform(range(1, len(l) - 1),
+                  i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))
+                  AS phrase FROM tok),
+        top AS (SELECT phrase, string_split(phrase, ' ') AS w FROM (
+                  SELECT phrase, count(*) AS cnt FROM tri GROUP BY phrase
+                  ORDER BY cnt DESC, phrase LIMIT $nPhrases)),
+        m1 AS (SELECT p.doc_id, p.pos, t.phrase, t.w
+               FROM pos p JOIN top t ON p.term = t.w[1]),
+        m2 AS (SELECT m.doc_id, m.pos, m.phrase, m.w
+               FROM m1 m JOIN pos p2 ON p2.doc_id = m.doc_id
+                AND p2.pos = m.pos + 1 AND p2.term = m.w[2]),
+        m3 AS (SELECT m.doc_id, m.phrase
+               FROM m2 m JOIN pos p3 ON p3.doc_id = m.doc_id
+                AND p3.pos = m.pos + 2 AND p3.term = m.w[3])
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM m3 GROUP BY phrase ORDER BY phrase"""
 }

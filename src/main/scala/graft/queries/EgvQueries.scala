@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.model.Schemas
-import graft.ops.EgvOps
+import graft.ops.{EgvOps, SimOps}
 
 /** Reference-parity queries over the `events` table, which stands in for
   * the EGV stream (FIXTURES.md §B role mapping: ts ↔ systemTime,
@@ -154,6 +154,50 @@ object EgvQueries {
              |    AS is_anomaly
              | FROM events JOIN st ON events.user_id = st.user_id
              | ORDER BY event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id")),
+
+    // Robust anomaly scoring: the MAD-based modified z-score (Iglewicz &
+    // Hoaglin 1993, constant 0.6745, cutoff 3.5) — the outlier detector
+    // that survives the outliers themselves, where mean/stddev z-scores
+    // are dragged by the very values they should flag. Median and MAD use
+    // DISCRETE percentiles (both engines select the lower-middle data
+    // VALUE — no interpolation arithmetic exists to diverge), deviations
+    // are single IEEE ops on those exact values, and the final score is
+    // quant4-quantized, so the gate is engine-exact with zero rounding
+    // channels. Shape: two user-keyed agg shuffles (median, then MAD of
+    // deviations) + two broadcast joins back — never a per-row window
+    // sort of the full feed.
+    QueryDef("ref_anomaly_mad",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val med = ev.groupBy(col("user_id"))
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+            .as("__med"))
+        val dev = ev.join(broadcast(med), "user_id")
+        val mad = dev.groupBy(col("user_id"))
+          .agg(expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - __med))")
+            .as("__mad"))
+        dev.join(broadcast(mad), "user_id")
+          .withColumn("robust_z", SimOps.quant4(
+            (col("value") - col("__med")) * lit(0.6745) /
+              nullif(col("__mad"), lit(0.0))))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("robust_z"), (abs(col("robust_z")) > 3.5).as("is_anomaly"))
+      },
+      Some(s"""WITH st AS (SELECT user_id, quantile_disc(value, 0.5) AS med
+             |  FROM events GROUP BY user_id),
+             | dev AS (SELECT e.event_id, e.user_id, e.value, st.med
+             |  FROM events e JOIN st ON e.user_id = st.user_id),
+             | md AS (SELECT user_id, quantile_disc(abs(value - med), 0.5)
+             |  AS mad FROM dev GROUP BY user_id),
+             | z AS (SELECT event_id, dev.user_id, value,
+             |  ${SimOps.quant4Sql(
+                  "(value - med) * 0.6745 / NULLIF(mad, 0)")} AS robust_z
+             |  FROM dev JOIN md ON dev.user_id = md.user_id)
+             | SELECT event_id, user_id, value, robust_z,
+             |  abs(robust_z) > 3.5 AS is_anomaly
+             | FROM z ORDER BY event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id")),
 
     // Event-sequence funnel (view → click → purchase): the ordered

@@ -49,6 +49,17 @@ object IndexQueries {
              | FROM r GROUP BY term ORDER BY term""".stripMargin.replace("\n", "")),
       presentOrder = Seq("term")),
 
+    // Phrase search over the positional index — the retrieval consumer of
+    // the inverted index: top-2 corpus trigrams (self-derived, no fixture)
+    // located by posting-list position intersection (broadcast phrase dim
+    // + two (doc, pos+i, term) hash equi-joins), never a rescan of text.
+    // The derivation count cross-checks n_hits through a disjoint path.
+    QueryDef("text_phrase_search",
+      (s, d) => TextOps.phraseSearch(Tables.documents(s, d), "text",
+        "doc_id", nPhrases = 2),
+      Some(TextOps.phraseSearchSql("documents", nPhrases = 2)),
+      presentOrder = Seq("phrase")),
+
     // BPE pair counting — the distributed step of tokenizer training:
     // count adjacent sub-word piece pairs over the corpus, emit the
     // top-10 merge candidates. (Full BPE training iterates this count →

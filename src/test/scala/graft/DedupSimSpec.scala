@@ -689,6 +689,36 @@ class DedupSimSpec extends SparkSpec {
     assert(cyc === Set(GraphOps.PrS0))
   }
 
+  test("phraseSearch: positional intersection finds exact phrase occurrences only") {
+    import spark.implicits._
+    // "b c d" occurs 3x across docs 0,1 (doc 0 twice, incl. overlapping
+    // "b c d" at pos 1 and 4: "a b c d b c d"); "x y z" occurs twice but
+    // loses the lexicographic tie-break at cnt=3 vs cnt=2.
+    val docs = Seq(
+      (0L, "a b c d b c d"),
+      (1L, "z b c d tail words here"),
+      (2L, "x y z then x y z"),
+      (3L, "bc d nothing here matches phrase")).toDF("doc_id", "text")
+    val out = TextOps.phraseSearch(docs, "text", "doc_id", nPhrases = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set("b c d", "x y z"))
+    assert(out("b c d") === ((3L, 2L, 0L, 1L)))
+    assert(out("x y z") === ((2L, 1L, 2L, 2L)))
+    // Invariant: positional-join hit count equals the independent
+    // derivation count for EVERY corpus trigram (run with a large n so
+    // all trigrams become query phrases).
+    val all = TextOps.phraseSearch(docs, "text", "doc_id", nPhrases = 1000)
+      .select("phrase", "n_hits").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naive = docs.collect().flatMap { r =>
+      val t = r.getString(1).split(" ")
+      t.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(all === naive)
+  }
+
   test("triangleStats: hand graph exact; random graph equals naive driver count") {
     import spark.implicits._
     import graft.ops.GraphOps

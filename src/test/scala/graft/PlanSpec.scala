@@ -82,6 +82,16 @@ class PlanSpec extends SparkSpec {
       s"oriented edges should come from the persisted cache:\n$p")
   }
 
+  test("phrase search probes the positional index by equi-join with a broadcast phrase dim") {
+    val p = planOf("text_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"position intersection must be equi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny phrase table should broadcast into the first-word probe:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the positional index should be cached, not rebuilt per word:\n$p")
+  }
+
   test("join-strategy hints override the planner (MERGE forces sort-merge on a dim)") {
     // The planner-control surface a tuner reaches for when stats mislead:
     // the same dim join that PlanSpec pins as broadcast above must
