@@ -467,17 +467,20 @@ object TextOps {
     * no cartesian and no regex over full text. */
   def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
                    nPhrases: Int): DataFrame = {
-    val pos = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    // Tokenize ONCE; both the positional index and the trigram
+    // derivation read the cached token arrays.
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
       .persist()
-    val top = docs
+    val pos = toks.select(col("doc_id"),
+      posexplode(col("__t")).as(Seq("pos", "term")))
+    val top = toks
       .select(explode(expr(
-        s"""CASE WHEN size(${tokensSql2Spark(textCol)}) < 3 THEN array()
-            ELSE transform(sequence(1, size(${tokensSql2Spark(textCol)}) - 2),
-              i -> concat_ws(' ', element_at(${tokensSql2Spark(textCol)}, i),
-                                  element_at(${tokensSql2Spark(textCol)}, i + 1),
-                                  element_at(${tokensSql2Spark(textCol)}, i + 2)))
+        """CASE WHEN size(__t) < 3 THEN array()
+            ELSE transform(sequence(1, size(__t) - 2),
+              i -> concat_ws(' ', element_at(__t, i),
+                                  element_at(__t, i + 1),
+                                  element_at(__t, i + 2)))
             END""")).as("phrase"))
       .groupBy("phrase").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("phrase")).limit(nPhrases)
@@ -485,15 +488,24 @@ object TextOps {
         split(col("phrase"), " ").getItem(0).as("w1"),
         split(col("phrase"), " ").getItem(1).as("w2"),
         split(col("phrase"), " ").getItem(2).as("w3"))
+      .persist() // tiny; read four times (probe + two posting filters)
     val m1 = pos.join(broadcast(top), col("term") === col("w1"))
       .select(col("doc_id"), col("pos"), col("phrase"), col("w2"), col("w3"))
-    val p2 = pos.select(col("doc_id").as("d2"), col("pos").as("p2"),
-      col("term").as("t2"))
+    // Posting-list pruning: broadcast-filter the index down to the
+    // phrases' word-2/word-3 postings BEFORE the position joins — the
+    // (doc, pos+i) shuffles then carry only matching-term postings, not
+    // the whole index (this is what "work ∝ posting list" means).
+    val p2 = pos.join(broadcast(top.select(col("w2")).distinct()),
+        col("term") === col("w2"))
+      .select(col("doc_id").as("d2"), col("pos").as("p2"),
+        col("term").as("t2"))
     val m2 = m1.join(p2, col("doc_id") === col("d2") &&
         col("p2") === col("pos") + 1 && col("t2") === col("w2"))
       .select(col("doc_id"), col("pos"), col("phrase"), col("w3"))
-    val p3 = pos.select(col("doc_id").as("d3"), col("pos").as("p3"),
-      col("term").as("t3"))
+    val p3 = pos.join(broadcast(top.select(col("w3")).distinct()),
+        col("term") === col("w3"))
+      .select(col("doc_id").as("d3"), col("pos").as("p3"),
+        col("term").as("t3"))
     val m3 = m2.join(p3, col("doc_id") === col("d3") &&
         col("p3") === col("pos") + 2 && col("t3") === col("w3"))
     m3.groupBy("phrase")
@@ -502,10 +514,6 @@ object TextOps {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
   }
-
-  /** `tokens(col)` as a SQL-expr string for use inside `expr(...)`. */
-  private def tokensSql2Spark(textCol: String): String =
-    s"split($textCol, ' ')"
 
   /** Oracle twin of [[phraseSearch]]. DuckDB zips parallel `unnest`s, so
     * (term, pos) comes from one projection; `range(1, len-1)` is already
