@@ -133,6 +133,9 @@ object GraftFunctions {
     spark.udf.register("bloom_bits",
       org.apache.spark.sql.functions.udaf(
         new BloomSetAgg, org.apache.spark.sql.Encoders.scalaLong))
+    spark.udf.register("cms_counts",
+      org.apache.spark.sql.functions.udaf(
+        new CmsAgg, org.apache.spark.sql.Encoders.scalaLong))
   }
 }
 

@@ -17,6 +17,56 @@ object SketchQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Count-Min Sketch frequency audit: ONE 32 KiB mergeable sketch
+    // (catalyst/CmsAgg, element-wise-sum merge, map-side partials) over
+    // every term occurrence, probed for the top-10 exact-count terms —
+    // (exact, estimate, overcount, no_undercount). The vocab ≫ W, so
+    // collisions genuinely fire and the realized overcount is gate-
+    // visible; the min-of-rows estimate can never under-count (the gate
+    // pins no_undercount TRUE). The oracle replays each counter cell as
+    // the sum of exact counts of all terms hashing there — provably the
+    // sketch's own function (same LCG coefficients).
+    QueryDef("text_cms_freq",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val terms = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("term"))
+          .select(col("term"), TextOps.hash64(col("term")).as("h"))
+        val cms = terms.agg(expr("cms_counts(h)").as("__cms"))
+        val exact = terms.groupBy("term")
+          .agg(count(lit(1)).as("exact_cnt"), max(col("h")).as("h"))
+        val keys = exact.orderBy(col("exact_cnt").desc, col("term")).limit(10)
+        keys.crossJoin(broadcast(cms))
+          .withColumn("cms_est",
+            expr(graft.catalyst.CmsAgg.estimateSql("h", "__cms")))
+          .select(col("term"), col("exact_cnt"), col("cms_est"),
+            (col("cms_est") - col("exact_cnt")).as("overcount"),
+            (col("cms_est") >= col("exact_cnt")).as("no_undercount"))
+      },
+      Some {
+        val pos = graft.catalyst.CmsAgg.positionSqls("h")
+        val pcols = pos.zipWithIndex.map { case (p, i) => s"$p AS p$i" }
+          .mkString(", ")
+        val est = pos.indices.map { i =>
+          s"(SELECT sum(t.exact_cnt) FROM pos t WHERE t.p$i = k.p$i)"
+        }.mkString("least(", ", ", ")")
+        s"""WITH tok AS (SELECT unnest(${TextOps.tokensSql("text")}) AS term
+              FROM documents),
+            tf AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+                   FROM tok GROUP BY term),
+            hh AS (SELECT term, exact_cnt, ${TextOps.hash64Sql("term")} AS h
+                   FROM tf),
+            pos AS (SELECT term, exact_cnt, $pcols FROM hh),
+            keys AS (SELECT * FROM pos
+                     ORDER BY exact_cnt DESC, term LIMIT 10),
+            e AS (SELECT k.term, k.exact_cnt, $est AS cms_est FROM keys k)
+            SELECT term, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+                   CAST(cms_est - exact_cnt AS BIGINT) AS overcount,
+                   cms_est >= exact_cnt AS no_undercount
+            FROM e ORDER BY term"""
+      },
+      presentOrder = Seq("term")),
+
     QueryDef("q_source_sketch_sim",
       (s, d) => {
         // minhash_sketch = MinHashSketchAgg surfaced as a registered UDAF:

@@ -689,6 +689,37 @@ class DedupSimSpec extends SparkSpec {
     assert(cyc === Set(GraphOps.PrS0))
   }
 
+  test("CmsAgg: cells equal the driver-replayed collision sums; merge is partition-invariant; never under-counts") {
+    import spark.implicits._
+    import graft.catalyst.CmsAgg
+    graft.catalyst.GraftFunctions.register(spark)
+    // Term stream with skew: term_i appears i+1 times, i in 0..49.
+    val occurrences = (0 until 50).flatMap(i => Seq.fill(i + 1)(s"term$i"))
+    def sketchOf(parts: Int): Array[Long] = {
+      val df = occurrences.toDF("term").repartition(parts)
+        .select(graft.ops.TextOps.hash64(col("term")).as("h"))
+      df.agg(expr("cms_counts(h)")).collect()(0).getSeq[Long](0).toArray
+    }
+    val s1 = sketchOf(1)
+    assert(java.util.Arrays.equals(s1, sketchOf(7))) // merge order free
+    // Driver replay: every cell must equal the sum of counts of terms
+    // hashing there (the oracle's formulation of the same function).
+    val counts = occurrences.groupBy(identity).view.mapValues(_.size.toLong)
+    val hashes = occurrences.distinct.toDF("term")
+      .select(col("term"), graft.ops.TextOps.hash64(col("term")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = new Array[Long](CmsAgg.D * CmsAgg.W)
+    for ((t, c) <- counts; (pos, i) <- CmsAgg.positions(hashes(t)).zipWithIndex)
+      expect(i * CmsAgg.W + pos) += c
+    assert(java.util.Arrays.equals(s1, expect))
+    // Estimates: min over rows, >= exact always.
+    for ((t, c) <- counts) {
+      val est = CmsAgg.positions(hashes(t)).zipWithIndex
+        .map { case (p, i) => s1(i * CmsAgg.W + p) }.min
+      assert(est >= c, s"undercount for $t")
+    }
+  }
+
   test("phraseSearch: positional intersection finds exact phrase occurrences only") {
     import spark.implicits._
     // "b c d" occurs 3x across docs 0,1 (doc 0 twice, incl. overlapping
