@@ -118,6 +118,50 @@ object DedupQueries {
         DedupOps.jaccardPairsSql("documents", "text", "doc_id", JaccardThreshold))),
       presentOrder = Seq("doc_id")),
 
+    // Canonical-representative selection: per near-dup cluster, KEEP the
+    // highest-quality member (longest token count, doc_id tie-break) —
+    // production near-dedup keeps the best document, not the first-seen
+    // one (min-id keeping throws away the better copy whenever the
+    // scraper's truncated mirror has the smaller id). Spark picks the rep
+    // in the SAME single cluster-keyed shuffle as the member roll-up
+    // (partial-aggregable max_by(struct)); the oracle spells the
+    // identical choice as a row_number window. Output covers true
+    // clusters (docs appearing in a near-dup pair); singletons are
+    // vacuously their own representative.
+    QueryDef("dedup_cluster_rep",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          size(graft.ops.TextOps.tokens(col("text"))).as("n_tokens"))
+        val cc = DedupOps.connectedComponents(
+          DedupOps.jaccardPairsCached(docs, "text", "doc_id",
+            JaccardThreshold))
+        cc.join(toks, "doc_id")
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            max_by(col("doc_id"),
+              struct(col("n_tokens"), (-col("doc_id")).as("nid")))
+              .as("rep_doc"),
+            max(col("n_tokens")).as("rep_tokens"))
+      },
+      Some {
+        val ccSql = DedupOps.connectedComponentsSql(
+          DedupOps.jaccardPairsSql("documents", "text", "doc_id",
+            JaccardThreshold))
+        s"""WITH cc AS ($ccSql),
+            tk AS (SELECT doc_id, CAST(len(${graft.ops.TextOps
+              .tokensSql("text")}) AS INT) AS n_tokens FROM documents),
+            m AS (SELECT cluster, cc.doc_id, n_tokens, row_number() OVER (
+                    PARTITION BY cluster
+                    ORDER BY n_tokens DESC, cc.doc_id) AS rn
+                  FROM cc JOIN tk ON cc.doc_id = tk.doc_id)
+            SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+                   min(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+                   CAST(max(n_tokens) AS INT) AS rep_tokens
+            FROM m GROUP BY cluster ORDER BY cluster"""
+      },
+      presentOrder = Seq("cluster")),
+
     // Embedding-cosine near-dup pairs. Brute pairing at test SF; the LSH
     // bucketing in SimQueries is the scale path for the same predicate.
     QueryDef("dedup_embedding_cosine",

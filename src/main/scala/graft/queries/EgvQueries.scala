@@ -200,6 +200,51 @@ object EgvQueries {
              | FROM z ORDER BY event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id")),
 
+    // Cohort retention matrix: users grouped by first-activity DAY,
+    // tracked for activity on each subsequent day — the product-
+    // analytics staple beside the funnel (day grain: the corpus is dense
+    // enough that weekly cohorts retain 100% everywhere; daily cohorts
+    // genuinely decay). Pure integer arithmetic
+    // (epoch-week floor division, micro-unit retention ratio), so the
+    // gate is hash-exact. Shape: one user-keyed min-agg (cohort
+    // assignment), one equi-join back, one distinct at (user, week)
+    // grain, one matrix roll-up — all map-side-combinable hash aggs;
+    // never a per-user window sort.
+    QueryDef("ref_retention_cohorts",
+      (s, d) => {
+        val week = 86400L
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr(s"CAST(ts AS LONG) div $week").as("w"))
+        val first = ev.groupBy("user_id").agg(min(col("w")).as("w0"))
+        val act = ev.join(first, "user_id")
+          .select(col("user_id"), col("w0").as("cohort_day"),
+            (col("w") - col("w0")).as("day_n"))
+          .distinct()
+        val cs = first.select(col("w0").as("cohort_day"))
+          .groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
+        act.groupBy(col("cohort_day"), col("day_n"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(cs, "cohort_day")
+          .withColumn("retention_micro",
+            expr("(n_active * 1000000) div cohort_users"))
+          .select(col("cohort_day"), col("day_n"), col("n_active"),
+            col("cohort_users"), col("retention_micro"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS w FROM events),
+             | f AS (SELECT user_id, min(w) AS w0 FROM ev GROUP BY user_id),
+             | act AS (SELECT DISTINCT ev.user_id, w0 AS cohort_day,
+             |  w - w0 AS day_n FROM ev JOIN f ON ev.user_id = f.user_id),
+             | cs AS (SELECT w0 AS cohort_day, CAST(count(*) AS BIGINT)
+             |  AS cohort_users FROM f GROUP BY w0)
+             | SELECT a.cohort_day, day_n, CAST(count(*) AS BIGINT) AS n_active,
+             |  cohort_users,
+             |  (CAST(count(*) AS BIGINT) * 1000000) // cohort_users AS retention_micro
+             | FROM act a JOIN cs ON a.cohort_day = cs.cohort_day
+             | GROUP BY a.cohort_day, day_n, cohort_users
+             | ORDER BY 1, 2""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("cohort_day", "day_n")),
+
     // Event-sequence funnel (view → click → purchase): the ordered
     // conversion analysis MATCH_RECOGNIZE engines sell, composed from
     // three stage-anchored min-aggregations — each stage's earliest

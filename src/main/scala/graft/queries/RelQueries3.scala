@@ -12,6 +12,59 @@ object RelQueries3 {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Market-basket co-occurrence mining (association rules): the top-20
+    // part pairs bought together in one order, with support, confidence,
+    // and lift — all ratios in exact integer micro-units (floor division)
+    // so the gate is hash-exact with zero float columns. Shape: distinct
+    // (order, part) first (multi-line orders must not inflate support),
+    // then the pair build is an order-keyed equi-self-join — pairs per
+    // order is C(items,2) with TPC-H-ish ~4-item baskets, so the join
+    // output is ~6× orders, not n²; item supports ride a broadcast-sized
+    // dim joined back twice; TakeOrderedAndProject caps the output.
+    QueryDef("q_market_basket",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+        val item = li.select(col("pk")).groupBy("pk")
+          .agg(count(lit(1)).as("n_item"))
+        val nOrders = li.select(col("ok")).distinct().count()
+        pairs
+          .join(broadcast(item.select(col("pk").as("p1"),
+            col("n_item").as("n1"))), "p1")
+          .join(broadcast(item.select(col("pk").as("p2"),
+            col("n_item").as("n2"))), "p2")
+          .withColumn("confidence_micro",
+            expr("(support * 1000000) div n1"))
+          .withColumn("lift_micro",
+            expr(s"(support * ${nOrders}L * 1000000) div (n1 * n2)"))
+          .select(col("p1"), col("p2"), col("support"), col("n1"),
+            col("n2"), col("confidence_micro"), col("lift_micro"))
+          .orderBy(col("support").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem),
+             | pairs AS (SELECT a.pk AS p1, b.pk AS p2,
+             |  CAST(count(*) AS BIGINT) AS support
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2),
+             | item AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item
+             |  FROM li GROUP BY pk),
+             | n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li)
+             | SELECT p1, p2, support, i1.n_item AS n1, i2.n_item AS n2,
+             |  (support * 1000000) // i1.n_item AS confidence_micro,
+             |  (support * n_orders * 1000000) // (i1.n_item * i2.n_item)
+             |    AS lift_micro
+             | FROM pairs JOIN item i1 ON p1 = i1.pk
+             |  JOIN item i2 ON p2 = i2.pk CROSS JOIN n
+             | ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("p1", "p2")),
+
     // Complex types: per-customer order list collected, sorted, and
     // serialized deterministically (nested results can't be hash-compared
     // portably, so the contract output is the canonical string form).
