@@ -377,6 +377,41 @@ object StatefulOps {
     * replayed ids under at-least-once delivery cannot move the estimate,
     * and any micro-batching of the same id set converges to the same
     * final state. */
+  case class HashEvent(grp: String, h: Long)
+  case class CmsState(grp: String, total: Long, sketch: Array[Long])
+
+  /** Streaming twin of the gated `text_cms_freq` Count-Min sketch: ONE
+    * CMS per group in keyed state, each micro-batch folded via the SAME
+    * [[graft.catalyst.CmsAgg.reduce]] the batch UDAF runs (one code
+    * path, no drift possible); emits the refreshed sketch + total under
+    * Update semantics. State is D·W counters FOREVER regardless of
+    * stream length; counter sums are commutative, so ANY micro-batching
+    * of the same events converges to the identical final sketch — the
+    * cross-batch parity proof in `StreamingSpec`.
+    *
+    * Delivery contract: unlike HLL's set semantics, CMS counts are
+    * additive — replayed events DO re-count, so estimates are
+    * at-least-once under redelivery (the G1 exactly-once checkpoint
+    * replay contract is what removes them end-to-end; same caveat as
+    * any streaming counter). */
+  def streamingCms(events: Dataset[HashEvent]): Dataset[CmsState] = {
+    import events.sparkSession.implicits._
+    import graft.catalyst.CmsAgg
+    val agg = new CmsAgg
+    events
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[Array[Long], CmsState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[HashEvent], state: GroupState[Array[Long]]) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          rows.foreach(r => buf = agg.reduce(buf, r.h))
+          state.update(buf)
+          // Row 0's counters sum to the total fold count (each reduce
+          // increments exactly one counter per row).
+          Iterator(CmsState(grp, buf.take(CmsAgg.W).sum, buf.clone()))
+      }
+  }
+
   def streamingDistinct(events: Dataset[IdEvent],
                         lgK: Int): Dataset[DistinctEst] = {
     import events.sparkSession.implicits._

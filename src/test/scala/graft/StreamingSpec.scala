@@ -767,6 +767,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming CMS sketch equals the batch UDAF bit-for-bit across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{CmsState, HashEvent}
+    val dir = "/root/testdata/sf0.001"
+    graft.catalyst.GraftFunctions.register(spark)
+    // Batch truth: the same cms_counts UDAF the gated query runs,
+    // per source group.
+    val batch = graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+      .select(col("source"), graft.ops.TextOps.hash64(col("term")).as("h"))
+      .groupBy("source").agg(expr("cms_counts(h)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val evs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextOps.hash64(col("term")).as("h"))
+      .orderBy("doc_id").select("source", "h").collect()
+      .map(r => HashEvent(r.getString(0), r.getLong(1)))
+    val latest = scala.collection.mutable.Map[String, CmsState]()
+    val in = MemoryStream[HashEvent]
+    val q = graft.streaming.StatefulOps.streamingCms(in.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[CmsState], _: Long) =>
+        ds.collect().foreach(e => latest(e.grp) = e)
+      }.start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(latest.keySet === batch.keySet)
+    for ((g, sk) <- batch) {
+      assert(java.util.Arrays.equals(latest(g).sketch, sk),
+        s"sketch drift for group $g")
+      assert(latest(g).total === evs.count(_.grp == g).toLong)
+    }
+  }
+
   test("streaming HLL distinct estimate matches the batch sketch across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
