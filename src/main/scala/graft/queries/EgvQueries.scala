@@ -200,6 +200,84 @@ object EgvQueries {
              | FROM z ORDER BY event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id")),
 
+    // Time-in-range report — THE clinical metric the reference's glucose
+    // feed exists to produce (Dexcom Clarity's headline number): per
+    // user, duration-weighted seconds and micro-unit percentages in the
+    // standard five glycemic bands (<54 / 54-69 / 70-180 / 181-250 /
+    // >250 mg/dL). Each reading carries until the next one (lead over
+    // (ts, event_id) — deterministic under ts ties), gaps longer than
+    // 30 min contribute only 30 min (sensor-off policy, both engines),
+    // the final reading carries nothing. All arithmetic is integer
+    // seconds and floor-division micro-units — hash-exact, zero floats.
+    // Shape: ONE user-keyed window sort (time-series semantics need
+    // per-user order) then a user roll-up on the same partitioning —
+    // Spark reuses the exchange, so it's one shuffle end-to-end.
+    QueryDef("ref_time_in_range",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("sec", expr("CAST(ts AS LONG)"))
+          .withColumn("dur",
+            least(lead(col("sec"), 1).over(w) - col("sec"), lit(1800L)))
+          .filter(col("dur").isNotNull)
+        def band(pred: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          sum(when(pred, col("dur")).otherwise(lit(0L)))
+        val agg = ev.groupBy(col("user_id")).agg(
+          sum(col("dur")).as("total_sec"),
+          band(col("value") < 54).as("very_low_sec"),
+          band(col("value") >= 54 && col("value") < 70).as("low_sec"),
+          band(col("value") >= 70 && col("value") <= 180).as("in_range_sec"),
+          band(col("value") > 180 && col("value") <= 250).as("high_sec"),
+          band(col("value") > 250).as("very_high_sec"))
+        agg.withColumn("tir_micro",
+          expr("(in_range_sec * 1000000) div total_sec"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, value,
+             |  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |  ts FROM events),
+             | du AS (SELECT user_id, value,
+             |  least(lead(sec) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) - sec, 1800) AS dur FROM ev),
+             | f AS (SELECT * FROM du WHERE dur IS NOT NULL)
+             | SELECT user_id, CAST(sum(dur) AS BIGINT) AS total_sec,
+             |  CAST(sum(CASE WHEN value < 54 THEN dur ELSE 0 END) AS BIGINT) AS very_low_sec,
+             |  CAST(sum(CASE WHEN value >= 54 AND value < 70 THEN dur ELSE 0 END) AS BIGINT) AS low_sec,
+             |  CAST(sum(CASE WHEN value >= 70 AND value <= 180 THEN dur ELSE 0 END) AS BIGINT) AS in_range_sec,
+             |  CAST(sum(CASE WHEN value > 180 AND value <= 250 THEN dur ELSE 0 END) AS BIGINT) AS high_sec,
+             |  CAST(sum(CASE WHEN value > 250 THEN dur ELSE 0 END) AS BIGINT) AS very_high_sec,
+             |  (CAST(sum(CASE WHEN value >= 70 AND value <= 180 THEN dur ELSE 0 END) AS BIGINT)
+             |    * 1000000) // CAST(sum(dur) AS BIGINT) AS tir_micro
+             | FROM f GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id")),
+
+    // Ambulatory glucose profile (AGP): the hour-of-day percentile bands
+    // (p05/p25/p50/p75/p95) every CGM report draws — DISCRETE percentiles
+    // so both engines select actual data values (zero interpolation
+    // arithmetic); one hour-keyed agg shuffle, sort cost bounded by
+    // per-hour group size, never a global sort.
+    QueryDef("ref_agp_profile",
+      (s, d) => {
+        def pd(p: Double, name: String) =
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY value)").as(name)
+        Tables.events(s, d)
+          .withColumn("hour_of_day", hour(col("ts")))
+          .groupBy("hour_of_day")
+          .agg(count(lit(1)).as("n_readings"),
+            pd(0.05, "p05"), pd(0.25, "p25"), pd(0.5, "p50"),
+            pd(0.75, "p75"), pd(0.95, "p95"))
+      },
+      Some("""SELECT CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+             | CAST(count(*) AS BIGINT) AS n_readings,
+             | quantile_disc(value, 0.05) AS p05,
+             | quantile_disc(value, 0.25) AS p25,
+             | quantile_disc(value, 0.5) AS p50,
+             | quantile_disc(value, 0.75) AS p75,
+             | quantile_disc(value, 0.95) AS p95
+             | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("hour_of_day")),
+
     // Cohort retention matrix: users grouped by first-activity DAY,
     // tracked for activity on each subsequent day — the product-
     // analytics staple beside the funnel (day grain: the corpus is dense

@@ -92,6 +92,13 @@ class PlanSpec extends SparkSpec {
       s"the positional index should be cached, not rebuilt per word:\n$p")
   }
 
+  test("time-in-range: the window sort and the user roll-up share ONE exchange") {
+    val p = planOf("ref_time_in_range")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"window + groupBy on user_id must reuse one partitioning, saw $shuffles:\n$p")
+  }
+
   test("join-strategy hints override the planner (MERGE forces sort-merge on a dim)") {
     // The planner-control surface a tuner reaches for when stats mislead:
     // the same dim join that PlanSpec pins as broadcast above must
