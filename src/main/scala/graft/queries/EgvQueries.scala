@@ -252,6 +252,86 @@ object EgvQueries {
              | FROM f GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("user_id")),
 
+    // Hypoglycemic-episode detection — the gaps-and-islands pattern
+    // (contiguous runs of a CONDITION, not time gaps like q_sessionize):
+    // runs of readings below 70 mg/dL lasting >= 15 min, with onset,
+    // duration, reading count, and nadir per episode (the alert
+    // consumers page on). Island id = running count of non-low readings
+    // (constant inside each low run, both engines); per-episode roll-up
+    // on the same user partitioning as the window — one exchange.
+    QueryDef("ref_hypo_episodes",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("sec", expr("CAST(ts AS LONG)"))
+          .withColumn("low", (col("value") < 70).cast("int"))
+          .withColumn("grp", sum(lit(1) - col("low")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+          .filter(col("low") === 1)
+          .groupBy(col("user_id"), col("grp"))
+          .agg(min(col("sec")).as("ep_start_sec"),
+            (max(col("sec")) - min(col("sec"))).as("dur_sec"),
+            count(lit(1)).as("n_readings"),
+            min(col("value")).as("nadir"))
+          .filter(col("dur_sec") >= 900)
+          .select(col("user_id"), col("ep_start_sec"), col("dur_sec"),
+            col("n_readings"), col("nadir"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, value,
+             |  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |  CASE WHEN value < 70 THEN 1 ELSE 0 END AS low,
+             |  CAST(sum(CASE WHEN value < 70 THEN 0 ELSE 1 END) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+             |  FROM events),
+             | ep AS (SELECT user_id, min(sec) AS ep_start_sec,
+             |  max(sec) - min(sec) AS dur_sec,
+             |  CAST(count(*) AS BIGINT) AS n_readings, min(value) AS nadir
+             |  FROM g WHERE low = 1 GROUP BY user_id, grp)
+             | SELECT user_id, ep_start_sec, dur_sec, n_readings, nadir
+             | FROM ep WHERE dur_sec >= 900
+             | ORDER BY user_id, ep_start_sec""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id", "ep_start_sec")),
+
+    // Event-type transition matrix (first-order Markov over the event
+    // stream): count + micro-unit probability of each (from -> to) pair
+    // per user-ordered sequence — the behavioral-model prep beside the
+    // funnel. Integer floor-division probabilities; one user-keyed
+    // window + one tiny (from,to) roll-up.
+    QueryDef("ref_event_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val tr = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("n_from"))
+        tr.join(broadcast(tot), "from_type")
+          .withColumn("p_micro", expr("(n * 1000000) div n_from"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            col("n_from"), col("p_micro"))
+      },
+      Some("""WITH tr AS (SELECT user_id, event_type AS from_type,
+             |  lead(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS to_type FROM events),
+             | c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             | t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+             |  FROM c GROUP BY 1)
+             | SELECT c.from_type, to_type, n, n_from,
+             |  (n * 1000000) // n_from AS p_micro
+             | FROM c JOIN t ON c.from_type = t.from_type
+             | ORDER BY 1, 2""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("from_type", "to_type")),
+
     // Ambulatory glucose profile (AGP): the hour-of-day percentile bands
     // (p05/p25/p50/p75/p95) every CGM report draws — DISCRETE percentiles
     // so both engines select actual data values (zero interpolation
