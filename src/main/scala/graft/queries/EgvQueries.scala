@@ -206,8 +206,10 @@ object EgvQueries {
     // standard five glycemic bands (<54 / 54-69 / 70-180 / 181-250 /
     // >250 mg/dL). Each reading carries until the next one (lead over
     // (ts, event_id) — deterministic under ts ties), gaps longer than
-    // 30 min contribute only 30 min (sensor-off policy, both engines),
-    // the final reading carries nothing. All arithmetic is integer
+    // 30 min contribute only 30 min (sensor-off policy), and the FINAL
+    // reading carries the full 30-min timeout (lead is NULL and both
+    // engines' least() skips NULLs — the last-known-value-persists
+    // contract, made explicit here). All arithmetic is integer
     // seconds and floor-division micro-units — hash-exact, zero floats.
     // Shape: ONE user-keyed window sort (time-series semantics need
     // per-user order) then a user roll-up on the same partitioning —
@@ -221,7 +223,6 @@ object EgvQueries {
           .withColumn("sec", expr("CAST(ts AS LONG)"))
           .withColumn("dur",
             least(lead(col("sec"), 1).over(w) - col("sec"), lit(1800L)))
-          .filter(col("dur").isNotNull)
         def band(pred: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           sum(when(pred, col("dur")).otherwise(lit(0L)))
         val agg = ev.groupBy(col("user_id")).agg(
@@ -237,10 +238,9 @@ object EgvQueries {
       Some("""WITH ev AS (SELECT user_id, event_id, value,
              |  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
              |  ts FROM events),
-             | du AS (SELECT user_id, value,
+             | f AS (SELECT user_id, value,
              |  least(lead(sec) OVER (PARTITION BY user_id
-             |    ORDER BY ts, event_id) - sec, 1800) AS dur FROM ev),
-             | f AS (SELECT * FROM du WHERE dur IS NOT NULL)
+             |    ORDER BY ts, event_id) - sec, 1800) AS dur FROM ev)
              | SELECT user_id, CAST(sum(dur) AS BIGINT) AS total_sec,
              |  CAST(sum(CASE WHEN value < 54 THEN dur ELSE 0 END) AS BIGINT) AS very_low_sec,
              |  CAST(sum(CASE WHEN value >= 54 AND value < 70 THEN dur ELSE 0 END) AS BIGINT) AS low_sec,

@@ -377,6 +377,77 @@ object StatefulOps {
     * replayed ids under at-least-once delivery cannot move the estimate,
     * and any micro-batching of the same id set converges to the same
     * final state. */
+  case class GlucoseReading(userId: Long, sec: Long, eventId: Long,
+                            value: Double)
+  case class TirState(lastSec: Long, lastEventId: Long, lastValue: Double,
+                      totalSec: Long, veryLowSec: Long, lowSec: Long,
+                      inRangeSec: Long, highSec: Long, veryHighSec: Long)
+  case class TirRow(userId: Long, totalSec: Long, veryLowSec: Long,
+                    lowSec: Long, inRangeSec: Long, highSec: Long,
+                    veryHighSec: Long, tirMicro: Long)
+
+  /** Streaming twin of the gated `ref_time_in_range` clinical report:
+    * keyed state carries the LAST reading plus the running band totals;
+    * each arriving reading CLOSES the previous interval (duration
+    * `min(gap, 1800)` credited to the previous value's band — identical
+    * constants and band edges as the batch query) and becomes the new
+    * open interval. Emits the refreshed per-user report every
+    * micro-batch (Update semantics). State is one fixed-size row per
+    * user forever.
+    *
+    * The emitted report adds the batch query's last-known-value tail —
+    * the OPEN interval provisionally carries the full 30-min timeout —
+    * computed at emit time only (never folded into state, so a later
+    * reading that closes the interval at its true duration cannot
+    * double-count). Every snapshot therefore equals the batch report
+    * over the readings seen so far.
+    *
+    * Ordering contract: readings are sorted by (sec, eventId) within
+    * each (group, micro-batch) — the same well-defined order the batch
+    * window uses; across batches the feed is in order (a CGM device
+    * uploads monotonically; the reference's Kafka key preserves
+    * per-user offset order). Under that contract the final state equals
+    * the batch report REGARDLESS of how the stream is micro-batched —
+    * proven in `StreamingSpec`. */
+  def streamingTimeInRange(readings: Dataset[GlucoseReading]): Dataset[TirRow] = {
+    import readings.sparkSession.implicits._
+    def bandAdd(st: TirState, v: Double, dur: Long): TirState =
+      st.copy(totalSec = st.totalSec + dur,
+        veryLowSec = st.veryLowSec + (if (v < 54) dur else 0L),
+        lowSec = st.lowSec + (if (v >= 54 && v < 70) dur else 0L),
+        inRangeSec = st.inRangeSec + (if (v >= 70 && v <= 180) dur else 0L),
+        highSec = st.highSec + (if (v > 180 && v <= 250) dur else 0L),
+        veryHighSec = st.veryHighSec + (if (v > 250) dur else 0L))
+    readings
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[TirState, TirRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[GlucoseReading], state: GroupState[TirState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.sec, r.eventId))
+          var st = state.getOption.orNull
+          for (r <- sorted) {
+            st =
+              if (st == null)
+                TirState(r.sec, r.eventId, r.value, 0L, 0L, 0L, 0L, 0L, 0L)
+              else {
+                val closed =
+                  bandAdd(st, st.lastValue, math.min(r.sec - st.lastSec, 1800L))
+                closed.copy(lastSec = r.sec, lastEventId = r.eventId,
+                  lastValue = r.value)
+              }
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            // Provisional 30-min tail for the open interval (emit only).
+            val rep = bandAdd(st, st.lastValue, 1800L)
+            Iterator(TirRow(userId, rep.totalSec, rep.veryLowSec, rep.lowSec,
+              rep.inRangeSec, rep.highSec, rep.veryHighSec,
+              rep.inRangeSec * 1000000L / rep.totalSec))
+          }
+      }
+  }
+
   case class HashEvent(grp: String, h: Long)
   case class CmsState(grp: String, total: Long, sketch: Array[Long])
 

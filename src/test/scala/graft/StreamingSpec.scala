@@ -767,6 +767,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming time-in-range converges to the batch clinical report across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{GlucoseReading, TirRow}
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.Catalog.queries("ref_time_in_range")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val evs = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "CAST(ts AS LONG) AS sec", "event_id", "value")
+      .orderBy("sec", "event_id").collect()
+      .map(r => GlucoseReading(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val latest = scala.collection.mutable.Map[Long, TirRow]()
+    val in = MemoryStream[GlucoseReading]
+    val q = graft.streaming.StatefulOps.streamingTimeInRange(in.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[TirRow], _: Long) =>
+        ds.collect().foreach(t => latest(t.userId) = t)
+      }.start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    val streamed = latest.view.mapValues(t => (t.totalSec, t.veryLowSec,
+      t.lowSec, t.inRangeSec, t.highSec, t.veryHighSec, t.tirMicro)).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming CMS sketch equals the batch UDAF bit-for-bit across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
