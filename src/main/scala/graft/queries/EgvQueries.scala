@@ -252,6 +252,40 @@ object EgvQueries {
              | FROM f GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("user_id")),
 
+    // Glycemic variability panel — the remaining numbers on a CGM
+    // report: per-user mean, SD, coefficient of variation (CV = SD/mean;
+    // < 36% is the consensus stability target), GMI (the lab-free A1C
+    // surrogate, 3.31 + 0.02392·mean) and ADAG eA1C ((mean+46.7)/28.7).
+    // One user-keyed agg (map-side combine), formulas applied to the
+    // aggregates and quant4-quantized — identical expression trees on
+    // both engines, so last-ulp accumulation wobble cannot flip a digit.
+    QueryDef("ref_glycemic_stats",
+      (s, d) => {
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_readings"),
+            avg(col("value")).as("__mu"),
+            stddev_samp(col("value")).as("__sd"))
+          .select(col("user_id"), col("n_readings"),
+            SimOps.quant4(col("__mu")).as("mean_glucose"),
+            SimOps.quant4(col("__sd")).as("sd_glucose"),
+            SimOps.quant4(col("__sd") / nullif(col("__mu"), lit(0.0)) * lit(100.0))
+              .as("cv_pct"),
+            SimOps.quant4(lit(3.31) + lit(0.02392) * col("__mu")).as("gmi_pct"),
+            SimOps.quant4((col("__mu") + lit(46.7)) / lit(28.7)).as("ea1c_pct"))
+      },
+      Some(s"""WITH st AS (SELECT user_id,
+             |  CAST(count(*) AS BIGINT) AS n_readings,
+             |  avg(value) AS mu, stddev_samp(value) AS sd
+             |  FROM events GROUP BY user_id)
+             | SELECT user_id, n_readings,
+             |  ${SimOps.quant4Sql("mu")} AS mean_glucose,
+             |  ${SimOps.quant4Sql("sd")} AS sd_glucose,
+             |  ${SimOps.quant4Sql("sd / NULLIF(mu, 0) * 100.0")} AS cv_pct,
+             |  ${SimOps.quant4Sql("3.31 + 0.02392 * mu")} AS gmi_pct,
+             |  ${SimOps.quant4Sql("(mu + 46.7) / 28.7")} AS ea1c_pct
+             | FROM st ORDER BY user_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id")),
+
     // Hypoglycemic-episode detection — the gaps-and-islands pattern
     // (contiguous runs of a CONDITION, not time gaps like q_sessionize):
     // runs of readings below 70 mg/dL lasting >= 15 min, with onset,
