@@ -403,6 +403,107 @@ object DedupOps {
         FROM toks LEFT JOIN cov ON toks.doc_id = cov.cov_doc
         ORDER BY doc_id"""
 
+  /** Window df-cap for [[maxSpans]]: a window text shared by more docs
+    * than this is boilerplate (the stopword class of spans) and is
+    * excluded from pairing — the same quadratic-blowup guard as
+    * [[MaxShingleFreq]], applied at window grain. */
+  val MaxSpanWindowFreq = 64
+  /** Minimum reported span length (tokens) and report cap. */
+  val MinSpanTokens = 12
+  val MaxSpanTopK = 50
+
+  /** MAXIMAL duplicated spans between document pairs — the working core
+    * of suffix-array training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": remove any substring
+    * of ≥ k tokens shared across documents) re-expressed relationally:
+    * consecutive shared [[SpanLen]]-token windows between a doc pair lie
+    * on one DIAGONAL (pos_a − pos_b constant), so each maximal shared
+    * substring is exactly one gaps-and-islands run along that diagonal —
+    * a run of c windows is a shared span of c + SpanLen − 1 tokens, with
+    * its start offsets in both documents.
+    *
+    * Scale shape: windows hash in codegen (only (doc, pos, h) slim rows
+    * shuffle); the pair join is an equi-join on window hash with a
+    * df-cap ([[MaxSpanWindowFreq]]) so one boilerplate window cannot
+    * emit df² rows; the island detection is one window function over
+    * (doc_a, doc_b, diagonal) partitions — work proportional to MATCHED
+    * windows, not the corpus, and no suffix array needs to exist. */
+  def maxSpans(docs: DataFrame, textCol: String, idCol: String,
+               spanLen: Int = SpanLen,
+               maxWindowFreq: Int = MaxSpanWindowFreq,
+               minSpan: Int = MinSpanTokens,
+               topK: Int = MaxSpanTopK): DataFrame = {
+    val toks = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), col("__toks"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
+            ELSE transform(sequence(0, size(__toks) - $spanLen),
+              j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
+      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
+    val capped = grams.withColumn("__cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("__cnt") >= 2 && col("__cnt") <= maxWindowFreq)
+      .select("doc_id", "pos", "h")
+    val m = capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + lit(spanLen - 1).cast("long")).as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_len"))
+      .orderBy(col("span_len").desc, col("doc_a"), col("doc_b"),
+        col("start_a"), col("start_b"))
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[maxSpans]] — identical windows, cap, diagonal
+    * islands, and report order. */
+  def maxSpansSql(table: String, textCol: String, idCol: String,
+                  spanLen: Int = SpanLen,
+                  maxWindowFreq: Int = MaxSpanWindowFreq,
+                  minSpan: Int = MinSpanTokens,
+                  topK: Int = MaxSpanTopK): String =
+    s"""WITH toks AS (SELECT $idCol AS doc_id,
+                             ${TextOps.tokensSql(textCol)} AS t FROM $table),
+        grams AS (SELECT doc_id,
+                         unnest(generate_series(0, len(t) - $spanLen)) AS pos,
+                         t FROM toks WHERE len(t) >= $spanLen),
+        hashed AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                          ${TextOps.hash64Sql(
+                            s"array_to_string(list_slice(t, pos + 1, pos + $spanLen), ' ')")} AS h
+                   FROM grams),
+        capped AS (SELECT doc_id, pos, h FROM (
+                     SELECT *, count(*) OVER (PARTITION BY h) AS cnt
+                     FROM hashed)
+                   WHERE cnt >= 2 AND cnt <= $maxWindowFreq),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+              FROM capped a JOIN capped b
+                ON a.h = b.h AND a.doc_id < b.doc_id),
+        isl AS (SELECT doc_a, doc_b, diag, pa, pb,
+                       pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                         ORDER BY pa) AS grp
+                FROM m),
+        sp AS (SELECT doc_a, doc_b,
+                      CAST(min(pa) AS INT) AS start_a,
+                      CAST(min(pb) AS INT) AS start_b,
+                      CAST(count(*) + ${spanLen - 1} AS BIGINT) AS span_len
+               FROM isl GROUP BY doc_a, doc_b, diag, grp)
+        SELECT doc_a, doc_b, start_a, start_b, span_len FROM sp
+        WHERE span_len >= $minSpan
+        ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
+        LIMIT $topK"""
+
   /** Materialized-pair reuse: at 100 TB the near-dup pair table is
     * computed once per corpus snapshot and consumed many times (cluster
     * canonicalization, curation, audits) — recomputing the shingle

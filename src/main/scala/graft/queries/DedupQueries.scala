@@ -118,6 +118,16 @@ object DedupQueries {
         DedupOps.jaccardPairsSql("documents", "text", "doc_id", JaccardThreshold))),
       presentOrder = Seq("doc_id")),
 
+    // Maximal duplicated spans (suffix-dedup semantics): every shared
+    // run of >= 12 tokens between a doc pair, found as gaps-and-islands
+    // along the (pos_a - pos_b) diagonal of matching 8-token windows —
+    // arbitrary-length exact substring dedup with NO suffix array;
+    // df-capped window join, work ∝ matched windows. Top-50 report.
+    QueryDef("dedup_max_spans",
+      (s, d) => DedupOps.maxSpans(Tables.documents(s, d), "text", "doc_id"),
+      Some(DedupOps.maxSpansSql("documents", "text", "doc_id")),
+      presentOrder = Seq("doc_a", "doc_b", "start_a", "start_b")),
+
     // Canonical-representative selection: per near-dup cluster, KEEP the
     // highest-quality member (longest token count, doc_id tie-break) —
     // production near-dedup keeps the best document, not the first-seen

@@ -689,6 +689,27 @@ class DedupSimSpec extends SparkSpec {
     assert(cyc === Set(GraphOps.PrS0))
   }
 
+  test("maxSpans: finds the maximal shared run at its true offsets and length") {
+    import spark.implicits._
+    // docs 0/1 share one 10-token run at DIFFERENT offsets; doc 2 shares
+    // nothing long enough; doc 3 repeats the run so df stays under cap.
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta $run gamma delta epsilon zeta"),
+      (1L, s"$run completely other tail text here now"),
+      (2L, "unrelated words fill this document entirely for sure today"),
+      (3L, s"prefix one two three $run suffix")).toDF("doc_id", "text")
+    val out = DedupOps.maxSpans(docs, "text", "doc_id", minSpan = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+    // run starts at token 2 in doc 0, 0 in doc 1, 4 in doc 3.
+    assert(out.toSet === Set(
+      (0L, 1L, 2, 0, 10L),
+      (0L, 3L, 2, 4, 10L),
+      (1L, 3L, 0, 4, 10L)))
+  }
+
   test("CmsAgg: cells equal the driver-replayed collision sums; merge is partition-invariant; never under-counts") {
     import spark.implicits._
     import graft.catalyst.CmsAgg
