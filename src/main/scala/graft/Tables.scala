@@ -26,15 +26,35 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    * natively (PARQUET_TYPE_ILLEGAL). Read nanos as long and floor-truncate
-    * to microseconds — byte-identical to how DuckDB 1.x reads the same file
-    * (it surfaces ns parquet columns as µs TIMESTAMP), so oracle comparisons
-    * stay exact. Integer `div` avoids double-precision loss on ~1e18 values.
+  /** Loads `events`, normalizing `ts` to session-TZ TIMESTAMP regardless of
+    * how the upstream export typed it. Exports have shipped `ts` as either
+    * parquet TIMESTAMP(NANOS) (which Spark can only read as raw long via the
+    * `nanosAsLong` legacy flag) or native timestamp[us] (which Spark reads as
+    * TIMESTAMP_NTZ when isAdjustedToUTC=false). Dispatch on the loaded
+    * schema so both load identically:
+    *   - LongType (nanos export): floor-truncate ns→µs with integer `div`
+    *     (no double-precision loss at ~1e18) — byte-identical to how DuckDB
+    *     surfaces ns parquet columns as µs TIMESTAMP.
+    *   - TimestampNTZ (µs export): cast to TIMESTAMP; the session TZ is UTC
+    *     everywhere in this project, so the wall-clock epoch is unchanged
+    *     and oracle hashes match DuckDB exactly.
+    * The nanos branch is reached only after a plain read fails on the NANOS
+    * type, so the legacy flag is never set for modern exports.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    val df =
+      try spark.read.parquet(path)
+      catch {
+        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
