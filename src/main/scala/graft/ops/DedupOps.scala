@@ -504,6 +504,115 @@ object DedupOps {
         ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
         LIMIT $topK"""
 
+  /** Span-removal REWRITE — the cleaning transform that [[spanCoverage]]
+    * only measures and [[maxSpans]] only reports: Lee et al.'s
+    * ExactSubstr dedup ("Deduplicating Training Data Makes Language
+    * Models Better" §4.1: any substring of ≥ k tokens repeated verbatim
+    * in the corpus is removed, keeping one copy) re-expressed
+    * relationally and applied, re-emitting the cleaned corpus.
+    *
+    * Semantics: every [[SpanLen]]-token window (stride 1) is hashed; for
+    * each window text occurring ≥ 2 times anywhere in the corpus (any
+    * doc, any offset — same-doc repetition counts), the single
+    * globally-first occurrence (min (doc_id, pos)) is CANONICAL and
+    * kept; every other occurrence marks its [pos, pos+k) token positions
+    * for removal. A doc's cleaned text is its kept tokens re-joined on
+    * single spaces (the corpus vocabulary is single-spaced, so the
+    * rewrite round-trips losslessly for clean docs). Consecutive
+    * duplicated windows union into the full maximal span, so any
+    * duplicated substring of length ≥ k is removed from all but its
+    * first site — no suffix array, no pair join.
+    *
+    * Scale shape: ONE window-hash shuffle computes occurrence count and
+    * global first-occurrence rank together (count + row_number over the
+    * same h partition — one exchange, one sort); removal positions
+    * explode k rows per NON-canonical duplicated window only (linear in
+    * duplicated occurrences — a 1M-occurrence boilerplate gram costs 1M
+    * rows, never 1M²); reconstruction is a doc_id-keyed collect of
+    * removed positions joined back to the token arrays and filtered by a
+    * codegen'd array HOF — no per-token row explosion on the Spark side.
+    * Deliberately NO df-cap: unlike [[maxSpans]] reporting, the cleaner
+    * must strip boilerplate too — that is the point of the operator.
+    *
+    * Output per doc (all docs, cleaned or not): (doc_id, n_tokens,
+    * n_removed, clean_text).
+    */
+  def spanRewrite(docs: DataFrame, textCol: String, idCol: String,
+                  spanLen: Int = SpanLen): DataFrame = {
+    val toks = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), col("__toks"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
+            ELSE transform(sequence(0, size(__toks) - $spanLen),
+              j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
+      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val byHOrdered = byH.orderBy(col("doc_id"), col("pos"))
+    val marked = grams
+      .withColumn("__cnt", count(lit(1)).over(byH))
+      .withColumn("__rn", row_number().over(byHOrdered))
+    val removed = marked
+      .filter(col("__cnt") >= 2 && col("__rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tok"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("tok")).as("__rm"))
+    toks.join(removed, Seq("doc_id"), "left")
+      .withColumn("__rm", coalesce(col("__rm"),
+        expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        expr(s"""concat_ws(' ',
+          transform(
+            filter(transform(__toks, (t, i) -> struct(i AS i, t AS t)),
+                   s -> NOT array_contains(__rm, s.i)),
+            s -> s.t))""").as("clean_text"))
+  }
+
+  /** Oracle twin of [[spanRewrite]] — identical windows, canonical
+    * choice, and reconstruction (per-token explode + anti-join +
+    * ordered string_agg, since DuckDB lambdas carry no element index).
+    */
+  def spanRewriteSql(table: String, textCol: String, idCol: String,
+                     spanLen: Int = SpanLen): String =
+    s"""WITH toks AS (SELECT $idCol AS doc_id,
+                             ${TextOps.tokensSql(textCol)} AS t FROM $table),
+        grams AS (SELECT doc_id,
+                         unnest(generate_series(0, len(t) - $spanLen)) AS pos,
+                         t FROM toks WHERE len(t) >= $spanLen),
+        hashed AS (SELECT doc_id, pos,
+                          ${TextOps.hash64Sql(
+                            s"array_to_string(list_slice(t, pos + 1, pos + $spanLen), ' ')")} AS h
+                   FROM grams),
+        marked AS (SELECT doc_id, pos,
+                          count(*) OVER (PARTITION BY h) AS cnt,
+                          row_number() OVER (PARTITION BY h
+                            ORDER BY doc_id, pos) AS rn
+                   FROM hashed),
+        rm AS (SELECT DISTINCT doc_id, pos + u.g AS tok
+               FROM marked, unnest(generate_series(0, ${spanLen - 1})) AS u(g)
+               WHERE cnt >= 2 AND rn > 1),
+        rmn AS (SELECT doc_id AS rdoc, count(*) AS n_removed FROM rm
+                GROUP BY doc_id),
+        pos AS (SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS i, t
+                FROM toks),
+        kept AS (SELECT pos.doc_id, pos.i, pos.t[pos.i + 1] AS tokstr
+                 FROM pos LEFT JOIN rm
+                   ON pos.doc_id = rm.doc_id AND pos.i = rm.tok
+                 WHERE rm.tok IS NULL),
+        clean AS (SELECT doc_id AS cdoc,
+                         string_agg(tokstr, ' ' ORDER BY i) AS clean_text
+                  FROM kept GROUP BY doc_id)
+        SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+               coalesce(clean_text, '') AS clean_text
+        FROM toks LEFT JOIN rmn ON toks.doc_id = rmn.rdoc
+                  LEFT JOIN clean ON toks.doc_id = clean.cdoc
+        ORDER BY doc_id"""
+
   /** Materialized-pair reuse: at 100 TB the near-dup pair table is
     * computed once per corpus snapshot and consumed many times (cluster
     * canonicalization, curation, audits) — recomputing the shingle

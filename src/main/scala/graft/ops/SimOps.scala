@@ -280,12 +280,14 @@ object SimOps {
     * `nprobe` nearest centroids.
     *
     * Scale design (FAISS-style IVF re-expressed declaratively):
-    *  - Centroids are a deterministic hash-ordered sample of the corpus
-    *    (the cheap, reproducible stand-in for a k-means train step — random
-    *    sampling is the standard initializer; a trained quantizer would
-    *    drop in here without changing any downstream plan). `orderBy(h)
-    *    .limit(c)` plans as TakeOrderedAndProject — a distributed partial
-    *    top-c, never a global sort.
+    *  - Centroids: with `trainRounds > 0` (the default surface), a
+    *    k-means-TRAINED quantizer ([[kmeansCentroidsMicro]] on
+    *    normalized vectors — the FAISS normalize-then-L2 recipe;
+    *    measured recall@10 0.50 → 0.56 at sf0.01); with 0, a
+    *    deterministic hash-ordered sample (random sampling is the
+    *    standard initializer). `orderBy(h).limit(c)` plans as
+    *    TakeOrderedAndProject — a distributed partial top-c, never a
+    *    global sort.
     *  - Assignment is `crossJoin(broadcast(centroids))` (n×c narrow rows)
     *    reduced by a map-side-combinable `max_by` — ONE shuffle of slim
     *    (vec_id, cell) rows; no embedding array is ever shuffled.
@@ -298,10 +300,13 @@ object SimOps {
     * rounded score with id tie-break, so the DuckDB twin matches exactly.
     * Recall < 1 by construction (a neighbor in an unprobed cell is missed).
     */
-  def topKIvf(vectors: DataFrame, queryPred: Column, k: Int,
-              c: Int, nprobe: Int, salt: String = "ivf"): DataFrame = {
-    val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
-      "embedding", "vn")
+  /** Hash-sampled coarse cells (the untrained IVF baseline): c corpus
+    * vectors as centroids, cosine assignment via broadcast cross-join +
+    * partial-aggregable max_by argmax. Returns (assign = (vec_id, cell),
+    * probes = (query_id, q, qn, cell)). */
+  private def sampledCells(v: DataFrame, queryPred: Column,
+                           c: Int, nprobe: Int,
+                           salt: String): (DataFrame, DataFrame) = {
     val centW = Window.orderBy(col("h"), col("vec_id"))
     val cent = v
       .withColumn("h", graft.ops.TextOps.hash64(
@@ -324,6 +329,50 @@ object SimOps {
       .filter(col("pr") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("vn").as("qn"), col("cell"))
+    (assign, probes)
+  }
+
+  /** k-means-TRAINED coarse cells (the quality upgrade the hash sample
+    * stands in for): centroids from [[kmeansCentroidsMicro]], then
+    * assignment/probing by exact integer L2 in micro-units — the same
+    * metric the trainer optimized, bit-identical across engines (no
+    * float rounding can flip a cell choice). Assignment is a pure
+    * NARROW map (the centroid literal rides inside the expression; no
+    * broadcast join, no shuffle of embeddings); probing explodes only
+    * the c-length distance array of the few query rows. Same return
+    * contract as [[sampledCells]]. */
+  private def trainedCells(v: DataFrame, queryPred: Column,
+                           c: Int, nprobe: Int, trainRounds: Int,
+                           dim: Int, saltKm: String): (DataFrame, DataFrame) = {
+    require(dim > 0, "trained IVF needs the embedding dim")
+    val cents = kmeansCentroidsMicro(v, c, trainRounds, dim, saltKm,
+      normalize = true)
+    // Assignment space = the training space: L2 over NORMALIZED micro
+    // vectors, so exact-integer cell choice tracks cosine neighborhoods.
+    val micro = v.withColumn("vm", microOf(normalized(col("vn"))))
+    val assign = assignedToCells(micro, cents)
+      .select(col("vec_id"), col("cl").as("cell"))
+    val probes = assignedToCells(micro.filter(queryPred), cents)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("vn").as("qn"), posexplode(col("dists")).as(Seq("p", "dd")))
+      .withColumn("cell", (col("p") + 1).cast("int"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("dd"), col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q"), col("qn"), col("cell"))
+    (assign, probes)
+  }
+
+  def topKIvf(vectors: DataFrame, queryPred: Column, k: Int,
+              c: Int, nprobe: Int, salt: String = "ivf",
+              trainRounds: Int = 0, dim: Int = 0,
+              saltKm: String = "ivfkm"): DataFrame = {
+    val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
+      "embedding", "vn")
+    val (assign, probes) =
+      if (trainRounds > 0) trainedCells(v, queryPred, c, nprobe,
+        trainRounds, dim, saltKm)
+      else sampledCells(v, queryPred, c, nprobe, salt)
     val cand = probes.join(assign, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q"), col("qn"), col("vec_id"))
@@ -341,10 +390,16 @@ object SimOps {
   }
 
   def topKIvfSql(table: String, queryPredSql: String, k: Int,
-                 c: Int, nprobe: Int, salt: String = "ivf"): String = {
+                 c: Int, nprobe: Int, salt: String = "ivf",
+                 trainRounds: Int = 0, dim: Int = 0,
+                 saltKm: String = "ivfkm"): String = {
     val h = graft.ops.TextOps.hash64Sql(s"'$salt' || CAST(vec_id AS VARCHAR)")
-    s"""WITH v AS (SELECT vec_id, embedding FROM $table),
-        cent AS (
+    val cellCtes =
+      if (trainRounds > 0)
+        trainedCellCtes(table, queryPredSql, c, nprobe, trainRounds, dim,
+          saltKm)
+      else
+        s"""cent AS (
           SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cell,
                  embedding AS cvec
           FROM (SELECT vec_id, embedding, $h AS h FROM v
@@ -362,7 +417,9 @@ object SimOps {
                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
                      round(${cosineSql("v.embedding", "cvec")}, 6) DESC,
                      cent.cell) AS pr
-            FROM v CROSS JOIN cent WHERE $queryPredSql) WHERE pr <= $nprobe),
+            FROM v CROSS JOIN cent WHERE $queryPredSql) WHERE pr <= $nprobe)"""
+    s"""WITH v AS (SELECT vec_id, embedding FROM $table),
+        $cellCtes,
         cand AS (
           SELECT p.query_id, a.vec_id
           FROM probes p JOIN assign a USING (cell)
@@ -866,31 +923,18 @@ object SimOps {
   def topKIvfPq(vectors: DataFrame, queryPred: Column, topK: Int,
                 c: Int, nprobe: Int, m: Int, k: Int, dim: Int,
                 shortlist: Int, saltIvf: String = "ivf",
-                saltPq: String = "pq"): DataFrame = {
+                saltPq: String = "pq", trainRounds: Int = 0,
+                saltKm: String = "ivfkm"): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     graft.catalyst.GraftFunctions.register(vectors.sparkSession)
     val vRaw = withNorm(vectors.select(col("vec_id"), col("embedding")),
       "embedding", "vn")
     // Coarse cells, assignment, probes: the topKIvf shapes verbatim.
-    val centW = Window.orderBy(col("h"), col("vec_id"))
-    val cent = vRaw
-      .withColumn("h", graft.ops.TextOps.hash64(
-        concat(lit(saltIvf), col("vec_id").cast("string"))))
-      .orderBy(col("h"), col("vec_id")).limit(c)
-      .withColumn("cell", row_number().over(centW))
-      .select(col("cell"), col("embedding").as("cvec"), col("vn").as("cn"))
-    val assign = vRaw.crossJoin(broadcast(cent))
-      .withColumn("score",
-        round(expr("array_dot(embedding, cvec)") / (col("vn") * col("cn")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
-    val probes = vRaw.filter(queryPred).crossJoin(broadcast(cent))
-      .withColumn("score",
-        round(expr("array_dot(embedding, cvec)") / (col("vn") * col("cn")), 6))
-      .withColumn("pr", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("cell"))))
-      .filter(col("pr") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cell"))
+    val (assign, probesFull) =
+      if (trainRounds > 0) trainedCells(vRaw, queryPred, c, nprobe,
+        trainRounds, dim, saltKm)
+      else sampledCells(vRaw, queryPred, c, nprobe, saltIvf)
+    val probes = probesFull.select(col("query_id"), col("cell"))
     // Normalized vectors, codebook, codes, LUT: the topKPqAdc shapes.
     val nrm = col("vn")
     val vNorm = vRaw.select(col("vec_id"),
@@ -940,12 +984,17 @@ object SimOps {
   def topKIvfPqSql(table: String, queryPredSql: String, topK: Int,
                    c: Int, nprobe: Int, m: Int, k: Int, dim: Int,
                    shortlist: Int, saltIvf: String = "ivf",
-                   saltPq: String = "pq"): String = {
+                   saltPq: String = "pq", trainRounds: Int = 0,
+                   saltKm: String = "ivfkm"): String = {
     val d = dim / m
     val hi = graft.ops.TextOps.hash64Sql(s"'$saltIvf' || CAST(vec_id AS VARCHAR)")
     val hp = graft.ops.TextOps.hash64Sql(s"'$saltPq' || CAST(vec_id AS VARCHAR)")
-    s"""WITH v AS (SELECT vec_id, embedding FROM $table),
-        centi AS (
+    val cellCtes =
+      if (trainRounds > 0)
+        trainedCellCtes(table, queryPredSql, c, nprobe, trainRounds, dim,
+          saltKm)
+      else
+        s"""centi AS (
           SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cell,
                  embedding AS cvec
           FROM (SELECT vec_id, embedding, $hi AS h FROM v
@@ -963,7 +1012,9 @@ object SimOps {
                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
                      round(${cosineSql("v.embedding", "cvec")}, 6) DESC,
                      centi.cell) AS pr
-            FROM v CROSS JOIN centi WHERE $queryPredSql) WHERE pr <= $nprobe),
+            FROM v CROSS JOIN centi WHERE $queryPredSql) WHERE pr <= $nprobe)"""
+    s"""WITH v AS (SELECT vec_id, embedding FROM $table),
+        $cellCtes,
         vd AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $table),
         vn AS (SELECT vec_id,
                  CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
@@ -1085,7 +1136,8 @@ object SimOps {
                   tables: Seq[Seq[Seq[Double]]], c: Int, nprobe: Int,
                   pqM: Int, pqK: Int, dim: Int, pqShortlist: Int,
                   lshFloor: Double, ivfFloor: Double,
-                  pqFloor: Double, ivfpqFloor: Double): DataFrame = {
+                  pqFloor: Double, ivfpqFloor: Double,
+                  ivfTrainRounds: Int = 0): DataFrame = {
     // persist: all four method branches join against the same exact
     // top-k; without it the all-pairs brute scan re-executes per branch.
     val bruteK = topKBruteForce(vectors, queryPred, k)
@@ -1103,25 +1155,29 @@ object SimOps {
           quant4(col("matched").cast("double") / col("total").cast("double")))
         .select(lit(name).as("method"), col("matched"), col("total"),
           col("recall"), (col("recall") >= floor).as("meets_floor"))
-    one("ivf", topKIvf(vectors, queryPred, k, c, nprobe), ivfFloor)
+    one("ivf", topKIvf(vectors, queryPred, k, c, nprobe,
+        trainRounds = ivfTrainRounds, dim = dim), ivfFloor)
       .union(one("lsh", topKLshMulti(vectors, queryPred, k, tables), lshFloor))
       .union(one("pq",
         topKPqAdc(vectors, queryPred, k, pqM, pqK, dim, pqShortlist), pqFloor))
       .union(one("ivfpq",
         topKIvfPq(vectors, queryPred, k, c, nprobe, pqM, pqK, dim,
-          pqShortlist), ivfpqFloor))
+          pqShortlist, trainRounds = ivfTrainRounds), ivfpqFloor))
   }
 
   def recallAuditSql(table: String, queryPredSql: String, k: Int,
                      tables: Seq[Seq[Seq[Double]]], c: Int, nprobe: Int,
-                     pqM: Int, pqK: Int, dim: Int, pqShortlist: Int): String =
+                     pqM: Int, pqK: Int, dim: Int, pqShortlist: Int,
+                     ivfTrainRounds: Int = 0): String =
     s"""WITH brute AS (SELECT * FROM (${topKBruteForceSql(table, queryPredSql, k)}) tb),
-        ivfk AS (SELECT * FROM (${topKIvfSql(table, queryPredSql, k, c, nprobe)}) ti),
+        ivfk AS (SELECT * FROM (${topKIvfSql(table, queryPredSql, k, c, nprobe,
+                  trainRounds = ivfTrainRounds, dim = dim)}) ti),
         lshk AS (SELECT * FROM (${topKLshMultiSql(table, queryPredSql, k, tables)}) tl),
         pqk AS (SELECT * FROM (${topKPqAdcSql(table, queryPredSql, k,
                   pqM, pqK, dim, pqShortlist)}) tp),
         ivfpqk AS (SELECT * FROM (${topKIvfPqSql(table, queryPredSql, k,
-                  c, nprobe, pqM, pqK, dim, pqShortlist)}) tq),
+                  c, nprobe, pqM, pqK, dim, pqShortlist,
+                  trainRounds = ivfTrainRounds)}) tq),
         m AS (
           SELECT 'ivf' AS method,
                  CAST(count(a.neighbor_id) AS BIGINT) AS matched,
@@ -1148,10 +1204,10 @@ object SimOps {
                TRUE AS meets_floor
         FROM m ORDER BY method"""
 
-  /** Lloyd's k-means over the embedding column — the trained coarse
-    * quantizer [[topKIvf]]'s hash-ordered sample stands in for, and the
-    * semantic-clustering step (cluster-then-sample curation, per-cluster
-    * dedup budgets) every large curation pipeline runs.
+  /** Lloyd's k-means over the embedding column — the trainer behind
+    * [[topKIvf]]'s coarse quantizer (via [[kmeansCentroidsMicro]]) and
+    * the semantic-clustering step (cluster-then-sample curation,
+    * per-cluster dedup budgets) every large curation pipeline runs.
     *
     * Cross-engine exactness (no float accumulation anywhere):
     *  - Vectors quantize once to integer micro-units
@@ -1178,31 +1234,67 @@ object SimOps {
     * holding only k·dim longs (the CC/BPE driver-iteration pattern).
     * Output is k summary rows: size, centroid checksums, inertia.
     */
-  def kmeans(vectors: DataFrame, k: Int, rounds: Int, dim: Int,
-             salt: String = "km"): DataFrame = {
-    val micro = vectors.select(col("vec_id"),
-      expr("transform(embedding, x -> " +
-        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0d + 0.5d) AS BIGINT))")
-        .as("vm"))
+  /** Engine-exact micro-unit quantization of the embedding column —
+    * shared by [[kmeans]] and the trained-quantizer IVF paths. */
+  private val microExpr =
+    "transform(embedding, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000000.0d + 0.5d) AS BIGINT))"
+
+  /** Column form of [[microExpr]] for arbitrary (double-element) input. */
+  private def microOf(vec: Column): Column =
+    transform(vec, x =>
+      floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** L2-normalized double copy of the (float) embedding, zero-norm-safe —
+    * the same construction [[topKPqAdc]]/[[topKIvfPq]] hash-verify
+    * against DuckDB's `x / sqrt(list_dot_product(e, e))`. `normCol` must
+    * already hold sqrt(v·v). */
+  private def normalized(normCol: Column): Column =
+    when(normCol === 0d, transform(col("embedding"), x => x.cast("double")))
+      .otherwise(transform(col("embedding"), x => x.cast("double") / normCol))
+
+  /** (vec_id, vm) in micro-units, raw or L2-normalized first. Cosine-
+    * metric consumers (the trained IVF quantizer) normalize so integer
+    * L2 cell choice tracks cosine neighborhoods (the FAISS normalize-
+    * then-METRIC_L2 recipe); [[kmeans]] clusters raw vectors. */
+  private def microVectors(vectors: DataFrame,
+                           normalize: Boolean): DataFrame =
+    if (normalize) {
+      withNorm(vectors.select(col("vec_id"), col("embedding")),
+        "embedding", "__n")
+        .select(col("vec_id"), microOf(normalized(col("__n"))).as("vm"))
+    } else vectors.select(col("vec_id"), expr(microExpr).as("vm"))
+
+  /** Assignment of micro-unit vectors against a fixed centroid set:
+    * exact integer Σ(vᵢ−cᵢ)² distances, first-minimum (= lowest cluster
+    * id) tie-break. A NARROW map — the k×dim centroid table rides along
+    * as one array literal; nothing shuffles. */
+  private def assignedToCells(micro: DataFrame,
+                              cents: Seq[Seq[Long]]): DataFrame =
+    micro
+      .withColumn("dists", transform(typedLit(cents), c =>
+        aggregate(zip_with(col("vm"), c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)))
+      .withColumn("cl",
+        array_position(col("dists"), array_min(col("dists"))).cast("int"))
+      .withColumn("d", array_min(col("dists")))
+
+  /** The Lloyd trainer behind [[kmeans]], exposed so [[topKIvf]] /
+    * [[topKIvfPq]] can run a TRAINED coarse quantizer: k hash-seeded
+    * centroids refined for `rounds` exact-integer rounds. Driver holds
+    * only k·dim longs between rounds. */
+  def kmeansCentroidsMicro(vectors: DataFrame, k: Int, rounds: Int,
+                           dim: Int, salt: String = "km",
+                           normalize: Boolean = false): Seq[Seq[Long]] = {
+    val micro = microVectors(vectors, normalize)
     val init: Seq[Seq[Long]] = micro
       .withColumn("h", graft.ops.TextOps.hash64(
         concat(lit(salt), col("vec_id").cast("string"))))
       .orderBy(col("h"), col("vec_id")).limit(k) // TakeOrderedAndProject
       .select(col("vm")).collect().map(_.getSeq[Long](0).toIndexedSeq).toSeq
 
-    // Assignment against a fixed centroid set: exact integer distances,
-    // first-minimum (= lowest cluster id) tie-break.
-    def assigned(cents: Seq[Seq[Long]]): DataFrame =
-      micro
-        .withColumn("dists", transform(typedLit(cents), c =>
-          aggregate(zip_with(col("vm"), c, (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x)))
-        .withColumn("cl",
-          array_position(col("dists"), array_min(col("dists"))).cast("int"))
-        .withColumn("d", array_min(col("dists")))
-
     def step(cents: Seq[Seq[Long]]): Seq[Seq[Long]] = {
-      val comps = assigned(cents)
+      val comps = assignedToCells(micro, cents)
         .select(col("cl"), posexplode(col("vm")).as(Seq("j", "v")))
         .groupBy(col("cl"), col("j"))
         .agg(sum(col("v").cast("decimal(38,0)")).as("s"),
@@ -1218,8 +1310,16 @@ object SimOps {
         else cents(i) // empty cluster: centroid carries forward
       }
     }
+    (1 to rounds).foldLeft(init)((c, _) => step(c))
+  }
 
-    val fin = (1 to rounds).foldLeft(init)((c, _) => step(c))
+  def kmeans(vectors: DataFrame, k: Int, rounds: Int, dim: Int,
+             salt: String = "km"): DataFrame = {
+    val micro = vectors.select(col("vec_id"), expr(microExpr).as("vm"))
+    def assigned(cents: Seq[Seq[Long]]): DataFrame =
+      assignedToCells(micro, cents)
+
+    val fin = kmeansCentroidsMicro(vectors, k, rounds, dim, salt)
     val centDf = vectors.sparkSession
       .createDataFrame(fin.zipWithIndex.map { case (c, i) =>
         (i + 1, c.sum, c.min, c.max)
@@ -1239,10 +1339,11 @@ object SimOps {
     * cross-join assignment ranked by (exact distance, cluster id),
     * HUGEINT component sums, the same floor-mean and empty-cluster
     * carry-forward (LEFT JOIN + COALESCE against the previous round). */
-  def kmeansSql(table: String, k: Int, rounds: Int, dim: Int,
-                salt: String = "km"): String = {
-    def assignCte(r: Int): String =
-      s"""a$r AS (
+  /** The per-round assignment CTE `a{r}` of the unrolled Lloyd chain:
+    * exact integer distances from `vmt` against `c{r-1}`, lowest-cluster
+    * tie-break. Shared by [[kmeansSql]] and the trained-IVF oracles. */
+  private def kmAssignCte(r: Int, dim: Int): String =
+    s"""a$r AS (
           SELECT vec_id, vm, cl, d FROM (
             SELECT vec_id, vm, cl, d,
                    row_number() OVER (PARTITION BY vec_id
@@ -1252,8 +1353,11 @@ object SimOps {
                            j -> (v.vm[j] - c.c[j]) * (v.vm[j] - c.c[j]))) AS d
                   FROM vmt v CROSS JOIN c${r - 1} c))
           WHERE rn = 1)"""
-    def updateCte(r: Int): String =
-      s"""c$r AS (
+
+  /** The per-round update CTE `c{r}`: HUGEINT component sums, floor-mean
+    * back to micro-units, empty-cluster carry-forward. */
+  private def kmUpdateCte(r: Int, dim: Int): String =
+    s"""c$r AS (
           SELECT p.cl, COALESCE(u.c, p.c) AS c
           FROM c${r - 1} p LEFT JOIN (
             SELECT cl, list(cv ORDER BY j) AS c FROM (
@@ -1265,15 +1369,31 @@ object SimOps {
                    (SELECT unnest(range(1, ${dim + 1})) AS j) s
               GROUP BY cl, s.j)
             GROUP BY cl) u ON p.cl = u.cl)"""
+
+  /** The unrolled-Lloyd CTE chain `vmt, c0, a1, c1, …, c{rounds}` (no
+    * leading WITH) — identical micro-units, init, and rounds as
+    * [[kmeansCentroidsMicro]]. The enclosing WITH must not already bind
+    * `vmt`/`c*`/`a*`. */
+  private def kmChainCtes(table: String, k: Int, rounds: Int, dim: Int,
+                          salt: String, normalize: Boolean = false): String = {
     val roundCtes = (1 to rounds)
-      .map(r => assignCte(r) + ",\n        " + updateCte(r))
+      .map(r => kmAssignCte(r, dim) + ",\n        " + kmUpdateCte(r, dim))
       .mkString(",\n        ")
-    val fr = rounds + 1
-    s"""WITH vmt AS (
+    // Normalized variant mirrors the topKIvfPq `vn` CTE construction
+    // (zero-norm-safe double normalize) before micro-quantization.
+    val vmtSrc =
+      if (normalize)
+        s"""(SELECT vec_id,
+               CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+               ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+               END AS ee
+             FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM $table))"""
+      else s"(SELECT vec_id, embedding::DOUBLE[] AS ee FROM $table)"
+    s"""vmt AS (
           SELECT vec_id,
-                 list_transform(embedding::DOUBLE[],
+                 list_transform(ee,
                    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
-          FROM $table),
+          FROM $vmtSrc),
         c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cl,
                  vm AS c
@@ -1281,8 +1401,36 @@ object SimOps {
                        ${graft.ops.TextOps.hash64Sql(
                          s"'$salt' || CAST(vec_id AS VARCHAR)")} AS h
                 FROM vmt ORDER BY h, vec_id LIMIT $k)),
-        $roundCtes,
-        ${assignCte(fr)},
+        $roundCtes"""
+  }
+
+  /** Trained coarse-cell CTEs for the IVF oracles: the Lloyd chain plus
+    * `assign` (corpus → cell) and `probes` (query → nprobe nearest
+    * cells), both by exact integer L2 — the SQL twin of
+    * [[trainedCells]]. Binds vmt, c0..cN, a1..aN, assign, probes. */
+  private def trainedCellCtes(table: String, queryPredSql: String,
+                              c: Int, nprobe: Int, trainRounds: Int,
+                              dim: Int, saltKm: String): String = {
+    val fr = trainRounds + 1
+    s"""${kmChainCtes(table, c, trainRounds, dim, saltKm, normalize = true)},
+        ${kmAssignCte(fr, dim)},
+        assign AS (SELECT vec_id, cl AS cell FROM a$fr),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT v.vec_id AS query_id, c.cl AS cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(range(1, ${dim + 1}),
+                       j -> (v.vm[j] - c.c[j]) * (v.vm[j] - c.c[j]))),
+                     c.cl) AS pr
+            FROM vmt v CROSS JOIN c$trainRounds c
+            WHERE $queryPredSql) WHERE pr <= $nprobe)"""
+  }
+
+  def kmeansSql(table: String, k: Int, rounds: Int, dim: Int,
+                salt: String = "km"): String = {
+    val fr = rounds + 1
+    s"""WITH ${kmChainCtes(table, k, rounds, dim, salt)},
+        ${kmAssignCte(fr, dim)},
         stats AS (
           SELECT cl, CAST(count(*) AS BIGINT) AS n,
                  ${quant4Sql("CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) / 1e12")}

@@ -128,6 +128,19 @@ object DedupQueries {
       Some(DedupOps.maxSpansSql("documents", "text", "doc_id")),
       presentOrder = Seq("doc_a", "doc_b", "start_a", "start_b")),
 
+    // Span-removal REWRITE (Lee et al. ExactSubstr applied, not just
+    // measured): every duplicated >= 8-token window keeps its globally
+    // first occurrence and is stripped everywhere else; the cleaned
+    // corpus is re-emitted with per-doc removal stats. One window-hash
+    // shuffle (count + first-occurrence rank together), removal rows
+    // linear in duplicated occurrences, reconstruction via codegen'd
+    // array HOFs — no suffix array, no pair join, no df-cap (the
+    // cleaner must strip boilerplate too).
+    QueryDef("dedup_span_rewrite",
+      (s, d) => DedupOps.spanRewrite(Tables.documents(s, d), "text", "doc_id"),
+      Some(DedupOps.spanRewriteSql("documents", "text", "doc_id")),
+      presentOrder = Seq("doc_id")),
+
     // Canonical-representative selection: per near-dup cluster, KEEP the
     // highest-quality member (longest token count, doc_id tie-break) —
     // production near-dedup keeps the best document, not the first-seen

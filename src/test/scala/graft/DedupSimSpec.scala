@@ -689,6 +689,42 @@ class DedupSimSpec extends SparkSpec {
     assert(cyc === Set(GraphOps.PrS0))
   }
 
+  test("spanRewrite: strips every duplicated span except its globally-first copy") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight" // exactly SpanLen=8 tokens
+    val d = Seq(
+      (0L, s"$run nine ten"),                 // first occurrence: kept whole
+      (1L, s"zzz yyy $run extra tail here"),  // later occurrence: run stripped
+      (2L, "totally different words populate this other document entirely now ok"),
+      (3L, "short doc"))                      // < SpanLen: untouched
+      .toDF("doc_id", "text")
+    val out = DedupOps.spanRewrite(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 0 holds the canonical (min doc_id, min pos) copy of every
+    // duplicated window -> nothing removed anywhere in it.
+    assert(out(0L) === ((10L, 0L, s"$run nine ten")))
+    // doc 1 loses exactly the run's 8 positions (2..9); surrounding
+    // unique context survives.
+    assert(out(1L) === ((13L, 8L, "zzz yyy extra tail here")))
+    assert(out(2L)._2 === 0L && out(2L)._3.startsWith("totally different"))
+    assert(out(3L) === ((2L, 0L, "short doc")))
+
+    // Same-doc internal repetition: first copy canonical, second stripped.
+    val rep = Seq((9L, s"$run filler $run")).toDF("doc_id", "text")
+    val r9 = DedupOps.spanRewrite(rep, "text", "doc_id").collect()(0)
+    assert(r9.getLong(1) === 17L && r9.getLong(2) === 8L)
+    assert(r9.getString(3) === s"$run filler")
+
+    // Whole-document duplication: the later doc empties out.
+    val dup = Seq((20L, s"$run nine ten"), (21L, s"$run nine ten"))
+      .toDF("doc_id", "text")
+    val full = DedupOps.spanRewrite(dup, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(full(20L) === s"$run nine ten")
+    assert(full(21L) === "")
+  }
+
   test("maxSpans: finds the maximal shared run at its true offsets and length") {
     import spark.implicits._
     // docs 0/1 share one 10-token run at DIFFERENT offsets; doc 2 shares

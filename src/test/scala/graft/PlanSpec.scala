@@ -136,12 +136,17 @@ class PlanSpec extends SparkSpec {
       s"chunk->embed->quantize->bucket must not shuffle:\n$p")
   }
 
-  test("IVF centroid pick is a distributed top-c; candidate join is hash, not n²") {
+  test("IVF cell assignment is a narrow map; candidate join is hash, not n²") {
     graft.catalyst.GraftFunctions.register(spark)
     val p = planOf("sim_topk_ivf")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"centroid sample must plan as partial top-c, not a global sort:\n$p")
+    // Trained-quantizer path: the k-means train runs as separate driver
+    // jobs (TakeOrderedAndProject seed + k·dim-row update shuffles);
+    // the QUERY plan assigns cells via the centroid array literal — a
+    // pure map — so no centroid join may appear, only the cell equi-join
+    // and the by-id re-rank joins.
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"centroid scoring must be a narrow map, not a BNLJ:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
       s"probe->inverted-list join must be an equi-join on cell:\n$p")
   }
