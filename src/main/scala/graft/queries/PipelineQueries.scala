@@ -7,9 +7,10 @@ import graft.ops.{DedupOps, SampleOps, TextOps}
 
 /** End-to-end corpus curation: the composition a training-data pipeline
   * actually runs — quality gate → exact-dup removal → near-dup cluster
-  * canonicalization → stratified class mixing → corpus stats. One gated
-  * query proves the operators COMPOSE (same constants as their individual
-  * gates), with the full pipeline mirrored in a single oracle SQL.
+  * canonicalization → span-level cleaning → stratified class mixing →
+  * corpus stats. One gated query proves the operators COMPOSE (same
+  * constants as their individual gates), with the full pipeline mirrored
+  * in a single oracle SQL.
   */
 object PipelineQueries {
 
@@ -49,10 +50,23 @@ object PipelineQueries {
           .filter(col("doc_id") =!= col("cluster"))
           .select("doc_id")
         val deduped = exactKept.join(nonCanonical, Seq("doc_id"), "left_anti")
-        // 4. Stratified class mixing (same rates/salt as the sample gate).
+        // 4. Span-level cleaning of the survivors (dedup_span_rewrite's
+        //    ExactSubstr transform over the DEDUPED corpus): duplicated
+        //    >=8-token windows lose every copy but the globally first,
+        //    token counts shrink accordingly, and a doc cleaned below
+        //    the 20-token quality floor drops out of the mix.
+        val cleaned = DedupOps.spanRewrite(
+            deduped.select(col("doc_id"), col("text")), "text", "doc_id")
+          .select(col("doc_id"),
+            (col("n_tokens") - col("n_removed")).as("n_tokens_clean"))
+        val survivors = deduped.drop("n_tokens").join(cleaned, "doc_id")
+          .filter(col("n_tokens_clean") >= 20)
+          .withColumnRenamed("n_tokens_clean", "n_tokens")
+        // 5. Stratified class mixing (same rates/salt as the sample gate).
         val sampled = SampleOps.stratifiedSample(
-          deduped, "doc_id", "lang", SampleQueries.LangRates, SampleQueries.Salt)
-        // 5. Train-ready corpus stats.
+          survivors, "doc_id", "lang", SampleQueries.LangRates,
+          SampleQueries.Salt)
+        // 6. Train-ready corpus stats over CLEANED token counts.
         sampled.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       },
@@ -74,7 +88,13 @@ object PipelineQueries {
            noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> cluster),
            dd AS (SELECT * FROM ek
                   WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)),
-           samp AS (SELECT * FROM dd
+           sr AS (SELECT * FROM
+                    (${DedupOps.spanRewriteSql("dd", "text", "doc_id")}) t),
+           cleaned AS (SELECT dd.doc_id, dd.lang,
+                         sr.n_tokens - sr.n_removed AS n_tokens
+                       FROM dd JOIN sr USING (doc_id)
+                       WHERE sr.n_tokens - sr.n_removed >= 20),
+           samp AS (SELECT * FROM cleaned
                     WHERE ${SampleOps.sampleBucketSql("doc_id", SampleQueries.Salt)} < $thr)
            SELECT lang, count(*) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens
