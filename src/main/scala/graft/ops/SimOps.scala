@@ -346,7 +346,7 @@ object SimOps {
                            dim: Int, saltKm: String): (DataFrame, DataFrame) = {
     require(dim > 0, "trained IVF needs the embedding dim")
     val cents = kmeansCentroidsMicro(v, c, trainRounds, dim, saltKm,
-      normalize = true)
+      normalize = true, trainCap = IvfTrainCap * c)
     // Assignment space = the training space: L2 over NORMALIZED micro
     // vectors, so exact-integer cell choice tracks cosine neighborhoods.
     val micro = v.withColumn("vm", microOf(normalized(col("vn"))))
@@ -1285,11 +1285,24 @@ object SimOps {
     * only k·dim longs between rounds. */
   def kmeansCentroidsMicro(vectors: DataFrame, k: Int, rounds: Int,
                            dim: Int, salt: String = "km",
-                           normalize: Boolean = false): Seq[Seq[Long]] = {
-    val micro = microVectors(vectors, normalize)
-    val init: Seq[Seq[Long]] = micro
+                           normalize: Boolean = false,
+                           trainCap: Int = 0): Seq[Seq[Long]] = {
+    // With trainCap > 0, Lloyd rounds run on the first `trainCap`
+    // vectors in the engine-wide hash order (the FAISS train-on-a-
+    // sample rule — ~256 vectors/centroid suffice; training cost stops
+    // scaling with the corpus). The init seed is the first k of the
+    // SAME ordered prefix, so capped and uncapped runs share their
+    // seed. Persisted across rounds: each Lloyd step re-reads the
+    // k·trainCap sample, never the corpus.
+    val microAll = microVectors(vectors, normalize)
       .withColumn("h", graft.ops.TextOps.hash64(
         concat(lit(salt), col("vec_id").cast("string"))))
+    val micro =
+      (if (trainCap > 0)
+        microAll.orderBy(col("h"), col("vec_id")).limit(trainCap)
+          .select(col("vec_id"), col("vm"), col("h"))
+      else microAll).persist()
+    val init: Seq[Seq[Long]] = micro
       .orderBy(col("h"), col("vec_id")).limit(k) // TakeOrderedAndProject
       .select(col("vm")).collect().map(_.getSeq[Long](0).toIndexedSeq).toSeq
 
@@ -1310,7 +1323,8 @@ object SimOps {
         else cents(i) // empty cluster: centroid carries forward
       }
     }
-    (1 to rounds).foldLeft(init)((c, _) => step(c))
+    try (1 to rounds).foldLeft(init)((c, _) => step(c))
+    finally micro.unpersist()
   }
 
   def kmeans(vectors: DataFrame, k: Int, rounds: Int, dim: Int,
@@ -1339,10 +1353,16 @@ object SimOps {
     * cross-join assignment ranked by (exact distance, cluster id),
     * HUGEINT component sums, the same floor-mean and empty-cluster
     * carry-forward (LEFT JOIN + COALESCE against the previous round). */
+  /** Per-centroid training-sample budget for the trained IVF coarse
+    * quantizer (the FAISS rule of thumb): Lloyd rounds see at most
+    * `IvfTrainCap · c` hash-ordered vectors, so training cost stops
+    * scaling with the corpus while assignment stays full-corpus. */
+  val IvfTrainCap = 256
+
   /** The per-round assignment CTE `a{r}` of the unrolled Lloyd chain:
-    * exact integer distances from `vmt` against `c{r-1}`, lowest-cluster
+    * exact integer distances from `src` against `c{r-1}`, lowest-cluster
     * tie-break. Shared by [[kmeansSql]] and the trained-IVF oracles. */
-  private def kmAssignCte(r: Int, dim: Int): String =
+  private def kmAssignCte(r: Int, dim: Int, src: String = "vmt"): String =
     s"""a$r AS (
           SELECT vec_id, vm, cl, d FROM (
             SELECT vec_id, vm, cl, d,
@@ -1351,7 +1371,7 @@ object SimOps {
             FROM (SELECT v.vec_id, v.vm, c.cl,
                          list_sum(list_transform(range(1, ${dim + 1}),
                            j -> (v.vm[j] - c.c[j]) * (v.vm[j] - c.c[j]))) AS d
-                  FROM vmt v CROSS JOIN c${r - 1} c))
+                  FROM $src v CROSS JOIN c${r - 1} c))
           WHERE rn = 1)"""
 
   /** The per-round update CTE `c{r}`: HUGEINT component sums, floor-mean
@@ -1375,9 +1395,12 @@ object SimOps {
     * [[kmeansCentroidsMicro]]. The enclosing WITH must not already bind
     * `vmt`/`c*`/`a*`. */
   private def kmChainCtes(table: String, k: Int, rounds: Int, dim: Int,
-                          salt: String, normalize: Boolean = false): String = {
+                          salt: String, normalize: Boolean = false,
+                          trainCap: Int = 0): String = {
+    val trainSrc = if (trainCap > 0) "vtr" else "vmt"
     val roundCtes = (1 to rounds)
-      .map(r => kmAssignCte(r, dim) + ",\n        " + kmUpdateCte(r, dim))
+      .map(r => kmAssignCte(r, dim, trainSrc) + ",\n        " +
+        kmUpdateCte(r, dim))
       .mkString(",\n        ")
     // Normalized variant mirrors the topKIvfPq `vn` CTE construction
     // (zero-norm-safe double normalize) before micro-quantization.
@@ -1389,18 +1412,29 @@ object SimOps {
                END AS ee
              FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM $table))"""
       else s"(SELECT vec_id, embedding::DOUBLE[] AS ee FROM $table)"
+    // Training sample (trainCap > 0): first trainCap vectors in hash
+    // order; the c0 seed is the first k of the SAME ordered prefix.
+    val sampleCte =
+      if (trainCap > 0)
+        s""",
+        vtr AS (SELECT vec_id, vm FROM
+                  (SELECT vec_id, vm,
+                          ${graft.ops.TextOps.hash64Sql(
+                            s"'$salt' || CAST(vec_id AS VARCHAR)")} AS h
+                   FROM vmt ORDER BY h, vec_id LIMIT $trainCap))"""
+      else ""
     s"""vmt AS (
           SELECT vec_id,
                  list_transform(ee,
                    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
-          FROM $vmtSrc),
+          FROM $vmtSrc)$sampleCte,
         c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cl,
                  vm AS c
           FROM (SELECT vec_id, vm,
                        ${graft.ops.TextOps.hash64Sql(
                          s"'$salt' || CAST(vec_id AS VARCHAR)")} AS h
-                FROM vmt ORDER BY h, vec_id LIMIT $k)),
+                FROM $trainSrc ORDER BY h, vec_id LIMIT $k)),
         $roundCtes"""
   }
 
@@ -1412,8 +1446,9 @@ object SimOps {
                               c: Int, nprobe: Int, trainRounds: Int,
                               dim: Int, saltKm: String): String = {
     val fr = trainRounds + 1
-    s"""${kmChainCtes(table, c, trainRounds, dim, saltKm, normalize = true)},
-        ${kmAssignCte(fr, dim)},
+    s"""${kmChainCtes(table, c, trainRounds, dim, saltKm, normalize = true,
+          trainCap = IvfTrainCap * c)},
+        ${kmAssignCte(fr, dim, "vmt")},
         assign AS (SELECT vec_id, cl AS cell FROM a$fr),
         probes AS (
           SELECT query_id, cell FROM (

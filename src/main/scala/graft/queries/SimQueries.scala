@@ -26,8 +26,11 @@ object SimQueries {
     * (4 exact-integer Lloyd rounds on NORMALIZED vectors, hash-seeded
     * init) rather than a raw vector sample: trained cells track the
     * data distribution, so the same nprobe budget scans better-matched
-    * candidates. Measured recall@10 (ivf, = ivfpq): untrained sample
-    * 0.50 at sf0.01; trained 0.65 / 0.56 / 0.58 at sf0.001/0.01/0.1. */
+    * candidates. Training reads at most 256·c hash-ordered vectors
+    * (`SimOps.IvfTrainCap` — the FAISS sample rule), so train cost is
+    * corpus-size-free. Measured recall@10: untrained sample 0.50 at
+    * sf0.01; trained ivf 0.65 / 0.56 / 0.58 (ivfpq 0.57 at sf0.1,
+    * else equal) at sf0.001/0.01/0.1. */
   val Cells = 16
   val NProbe = 4
   val IvfTrainRounds = 4
