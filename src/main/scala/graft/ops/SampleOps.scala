@@ -28,6 +28,50 @@ object SampleOps {
   def sampleBucket(idCol: Column, salt: String): Column =
     pmod(TextOps.hash64(concat(lit(salt), idCol.cast("string"))), lit(Buckets))
 
+  /** Leakage-safe train/validation split: the holdout is sampled by
+    * near-dup CLUSTER, not by document. A hash split on doc_id leaks
+    * whenever a near-duplicate pair straddles the boundary — the val
+    * set then "measures" memorization of training text. Every doc takes
+    * the bucket of its cluster id (singletons: their own id), so a
+    * whole near-dup family lands on one side together.
+    *
+    * `pairs` is the near-dup pair table (doc_a, doc_b); `clusters` the
+    * (doc_id, cluster) assignment over it. The `leaked_pairs` output
+    * column COUNTS pairs whose endpoints landed on different sides —
+    * structurally zero by construction — so the oracle can pin the
+    * CONSTANT 0 (the meets_floor pattern) and any future change that
+    * splits below cluster grain turns the gate red instead of silently
+    * leaking.
+    *
+    * Scale shape: bucket assignment is a narrow codegen'd map over the
+    * doc_id-keyed join with `clusters` (the join the dedup consumers
+    * already pay); the audit is two slim (id, split) equi-joins over the
+    * pair table; stats are one partial-aggregable (split, class) agg.
+    * Output: (split, <classCol>, n_docs, total_tokens, leaked_pairs).
+    */
+  def leakSafeSplit(docs: DataFrame, pairs: DataFrame, clusters: DataFrame,
+                    classCol: String, salt: String,
+                    trainBuckets: Int): DataFrame = {
+    val withCluster = docs
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split",
+        when(sampleBucket(col("cluster"), salt) < trainBuckets, lit("train"))
+          .otherwise(lit("val")))
+    val bySplit = withCluster.select(col("doc_id"), col("split"))
+    val leaked = pairs
+      .join(bySplit.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(bySplit.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("leaked_pairs"))
+    withCluster.groupBy(col("split"), col(classCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .crossJoin(broadcast(leaked))
+  }
+
   def sampleBucketSql(idExpr: String, salt: String): String =
     s"${TextOps.hash64Sql(s"'$salt' || CAST($idExpr AS VARCHAR)")} % $Buckets"
 

@@ -19,6 +19,9 @@ object PipelineQueries {
     * the cap only trims runaway sources. */
   val MixQuota = 50
 
+  /** Train share of the leakage-safe split: 9000/10000 = 90%. */
+  val SplitTrainBuckets = 9000
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("pipeline_corpus_curation",
@@ -167,6 +170,44 @@ object PipelineQueries {
            FROM capped GROUP BY domain ORDER BY domain"""
       },
       presentOrder = Seq("domain")),
+
+    // Leakage-safe train/validation split: holdout sampled by near-dup
+    // CLUSTER, not document, so a near-duplicate pair can never straddle
+    // train/val (doc-grain hash splits leak memorized text into the
+    // "held-out" set). Cluster ids come from the same CC over the cached
+    // jaccard pair table the dedup gates use; singletons split by their
+    // own id. The leaked_pairs audit column counts crossing pairs —
+    // structurally 0 — and the oracle pins the CONSTANT 0, so any future
+    // change that splits below cluster grain turns this gate red.
+    QueryDef("pipeline_train_val_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = DedupOps.jaccardPairsCached(docs, "text", "doc_id",
+          DedupQueries.JaccardThreshold)
+        SampleOps.leakSafeSplit(docs,
+          pairs.select(col("doc_a"), col("doc_b")),
+          DedupOps.connectedComponents(pairs),
+          "lang", SampleQueries.Salt, SplitTrainBuckets)
+      },
+      Some {
+        val cc = DedupOps.connectedComponentsSql(
+          DedupOps.jaccardPairsSql("documents", "text", "doc_id",
+            DedupQueries.JaccardThreshold))
+        s"""WITH cc AS (SELECT * FROM ($cc) t),
+           docs2 AS (SELECT d.doc_id, d.lang,
+                       CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                         AS n_tokens,
+                       COALESCE(cc.cluster, d.doc_id) AS cluster
+                     FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+           sp AS (SELECT *, CASE WHEN ${SampleOps.sampleBucketSql(
+                      "cluster", SampleQueries.Salt)} < $SplitTrainBuckets
+                    THEN 'train' ELSE 'val' END AS split FROM docs2)
+           SELECT split, lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(0 AS BIGINT) AS leaked_pairs
+           FROM sp GROUP BY split, lang ORDER BY split, lang"""
+      },
+      presentOrder = Seq("split", "lang")),
 
     // Sequence packing (concat-and-split): lay every document into a
     // per-source token stream and cut fixed ctx-sized windows — the

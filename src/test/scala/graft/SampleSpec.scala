@@ -51,6 +51,45 @@ class SampleSpec extends SparkSpec {
     assert(capped("a") === 10000L)
   }
 
+  test("leakSafeSplit: near-dup pair stays together where a doc-grain split would leak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val salt = graft.queries.SampleQueries.Salt
+    // Planted ids (verified against the md5 bucket function): with salt
+    // graft-r2, bucket(2) = 7081 (train side) and bucket(29) >= 9000
+    // (val side) — a doc-grain 90/10 split WOULD separate this pair.
+    val b = Seq(2L, 29L).toDF("id")
+      .select(SampleOps.sampleBucket(col("id"), salt).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b(0) < 9000 && b(1) >= 9000,
+      s"planted ids no longer straddle the doc-grain boundary: ${b.toSeq}")
+    val docs = Seq(
+      (2L, "en", "alpha beta gamma delta"),
+      (29L, "en", "alpha beta gamma delta prime"), // near-dup of 2
+      (0L, "en", "unrelated text one"),            // singleton, train side
+      (41L, "fr", "autre texte ici"))              // singleton, val side
+      .toDF("doc_id", "lang", "text")
+    val pairs = Seq((2L, 29L)).toDF("doc_a", "doc_b")
+    val clusters = Seq((2L, 2L), (29L, 2L)).toDF("doc_id", "cluster")
+    val out = SampleOps.leakSafeSplit(docs, pairs, clusters, "lang", salt,
+        trainBuckets = 9000)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(4))).toMap
+    // Both members of the pair take cluster 2's bucket -> BOTH train;
+    // en-train counts docs 0, 2, 29; fr-val counts doc 41. No crossing
+    // pairs anywhere.
+    assert(out(("train", "en"))._1 === 3L)
+    assert(out(("val", "fr"))._1 === 1L)
+    assert(out.size === 2)
+    assert(out.values.forall(_._2 === 0L), "leaked_pairs must be 0")
+    // Sanity: splitting by DOC id instead does leak this pair.
+    val docGrain = SampleOps.leakSafeSplit(docs, pairs,
+        clusters.filter(lit(false)), "lang", salt, trainBuckets = 9000)
+      .collect().map(_.getLong(4)).toSet
+    assert(docGrain === Set(1L),
+      "doc-grain split should report exactly the planted crossing pair")
+  }
+
   test("curriculum phases are equi-depth, score-monotone, and total") {
     val out = Catalog.queries("pipeline_curriculum")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
