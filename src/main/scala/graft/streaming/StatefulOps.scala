@@ -323,6 +323,57 @@ object StatefulOps {
       }
   }
 
+  /** One span window of an arriving document: (doc, token offset, window
+    * hash). In a live topology these derive from the doc stream as a
+    * narrow map — tokenize, slide the SpanLen window, hash — exactly the
+    * batch `grams` stage of `DedupOps.spanRewrite`, streaming-legal. */
+  case class SpanWindow(docId: Long, pos: Int, h: Long)
+  case class SpanCanon(docId: Long, pos: Int)
+  case class SpanDupHit(docId: Long, pos: Int, canonDoc: Long, canonPos: Int)
+
+  /** Streaming twin of `DedupOps.spanRewrite`'s marking phase (the gated
+    * `dedup_span_rewrite` batch query): the FIRST occurrence of each
+    * window text seen on the stream is canonical; every later occurrence
+    * (any doc, any offset — same-doc repeats included) emits a dup hit
+    * naming its canonical site. Downstream, a doc's removal set is the
+    * union of its hit windows' [pos, pos+SpanLen) ranges — the same
+    * reduction the batch operator runs, proven equal in `StreamingSpec`.
+    *
+    * State is ONE (docId, pos) pair per distinct window hash — the
+    * incremental inverted index; production bounds it with an event-time
+    * timeout at the data-retention horizon. Arrival-order contract: the
+    * stream's canonical is the first ARRIVAL (intra-batch ties pinned by
+    * (docId, pos) sort); feeding docs in id order reproduces the batch
+    * operator's global min-(doc_id, pos) choice exactly. Replays of the
+    * canonical occurrence do not emit self-hits or move the canonical
+    * (at-least-once safe); replayed duplicates re-emit their hit, which
+    * the downstream set-union absorbs.
+    */
+  def streamingSpanDedup(windows: Dataset[SpanWindow]): Dataset[SpanDupHit] = {
+    import windows.sparkSession.implicits._
+    windows
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[SpanCanon, SpanDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[SpanWindow], state: GroupState[SpanCanon]) =>
+          val sorted = rows.toSeq.sortBy(w => (w.docId, w.pos))
+          var canon = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SpanDupHit]
+          for (w <- sorted) {
+            canon match {
+              case None =>
+                canon = Some(SpanCanon(w.docId, w.pos))
+              case Some(c) if c.docId == w.docId && c.pos == w.pos =>
+                () // replay of the canonical occurrence: no self-hit
+              case Some(c) =>
+                out += SpanDupHit(w.docId, w.pos, c.docId, c.pos)
+            }
+          }
+          canon.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class TermEvent(grp: String, term: String)
   case class TopTermRow(grp: String, rk: Int, term: String, cnt: Long)
 

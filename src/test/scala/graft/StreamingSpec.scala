@@ -239,6 +239,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batched)
   }
 
+  test("span-dedup streaming twin: union of hits equals the batch rewrite's removal set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val run = "one two three four five six seven eight" // SpanLen = 8 tokens
+    val docsSeq = Seq(
+      (0L, s"$run nine ten"),                // canonical holder
+      (1L, s"zzz yyy $run extra tail here"), // cross-doc duplicate
+      (9L, s"$run filler $run"))             // later batch; same-doc repeat
+    val docs = docsSeq.toDF("doc_id", "text")
+    // Derive the window rows exactly as the batch grams stage does.
+    val grams = docs
+      .withColumn("__toks", graft.ops.TextOps.tokens(col("text")))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(__toks) < 8 THEN CAST(array() AS ARRAY<STRING>)
+           ELSE transform(sequence(0, size(__toks) - 8),
+             j -> concat_ws(' ', slice(__toks, j + 1, 8))) END""")))
+      .select(col("doc_id"), col("pos"),
+        graft.ops.TextOps.hash64(col("col")).as("h"))
+      .collect()
+      .map(r => StatefulOps.SpanWindow(r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = grams.groupBy(_.docId)
+    val in = MemoryStream[StatefulOps.SpanWindow]
+    val q = StatefulOps.streamingSpanDedup(in.toDS())
+      .writeStream.format("memory").queryName("span_twin")
+      .outputMode("append").start()
+    // Docs arrive in id order (the documented parity contract), split so
+    // the doc-9 verdicts must flow through cross-batch state.
+    in.addData(byDoc(0L).toSeq ++ byDoc(1L).toSeq: _*); q.processAllAvailable()
+    in.addData(byDoc(9L).toSeq: _*); q.processAllAvailable()
+    // At-least-once replay: the canonical must not move, no self-hits —
+    // re-emitted dup hits are absorbed by the downstream set-union.
+    in.addData(byDoc(9L).toSeq: _*); q.processAllAvailable(); q.stop()
+    val hits = spark.table("span_twin").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val streamedRemoved: Map[Long, Long] = hits.toSeq
+      .flatMap { case (d, p) => (p until p + 8).map(d -> _) }
+      .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val batch = graft.ops.DedupOps.spanRewrite(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    docsSeq.foreach { case (id, _) =>
+      assert(streamedRemoved(id) === batch(id), s"doc $id removal mismatch") }
+    // The canonical holder lost nothing; the repeat doc lost both copies'
+    // positions (0..7 and 9..16).
+    assert(streamedRemoved(0L) === 0L && streamedRemoved(9L) === 16L)
+  }
+
   test("stream-stream interval join emits exactly its gated batch twin's rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
