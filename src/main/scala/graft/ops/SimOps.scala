@@ -345,8 +345,19 @@ object SimOps {
                            c: Int, nprobe: Int, trainRounds: Int,
                            dim: Int, saltKm: String): (DataFrame, DataFrame) = {
     require(dim > 0, "trained IVF needs the embedding dim")
-    val cents = kmeansCentroidsMicro(v, c, trainRounds, dim, saltKm,
+    // Corpus-keyed driver-side memo (the jaccardPairsCached pattern, k·dim
+    // longs instead of parquet): one corpus snapshot trains the quantizer
+    // once per session, however many consumers probe it — sim_topk_ivf,
+    // sim_topk_ivfpq, and both recall-audit legs share the same training
+    // for the same knobs. Identity = input file set + knobs; in-memory
+    // frames have no files and always retrain (test isolation).
+    val corpus = v.inputFiles.sorted.mkString("\n")
+    def train() = kmeansCentroidsMicro(v, c, trainRounds, dim, saltKm,
       normalize = true, trainCap = IvfTrainCap * c)
+    val cents =
+      if (corpus.isEmpty) train()
+      else centroidMemo.getOrElseUpdate(
+        s"$corpus|$c|$trainRounds|$dim|$saltKm", train())
     // Assignment space = the training space: L2 over NORMALIZED micro
     // vectors, so exact-integer cell choice tracks cosine neighborhoods.
     val micro = v.withColumn("vm", microOf(normalized(col("vn"))))
@@ -1358,6 +1369,11 @@ object SimOps {
     * `IvfTrainCap · c` hash-ordered vectors, so training cost stops
     * scaling with the corpus while assignment stays full-corpus. */
   val IvfTrainCap = 256
+
+  /** Session-lifetime memo of trained coarse quantizers, keyed by corpus
+    * file set + knobs — see the note in [[trainedCells]]. */
+  private val centroidMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Long]]]
 
   /** The per-round assignment CTE `a{r}` of the unrolled Lloyd chain:
     * exact integer distances from `src` against `c{r-1}`, lowest-cluster

@@ -51,7 +51,8 @@ object DumpPlans {
     "ref_anomaly_mad" -> "MAD modified z: two user-keyed percentile_disc aggs + two broadcast joins back, no full-feed window sort",
     "ref_time_in_range" -> "duration-weighted clinical bands: ONE user exchange shared by the window sort and the roll-up",
     "ref_hypo_episodes" -> "gaps-and-islands condition runs: island id from the window's running sum, roll-up on the same partitioning",
-    "q_market_basket" -> "association rules: distinct-first order-keyed pair self-join, broadcast item supports, top-k cap")
+    "q_market_basket" -> "association rules: distinct-first order-keyed pair self-join, broadcast item supports, top-k cap",
+    "pipeline_train_val_split" -> "cluster-grain split: narrow bucket map over the doc-keyed cluster join + slim audit equi-joins")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
