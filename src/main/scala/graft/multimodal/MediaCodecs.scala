@@ -1,0 +1,166 @@
+package graft.multimodal
+
+/** REAL media codecs for the two container formats that are pure byte
+  * layouts and need no native library: RIFF/WAVE PCM audio and BMP
+  * (BITMAPINFOHEADER, uncompressed 24-bit) images. These replace two of
+  * the four declared-fake codecs in [[MultimodalOps]]: the byte-level
+  * parsing — little-endian field extraction, chunk walking, row padding
+  * arithmetic — is the genuine article, exercised end to end by the
+  * `mm_wav_decode` / `mm_bmp_decode` gates (synthesis parameters are
+  * formula-derived per doc, the SPARK side decodes the actual bytes, and
+  * the oracle recomputes the expectation analytically — a wrong parser
+  * turns the gate red).
+  *
+  * Builders emit the canonical minimal containers (44-byte WAV header;
+  * 54-byte BMP header, bottom-up rows, 4-byte row padding) so parser and
+  * builder cannot drift: the spec round-trips both and cross-checks
+  * hand-assembled byte fixtures.
+  */
+object MediaCodecs {
+
+  // ---- little-endian primitives -----------------------------------------
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def readLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def readLe16s(b: Array[Byte], off: Int): Short =
+    ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toShort
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + 4 && (0 until 4).forall(i => b(off + i) == s.charAt(i).toByte)
+
+  // ---- WAV (RIFF/WAVE, PCM 16-bit) --------------------------------------
+
+  final case class WavMeta(sampleRate: Int, channels: Int,
+                           bitsPerSample: Int, nSamples: Long,
+                           sumSquares: Long)
+
+  /** Canonical 44-byte-header PCM WAV: RIFF size, fmt chunk (PCM, LE
+    * fields), data chunk with 16-bit LE samples. */
+  def buildWav(sampleRate: Int, channels: Int,
+               samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val byteRate = sampleRate * channels * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+    out.put("RIFF".getBytes("US-ASCII")).put(le32(36 + dataLen))
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).put(le32(16))
+      .put(le16(1))                       // PCM
+      .put(le16(channels))
+      .put(le32(sampleRate))
+      .put(le32(byteRate))
+      .put(le16(channels * 2))            // block align
+      .put(le16(16))                      // bits per sample
+      .put("data".getBytes("US-ASCII")).put(le32(dataLen))
+    samples.foreach(s => out.put(le16(s & 0xffff)))
+    out.array()
+  }
+
+  /** Walks the RIFF chunk list (not a fixed-offset read: a real-world
+    * WAV may carry LIST/fact chunks before data), parses the PCM format
+    * fields, and folds the 16-bit LE samples into an exact integer
+    * sum-of-squares. Returns None for anything that is not a PCM-16
+    * RIFF/WAVE — truncated, wrong magic, compressed, or odd-sized data. */
+  def parseWav(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (!tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return None
+    var off = 12
+    var meta: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+    while (off + 8 <= bytes.length) {
+      val size = readLe32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (tag(bytes, off, "fmt ")) {
+        if (size < 16) return None
+        val fmt = readLe16(bytes, off + 8)
+        val ch = readLe16(bytes, off + 10)
+        val rate = readLe32(bytes, off + 12)
+        val bits = readLe16(bytes, off + 22)
+        if (fmt != 1 || ch <= 0 || rate <= 0) return None
+        meta = Some((rate, ch, bits))
+      } else if (tag(bytes, off, "data")) {
+        val (rate, ch, bits) = meta.getOrElse(return None)
+        if (bits != 16 || size % 2 != 0) return None
+        var i = off + 8
+        val end = off + 8 + size
+        var sumSq = 0L
+        while (i < end) { // exact: 2^31 samples × (2^15)² < 2^63
+          val s = readLe16s(bytes, i).toLong
+          sumSq += s * s
+          i += 2
+        }
+        return Some(WavMeta(rate, ch, bits, size / 2, sumSq))
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  // ---- BMP (BITMAPINFOHEADER, 24-bit uncompressed) ----------------------
+
+  final case class BmpMeta(width: Int, height: Int, bitsPerPixel: Int,
+                           sumB: Long, sumG: Long, sumR: Long)
+
+  /** Minimal 24-bit BMP: 14-byte file header + 40-byte info header +
+    * bottom-up BGR rows, each padded to a 4-byte boundary. */
+  def buildBmp(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val dataLen = rowSize * height
+    val out = java.nio.ByteBuffer.allocate(54 + dataLen)
+    out.put('B'.toByte).put('M'.toByte).put(le32(54 + dataLen))
+      .put(le32(0)).put(le32(54))
+      .put(le32(40)).put(le32(width)).put(le32(height))
+      .put(le16(1)).put(le16(24))
+      .put(le32(0))                        // BI_RGB, uncompressed
+      .put(le32(dataLen)).put(le32(2835)).put(le32(2835))
+      .put(le32(0)).put(le32(0))
+    val row = new Array[Byte](rowSize)
+    var x = 0
+    while (x < width) {
+      row(3 * x) = b.toByte; row(3 * x + 1) = g.toByte; row(3 * x + 2) = r.toByte
+      x += 1
+    }
+    (0 until height).foreach(_ => out.put(row))
+    out.array()
+  }
+
+  /** Parses the two headers (pixel-array offset read from the file
+    * header — not assumed 54) and folds the BGR pixel grid into exact
+    * per-channel sums, skipping each row's padding bytes. None for
+    * non-BMP magic, compressed, non-24-bit, or truncated input.
+    * Negative height (top-down rows) is accepted — row order does not
+    * change channel sums. */
+  def parseBmp(bytes: Array[Byte]): Option[BmpMeta] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val pixOff = readLe32(bytes, 10)
+    val width = readLe32(bytes, 18)
+    val heightRaw = readLe32(bytes, 22)
+    val height = math.abs(heightRaw)
+    val bpp = readLe16(bytes, 28)
+    val compression = readLe32(bytes, 30)
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
+    val rowSize = ((3 * width + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + rowSize.toLong * height > bytes.length)
+      return None
+    var (sumB, sumG, sumR) = (0L, 0L, 0L)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val base = pixOff + y * rowSize
+      while (x < width) {
+        sumB += bytes(base + 3 * x) & 0xff
+        sumG += bytes(base + 3 * x + 1) & 0xff
+        sumR += bytes(base + 3 * x + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpMeta(width, height, bpp, sumB, sumG, sumR))
+  }
+}

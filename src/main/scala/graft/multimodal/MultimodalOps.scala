@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * columns with typed metadata structs, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * The actual media codecs are NOT available in this environment, so every
-  * `decode*Stub` below is a clearly-marked deterministic fake: it derives
-  * plausible metadata/features from the bytes via stable arithmetic. The
-  * Spark-side contract — schema, binary column handling, partition-batched
-  * execution shape, null/short-input behavior — is real and tested; swap
-  * the stub body for a codec call (e.g. javax.imageio / ffmpeg bindings)
-  * without touching any plan structure.
+  * Codec status: WAV (RIFF/PCM) and BMP decode are REAL — pure byte
+  * layouts parsed by [[MediaCodecs]] with no native library, gated end to
+  * end by `mm_wav_decode`/`mm_bmp_decode`. Compressed formats (JPEG/MP4)
+  * need codec libraries this environment lacks, so the remaining
+  * `*Stub` operators are clearly-marked deterministic fakes deriving
+  * plausible metadata/features from the bytes via stable arithmetic. For
+  * the stubs the Spark-side contract — schema, binary column handling,
+  * partition-batched execution shape, null/short-input behavior — is
+  * real and tested; swap the stub body for a codec call (e.g.
+  * javax.imageio / ffmpeg bindings) without touching any plan structure.
   *
   * Scale design: per-partition batched processing via `mapPartitions`
   * (the JVM analog of arrow-batched pandas UDFs): media bytes never pass
@@ -121,6 +124,43 @@ object MultimodalOps {
       .withColumn("frame_bytes", expr(
         s"substring($bytesCol, frame_idx * $frameBytes + 1, $frameBytes)"))
       .select(col(idCol), col("sample_idx"), col("frame_idx"), col("frame_bytes"))
+
+  case class WavRow(docId: Long, sampleRate: Int, channels: Int,
+                    nSamples: Long, sumSquares: Long)
+  case class BmpRow(docId: Long, width: Int, height: Int, bpp: Int,
+                    sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL audio decode (no stub): RIFF/WAVE PCM-16 parsed byte-for-byte
+    * by [[MediaCodecs.parseWav]] in a partition-batched narrow map —
+    * chunk walk, LE field extraction, exact integer sample fold. Rows
+    * that are not valid PCM-16 WAV are dropped (the filter-invalid
+    * contract of an ingest decode stage). Blobs never shuffle; only the
+    * slim decoded columns flow on. */
+  def decodeWav(media: DataFrame, idCol: String,
+                bytesCol: String): Dataset[WavRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.parseWav(bytes).map(m =>
+          WavRow(id, m.sampleRate, m.channels, m.nSamples, m.sumSquares))
+      })
+  }
+
+  /** REAL image decode (no stub): 24-bit uncompressed BMP parsed by
+    * [[MediaCodecs.parseBmp]] — header navigation via the pixel-array
+    * offset, per-row padding arithmetic, exact per-channel sums. Same
+    * narrow-map / drop-invalid shape as [[decodeWav]]. */
+  def decodeBmp(media: DataFrame, idCol: String,
+                bytesCol: String): Dataset[BmpRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.parseBmp(bytes).map(m =>
+          BmpRow(id, m.width, m.height, m.bitsPerPixel, m.sumR, m.sumG, m.sumB))
+      })
+  }
 
   /** Pointer layout for blobs too large to keep inline: the table keeps
     * (uri, offset, length) and metadata; bytes live in object storage. */

@@ -11,6 +11,13 @@ import graft.multimodal.MultimodalOps
   * metadata structs, frame explode shape. The decode stubs are
   * deterministic arithmetic (clearly marked in MultimodalOps), which also
   * makes them SQL-expressible for the oracle.
+  *
+  * The `mm_wav_decode` / `mm_bmp_decode` gates are different: those run
+  * REAL codecs ([[graft.multimodal.MediaCodecs]]) over container blobs
+  * SYNTHESIZED from per-doc formulas — the oracle recomputes the
+  * expected metadata analytically from the same formulas, so the
+  * byte-level parse (chunk walk, LE fields, row padding, sample fold) is
+  * verified end to end: a parser bug cannot reproduce the formula.
   */
 object MultimodalQueries {
 
@@ -18,6 +25,71 @@ object MultimodalQueries {
   val EveryK = 2
 
   val defs: Seq[QueryDef] = Seq(
+
+    // REAL WAV decode: per doc, build a PCM-16 WAV whose rate/channels/
+    // length/amplitude derive from (doc_id, n_chars) — alternating ±A
+    // samples make sum-of-squares exactly n·A² — then parse the BYTES
+    // with the real RIFF chunk-walking decoder. Synthesis and decode are
+    // both narrow maps; blobs never shuffle.
+    QueryDef("mm_wav_decode",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val amp = (id % 1000 + 1).toInt
+            val n = (2 * ((nc % 300) + 2)).toInt
+            val samples = Array.tabulate(n)(i =>
+              (if (i % 2 == 0) amp else -amp).toShort)
+            (id, graft.multimodal.MediaCodecs.buildWav(
+              (8000 + (id % 3) * 4000).toInt, (1 + id % 2).toInt, samples))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.decodeWav(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"),
+            col("sampleRate").as("sample_rate"), col("channels"),
+            col("nSamples").as("n_samples"),
+            col("sumSquares").as("sum_squares"))
+      },
+      Some("""SELECT doc_id,
+             | CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             | CAST(1 + doc_id % 2 AS INT) AS channels,
+             | CAST(2 * ((n_chars % 300) + 2) AS BIGINT) AS n_samples,
+             | CAST(2 * ((n_chars % 300) + 2)
+             |   * (doc_id % 1000 + 1) * (doc_id % 1000 + 1) AS BIGINT)
+             |   AS sum_squares
+             | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // REAL BMP decode: per doc, build a solid-color 24-bit BMP sized by
+    // (doc_id, n_chars) — width deliberately not a multiple of 4 so the
+    // parser's row-padding arithmetic is load-bearing — and parse the
+    // bytes back; per-channel sums are exactly w·h·channel.
+    QueryDef("mm_bmp_decode",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (id % 21 + 4).toInt
+            val h = (nc % 17 + 3).toInt
+            (id, graft.multimodal.MediaCodecs.buildBmp(w, h,
+              (id % 256).toInt, (nc % 256).toInt, ((id + nc) % 256).toInt))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.decodeBmp(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("width"), col("height"),
+            col("bpp"), col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+            col("sumB").as("sum_b"))
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 21 + 4 AS w,
+             |  n_chars % 17 + 3 AS h, doc_id % 256 AS r, n_chars % 256 AS g,
+             |  (doc_id + n_chars) % 256 AS b FROM documents)
+             | SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST(24 AS INT) AS bpp,
+             |  CAST(w * h * r AS BIGINT) AS sum_r,
+             |  CAST(w * h * g AS BIGINT) AS sum_g,
+             |  CAST(w * h * b AS BIGINT) AS sum_b
+             | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
 
     // Decode-metadata stub over blobs: narrow map, no shuffle.
     QueryDef("mm_decode_meta",

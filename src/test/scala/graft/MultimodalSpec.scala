@@ -67,4 +67,75 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Set((1L, "store://media/1", 100L), (2L, "store://media/2", 1000L),
       (3L, "store://media/3", 0L)))
   }
+
+  test("WAV codec: build/parse round-trip, byte-fixture fields, chunk walk, malformed rejects") {
+    import graft.multimodal.MediaCodecs
+    val samples = Array[Short](100, -100, 32767, -32768, 0, 7)
+    val wav = MediaCodecs.buildWav(12000, 2, samples)
+    val m = MediaCodecs.parseWav(wav).get
+    assert(m.sampleRate === 12000 && m.channels === 2 &&
+      m.bitsPerSample === 16 && m.nSamples === 6L)
+    assert(m.sumSquares === samples.map(s => s.toLong * s).sum)
+    // Byte-level fixture checks (not builder-vs-parser self-agreement):
+    // canonical header offsets hold LE fields.
+    assert(wav.length === 44 + 12)
+    assert((wav(24) & 0xff) === (12000 & 0xff))           // rate LE byte 0
+    assert((wav(25) & 0xff) === ((12000 >> 8) & 0xff))    // rate LE byte 1
+    assert(wav(22) === 2.toByte)                          // channels
+    // A real-world WAV may carry extra chunks before data: splice a LIST
+    // chunk between fmt and data; the chunk walk must skip it.
+    val pre = wav.take(36)                 // RIFF..fmt chunk end
+    val post = wav.drop(36)                // data chunk
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = pre ++ list ++ post
+    // RIFF size field must cover the inserted chunk.
+    val newSize = spliced.length - 8
+    spliced(4) = (newSize & 0xff).toByte
+    spliced(5) = ((newSize >> 8) & 0xff).toByte
+    assert(MediaCodecs.parseWav(spliced).get === m)
+    // Malformed inputs reject instead of mis-parsing.
+    assert(MediaCodecs.parseWav(null).isEmpty)
+    assert(MediaCodecs.parseWav(wav.take(30)).isEmpty)          // truncated
+    assert(MediaCodecs.parseWav("JUNK".getBytes ++ wav.drop(4)).isEmpty)
+    val lying = wav.clone                                       // data size > file
+    lying(40) = 0x7f.toByte
+    assert(MediaCodecs.parseWav(lying).isEmpty)
+  }
+
+  test("BMP codec: round-trip with row padding, non-54 pixel offset, malformed rejects") {
+    import graft.multimodal.MediaCodecs
+    // width 5 -> row 15 bytes padded to 16: padding arithmetic is load-bearing.
+    val bmp = MediaCodecs.buildBmp(5, 3, 200, 100, 50)
+    val m = MediaCodecs.parseBmp(bmp).get
+    assert(m.width === 5 && m.height === 3 && m.bitsPerPixel === 24)
+    assert((m.sumR, m.sumG, m.sumB) === (15L * 200, 15L * 100, 15L * 50))
+    assert(bmp.length === 54 + 16 * 3)
+    // Parser must honor the pixel-array offset from the file header, not
+    // assume 54: shift the pixel data by 4 bytes and patch the offset.
+    val shifted = bmp.take(10) ++ Array[Byte](58, 0, 0, 0) ++
+      bmp.slice(14, 54) ++ Array[Byte](0, 0, 0, 0) ++ bmp.drop(54)
+    assert(MediaCodecs.parseBmp(shifted).get.sumR === m.sumR)
+    assert(MediaCodecs.parseBmp(null).isEmpty)
+    assert(MediaCodecs.parseBmp(bmp.take(40)).isEmpty)       // truncated header
+    assert(MediaCodecs.parseBmp(bmp.dropRight(8)).isEmpty)   // truncated pixels
+    val wrongMagic = bmp.clone; wrongMagic(0) = 'X'.toByte
+    assert(MediaCodecs.parseBmp(wrongMagic).isEmpty)
+  }
+
+  test("decodeWav/decodeBmp drop invalid blobs and decode valid ones in one pass") {
+    import spark.implicits._
+    import graft.multimodal.MediaCodecs
+    val wav = MediaCodecs.buildWav(8000, 1, Array[Short](3, -3, 3, -3))
+    val rows = Seq((1L, wav), (2L, "not a wav at all".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "bytes")
+    val out = MultimodalOps.decodeWav(rows, "doc_id", "bytes").collect()
+    assert(out.length === 1 && out(0).docId === 1L &&
+      out(0).sumSquares === 36L && out(0).nSamples === 4L)
+    val bmp = MediaCodecs.buildBmp(4, 2, 9, 8, 7)
+    val rows2 = Seq((1L, bmp), (2L, "nope".getBytes)).toDF("doc_id", "bytes")
+    val out2 = MultimodalOps.decodeBmp(rows2, "doc_id", "bytes").collect()
+    assert(out2.length === 1 && out2(0).sumR === 8L * 9)
+  }
 }
