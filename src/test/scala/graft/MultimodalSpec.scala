@@ -123,6 +123,35 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.parseBmp(wrongMagic).isEmpty)
   }
 
+  test("BMP resize: identity preserves pixels; downsample picks the nearest-neighbor grid") {
+    import graft.multimodal.MediaCodecs
+    // Gradient where every pixel is unique: r = x, g = y, b = x + y.
+    val src = MediaCodecs.buildBmpGradient(6, 4,
+      (x, y) => (x, y, x + y))
+    // Identity resize must reproduce the exact pixel sums.
+    val same = MediaCodecs.parseBmp(
+      MediaCodecs.resizeBmpNearest(src, 6, 4).get).get
+    val orig = MediaCodecs.parseBmp(src).get
+    assert((same.sumR, same.sumG, same.sumB) ===
+      ((orig.sumR, orig.sumG, orig.sumB)))
+    // 6x4 -> 3x2: nearest-neighbor picks sx in {0,2,4}, sy in {0,2}.
+    val down = MediaCodecs.parseBmp(
+      MediaCodecs.resizeBmpNearest(src, 3, 2).get).get
+    val sxs = Seq(0, 2, 4); val sys = Seq(0, 2)
+    val expR = (for (x <- sxs; _ <- sys) yield x).sum.toLong
+    val expG = (for (_ <- sxs; y <- sys) yield y).sum.toLong
+    assert(down.width === 3 && down.height === 2)
+    assert((down.sumR, down.sumG, down.sumB) ===
+      ((expR, expG, expR + expG)))
+    // The row flip matters: g = y must NOT come out mirrored. Check a
+    // single-pixel resize at the image TOP-left (y = 0, not h-1).
+    val tl = MediaCodecs.parseBmp(
+      MediaCodecs.resizeBmpNearest(src, 1, 1).get).get
+    assert((tl.sumR, tl.sumG, tl.sumB) === ((0L, 0L, 0L)))
+    assert(MediaCodecs.resizeBmpNearest(src.take(40), 3, 2).isEmpty)
+    assert(MediaCodecs.resizeBmpNearest(src, 0, 2).isEmpty)
+  }
+
   test("decodeWav/decodeBmp drop invalid blobs and decode valid ones in one pass") {
     import spark.implicits._
     import graft.multimodal.MediaCodecs
