@@ -101,6 +101,32 @@ object MediaCodecs {
     None
   }
 
+  /** REAL sample-rate decimation, bytes → bytes: parse the PCM-16 WAV,
+    * keep every k-th sample (no anti-alias filter — plain decimation,
+    * documented as such), re-encode at rate/k. Interleaved channels are
+    * out of scope here (mono contract, rejected otherwise); rate must
+    * divide evenly by k. */
+  def decimateWav(bytes: Array[Byte], k: Int): Option[Array[Byte]] = {
+    if (k <= 0) return None
+    parseWav(bytes).flatMap { m =>
+      if (m.channels != 1 || m.sampleRate % k != 0) None
+      else {
+        // Relocate the data chunk (parseWav validated it exists).
+        var off = 12
+        var dataOff = -1
+        while (dataOff < 0 && off + 8 <= bytes.length) {
+          val size = readLe32(bytes, off + 4)
+          if (tag(bytes, off, "data")) dataOff = off + 8
+          else off += 8 + size + (size & 1)
+        }
+        val n = m.nSamples.toInt
+        val kept = Array.tabulate((n + k - 1) / k)(i =>
+          readLe16s(bytes, dataOff + 2 * i * k))
+        Some(buildWav(m.sampleRate / k, 1, kept))
+      }
+    }
+  }
+
   // ---- BMP (BITMAPINFOHEADER, 24-bit uncompressed) ----------------------
 
   final case class BmpMeta(width: Int, height: Int, bitsPerPixel: Int,

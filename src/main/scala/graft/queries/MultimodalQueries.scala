@@ -91,6 +91,43 @@ object MultimodalQueries {
              | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // REAL WAV decimation: mono alternating ±A signal decimated by 2
+    // keeps exactly the +A half (indices 0, 2, 4, …), so the decoded
+    // sum-of-squares halves to (n/2)·A² and the rate halves — both
+    // analytically pinned by the oracle. Parse → keep every 2nd sample
+    // → re-encode → re-parse, all real byte work, narrow maps.
+    QueryDef("mm_wav_decimate",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val amp = (id % 1000 + 1).toInt
+            val n = (2 * ((nc % 300) + 2)).toInt
+            val samples = Array.tabulate(n)(i =>
+              (if (i % 2 == 0) amp else -amp).toShort)
+            (id, graft.multimodal.MediaCodecs.buildWav(
+              (8000 + (id % 3) * 4000).toInt, 1, samples))
+          }.toDF("doc_id", "bytes")
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, b) =>
+            graft.multimodal.MediaCodecs.decimateWav(b, 2).map(id -> _)
+          }).toDF("doc_id", "bytes")
+        MultimodalOps.decodeWav(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"),
+            col("sampleRate").as("sample_rate"),
+            col("nSamples").as("n_samples"),
+            col("sumSquares").as("sum_squares"))
+      },
+      Some("""SELECT doc_id,
+             | CAST((8000 + (doc_id % 3) * 4000) // 2 AS INT) AS sample_rate,
+             | CAST((n_chars % 300) + 2 AS BIGINT) AS n_samples,
+             | CAST(((n_chars % 300) + 2)
+             |   * (doc_id % 1000 + 1) * (doc_id % 1000 + 1) AS BIGINT)
+             |   AS sum_squares
+             | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // REAL BMP resize: per doc, build a GRADIENT 24-bit BMP (pixel
     // (x, y) channel values are explicit formulas of x, y, doc_id,
     // n_chars), nearest-neighbor resample the BYTES to 9x6 (real

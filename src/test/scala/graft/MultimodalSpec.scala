@@ -152,6 +152,24 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.resizeBmpNearest(src, 0, 2).isEmpty)
   }
 
+  test("WAV decimation keeps every k-th sample, halves the rate, rejects stereo") {
+    import graft.multimodal.MediaCodecs
+    val wav = MediaCodecs.buildWav(8000, 1,
+      Array[Short](10, -10, 20, -20, 30, -30))
+    val m = MediaCodecs.parseWav(MediaCodecs.decimateWav(wav, 2).get).get
+    assert(m.sampleRate === 4000 && m.nSamples === 3L)
+    assert(m.sumSquares === 100L + 400L + 900L) // samples 10, 20, 30
+    val wav9 = MediaCodecs.buildWav(9000, 1,
+      Array[Short](10, -10, 20, -20, 30, -30))
+    val tri = MediaCodecs.parseWav(MediaCodecs.decimateWav(wav9, 3).get).get
+    assert(tri.sampleRate === 3000)
+    assert(tri.nSamples === 2L && tri.sumSquares === 100L + 400L) // 10, -20
+    val stereo = MediaCodecs.buildWav(8000, 2, Array[Short](1, 2, 3, 4))
+    assert(MediaCodecs.decimateWav(stereo, 2).isEmpty)
+    assert(MediaCodecs.decimateWav(wav, 0).isEmpty)
+    assert(MediaCodecs.decimateWav(wav, 3000).isEmpty) // 8000 % 3000 != 0
+  }
+
   test("decodeWav/decodeBmp drop invalid blobs and decode valid ones in one pass") {
     import spark.implicits._
     import graft.multimodal.MediaCodecs
