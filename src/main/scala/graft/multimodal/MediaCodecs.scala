@@ -39,7 +39,8 @@ object MediaCodecs {
 
   final case class WavMeta(sampleRate: Int, channels: Int,
                            bitsPerSample: Int, nSamples: Long,
-                           sumSquares: Long)
+                           sumSquares: Long, peak: Int = 0,
+                           zeroCrossings: Long = 0L)
 
   /** Canonical 44-byte-header PCM WAV: RIFF size, fmt chunk (PCM, LE
     * fields), data chunk with 16-bit LE samples. */
@@ -89,12 +90,22 @@ object MediaCodecs {
         var i = off + 8
         val end = off + 8 + size
         var sumSq = 0L
+        var peak = 0
+        var crossings = 0L
+        var prev = 0 // sign of the previous sample; 0 until first nonzero
         while (i < end) { // exact: 2^31 samples × (2^15)² < 2^63
-          val s = readLe16s(bytes, i).toLong
-          sumSq += s * s
+          val s = readLe16s(bytes, i).toInt
+          sumSq += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          val sign = Integer.signum(s)
+          if (sign != 0) {
+            if (prev != 0 && sign != prev) crossings += 1
+            prev = sign
+          }
           i += 2
         }
-        return Some(WavMeta(rate, ch, bits, size / 2, sumSq))
+        return Some(WavMeta(rate, ch, bits, size / 2, sumSq, peak, crossings))
       }
       off += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }

@@ -91,6 +91,37 @@ object MultimodalQueries {
              | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // REAL audio feature extraction over REAL decoded samples (not the
+    // md5 fake): peak amplitude and zero-crossing count folded in the
+    // same sample pass as the decode. The ±A alternating synthesis has
+    // peak = A and exactly n−1 crossings — both analytically pinned.
+    QueryDef("mm_wav_features",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val amp = (id % 1000 + 1).toInt
+            val n = (2 * ((nc % 300) + 2)).toInt
+            val samples = Array.tabulate(n)(i =>
+              (if (i % 2 == 0) amp else -amp).toShort)
+            (id, graft.multimodal.MediaCodecs.buildWav(
+              (8000 + (id % 3) * 4000).toInt, 1, samples))
+          }.toDF("doc_id", "bytes")
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, b) =>
+            graft.multimodal.MediaCodecs.parseWav(b).map(m =>
+              (id, m.nSamples, m.peak, m.zeroCrossings))
+          })
+        blobs.toDF("doc_id", "n_samples", "peak", "zero_crossings")
+      },
+      Some("""SELECT doc_id,
+             | CAST(2 * ((n_chars % 300) + 2) AS BIGINT) AS n_samples,
+             | CAST(doc_id % 1000 + 1 AS INT) AS peak,
+             | CAST(2 * ((n_chars % 300) + 2) - 1 AS BIGINT) AS zero_crossings
+             | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // REAL WAV decimation: mono alternating ±A signal decimated by 2
     // keeps exactly the +A half (indices 0, 2, 4, …), so the decoded
     // sum-of-squares halves to (n/2)·A² and the rate halves — both

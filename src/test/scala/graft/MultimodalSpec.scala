@@ -152,6 +152,18 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.resizeBmpNearest(src, 0, 2).isEmpty)
   }
 
+  test("WAV features: peak and zero crossings fold over real samples, zeros don't count") {
+    import graft.multimodal.MediaCodecs
+    // 0-samples neither cross nor seed a sign; 5,-3 crosses; -3,-2 doesn't.
+    val m = MediaCodecs.parseWav(MediaCodecs.buildWav(8000, 1,
+      Array[Short](0, 5, -3, -2, 0, 4, 7))).get
+    assert(m.peak === 7)
+    assert(m.zeroCrossings === 2L) // 5->-3 and -2->4 (through the zero)
+    val silent = MediaCodecs.parseWav(MediaCodecs.buildWav(8000, 1,
+      Array[Short](0, 0, 0))).get
+    assert(silent.peak === 0 && silent.zeroCrossings === 0L)
+  }
+
   test("WAV decimation keeps every k-th sample, halves the rate, rejects stereo") {
     import graft.multimodal.MediaCodecs
     val wav = MediaCodecs.buildWav(8000, 1,
