@@ -17,6 +17,54 @@ object SketchQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Corpus-overlap estimation by HLL inclusion–exclusion — the 100 TB
+    // decontamination AUDIT: |train ∩ eval| shingles estimated from
+    // three mergeable one-pass sketches (|A| + |B| − |A∪B|), no
+    // cross-corpus join, constant memory; the sketches merge map-side
+    // and ship as bytes, so two petabyte corpora compare in one scan
+    // each. Exact columns exist for the gate at small SF (and are
+    // themselves join-free: ∩ = A + B − U over distinct counts); at
+    // scale only the sketch estimates would be published. Tolerance
+    // gate (q_hll_approx pattern): the estimate must land within
+    // 3·rsd·(|A|+|B|) of exact — inclusion–exclusion compounds three
+    // sketches' error, so the bound scales with the SET sizes, not the
+    // possibly-tiny intersection; the oracle pins the boolean TRUE.
+    QueryDef("sketch_corpus_overlap",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .select(pmod(col("doc_id"), lit(2)).as("half"),
+            explode(TextOps.shingleStrings("__toks")).as("sg"))
+          .select(col("half"), TextOps.hash64(col("sg")).as("h"))
+        sh.agg(
+            countDistinct(when(col("half") === 0, col("h"))).as("exact_a"),
+            countDistinct(when(col("half") === 1, col("h"))).as("exact_b"),
+            countDistinct(col("h")).as("exact_u"),
+            approx_count_distinct(when(col("half") === 0, col("h"))).as("__ea"),
+            approx_count_distinct(when(col("half") === 1, col("h"))).as("__eb"),
+            approx_count_distinct(col("h")).as("__eu"))
+          .select(col("exact_a"), col("exact_b"),
+            (col("exact_a") + col("exact_b") - col("exact_u"))
+              .as("exact_intersection"),
+            (abs((col("__ea") + col("__eb") - col("__eu")) -
+              (col("exact_a") + col("exact_b") - col("exact_u"))) <=
+              (col("exact_a") + col("exact_b")) * lit(3 * 0.05))
+              .as("est_within_bound"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id % 2 AS half,
+             |  string_split(text, ' ') AS tk FROM documents),
+             | sh AS (SELECT half, unnest(${TextOps.shingleHashesSql("tk")}) AS h
+             |  FROM t)
+             | SELECT
+             |  CAST(count(DISTINCT CASE WHEN half = 0 THEN h END) AS BIGINT) AS exact_a,
+             |  CAST(count(DISTINCT CASE WHEN half = 1 THEN h END) AS BIGINT) AS exact_b,
+             |  CAST(count(DISTINCT CASE WHEN half = 0 THEN h END)
+             |    + count(DISTINCT CASE WHEN half = 1 THEN h END)
+             |    - count(DISTINCT h) AS BIGINT) AS exact_intersection,
+             |  TRUE AS est_within_bound
+             | FROM sh""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("exact_a")),
+
     // Count-Min Sketch frequency audit: ONE 32 KiB mergeable sketch
     // (catalyst/CmsAgg, element-wise-sum merge, map-side partials) over
     // every term occurrence, probed for the top-10 exact-count terms —
