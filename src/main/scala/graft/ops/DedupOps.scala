@@ -572,6 +572,62 @@ object DedupOps {
             s -> s.t))""").as("clean_text"))
   }
 
+  /** Duplicated-window ATTRIBUTION rows — the batch twin of
+    * `StatefulOps.streamingSpanDedup`'s emission: every non-canonical
+    * occurrence of a duplicated window as (doc_id, pos, canon_doc,
+    * canon_pos), naming the globally-first site it duplicates. This is
+    * the per-site detail [[spanRewrite]]'s removal-count union cannot
+    * see, gated so the canonical CHOICE (min (doc_id, pos) per window
+    * text) is oracle-pinned. Same single h-shuffle as the rewrite: the
+    * count, rank, and first-site window functions all share one
+    * exchange. */
+  def spanMarks(docs: DataFrame, textCol: String, idCol: String,
+                spanLen: Int = SpanLen): DataFrame = {
+    val toks = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), col("__toks"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
+            ELSE transform(sequence(0, size(__toks) - $spanLen),
+              j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
+      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val byHOrdered = byH.orderBy(col("doc_id"), col("pos"))
+    grams
+      .withColumn("__cnt", count(lit(1)).over(byH))
+      .withColumn("__rn", row_number().over(byHOrdered))
+      .withColumn("canon_doc", first(col("doc_id")).over(byHOrdered))
+      .withColumn("canon_pos", first(col("pos")).over(byHOrdered))
+      .filter(col("__cnt") >= 2 && col("__rn") > 1)
+      .select(col("doc_id"), col("pos"), col("canon_doc"), col("canon_pos"))
+  }
+
+  /** Oracle twin of [[spanMarks]]. */
+  def spanMarksSql(table: String, textCol: String, idCol: String,
+                   spanLen: Int = SpanLen): String =
+    s"""WITH toks AS (SELECT $idCol AS doc_id,
+                             ${TextOps.tokensSql(textCol)} AS t FROM $table),
+        grams AS (SELECT doc_id,
+                         unnest(generate_series(0, len(t) - $spanLen)) AS pos,
+                         t FROM toks WHERE len(t) >= $spanLen),
+        hashed AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                          ${TextOps.hash64Sql(
+                            s"array_to_string(list_slice(t, pos + 1, pos + $spanLen), ' ')")} AS h
+                   FROM grams),
+        m AS (SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY h) AS cnt,
+                     row_number() OVER (PARTITION BY h
+                       ORDER BY doc_id, pos) AS rn,
+                     first_value(doc_id) OVER (PARTITION BY h
+                       ORDER BY doc_id, pos) AS canon_doc,
+                     first_value(pos) OVER (PARTITION BY h
+                       ORDER BY doc_id, pos) AS canon_pos
+              FROM hashed)
+        SELECT doc_id, pos, canon_doc, canon_pos FROM m
+        WHERE cnt >= 2 AND rn > 1
+        ORDER BY doc_id, pos"""
+
   /** Oracle twin of [[spanRewrite]] — identical windows, canonical
     * choice, and reconstruction (per-token explode + anti-join +
     * ordered string_agg, since DuckDB lambdas carry no element index).

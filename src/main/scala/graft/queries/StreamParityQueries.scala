@@ -120,6 +120,18 @@ object StreamParityQueries {
     // horizon-separated occurrences survive. One window shuffle on the
     // dedup key; a streaming runner holds one timestamp per key (bounded
     // state, evicted by watermark).
+    // Batch twin of StatefulOps.streamingSpanDedup's emission: each
+    // non-canonical duplicated window with the canonical site it
+    // duplicates — gating the attribution (min (doc_id, pos) per window
+    // text) that dedup_span_rewrite's removal-count union cannot see.
+    // The streaming op reproduces exactly these rows under its
+    // id-ordered arrival contract (parity proven in StreamingSpec).
+    QueryDef("stream_span_marks",
+      (s, d) => graft.ops.DedupOps.spanMarks(
+        Tables.documents(s, d), "text", "doc_id"),
+      Some(graft.ops.DedupOps.spanMarksSql("documents", "text", "doc_id")),
+      presentOrder = Seq("doc_id", "pos")),
+
     QueryDef("stream_dedup_horizon",
       (s, d) => {
         val byKey = org.apache.spark.sql.expressions.Window

@@ -284,6 +284,14 @@ class StreamingSpec extends SparkSpec {
     // The canonical holder lost nothing; the repeat doc lost both copies'
     // positions (0..7 and 9..16).
     assert(streamedRemoved(0L) === 0L && streamedRemoved(9L) === 16L)
+    // Attribution parity with the GATED batch twin: the streamed hit
+    // rows (with canonical sites) equal stream_span_marks exactly.
+    val streamedFull = spark.table("span_twin").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val marks = graft.ops.DedupOps.spanMarks(docs, "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamedFull === marks)
   }
 
   test("stream-stream interval join emits exactly its gated batch twin's rows") {
