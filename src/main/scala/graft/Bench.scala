@@ -33,6 +33,10 @@ object Bench {
     // (Verify leaves this unset: the gate runs each query independently.)
     spark.conf.set("graft.pairs.dir",
       java.nio.file.Files.createTempDirectory("graft-pairs").toString)
+    // Same shape for the k-NN edge table: built once, consumed by the
+    // whole graph stack (knn_graph, pagerank, triangles).
+    spark.conf.set("graft.knn.dir",
+      java.nio.file.Files.createTempDirectory("graft-knn").toString)
     // Warm-up: codegen + JIT at the smallest SF; failures surface in the
     // timed pass instead of aborting the bench.
     SparkEntry.queries.foreach { case (_, fn) =>

@@ -1083,6 +1083,40 @@ object SimOps {
         WHERE rank <= $topK ORDER BY query_id, rank"""
   }
 
+  /** Materialized k-NN reuse — the vector-side twin of
+    * `DedupOps.jaccardPairsCached`: the full-corpus k-NN edge table (the
+    * expensive LSH build + exact verify over EVERY vector) is computed
+    * once per corpus snapshot and consumed by the whole graph stack
+    * (`sim_knn_graph`, `graph_pagerank`, `graph_triangles`). When the
+    * session conf `graft.knn.dir` is set, the first caller materializes
+    * the table as parquet (keyed by corpus file set + k + LSH config)
+    * and later callers scan it; `_SUCCESS` guards half-written dirs.
+    * Unset (the driver gate's default), this is exactly
+    * [[topKLshMulti]] with an all-rows query predicate. Same
+    * derived-frame limit as the pairs cache: in-memory inputs have no
+    * files and always recompute. */
+  def knnEdgesCached(vectors: DataFrame, k: Int,
+                     tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = vectors.sparkSession
+    val dir = spark.conf.get("graft.knn.dir", "")
+    val corpus = vectors.inputFiles.sorted.mkString("\n")
+    if (dir.isEmpty || corpus.isEmpty)
+      topKLshMulti(vectors, lit(true), k, tables)
+    else {
+      val cfg = tables.map(_.map(_.mkString(",")).mkString(";")).mkString("|")
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$corpus|$k|$cfg".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val path = s"$dir/knn_${tag}_k$k"
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
+        topKLshMulti(vectors, lit(true), k, tables)
+          .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+  }
+
   /** Shared CTE prefix (v … scored) for the multi-table-LSH oracles —
     * the SQL twin of [[lshScored]]. */
   private def lshScoredCtes(table: String, queryPredSql: String,

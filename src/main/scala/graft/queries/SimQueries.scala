@@ -181,7 +181,7 @@ object SimQueries {
     QueryDef("sim_knn_graph",
       (s, d) => {
         graft.catalyst.GraftFunctions.register(s)
-        SimOps.topKLshMulti(Tables.embeddings(s, d), lit(true), KnnK, LshTabs)
+        SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK, LshTabs)
       },
       Some(SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs)),
       presentOrder = Seq("query_id", "rank")),
@@ -212,8 +212,8 @@ object SimQueries {
     QueryDef("graph_pagerank",
       (s, d) => {
         graft.catalyst.GraftFunctions.register(s)
-        val edges = SimOps.topKLshMulti(Tables.embeddings(s, d), lit(true),
-            KnnK, LshTabs)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
         val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
         GraphOps.pageRank(nodes, edges)
@@ -233,8 +233,8 @@ object SimQueries {
     QueryDef("graph_triangles",
       (s, d) => {
         graft.catalyst.GraftFunctions.register(s)
-        val edges = SimOps.topKLshMulti(Tables.embeddings(s, d), lit(true),
-            KnnK, LshTabs)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
         GraphOps.triangleStats(edges)
       },
