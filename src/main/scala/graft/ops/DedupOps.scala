@@ -572,6 +572,93 @@ object DedupOps {
             s -> s.t))""").as("clean_text"))
   }
 
+  /** Incremental span cleaning — the span-grain member of the
+    * continuous-ingestion family (`dedup_incremental` dedups arriving
+    * DOCS, `sim_index_incremental` encodes arriving VECTORS; this
+    * strips arriving TEXT): every ≥ [[SpanLen]]-token window of a new
+    * doc whose text already occurs anywhere in the EXISTING corpus is
+    * removed; the cleaned batch is re-emitted with removal stats.
+    * New-vs-new duplication is out of scope by the same contract as
+    * `dedup_incremental` (it is next snapshot's `spanRewrite` problem).
+    *
+    * Scale shape: the old corpus contributes only its DISTINCT window
+    * hashes — the frozen inverted index a production pipeline keeps
+    * materialized (bucketed by h); the batch probes it with ONE hash
+    * equi-join, so per-batch cost is batch-windows + index probe, never
+    * a rescan of old×old. Removal explode and HOF reconstruction are
+    * the [[spanRewrite]] shapes verbatim.
+    */
+  def spanRewriteIncremental(docs: DataFrame, textCol: String,
+                             idCol: String, oldPred: Column,
+                             spanLen: Int = SpanLen): DataFrame = {
+    val toks = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), col("__toks"), oldPred.as("__old"))
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
+            ELSE transform(sequence(0, size(__toks) - $spanLen),
+              j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
+      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
+    val oldIndex = grams(toks.filter(col("__old"))).select("h").distinct()
+    val newToks = toks.filter(!col("__old"))
+    val removed = grams(newToks)
+      .join(oldIndex, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tok"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("tok")).as("__rm"))
+    newToks.join(removed, Seq("doc_id"), "left")
+      .withColumn("__rm", coalesce(col("__rm"),
+        expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        expr(s"""concat_ws(' ',
+          transform(
+            filter(transform(__toks, (t, i) -> struct(i AS i, t AS t)),
+                   s -> NOT array_contains(__rm, s.i)),
+            s -> s.t))""").as("clean_text"))
+  }
+
+  /** Oracle twin of [[spanRewriteIncremental]]. */
+  def spanRewriteIncrementalSql(table: String, textCol: String,
+                                idCol: String, oldPredSql: String,
+                                spanLen: Int = SpanLen): String =
+    s"""WITH toks AS (SELECT $idCol AS doc_id,
+                             ${TextOps.tokensSql(textCol)} AS t,
+                             ($oldPredSql) AS is_old FROM $table),
+        grams AS (SELECT doc_id, is_old,
+                         unnest(generate_series(0, len(t) - $spanLen)) AS pos,
+                         t FROM toks WHERE len(t) >= $spanLen),
+        hashed AS (SELECT doc_id, is_old, pos,
+                          ${TextOps.hash64Sql(
+                            s"array_to_string(list_slice(t, pos + 1, pos + $spanLen), ' ')")} AS h
+                   FROM grams),
+        old_index AS (SELECT DISTINCT h FROM hashed WHERE is_old),
+        rm AS (SELECT DISTINCT n.doc_id, n.pos + u.g AS tok
+               FROM hashed n JOIN old_index o ON n.h = o.h,
+                    unnest(generate_series(0, ${spanLen - 1})) AS u(g)
+               WHERE NOT n.is_old),
+        rmn AS (SELECT doc_id AS rdoc, count(*) AS n_removed FROM rm
+                GROUP BY doc_id),
+        newt AS (SELECT doc_id, t FROM toks WHERE NOT is_old),
+        pos AS (SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS i, t
+                FROM newt),
+        kept AS (SELECT pos.doc_id, pos.i, pos.t[pos.i + 1] AS tokstr
+                 FROM pos LEFT JOIN rm
+                   ON pos.doc_id = rm.doc_id AND pos.i = rm.tok
+                 WHERE rm.tok IS NULL),
+        clean AS (SELECT doc_id AS cdoc,
+                         string_agg(tokstr, ' ' ORDER BY i) AS clean_text
+                  FROM kept GROUP BY doc_id)
+        SELECT newt.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+               coalesce(clean_text, '') AS clean_text
+        FROM newt LEFT JOIN rmn ON newt.doc_id = rmn.rdoc
+                  LEFT JOIN clean ON newt.doc_id = clean.cdoc
+        ORDER BY doc_id"""
+
   /** Duplicated-window ATTRIBUTION rows — the batch twin of
     * `StatefulOps.streamingSpanDedup`'s emission: every non-canonical
     * occurrence of a duplicated window as (doc_id, pos, canon_doc,

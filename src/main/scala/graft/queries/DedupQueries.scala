@@ -141,6 +141,18 @@ object DedupQueries {
       Some(DedupOps.spanRewriteSql("documents", "text", "doc_id")),
       presentOrder = Seq("doc_id")),
 
+    // Incremental span cleaning: the arriving 20% batch loses every
+    // >=8-token window already present in the indexed 80% — ONE hash
+    // equi-join against the old corpus's DISTINCT window index (cost ∝
+    // batch + probe, old×old never rescanned); new-vs-new out of scope
+    // by the dedup_incremental contract.
+    QueryDef("dedup_span_incremental",
+      (s, d) => DedupOps.spanRewriteIncremental(Tables.documents(s, d),
+        "text", "doc_id", col("doc_id") % 10 < 8),
+      Some(DedupOps.spanRewriteIncrementalSql("documents", "text", "doc_id",
+        "doc_id % 10 < 8")),
+      presentOrder = Seq("doc_id")),
+
     // Canonical-representative selection: per near-dup cluster, KEEP the
     // highest-quality member (longest token count, doc_id tie-break) —
     // production near-dedup keeps the best document, not the first-seen

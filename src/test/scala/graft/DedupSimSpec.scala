@@ -725,6 +725,30 @@ class DedupSimSpec extends SparkSpec {
     assert(full(21L) === "")
   }
 
+  test("spanRewriteIncremental: batch cleaned against the OLD index only; new-vs-new untouched") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight" // SpanLen=8
+    val newRun = "n1 n2 n3 n4 n5 n6 n7 n8"
+    val d = Seq(
+      (0L, s"$run old tail here"),            // old (pred: id % 10 < 8)
+      (8L, s"prefix a $run suffix b"),        // new: shares run with OLD -> stripped
+      (9L, s"$newRun x"),                     // new: duplicated only within the batch
+      (18L, s"$newRun y"),                    //   -> NOT stripped (contract)
+      (19L, "totally unique new words entirely fresh document now"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.spanRewriteIncremental(d, "text", "doc_id",
+        col("doc_id") % 10 < 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // Only the batch is emitted.
+    assert(out.keySet === Set(8L, 9L, 18L, 19L))
+    // Doc 8 loses exactly the run's 8 positions (2..9).
+    assert(out(8L) === ((12L, 8L, "prefix a suffix b")))
+    // New-vs-new duplication survives — next snapshot's spanRewrite problem.
+    assert(out(9L)._2 === 0L && out(18L)._2 === 0L)
+    assert(out(19L)._2 === 0L)
+  }
+
   test("maxSpans: finds the maximal shared run at its true offsets and length") {
     import spark.implicits._
     // docs 0/1 share one 10-token run at DIFFERENT offsets; doc 2 shares
