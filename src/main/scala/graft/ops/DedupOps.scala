@@ -339,6 +339,24 @@ object DedupOps {
     * different chunks). Shared with the oracle twin. */
   val SpanLen = 8
 
+  /** (doc_id, __toks) tokenization — the first stage every span
+    * operator shares. */
+  private def spanToks(docs: DataFrame, textCol: String,
+                       idCol: String): DataFrame =
+    docs.withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), col("__toks"))
+
+  /** (doc_id, pos, h) hashed window occurrences over a (doc_id, __toks)
+    * frame — the shared grams stage of every span operator (codegen'd
+    * window build, hash after explode). Extra input columns are
+    * dropped; filter before calling when a subset is wanted. */
+  private def spanGrams(toks: DataFrame, spanLen: Int): DataFrame =
+    toks.select(col("doc_id"), posexplode(expr(
+      s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
+          ELSE transform(sequence(0, size(__toks) - $spanLen),
+            j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
+      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
+
   /** Per-document duplicated-span coverage (exact-substring dedup):
     * every [[SpanLen]]-token window (stride 1) is hashed; a window GRAM
     * occurring >= 2 times anywhere in the corpus (any doc, any offset —
@@ -356,15 +374,8 @@ object DedupOps {
     * near-dup family. */
   def spanCoverage(docs: DataFrame, textCol: String, idCol: String,
                    spanLen: Int = SpanLen): DataFrame = {
-    val toks = docs
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
-      .select(col(idCol).as("doc_id"), col("__toks"))
-    val grams = toks
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
-            ELSE transform(sequence(0, size(__toks) - $spanLen),
-              j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
-      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
+    val toks = spanToks(docs, textCol, idCol)
+    val grams = spanGrams(toks, spanLen)
     val counted = grams.withColumn("__cnt",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
     val covered = counted.filter(col("__cnt") >= 2)
@@ -433,15 +444,8 @@ object DedupOps {
                maxWindowFreq: Int = MaxSpanWindowFreq,
                minSpan: Int = MinSpanTokens,
                topK: Int = MaxSpanTopK): DataFrame = {
-    val toks = docs
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
-      .select(col(idCol).as("doc_id"), col("__toks"))
-    val grams = toks
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
-            ELSE transform(sequence(0, size(__toks) - $spanLen),
-              j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
-      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
+    val toks = spanToks(docs, textCol, idCol)
+    val grams = spanGrams(toks, spanLen)
     val capped = grams.withColumn("__cnt",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("__cnt") >= 2 && col("__cnt") <= maxWindowFreq)
@@ -539,15 +543,8 @@ object DedupOps {
     */
   def spanRewrite(docs: DataFrame, textCol: String, idCol: String,
                   spanLen: Int = SpanLen): DataFrame = {
-    val toks = docs
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
-      .select(col(idCol).as("doc_id"), col("__toks"))
-    val grams = toks
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
-            ELSE transform(sequence(0, size(__toks) - $spanLen),
-              j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
-      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
+    val toks = spanToks(docs, textCol, idCol)
+    val grams = spanGrams(toks, spanLen)
     val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val byHOrdered = byH.orderBy(col("doc_id"), col("pos"))
     val marked = grams
@@ -594,15 +591,10 @@ object DedupOps {
     val toks = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("doc_id"), col("__toks"), oldPred.as("__old"))
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
-            ELSE transform(sequence(0, size(__toks) - $spanLen),
-              j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
-      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
-    val oldIndex = grams(toks.filter(col("__old"))).select("h").distinct()
+    val oldIndex = spanGrams(toks.filter(col("__old")), spanLen)
+      .select("h").distinct()
     val newToks = toks.filter(!col("__old"))
-    val removed = grams(newToks)
+    val removed = spanGrams(newToks, spanLen)
       .join(oldIndex, "h")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tok"))
@@ -670,15 +662,8 @@ object DedupOps {
     * exchange. */
   def spanMarks(docs: DataFrame, textCol: String, idCol: String,
                 spanLen: Int = SpanLen): DataFrame = {
-    val toks = docs
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
-      .select(col(idCol).as("doc_id"), col("__toks"))
-    val grams = toks
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(__toks) < $spanLen THEN CAST(array() AS ARRAY<STRING>)
-            ELSE transform(sequence(0, size(__toks) - $spanLen),
-              j -> concat_ws(' ', slice(__toks, j + 1, $spanLen))) END""")))
-      .select(col("doc_id"), col("pos"), TextOps.hash64(col("col")).as("h"))
+    val toks = spanToks(docs, textCol, idCol)
+    val grams = spanGrams(toks, spanLen)
     val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val byHOrdered = byH.orderBy(col("doc_id"), col("pos"))
     grams
