@@ -144,6 +144,19 @@ object SimQueries {
         PqM, PqK, Dim, PqShortlist)),
       presentOrder = Seq("query_id", "rank")),
 
+    // SQ8 quantized-scan search: the corpus scanned as signed-byte codes +
+    // one scale per vector (4× less I/O than floats, far better fidelity
+    // than PQ's 16 bytes), integer-exact approximate-dot shortlist, exact
+    // cosine re-rank — FAISS's SQ8 flat index re-expressed relationally.
+    QueryDef("sim_topk_int8",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.topKInt8(Tables.embeddings(s, d), col("vec_id") < 10, K,
+          PqShortlist)
+      },
+      Some(SimOps.topKInt8Sql("embeddings", QueryPredSql, K, PqShortlist)),
+      presentOrder = Seq("query_id", "rank")),
+
     // Incremental IVF-PQ index maintenance: centroids + codebook frozen
     // from the already-indexed 80%, only the arriving 20% batch is
     // assigned and encoded — append-only continuous ingestion, cost

@@ -347,6 +347,32 @@ class DedupSimSpec extends SparkSpec {
       brute.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("SQ8 top-k with a full-corpus shortlist equals brute force") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    // Same corpus contract as every top-k op: no zero vectors (the shared
+    // exact-cosine re-rank divides by the norm); the quantizer's own
+    // zero-scale floor is covered by quantizeInt8's gate.
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 13) % 19).toFloat - 9f))
+    }.toDF("vec_id", "embedding")
+    // Shortlist >= corpus: the exact re-rank sees every vector, so the
+    // quantized scan can lose nothing — output must equal brute force
+    // bit-for-bit (same raw-cosine scoring path).
+    val brute = SimOps.topKBruteForce(vecs, col("vec_id") < 5, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val sq8 = SimOps.topKInt8(vecs, col("vec_id") < 5, 5, shortlist = 60)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(sq8.sortBy(t => (t._1, t._2)).toSeq ===
+      brute.sortBy(t => (t._1, t._2)).toSeq)
+    // SQ8 codes are high-fidelity: even a tight 8-deep shortlist must
+    // recover most of brute's top-5 on this well-spread corpus.
+    val tight = SimOps.topKInt8(vecs, col("vec_id") < 5, 5, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bruteSet = brute.map(t => (t._1, t._3)).toSet
+    assert(tight.intersect(bruteSet).size >= (bruteSet.size * 7) / 10)
+  }
+
   test("pq_encode expression matches the composed-builtin tree bit-for-bit") {
     import spark.implicits._
     graft.catalyst.GraftFunctions.register(spark)
