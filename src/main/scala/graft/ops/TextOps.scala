@@ -541,4 +541,113 @@ object TextOps {
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM m3 GROUP BY phrase ORDER BY phrase"""
+
+  /** BM25 ranked retrieval — the scoring consumer of the inverted index
+    * (Robertson–Spärck Jones, the default lexical ranker every search
+    * stack ships): per query term, the top-`topK` documents by BM25 with
+    * k1 = 1.2, b = 0.75.
+    *
+    * Entirely libm-free: ln() is the one BM25 ingredient whose last ulp
+    * differs across runtimes, so this uses the RATIONAL idf N/df (the
+    * tf·N/df family [[tfidfTopK]] already gates) and expresses the whole
+    * score in integer micro-units with floor division — every compared
+    * cell is BIGINT, hash-exact on any engine:
+    *   avgdl_micro = T·10⁶ div N             (corpus totals)
+    *   ratio_micro = dl·10¹² div avgdl_micro (dl/avgdl)
+    *   denom_micro = tf·10⁶ + 12·(250000 + 3·ratio_micro div 4) div 10
+    *   tfsat_micro = tf·22·10¹¹ div denom_micro   (≤ 2.2·10⁶)
+    *   idf_micro   = N·10⁶ div df
+    *   score_micro = tfsat·idf div 10⁶  (DECIMAL(38,0) product — no wrap
+    *                 at any N/df; result cast back to BIGINT)
+    * tf ≤ 4·10⁶ tokens/doc keeps tfsat's numerator in 64 bits — far above
+    * any real document.
+    *
+    * The gate self-derives its query terms (vocabulary ranks
+    * `skip+1 .. skip+nQueryTerms` by total tf, skipping the stopword
+    * head) so no fixture rides along; a production run supplies the query
+    * list and starts at the broadcast join. Scale shape: tf is ONE
+    * (term, doc) hash-agg with map-side combine; dl is a narrow map
+    * (no second pass); the 2-row corpus-totals aggregate and the
+    * term list broadcast; scoring touches only the matched slice of tf;
+    * the per-term top-k is a bounded window over that slice.
+    */
+  def bm25TopK(docs: DataFrame, nQueryTerms: Int, skip: Int,
+               topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val termStats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    // TakeOrderedAndProject caps the vocabulary scan at skip+n rows; the
+    // row_number on those few rows replays the same order for the skip.
+    val qterms = termStats
+      .orderBy(col("total_tf").desc, col("term"))
+      .limit(skip + nQueryTerms)
+      .withColumn("qr", row_number().over(
+        Window.orderBy(col("total_tf").desc, col("term"))))
+      .filter(col("qr") > skip)
+      .select(col("term"), col("df"))
+    val globals = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).as("t_tokens"))
+    val scored = tf.join(broadcast(qterms), "term")
+      .crossJoin(broadcast(globals))
+      .withColumn("avgdl_micro", expr("t_tokens * 1000000L div n_docs"))
+      .withColumn("ratio_micro", expr("dl * 1000000000000L div avgdl_micro"))
+      .withColumn("denom_micro", expr(
+        "tf * 1000000L + (12L * (250000L + (3L * ratio_micro) div 4L)) div 10L"))
+      .withColumn("tfsat_micro", expr(
+        "(tf * 2200000L * 1000000L) div denom_micro"))
+      .withColumn("idf_micro", expr("n_docs * 1000000L div df"))
+      .withColumn("score_micro", expr(
+        "CAST((CAST(tfsat_micro AS DECIMAL(38,0)) * idf_micro) div 1000000 AS BIGINT)"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col("score_micro").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"),
+        col("dl"), col("score_micro"))
+  }
+
+  def bm25TopKSql(table: String, nQueryTerms: Int, skip: Int,
+                  topK: Int): String =
+    s"""WITH toks AS (
+          SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS dl,
+                 unnest(${tokensSql("text")}) AS term
+          FROM $table),
+        tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2, 3),
+        ts AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                      CAST(sum(tf) AS BIGINT) AS total_tf
+               FROM tf GROUP BY 1),
+        qt AS (SELECT term, df FROM (
+                 SELECT term, df,
+                        row_number() OVER (ORDER BY total_tf DESC, term) AS qr
+                 FROM ts)
+               WHERE qr > $skip AND qr <= ${skip + nQueryTerms}),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CAST(len(${tokensSql("text")}) AS BIGINT))
+                       AS BIGINT) AS t_tokens
+              FROM $table),
+        s AS (
+          SELECT t.term, t.doc_id, t.tf, t.dl,
+                 CAST((CAST((t.tf * 2200000 * 1000000)
+                        // (t.tf * 1000000
+                           + (12 * (250000
+                              + (3 * (t.dl * 1000000000000
+                                      // (g.t_tokens * 1000000 // g.n_docs)))
+                                // 4)) // 10) AS HUGEINT)
+                       * (g.n_docs * 1000000 // q.df)) // 1000000 AS BIGINT)
+                   AS score_micro
+          FROM tf t JOIN qt q USING (term) CROSS JOIN g)
+        SELECT term, rank, doc_id, tf, dl, score_micro FROM (
+          SELECT term, doc_id, tf, dl, score_micro,
+                 CAST(row_number() OVER (PARTITION BY term
+                   ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+          FROM s)
+        WHERE rank <= $topK ORDER BY term, rank"""
 }

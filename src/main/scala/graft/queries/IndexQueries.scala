@@ -60,6 +60,19 @@ object IndexQueries {
       Some(TextOps.phraseSearchSql("documents", nPhrases = 2)),
       presentOrder = Seq("phrase")),
 
+    // BM25 ranked retrieval — the scoring consumer of the inverted index
+    // (k1 = 1.2, b = 0.75), libm-free: rational idf N/df and the whole
+    // score in integer micro-units with floor division, so every compared
+    // cell is BIGINT. Query terms self-derived (vocabulary ranks 11..15
+    // by total tf — past the stopword head); production supplies the
+    // query list and starts at the broadcast join.
+    QueryDef("text_bm25_topk",
+      (s, d) => TextOps.bm25TopK(Tables.documents(s, d),
+        nQueryTerms = 5, skip = 10, topK = 10),
+      Some(TextOps.bm25TopKSql("documents",
+        nQueryTerms = 5, skip = 10, topK = 10)),
+      presentOrder = Seq("term", "rank")),
+
     // BPE pair counting — the distributed step of tokenizer training:
     // count adjacent sub-word piece pairs over the corpus, emit the
     // top-10 merge candidates. (Full BPE training iterates this count →

@@ -323,4 +323,47 @@ class PropertySpec extends SparkSpec {
       assert(salted === plain)
     }
   }
+
+  test("property: BM25 hand-computed scores, tf saturation, length penalty") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // 4 docs, one interesting term 'x'. dl: 4/4/8/4, total T=20, N=4,
+    // avgdl_micro = 5_000_000. Vocabulary by total tf: 'pad' dominates,
+    // so skip=1, n=1 selects exactly 'x' (df=3).
+    val docs = Seq(
+      (0L, "x pad pad pad"),              // tf=1, dl=4
+      (1L, "x x pad pad"),                // tf=2, dl=4
+      (2L, "x x pad pad pad pad pad pad") // tf=2, dl=8 — longer, penalized
+    ).toDF("doc_id", "text")
+      .union(Seq((3L, "pad pad pad pad")).toDF("doc_id", "text"))
+    val rows = TextOps.bm25TopK(docs, nQueryTerms = 1, skip = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.forall(_._1 == "x") && rows.length === 3)
+    // Replay the exact integer pipeline: T=20,N=4 → avgdl=5e6;
+    // ratio = dl*1e12 div 5e6; inner = 250000 + 3*ratio div 4;
+    // k1x = 12*inner div 10; denom = tf*1e6 + k1x;
+    // tfsat = tf*22e11 div denom; idf = 4e6 div 3;
+    // score = tfsat*idf div 1e6.
+    def score(tf: Long, dl: Long): Long = {
+      val ratio = dl * 1000000000000L / 5000000L
+      val inner = 250000L + 3L * ratio / 4L
+      val k1x = 12L * inner / 10L
+      val denom = tf * 1000000L + k1x
+      val tfsat = tf * 2200000L * 1000000L / denom
+      val idf = 4000000L / 3L
+      tfsat * idf / 1000000L
+    }
+    val byDoc = rows.map(t => t._3 -> t._6).toMap
+    assert(byDoc(0L) === score(1, 4))
+    assert(byDoc(1L) === score(2, 4))
+    assert(byDoc(2L) === score(2, 8))
+    // Monotone in tf at fixed dl; longer doc penalized at equal tf;
+    // saturation: doubling tf less than doubles the score.
+    assert(byDoc(1L) > byDoc(0L) && byDoc(1L) > byDoc(2L))
+    assert(byDoc(1L) < 2L * byDoc(0L))
+    // Ranks follow (score desc, doc_id): the extra occurrence in doc 2
+    // outweighs its length penalty at these dl values.
+    assert(rows.sortBy(_._2).map(_._3).toSeq === Seq(1L, 2L, 0L))
+  }
 }
