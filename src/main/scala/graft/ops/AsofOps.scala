@@ -97,4 +97,53 @@ object AsofOps {
       .select(keyCols.map(col) ++ Seq(col("__t").as(leftTime)) ++
         leftPayload.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Banded (grid-bucketized) interval join: every (left, right) pair in
+    * the same key with |l.time − r.time| ≤ `toleranceSec`, joined EQUI on
+    * (key, time-bucket) instead of key alone.
+    *
+    * Why the band matters at 100 TB: the plain form (`l.key = r.key` +
+    * range post-filter) is an equi-join on key, so ONE hot key (a
+    * celebrity user, a default device id) makes its join group
+    * |l_k|·|r_k| — quadratic in the key's row count no matter how narrow
+    * the time window is, and AQE's skew split cannot help because the
+    * blow-up happens inside the join, not in the input partition sizes.
+    * Bucketing time into `toleranceSec`-wide cells and joining on
+    * (key, cell) caps each group at the rows falling in ONE cell — the
+    * pair cost becomes (rows per key per tolerance window)², i.e. bounded
+    * by data DENSITY, not key popularity. This is the batch shape of the
+    * watermarked stream-stream interval join (both sides' state keyed by
+    * time band).
+    *
+    * Mechanics: each left row replicates to its bucket and both
+    * neighbors (bucket width = tolerance, so a match can only be in
+    * b−1/b/b+1 — 3× the left side, the standard banding overhead);
+    * right rows keep their single bucket, so every qualifying pair
+    * appears EXACTLY once (no dedup pass). The exact |Δt| ≤ tolerance
+    * predicate runs as a post-join filter. Output: all left columns plus
+    * `rightPayload` (right's time surfaced as `r_<rightTime>`) and
+    * `delta_s` = r.time − l.time in seconds (epoch-truncated BIGINT).
+    */
+  def bandedIntervalJoin(left: DataFrame, right: DataFrame,
+                         keyCols: Seq[String], leftTime: String,
+                         rightTime: String, rightPayload: Seq[String],
+                         toleranceSec: Long): DataFrame = {
+    require(toleranceSec > 0, "toleranceSec must be positive")
+    val l = left
+      .withColumn("__les", col(leftTime).cast("long"))
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__b", expr(s"__les div $toleranceSec") + col("__off"))
+    val r = right.select(
+        keyCols.map(c => col(c).as(s"__rk_$c")) ++
+          Seq(col(rightTime).cast("long").as("__res")) ++
+          rightPayload.map(c => col(c).as(s"r_$c")): _*)
+      .withColumn("__b", expr(s"__res div $toleranceSec"))
+    l.join(r,
+        keyCols.map(c => l(c) === r(s"__rk_$c")).reduce(_ && _) &&
+          l("__b") === r("__b") &&
+          abs(r("__res") - l("__les")) <= toleranceSec)
+      .withColumn("delta_s", col("__res") - col("__les"))
+      .drop((Seq("__les", "__off", "__b", "__res") ++
+        keyCols.map(c => s"__rk_$c")): _*)
+  }
 }

@@ -342,6 +342,42 @@ object RelQueries3 {
              | GROUP BY hid ORDER BY hid""".stripMargin.replace("\n", "")),
       presentOrder = Seq("h_id")),
 
+    // The banded scale path of the interval join: same ±window semantics,
+    // but joined EQUI on (user, 600s-time-bucket) — a single celebrity
+    // user can no longer make its join group |l|·|r| quadratic, because
+    // each group holds only one tolerance-window cell of rows (pair cost
+    // bounded by data density, not key popularity; the batch shape of the
+    // watermarked stream-stream interval join). Left rows replicate to 3
+    // buckets; right rows keep one, so each qualifying pair appears
+    // exactly once. The oracle is the PLAIN range join — the banding must
+    // be invisible in the result.
+    QueryDef("q_interval_grid_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val high = e.filter(col("value") >= 200)
+          .select(col("user_id"), col("ts"), col("event_id").as("h_id"))
+        graft.ops.AsofOps.bandedIntervalJoin(
+            high, e.select(col("user_id"), col("ts"), col("value")),
+            keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+            rightPayload = Seq("value"), toleranceSec = 600L)
+          .groupBy(col("h_id"))
+          .agg(count(lit(1)).as("n_nearby"),
+            round(sum(col("r_value")), 2).as("sum_value"),
+            min(col("delta_s")).as("min_delta_s"),
+            max(col("delta_s")).as("max_delta_s"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             |   value, event_id FROM events),
+             | high AS (SELECT user_id AS hu, es AS hes, event_id AS hid
+             |   FROM e WHERE value >= 200)
+             | SELECT hid AS h_id, count(*) AS n_nearby,
+             |  round(sum(e.value), 2) AS sum_value,
+             |  CAST(min(e.es - hes) AS BIGINT) AS min_delta_s,
+             |  CAST(max(e.es - hes) AS BIGINT) AS max_delta_s
+             | FROM high JOIN e ON e.user_id = hu AND abs(e.es - hes) <= 600
+             | GROUP BY hid ORDER BY hid""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("h_id")),
+
     // Backward as-of (point-in-time) join: each event joined to the
     // user's most recent at-or-before "high" state change — the
     // union+window shape (one shuffle by key, zero join nodes, |left|

@@ -37,4 +37,37 @@ class AsofSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 == 1,
       s"expected exactly one key shuffle:\n$p")
   }
+
+  test("bandedIntervalJoin equals the naive range join, boundaries inclusive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Seconds chosen so pairs land exactly ON ±tolerance, straddle bucket
+    // edges, and include a hot key with many rows in one window.
+    val tol = 60L
+    val lRows = (0 until 40).map(i =>
+      (if (i % 3 == 0) "hot" else s"u${i % 5}",
+        1000L + rnd.nextInt(400).toLong, s"L$i"))
+    val rRows = (0 until 60).map(i =>
+      (if (i % 2 == 0) "hot" else s"u${i % 5}",
+        1000L + rnd.nextInt(400).toLong, i.toLong)) ++
+      // exact-boundary probes against L0's time
+      Seq(("hot", lRows.head._2 - tol, 900L), ("hot", lRows.head._2 + tol, 901L))
+    val left = lRows.toDF("k", "t", "tag")
+    val right = rRows.toDF("k", "rt", "rid")
+    val banded = AsofOps.bandedIntervalJoin(left, right, Seq("k"), "t", "rt",
+        Seq("rid"), tol)
+      .select("k", "t", "tag", "r_rid", "delta_s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val naive = lRows.flatMap { case (lk, lt, tag) =>
+      rRows.collect { case (rk, rt, rid)
+        if rk == lk && math.abs(rt - lt) <= tol => (lk, lt, tag, rid, rt - lt) }
+    }
+    assert(banded.sorted.toSeq === naive.sorted.toSeq)
+    // Each qualifying pair appears exactly once (no bucket-overlap dups).
+    assert(banded.length === banded.distinct.length)
+    // The boundary probes at exactly ±tol matched.
+    assert(banded.exists(r => r._4 == 900L && r._5 == -tol))
+    assert(banded.exists(r => r._4 == 901L && r._5 == tol))
+  }
 }

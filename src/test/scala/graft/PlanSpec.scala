@@ -259,4 +259,27 @@ class PlanSpec extends SparkSpec {
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
     assert(tokenJoins + broadcasts >= 3, s"expected count+prob+restore joins:\n$p")
   }
+
+  test("banded interval join is an equi-join keyed by (user, time bucket)") {
+    val p = planOf("q_interval_grid_join")
+    // The whole point of the band: the time bucket is IN the equi-join
+    // key, so one hot user cannot quadratic-blow a join group. The range
+    // predicate must survive only as a post-join filter.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded join must never loop-join:\n$p")
+    assert(p.contains("__b"), s"bucket key missing from the join:\n$p")
+  }
+
+  test("BM25 scores only the matched tf slice via broadcast of terms+totals") {
+    val p = planOf("text_bm25_topk")
+    // Query terms and the 1-row corpus totals broadcast onto tf; the
+    // vocabulary scan for query-term derivation is a TakeOrdered, not a
+    // global sort.
+    assert(p.contains("BroadcastHashJoin"), s"query terms should broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus totals should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary head should cap via TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
 }
