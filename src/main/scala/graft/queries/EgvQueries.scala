@@ -286,6 +286,54 @@ object EgvQueries {
              | FROM st ORDER BY user_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("user_id")),
 
+    // Daily glucose summary + day-over-day trend — the per-day row of a
+    // CGM report (reading-count grain; duration-weighted bands live in
+    // ref_time_in_range). Shape: the (user, day) hash-agg runs FIRST with
+    // map-side combine (the full feed shrinks to day-grain rows before
+    // anything else moves), then the trend window re-shuffles only those
+    // slim aggregated rows by user. In-range share is exact integer
+    // micro-units; the day-over-day delta subtracts two already-4dp-
+    // quantized doubles (exact in IEEE on both engines).
+    QueryDef("ref_daily_summary",
+      (s, d) => {
+        val day = 86400L
+        val byDay = Tables.events(s, d)
+          .select(col("user_id"), expr(s"CAST(ts AS LONG) div $day").as("day"),
+            col("value"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_readings"),
+            avg(col("value")).as("__mu"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"),
+            sum(when(col("value").between(70, 180), 1L).otherwise(0L))
+              .as("__nir"))
+          .select(col("user_id"), col("day"), col("n_readings"),
+            SimOps.quant4(col("__mu")).as("mean_glucose"),
+            col("min_value"), col("max_value"),
+            expr("__nir * 1000000L div n_readings").as("in_range_micro"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("day"))
+        byDay.withColumn("delta_mean",
+          SimOps.quant4(col("mean_glucose") - lag(col("mean_glucose"), 1).over(w)))
+      },
+      Some(s"""WITH byday AS (SELECT user_id,
+             |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |   CAST(count(*) AS BIGINT) AS n_readings, avg(value) AS mu,
+             |   min(value) AS min_value, max(value) AS max_value,
+             |   CAST(sum(CASE WHEN value BETWEEN 70 AND 180 THEN 1 ELSE 0 END)
+             |     AS BIGINT) AS nir
+             |  FROM events GROUP BY 1, 2),
+             | q AS (SELECT user_id, day, n_readings,
+             |   ${SimOps.quant4Sql("mu")} AS mean_glucose, min_value, max_value,
+             |   nir * 1000000 // n_readings AS in_range_micro FROM byday)
+             | SELECT user_id, day, n_readings, mean_glucose, min_value,
+             |   max_value, in_range_micro,
+             |   ${SimOps.quant4Sql(
+                    "mean_glucose - lag(mean_glucose, 1) OVER " +
+                    "(PARTITION BY user_id ORDER BY day)")} AS delta_mean
+             | FROM q ORDER BY user_id, day""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id", "day")),
+
     // Hypoglycemic-episode detection — the gaps-and-islands pattern
     // (contiguous runs of a CONDITION, not time gaps like q_sessionize):
     // runs of readings below 70 mg/dL lasting >= 15 min, with onset,
