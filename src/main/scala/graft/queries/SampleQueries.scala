@@ -24,6 +24,10 @@ object SampleQueries {
   val TempTarget = 400L
   /** Fixed per-source quota for the deterministic reservoir. */
   val QuotaPerSource = 5
+  /** Per-source TOKEN budget for the token-grain quota — sized so the
+    * tiny sf0.001 sources fit whole (utilization gate-visible below 1)
+    * while sf0.01/sf0.1 sources genuinely truncate. */
+  val TokenBudget = 1000L
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -122,6 +126,53 @@ object SampleQueries {
               |  FROM documents)
               | WHERE rk <= $QuotaPerSource ORDER BY source, rk""".stripMargin
         .replace("\n", "")),
-      presentOrder = Seq("source", "rk"))
+      presentOrder = Seq("source", "rk")),
+
+    // TOKEN-budget quota (the grain mixtures are actually specified in):
+    // each source keeps its salted-hash-ordered prefix of docs while the
+    // running token total stays within the budget — a doc that would
+    // cross the line is dropped and, per the standard prefix rule, no
+    // later (smaller) doc back-fills, keeping the kept set a pure prefix
+    // (partition/retry/engine invariant, no RNG state). One source-keyed
+    // window (running sum), then a slim per-source roll-up on the same
+    // partitioning. Summary output: docs seen/kept, tokens kept, and
+    // budget utilization in micro-units.
+    QueryDef("sample_token_budget",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(SampleOps.sampleBucket(col("doc_id"), Salt), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.documents(s, d)
+          .withColumn("__tok",
+            size(graft.ops.TextOps.tokens(col("text"))).cast("long"))
+          .withColumn("__cum", sum(col("__tok")).over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("__cum") <= TokenBudget, 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when(col("__cum") <= TokenBudget, col("__tok"))
+              .otherwise(0L)).as("tokens_kept"))
+          .withColumn("util_micro",
+            expr(s"tokens_kept * 1000000L div $TokenBudget"))
+      },
+      Some(s"""WITH c AS (SELECT source, doc_id,
+              |   CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+              |   sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+              |     OVER (PARTITION BY source
+              |       ORDER BY ${SampleOps.sampleBucketSql("doc_id", Salt)}, doc_id
+              |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM documents)
+              | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(CASE WHEN cum <= $TokenBudget THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_kept,
+              |  CAST(sum(CASE WHEN cum <= $TokenBudget THEN tok ELSE 0 END)
+              |    AS BIGINT) AS tokens_kept,
+              |  CAST(sum(CASE WHEN cum <= $TokenBudget THEN tok ELSE 0 END)
+              |    AS BIGINT) * 1000000 // $TokenBudget AS util_micro
+              | FROM c GROUP BY source ORDER BY source""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("source"))
   )
 }

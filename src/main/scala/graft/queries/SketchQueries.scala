@@ -65,6 +65,70 @@ object SketchQueries {
              | FROM sh""".stripMargin.replace("\n", "")),
       presentOrder = Seq("exact_a")),
 
+    // Pairwise source-overlap MATRIX — the dataset-card cross-
+    // contamination panel generalizing sketch_corpus_overlap from one
+    // (train, eval) pair to every source pair. Sketch arm (the 100 TB
+    // path): ONE scan folds a mergeable DataSketches HLL per source
+    // (k sketches, map-side merge, bytes on the wire); the k²/2 pair
+    // estimates then come from driver-scale scalar `hll_union` of a
+    // k-row table — NO cross-corpus data join at any size. Exact arm
+    // (gate-only audit, same contract as sketch_corpus_overlap): a
+    // distinct-(source, shingle) self-equi-join on the hash — join
+    // groups bounded by sources² per shingle, never doc². Tolerance
+    // gate: each pair's estimated intersection must land within
+    // 3·rsd·(|A|+|B|) of exact (rsd ≈ 1.04/√2¹² for the default lgK=12,
+    // rounded up to 0.05/3 per sketch); the oracle pins the boolean.
+    QueryDef("sketch_overlap_matrix",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .select(col("source"),
+            explode(TextOps.shingleStrings("__toks")).as("sg"))
+          .select(col("source"), TextOps.hash64(col("sg")).as("h"))
+          .distinct()
+        val per = sh.groupBy("source").agg(
+          count(lit(1)).as("n"), expr("hll_sketch_agg(h)").as("sk"))
+        val a = per.select(col("source").as("source_a"),
+          col("n").as("exact_a"), col("sk").as("__ska"))
+        val b = per.select(col("source").as("source_b"),
+          col("n").as("exact_b"), col("sk").as("__skb"))
+        val inter = sh.as("x").join(sh.as("y"),
+            col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"),
+            col("y.source").as("source_b"))
+          .agg(count(lit(1)).as("__xi"))
+        a.join(b, col("source_a") < col("source_b"))
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .select(col("source_a"), col("source_b"), col("exact_a"),
+            col("exact_b"),
+            coalesce(col("__xi"), lit(0L)).as("exact_intersection"),
+            (abs((expr("hll_sketch_estimate(__ska)") +
+                  expr("hll_sketch_estimate(__skb)") -
+                  expr("hll_sketch_estimate(hll_union(__ska, __skb))")) -
+                 coalesce(col("__xi"), lit(0L))) <=
+              // 3 · rsd(lgK=12) ≈ 3 · 0.0163, rounded up to 0.05
+              (col("exact_a") + col("exact_b")) * lit(0.05))
+              .as("est_within_bound"))
+      },
+      Some(s"""WITH t AS (SELECT source, string_split(text, ' ') AS tk
+             |  FROM documents),
+             | sh AS (SELECT DISTINCT source,
+             |   unnest(${TextOps.shingleHashesSql("tk")}) AS h FROM t),
+             | per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |   FROM sh GROUP BY 1),
+             | inter AS (SELECT x.source AS sa, y.source AS sb,
+             |   CAST(count(*) AS BIGINT) AS i
+             |   FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+             |   GROUP BY 1, 2)
+             | SELECT a.source AS source_a, b.source AS source_b,
+             |  a.n AS exact_a, b.n AS exact_b,
+             |  coalesce(i.i, CAST(0 AS BIGINT)) AS exact_intersection,
+             |  TRUE AS est_within_bound
+             | FROM per a JOIN per b ON a.source < b.source
+             | LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+             | ORDER BY source_a, source_b""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("source_a", "source_b")),
+
     // Count-Min Sketch frequency audit: ONE 32 KiB mergeable sketch
     // (catalyst/CmsAgg, element-wise-sum merge, map-side partials) over
     // every term occurrence, probed for the top-10 exact-count terms —
