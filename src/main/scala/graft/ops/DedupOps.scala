@@ -1268,4 +1268,79 @@ object DedupOps {
         FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
         ORDER BY doc_a, doc_b"""
   }
+
+  /** Content-defined chunking (Rabin-style polynomial rolling hash) —
+    * the shift-INVARIANT chunker fixed grids cannot be: a token inserted
+    * at the front of a doc moves every 16/8 grid chunk
+    * (`dedup_chunk_exact` then sees nothing shared), but CDC cut points
+    * are a pure function of the local token window, so all chunks after
+    * the edit's neighborhood re-align — the rsync/LBFS/dedup-storage
+    * trick applied to corpus text.
+    *
+    * Rolling hash: token value x = hash64(token) mod P (P = 1000003,
+    * prime); window hash over the last W=4 tokens
+    * h_i = Σ_{k<W} x_{i−k}·B^k mod P (B = 257 — largest intermediate
+    * x·B³ < 2⁵⁵, no wrap); a cut lands after position i whenever
+    * h_i mod D = 0 (D = `cdcDivisor` — expected chunk length D), never
+    * after the final token (no empty tail chunk). Every position's hash
+    * is an independent 4-term sum, so the whole chunker is ONE narrow
+    * array-HOF map — no sequential scan, no shuffle, embarrassingly
+    * parallel at any corpus size.
+    *
+    * Output: one row per chunk — (idCol, start [0-based token offset],
+    * chunk [space-joined text]).
+    */
+  val CdcP = 1000003L
+  val CdcB = 257L
+  val CdcW = 4
+  /** B^k mod P for k = 1..3 (B⁰ = 1), precomputed so both engines inline
+    * the same literals. */
+  private val cdcB2 = (CdcB * CdcB) % CdcP
+  private val cdcB3 = (cdcB2 * CdcB) % CdcP
+
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+                cdcDivisor: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // 0-based: window-end index i in [3, n-2]; cut after i.
+    val cuts =
+      s"""CASE WHEN size(__toks) < 5 THEN CAST(array() AS ARRAY<INT>)
+          ELSE filter(sequence(3, size(__toks) - 2), i ->
+            (__xs[i] + __xs[i-1] * $CdcB + __xs[i-2] * $cdcB2 +
+             __xs[i-3] * $cdcB3) % $CdcP % $cdcDivisor = 0) END"""
+    docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__xs", expr(
+        s"transform(__toks, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $CdcP)"))
+      .withColumn("__bs", expr(cuts))
+      .withColumn("__j", explode(expr("sequence(0, size(__bs))")))
+      .withColumn("start", expr(
+        "CAST(CASE WHEN __j = 0 THEN 0 ELSE __bs[__j - 1] + 1 END AS BIGINT)"))
+      .withColumn("__end", expr(
+        "CASE WHEN __j = size(__bs) THEN size(__toks) ELSE __bs[__j] + 1 END"))
+      .select(col(idCol), col("start"),
+        expr("concat_ws(' ', slice(__toks, CAST(start AS INT) + 1, __end - CAST(start AS INT)))")
+          .as("chunk"))
+  }
+
+  def cdcChunksSql(table: String, textCol: String, idCol: String,
+                   cdcDivisor: Long): String =
+    // 1-based: window-end index i in [4, n-1]; cut after token i; the
+    // emitted 0-based start of the following chunk is exactly i.
+    s"""SELECT $idCol, CAST(st[j] AS BIGINT) AS start,
+          array_to_string(list_slice(tk, st[j] + 1, en[j]), ' ') AS chunk
+        FROM (
+          SELECT $idCol, tk, list_concat([0], bs) AS st,
+                 list_concat(bs, [len(tk)]) AS en,
+                 unnest(range(1, len(bs) + 2)) AS j
+          FROM (
+            SELECT $idCol, tk,
+                   list_filter(range(4, len(xs)), i ->
+                     (xs[i] + xs[i-1] * $CdcB + xs[i-2] * $cdcB2 +
+                      xs[i-3] * $cdcB3) % $CdcP % $cdcDivisor = 0) AS bs
+            FROM (
+              SELECT $idCol, tk,
+                     list_transform(tk, s ->
+                       ${TextOps.hash64Sql("s")} % $CdcP) AS xs
+              FROM (SELECT $idCol, ${TextOps.tokensSql(textCol)} AS tk
+                    FROM $table))))"""
 }

@@ -410,6 +410,52 @@ object PipelineQueries {
       },
       presentOrder = Seq("doc_id")),
 
+    // Content-defined chunk dedup — the SHIFT-INVARIANT sibling of
+    // dedup_chunk_exact: chunk boundaries come from a Rabin-style
+    // polynomial rolling hash over the local 4-token window (cut where
+    // h mod 8 = 0), so an insertion re-aligns all chunks past its
+    // neighborhood instead of moving every fixed-grid window — the
+    // rsync/LBFS/dedup-storage chunker applied to corpus text. Chunking
+    // itself is ONE narrow array-HOF map (each position's hash is an
+    // independent 4-term sum — no sequential scan); ownership then runs
+    // the chunk_exact shape: one hash-agg per DISTINCT chunk + re-join +
+    // per-doc roll-up.
+    QueryDef("dedup_cdc_chunks",
+      (s, d) => {
+        val chunks = graft.ops.DedupOps.cdcChunks(
+          Tables.documents(s, d), "text", "doc_id", cdcDivisor = 8L)
+        val firstOwner = chunks.groupBy(col("chunk"))
+          .agg(min(struct(col("doc_id"), col("start"))).as("__o"))
+          .select(col("chunk"), col("__o.doc_id").as("__od"),
+            col("__o.start").as("__os"))
+        chunks.join(firstOwner, "chunk")
+          .withColumn("kept",
+            (col("doc_id") === col("__od") && col("start") === col("__os"))
+              .cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("kept")).as("n_kept"),
+            round(sum(col("kept")).cast("double") / count(lit(1)), 4)
+              .cast("decimal(18,4)").cast("double").as("keep_frac"))
+      },
+      Some {
+        val chunksSql = graft.ops.DedupOps.cdcChunksSql(
+          "documents", "text", "doc_id", cdcDivisor = 8L)
+        s"""WITH ch AS ($chunksSql),
+            own AS (SELECT chunk, doc_id AS od, start AS os FROM (
+              SELECT chunk, doc_id, start, row_number() OVER (PARTITION BY chunk
+                ORDER BY doc_id, start) AS rn FROM ch) WHERE rn = 1)
+            SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(CASE WHEN ch.doc_id = od AND ch.start = os
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(round(sum(CASE WHEN ch.doc_id = od AND ch.start = os
+                THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+                AS DECIMAL(18,4))::DOUBLE AS keep_frac
+            FROM ch JOIN own ON ch.chunk = own.chunk
+            GROUP BY ch.doc_id ORDER BY ch.doc_id"""
+      },
+      presentOrder = Seq("doc_id")),
+
     // RAG ingestion prep, end to end: chunk (text_chunks' 16/8 windows,
     // now with materialized chunk text) → deterministic embedding (the
     // mm_embed_features recipe re-expressed declaratively: 60-bit md5

@@ -373,6 +373,47 @@ class DedupSimSpec extends SparkSpec {
     assert(tight.intersect(bruteSet).size >= (bruteSet.size * 7) / 10)
   }
 
+  test("CDC chunking is shift-invariant: a front insertion re-aligns every later cut") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val toks = Seq.fill(80)(vocab(rnd.nextInt(vocab.size)))
+    val a = toks.mkString(" ")
+    val b = ("inserted" +: toks).mkString(" ")
+    val docs = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val rows = graft.ops.DedupOps.cdcChunks(docs, "text", "doc_id", 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val aChunks = rows.filter(_._1 == 0L).sortBy(_._2)
+    val bChunks = rows.filter(_._1 == 1L).sortBy(_._2)
+    // Cut positions are a pure function of the local 4-token window, so
+    // every cut of A (after 0-based i >= 3) reappears in B at i + 1 —
+    // the shifted doc re-aligns; only the insertion's own neighborhood
+    // (the first ~W positions) may differ.
+    val aCuts = aChunks.map(_._2).filter(_ > 0)        // starts = cut + 1
+    val bStarts = bChunks.map(_._2).toSet
+    assert(aCuts.forall(c => bStarts.contains(c + 1)),
+      s"aCuts=${aCuts.toSeq} bStarts=$bStarts")
+    // Hence all of A's chunks except (at most) the first re-occur
+    // verbatim in B.
+    val shared = aChunks.map(_._3).toSet.intersect(bChunks.map(_._3).toSet)
+    assert(shared.size >= aChunks.length - 1, s"only $shared shared")
+    assert(aChunks.length >= 5, "test corpus produced too few chunks to be meaningful")
+    // The fixed 16/8 grid shares NO chunk after the same insertion —
+    // the failure CDC exists to fix.
+    val grid = docs
+      .withColumn("__toks", graft.ops.TextOps.tokens(col("text")))
+      .withColumn("n", size(col("__toks")).cast("long"))
+      .withColumn("k", expr(graft.ops.TextOps.chunkCountExpr))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, k - 1)")))
+      .selectExpr("doc_id",
+        s"array_join(${graft.ops.TextOps.chunkSliceExpr("__toks")}, ' ') AS c")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val gShared = grid.filter(_._1 == 0L).map(_._2).toSet
+      .intersect(grid.filter(_._1 == 1L).map(_._2).toSet)
+    assert(gShared.isEmpty, s"grid unexpectedly re-aligned: $gShared")
+  }
+
   test("pq_encode expression matches the composed-builtin tree bit-for-bit") {
     import spark.implicits._
     graft.catalyst.GraftFunctions.register(spark)
