@@ -1343,4 +1343,88 @@ object DedupOps {
                        ${TextOps.hash64Sql("s")} % $CdcP) AS xs
               FROM (SELECT $idCol, ${TextOps.tokensSql(textCol)} AS tk
                     FROM $table))))"""
+
+  /** Boilerplate-removal knobs: non-overlapping [[BoilerBlock]]-token
+    * blocks (last block may be short); a block TEXT occurring in >=
+    * [[BoilerMinDf]] DISTINCT documents anywhere in the corpus is
+    * boilerplate. */
+  val BoilerBlock = 8
+  val BoilerMinDf = 3
+
+  /** Boilerplate stripping — C4's line-frequency rule ("Exploring the
+    * Limits of Transfer Learning…" §2.2: any line occurring >= 3 times
+    * in the corpus is removed from every page) at the block grain.
+    *
+    * Contrast with [[spanRewrite]] (Lee et al. ExactSubstr): that keeps
+    * the globally-FIRST copy of each duplicated stride-1 window;
+    * boilerplate is navigation/footer noise with NO canonical owner —
+    * every occurrence is removed, including the first, and the trigger is
+    * document frequency (>= [[BoilerMinDf]] distinct docs), not raw
+    * occurrence count (same-doc repetition alone never flags a block).
+    * Domain-scoped template removal (RefinedWeb-style) is the same plan
+    * with the source column added to the df key.
+    *
+    * Scale shape: blocks are non-overlapping, so the occurrence table is
+    * tokens/[[BoilerBlock]] rows (8x smaller than the stride-1 span
+    * table); document frequency is ONE block-hash aggregation with
+    * map-side partials (countDistinct over doc_id — exact at gate scale;
+    * the 100 TB variant would fold an HLL per block the way
+    * `sketch_overlap_matrix` does); the flag join is a hash equi-join
+    * where the df side holds one row per DISTINCT block — broadcast-able
+    * for template-heavy corpora. Reconstruction never touches the token
+    * array again: blocks PARTITION the document, so the cleaned text is
+    * the kept blocks re-joined in block order inside one doc_id-keyed
+    * aggregation.
+    *
+    * Output per doc (all docs): (doc_id, n_blocks, n_removed,
+    * clean_text).
+    */
+  def boilerplateClean(docs: DataFrame, textCol: String, idCol: String,
+                       block: Int = BoilerBlock,
+                       minDf: Int = BoilerMinDf): DataFrame = {
+    val blocks = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST((size(__toks) + ${block - 1}) div $block AS INT) - 1),
+              b -> concat_ws(' ', slice(__toks, b * $block + 1, $block)))""")))
+      .select(col("doc_id"), col("pos"), col("col").as("__bt"),
+        TextOps.hash64(col("col")).as("__h"))
+    val df = blocks.groupBy(col("__h"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    blocks.join(df, Seq("__h"))
+      .withColumn("__bp", col("__df") >= minDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__bp").cast("long")).as("n_removed"),
+        expr("""array_join(transform(
+            filter(sort_array(collect_list(struct(pos AS p, __bt AS t, __bp AS r))),
+                   s -> NOT s.r),
+            s -> s.t), ' ')""").as("clean_text"))
+  }
+
+  /** Oracle twin of [[boilerplateClean]] — identical blocks, document
+    * frequency, remove-everywhere rule, and block-order
+    * reconstruction. */
+  def boilerplateCleanSql(table: String, textCol: String, idCol: String,
+                          block: Int = BoilerBlock,
+                          minDf: Int = BoilerMinDf): String =
+    s"""WITH t AS (SELECT $idCol AS doc_id,
+              ${TextOps.tokensSql(textCol)} AS tk FROM $table),
+        b AS (SELECT doc_id, tk,
+              unnest(generate_series(0, (len(tk) + ${block - 1}) // $block - 1)) AS bi
+              FROM t),
+        bt AS (SELECT doc_id, CAST(bi AS INT) AS bi,
+               array_to_string(list_slice(tk, bi * $block + 1, bi * $block + $block), ' ') AS btxt
+               FROM b),
+        h AS (SELECT doc_id, bi, btxt, ${TextOps.hash64Sql("btxt")} AS h FROM bt),
+        df AS (SELECT h, count(DISTINCT doc_id) AS df FROM h GROUP BY h),
+        fl AS (SELECT doc_id, bi, btxt, (df >= $minDf) AS bp
+               FROM h JOIN df USING (h))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+          CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          coalesce(string_agg(CASE WHEN NOT bp THEN btxt END, ' ' ORDER BY bi), '')
+            AS clean_text
+        FROM fl GROUP BY doc_id
+        ORDER BY doc_id"""
 }

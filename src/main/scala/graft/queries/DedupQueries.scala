@@ -141,6 +141,20 @@ object DedupQueries {
       Some(DedupOps.spanRewriteSql("documents", "text", "doc_id")),
       presentOrder = Seq("doc_id")),
 
+    // Boilerplate stripping — C4's line-frequency rule at the
+    // non-overlapping 8-token block grain: a block occurring in >= 3
+    // DISTINCT docs anywhere in the corpus is removed EVERYWHERE
+    // (no canonical copy — the opposite keep-rule of span_rewrite's
+    // keep-first). Blocks partition each doc, so the occurrence table
+    // is 8x smaller than the stride-1 span table, df is one
+    // block-hash agg, and reconstruction is one doc-keyed roll-up of
+    // the kept blocks in order.
+    QueryDef("dedup_boilerplate",
+      (s, d) => DedupOps.boilerplateClean(Tables.documents(s, d),
+        "text", "doc_id"),
+      Some(DedupOps.boilerplateCleanSql("documents", "text", "doc_id")),
+      presentOrder = Seq("doc_id")),
+
     // Incremental span cleaning: the arriving 20% batch loses every
     // >=8-token window already present in the indexed 80% — ONE hash
     // equi-join against the old corpus's DISTINCT window index (cost ∝

@@ -242,6 +242,80 @@ object SketchQueries {
       Some("""SELECT count(DISTINCT source) AS n_sources,
              | count(DISTINCT doc_id) AS exact_docs,
              | TRUE AS merged_within_bound FROM documents""".stripMargin
-        .replace("\n", "")))
+        .replace("\n", ""))),
+
+    // KMV (bottom-k) distinct sketch — the deterministic counterpart of
+    // the HLL rows: the sketch is the k smallest distinct shingle
+    // hashes, a pure FUNCTION of the value set, so the gate pins the
+    // k-th order statistic and the (k-1)*M div h_k estimate EXACTLY
+    // against a DuckDB window-rank twin — no tolerance bound, unlike
+    // any HLL estimator. Spark folds the sketch with the typed
+    // mergeable KmvSketchAgg (bounded sorted-array state, map-side
+    // partials: a petabyte corpus ships k longs per source); the
+    // __ALL__ row re-runs the SAME aggregator over the per-source
+    // sketch CONTENTS, proving KMV's union closure (every globally
+    // small hash is small in its own source). Exact distinct counts
+    // are the gate-scale audit arm, as in sketch_corpus_overlap.
+    QueryDef("sketch_kmv_distinct",
+      (s, d) => {
+        import graft.catalyst.KmvSketchAgg
+        val k = KmvSketchAgg.SketchK
+        val sh = Tables.documents(s, d)
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .select(col("source"),
+            explode(TextOps.shingleStrings("__toks")).as("sg"))
+          .select(col("source"), TextOps.hash64(col("sg")).as("h"))
+        val perSource = sh.groupBy(col("source")).agg(
+          KmvSketchAgg.kmvSketch(col("h")).as("__sk"),
+          countDistinct(col("h")).as("exact_distinct"))
+        val globalRow = perSource
+          .select(explode(col("__sk")).as("h"))
+          .agg(KmvSketchAgg.kmvSketch(col("h")).as("__sk"))
+          .crossJoin(sh.agg(countDistinct(col("h")).as("exact_distinct")))
+          .select(lit("__ALL__").as("source"), col("__sk"),
+            col("exact_distinct"))
+        perSource.select(col("source"), col("__sk"), col("exact_distinct"))
+          .unionByName(globalRow)
+          .select(col("source"),
+            size(col("__sk")).cast("long").as("sketch_n"),
+            element_at(col("__sk"), size(col("__sk"))).as("kth_min"),
+            expr(KmvSketchAgg.estimateExpr("__sk")).as("est_distinct"),
+            col("exact_distinct"),
+            expr(s"""abs(${KmvSketchAgg.estimateExpr("__sk")} - exact_distinct)
+                     * 1000 div exact_distinct""").as("err_permille"))
+      },
+      Some {
+        val k = graft.catalyst.KmvSketchAgg.SketchK
+        s"""WITH t AS (SELECT source, ${TextOps.tokensSql("text")} AS tk
+              FROM documents),
+            sh AS (SELECT source, unnest(${TextOps.shingleHashesSql("tk")}) AS h
+              FROM t),
+            d AS (SELECT DISTINCT source, h FROM sh),
+            r AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                  FROM d),
+            sk AS (SELECT source, list(h ORDER BY h) AS sk,
+                   count(*) AS sketch_n FROM r WHERE rn <= $k GROUP BY source),
+            ex AS (SELECT source, count(*) AS exact_distinct FROM d
+                   GROUP BY source),
+            ga AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                   FROM (SELECT DISTINCT h FROM sh)),
+            gsk AS (SELECT list(h ORDER BY h) AS sk, count(*) AS sketch_n
+                    FROM ga WHERE rn <= $k),
+            gex AS (SELECT count(DISTINCT h) AS exact_distinct FROM sh),
+            u AS (SELECT source, sk, sketch_n, exact_distinct
+                  FROM sk JOIN ex USING (source)
+                  UNION ALL
+                  SELECT '__ALL__', sk, sketch_n, exact_distinct
+                  FROM gsk, gex)
+            SELECT source, CAST(sketch_n AS BIGINT) AS sketch_n,
+              sk[CAST(sketch_n AS INT)] AS kth_min,
+              ${graft.catalyst.KmvSketchAgg.estimateSql("sk")} AS est_distinct,
+              CAST(exact_distinct AS BIGINT) AS exact_distinct,
+              abs(${graft.catalyst.KmvSketchAgg.estimateSql("sk")}
+                  - exact_distinct) * 1000 // exact_distinct AS err_permille
+            FROM u ORDER BY source"""
+      },
+      presentOrder = Seq("source"))
   )
 }

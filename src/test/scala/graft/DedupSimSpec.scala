@@ -957,4 +957,81 @@ class DedupSimSpec extends SparkSpec {
     val seq = (0 to 2).map(total)
     assert(seq(1) <= seq(0) && seq(2) <= seq(1))
   }
+
+  test("topKMips ranks by inner product and the augmented-cosine reduction agrees") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    // magnitude matters: v3 points the same way as the query but is LONGER
+    // than the more-aligned-but-short v2 — cosine would pick v2, MIPS v3.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(0.5f, 0.1f, 0.0f)),   // ip 0.5
+      (2L, Array(0.9f, 0.0f, 0.0f)),   // ip 0.9, cosine 1.0
+      (3L, Array(3.0f, 1.0f, 0.0f)),   // ip 3.0, cosine 0.95
+      (4L, Array(0.0f, 5.0f, 0.0f))    // ip 0.0
+    ).toDF("vec_id", "embedding")
+    val out = SimOps.topKMips(vecs, col("vec_id") === 0L, k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 2L, 1L))
+    assert(out.head.getAs[Double]("ip") == 3.0)
+    assert(out.forall(_.getAs[Boolean]("reduction_ok")))
+  }
+
+  test("topKMips equals a direct inner-product ranking on real embeddings") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = SimOps.topKMips(emb, col("vec_id") < 5, k = 10)
+    assert(out.count() == 50)
+    assert(out.filter(!col("reduction_ok")).count() == 0)
+    // cross-check one query against a plain dot-product sort
+    val q0 = out.filter(col("query_id") === 0L).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    val brute = emb.crossJoin(
+        emb.filter(col("vec_id") === 0L).select(col("embedding").as("q")))
+      .filter(col("vec_id") =!= 0L)
+      .withColumn("ip", round(expr("array_dot(q, embedding)"), 6))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .select("vec_id").as[Long].take(10).toSeq
+    assert(q0 == brute)
+  }
+
+  test("boilerplateClean removes df>=3 blocks everywhere, keeps df<3 and same-doc repeats") {
+    import spark.implicits._
+    def blk(p: String) = (1 to 8).map(p + _).mkString(" ") // one exact block
+    val B = blk("b")  // in 3 docs → boilerplate, removed everywhere
+    val W = blk("w")  // in 2 docs → kept (df below threshold)
+    val Q = blk("q")  // twice in ONE doc → kept (same-doc repetition)
+    val docs = Seq(
+      (1L, s"$B ${blk("u1")}"), // B leads
+      (2L, s"${blk("u2")} $B"), // B is the second block — alignment holds
+      (3L, B),                  // doc is pure boilerplate → cleaned empty
+      (4L, s"$Q $Q"),
+      (5L, s"$W ${blk("u5")}"),
+      (6L, s"$W ${blk("u6")}")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.boilerplateClean(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((2L, 1L, blk("u1"))))
+    assert(out(2L) == ((2L, 1L, blk("u2"))))
+    assert(out(3L) == ((1L, 1L, "")))
+    assert(out(4L) == ((2L, 0L, s"$Q $Q")))
+    assert(out(5L) == ((2L, 0L, s"$W ${blk("u5")}")))
+    assert(out(6L) == ((2L, 0L, s"$W ${blk("u6")}")))
+  }
+
+  test("boilerplateClean keeps short trailing blocks and round-trips clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h tail1 tail2"),  // 8-block + 2-token short block
+      (2L, "only five tokens in here")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.boilerplateClean(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((2L, "a b c d e f g h tail1 tail2")))
+    assert(out(2L) == ((1L, "only five tokens in here")))
+  }
 }
