@@ -107,6 +107,97 @@ object SimOps {
           FROM scored)
         WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Maximum-inner-product search (MIPS) with the norm-augmentation
+    * reduction to cosine (Bachrach et al., "Speeding Up the Xbox
+    * Recommender System Using a Euclidean Transformation for
+    * Inner-Product Spaces", RecSys 2014): append sqrt(M² − ‖x‖²) to every
+    * database vector (M = max corpus norm, making every augmented vector
+    * the SAME length M) and 0 to every query; then
+    * cos(q̂, x̂) = q·x / (‖q‖·M) is a fixed positive rescaling of the
+    * inner product per query, so cosine order ≡ inner-product order and
+    * MIPS inherits every cosine-ANN path in this file (LSH tables, IVF
+    * cells, PQ codes) UNCHANGED — that is the 100 TB story: no new index
+    * structure, one extra float per vector.
+    *
+    * This operator returns the exact brute top-k by inner product (the
+    * baseline the ANN paths would be recall-audited against, same
+    * contract as [[topKBruteForce]]) plus a per-query `reduction_ok`
+    * audit: the top-k SET chosen by augmented-cosine order (double
+    * precision, same vec_id tie-break) must equal the inner-product
+    * top-k set. The augmentation runs in double space, so its only
+    * distortion is the ~1-ulp sqrt round-trip in ‖x̂‖ — an order flip
+    * would need two inner products within ~1e-13 relative, i.e. the
+    * audit genuinely fails if the transform is wrong and never fails on
+    * float noise. The oracle pins the boolean TRUE and ranks by raw
+    * inner product.
+    *
+    * Scale shape: identical to [[topKBruteForce]] — queries broadcast,
+    * one narrow scored map, per-query top-k window; M is a single-scalar
+    * driver collect (codebook-class, not data-scale). The audit doubles
+    * the window work at gate scale only; production publishes the
+    * ranking alone.
+    */
+  def topKMips(vectors: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val base = vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("__n2", expr("array_dot(embedding, embedding)"))
+    val m2 = base.agg(max(col("__n2"))).head.getDouble(0)
+    val aug = base.withColumn("__aug", expr(
+      s"""concat(transform(embedding, x -> CAST(x AS DOUBLE)),
+          array(sqrt(greatest($m2 - __n2, 0d))))"""))
+    val queries = aug.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        expr("concat(transform(embedding, x -> CAST(x AS DOUBLE)), array(0d))")
+          .as("qa"))
+    val scored = aug
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__ip", expr("array_dot(q, embedding)"))
+      .withColumn("__cos_aug",
+        expr("array_dot(qa, __aug)") /
+          (sqrt(expr("array_dot(qa, qa)")) * sqrt(expr("array_dot(__aug, __aug)"))))
+    val wIp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ip").desc, col("vec_id"))
+    val wAug = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos_aug").desc, col("vec_id"))
+    val ranked = scored
+      .withColumn("__ri", row_number().over(wIp))
+      .withColumn("__ra", row_number().over(wAug))
+    val audit = ranked.filter(col("__ri") <= k || col("__ra") <= k)
+      .groupBy(col("query_id"))
+      .agg((sort_array(collect_set(when(col("__ri") <= k, col("vec_id")))) ===
+        sort_array(collect_set(when(col("__ra") <= k, col("vec_id")))))
+        .as("reduction_ok"))
+    // Output ranking re-ranks on the 6-dp ROUNDED inner product (the
+    // cross-engine-stable key, as topKBruteForce does) — the raw-double
+    // __ri order is audit-internal only.
+    val wOut = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("__ip"), 6).desc, col("vec_id"))
+    ranked
+      .withColumn("rank", row_number().over(wOut))
+      .filter(col("rank") <= k)
+      .join(audit, Seq("query_id"))
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        quant4(round(col("__ip"), 6)).as("ip"), col("reduction_ok"))
+  }
+
+  /** Oracle twin of [[topKMips]] — raw inner-product ranking; the
+    * reduction audit is pinned TRUE. */
+  def topKMipsSql(table: String, queryPredSql: String, k: Int): String =
+    s"""WITH queries AS (SELECT vec_id AS query_id, embedding AS q
+                         FROM $table WHERE $queryPredSql),
+        scored AS (
+          SELECT query_id, vec_id,
+                 round(list_inner_product((q)::DOUBLE[], (embedding)::DOUBLE[]),
+                       6) AS score
+          FROM queries CROSS JOIN $table WHERE vec_id <> query_id)
+        SELECT query_id, rank, neighbor_id, ip, TRUE AS reduction_ok FROM (
+          SELECT query_id, vec_id AS neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS INT) AS rank,
+                 ${quant4Sql("score")} AS ip
+          FROM scored)
+        WHERE rank <= $k ORDER BY query_id, rank"""
+
   /** Signature bits: sign of v · r_i per hyperplane, packed into a bucket
     * id. Vectors in the same bucket are "probably close".
     * Built with Column/typedLit, NOT an expr(...) string: inlining the

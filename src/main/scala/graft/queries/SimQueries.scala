@@ -78,6 +78,23 @@ object SimQueries {
       Some(SimOps.topKBruteForceSql("embeddings", QueryPredSql, K)),
       presentOrder = Seq("query_id", "rank")),
 
+    // MIPS — top-k by INNER PRODUCT (the recommender/retrieval scoring
+    // where un-normalized magnitude matters), via the Bachrach et al.
+    // norm-augmentation reduction: one extra component makes every
+    // database vector the same length, so cosine order ≡ inner-product
+    // order and MIPS rides every cosine-ANN path (LSH/IVF/PQ) with NO
+    // new index. Spark ranks by inner product and AUDITS the reduction
+    // per query (augmented-cosine top-k set ≡ ip top-k set, double
+    // precision); the oracle re-ranks by raw inner product and pins the
+    // audit TRUE.
+    QueryDef("sim_topk_mips",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.topKMips(Tables.embeddings(s, d), col("vec_id") < 10, K)
+      },
+      Some(SimOps.topKMipsSql("embeddings", QueryPredSql, K)),
+      presentOrder = Seq("query_id", "rank")),
+
     QueryDef("sim_topk_lsh",
       (s, d) => {
         graft.catalyst.GraftFunctions.register(s)
