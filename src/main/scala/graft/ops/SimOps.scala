@@ -175,7 +175,7 @@ object SimOps {
     ranked
       .withColumn("rank", row_number().over(wOut))
       .filter(col("rank") <= k)
-      .join(audit, Seq("query_id"))
+      .join(broadcast(audit), Seq("query_id"))
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         quant4(round(col("__ip"), 6)).as("ip"), col("reduction_ok"))
   }

@@ -282,4 +282,33 @@ class PlanSpec extends SparkSpec {
       s"vocabulary head should cap via TakeOrdered:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
+
+  test("boilerplate df join is hash-keyed — no sort-merge fallback, no cartesian") {
+    val p = planOf("dedup_boilerplate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"block-df flag must attach via hash equi-join:\n$p")
+    // document-frequency is a partial-aggregable count distinct, not a
+    // window sort over all block occurrences
+    assert(p.contains("HashAggregate"), s"df should hash-aggregate:\n$p")
+  }
+
+  test("kmv sketch folds via partial aggregation — map-side ObjectHashAggregate") {
+    val p = planOf("sketch_kmv_distinct")
+    // The typed Aggregator must run as a two-phase (partial -> final)
+    // object hash aggregate so only k longs per source cross the wire —
+    // a sort-based fallback would serialize every hash occurrence.
+    assert(p.contains("ObjectHashAggregate"),
+      s"kmv should run as ObjectHashAggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("MIPS scoring broadcasts the query side like the brute baseline") {
+    graft.catalyst.GraftFunctions.register(spark)
+    val p = planOf("sim_topk_mips")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no key to sort-merge on — scoring is a broadcast product:\n$p")
+  }
 }
