@@ -534,6 +534,38 @@ object StatefulOps {
       }
   }
 
+  case class KmvEst(grp: String, sketchN: Int, est: Long, sketch: Seq[Long])
+
+  /** Streaming twin of the batch KMV sketch (`sketch_kmv_distinct`):
+    * keyed state is the bottom-k distinct-hash array itself, folded with
+    * the SAME [[graft.catalyst.KmvSketchAgg]] reduce the batch
+    * aggregator uses — so cross-engine determinism carries over verbatim
+    * (the final state is a pure function of the id SET, independent of
+    * micro-batching, ordering, or at-least-once replays; set-insert
+    * absorbs duplicates). Emits the refreshed sketch size and estimate
+    * per micro-batch (Update semantics). State is k longs per group
+    * FOREVER — same bound as the batch wire shape. Unlike the HLL twin
+    * the snapshot is not estimate-equal-by-luck: it is byte-equal to
+    * the batch sketch, asserted in `StreamingSpec`. */
+  def streamingKmv(events: Dataset[IdEvent], k: Int): Dataset[KmvEst] = {
+    import events.sparkSession.implicits._
+    val agg = new graft.catalyst.KmvSketchAgg(k)
+    events
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[Array[Long], KmvEst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[IdEvent], state: GroupState[Array[Long]]) =>
+          var buf = state.getOption.getOrElse(Array.emptyLongArray)
+          rows.foreach(r => buf = agg.reduce(buf, r.id))
+          state.update(buf)
+          val est =
+            if (buf.length < k) buf.length.toLong
+            else ((BigInt(k - 1) * BigInt(graft.catalyst.KmvSketchAgg.HashSpace))
+              / BigInt(buf(k - 1))).toLong
+          Iterator(KmvEst(grp, buf.length, est, buf.toSeq))
+      }
+  }
+
   def streamingDistinct(events: Dataset[IdEvent],
                         lgK: Int): Dataset[DistinctEst] = {
     import events.sparkSession.implicits._

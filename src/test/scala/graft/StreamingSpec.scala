@@ -921,4 +921,37 @@ class StreamingSpec extends SparkSpec {
     in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
     assert(latest.toMap === batch)
   }
+
+  test("streaming KMV sketch is byte-equal to the batch aggregator across batches and replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{IdEvent, KmvEst}
+    val dir = "/root/testdata/sf0.001"
+    val k = 32
+    // Batch truth: the SAME typed aggregator the gate query uses.
+    val batch = graft.Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(graft.catalyst.KmvSketchAgg.kmvSketch(col("doc_id"), k).as("sk"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).toMap
+    val evs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id")).orderBy("doc_id").collect()
+      .map(r => IdEvent(r.getString(0), r.getLong(1)))
+    val latest = scala.collection.mutable.Map[String, KmvEst]()
+    val in = MemoryStream[IdEvent]
+    val q = graft.streaming.StatefulOps.streamingKmv(in.toDS(), k)
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[KmvEst], _: Long) =>
+        ds.collect().foreach(e => latest(e.grp) = e)
+      }.start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.take(third): _*); q.processAllAvailable() // replay
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(latest.keySet === batch.keySet)
+    for ((g, sk) <- batch) {
+      assert(latest(g).sketch === sk, s"kmv state drift for group $g")
+      assert(latest(g).sketchN === sk.length)
+    }
+  }
 }
