@@ -313,6 +313,71 @@ object PipelineQueries {
     // length, and the fraction of padding a max-length-padded batch
     // would waste. One hash-agg; padding math is exact integers until
     // the final quantized fraction.
+    // Dataset card — the per-source summary panel a corpus release ships
+    // (docs, tokens, median length, dominant language + share, exact-dup
+    // and short-doc rates): every stat folds in ONE source-keyed
+    // hash-agg over a doc-grain frame (the dup flag joins a corpus-wide
+    // text-hash count — one row per DISTINCT text, broadcast-able); the
+    // language mode resolves in the same pass via min(struct(-count,
+    // lang)) (largest count, lexicographic tie-break) instead of a
+    // window sort. Rates in integer permille; the median is the only
+    // double (interpolated, quant4 both engines).
+    QueryDef("pipeline_dataset_card",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .withColumn("__n",
+            size(TextOps.tokens(col("text"))).cast("long"))
+          .withColumn("__th", md5(col("text")))
+        val dupes = base.groupBy(col("__th"))
+          .agg(count(lit(1)).as("__c"))
+        val flagged = base.join(dupes, "__th")
+          .withColumn("__dup", col("__c") >= 2)
+        val langTop = Tables.documents(s, d)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("__lc"))
+          .groupBy(col("source"))
+          .agg(min(struct((-col("__lc")).as("nc"), col("lang").as("l")))
+            .as("__t"))
+          .select(col("source"), col("__t.l").as("top_lang"),
+            (-col("__t.nc")).as("__tc"))
+        flagged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__n")).as("total_tokens"),
+            sum(when(col("__dup"), 1L).otherwise(0L)).as("__dups"),
+            sum(when(col("__n") < 20, 1L).otherwise(0L)).as("__short"),
+            expr("percentile(__n, 0.5)").as("__med"))
+          .join(langTop, Seq("source"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("top_lang"),
+            expr("__tc * 1000 div n_docs").as("top_lang_permille"),
+            expr("__dups * 1000 div n_docs").as("dup_permille"),
+            expr("__short * 1000 div n_docs").as("short_permille"),
+            graft.ops.SimOps.quant4(col("__med")).as("median_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT source, lang, md5(text) AS th,
+             |   CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n
+             |  FROM documents),
+             | dupset AS (SELECT th FROM t GROUP BY th HAVING count(*) >= 2),
+             | f AS (SELECT t.*, (th IN (SELECT th FROM dupset)) AS dup FROM t),
+             | lt AS (SELECT source, lang, count(*) AS lc FROM t GROUP BY 1, 2),
+             | topl AS (SELECT source, lang AS top_lang, lc FROM (
+             |   SELECT *, row_number() OVER (PARTITION BY source
+             |     ORDER BY lc DESC, lang) AS rn FROM lt) WHERE rn = 1),
+             | agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |   CAST(sum(n) AS BIGINT) AS total_tokens,
+             |   CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS dups,
+             |   CAST(sum(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS BIGINT) AS shorts,
+             |   quantile_cont(n, 0.5) AS med
+             |  FROM f GROUP BY source)
+             | SELECT agg.source, n_docs, total_tokens, top_lang,
+             |   lc * 1000 // n_docs AS top_lang_permille,
+             |   dups * 1000 // n_docs AS dup_permille,
+             |   shorts * 1000 // n_docs AS short_permille,
+             |   ${graft.ops.SimOps.quant4Sql("med")} AS median_tokens
+             | FROM agg JOIN topl ON agg.source = topl.source
+             | ORDER BY 1""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("source")),
+
     QueryDef("pipeline_length_buckets",
       (s, d) => Tables.documents(s, d)
         .withColumn("n", size(TextOps.tokens(col("text"))).cast("long"))
