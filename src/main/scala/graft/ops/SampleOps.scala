@@ -164,4 +164,75 @@ object SampleOps {
                  * CAST(s_units AS DOUBLE)
                  / CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT)) AS rate10k
         FROM counts, tot"""
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007; Ohlsson's
+    * sequential Poisson): each row draws u uniform on (0, 1] from the
+    * deterministic 60-bit hash of (salt, id) and takes priority w / u;
+    * the weight-proportional without-replacement sample of a group is
+    * its TOP-k by priority, and each sampled row's Horvitz–Thompson
+    * contribution max(w, τ) — τ the (k+1)-th largest priority — sums
+    * to an unbiased estimate of the group's TOTAL weight from k rows
+    * alone (the subsample-then-extrapolate primitive behind weighted
+    * corpus subsampling and sampled analytics).
+    *
+    * Cross-engine exactness, with NO tolerance gate: int→double
+    * conversion and IEEE division are correctly rounded in every
+    * conforming engine, so priority w/u is bit-identical in Spark and
+    * DuckDB; distinct hashes make ties impossible, so the top-k set,
+    * τ, and the per-row max(w, τ) (4-dp-quantized only for rendering)
+    * are all deterministic. This is the libm-free discipline: no
+    * ln/pow (whose last-ulp behavior is implementation-defined) —
+    * the Efraimidis–Sirivas u^(1/w) key would NOT gate exactly.
+    *
+    * Scale shape: priorities are a narrow codegen'd map; the bottom-
+    * (k+1) per group runs under WindowGroupLimit (rank pushdown — each
+    * partition retains k+1 rows per group before the exchange, so the
+    * sort never sees the full group); τ re-attaches via a broadcast of
+    * the k+1-th rows. Output rows: k per group.
+    */
+  /** Hash space of [[TextOps.hash64]] as a double (2^60): u = (h+1)/M
+    * is uniform on (0, 1]. */
+  private val HashSpaceD = "1152921504606846976.0"
+
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     groupCol: String, salt: String, k: Int): DataFrame = {
+    val pr = df
+      .withColumn("__u",
+        (TextOps.hash64(concat(lit(salt), col(idCol).cast("string"))) + 1)
+          .cast("double") / expr(HashSpaceD))
+      .withColumn("__pri", col(weightCol).cast("double") / col("__u"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__pri").desc)
+    val ranked = pr.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k + 1)
+    val tau = ranked.filter(col("__rn") === k + 1)
+      .select(col(groupCol), col("__pri").as("__tau"))
+    ranked.filter(col("__rn") <= k)
+      .join(broadcast(tau), Seq(groupCol), "left")
+      .select(col(groupCol), col("__rn").as("rank"), col(idCol),
+        col(weightCol).as("weight"),
+        graft.ops.SimOps.quant4(
+          coalesce(greatest(col(weightCol).cast("double"), col("__tau")),
+            col(weightCol).cast("double"))).as("est_contrib"))
+  }
+
+  /** Oracle twin of [[prioritySample]] — identical hash, priority,
+    * ranking, τ, and contribution. */
+  def prioritySampleSql(table: String, idCol: String, weightCol: String,
+                        groupCol: String, salt: String, k: Int): String =
+    s"""WITH pr AS (SELECT $groupCol AS grp, $idCol AS id,
+              $weightCol AS w,
+              ($weightCol)::DOUBLE /
+                ((${TextOps.hash64Sql(s"'$salt' || CAST($idCol AS VARCHAR)")} + 1)::DOUBLE
+                 / 1152921504606846976.0) AS pri
+            FROM $table),
+        r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY pri DESC) AS rn
+              FROM pr),
+        tau AS (SELECT grp, pri AS tau FROM r WHERE rn = ${k + 1})
+        SELECT grp AS $groupCol, CAST(rn AS INT) AS rank, id AS $idCol,
+          w AS weight,
+          ${SimOps.quant4Sql("coalesce(greatest((w)::DOUBLE, tau), (w)::DOUBLE)")}
+            AS est_contrib
+        FROM r LEFT JOIN tau USING (grp) WHERE rn <= $k
+        ORDER BY 1, 2"""
 }

@@ -173,6 +173,23 @@ object SampleQueries {
               |    AS BIGINT) * 1000000 // $TokenBudget AS util_micro
               | FROM c GROUP BY source ORDER BY source""".stripMargin
         .replace("\n", "")),
-      presentOrder = Seq("source"))
+      presentOrder = Seq("source")),
+
+    // Priority sampling (Duffield–Lund–Thorup) — weight-proportional
+    // without-replacement per-source sample: bottom-k by u/w priority
+    // (u from the deterministic hash, w = n_chars), plus each row's
+    // Horvitz–Thompson contribution max(w, τ) that sums to an unbiased
+    // estimate of the source's TOTAL weight from k rows. IEEE division
+    // and int→double rounding are correctly rounded in both engines and
+    // distinct hashes forbid ties, so set, ranks, τ, and contributions
+    // gate EXACTLY — the libm-free alternative to the u^(1/w)
+    // Efraimidis–Spirakis key, whose pow() last-ulp is engine-defined.
+    // WindowGroupLimit keeps k+1 rows per group before the exchange.
+    QueryDef("sample_priority",
+      (s, d) => SampleOps.prioritySample(Tables.documents(s, d),
+        "doc_id", "n_chars", "source", "ps1", 8),
+      Some(SampleOps.prioritySampleSql("documents",
+        "doc_id", "n_chars", "source", "ps1", 8)),
+      presentOrder = Seq("source", "rank"))
   )
 }

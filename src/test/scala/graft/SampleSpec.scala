@@ -105,4 +105,35 @@ class SampleSpec extends SparkSpec {
     val sizes = out.groupBy(_._3).view.mapValues(_.size)
     assert(sizes.values.forall(n => n > out.length / 20 && n < out.length / 5))
   }
+
+  test("prioritySample: weight-proportional selection, HT estimator, small-group degeneracy") {
+    import spark.implicits._
+    // 900 light (w=1) + 100 heavy (w=100) rows: heavy mass is ~92% of
+    // the total, so the top-8 should be dominated by heavy rows.
+    val rows = (0L until 1000L).map(i =>
+      (i, if (i % 10 == 0) 100L else 1L, "g")).toDF("id", "w", "grp")
+    val out = SampleOps.prioritySample(rows, "id", "w", "grp", "t1", 8)
+      .collect()
+    assert(out.length == 8)
+    assert(out.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 8))
+    val heavy = out.count(_.getAs[Long]("weight") == 100L)
+    assert(heavy >= 6, s"expected heavy-dominated sample, got $heavy/8")
+    // HT estimate of the total weight from 8 rows: true total is 10800;
+    // the estimator is unbiased with rsd ~ 1/sqrt(k-1) — accept a wide
+    // deterministic band (the draw is fixed by the salt).
+    val est = out.map(_.getAs[Double]("est_contrib")).sum
+    assert(est > 10800 * 0.4 && est < 10800 * 2.5, s"HT estimate $est")
+    // determinism under repartitioning
+    val out2 = SampleOps.prioritySample(rows.repartition(7), "id", "w",
+      "grp", "t1", 8).collect()
+    assert(out.map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank"))).toSet ==
+      out2.map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank"))).toSet)
+    // group smaller than k: everything sampled, no threshold, contrib = w
+    val tiny = Seq((1L, 5L, "t"), (2L, 7L, "t")).toDF("id", "w", "grp")
+    val touts = SampleOps.prioritySample(tiny, "id", "w", "grp", "t1", 8)
+      .collect()
+    assert(touts.length == 2)
+    assert(touts.forall(r =>
+      r.getAs[Double]("est_contrib") == r.getAs[Long]("weight").toDouble))
+  }
 }
