@@ -341,6 +341,46 @@ object EgvQueries {
     // consumers page on). Island id = running count of non-low readings
     // (constant inside each low run, both engines); per-episode roll-up
     // on the same user partitioning as the window — one exchange.
+    // Sensor-compliance report — the wear-time/data-completeness panel a
+    // CGM clinic reviews before trusting any other metric (a Dexcom G6
+    // uploads 288 five-minute readings/day; AGP guidelines want >=70%
+    // capture): per (user, day) the reading count, first/last
+    // seconds-of-day, the LONGEST intra-day silence (max lag gap), and
+    // capture permille vs the 288 cadence. The lag window and the
+    // (user, day) roll-up share one exchange; all outputs integer.
+    QueryDef("ref_sensor_compliance",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("day"))
+          .orderBy(col("sec"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("sec", expr("CAST(ts AS LONG)"))
+          .withColumn("day", expr("sec div 86400"))
+          .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+          .groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_readings"),
+            (min(col("sec")) % 86400).as("first_sod"),
+            (max(col("sec")) % 86400).as("last_sod"),
+            coalesce(max(col("gap")), lit(0L)).as("max_gap_sec"))
+          .withColumn("capture_permille",
+            expr("n_readings * 1000 div 288"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_id,
+             |  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+             |  FROM events),
+             | l AS (SELECT user_id, day, sec,
+             |  sec - lag(sec, 1) OVER (PARTITION BY user_id, day
+             |    ORDER BY sec, event_id) AS gap FROM g)
+             | SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_readings,
+             |  min(sec) % 86400 AS first_sod, max(sec) % 86400 AS last_sod,
+             |  coalesce(max(gap), 0) AS max_gap_sec,
+             |  CAST(count(*) AS BIGINT) * 1000 // 288 AS capture_permille
+             | FROM l GROUP BY user_id, day
+             | ORDER BY user_id, day""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id", "day")),
+
     QueryDef("ref_hypo_episodes",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window

@@ -99,6 +99,13 @@ class PlanSpec extends SparkSpec {
       s"window + groupBy on user_id must reuse one partitioning, saw $shuffles:\n$p")
   }
 
+  test("sensor compliance: the lag window and the day roll-up share ONE exchange") {
+    val p = planOf("ref_sensor_compliance")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"window + groupBy on (user_id, day) must reuse one partitioning, saw $shuffles:\n$p")
+  }
+
   test("join-strategy hints override the planner (MERGE forces sort-merge on a dim)") {
     // The planner-control surface a tuner reaches for when stats mislead:
     // the same dim join that PlanSpec pins as broadcast above must
