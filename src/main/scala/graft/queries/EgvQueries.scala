@@ -341,6 +341,47 @@ object EgvQueries {
     // consumers page on). Island id = running count of non-low readings
     // (constant inside each low run, both engines); per-episode roll-up
     // on the same user partitioning as the window — one exchange.
+    // EWMA trend — the exponentially weighted smoother CGM UIs draw
+    // (trend arrows weight recent readings; alpha=0.25 here): the
+    // recursion s_t = 0.75*s_{t-1} + 0.25*x_t is a LEFT FOLD over the
+    // user's readings in (ts, event_id) order — not expressible as any
+    // window frame aggregate — run as a codegen'd array `aggregate` HOF
+    // over one per-user ordered collect (DuckDB twin: list_reduce,
+    // whose first-element seeding matches the null-seeded CASE). The
+    // fold fixes the operation ORDER, so two multiplies and an add per
+    // step are IEEE-identical in both engines — the result gates with
+    // no tolerance. One user-keyed exchange; state linear in the
+    // user's readings (bounded by retention, ~8k/month per CGM user).
+    QueryDef("ref_ewma_trend",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+            col("event_id"), col("value"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_readings"),
+            expr("""aggregate(
+                transform(
+                  array_sort(collect_list(struct(sec, event_id, value))),
+                  s -> s.value),
+                CAST(NULL AS DOUBLE),
+                (acc, x) -> CASE WHEN acc IS NULL THEN x
+                            ELSE acc * CAST(0.75 AS DOUBLE)
+                                 + x * CAST(0.25 AS DOUBLE) END)""")
+              .as("__ewma"))
+          .select(col("user_id"), col("n_readings"),
+            SimOps.quant4(col("__ewma")).as("ewma"))
+      },
+      Some(s"""WITH o AS (SELECT user_id,
+             |   list(value ORDER BY epoch(ts), event_id) AS xs,
+             |   CAST(count(*) AS BIGINT) AS n_readings
+             |  FROM events GROUP BY user_id)
+             | SELECT user_id, n_readings,
+             |  ${SimOps.quant4Sql(
+                  """list_reduce(xs, (acc, x) -> acc * CAST(0.75 AS DOUBLE)
+                     + x * CAST(0.25 AS DOUBLE))""")} AS ewma
+             | FROM o ORDER BY user_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id")),
+
     // Sensor-compliance report — the wear-time/data-completeness panel a
     // CGM clinic reviews before trusting any other metric (a Dexcom G6
     // uploads 288 five-minute readings/day; AGP guidelines want >=70%

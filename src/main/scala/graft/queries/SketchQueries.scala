@@ -244,6 +244,75 @@ object SketchQueries {
              | TRUE AS merged_within_bound FROM documents""".stripMargin
         .replace("\n", ""))),
 
+    // Mergeable quantile summaries (Agarwal et al., PODS'12 shape):
+    // each shard keeps every m-th rank of its sorted values — a
+    // deterministic summary with per-shard rank error <= m — and the
+    // union of shard summaries answers any quantile with global rank
+    // error <= 2·m·shards WITHOUT a global sort of the data: only the
+    // summaries (n/m rows) are merged and ranked. Everything is rank
+    // arithmetic on distinct (value, event_id) keys, so estimates,
+    // exact audit ranks, and the error-bound boolean gate EXACTLY; the
+    // oracle pins bound_ok TRUE so a drifting estimator goes red.
+    // Scale: the per-shard rank runs shard-parallel; the merged rank
+    // sorts a 1/m-size summary (the only non-sharded step — at 100 TB
+    // m scales up to keep the summary driver-bounded).
+    QueryDef("sketch_quantile_shards",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = 16
+        val shards = 8
+        val ev = Tables.events(s, d)
+          .select(col("value"), col("event_id"),
+            pmod(col("event_id"), lit(shards)).as("__sh"))
+        val wSh = Window.partitionBy(col("__sh"))
+          .orderBy(col("value"), col("event_id"))
+        val samp = ev
+          .withColumn("__rn", row_number().over(wSh))
+          .filter(col("__rn") % m === 0)
+          .select(col("value"), col("event_id"))
+        val wAll = Window.orderBy(col("value"), col("event_id"))
+        val ranked = samp.withColumn("__rs", row_number().over(wAll))
+        val totals = ev.agg(count(lit(1)).as("__n"))
+          .crossJoin(samp.agg(count(lit(1)).as("__s")))
+        val ps = s.range(1, 4).select((col("id") * 250).as("p"))
+        val est = ps.crossJoin(broadcast(totals))
+          .withColumn("__target",
+            greatest(lit(1L), expr("p * __s div 1000")))
+          .join(broadcast(ranked), col("__target") === col("__rs"))
+          .select(col("p"), col("__n"), col("value").as("est_value"))
+        ev.crossJoin(broadcast(est))
+          .groupBy(col("p"), col("__n"), col("est_value"))
+          .agg(sum(when(col("value") <= col("est_value"), 1L).otherwise(0L))
+            .as("__le"))
+          .select(col("p"), col("est_value"),
+            expr("__le * 1000 div __n").as("true_rank_permille"),
+            (abs(expr("__le * 1000 div __n") - col("p")) <=
+              expr(s"2 * $m * $shards * 1000 div __n") + lit(1))
+              .as("bound_ok"))
+      },
+      Some(s"""WITH ev AS (SELECT value, event_id, event_id % 8 AS sh
+             |   FROM events),
+             | r AS (SELECT value, event_id,
+             |   row_number() OVER (PARTITION BY sh
+             |     ORDER BY value, event_id) AS rn FROM ev),
+             | samp AS (SELECT value, event_id FROM r WHERE rn % 16 = 0),
+             | ranked AS (SELECT value,
+             |   row_number() OVER (ORDER BY value, event_id) AS rs FROM samp),
+             | tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n,
+             |   (SELECT CAST(count(*) AS BIGINT) FROM samp) AS s),
+             | ps AS (SELECT unnest([250, 500, 750]) AS p),
+             | est AS (SELECT p, n, value AS est_value
+             |   FROM ps CROSS JOIN tot CROSS JOIN ranked
+             |   WHERE greatest(1, p * s // 1000) = rs)
+             | SELECT CAST(p AS BIGINT) AS p, est_value,
+             |   CAST(sum(CASE WHEN ev.value <= est_value THEN 1 ELSE 0 END)
+             |     AS BIGINT) * 1000 // max(n) AS true_rank_permille,
+             |   TRUE AS bound_ok
+             | FROM ev CROSS JOIN est
+             | GROUP BY p, n, est_value
+             | ORDER BY p""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("p")),
+
     // KMV (bottom-k) distinct sketch — the deterministic counterpart of
     // the HLL rows: the sketch is the k smallest distinct shingle
     // hashes, a pure FUNCTION of the value set, so the gate pins the
