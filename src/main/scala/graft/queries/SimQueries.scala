@@ -216,6 +216,58 @@ object SimQueries {
       Some(SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs)),
       presentOrder = Seq("query_id", "rank")),
 
+    // Link prediction over the k-NN graph — common-neighbor count and
+    // neighborhood Jaccard per co-citing pair (the classic
+    // Liben-Nowell/Kleinberg scores; in a corpus pipeline these rank
+    // "related document" candidates beyond direct near-dup edges). The
+    // pair generator is the in-degree-bounded dst self-join: shared
+    // neighbors with in-degree > 64 are dropped BEFORE pairing (a hub
+    // co-neighbor carries no signal and would cost indeg² — the
+    // MaxShingleFreq discipline on graphs); each surviving dst
+    // contributes indeg² <= 64² pairs, so the join is hot-node-proof.
+    // All scores are integer rank arithmetic (count + permille), exact
+    // on both engines over the identical LSH edge set.
+    QueryDef("graph_link_predict",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val e = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK, LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("__in"))
+        val eb = e.join(indeg, "dst").filter(col("__in") <= 64)
+          .select(col("src"), col("dst"))
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        eb.as("x").join(eb.as("y"),
+            col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+          .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+          .agg(count(lit(1)).as("common_neighbors"))
+          .filter(col("common_neighbors") >= 2)
+          .join(deg.withColumnRenamed("src", "a")
+            .withColumnRenamed("__deg", "__da"), "a")
+          .join(deg.withColumnRenamed("src", "b")
+            .withColumnRenamed("__deg", "__db"), "b")
+          .select(col("a"), col("b"), col("common_neighbors"),
+            expr("common_neighbors * 1000 div (__da + __db - common_neighbors)")
+              .as("jaccard_permille"))
+      },
+      Some(s"""WITH er AS (${SimOps.topKLshMultiSql("embeddings", "TRUE",
+                 KnnK, LshTabs)}),
+             | e AS (SELECT query_id AS src, neighbor_id AS dst FROM er),
+             | indeg AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst),
+             | eb AS (SELECT src, e.dst FROM e JOIN indeg ON e.dst = indeg.dst
+             |   WHERE ind <= 64),
+             | deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+             | cn AS (SELECT x.src AS a, y.src AS b,
+             |   CAST(count(*) AS BIGINT) AS common_neighbors
+             |  FROM eb x JOIN eb y ON x.dst = y.dst AND x.src < y.src
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             | SELECT a, b, common_neighbors,
+             |  common_neighbors * 1000
+             |    // (da.deg + db.deg - common_neighbors) AS jaccard_permille
+             | FROM cn JOIN deg da ON cn.a = da.src
+             |   JOIN deg db ON cn.b = db.src
+             | ORDER BY a, b""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("a", "b")),
+
     // IVF-PQ composite: coarse cells bound WHICH vectors are scanned
     // (nprobe/c of the corpus), PQ codes bound WHAT is read per
     // candidate (m bytes, not dim floats) — the billion-scale ANN shape.
