@@ -272,4 +272,35 @@ object MediaCodecs {
     }
     Some(BmpMeta(width, height, bpp, sumB, sumG, sumR))
   }
+
+  /** REAL pixel read: the R channel of a bottom-up 24-bit BMP in IMAGE
+    * order (index y·w + x, y = 0 the TOP row) — the flip and padding
+    * handled the same way as [[resizeBmpNearest]]. None on anything
+    * [[parseBmp]] rejects, plus top-down storage (negative height),
+    * which the flip below does not model. */
+  def bmpGrayR(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val pixOff = readLe32(bytes, 10)
+    val w = readLe32(bytes, 18)
+    val h = readLe32(bytes, 22)
+    val bpp = readLe16(bytes, 28)
+    val compression = readLe32(bytes, 30)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    val rowSize = ((3 * w + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + rowSize.toLong * h > bytes.length)
+      return None
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = pixOff + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = bytes(base + 3 * x + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
 }

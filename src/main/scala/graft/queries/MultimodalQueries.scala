@@ -166,6 +166,74 @@ object MultimodalQueries {
     // decode the result. The oracle evaluates the same double sum over
     // the 9x6 target grid analytically — any off-by-one in the resample
     // (row flip, padding, div rounding) shifts a sum and goes red.
+    // REAL perceptual image hashing (aHash) + cross-scale dedup: each
+    // doc synthesizes a w×h BMP (w, h ∈ {8,16,24}) that UPSCALES a
+    // canonical 8×8 pattern keyed by (doc_id·31 + n_chars·17) % 97;
+    // the REAL pipeline — gradient encode → byte-level nearest-neighbor
+    // resize to 8×8 → real pixel read — recovers the canonical grid
+    // EXACTLY (x2·w div 8 then ·8 div w round-trips when 8 | w), so
+    // docs sharing a pattern class collide on the hash REGARDLESS of
+    // resolution: scale-invariant near-dup detection, which byte-hash
+    // dedup can never do. aHash stays integer (bit = 64·p > Σp, no
+    // mean division); the oracle never sees bytes — it recomputes the
+    // hash analytically from the same pattern formula, so any codec,
+    // flip, padding, or resize-index bug breaks the gate.
+    QueryDef("mm_image_phash",
+      (s, d) => {
+        import s.implicits._
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (8 * (1 + id % 3)).toInt
+            val h = (8 * (1 + nc % 3)).toInt
+            val seed = ((id * 31 + nc * 17) % 97).toInt
+            val bytes = graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
+              (x, y) => {
+                val v = ((x * 8 / w) * 37 + (y * 8 / h) * 101 + seed * 29) % 256
+                (v, v, v)
+              })
+            val small = graft.multimodal.MediaCodecs
+              .resizeBmpNearest(bytes, 8, 8).get
+            val px = graft.multimodal.MediaCodecs.bmpGrayR(small).get
+            val sum = px.map(_.toLong).sum
+            var ph = 0L
+            var i = 0
+            while (i < 64) {
+              if (64L * px(i) > sum) ph |= (1L << i)
+              i += 1
+            }
+            (id, ph)
+          }.toDF("doc_id", "phash")
+        val groups = hashed.groupBy(col("phash"))
+          .agg(count(lit(1)).as("__n"))
+        hashed.join(groups, "phash")
+          .select(col("doc_id"), col("phash"),
+            (col("__n") - 1L).as("n_scale_dups"))
+      },
+      Some("""WITH p0 AS (SELECT doc_id,
+             |  (doc_id * 31 + n_chars * 17) % 97 AS seed FROM documents),
+             | g AS (SELECT doc_id, cy, cx,
+             |  (cx * 37 + cy * 101 + seed * 29) % 256 AS v
+             |  FROM p0
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS cy)
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS cx)),
+             | s AS (SELECT doc_id, sum(v) AS sv FROM g GROUP BY doc_id),
+             | phu AS (SELECT g.doc_id,
+             |  sum(CASE WHEN 64 * v > sv
+             |    THEN (CAST(1 AS HUGEINT) << (cy * 8 + cx))
+             |    ELSE CAST(0 AS HUGEINT) END) AS u
+             |  FROM g JOIN s ON g.doc_id = s.doc_id GROUP BY g.doc_id),
+             | ph AS (SELECT doc_id,
+             |  CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+             |    THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END
+             |    AS BIGINT) AS phash
+             |  FROM phu),
+             | grp AS (SELECT phash, count(*) AS n FROM ph GROUP BY phash)
+             | SELECT doc_id, ph.phash, CAST(n - 1 AS BIGINT) AS n_scale_dups
+             | FROM ph JOIN grp ON ph.phash = grp.phash
+             | ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     QueryDef("mm_bmp_resize",
       (s, d) => {
         import s.implicits._

@@ -197,4 +197,29 @@ class MultimodalSpec extends SparkSpec {
     val out2 = MultimodalOps.decodeBmp(rows2, "doc_id", "bytes").collect()
     assert(out2.length === 1 && out2(0).sumR === 8L * 9)
   }
+
+  test("aHash through the real byte pipeline is scale-invariant for 8-multiple upscales") {
+    import graft.multimodal.MediaCodecs
+    def phash(w: Int, h: Int, seed: Int): Long = {
+      val bytes = MediaCodecs.buildBmpGradient(w, h, (x, y) => {
+        val v = ((x * 8 / w) * 37 + (y * 8 / h) * 101 + seed * 29) % 256
+        (v, v, v)
+      })
+      val small = MediaCodecs.resizeBmpNearest(bytes, 8, 8).get
+      val px = MediaCodecs.bmpGrayR(small).get
+      assert(px.length == 64)
+      val sum = px.map(_.toLong).sum
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (64L * px(i) > sum) acc | (1L << i) else acc)
+    }
+    // the same canonical pattern at three resolutions hashes identically
+    assert(phash(8, 8, 5) == phash(24, 16, 5))
+    assert(phash(8, 8, 5) == phash(16, 24, 5))
+    // bmpGrayR reads image order: a pattern with distinct top and bottom
+    // rows must not come back flipped
+    val asym = MediaCodecs.buildBmpGradient(2, 2, (x, y) => {
+      val v = y * 100 + x; (v, v, v)
+    })
+    assert(MediaCodecs.bmpGrayR(asym).get.toSeq == Seq(0, 1, 100, 101))
+  }
 }
