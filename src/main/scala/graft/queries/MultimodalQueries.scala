@@ -24,6 +24,58 @@ object MultimodalQueries {
   val FrameBytes = 64
   val EveryK = 2
 
+  /** (doc_id, phash) via the REAL byte pipeline — shared by
+    * `mm_image_phash` and `mm_phash_pairs`. */
+  private def phashFrame(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nc) =>
+        val w = (8 * (1 + id % 3)).toInt
+        val h = (8 * (1 + nc % 3)).toInt
+        val seed = ((id * 31 + nc * 17) % 97).toInt
+        val bytes = graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
+          (x, y) => {
+            val v = ((x * 8 / w) * 37 + (y * 8 / h) * 101 + seed * 29) % 256
+            (v, v, v)
+          })
+        val small = graft.multimodal.MediaCodecs
+          .resizeBmpNearest(bytes, 8, 8).get
+        val px = graft.multimodal.MediaCodecs.bmpGrayR(small).get
+        val sum = px.map(_.toLong).sum
+        var ph = 0L
+        var i = 0
+        while (i < 64) {
+          if (64L * px(i) > sum) ph |= (1L << i)
+          i += 1
+        }
+        (id, ph)
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Oracle CTE chain producing ph(doc_id, phash) analytically from the
+    * same pattern formula — shared by both phash oracles. */
+  private val PhashCtes: String =
+    """p0 AS (SELECT doc_id,
+       (doc_id * 31 + n_chars * 17) % 97 AS seed FROM documents),
+      g AS (SELECT doc_id, cy, cx,
+       (cx * 37 + cy * 101 + seed * 29) % 256 AS v
+       FROM p0
+       CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS cy)
+       CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS cx)),
+      s AS (SELECT doc_id, sum(v) AS sv FROM g GROUP BY doc_id),
+      phu AS (SELECT g.doc_id,
+       sum(CASE WHEN 64 * v > sv
+         THEN (CAST(1 AS HUGEINT) << (cy * 8 + cx))
+         ELSE CAST(0 AS HUGEINT) END) AS u
+       FROM g JOIN s ON g.doc_id = s.doc_id GROUP BY g.doc_id),
+      ph AS (SELECT doc_id,
+       CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+         THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END
+         AS BIGINT) AS phash
+       FROM phu)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // REAL WAV decode: per doc, build a PCM-16 WAV whose rate/channels/
@@ -180,59 +232,73 @@ object MultimodalQueries {
     // flip, padding, or resize-index bug breaks the gate.
     QueryDef("mm_image_phash",
       (s, d) => {
-        import s.implicits._
-        val hashed = Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
-          .map { case (id, nc) =>
-            val w = (8 * (1 + id % 3)).toInt
-            val h = (8 * (1 + nc % 3)).toInt
-            val seed = ((id * 31 + nc * 17) % 97).toInt
-            val bytes = graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
-              (x, y) => {
-                val v = ((x * 8 / w) * 37 + (y * 8 / h) * 101 + seed * 29) % 256
-                (v, v, v)
-              })
-            val small = graft.multimodal.MediaCodecs
-              .resizeBmpNearest(bytes, 8, 8).get
-            val px = graft.multimodal.MediaCodecs.bmpGrayR(small).get
-            val sum = px.map(_.toLong).sum
-            var ph = 0L
-            var i = 0
-            while (i < 64) {
-              if (64L * px(i) > sum) ph |= (1L << i)
-              i += 1
-            }
-            (id, ph)
-          }.toDF("doc_id", "phash")
+        val hashed = phashFrame(s, d)
         val groups = hashed.groupBy(col("phash"))
           .agg(count(lit(1)).as("__n"))
         hashed.join(groups, "phash")
           .select(col("doc_id"), col("phash"),
             (col("__n") - 1L).as("n_scale_dups"))
       },
-      Some("""WITH p0 AS (SELECT doc_id,
-             |  (doc_id * 31 + n_chars * 17) % 97 AS seed FROM documents),
-             | g AS (SELECT doc_id, cy, cx,
-             |  (cx * 37 + cy * 101 + seed * 29) % 256 AS v
-             |  FROM p0
-             |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS cy)
-             |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS cx)),
-             | s AS (SELECT doc_id, sum(v) AS sv FROM g GROUP BY doc_id),
-             | phu AS (SELECT g.doc_id,
-             |  sum(CASE WHEN 64 * v > sv
-             |    THEN (CAST(1 AS HUGEINT) << (cy * 8 + cx))
-             |    ELSE CAST(0 AS HUGEINT) END) AS u
-             |  FROM g JOIN s ON g.doc_id = s.doc_id GROUP BY g.doc_id),
-             | ph AS (SELECT doc_id,
-             |  CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
-             |    THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END
-             |    AS BIGINT) AS phash
-             |  FROM phu),
+      Some(s"""WITH $PhashCtes,
              | grp AS (SELECT phash, count(*) AS n FROM ph GROUP BY phash)
              | SELECT doc_id, ph.phash, CAST(n - 1 AS BIGINT) AS n_scale_dups
              | FROM ph JOIN grp ON ph.phash = grp.phash
              | ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
+
+    // Banded Hamming search over the perceptual hashes — simhash's
+    // pigeonhole applied to images: two 64-bit aHashes within Hamming
+    // distance 3 must agree on >= 1 of 4 16-bit bands, so candidates
+    // come from a (band_idx, band_value) equi-join over the DISTINCT-
+    // hash table (never doc-grain: a viral image shared by 10^6 docs is
+    // ONE row here), then the exact bit_count(xor) verifies. Identical
+    // hashes are excluded (that's mm_image_phash's grouping); this
+    // finds the near-but-not-identical pairs — small pattern edits that
+    // survive rescaling. Doc counts re-attach per hash so downstream
+    // attribution never re-pairs.
+    QueryDef("mm_phash_pairs",
+      (s, d) => {
+        val hashed = phashFrame(s, d)
+        val dist = hashed.groupBy(col("phash"))
+          .agg(count(lit(1)).as("n_docs"))
+        val bands = dist.select(col("phash"),
+          explode(expr(
+            "transform(sequence(0, 3), b -> struct(b AS b, " +
+              "shiftright(phash, b * 16) & 65535 AS v))")).as("bd"))
+          .select(col("phash"), col("bd.b").as("__b"), col("bd.v").as("__v"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.__b") === col("y.__b") && col("x.__v") === col("y.__v") &&
+              col("x.phash") < col("y.phash"))
+          .select(col("x.phash").as("phash_a"), col("y.phash").as("phash_b"))
+          .distinct()
+        cand
+          .withColumn("hamming", expr("bit_count(phash_a ^ phash_b)"))
+          .filter(col("hamming").between(1, 3))
+          .join(dist.withColumnRenamed("phash", "phash_a")
+            .withColumnRenamed("n_docs", "docs_a"), "phash_a")
+          .join(dist.withColumnRenamed("phash", "phash_b")
+            .withColumnRenamed("n_docs", "docs_b"), "phash_b")
+          .select(col("phash_a"), col("phash_b"), col("hamming"),
+            col("docs_a"), col("docs_b"))
+      },
+      Some(s"""WITH $PhashCtes,
+             | dist AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_docs
+             |   FROM ph GROUP BY phash),
+             | bands AS (SELECT phash, b, (phash >> (b * 16)) & 65535 AS v
+             |   FROM dist CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+             | cand AS (SELECT DISTINCT x.phash AS phash_a, y.phash AS phash_b
+             |   FROM bands x JOIN bands y
+             |     ON x.b = y.b AND x.v = y.v AND x.phash < y.phash),
+             | hp AS (SELECT phash_a, phash_b,
+             |   CAST(bit_count(xor(phash_a, phash_b)) AS INTEGER) AS hamming
+             |  FROM cand)
+             | SELECT phash_a, phash_b, hamming, da.n_docs AS docs_a,
+             |   db.n_docs AS docs_b
+             | FROM hp JOIN dist da ON hp.phash_a = da.phash
+             |   JOIN dist db ON hp.phash_b = db.phash
+             | WHERE hamming BETWEEN 1 AND 3
+             | ORDER BY phash_a, phash_b""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("phash_a", "phash_b")),
 
     QueryDef("mm_bmp_resize",
       (s, d) => {
