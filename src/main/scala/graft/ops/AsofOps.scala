@@ -98,6 +98,70 @@ object AsofOps {
         leftPayload.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
   }
 
+  /** Nearest as-of: for each left row, the right row minimizing
+    * |rightTime − leftTime| within the key — backward wins exact-distance
+    * ties (and Δ=0 matches are backward by the inclusive rule). The
+    * third ASOF mode beside [[asofJoin]] (backward) and
+    * [[asofJoinForward]]; pandas' `merge_asof(direction='nearest')`,
+    * which neither Spark nor DuckDB has natively.
+    *
+    * Shape: ONE union + TWO window passes over the SAME key
+    * partitioning — an ascending scan carrying the latest right at-or-
+    * before, a descending scan carrying the earliest right at-or-after
+    * (both frames unboundedPreceding → currentRow, the O(n) incremental
+    * form) — then a per-row pick by integer second distance. One
+    * exchange, two sorts, zero join nodes, |left| output rows. Distances
+    * compare in floored seconds (CAST(ts AS LONG)), matching the oracle's
+    * floor(epoch()) exactly.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTime: String, rightTime: String,
+                      rightPayload: Seq[String]): DataFrame = {
+    val leftPayload =
+      left.columns.filterNot(c => keyCols.contains(c) || c == leftTime).toSeq
+    val rType = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lType = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val carried = "__rt" +: rightPayload
+    val l = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        leftPayload.map(col) ++
+        Seq(lit(null).cast(rType(rightTime)).as("__r___rt")) ++
+        rightPayload.map(c => lit(null).cast(rType(c)).as(s"__r_$c")): _*)
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        leftPayload.map(c => lit(null).cast(lType(c)).as(c)) ++
+        Seq(col(rightTime).as("__r___rt")) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+    // Right rows (side 0) sort before left rows at equal time in BOTH
+    // scans, so a Δ=0 right is visible to each and backward wins the tie.
+    val wB = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = l.unionByName(r)
+      .select(col("*") +:
+        (carried.map(c =>
+          last(col(s"__r_$c"), ignoreNulls = true).over(wB).as(s"__b_$c")) ++
+         carried.map(c =>
+           last(col(s"__r_$c"), ignoreNulls = true).over(wF).as(s"__f_$c"))): _*)
+      .filter(col("__side") === 1)
+    val lt = col("__t").cast("long")
+    val bt = col("__b___rt").cast("long")
+    val ft = col("__f___rt").cast("long")
+    val pickB = when(col("__f___rt").isNull, true)
+      .when(col("__b___rt").isNull, false)
+      .otherwise(lt - bt <= ft - lt)
+    scanned
+      .select(keyCols.map(col) ++ Seq(col("__t").as(leftTime)) ++
+        leftPayload.map(col) ++ rightPayload.map(c =>
+          when(pickB, col(s"__b_$c")).otherwise(col(s"__f_$c"))
+            .as(s"asof_$c")): _*)
+  }
+
   /** Banded (grid-bucketized) interval join: every (left, right) pair in
     * the same key with |l.time − r.time| ≤ `toleranceSec`, joined EQUI on
     * (key, time-bucket) instead of key alone.

@@ -341,6 +341,66 @@ object EgvQueries {
     // consumers page on). Island id = running count of non-low readings
     // (constant inside each low run, both engines); per-episode roll-up
     // on the same user partitioning as the window — one exchange.
+    // Trend arrows — the Dexcom receiver's 7-arrow rate-of-change
+    // classification (G6 user guide thresholds in mg/dL/min: >3 double
+    // up, 2..3 up, 1..2 forty-five up, -1..1 flat, mirrored down):
+    // per reading, rate = Δvalue / Δminutes vs the previous reading of
+    // the same user. Zero-Δt pairs (same-second readings) classify as
+    // 'dup' and the first reading as 'first' BEFORE any division, so
+    // no Inf/NaN ever reaches the output — the rate is NULL there, a
+    // rendering-stable value on both engines. One user-keyed exchange;
+    // the division is IEEE-exact so the quantized rate and every
+    // threshold compare gate with no tolerance.
+    QueryDef("ref_trend_arrows",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+            col("event_id"), col("value"))
+          .withColumn("__dv", col("value") - lag(col("value"), 1).over(w))
+          .withColumn("__dt", col("sec") - lag(col("sec"), 1).over(w))
+          .withColumn("rate",
+            when(col("__dt") > 0,
+              SimOps.quant4(col("__dv") / (col("__dt").cast("double") / 60.0))))
+          .withColumn("arrow",
+            when(col("__dt").isNull, "first")
+              .when(col("__dt") === 0, "dup")
+              .when(col("rate") > 3, "double_up")
+              .when(col("rate") > 2, "single_up")
+              .when(col("rate") > 1, "forty_five_up")
+              .when(col("rate") >= -1, "flat")
+              .when(col("rate") >= -2, "forty_five_down")
+              .when(col("rate") >= -3, "single_down")
+              .otherwise("double_down"))
+          .select(col("user_id"), col("event_id"), col("rate"), col("arrow"))
+      },
+      Some(s"""WITH l AS (SELECT user_id, event_id, value,
+             |   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |   value - lag(value, 1) OVER w AS dv,
+             |   CAST(floor(epoch(ts)) AS BIGINT)
+             |     - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS dt
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)),
+             | r AS (SELECT user_id, event_id, dt,
+             |   CASE WHEN dt > 0
+             |     THEN ${SimOps.quant4Sql("dv / (dt::DOUBLE / 60.0)")}
+             |   END AS rate FROM l)
+             | SELECT user_id, event_id, rate,
+             |  CASE WHEN dt IS NULL THEN 'first'
+             |   WHEN dt = 0 THEN 'dup'
+             |   WHEN rate > 3 THEN 'double_up'
+             |   WHEN rate > 2 THEN 'single_up'
+             |   WHEN rate > 1 THEN 'forty_five_up'
+             |   WHEN rate >= -1 THEN 'flat'
+             |   WHEN rate >= -2 THEN 'forty_five_down'
+             |   WHEN rate >= -3 THEN 'single_down'
+             |   ELSE 'double_down' END AS arrow
+             | FROM r ORDER BY user_id, event_id""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("user_id", "event_id")),
+
     // EWMA trend — the exponentially weighted smoother CGM UIs draw
     // (trend arrows weight recent readings; alpha=0.25 here): the
     // recursion s_t = 0.75*s_{t-1} + 0.25*x_t is a LEFT FOLD over the

@@ -406,6 +406,52 @@ object RelQueries3 {
              | ORDER BY e.event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id")),
 
+    // Nearest as-of (pandas merge_asof direction='nearest', which
+    // neither engine has natively): the CLOSEST high reading in either
+    // direction, backward winning distance ties. One exchange, two
+    // window scans (asc + desc over the same key partitioning), zero
+    // join nodes; the oracle composes DuckDB's backward and forward
+    // ASOF joins and picks the closer side by floored-second distance —
+    // the same integer arithmetic as the Spark pick.
+    QueryDef("q_asof_nearest",
+      (s, d) => {
+        val events = Tables.events(s, d)
+        val high = events.filter(col("value") >= 200)
+          .groupBy(col("user_id"), col("ts").as("high_ts"))
+          .agg(max(col("value")).as("high_value"))
+        graft.ops.AsofOps.asofJoinNearest(
+          events.select("user_id", "ts", "event_id", "value"),
+          high,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "high_ts",
+          rightPayload = Seq("high_ts", "high_value"))
+      },
+      Some("""WITH high AS (
+             |  SELECT user_id, ts AS high_ts, max(value) AS high_value
+             |  FROM events WHERE value >= 200 GROUP BY user_id, ts),
+             | b AS (SELECT e.user_id, e.ts, e.event_id, e.value,
+             |   h.high_ts AS bt, h.high_value AS bv
+             |  FROM events e ASOF LEFT JOIN high h
+             |   ON e.user_id = h.user_id AND h.high_ts <= e.ts),
+             | f AS (SELECT e.event_id, h.high_ts AS ft, h.high_value AS fv
+             |  FROM events e ASOF LEFT JOIN high h
+             |   ON e.user_id = h.user_id AND h.high_ts >= e.ts)
+             | SELECT b.user_id, b.ts, b.event_id, b.value,
+             |  CASE WHEN ft IS NULL THEN bt WHEN bt IS NULL THEN ft
+             |   WHEN CAST(floor(epoch(b.ts)) AS BIGINT)
+             |       - CAST(floor(epoch(bt)) AS BIGINT)
+             |     <= CAST(floor(epoch(ft)) AS BIGINT)
+             |       - CAST(floor(epoch(b.ts)) AS BIGINT)
+             |   THEN bt ELSE ft END AS asof_high_ts,
+             |  CASE WHEN ft IS NULL THEN bv WHEN bt IS NULL THEN fv
+             |   WHEN CAST(floor(epoch(b.ts)) AS BIGINT)
+             |       - CAST(floor(epoch(bt)) AS BIGINT)
+             |     <= CAST(floor(epoch(ft)) AS BIGINT)
+             |       - CAST(floor(epoch(b.ts)) AS BIGINT)
+             |   THEN bv ELSE fv END AS asof_high_value
+             | FROM b JOIN f ON b.event_id = f.event_id
+             | ORDER BY b.event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id")),
+
     // Forward as-of: the NEXT high reading at or after each event —
     // mirror of q_asof_join, same zero-join union+window shape with the
     // frame reversed; oracle = DuckDB's native forward ASOF (>=).

@@ -28,6 +28,28 @@ class AsofSpec extends SparkSpec {
       ("u2", 10, "d", null)))   // keys are isolated (u2's state is later)
   }
 
+  test("asofJoinNearest: closest match either direction, backward wins ties") {
+    val left = df(Seq(
+      ("u1", 5, "a"), ("u1", 10, "b"), ("u1", 12, "c"),
+      ("u1", 20, "d"), ("u1", 28, "e"), ("u2", 7, "f")),
+      ("k", "t", "tag"))
+    val right = df(Seq(
+      ("u1", 10, "r10"), ("u1", 14, "r14"), ("u1", 26, "r26")),
+      ("k", "rt", "state"))
+    val out = AsofOps.asofJoinNearest(left, right, Seq("k"), "t", "rt",
+        Seq("state"))
+      .select("k", "t", "tag", "asof_state").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(out === Set(
+      ("u1", 5, "a", "r10"),   // only a forward candidate
+      ("u1", 10, "b", "r10"),  // exact hit: backward by the inclusive rule
+      ("u1", 12, "c", "r10"),  // 2 back vs 2 forward: backward wins the tie
+      ("u1", 20, "d", "r14"),  // 6 back vs 6 forward: backward wins again
+      ("u1", 28, "e", "r26"),  // only a backward candidate
+      ("u2", 7, "f", null)))   // keys isolated, no u2 right rows
+  }
+
   test("asofJoin plans with zero join nodes and one key shuffle") {
     val left = df(Seq(("u1", 1, "a")), ("k", "t", "tag"))
     val right = df(Seq(("u1", 1, "s")), ("k", "rt", "state"))
