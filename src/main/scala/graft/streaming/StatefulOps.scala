@@ -258,6 +258,60 @@ object StatefulOps {
       }
   }
 
+  case class ArrowRow(userId: Long, eventId: Long, rate: Option[Double],
+                      arrow: String)
+  case class LastReading(sec: Long, eventId: Long, value: Double)
+
+  /** Streaming twin of the gated `ref_trend_arrows`: the live 7-arrow
+    * rate-of-change panel. Keyed state is the LAST reading only (sec,
+    * eventId, value) — O(1) per user forever; each arrival classifies
+    * against it with the SAME thresholds and the same classify-before-
+    * divide rule (first/'dup' decided before any division, so no
+    * Inf/NaN exists to render), then becomes the new last reading.
+    * Within a micro-batch rows sort by (sec, eventId) — the batch
+    * window's order — so any micro-batching of an in-order feed yields
+    * the identical arrow sequence, proven against the batch query in
+    * `StreamingSpec`. */
+  def streamingTrendArrows(readings: Dataset[GlucoseReading]): Dataset[ArrowRow] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[LastReading, ArrowRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[GlucoseReading], state: GroupState[LastReading]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.sec, r.eventId))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ArrowRow]
+          var last = state.getOption
+          for (r <- sorted) {
+            val row = last match {
+              case None => ArrowRow(user, r.eventId, None, "first")
+              case Some(p) if p.sec == r.sec =>
+                ArrowRow(user, r.eventId, None, "dup")
+              case Some(p) =>
+                val rate = quant4((r.value - p.value) /
+                  ((r.sec - p.sec).toDouble / 60.0))
+                val arrow =
+                  if (rate > 3) "double_up"
+                  else if (rate > 2) "single_up"
+                  else if (rate > 1) "forty_five_up"
+                  else if (rate >= -1) "flat"
+                  else if (rate >= -2) "forty_five_down"
+                  else if (rate >= -3) "single_down"
+                  else "double_down"
+                ArrowRow(user, r.eventId, Some(rate), arrow)
+            }
+            out += row
+            last = Some(LastReading(r.sec, r.eventId, r.value))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** JVM mirror of `SimOps.quant4`: floor(x·10⁴ + 0.5)/10⁴ in doubles. */
+  private def quant4(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x else math.floor(x * 1e4 + 0.5) / 1e4
+
   /** One (band, key) bucket row of an arriving document: its id and full
     * MinHash signature. In a live topology these rows derive from the doc
     * stream as a narrow map (per-doc HOF minhash) + flatMap to bands —

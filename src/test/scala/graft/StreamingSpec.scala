@@ -922,6 +922,36 @@ class StreamingSpec extends SparkSpec {
     assert(latest.toMap === batch)
   }
 
+  test("streaming trend arrows equal the batch classification across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{ArrowRow, GlucoseReading}
+    val dir = "/root/testdata/sf0.001"
+    val batch = Catalog.queries("ref_trend_arrows")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        ((Option(r.getAs[java.lang.Double]("rate")).map(_.toDouble),
+          r.getAs[String]("arrow")))).toMap
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+        col("event_id"), col("value"))
+      .orderBy("sec", "event_id").collect()
+      .map(r => GlucoseReading(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val got = scala.collection.mutable.Map[(Long, Long), (Option[Double], String)]()
+    val in = MemoryStream[GlucoseReading]
+    val q = graft.streaming.StatefulOps.streamingTrendArrows(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[ArrowRow], _: Long) =>
+        ds.collect().foreach(a => got((a.userId, a.eventId)) = (a.rate, a.arrow))
+      }.start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(got.size === batch.size)
+    assert(got.toMap === batch)
+  }
+
   test("streaming KMV sketch is byte-equal to the batch aggregator across batches and replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
