@@ -43,6 +43,57 @@ object SkewQueries {
              | round(sum(l_quantity), 2) AS sum_qty
              | FROM lineitem GROUP BY l_returnflag
              | ORDER BY l_returnflag""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("l_returnflag"))
+      presentOrder = Seq("l_returnflag")),
+
+    // Skew diagnostics — the report a tuner reads BEFORE reaching for
+    // q_salted_join's salting: per join-key frequency profile of
+    // orders.o_custkey with the heavy-hitter head. One key-grain
+    // hash-agg (map-side combine), a 3-number global roll-up broadcast
+    // back, and a TakeOrdered head — never a full sort of the frequency
+    // table. max_over_mean_permille is THE salting trigger (1000 =
+    // uniform; a celebrity key pushes it to key-count scale); p99_freq
+    // comes from an exact rank pick on the frequency table. All
+    // integer — exact on both engines.
+    QueryDef("q_skew_report",
+      (s, d) => {
+        val freq = Tables.orders(s, d)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("freq"))
+        val p99 = freq.withColumn("__rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("freq"), col("o_custkey"))))
+          .crossJoin(broadcast(freq.agg(count(lit(1)).as("__k"))))
+          .filter(col("__rn") === expr("(__k * 99 + 99) div 100"))
+          .select(col("freq").as("p99_freq"))
+        val stats = freq.agg(count(lit(1)).as("n_keys"),
+          sum(col("freq")).as("n_rows"), max(col("freq")).as("max_freq"))
+        freq.orderBy(col("freq").desc, col("o_custkey")).limit(5)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("freq").desc, col("o_custkey"))))
+          .crossJoin(broadcast(stats)).crossJoin(broadcast(p99))
+          .select(col("rank"), col("o_custkey").as("key"), col("freq"),
+            col("n_keys"), col("n_rows"), col("p99_freq"),
+            expr("freq * 1000 div n_rows").as("share_permille"),
+            expr("max_freq * 1000 * n_keys div n_rows")
+              .as("max_over_mean_permille"))
+      },
+      Some("""WITH freq AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS freq
+             |  FROM orders GROUP BY o_custkey),
+             | stats AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |   CAST(sum(freq) AS BIGINT) AS n_rows,
+             |   CAST(max(freq) AS BIGINT) AS max_freq FROM freq),
+             | p99 AS (SELECT freq AS p99_freq FROM (
+             |   SELECT freq, row_number() OVER (ORDER BY freq, o_custkey) AS rn
+             |   FROM freq), stats WHERE rn = (n_keys * 99 + 99) // 100),
+             | top AS (SELECT o_custkey, freq,
+             |   CAST(row_number() OVER (ORDER BY freq DESC, o_custkey) AS INT)
+             |     AS rank
+             |  FROM freq ORDER BY freq DESC, o_custkey LIMIT 5)
+             | SELECT rank, o_custkey AS key, freq, n_keys, n_rows, p99_freq,
+             |  freq * 1000 // n_rows AS share_permille,
+             |  max_freq * 1000 * n_keys // n_rows AS max_over_mean_permille
+             | FROM top, stats, p99 ORDER BY rank""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("rank"))
   )
 }

@@ -261,6 +261,35 @@ object StatefulOps {
   case class ArrowRow(userId: Long, eventId: Long, rate: Option[Double],
                       arrow: String)
   case class LastReading(sec: Long, eventId: Long, value: Double)
+  case class EwmaRow(userId: Long, n: Long, ewma: Double)
+  case class EwmaState(n: Long, s: Double)
+
+  /** Streaming twin of the gated `ref_ewma_trend` fold: keyed state is
+    * (count, smoothed value) — two numbers per user forever. Each
+    * arrival applies the SAME recursion step the batch HOF fold runs
+    * (s' = 0.75·s + 0.25·x, first value seeds), in the same
+    * (sec, eventId) order within each micro-batch; because the batch
+    * operator IS a left fold, any in-order micro-batching replays the
+    * identical multiply-add sequence and the snapshot is BIT-equal to
+    * the batch result (asserted in `StreamingSpec`) — the same
+    * state-equals-fold argument as the KMV twin, but over IEEE doubles
+    * rather than a value set. */
+  def streamingEwma(readings: Dataset[GlucoseReading]): Dataset[EwmaRow] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[GlucoseReading], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.sec, r.eventId))
+          var st = state.getOption.getOrElse(EwmaState(0L, 0d))
+          for (r <- sorted)
+            st = if (st.n == 0L) EwmaState(1L, r.value)
+                 else EwmaState(st.n + 1, st.s * 0.75 + r.value * 0.25)
+          state.update(st)
+          Iterator(EwmaRow(user, st.n, quant4(st.s)))
+      }
+  }
 
   /** Streaming twin of the gated `ref_trend_arrows`: the live 7-arrow
     * rate-of-change panel. Keyed state is the LAST reading only (sec,

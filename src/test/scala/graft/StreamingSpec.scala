@@ -952,6 +952,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.toMap === batch)
   }
 
+  test("streaming EWMA snapshot is bit-equal to the batch fold across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{EwmaRow, GlucoseReading}
+    val dir = "/root/testdata/sf0.001"
+    val batch = Catalog.queries("ref_ewma_trend")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_readings"), r.getAs[Double]("ewma")))).toMap
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+        col("event_id"), col("value"))
+      .orderBy("sec", "event_id").collect()
+      .map(r => GlucoseReading(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val latest = scala.collection.mutable.Map[Long, EwmaRow]()
+    val in = MemoryStream[GlucoseReading]
+    val q = graft.streaming.StatefulOps.streamingEwma(in.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EwmaRow], _: Long) =>
+        ds.collect().foreach(e => latest(e.userId) = e)
+      }.start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(latest.keySet === batch.keySet)
+    for ((u, (n, e)) <- batch) {
+      assert(latest(u).n === n)
+      assert(latest(u).ewma === e, s"ewma drift for user $u")
+    }
+  }
+
   test("streaming KMV sketch is byte-equal to the batch aggregator across batches and replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
