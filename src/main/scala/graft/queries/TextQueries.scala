@@ -284,6 +284,61 @@ object TextQueries {
     QueryDef("text_vocab_drift",
       (s, d) => TextOps.vocabDrift(Tables.documents(s, d),
         col("doc_id") % 10 < 8),
-      Some(TextOps.vocabDriftSql("documents", "doc_id % 10 < 8")))
+      Some(TextOps.vocabDriftSql("documents", "doc_id % 10 < 8"))),
+
+    // Collocation mining — the corpus-linguistics primitive behind
+    // multi-word-expression vocab entries and tokenizer merge
+    // candidates: adjacent bigrams ranked by LIFT, the log-free PMI
+    // analogue c(ab)·N / (c(a)·c(b)) in integer permille (PMI itself is
+    // the log of lift, so the RANKING is identical and the libm-free
+    // discipline holds — exact on both engines). Bigram and unigram
+    // counts are two hash-aggs on the exploded token stream; the
+    // unigram table is vocabulary-sized and broadcasts onto the bigram
+    // table twice; min-count 5 kills the noise tail BEFORE ranking and
+    // the head is a TakeOrdered, not a global sort.
+    QueryDef("text_collocations",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .withColumn("__toks", TextOps.tokens(col("text")))
+        val big = toks.select(explode(expr(
+            """CASE WHEN size(__toks) < 2 THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+               ELSE transform(sequence(0, size(__toks) - 2),
+                 j -> struct(__toks[j] AS w1, __toks[j+1] AS w2)) END"""))
+            .as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        val uni = toks.select(explode(col("__toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val n = toks.select(sum(size(col("__toks"))).cast("long").as("__n"))
+        big
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("__ca"))),
+            "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("__cb"))),
+            "w2")
+          .crossJoin(broadcast(n))
+          .withColumn("lift_permille",
+            expr("c_ab * __n * 1000 div (__ca * __cb)"))
+          .orderBy(col("lift_permille").desc, col("w1"), col("w2"))
+          .limit(20)
+          .select(col("w1"), col("w2"), col("c_ab"), col("lift_permille"))
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+             | big AS (SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS c_ab
+             |  FROM (SELECT unnest(list_transform(
+             |      range(0, greatest(len(tk) - 1, 0)),
+             |      j -> struct_pack(w1 := tk[j+1], w2 := tk[j+2]))) AS b
+             |    FROM t)
+             |  GROUP BY b.w1, b.w2 HAVING count(*) >= 5),
+             | uni AS (SELECT unnest(tk) AS w FROM t),
+             | uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+             | n AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n FROM t)
+             | SELECT w1, w2, c_ab,
+             |  c_ab * n * 1000 // (ca.c * cb.c) AS lift_permille
+             | FROM big JOIN uc ca ON big.w1 = ca.w
+             |   JOIN uc cb ON big.w2 = cb.w CROSS JOIN n
+             | ORDER BY lift_permille DESC, w1, w2 LIMIT 20""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("w1", "w2"))
   )
 }
