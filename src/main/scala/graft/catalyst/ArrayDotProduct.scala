@@ -140,8 +140,13 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions=graft.catalyst.GraftSparkExtensions` — the
-  * library's Catalyst extension point; currently injects [[GraftFunctions]]. */
+  * library's Catalyst extension point: injects [[GraftFunctions]] and the
+  * [[graft.plans.BandedJoinRule]] optimizer rewrite (plain
+  * `abs(lt − rt) <= tol` temporal joins become hot-key-proof banded
+  * equi-joins). */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.fns.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.BandedJoinRule)
+  }
 }

@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: plain temporal band joins become banded equi-joins.
+  *
+  * A join written the natural way —
+  * {{{ l.join(r, l("k") === r("k") && abs(l("t") - r("t")) <= tol) }}}
+  * — plans as an equi-join on `k` alone with the range predicate as a
+  * post-condition, so ONE hot key makes its join group |l_k|·|r_k|:
+  * quadratic in key popularity no matter how narrow the window, and AQE
+  * cannot split it because the blow-up is inside a single join group
+  * (measured 48.1 s vs 2.9 s at a 2^19-row hot key — `BandScale`,
+  * PLANS.md). [[graft.ops.AsofOps.bandedIntervalJoin]] is the manual
+  * fix; this rule applies the same rewrite AUTOMATICALLY, so user
+  * queries in the natural form inherit the density-bounded plan:
+  *
+  *   - left rows replicate to tolerance-wide time buckets b−1/b/b+1
+  *     (`Generate`/`Explode` of the offset array);
+  *   - the right side projects its single bucket;
+  *   - the join becomes an equi-join on (keys…, bucket) with the
+  *     ORIGINAL |Δt| ≤ tol predicate kept as the exact post-filter —
+  *     a matching pair shares exactly one bucket, so no dedup is
+  *     needed and results are identical row-for-row.
+  *
+  * Scope guards (the rule must never fire on a shape it cannot prove):
+  * INNER join only; condition = at least one cross-side equality plus
+  * EXACTLY ONE `abs(lt − rt) <= C` with `lt`, `rt` LONG-typed and fully
+  * resolved to opposite sides and `C` a positive integral literal; and
+  * the left side not already banded (the `__band_off` marker), which
+  * also makes the rewrite non-reentrant under transformDown.
+  */
+object BandedJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val OffName = "__band_off"
+
+  private def literalSeconds(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, _) => Some(v)
+    case _ => None
+  }
+
+  /** (time expr on left side, time expr on right side) when `a − b`
+    * spans the two sides of the join, in either order. */
+  private def sides(a: Expression, b: Expression,
+                    l: LogicalPlan, r: LogicalPlan): Option[(Expression, Expression)] =
+    if (a.references.nonEmpty && a.references.subsetOf(l.outputSet) &&
+        b.references.nonEmpty && b.references.subsetOf(r.outputSet)) Some((a, b))
+    else if (b.references.nonEmpty && b.references.subsetOf(l.outputSet) &&
+        a.references.nonEmpty && a.references.subsetOf(r.outputSet)) Some((b, a))
+    else None
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !left.output.exists(_.name == OffName) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val bands = conjuncts.collect {
+        case p @ LessThanOrEqual(Abs(Subtract(a, b, _), _), lit)
+            if literalSeconds(lit).exists(_ > 0) &&
+              a.dataType == LongType && b.dataType == LongType =>
+          (p, a, b, literalSeconds(lit).get)
+      }
+      val eqs = conjuncts.filter {
+        case EqualTo(a, b) => sides(a, b, left, right).isDefined
+        case _ => false
+      }
+      val rest = conjuncts.filterNot(c => bands.exists(_._1 eq c))
+      bands match {
+        case Seq((bandPred, a, b, tol))
+            if eqs.nonEmpty && sides(a, b, left, right).isDefined =>
+          val (lt, rt) = sides(a, b, left, right).get
+          val tolLit = Literal(tol, LongType)
+          // left: replicate to the three candidate buckets
+          val offAttr = AttributeReference(OffName, LongType, nullable = false)()
+          val gen = Generate(
+            Explode(CreateArray(Seq(Literal(-1L), Literal(0L), Literal(1L)))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(offAttr), child = left)
+          val lBucket = Add(IntegralDivide(lt, tolLit), offAttr)
+          // right: its single bucket
+          val rBucketAlias = Alias(IntegralDivide(rt, tolLit), "__band_b")()
+          val rProj = Project(right.output :+ rBucketAlias, right)
+          val newCond = (rest :+ EqualTo(lBucket, rBucketAlias.toAttribute))
+            .reduce(And)
+          Project(j.output,
+            Join(gen, rProj, Inner, Some(And(newCond, bandPred)), hint))
+        case _ => j
+      }
+  }
+}

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{abs, col}
+
 import graft.queries.{EgvQueries, RelQueries}
 
 /** Plan-quality assertions (the 100 TB contract): filters and projections
@@ -288,6 +290,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"vocabulary head should cap via TakeOrdered:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("BandedJoinRule rewrites a natural abs(Δt)<=tol join into the banded equi-join") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "a"), (1L, 800L, "b"), (2L, 100L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 650L, "x"), (1L, 5000L, "y"), (2L, 90L, "z"))
+      .toDF("k", "rt", "name")
+    val j = l.join(r, l("k") === r("k") && abs(l("t") - r("rt")) <= 600)
+    // the injected optimizer rule banded the join: offsets exploded on
+    // the left, the join keyed by (k, bucket), original range kept
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__band_off"), s"rule did not fire:\n$opt")
+    val phys = j.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"), phys)
+    // row-identical to the naive semantics (each pair exactly once)
+    val got = j.select(l("k"), col("t"), col("rt")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got === Set((1L, 100L, 650L), (1L, 800L, 650L), (2L, 100L, 90L)))
+    assert(j.count() === 3) // no band-overlap duplicates
+    // guard: a join with TWO range predicates is left alone
+    val j2 = l.join(r, l("k") === r("k") &&
+      abs(l("t") - r("rt")) <= 600 && abs(l("t") - r("rt")) <= 700)
+    assert(!j2.queryExecution.optimizedPlan.toString.contains("__band_off"))
   }
 
   test("boilerplate df join is hash-keyed — no sort-merge fallback, no cartesian") {
