@@ -41,6 +41,7 @@ object Materialize {
 object Catalog {
   def all: Seq[QueryDef] =
     graft.queries.EgvQueries.defs ++
+    graft.queries.ClinicalQueries.defs ++
     graft.queries.RelQueries.defs ++
     graft.queries.RelQueries2.defs ++
     graft.queries.RelQueries3.defs ++

@@ -162,6 +162,39 @@ object AsofOps {
             .as(s"asof_$c")): _*)
   }
 
+  /** Tolerance-bounded backward as-of — pandas
+    * `merge_asof(tolerance=...)`, the fourth mode beside backward /
+    * forward / nearest: the latest right row at-or-before each left row,
+    * DISCARDED (all payload columns → NULL) when it is staler than
+    * `toleranceSec`. The staleness bound is what makes point-in-time
+    * feature joins leak-proof AND fresh: a feature computed 3 days ago
+    * must not decorate a reading that expects a 5-minute-fresh state.
+    *
+    * Implementation: exactly [[asofJoin]] (one exchange, zero join
+    * nodes) plus a scalar freshness predicate over the carried match
+    * time — staleness compares in floored epoch seconds, the engine-
+    * exact integer arithmetic every temporal operator here uses.
+    * `rightPayload` must include `rightTime` (the match time is what
+    * freshness is judged against, and the caller sees it NULLed too).
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+                        keyCols: Seq[String], leftTime: String,
+                        rightTime: String, rightPayload: Seq[String],
+                        toleranceSec: Long): DataFrame = {
+    require(rightPayload.contains(rightTime),
+      s"rightPayload must carry $rightTime for the staleness test")
+    val base = asofJoin(left, right, keyCols, leftTime, rightTime,
+      rightPayload)
+    val fresh = col(leftTime).cast("long") -
+      col(s"asof_$rightTime").cast("long") <= lit(toleranceSec)
+    val kept = base.columns.map {
+      case c if c.startsWith("asof_") =>
+        when(fresh, col(c)).as(c)
+      case c => col(c)
+    }
+    base.select(kept.toSeq: _*)
+  }
+
   /** Banded (grid-bucketized) interval join: every (left, right) pair in
     * the same key with |l.time − r.time| ≤ `toleranceSec`, joined EQUI on
     * (key, time-bucket) instead of key alone.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge tables — the family
@@ -193,4 +193,59 @@ object GraphOps {
         ${its.mkString(",\n        ")}
         SELECT node_id, pr AS pagerank FROM it$iters ORDER BY node_id"""
   }
+
+  /** BFS distance layers from a seed set over a directed edge list —
+    * "how many hops is every document from the curated core": seeds are
+    * layer 0, each round expands the current frontier one hop, a node
+    * keeps the FIRST depth that reaches it, and nodes the seeds never
+    * reach within `maxDepth` report −1 (graph-distance features for
+    * curation: trust propagation from vetted documents, staleness
+    * radius from a refreshed subset).
+    *
+    * Scale shape — the Pregel frontier pattern, NOT a transitive
+    * closure: each round is frontier⋈edges (equi-join on src, slim
+    * (node_id) rows) → distinct → anti-join against the visited set;
+    * every frontier is persisted so round r+1 references a materialized
+    * slim node-id frame, never a 2^depth-deep lineage (the anti-join
+    * reads the union of CACHED layers — no recomputation). Rounds are
+    * O(maxDepth); the frontier can only shrink relative to the
+    * reachable set, and no step is ever quadratic in degree. */
+  def bfsLayers(nodes: DataFrame, edges: DataFrame, seedPred: Column,
+                maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    var layers = List(
+      nodes.filter(seedPred).select(col("node_id")).distinct().persist())
+    for (_ <- 1 to maxDepth) {
+      val visited = layers.reduce(_ unionAll _)
+      val next = layers.head.join(e, col("node_id") === col("src"))
+        .select(col("dst").as("node_id")).distinct()
+        .join(visited, Seq("node_id"), "left_anti")
+        .persist()
+      layers = next :: layers
+    }
+    val dists = layers.reverse.zipWithIndex.map { case (f, dd) =>
+      f.select(col("node_id"), lit(dd).as("dist"))
+    }.reduce(_ unionAll _)
+    nodes.select(col("node_id")).join(dists, Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("dist"), lit(-1)).as("dist"))
+  }
+
+  /** Oracle twin of [[bfsLayers]]: a recursive CTE bounded at `maxDepth`
+    * whose UNION dedups (node, dist) pairs; min(dist) per node is the
+    * first-reached BFS layer — identical to the frontier anti-join. */
+  def bfsLayersSql(nodesSql: String, edgesSql: String,
+                   seedPredSql: String, maxDepth: Int): String =
+    s"""WITH RECURSIVE nodes AS ($nodesSql),
+        edges AS ($edgesSql),
+        bfs(node_id, dist) AS (
+          SELECT node_id, 0 FROM nodes WHERE $seedPredSql
+          UNION
+          SELECT e.dst, b.dist + 1
+          FROM bfs b JOIN edges e ON b.node_id = e.src
+          WHERE b.dist < $maxDepth),
+        m AS (SELECT node_id, CAST(min(dist) AS INT) AS dist
+              FROM bfs GROUP BY node_id)
+        SELECT n.node_id, COALESCE(m.dist, -1) AS dist
+        FROM nodes n LEFT JOIN m ON n.node_id = m.node_id
+        ORDER BY n.node_id"""
 }

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops.SimOps
+
+/** Glycemic-variability panel — the two published variability metrics a
+  * CGM clinic reads beside mean/SD/TIR (which live in
+  * `ref_glycemic_stats` / `ref_time_in_range`): MODD (Molnar 1972,
+  * day-to-day reproducibility) and MAGE (Service 1970, within-day
+  * excursion amplitude). Both are window-function pipelines over the
+  * same user-keyed ordering, so each query pays ONE user-keyed exchange
+  * for its whole chain of lag/lead passes (Catalyst reuses the sort);
+  * the per-user scalar branches (SD, pair means) aggregate slim rows on
+  * the same key. The reference's consumers (FIXTURES.md §B role mapping)
+  * read these off the same EGV feed the categorize/filter topologies
+  * process (StreamsFilterEgvs.java:28-31 feeds the same stream).
+  */
+object ClinicalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // MODD — Mean Of Daily Differences: |glucose(t) − glucose(t − 24 h)|
+    // averaged over time-matched readings on CONSECUTIVE days. Matching
+    // uses the clinical convention: one representative reading per
+    // (user, day, hour-of-day slot) — the reading nearest the slot
+    // center (tie: lowest event_id) — then the day-over-day pair is a
+    // lag over (user, slot) ordered by day, kept only when the previous
+    // row is exactly the prior day. The representative pick and the
+    // pairing are integer-exact; the |diff| of two raw parquet doubles
+    // is IEEE-exact; only the final per-user mean is quantized.
+    // Shape: one (user, day, slot) window picks representatives, one
+    // (user, slot) window pairs days, one user-keyed hash-agg — all
+    // slim day-grain rows after the first pass; never an all-readings
+    // self-join (the textbook MODD join on ts = ts - 24h would shuffle
+    // the full feed twice and die on irregular timestamps).
+    QueryDef("ref_modd",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+            col("event_id"), col("value"))
+          .withColumn("day", expr("sec div 86400"))
+          .withColumn("slot", expr("(sec % 86400) div 3600"))
+          .withColumn("off", abs(expr("sec % 3600") - lit(1800L)))
+        val wRep = Window.partitionBy(col("user_id"), col("day"), col("slot"))
+          .orderBy(col("off"), col("event_id"))
+        val rep = ev.withColumn("rn", row_number().over(wRep))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"), col("slot"), col("value"))
+        val wPair = Window.partitionBy(col("user_id"), col("slot"))
+          .orderBy(col("day"))
+        rep
+          .withColumn("pv", lag(col("value"), 1).over(wPair))
+          .withColumn("pd", lag(col("day"), 1).over(wPair))
+          .filter(col("pd") === col("day") - 1)
+          // Accumulate in exact integer micro-units: a double-sum's value
+          // depends on addend order (Spark's partial merge vs the
+          // oracle's sequential scan — a 1-ulp drift flipped the 4th
+          // decimal on one sf0.01 row), a long-sum's does not. One
+          // identical IEEE division at the end on both sides.
+          .withColumn("dm",
+            expr("CAST(floor(abs(value - pv) * 1000000 + 0.5) AS LONG)"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("dm")).as("__sm"))
+          .select(col("user_id"), col("n_pairs"),
+            SimOps.quant4(col("__sm").cast("double") /
+              (col("n_pairs") * lit(1000000L)).cast("double")).as("modd"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_id, value,
+             |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             | e2 AS (SELECT user_id, event_id, value, sec // 86400 AS day,
+             |   (sec % 86400) // 3600 AS slot,
+             |   abs((sec % 3600) - 1800) AS off FROM ev),
+             | rep AS (SELECT user_id, day, slot, value FROM (
+             |   SELECT *, row_number() OVER (PARTITION BY user_id, day, slot
+             |     ORDER BY off, event_id) AS rn FROM e2) WHERE rn = 1),
+             | pr AS (SELECT user_id, day, value,
+             |   lag(value, 1) OVER w AS pv, lag(day, 1) OVER w AS pd
+             |  FROM rep WINDOW w AS (PARTITION BY user_id, slot ORDER BY day)),
+             | g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             |   CAST(sum(CAST(floor(abs(value - pv) * 1000000 + 0.5) AS BIGINT))
+             |     AS BIGINT) AS sm
+             |  FROM pr WHERE pd = day - 1 GROUP BY user_id)
+             | SELECT user_id, n_pairs,
+             |  ${SimOps.quant4Sql(
+                   "CAST(sm AS DOUBLE) / CAST(n_pairs * 1000000 AS DOUBLE)")}
+             |    AS modd
+             | FROM g ORDER BY user_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id")),
+
+    // MAGE — Mean Amplitude of Glycemic Excursions: the mean |peak −
+    // nadir| over excursions exceeding one SD of the user's whole
+    // series. Deterministic variant gated here: (1) collapse
+    // consecutive equal readings (keep first) so every neighbor diff is
+    // nonzero and "local extremum" is a total predicate; (2) interior
+    // turning points = strict sign change (prev < v > next or
+    // prev > v < next); (3) amplitude = |v − previous turning point|;
+    // (4) keep amplitudes whose 4-dp-quantized value exceeds the
+    // 4-dp-quantized SD — the threshold compare runs on engine-exact
+    // quantized doubles (the hardNegatives band-test convention) so a
+    // boundary amplitude cannot flip membership across engines.
+    // Users with no qualifying excursion still report (0, NULL).
+    // Shape: three consecutive lag/lead windows on the SAME (user ×
+    // (sec, event_id)) partitioning-ordering — one exchange + one sort
+    // reused through the chain (filters preserve order); the SD branch
+    // is a user-keyed hash-agg of the same scan joined back on the
+    // window's own key.
+    QueryDef("ref_mage",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+            col("event_id"), col("value"))
+        val sd = ev.groupBy(col("user_id"))
+          .agg(stddev_samp(col("value")).as("__sd"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"), col("event_id"))
+        val collapsed = ev
+          .withColumn("pv", lag(col("value"), 1).over(w))
+          .filter(col("pv").isNull || col("value") =!= col("pv"))
+          .drop("pv")
+        val turns = collapsed
+          .withColumn("prev", lag(col("value"), 1).over(w))
+          .withColumn("nxt", lead(col("value"), 1).over(w))
+          .filter(col("prev").isNotNull && col("nxt").isNotNull &&
+            ((col("value") > col("prev") && col("value") > col("nxt")) ||
+             (col("value") < col("prev") && col("value") < col("nxt"))))
+          .select(col("user_id"), col("sec"), col("event_id"), col("value"))
+        val amp = turns
+          .withColumn("tv", lag(col("value"), 1).over(w))
+          .filter(col("tv").isNotNull)
+          .withColumn("amp", abs(col("value") - col("tv")))
+          .select(col("user_id"), col("amp"))
+        // ONE sd branch: left-joining amplitudes onto the per-user SD and
+        // aggregating conditionally keeps zero-excursion users without a
+        // second SD subtree (a naive "exc join sd, then sd left-join exc"
+        // plan scans + aggregates the events table twice for SD).
+        // Integer micro-unit accumulation (same rationale as ref_modd):
+        // the amplitude mean must not depend on partial-sum order.
+        sd.join(amp, Seq("user_id"), "left")
+          .withColumn("qual",
+            col("amp").isNotNull &&
+              SimOps.quant4(col("amp")) > SimOps.quant4(col("__sd")))
+          .withColumn("am",
+            when(col("qual"), expr("CAST(floor(amp * 1000000 + 0.5) AS LONG)")))
+          .groupBy(col("user_id"), col("__sd"))
+          .agg(sum(when(col("qual"), 1L).otherwise(0L)).as("n_excursions"),
+            sum(col("am")).as("__sm"))
+          .select(col("user_id"), SimOps.quant4(col("__sd")).as("sd_glucose"),
+            col("n_excursions"),
+            when(col("n_excursions") > 0,
+              SimOps.quant4(col("__sm").cast("double") /
+                (col("n_excursions") * lit(1000000L)).cast("double")))
+              .as("mage"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_id, value,
+             |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             | sd AS (SELECT user_id, stddev_samp(value) AS sdv
+             |  FROM ev GROUP BY user_id),
+             | coll AS (SELECT user_id, sec, event_id, value FROM (
+             |   SELECT *, lag(value, 1) OVER (PARTITION BY user_id
+             |     ORDER BY sec, event_id) AS pv FROM ev)
+             |   WHERE pv IS NULL OR value <> pv),
+             | tp AS (SELECT user_id, sec, event_id, value FROM (
+             |   SELECT *, lag(value, 1) OVER w AS prev,
+             |     lead(value, 1) OVER w AS nxt FROM coll
+             |   WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+             |   WHERE prev IS NOT NULL AND nxt IS NOT NULL AND
+             |     ((value > prev AND value > nxt)
+             |      OR (value < prev AND value < nxt))),
+             | amp AS (SELECT user_id, abs(value - tv) AS amp FROM (
+             |   SELECT *, lag(value, 1) OVER (PARTITION BY user_id
+             |     ORDER BY sec, event_id) AS tv FROM tp)
+             |   WHERE tv IS NOT NULL),
+             | j AS (SELECT sd.user_id, sdv, amp,
+             |    (amp IS NOT NULL AND
+             |     ${SimOps.quant4Sql("amp")} > ${SimOps.quant4Sql("sdv")})
+             |      AS qual
+             |   FROM sd LEFT JOIN amp ON sd.user_id = amp.user_id),
+             | g AS (SELECT user_id, sdv,
+             |    CAST(sum(CASE WHEN qual THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_excursions,
+             |    CAST(sum(CASE WHEN qual THEN
+             |        CAST(floor(amp * 1000000 + 0.5) AS BIGINT) END)
+             |      AS BIGINT) AS sm
+             |   FROM j GROUP BY user_id, sdv)
+             | SELECT user_id, ${SimOps.quant4Sql("sdv")} AS sd_glucose,
+             |  n_excursions,
+             |  CASE WHEN n_excursions > 0 THEN ${SimOps.quant4Sql(
+                   "CAST(sm AS DOUBLE) / CAST(n_excursions * 1000000 AS DOUBLE)")}
+             |  END AS mage
+             | FROM g ORDER BY user_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id")),
+
+    // Winsorized mean — the robust location estimate a sensor pipeline
+    // trusts when raw means are spike-polluted (compression lows,
+    // pressure-induced sensor attenuations): per user, clip every
+    // reading into [p05, p95] of that user's own distribution
+    // (percentile_disc — both engines pick actual data values, zero
+    // interpolation arithmetic), then average the clipped series in
+    // exact integer micro-units (the ref_modd accumulation rule).
+    // Shape: one user-keyed sort-agg for the percentile pair (slim
+    // per-user rows), an equi-join back on the same key, one hash-agg —
+    // the clip itself is scalar codegen. The trimmed bounds travel in
+    // the output so the gate checks WHERE the clip landed, not just the
+    // mean.
+    QueryDef("ref_winsorized_mean",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("value"))
+        val pct = ev.groupBy(col("user_id")).agg(
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)")
+            .as("p05"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")
+            .as("p95"),
+          count(lit(1)).as("n_readings"))
+        ev.join(pct, "user_id")
+          .withColumn("w",
+            least(greatest(col("value"), col("p05")), col("p95")))
+          .withColumn("wm", expr("CAST(floor(w * 1000000 + 0.5) AS LONG)"))
+          .groupBy(col("user_id"), col("n_readings"),
+            col("p05"), col("p95"))
+          .agg(sum(col("wm")).as("__sm"))
+          .select(col("user_id"), col("n_readings"), col("p05"), col("p95"),
+            SimOps.quant4(col("__sm").cast("double") /
+              (col("n_readings") * lit(1000000L)).cast("double"))
+              .as("wins_mean"))
+      },
+      Some(s"""WITH pct AS (SELECT user_id,
+             |   quantile_disc(value, 0.05) AS p05,
+             |   quantile_disc(value, 0.95) AS p95,
+             |   CAST(count(*) AS BIGINT) AS n_readings
+             |  FROM events GROUP BY user_id),
+             | w AS (SELECT e.user_id, n_readings, p05, p95,
+             |   CAST(floor(least(greatest(value, p05), p95) * 1000000 + 0.5)
+             |     AS BIGINT) AS wm
+             |  FROM events e JOIN pct ON e.user_id = pct.user_id),
+             | g AS (SELECT user_id, n_readings, p05, p95,
+             |   CAST(sum(wm) AS BIGINT) AS sm FROM w GROUP BY 1, 2, 3, 4)
+             | SELECT user_id, n_readings, p05, p95,
+             |  ${SimOps.quant4Sql(
+                   "CAST(sm AS DOUBLE) / CAST(n_readings * 1000000 AS DOUBLE)")}
+             |    AS wins_mean
+             | FROM g ORDER BY user_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id"))
+  )
+}

@@ -56,6 +56,50 @@ object MergeQueries {
              |  ORDER BY v DESC) AS rn FROM allr)
              | SELECT o_orderkey, o_orderstatus, o_totalprice, v AS src_version
              | FROM m WHERE rn = 1 ORDER BY o_orderkey""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("o_orderkey"))
+      presentOrder = Seq("o_orderkey")),
+
+    // Corpus snapshot diff — the audit every dataset re-release ships:
+    // old vs new version of the corpus, each doc classified
+    // added / removed / changed / unchanged by CONTENT HASH compare
+    // (never by text compare: at 100 TB the hashes are precomputed at
+    // write time and the diff join carries 16-byte digests, not
+    // documents). The two versions derive deterministically from the
+    // one documents table (residue-class membership + a marked text
+    // revision), so the oracle sees the identical corpus pair. Shape:
+    // one full-outer equi-join on doc_id over slim (id, hash) rows —
+    // co-partitioned under bucketed layout, AQE-handled otherwise; the
+    // classification is a scalar CASE over the join's null pattern.
+    QueryDef("q_snapshot_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val old = docs.filter(col("doc_id") % 11 =!= 5)
+          .select(col("doc_id"), md5(col("text")).as("old_hash"))
+        val neu = docs.filter(col("doc_id") % 13 =!= 7)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 5 === 0,
+                concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text"))).as("new_hash"))
+        old.join(neu, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("old_hash"), col("new_hash"),
+            when(col("old_hash").isNull, "added")
+              .when(col("new_hash").isNull, "removed")
+              .when(col("old_hash") =!= col("new_hash"), "changed")
+              .otherwise("unchanged").as("status"))
+      },
+      Some("""WITH old AS (SELECT doc_id, md5(text) AS old_hash
+             |  FROM documents WHERE doc_id % 11 <> 5),
+             | neu AS (SELECT doc_id,
+             |   md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+             |       ELSE text END) AS new_hash
+             |  FROM documents WHERE doc_id % 13 <> 7)
+             | SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+             |  old_hash, new_hash,
+             |  CASE WHEN old_hash IS NULL THEN 'added'
+             |       WHEN new_hash IS NULL THEN 'removed'
+             |       WHEN old_hash <> new_hash THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             | FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+             | ORDER BY 1""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id"))
   )
 }

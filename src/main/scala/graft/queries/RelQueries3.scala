@@ -406,6 +406,38 @@ object RelQueries3 {
              | ORDER BY e.event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id")),
 
+    // Tolerance-bounded as-of (pandas merge_asof(tolerance=...)): the
+    // backward match above, DISCARDED when staler than 30 min — the
+    // freshness contract of a point-in-time feature join. Same one-
+    // exchange zero-join plan plus a scalar integer-second predicate;
+    // the oracle wraps DuckDB's native ASOF in the identical CASE.
+    QueryDef("q_asof_tolerance",
+      (s, d) => {
+        val events = Tables.events(s, d)
+        val high = events.filter(col("value") >= 200)
+          .groupBy(col("user_id"), col("ts").as("high_ts"))
+          .agg(max(col("value")).as("high_value"))
+        graft.ops.AsofOps.asofJoinTolerance(
+          events.select("user_id", "ts", "event_id", "value"),
+          high,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "high_ts",
+          rightPayload = Seq("high_ts", "high_value"), toleranceSec = 1800L)
+      },
+      Some("""WITH high AS (
+             |  SELECT user_id, ts AS high_ts, max(value) AS high_value
+             |  FROM events WHERE value >= 200 GROUP BY user_id, ts),
+             | j AS (SELECT e.user_id, e.ts, e.event_id, e.value,
+             |   h.high_ts, h.high_value,
+             |   (CAST(floor(epoch(e.ts)) AS BIGINT)
+             |    - CAST(floor(epoch(h.high_ts)) AS BIGINT) <= 1800) AS fr
+             |  FROM events e ASOF LEFT JOIN high h
+             |   ON e.user_id = h.user_id AND h.high_ts <= e.ts)
+             | SELECT user_id, ts, event_id, value,
+             |  CASE WHEN fr THEN high_ts END AS asof_high_ts,
+             |  CASE WHEN fr THEN high_value END AS asof_high_value
+             | FROM j ORDER BY event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id")),
+
     // Nearest as-of (pandas merge_asof direction='nearest', which
     // neither engine has natively): the CLOSEST high reading in either
     // direction, backward winning distance ties. One exchange, two

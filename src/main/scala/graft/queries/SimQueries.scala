@@ -325,6 +325,29 @@ object SimQueries {
           SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
       presentOrder = Seq("node_id")),
 
+    // BFS distance layers from a curated seed set over the k-NN graph —
+    // graph-distance-from-core as a curation feature (trust radius from
+    // vetted documents): seeds = layer 0, four frontier rounds, nodes
+    // never reached report −1. Pregel frontier shape (persisted slim
+    // node-id layers, one equi-join shuffle per round, anti-join against
+    // cached visited); the oracle is a depth-bounded recursive CTE whose
+    // min(dist) equals the first-reached layer.
+    QueryDef("graph_bfs_layers",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        GraphOps.bfsLayers(nodes, edges, col("node_id") < 3, maxDepth = 4)
+      },
+      Some(GraphOps.bfsLayersSql(
+        "SELECT vec_id AS node_id FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
+        "node_id < 3", maxDepth = 4)),
+      presentOrder = Seq("node_id")),
+
     // Trained semantic clustering: Lloyd's k-means in exact integer
     // micro-unit space (hash-ordered init, floored-mean update, 2 driver-
     // iterated rounds) — the cluster-then-sample curation primitive and

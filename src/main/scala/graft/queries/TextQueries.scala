@@ -339,6 +339,41 @@ object TextQueries {
              |   JOIN uc cb ON big.w2 = cb.w CROSS JOIN n
              | ORDER BY lift_permille DESC, w1, w2 LIMIT 20""".stripMargin
         .replace("\n", "")),
-      presentOrder = Seq("w1", "w2"))
+      presentOrder = Seq("w1", "w2")),
+
+    // Token Gini diversity — the distribution-shape quality signal the
+    // max-share/dup-ratio pair in `text_repetition` cannot see: Gini
+    // impurity 1 − Σpᵢ² over the doc's unigram distribution (a doc
+    // whose tokens are evenly spread scores high; one dominated by a
+    // few tokens scores low even when n_distinct is large). Entirely
+    // integer: gini_micro = (N² − Σc²)·10⁶ div N² — no transcendental
+    // entropy (ln differs across libms; Σp² is rational), so the gate
+    // is hash-exact with zero tolerance. Shape: the same two map-side-
+    // combinable hash-aggs as TF — (doc, term) grain then doc grain;
+    // per-doc Σc² ≤ N² ≤ 10⁸ at 10⁴-token docs, ×10⁶ fits LONG.
+    QueryDef("text_token_gini",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("__ss"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          expr("((n_tokens * n_tokens - __ss) * 1000000L)" +
+            " div (n_tokens * n_tokens)").as("gini_micro")),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             | c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM t GROUP BY 1, 2),
+             | g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |   CAST(count(*) AS BIGINT) AS n_types,
+             |   CAST(sum(c * c) AS BIGINT) AS ss FROM c GROUP BY doc_id)
+             | SELECT doc_id, n_tokens, n_types,
+             |  ((n_tokens * n_tokens - ss) * 1000000)
+             |    // (n_tokens * n_tokens) AS gini_micro
+             | FROM g ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id"))
   )
 }

@@ -50,6 +50,24 @@ class AsofSpec extends SparkSpec {
       ("u2", 7, "f", null)))   // keys isolated, no u2 right rows
   }
 
+  test("asofJoinTolerance: stale matches null out, fresh and exact survive") {
+    val left = df(Seq(
+      ("u1", 5, "a"), ("u1", 10, "b"), ("u1", 30, "c"),
+      ("u1", 100, "d")), ("k", "t", "tag"))
+    val right = df(Seq(
+      ("u1", 10, "r10"), ("u1", 25, "r25")), ("k", "rt", "state"))
+    val out = AsofOps.asofJoinTolerance(left, right, Seq("k"), "t", "rt",
+        Seq("rt", "state"), toleranceSec = 20L)
+      .select("k", "t", "tag", "asof_state").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(out === Set(
+      ("u1", 5, "a", null),     // no backward match at all
+      ("u1", 10, "b", "r10"),   // exact hit: staleness 0
+      ("u1", 30, "c", "r25"),   // 5s stale, inside the 20s tolerance
+      ("u1", 100, "d", null)))  // match exists (r25) but 75s stale
+  }
+
   test("asofJoin plans with zero join nodes and one key shuffle") {
     val left = df(Seq(("u1", 1, "a")), ("k", "t", "tag"))
     val right = df(Seq(("u1", 1, "s")), ("k", "rt", "state"))

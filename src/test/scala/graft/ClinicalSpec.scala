@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the glycemic-variability panel (ref_modd,
+  * ref_mage) and the snapshot-diff / token-Gini operators — each QueryDef
+  * runs end-to-end against a temp-dir parquet layout, the same path the
+  * driver's gate exercises.
+  */
+class ClinicalSpec extends SparkSpec {
+
+  private def run(name: String, dir: String) =
+    Catalog.queries(name)(spark, dir)
+
+  private def eventsDir(rows: Seq[(Long, Long, Long, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clin").toString
+    rows.toDF("event_id", "sec", "user_id", "value")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("user_id"), lit("egv").as("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("ref_modd pairs consecutive-day slot representatives; lone days drop") {
+    // user 1, day 0: slot 0 has TWO readings — sec 0 (off 1800, v 999)
+    // and sec 1800 (off 0, v 100): the slot-center-nearest rep must win.
+    val d = eventsDir(Seq(
+      (1L, 0L, 1L, 999.0), (2L, 1800L, 1L, 100.0),        // day0 slot0 → 100
+      (3L, 5400L, 1L, 150.0),                              // day0 slot1 → 150
+      (4L, 86400L + 1800L, 1L, 120.0),                     // day1 slot0 → 120
+      (5L, 86400L + 5400L, 1L, 130.0),                     // day1 slot1 → 130
+      (6L, 3 * 86400L, 1L, 500.0),                         // day3: not consecutive
+      (7L, 1800L, 2L, 90.0)))                              // user 2: one day only
+    val out = run("ref_modd", d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // pairs: |120-100| = 20, |130-150| = 20 → modd 20.0; user 2 absent
+    assert(out === Seq((1L, 2L, 20.0)))
+  }
+
+  test("ref_mage collapses dups, finds interior turning points, gates on SD") {
+    // user 1: 100,100,180,120,160,80 → collapsed 100,180,120,160,80;
+    // turning points 180,120,160; amplitudes 60,40; SD(full series)≈38.82
+    // → both qualify → n=2, mage=50. user 2: constant → (0, null).
+    val d = eventsDir(Seq(
+      (1L, 0L, 1L, 100.0), (2L, 300L, 1L, 100.0), (3L, 600L, 1L, 180.0),
+      (4L, 900L, 1L, 120.0), (5L, 1200L, 1L, 160.0), (6L, 1500L, 1L, 80.0),
+      (7L, 0L, 2L, 110.0), (8L, 300L, 2L, 110.0)))
+    val rows = run("ref_mage", d).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2)) === Seq((1L, 2L), (2L, 0L)))
+    assert(rows(0)._3 === 50.0)
+    assert(rows(1)._3.isNaN)
+  }
+
+  test("ref_winsorized_mean clips into [p05, p95] before averaging") {
+    // 20 readings: one 0, eighteen 100s, one 10000. percentile_disc:
+    // p05 = rank-1 value (cum 0.05) = 0; p95 = rank-19 value = 100.
+    // Clipped series: 0 + 19×100 → winsorized mean 95 (raw mean 590).
+    val rows = Seq((1L, 0L, 1L, 0.0), (20L, 5700L, 1L, 10000.0)) ++
+      (2 to 19).map(i => (i.toLong, i * 300L, 1L, 100.0))
+    val d = eventsDir(rows)
+    val out = run("ref_winsorized_mean", d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq((1L, 20L, 0.0, 100.0, 95.0)))
+  }
+
+  test("q_snapshot_diff classifies every residue class correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    // 1 → unchanged; 5 → added (5 % 11 = 5); 7 → removed (7 % 13 = 7);
+    // 10 → changed (10 % 5 = 0, present in both versions)
+    Seq((1L, "alpha"), (5L, "beta"), (7L, "gamma"), (10L, "delta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val st = run("q_snapshot_diff", dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(st === Map(1L -> "unchanged", 5L -> "added",
+      7L -> "removed", 10L -> "changed"))
+  }
+
+  test("text_token_gini is exact integer micro-units of 1 - sum(p^2)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    Seq((1L, "a a b b"), (2L, "a b c d"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val g = run("text_token_gini", dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(g === Map(
+      1L -> ((4L, 2L, 500000L)),   // 1 - 8/16
+      2L -> ((4L, 4L, 750000L)),   // 1 - 4/16
+      3L -> ((4L, 1L, 0L))))       // 1 - 16/16
+  }
+}

@@ -1034,4 +1034,23 @@ class DedupSimSpec extends SparkSpec {
     assert(out(1L) == ((2L, "a b c d e f g h tail1 tail2")))
     assert(out(2L) == ((1L, "only five tokens in here")))
   }
+
+  test("bfsLayers: first-reached depth, unreachable = -1, depth bound respected") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    import org.apache.spark.sql.functions.col
+    // chain 1->2->3->4->5->6 plus shortcut 1->4, isolated 7, back-edge 3->1
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("node_id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (3L, 1L)).toDF("src", "dst")
+    val out = GraphOps.bfsLayers(ns, es, col("node_id") === 1L, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 1@0; 2,4@1 (shortcut beats the chain); 3,5@2; 6@3; 7 unreachable
+    assert(out === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2,
+      6L -> 3, 7L -> -1))
+    // depth bound: with maxDepth=2 node 6 is out of reach
+    val d2 = GraphOps.bfsLayers(ns, es, col("node_id") === 1L, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d2(6L) === -1 && d2(5L) === 2)
+  }
 }
