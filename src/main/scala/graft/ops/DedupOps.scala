@@ -119,6 +119,107 @@ object DedupOps {
         explode(TextOps.shingleStrings("__toks")).as("__s"))
       .select(col("doc_id"), TextOps.hash64(col("__s")).as("h"))
 
+  /** EXACT Jaccard-threshold set-similarity self-join via prefix
+    * filtering (the AllPairs/PPJoin family — Bayardo et al., "Scaling Up
+    * All Pairs Similarity Search", WWW'07; Chaudhuri et al.'s SSJoin
+    * prefix filter) over each document's distinct 3-token SHINGLE set —
+    * the certified-exact arm beside [[jaccardPairs]] (whose df-capped
+    * universe drifts from true Jaccard the moment any natural shingle's
+    * df exceeds the cap — documented there) and the probabilistic LSH
+    * paths. Shingles, not word sets: over a small vocabulary word SETS
+    * collapse (every doc looks like every other — measured 73k of 125k
+    * possible pairs over 500 synthetic docs), while shingles keep
+    * word-order structure and pairs sparse.
+    *
+    * The theorem that prunes: order each doc's shingles by (global df
+    * asc, hash) — rarest first — and keep only the first n − ⌈t·n⌉ + 1
+    * as its PREFIX. J(A,B) >= t implies |A∩B| >= t·|A| (from
+    * c >= t(na+nb−c) and c <= nb), so a qualifying pair cannot have all
+    * its common shingles inside A's excluded suffix of size ⌈t·na⌉ − 1 —
+    * every qualifying pair shares a PREFIX shingle, and the candidate
+    * join over the slim prefix index is complete. A length filter
+    * (t·na <= nb and t·nb <= na, also implied by J >= t) prunes
+    * size-mismatched pairs inside the same join.
+    *
+    * Everything is integer: prefix length and ceil via floor-division
+    * identities, the threshold test as cross-multiplication
+    * (c·(tNum+tDen) >= tNum·(na+nb) ⟺ J >= t), the score in permille —
+    * hash-exact on both engines with zero float columns.
+    *
+    * Scale shape: shingle df (one hash-keyed agg), per-doc ordering (one
+    * doc-keyed window over slim (doc, h, df) rows), candidate generation
+    * over the PREFIX-ONLY inverted index — prefixes hold each doc's
+    * RAREST shingles, so the per-shingle fan-out df² concentrates on
+    * low-df shingles by construction (the structural opposite of the
+    * hot-shingle risk the df cap exists for), then one pair-keyed count
+    * for the exact verify. At crawl scale PPJoin's positional
+    * upper-bound filter tightens the candidate set further; this
+    * implementation keeps the simpler complete prefix + length filters. */
+  def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
+                        tNum: Long = 3, tDen: Long = 5): DataFrame = {
+    val toks = shingleInv(docs, textCol, idCol).distinct()
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    val sized = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ordered = toks.join(dfreq, "h")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .join(sized, "doc_id")
+    val prefix = ordered.filter(
+      col("pos") <= col("n") -
+        expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        lit(tNum) * col("a.n") <= lit(tDen) * col("b.n") &&
+        lit(tNum) * col("b.n") <= lit(tDen) * col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") * lit(tNum + tDen) >=
+        lit(tNum) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        expr("common * 1000 div (na + nb - common)").as("jaccard_permille"))
+  }
+
+  /** Oracle twin of [[prefixFilterPairs]] — identical shingle universe
+    * ([[shingleSetsSql]], already distinct per doc), df ordering,
+    * prefix/length pruning, and integer threshold algebra. */
+  def prefixFilterPairsSql(table: String, textCol: String, idCol: String,
+                           tNum: Long = 3, tDen: Long = 5): String =
+    s"""WITH sets AS (${shingleSetsSql(table, textCol, idCol)}),
+        toks AS (SELECT doc_id, unnest(sh) AS h FROM sets),
+        dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+                FROM toks GROUP BY h),
+        sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM toks GROUP BY doc_id),
+        ordered AS (SELECT t.doc_id, t.h, n,
+            row_number() OVER (PARTITION BY t.doc_id
+              ORDER BY df, t.h) AS pos
+          FROM toks t JOIN dfq USING (h) JOIN sized USING (doc_id)),
+        pre AS (SELECT doc_id, h, n FROM ordered
+          WHERE pos <= n - (($tNum * n + ${tDen - 1}) // $tDen) + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.n AS na, b.n AS nb
+          FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+           AND $tNum * a.n <= $tDen * b.n AND $tNum * b.n <= $tDen * a.n),
+        com AS (SELECT doc_a, doc_b, na, nb,
+            CAST(count(*) AS BIGINT) AS common
+          FROM cand JOIN toks ta ON ta.doc_id = cand.doc_a
+            JOIN toks tb ON tb.doc_id = cand.doc_b AND tb.h = ta.h
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, common,
+          common * 1000 // (na + nb - common) AS jaccard_permille
+        FROM com WHERE common * ${tNum + tDen} >= $tNum * (na + nb)
+        ORDER BY doc_a, doc_b"""
+
   /** Default document-frequency cap for [[jaccardPairs]]: shingles shared
     * by more than this many documents are dropped from the shingle
     * universe. Near-dup trigrams cluster in small groups; a shingle in

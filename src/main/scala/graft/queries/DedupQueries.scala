@@ -69,6 +69,20 @@ object DedupQueries {
       Some(DedupOps.jaccardPairsSql("documents", "text", "doc_id", JaccardThreshold)),
       presentOrder = Seq("doc_a", "doc_b")),
 
+    // EXACT Jaccard >= 3/5 over word sets via prefix filtering (AllPairs/
+    // PPJoin) — the certified-exact arm beside the df-capped shingle
+    // index (capped-universe scores) and the probabilistic LSH paths:
+    // completeness is a theorem (every qualifying pair shares a
+    // rarest-first prefix token), candidates come from the prefix-only
+    // inverted index whose tokens are each doc's RAREST, and the whole
+    // score algebra is integer (cross-multiplied threshold, permille
+    // output) — hash-exact, zero float columns.
+    QueryDef("dedup_prefix_filter",
+      (s, d) => DedupOps.prefixFilterPairs(Tables.documents(s, d),
+        "text", "doc_id"),
+      Some(DedupOps.prefixFilterPairsSql("documents", "text", "doc_id")),
+      presentOrder = Seq("doc_a", "doc_b")),
+
     // MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs with exact
     // verification — the 100 TB path (bucket-join instead of shingle-join).
     QueryDef("dedup_minhash_lsh",

@@ -150,6 +150,38 @@ object StreamParityQueries {
              | SELECT event_id, user_id, event_type, ts FROM g
              | WHERE prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
              | ORDER BY event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id")),
+
+    // CDC changelog classification — the per-update view of a KTable
+    // (ref_latest_by_key materializes only the FINAL state; a CDC sink
+    // consumes each update's classification): first sight of a
+    // (user, event_type) key is 'added', a repeat of the held value
+    // 'unchanged', a new value 'changed'. One key-partitioned lag
+    // window; raw-double equality (same stored values both engines,
+    // nothing recomputed). Streaming twin: StatefulOps
+    // .streamingCdcClassify, row-equal across micro-batch splits
+    // (StreamingSpec).
+    QueryDef("stream_cdc_classify",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("__pv", lag(col("value"), 1).over(w))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            when(col("__pv").isNull, "added")
+              .when(col("__pv") === col("value"), "unchanged")
+              .otherwise("changed").as("status"))
+      },
+      Some("""WITH g AS (SELECT event_id, user_id, event_type, value,
+             |  lag(value) OVER (PARTITION BY user_id, event_type
+             |   ORDER BY ts, event_id) AS pv
+             |  FROM events)
+             | SELECT event_id, user_id, event_type,
+             |  CASE WHEN pv IS NULL THEN 'added'
+             |       WHEN pv = value THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             | FROM g ORDER BY event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id"))
   )
 }

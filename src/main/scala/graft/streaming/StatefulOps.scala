@@ -341,6 +341,50 @@ object StatefulOps {
   private def quant4(x: Double): Double =
     if (x.isNaN || x.isInfinite) x else math.floor(x * 1e4 + 0.5) / 1e4
 
+  case class CdcUpdate(userId: Long, eventType: String, sec: Long,
+                       eventId: Long, value: Double)
+  case class CdcRow(userId: Long, eventType: String, eventId: Long,
+                    status: String)
+  case class LastValue(value: Double)
+
+  /** Streaming twin of the gated `stream_cdc_classify`: the CHANGELOG
+    * view of a KTable. The reference's KTable (`ref_latest_by_key`,
+    * ConsumerDexcom's materialized latest state) exposes only the final
+    * value per key; a CDC sink consumes the per-update classification
+    * instead — first sight of a key is 'added', a repeat of the held
+    * value is 'unchanged', a new value is 'changed'. State per
+    * (user, event_type) is the LAST value only — O(1) per key forever,
+    * the same bound as the trend-arrow twin. Within a micro-batch rows
+    * sort by (sec, eventId) — the batch window's order — so any
+    * micro-batch split of an in-order feed yields the identical status
+    * sequence, proven against the batch query in `StreamingSpec`.
+    * Equality is raw-double equality on both sides (the values are the
+    * same parquet/stream doubles, never recomputed). */
+  def streamingCdcClassify(updates: Dataset[CdcUpdate]): Dataset[CdcRow] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(u => (u.userId, u.eventType))
+      .flatMapGroupsWithState[LastValue, CdcRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[CdcUpdate],
+         state: GroupState[LastValue]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.sec, r.eventId))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CdcRow]
+          var last = state.getOption
+          for (r <- sorted) {
+            val status = last match {
+              case None => "added"
+              case Some(p) if p.value == r.value => "unchanged"
+              case Some(_) => "changed"
+            }
+            out += CdcRow(key._1, key._2, r.eventId, status)
+            last = Some(LastValue(r.value))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** One (band, key) bucket row of an arriving document: its id and full
     * MinHash signature. In a live topology these rows derive from the doc
     * stream as a narrow map (per-doc HOF minhash) + flatMap to bands —

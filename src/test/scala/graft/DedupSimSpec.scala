@@ -1035,6 +1035,45 @@ class DedupSimSpec extends SparkSpec {
     assert(out(2L) == ((1L, "only five tokens in here")))
   }
 
+  test("prefixFilterPairs equals brute-force exact Jaccard at the threshold") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    // Deterministic corpus engineered to exercise the pruning edges:
+    // near-identical pairs, a size-mismatched pair (length filter), a
+    // pair sharing only COMMON tokens (prefix filter must still find it
+    // if J >= t), and singletons.
+    val docs = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta zeta",       // J(1,2) = 4/6 = 0.667
+      3L -> "alpha beta gamma delta epsilon",    // J(1,3) = 1
+      4L -> "alpha beta",                        // small: length-filtered vs 5-sets
+      5L -> "omega psi chi phi upsilon tau sigma rho pi omicron",
+      6L -> "unrelated words entirely here now",
+      7L -> "alpha beta gamma delta epsilon zeta eta" // J(1,7) = 5/7 = 0.714
+    ).toDF("doc_id", "text")
+    val got = DedupOps.prefixFilterPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // Brute force over all pairs, same trigram-shingle universe
+    val sets = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).map { id =>
+      val ts = docs.filter(col("doc_id") === id).collect()(0)
+        .getString(1).split(" ")
+      id -> ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      c = (sets(a) & sets(b)).size.toLong
+      u = (sets(a) | sets(b)).size.toLong
+      if u > 0 && c * 5 >= 3 * u // J >= 3/5 (c/u >= 3/5)
+    } yield (a, b) -> ((c, c * 1000 / u))).toMap
+    assert(got === brute)
+    // boundary: J(1,7) = 3/5 exactly (inclusive); identical pair kept;
+    // the <3-token doc has no shingles and pairs with nothing
+    assert(got((1L, 7L)) === ((3L, 600L)))
+    assert(got.contains((1L, 3L)))
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("bfsLayers: first-reached depth, unreachable = -1, depth bound respected") {
     import spark.implicits._
     import graft.ops.GraphOps

@@ -345,4 +345,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"no key to sort-merge on — scoring is a broadcast product:\n$p")
   }
+
+  test("runtime Bloom filter injects onto the probe side of a selective shuffle join") {
+    // The 100 TB shape this pins: when a big-big shuffle join has a
+    // selective predicate on ONE side, Catalyst's InjectRuntimeFilter
+    // builds a Bloom filter from that side and semi-filters the OTHER
+    // side's scan BEFORE its shuffle — the probe side ships only rows
+    // that can possibly match. At the gate's sf sizes the application-
+    // side threshold (10 GB default) suppresses injection, so the test
+    // lowers it to zero; production feeds cross it naturally.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, d)
+      val ord = Tables.orders(spark, d).filter(col("o_totalprice") > 400000.0)
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("q"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the probe side:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        s"no bloom build on the filtered side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -952,6 +952,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toMap === batch)
   }
 
+  test("streaming CDC classify equals the batch changelog across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{CdcRow, CdcUpdate}
+    val dir = "/root/testdata/sf0.001"
+    val batch = Catalog.queries("stream_cdc_classify")(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[String]("status")).toMap
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ts AS LONG)").as("sec"), col("event_id"), col("value"))
+      .orderBy("sec", "event_id").collect()
+      .map(r => CdcUpdate(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val got = scala.collection.mutable.Map[Long, String]()
+    val in = MemoryStream[CdcUpdate]
+    val q = graft.streaming.StatefulOps.streamingCdcClassify(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[CdcRow], _: Long) =>
+        ds.collect().foreach(c => got(c.eventId) = c.status)
+      }.start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(got.size === batch.size)
+    assert(got.toMap === batch)
+  }
+
   test("streaming EWMA snapshot is bit-equal to the batch fold across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
