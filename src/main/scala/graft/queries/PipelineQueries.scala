@@ -581,5 +581,60 @@ object PipelineQueries {
             FROM sc ORDER BY doc_id, chunk_idx"""
       },
       presentOrder = Seq("doc_id", "chunk_idx"))
+    ,
+
+    // Entity resolution end-to-end — the composition record-linkage
+    // pipelines run: block → fuzzy-match → TRANSITIVE-CLOSURE cluster →
+    // canonicalize. q_fuzzy_join stops at pairwise matches; here the
+    // match graph (blocked levenshtein <= 2 over DISTINCT part names,
+    // name id = min partkey per name — the factorization that keeps the
+    // verify at name grain, never entity pairs) feeds the shared
+    // union-find/pointer-jump CC, and every name maps to its cluster's
+    // canonical id (CC's min-label IS the canonical). Names with no
+    // fuzzy partner keep their own id via the left join. Integer output
+    // end to end; the oracle replays CC as the recursive min-label walk.
+    QueryDef("pipeline_entity_resolution",
+      (s, d) => {
+        val nm = Tables.part(s, d)
+          .groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("nid"),
+            count(lit(1)).as("n_entities"))
+          .withColumn("blk",
+            concat(regexp_extract(col("p_name"), "[^ ]+$", 0), lit("|"),
+              substring(col("p_name"), 1, 1)))
+        val pairs = nm.select(col("p_name").as("na"), col("nid").as("doc_a"),
+            col("blk"))
+          .join(nm.select(col("p_name").as("nb"), col("nid").as("doc_b"),
+            col("blk")), "blk")
+          .filter(col("doc_a") < col("doc_b") &&
+            levenshtein(col("na"), col("nb")) <= 2)
+          .select(col("doc_a"), col("doc_b"))
+        val cc = DedupOps.connectedComponents(pairs)
+        nm.join(cc, nm("nid") === cc("doc_id"), "left")
+          .select(col("nid").as("name_id"),
+            coalesce(col("cluster"), col("nid")).as("canonical_id"),
+            col("n_entities"))
+      },
+      Some("""WITH RECURSIVE nm AS (SELECT p_name, min(p_partkey) AS nid,
+             |   CAST(count(*) AS BIGINT) AS n_entities,
+             |   regexp_extract(p_name, '[^ ]+$') || '|' || substr(p_name, 1, 1)
+             |     AS blk
+             |  FROM part GROUP BY p_name),
+             | pr AS (SELECT a.nid AS doc_a, b.nid AS doc_b
+             |  FROM nm a JOIN nm b ON a.blk = b.blk AND a.nid < b.nid
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+             | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+             |  UNION ALL SELECT doc_b, doc_a FROM pr),
+             | walk(id, label) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+             |  WHERE w.label < e.dst),
+             | cc AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id)
+             | SELECT nid AS name_id, COALESCE(cluster, nid) AS canonical_id,
+             |  n_entities
+             | FROM nm LEFT JOIN cc ON nm.nid = cc.id
+             | ORDER BY name_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("name_id"))
   )
 }

@@ -325,6 +325,47 @@ object SimQueries {
           SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
       presentOrder = Seq("node_id")),
 
+    // Per-dimension quantile transform — the rank-based feature
+    // normalization (sklearn QuantileTransformer's discrete core) that
+    // makes heavy-tailed embedding dims comparable before indexing:
+    // each value maps to its dim's decile (0..9) via the 9 interior
+    // percentile_disc boundaries (actual data values both engines —
+    // zero interpolation; bucket = count of boundaries <= v, an exact
+    // float compare on identical stored floats). Shape: one 64-group
+    // sort-agg for the boundary table (k·9 tiny rows, broadcast back),
+    // then a narrow bucket map — at corpus scale the boundary agg is
+    // the only wide stage and would come from a quantile sketch
+    // (sketch_quantile_shards) instead of the exact sort.
+    QueryDef("sim_quantile_transform",
+      (s, d) => {
+        val v = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        def pd(p: Double, n: String) =
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as(n)
+        val bounds = v.groupBy(col("dim")).agg(
+          pd(0.1, "b1"), pd(0.2, "b2"), pd(0.3, "b3"), pd(0.4, "b4"),
+          pd(0.5, "b5"), pd(0.6, "b6"), pd(0.7, "b7"), pd(0.8, "b8"),
+          pd(0.9, "b9"))
+        v.join(bounds, "dim")
+          .select(col("vec_id"), col("dim").cast("int").as("dim"),
+            size(filter(
+              array(col("b1"), col("b2"), col("b3"), col("b4"), col("b5"),
+                col("b6"), col("b7"), col("b8"), col("b9")),
+              b => b <= col("v"))).cast("int").as("decile"))
+      },
+      Some("""WITH x AS (SELECT vec_id,
+             |   generate_subscripts(embedding, 1) - 1 AS dim,
+             |   unnest(embedding) AS v FROM embeddings),
+             | b AS (SELECT dim,
+             |   quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+             |     AS bs
+             |  FROM x GROUP BY dim)
+             | SELECT vec_id, CAST(x.dim AS INT) AS dim,
+             |  CAST(len(list_filter(bs, e -> e <= v)) AS INT) AS decile
+             | FROM x JOIN b ON x.dim = b.dim
+             | ORDER BY vec_id, dim""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("vec_id", "dim")),
+
     // BFS distance layers from a curated seed set over the k-NN graph —
     // graph-distance-from-core as a curation feature (trust radius from
     // vetted documents): seeds = layer 0, four frontier rounds, nodes

@@ -86,6 +86,38 @@ class ClinicalSpec extends SparkSpec {
       7L -> "removed", 10L -> "changed"))
   }
 
+  test("sim_quantile_transform: discrete deciles, boundary values inclusive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qt").toString
+    // one dim, values 1..10: percentile_disc(p) of 1..10 is the value at
+    // cum >= p, so boundaries are 1..9; decile(v) = #boundaries <= v.
+    (1 to 10).map(i => (i.toLong, Seq(i.toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = run("sim_quantile_transform", dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out === Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5,
+      6L -> 6, 7L -> 7, 8L -> 8, 9L -> 9, 10L -> 9))
+  }
+
+  test("pipeline_entity_resolution clusters transitively beyond pairwise reach") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("er").toString
+    // aaaa~aabb (dist 2), aabb~abbb (dist 2), aaaa~abbb (dist 3 — NOT a
+    // pairwise match): transitivity must still unite all three. The
+    // duplicate name checks n_entities; the gadget is an isolated name.
+    Seq((1L, "aaaa widget"), (2L, "aabb widget"), (3L, "abbb widget"),
+      (4L, "aaaa widget"), (5L, "zzzz gadget"))
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = run("pipeline_entity_resolution", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // name ids: aaaa widget -> 1 (min of 1,4), aabb -> 2, abbb -> 3,
+    // zzzz gadget -> 5; canonical of the chain = 1
+    assert(out === Set((1L, 1L, 2L), (2L, 1L, 1L), (3L, 1L, 1L),
+      (5L, 5L, 1L)))
+  }
+
   test("text_token_gini is exact integer micro-units of 1 - sum(p^2)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("gini").toString
