@@ -243,6 +243,47 @@ object ClinicalQueries {
                    "CAST(sm AS DOUBLE) / CAST(n_readings * 1000000 AS DOUBLE)")}
              |    AS wins_mean
              | FROM g ORDER BY user_id""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("user_id"))
+      presentOrder = Seq("user_id")),
+
+    // Seasonal-residual anomaly — deviation from the user's OWN
+    // time-of-day norm, the seasonal adjustment ref_anomaly_zscore's
+    // global mean cannot see (a 160 mg/dL reading is normal after
+    // dinner, anomalous at 4 am): baseline = per-(user, hour-of-day)
+    // mean in floored integer micro-units, residual = reading −
+    // baseline (pure integer subtraction), flag at the fixed clinical
+    // 50 mg/dL excursion. Zero doubles anywhere — the baseline itself
+    // is the floor-divided micro-unit mean, so the gate is hash-exact
+    // with no quantization step at all. Shape: one (user, hod) hash-agg
+    // (map-side combinable, 24 rows per user) joined back on the same
+    // key — co-partitioned, no window sort over the feed.
+    QueryDef("ref_seasonal_residual",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            hour(col("ts")).as("hod"),
+            expr("CAST(floor(value * 1000000 + 0.5) AS LONG)").as("vm"))
+        val base = ev.groupBy(col("user_id"), col("hod"))
+          .agg(expr("sum(vm) div count(1)").as("baseline_micro"))
+        ev.join(base, Seq("user_id", "hod"))
+          .select(col("event_id"), col("user_id"), col("hod"),
+            col("vm").as("value_micro"), col("baseline_micro"),
+            (col("vm") - col("baseline_micro")).as("residual_micro"),
+            (abs(col("vm") - col("baseline_micro")) > lit(50000000L))
+              .as("is_anomaly"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id,
+             |   CAST(date_part('hour', ts) AS INT) AS hod,
+             |   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+             |  FROM events),
+             | b AS (SELECT user_id, hod,
+             |   CAST(sum(vm) AS BIGINT) // CAST(count(*) AS BIGINT)
+             |     AS baseline_micro
+             |  FROM ev GROUP BY user_id, hod)
+             | SELECT event_id, ev.user_id, ev.hod, vm AS value_micro,
+             |  baseline_micro, vm - baseline_micro AS residual_micro,
+             |  abs(vm - baseline_micro) > 50000000 AS is_anomaly
+             | FROM ev JOIN b ON ev.user_id = b.user_id AND ev.hod = b.hod
+             | ORDER BY event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id"))
   )
 }

@@ -389,6 +389,59 @@ object SimQueries {
         "node_id < 3", maxDepth = 4)),
       presentOrder = Seq("node_id")),
 
+    // Deterministic negative sampling over the k-NN graph — the
+    // contrastive-training complement of sim_hard_negatives (those mine
+    // CONFUSABLE candidates from bucket collisions; these draw
+    // uniform-pseudorandom NON-edges for the easy-negative pool a link-
+    // prediction or embedding loss also needs): per query node, the 5
+    // hash-ordered candidates that are provably not out-neighbors
+    // (anti-join against the edge table). The hash order is the
+    // engine-shared md5-60bit key, so "random" is reproducible and
+    // oracle-checkable. Candidate generation is queries × corpus — linear
+    // in the corpus per query and bounded by the small query set here;
+    // at crawl scale the pool is pre-sampled by a hash-threshold scan
+    // (hkey < cutoff) before the anti-join, same order, same contract.
+    QueryDef("graph_negative_samples",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        val qs = nodes.filter(col("node_id") < 10).select(col("node_id").as("q"))
+        val cand = qs.crossJoin(nodes)
+          .filter(col("node_id") =!= col("q"))
+          .withColumn("hkey", graft.ops.TextOps.hash64(
+            concat_ws("|", col("q"), col("node_id"))))
+        val nonNbr = cand.join(edges,
+          cand("q") === edges("src") && cand("node_id") === edges("dst"),
+          "left_anti")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q")).orderBy(col("hkey"), col("node_id"))
+        nonNbr.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q").as("query_id"), col("rank"),
+            col("node_id").as("negative_id"))
+      },
+      Some(s"""WITH er AS (${SimOps.topKLshMultiSql("embeddings", "TRUE",
+                 KnnK, LshTabs)}),
+             | e AS (SELECT query_id AS src, neighbor_id AS dst FROM er),
+             | n AS (SELECT vec_id AS node_id FROM embeddings),
+             | q AS (SELECT node_id AS q FROM n WHERE node_id < 10),
+             | c AS (SELECT q, node_id,
+             |   ${graft.ops.TextOps.hash64Sql("q || '|' || node_id")} AS hkey
+             |  FROM q CROSS JOIN n WHERE node_id <> q),
+             | nn AS (SELECT c.q, c.node_id, c.hkey FROM c
+             |  LEFT JOIN e ON c.q = e.src AND c.node_id = e.dst
+             |  WHERE e.src IS NULL),
+             | r AS (SELECT q, node_id, CAST(row_number() OVER (
+             |    PARTITION BY q ORDER BY hkey, node_id) AS INT) AS rank
+             |  FROM nn)
+             | SELECT q AS query_id, rank, node_id AS negative_id
+             | FROM r WHERE rank <= 5
+             | ORDER BY query_id, rank""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("query_id", "rank")),
+
     // Trained semantic clustering: Lloyd's k-means in exact integer
     // micro-unit space (hash-ordered init, floored-mean update, 2 driver-
     // iterated rounds) — the cluster-then-sample curation primitive and

@@ -86,6 +86,36 @@ class ClinicalSpec extends SparkSpec {
       7L -> "removed", 10L -> "changed"))
   }
 
+  test("ref_seasonal_residual: per-(user, hour) integer baseline, 50 mg/dL flag") {
+    // hour 0: readings 100, 200, 400 -> baseline floor(700e6/3) =
+    // 233333333; residuals -133333333 (anomaly), -33333333, +166666667
+    // (anomaly). hour 1: single 300 -> residual 0.
+    val d = eventsDir(Seq(
+      (1L, 0L, 1L, 100.0), (2L, 600L, 1L, 200.0), (3L, 1200L, 1L, 400.0),
+      (4L, 3700L, 1L, 300.0)))
+    val out = run("ref_seasonal_residual", d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out === Map(
+      1L -> ((-133333333L, true)), 2L -> ((-33333333L, false)),
+      3L -> ((166666667L, true)), 4L -> ((0L, false))))
+  }
+
+  test("graph_negative_samples never emits a real edge; ranks are 1..5 per query") {
+    val dir = "/root/testdata/sf0.001"
+    graft.catalyst.GraftFunctions.register(spark)
+    val negs = run("graph_negative_samples", dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val edges = graft.ops.SimOps.knnEdgesCached(
+        graft.Tables.embeddings(spark, dir),
+        graft.queries.SimQueries.KnnK, graft.queries.SimQueries.LshTabs)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negs.nonEmpty)
+    assert(negs.forall { case (q, _, n) => !edges.contains((q, n)) && q != n })
+    val byQ = negs.groupBy(_._1)
+    assert(byQ.values.forall(_.map(_._2).sorted.sameElements(1 to 5)))
+  }
+
   test("sim_quantile_transform: discrete deciles, boundary values inclusive") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("qt").toString
