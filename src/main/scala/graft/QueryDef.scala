@@ -56,7 +56,8 @@ object Catalog {
     graft.queries.SkewQueries.defs ++
     graft.queries.SketchQueries.defs ++
     graft.queries.SampleQueries.defs ++
-    graft.queries.PipelineQueries.defs
+    graft.queries.PipelineQueries.defs ++
+    graft.queries.ProfileQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap
