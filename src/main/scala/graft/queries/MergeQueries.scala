@@ -100,6 +100,52 @@ object MergeQueries {
              |       ELSE 'unchanged' END AS status
              | FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
              | ORDER BY 1""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("doc_id"))
+      presentOrder = Seq("doc_id")),
+
+    // Incremental-view maintenance at the aggregate level: the base
+    // half of the feed (days <= corpus midpoint) and the arriving delta
+    // (days after) are aggregated SEPARATELY to user grain, then the
+    // user's final stats come from MERGING the two partial rows —
+    // count/sum/min/max each by its merge operator — never by
+    // re-scanning base + delta together. The gate proves merge ≡ full
+    // recompute: the oracle computes the user stats directly over the
+    // whole feed (plus the partial count), so any non-mergeable
+    // accumulator or merge-order bug goes red. All integer micro-units.
+    // At 100 TB this is the maintenance shape: the base aggregate is a
+    // stored table, each delta batch merges in at aggregate grain —
+    // O(|delta| + |user grain|) per refresh, not O(|base|).
+    QueryDef("q_incremental_rollup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"),
+            expr("CAST(floor(value * 1000000 + 0.5) AS LONG)").as("vm"))
+        val mid = ev.agg(
+          expr("(min(day) + max(day)) div 2").as("mid"))
+        val parts = ev.crossJoin(broadcast(mid))
+          .withColumn("part", (col("day") <= col("mid")).cast("int"))
+          .groupBy(col("user_id"), col("part"))
+          .agg(count(lit(1)).as("n"), sum(col("vm")).as("s"),
+            min(col("vm")).as("mn"), max(col("vm")).as("mx"))
+        parts.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_partials"),
+            sum(col("n")).as("n_readings"),
+            sum(col("s")).as("sum_micro"),
+            min(col("mn")).as("min_micro"),
+            max(col("mx")).as("max_micro"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+             |  FROM events),
+             | m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev)
+             | SELECT user_id,
+             |  CAST(count(DISTINCT CASE WHEN day <= mid THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_partials,
+             |  CAST(count(*) AS BIGINT) AS n_readings,
+             |  CAST(sum(vm) AS BIGINT) AS sum_micro,
+             |  min(vm) AS min_micro, max(vm) AS max_micro
+             | FROM ev CROSS JOIN m GROUP BY user_id
+             | ORDER BY user_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id"))
   )
 }

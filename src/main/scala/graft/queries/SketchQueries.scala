@@ -385,6 +385,58 @@ object SketchQueries {
                   - exact_distinct) * 1000 // exact_distinct AS err_permille
             FROM u ORDER BY source"""
       },
-      presentOrder = Seq("source"))
+      presentOrder = Seq("source")),
+
+    // Sliding distinct-users via REUSED daily HLL partials — the reason
+    // mergeable sketches exist: each day's sketch is built ONCE from
+    // raw events, and every 3-day trailing window is answered by
+    // merging three day-grain sketches (a tiny day×3 range self-join
+    // over sketch rows), never by re-scanning the raw feed per window —
+    // at 100 TB the raw-rescan variant costs 3× the corpus per window
+    // family, the partial-merge variant costs one scan total. Gate
+    // shape: exact windowed distinct (oracle-computable via the
+    // 3-window unnest) plus the ±3σ lgK=12 bound pinned TRUE, the
+    // q_hll_partial_merge regime — a drifting estimator goes red.
+    QueryDef("sketch_hll_sliding",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"))
+        val daily = ev.groupBy(col("day"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        val est = daily.toDF("wday", "wsk").as("w")
+          .join(daily.as("p"),
+            col("p.day").between(col("wday") - 2, col("wday")))
+          .groupBy(col("wday"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .as("__est"), count(lit(1)).as("n_parts"))
+        val exact = ev
+          .select(col("user_id"), explode(expr(
+            "sequence(day, day + 2)")).as("wday"))
+          .groupBy(col("wday"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        // trailing windows only: a window is real when its day exists
+        est.join(exact, "wday")
+          .select(col("wday").as("window_day"), col("n_parts"),
+            col("exact_users"),
+            (abs(col("__est") - col("exact_users")) <=
+              col("exact_users") * (3 * 1.04 / math.sqrt(1 << 12)))
+              .as("within_bound"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+             | days AS (SELECT DISTINCT day FROM ev),
+             | wins AS (SELECT d.day AS window_day,
+             |   CAST(count(*) AS BIGINT) AS n_parts
+             |  FROM days d JOIN days p ON p.day BETWEEN d.day - 2 AND d.day
+             |  GROUP BY d.day),
+             | ex AS (SELECT wday AS window_day,
+             |   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+             |  FROM (SELECT user_id, unnest([day, day + 1, day + 2]) AS wday
+             |        FROM ev)
+             |  GROUP BY wday)
+             | SELECT w.window_day, n_parts, exact_users, TRUE AS within_bound
+             | FROM wins w JOIN ex ON w.window_day = ex.window_day
+             | ORDER BY w.window_day""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("window_day"))
   )
 }
