@@ -346,7 +346,11 @@ object SimQueries {
           pd(0.1, "b1"), pd(0.2, "b2"), pd(0.3, "b3"), pd(0.4, "b4"),
           pd(0.5, "b5"), pd(0.6, "b6"), pd(0.7, "b7"), pd(0.8, "b8"),
           pd(0.9, "b9"))
-        v.join(bounds, "dim")
+        // The boundary table is dim-count × 9 values regardless of corpus
+        // size — categorically broadcastable; without the hint AQE's
+        // size-based pick at tiny SF broadcasts the exploded corpus side,
+        // the exact inversion of the 100 TB shape.
+        v.join(broadcast(bounds), "dim")
           .select(col("vec_id"), col("dim").cast("int").as("dim"),
             size(filter(
               array(col("b1"), col("b2"), col("b3"), col("b4"), col("b5"),
