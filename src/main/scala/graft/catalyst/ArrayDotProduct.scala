@@ -136,6 +136,16 @@ object GraftFunctions {
     spark.udf.register("cms_counts",
       org.apache.spark.sql.functions.udaf(
         new CmsAgg, org.apache.spark.sql.Encoders.scalaLong))
+    // Runtime twin of the extensions-class injection, for sessions built
+    // without the config (the driver's Verify/Bench mains): the top-k
+    // rewrite needs both its optimizer rule and its planner strategy.
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.TopKRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKRewriteRule
   }
 }
 
@@ -148,5 +158,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.fns.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.BandedJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

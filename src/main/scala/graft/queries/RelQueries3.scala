@@ -438,6 +438,33 @@ object RelQueries3 {
              | FROM j ORDER BY event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id")),
 
+    // Group-wise top-k through the CUSTOM PHYSICAL OPERATOR: written as
+    // the idiomatic row_number()-filter window, which TopKRewriteRule
+    // turns into the TopKPerKey logical node and TopKStrategy plans as
+    // the partial/final bounded-heap exec pair — no Window, no Sort,
+    // and the shuffle carries at most k rows per (key × map partition)
+    // instead of every order (PlanSpec pins the plan shape and the
+    // rewrite-off equality). The oracle is the plain window SQL: the
+    // operator must be row-identical to what the window computes.
+    QueryDef("q_topk_per_key",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |   CAST(row_number() OVER (PARTITION BY o_custkey
+             |     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+             |  FROM orders) WHERE rank <= 3
+             | ORDER BY o_custkey, rank""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("o_custkey", "rank")),
+
     // Nearest as-of (pandas merge_asof direction='nearest', which
     // neither engine has natively): the CLOSEST high reading in either
     // direction, backward winning distance ties. One exchange, two

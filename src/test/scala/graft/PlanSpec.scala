@@ -346,6 +346,37 @@ class PlanSpec extends SparkSpec {
       s"no key to sort-merge on — scoring is a broadcast product:\n$p")
   }
 
+  test("group-wise top-k plans as the bounded-heap exec pair: no Window, no Sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Catalog.queries("q_topk_per_key")(spark, d)
+    val phys = df.queryExecution.executedPlan
+    val s = phys.toString
+    assert(s.contains("TopKPerKeyFinal") && s.contains("TopKPerKeyPartial"),
+      s"rewrite did not fire:\n$s")
+    // partial BELOW the exchange (bounds the shuffle), final above it
+    assert("(?s)TopKPerKeyFinal.*Exchange.*TopKPerKeyPartial".r
+      .findFirstIn(s).isDefined, s"partial must sit under the exchange:\n$s")
+    assert(!s.contains("WindowExec") && phys.collectFirst {
+      case w: WindowExec => w }.isEmpty, s"window survived:\n$s")
+    assert(phys.collectFirst { case x: SortExec => x }.isEmpty,
+      s"bounded heaps must not sort:\n$s")
+    // Row-identical to the un-rewritten window path, rank included.
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    spark.conf.set("spark.graft.topk.rewrite", "false")
+    try {
+      val base = Catalog.queries("q_topk_per_key")(spark, d)
+      assert(base.queryExecution.executedPlan.toString
+        .contains("TopKPerKey") === false)
+      val want = base.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(got === want)
+    } finally spark.conf.unset("spark.graft.topk.rewrite")
+  }
+
   test("runtime Bloom filter injects onto the probe side of a selective shuffle join") {
     // The 100 TB shape this pins: when a big-big shuffle join has a
     // selective predicate on ONE side, Catalyst's InjectRuntimeFilter
