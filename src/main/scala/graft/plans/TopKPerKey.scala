@@ -84,7 +84,16 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
           if part.nonEmpty && order.nonEmpty =>
         limitOf(cond, alias.toAttribute) match {
           case Some(k) if k >= 1 =>
-            TopKPerKey(part, order, k, alias.toAttribute, child)
+            // When this rule runs AFTER InsertWindowGroupLimit (the
+            // runtime extraOptimizations path), the window's child is
+            // already wrapped in Spark's sort-based WindowGroupLimit —
+            // strip it, or the plan double-limits with the sorts this
+            // operator exists to remove.
+            val realChild = child match {
+              case WindowGroupLimit(_, _, _, _, c) => c
+              case c => c
+            }
+            TopKPerKey(part, order, k, alias.toAttribute, realChild)
           case _ => f
         }
     }
