@@ -438,6 +438,44 @@ object RelQueries3 {
              | FROM j ORDER BY event_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("event_id")),
 
+    // Running distinct count — the discovery/novelty curve (how many
+    // DISTINCT event types has each user touched so far, per event):
+    // not expressible as a window COUNT(DISTINCT) in either engine, so
+    // both sides compose it the same exact way — an is-first-occurrence
+    // flag (row_number() == 1 over (user, type)) summed by a running
+    // frame over the user's timeline. Two windows, but both partition
+    // by user-prefixed keys; the flag is a column compare, not a
+    // filter, so the top-k rewrite leaves it alone. All integer.
+    QueryDef("q_cumulative_distinct",
+      (s, d) => {
+        val wFirst = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("sec"), col("event_id"))
+        val wRun = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("CAST(ts AS LONG)").as("sec"))
+          .withColumn("__new",
+            when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          .withColumn("cum_distinct_types", sum(col("__new")).over(wRun))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("cum_distinct_types"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             | f AS (SELECT *, CASE WHEN row_number() OVER (
+             |     PARTITION BY user_id, event_type ORDER BY sec, event_id)
+             |     = 1 THEN 1 ELSE 0 END AS is_new FROM ev)
+             | SELECT event_id, user_id, event_type,
+             |  CAST(sum(is_new) OVER (PARTITION BY user_id
+             |    ORDER BY sec, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |   AS BIGINT) AS cum_distinct_types
+             | FROM f ORDER BY event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id")),
+
     // Group-wise top-k through the CUSTOM PHYSICAL OPERATOR: written as
     // the idiomatic row_number()-filter window, which TopKRewriteRule
     // turns into the TopKPerKey logical node and TopKStrategy plans as

@@ -341,6 +341,52 @@ object TextQueries {
         .replace("\n", "")),
       presentOrder = Seq("w1", "w2")),
 
+    // Posting-list delta compression audit — the index-storage
+    // engineering number behind text_inverted_index: per term, the
+    // docid posting list stored as doc-id GAPS under varint encoding
+    // (1 byte < 2^7, 2 < 2^14, 3 < 2^21, else 4 — ids here fit 4), vs
+    // the fixed 8-byte raw encoding. Dense terms (small gaps) compress
+    // toward 1 byte/posting; rare terms pay full-width first gaps —
+    // exactly the tradeoff an index tiering policy reads. Everything is
+    // integer CASE arithmetic; the gap window and the per-term roll-up
+    // share one term-keyed exchange.
+    QueryDef("text_postings_delta",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+          .withColumn("gap",
+            col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+          .withColumn("vb",
+            when(col("gap") < 128L, 1L).when(col("gap") < 16384L, 2L)
+              .when(col("gap") < 2097152L, 3L).otherwise(4L))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("vb")).as("varint_bytes"))
+          .select(col("term"), col("df"), col("varint_bytes"),
+            (col("df") * 8L).as("raw_bytes"),
+            expr("((df * 8 - varint_bytes) * 1000) div (df * 8)")
+              .as("savings_permille"))
+      },
+      Some("""WITH p AS (SELECT DISTINCT doc_id,
+             |   unnest(string_split(text, ' ')) AS term FROM documents),
+             | g AS (SELECT term, doc_id,
+             |   doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY term
+             |     ORDER BY doc_id), 0) AS gap FROM p),
+             | v AS (SELECT term, CASE WHEN gap < 128 THEN 1
+             |   WHEN gap < 16384 THEN 2 WHEN gap < 2097152 THEN 3
+             |   ELSE 4 END AS vb FROM g)
+             | SELECT term, CAST(count(*) AS BIGINT) AS df,
+             |  CAST(sum(vb) AS BIGINT) AS varint_bytes,
+             |  CAST(count(*) AS BIGINT) * 8 AS raw_bytes,
+             |  ((CAST(count(*) AS BIGINT) * 8 - CAST(sum(vb) AS BIGINT))
+             |    * 1000) // (CAST(count(*) AS BIGINT) * 8)
+             |    AS savings_permille
+             | FROM v GROUP BY term ORDER BY term""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("term")),
+
     // Token Gini diversity — the distribution-shape quality signal the
     // max-share/dup-ratio pair in `text_repetition` cannot see: Gini
     // impurity 1 − Σpᵢ² over the doc's unigram distribution (a doc
