@@ -284,6 +284,50 @@ object ClinicalQueries {
              |  abs(vm - baseline_micro) > 50000000 AS is_anomaly
              | FROM ev JOIN b ON ev.user_id = b.user_id AND ev.hod = b.hod
              | ORDER BY event_id""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("event_id"))
+      presentOrder = Seq("event_id")),
+
+    // Event-anchored response curve — the event-study shape (what does
+    // the signal do in the 2 h AFTER each anchor event, in 30-min
+    // offset buckets): every (purchase, later-reading) pair within the
+    // window, via the hot-key-proof BANDED interval join (the plain
+    // user-key + range-filter join is quadratic in a celebrity user's
+    // rows — BandScale's measured failure; the band caps each join
+    // group at one tolerance cell). Bucket 0 includes the anchor's own
+    // reading (δ = 0, inclusive left edge). Integer micro-unit means.
+    QueryDef("ref_event_response",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+            col("event_type"), col("value"))
+        val anchors = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec"))
+        val readings = ev.select(col("user_id"), col("sec").as("rsec"),
+          col("value"))
+        graft.ops.AsofOps.bandedIntervalJoin(anchors, readings,
+            keyCols = Seq("user_id"), leftTime = "sec", rightTime = "rsec",
+            rightPayload = Seq("value"), toleranceSec = 7200L)
+          .filter(col("delta_s") >= 0 && col("delta_s") < 7200)
+          .withColumn("offset_bucket", expr("delta_s div 1800"))
+          .withColumn("vm", expr("CAST(floor(r_value * 1000000 + 0.5) AS LONG)"))
+          .groupBy(col("offset_bucket"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("vm")).as("__sm"))
+          .select(col("offset_bucket"), col("n_pairs"),
+            expr("__sm div n_pairs").as("mean_value_micro"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |   CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value
+             |  FROM events),
+             | a AS (SELECT user_id, sec FROM ev
+             |  WHERE event_type = 'purchase'),
+             | j AS (SELECT r.sec - a.sec AS d, r.value
+             |  FROM a JOIN ev r ON a.user_id = r.user_id
+             |   AND r.sec >= a.sec AND r.sec < a.sec + 7200),
+             | b AS (SELECT d // 1800 AS offset_bucket,
+             |   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm FROM j)
+             | SELECT offset_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(vm) AS BIGINT) // CAST(count(*) AS BIGINT)
+             |    AS mean_value_micro
+             | FROM b GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("offset_bucket"))
   )
 }

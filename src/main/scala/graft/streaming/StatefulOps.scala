@@ -341,6 +341,38 @@ object StatefulOps {
   private def quant4(x: Double): Double =
     if (x.isNaN || x.isInfinite) x else math.floor(x * 1e4 + 0.5) / 1e4
 
+  case class TypeEvent(userId: Long, eventType: String, sec: Long,
+                       eventId: Long)
+  case class DiscoveryRow(userId: Long, eventId: Long, cumDistinct: Long)
+  case class SeenTypes(seen: List[String])
+
+  /** Streaming twin of the gated `q_cumulative_distinct`: the live
+    * discovery/novelty curve — per arriving event, how many DISTINCT
+    * event types its user has touched so far. Keyed state is the SET of
+    * seen types (bounded by the type vocabulary, not the stream — the
+    * reference's event_type domain is 3 values; a production topology
+    * caps or sketches an open domain). Intra-batch order (sec, eventId)
+    * matches the batch windows, so micro-batch splits reproduce the
+    * batch curve row for row (StreamingSpec). */
+  def streamingDiscovery(events: Dataset[TypeEvent]): Dataset[DiscoveryRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SeenTypes, DiscoveryRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TypeEvent], state: GroupState[SeenTypes]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.sec, r.eventId))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DiscoveryRow]
+          var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          for (r <- sorted) {
+            if (!seen.contains(r.eventType)) seen = r.eventType :: seen
+            out += DiscoveryRow(user, r.eventId, seen.size.toLong)
+          }
+          state.update(SeenTypes(seen))
+          out.iterator
+      }
+  }
+
   case class CdcUpdate(userId: Long, eventType: String, sec: Long,
                        eventId: Long, value: Double)
   case class CdcRow(userId: Long, eventType: String, eventId: Long,

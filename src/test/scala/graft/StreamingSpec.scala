@@ -981,6 +981,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toMap === batch)
   }
 
+  test("streaming discovery curve equals the batch cumulative distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{DiscoveryRow, TypeEvent}
+    val dir = "/root/testdata/sf0.001"
+    val batch = Catalog.queries("q_cumulative_distinct")(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("cum_distinct_types")).toMap
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ts AS LONG)").as("sec"), col("event_id"))
+      .orderBy("sec", "event_id").collect()
+      .map(r => TypeEvent(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val got = scala.collection.mutable.Map[Long, Long]()
+    val in = MemoryStream[TypeEvent]
+    val q = graft.streaming.StatefulOps.streamingDiscovery(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[DiscoveryRow], _: Long) =>
+        ds.collect().foreach(r => got(r.eventId) = r.cumDistinct)
+      }.start()
+    val third = evs.length / 3
+    in.addData(evs.take(third): _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(evs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(got.size === batch.size)
+    assert(got.toMap === batch)
+  }
+
   test("streaming EWMA snapshot is bit-equal to the batch fold across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
