@@ -43,11 +43,22 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
+    val legacyFlag = "spark.sql.legacy.parquet.nanosAsLong"
     val df =
       try spark.read.parquet(path)
       catch {
         case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          // The flag must OUTLIVE this call: parquet conversion consults
+          // it again at physical planning, i.e. at first action on the
+          // returned (lazy) frame — restoring it here would break that
+          // frame. Announce the session-level change instead of making
+          // it silently: any other TIMESTAMP(NANOS) parquet read in
+          // this session will now surface as raw LONG too.
+          System.err.println(
+            s"[graft.Tables] $path is a TIMESTAMP(NANOS) export; " +
+              s"enabling $legacyFlag for the SESSION (nanos columns " +
+              "elsewhere will read as LONG)")
+          spark.conf.set(legacyFlag, "true")
           spark.read.parquet(path)
       }
     df.schema("ts").dataType match {
