@@ -960,6 +960,90 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** MinHash estimator-accuracy audit — the quality gate beside the
+    * estimator (`sim_recall_audit`'s role for the ANN stack): for every
+    * LSH candidate pair, the SIGNATURE-AGREEMENT Jaccard estimate
+    * (matching minhash positions / k — the only similarity a streaming
+    * or privacy-constrained consumer ever sees, [[graft.streaming
+    * .StatefulOps.streamingNearDup]]'s verification regime) next to the
+    * EXACT shingle Jaccard, both in integer permille with the absolute
+    * error. The oracle recomputes both sides independently from the
+    * same hash constants, so a drifted coefficient, band key, or
+    * signature bug mismatches `est_permille` row-for-row. Shape:
+    * identical candidate machinery to [[minhashLshPairs]]; signatures
+    * and shingle sets join back for CANDIDATE pairs only. */
+  def minhashAccuracy(docs: DataFrame, textCol: String, idCol: String,
+                      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = signatures(shingleInv(docs, textCol, idCol), k)
+      .withColumn("bk", bandKeys(bands, rowsPerBand))
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(col("bk")).as(Seq("band", "key")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val candIds = cand.select(col("doc_a").as("cid"))
+      .union(cand.select(col("doc_b").as("cid"))).distinct()
+    val candSets = shingleSets(
+      docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
+      textCol, idCol)
+    val sigA = sigs.select(
+      col("doc_id").as("doc_a") +: (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sigB = sigs.select(
+      col("doc_id").as("doc_b") +: (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+    cand
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .join(candSets.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        "doc_a")
+      .join(candSets.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        "doc_b")
+      .withColumn("agree",
+        (0 until k).map(i => when(col(s"a$i") === col(s"b$i"), 1L)
+          .otherwise(0L)).reduce(_ + _))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"agree * 1000 div $k").as("est_permille"),
+        expr("CAST(common AS BIGINT) * 1000 div " +
+          "(size(sha) + size(shb) - common)").as("exact_permille"))
+      .withColumn("abs_err_permille",
+        abs(col("est_permille") - col("exact_permille")))
+  }
+
+  /** Oracle twin of [[minhashAccuracy]] — independent recomputation of
+    * both the signature estimate and the exact Jaccard from the shared
+    * hash constants. */
+  def minhashAccuracySql(table: String, textCol: String, idCol: String,
+                         bands: Int = 4, rowsPerBand: Int = 4): String = {
+    val k = bands * rowsPerBand
+    s"""WITH sets AS (${shingleSetsSql(table, textCol, idCol)}),
+        sigs AS (SELECT doc_id, sh, ${signatureSql("sh", k)} AS sig
+                 FROM sets WHERE len(sh) > 0),
+        keyed AS (SELECT doc_id, ${bandKeysSql("sig", bands, rowsPerBand)}
+                    AS bk FROM sigs),
+        buckets AS (SELECT doc_id, generate_subscripts(bk, 1) AS band,
+                           unnest(bk) AS key FROM keyed),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        j AS (SELECT doc_a, doc_b,
+            CAST(list_sum(list_transform(range(1, $k + 1),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+              AS BIGINT) AS agree,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common,
+            CAST(len(sa.sh) AS BIGINT) AS na, CAST(len(sb.sh) AS BIGINT) AS nb
+          FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+                    JOIN sigs sb ON cand.doc_b = sb.doc_id)
+        SELECT doc_a, doc_b,
+          agree * 1000 // $k AS est_permille,
+          common * 1000 // (na + nb - common) AS exact_permille,
+          abs(agree * 1000 // $k - common * 1000 // (na + nb - common))
+            AS abs_err_permille
+        FROM j ORDER BY doc_a, doc_b"""
+  }
+
   /** Incremental dedup: match an ARRIVING batch (rows where `newPred`
     * over the `doc_id` column holds) against the EXISTING corpus — the
     * continuous-ingestion shape of a 100 TB pipeline, where the corpus

@@ -31,7 +31,15 @@ object TopKStrategy extends SparkStrategy {
   * order — a new row replaces the heap top only when it sorts strictly
   * earlier, so each group costs O(log k) per row and O(k) memory
   * regardless of group size (the celebrity-key property: a 10^8-row
-  * hot key holds k rows, not 10^8). */
+  * hot key holds k rows, not 10^8).
+  *
+  * Memory bound: keys-per-partition × k retained rows — the same
+  * distinct-keys-fit constraint hash aggregation has, WITHOUT its
+  * sort-based spill fallback. When per-partition key cardinality is
+  * the risk (not key popularity — the heap already handles that),
+  * raise `spark.sql.shuffle.partitions` or disable the rewrite
+  * (`spark.graft.topk.rewrite=false`) and take the window path;
+  * a spillable BytesToBytesMap-backed variant is the upgrade path. */
 private[plans] object TopKHeaps {
   def groups(iter: Iterator[InternalRow], keys: Seq[Expression],
              order: Seq[SortOrder], k: Int, schema: Seq[Attribute])

@@ -91,6 +91,17 @@ object DedupQueries {
       Some(DedupOps.minhashLshPairsSql("documents", "text", "doc_id", JaccardThreshold)),
       presentOrder = Seq("doc_a", "doc_b")),
 
+    // MinHash estimator-accuracy audit: per LSH candidate pair, the
+    // signature-agreement estimate vs the exact shingle Jaccard, both
+    // integer permille — the quality surface for every consumer that
+    // only ever sees signatures (the streaming near-dup twin's
+    // verification regime). Oracle recomputes BOTH independently.
+    QueryDef("dedup_minhash_accuracy",
+      (s, d) => DedupOps.minhashAccuracy(Tables.documents(s, d), "text",
+        "doc_id"),
+      Some(DedupOps.minhashAccuracySql("documents", "text", "doc_id")),
+      presentOrder = Seq("doc_a", "doc_b")),
+
     // SimHash fingerprint dedup: near-identical docs land on identical
     // 16-bit fingerprints; groups of >1 are dup candidates.
     QueryDef("dedup_simhash",
