@@ -57,6 +57,27 @@ class ClinicalSpec extends SparkSpec {
     assert(rows(1)._3.isNaN)
   }
 
+  test("ref_event_response buckets the 2h post-anchor window, left-inclusive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("resp").toString
+    Seq((1L, 0L, 1L, "purchase", 100.0),   // anchor; own reading in bucket 0
+      (2L, 600L, 1L, "egv", 110.0),        // bucket 0
+      (3L, 2000L, 1L, "egv", 120.0),       // bucket 1
+      (4L, 4000L, 1L, "egv", 130.0),       // bucket 2
+      (5L, 7100L, 1L, "egv", 140.0),       // bucket 3
+      (6L, 7300L, 1L, "egv", 999.0),       // past the 2h window
+      (7L, 100L, 2L, "egv", 50.0))         // other user: keys isolate
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = run("ref_event_response", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(out === Seq((0L, 2L, 105000000L), (1L, 1L, 120000000L),
+      (2L, 1L, 130000000L), (3L, 1L, 140000000L)))
+  }
+
   test("ref_winsorized_mean clips into [p05, p95] before averaging") {
     // 20 readings: one 0, eighteen 100s, one 10000. percentile_disc:
     // p05 = rank-1 value (cum 0.05) = 0; p95 = rank-19 value = 100.
