@@ -593,6 +593,64 @@ object PipelineQueries {
     // canonical id (CC's min-label IS the canonical). Names with no
     // fuzzy partner keep their own id via the left join. Integer output
     // end to end; the oracle replays CC as the recursive min-label walk.
+    QueryDef("pipeline_contrastive_pairs",
+      (s, d) => {
+        // Contrastive training-pair prep: per anchor, its 5 nearest
+        // neighbors labeled 1 (the positives a similarity loss pulls
+        // together) unioned with 5 reproducible uniform NON-edges
+        // labeled 0 (the easy negatives; sim_hard_negatives supplies
+        // the confusable band separately) — a balanced 5/5 per anchor,
+        // all integer columns. Composes the k-NN edge cache and the
+        // hash-ordered anti-join sampler; both legs reuse the exact
+        // machinery their own gates pin.
+        graft.catalyst.GraftFunctions.register(s)
+        import graft.ops.SimOps
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d),
+          SimQueries.KnnK, SimQueries.LshTabs)
+        val pos = edges.filter(col("query_id") < 10)
+          .select(col("query_id").as("anchor"),
+            col("neighbor_id").as("other"), col("rank"), lit(1).as("label"))
+        val e = edges.select(col("query_id").as("src"),
+          col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        val qs = nodes.filter(col("node_id") < 10).select(col("node_id").as("q"))
+        val cand = qs.crossJoin(nodes)
+          .filter(col("node_id") =!= col("q"))
+          .withColumn("hkey", graft.ops.TextOps.hash64(
+            concat_ws("|", col("q"), col("node_id"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q")).orderBy(col("hkey"), col("node_id"))
+        val neg = cand.join(e,
+            cand("q") === e("src") && cand("node_id") === e("dst"),
+            "left_anti")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q").as("anchor"), col("node_id").as("other"),
+            col("rank"), lit(0).as("label"))
+        pos.unionByName(neg)
+      },
+      Some(s"""WITH er AS (${graft.ops.SimOps.topKLshMultiSql("embeddings",
+                 "TRUE", SimQueries.KnnK, SimQueries.LshTabs)}),
+             | pos AS (SELECT query_id AS anchor, neighbor_id AS other,
+             |   rank, 1 AS label FROM er WHERE query_id < 10),
+             | e AS (SELECT query_id AS src, neighbor_id AS dst FROM er),
+             | n AS (SELECT vec_id AS node_id FROM embeddings),
+             | q AS (SELECT node_id AS q FROM n WHERE node_id < 10),
+             | c AS (SELECT q, node_id,
+             |   ${graft.ops.TextOps.hash64Sql("q || '|' || node_id")} AS hkey
+             |  FROM q CROSS JOIN n WHERE node_id <> q),
+             | nn AS (SELECT c.q, c.node_id, c.hkey FROM c
+             |  LEFT JOIN e ON c.q = e.src AND c.node_id = e.dst
+             |  WHERE e.src IS NULL),
+             | r AS (SELECT q, node_id, CAST(row_number() OVER (
+             |    PARTITION BY q ORDER BY hkey, node_id) AS INT) AS rank
+             |  FROM nn),
+             | neg AS (SELECT q AS anchor, node_id AS other, rank, 0 AS label
+             |  FROM r WHERE rank <= 5)
+             | SELECT * FROM pos UNION ALL SELECT * FROM neg
+             | ORDER BY anchor, label, rank""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("anchor", "label", "rank")),
+
     QueryDef("pipeline_entity_resolution",
       (s, d) => {
         val nm = Tables.part(s, d)
