@@ -59,7 +59,17 @@ object Bench {
     // "materialization" documents the r1→r2 measurement change: noop-sink
     // fully materializes output columns, where the old .count() pass let
     // Catalyst prune projections (totals are honestly higher, not slower).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"materialization":"noop-sink","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"materialization":"noop-sink","sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only the stdout tail, which a 190+-query map
+    // overflows — persist the full line to a file too so every round's
+    // complete per-query timings survive for regression diffing.
+    val sfTag = sfDir.replaceAll(".*/", "")
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"target/bench_$sfTag.json"))
+    if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath,
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

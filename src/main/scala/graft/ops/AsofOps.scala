@@ -187,8 +187,11 @@ object AsofOps {
       rightPayload)
     val fresh = col(leftTime).cast("long") -
       col(s"asof_$rightTime").cast("long") <= lit(toleranceSec)
+    // Null EXACTLY the asof output columns this join produced — a left
+    // column that happens to be named asof_* must pass through untouched.
+    val asofCols = rightPayload.map(c => s"asof_$c").toSet
     val kept = base.columns.map {
-      case c if c.startsWith("asof_") =>
+      case c if asofCols.contains(c) =>
         when(fresh, col(c)).as(c)
       case c => col(c)
     }

@@ -238,6 +238,12 @@ object GraphOps {
         .localCheckpoint()
       layers = next :: layers
     }
+    // Every use of the cached edge frame happened inside the loop (each
+    // localCheckpoint is eager), so release its blocks now — a long-lived
+    // session calling bfsLayers repeatedly must not accumulate edge
+    // caches. The checkpointed layers stay referenced by the result and
+    // are reclaimed by the ContextCleaner when the result is dropped.
+    e.unpersist(false)
     val dists = layers.reverse.zipWithIndex.map { case (f, dd) =>
       f.select(col("node_id"), lit(dd).as("dist"))
     }.reduce(_ unionAll _)

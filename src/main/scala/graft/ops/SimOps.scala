@@ -48,6 +48,30 @@ object SimOps {
   def withNorm(df: DataFrame, vecCol: String, normCol: String): DataFrame =
     df.withColumn(normCol, sqrt(expr(s"array_dot($vecCol, $vecCol)")))
 
+  /** Hard row ceiling for deliberately-quadratic exactness audit arms
+    * (brute all-pairs cosine and friends). 10⁵ rows ≈ 5·10⁹ candidate
+    * pairs — the most a single audit run should ever be asked to chew;
+    * past it the bucketed scale path (LSH / IVF / banded) is the only
+    * sane plan. Same discipline as [[graft.ops.DedupOps.DriverCcMaxEdges]]:
+    * an explicit, spec-proven clamp instead of a silent scale cliff. */
+  val BruteAuditMaxRows: Long = 100000L
+
+  /** Refuses (IllegalArgumentException) to hand `df` to a quadratic audit
+    * arm when it exceeds `maxRows`. The check is a bounded probe —
+    * `limit(maxRows+1).count()` — so the guard itself never scans more
+    * than maxRows+1 rows regardless of input size. */
+  def guardBruteAudit(df: DataFrame, what: String,
+                      maxRows: Long = BruteAuditMaxRows): DataFrame = {
+    val lim = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val n = df.limit(lim).count()
+    require(n <= maxRows,
+      s"$what is a deliberately-quadratic exactness audit arm; refusing an " +
+        s"input with more than $maxRows rows (saw at least $n). Point the " +
+        "bucketed scale path (LSH/IVF/banded) at this corpus instead, or " +
+        "pass an explicit higher bound if you really mean to pay O(n^2).")
+    df
+  }
+
   /** DuckDB twin: computed from double-cast lists so both sides run in
     * double precision; 4-dp output rounding absorbs the ~1e-15 tail. */
   def cosineSql(a: String, b: String): String =

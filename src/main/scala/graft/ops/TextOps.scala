@@ -315,13 +315,21 @@ object TextOps {
     * division quantized by [[SimOps.quant4]]. Single-token docs emit
     * n_bigrams = 0 with a NULL score (both engines).
     *
-    * Scale shape: bigram/prefix count tables are hash-agg shuffles with
-    * map-side combine (distinct-bigram-bounded, not token-bounded); the
-    * conditional probability is computed AT the distinct-bigram level
-    * (bc⋈pc — a small join), so the token-scale work is ONE equi-join of
-    * slim (doc_id, w1, w2) rows against the per-bigram probability —
-    * hot-bigram skew there is AQE skew-split territory, not a
-    * one-reducer prefix join. */
+    * Scale shape: the corpus is tokenized ONCE — the (doc_id, w1, w2)
+    * stream is immediately pre-aggregated to (doc_id, w1, w2, n) with
+    * map-side combine and LOCAL-CHECKPOINTED, so its two consumers (the
+    * corpus bigram table and the per-doc probability join) both read the
+    * materialized slim table instead of re-running the token-scale
+    * explode per branch. (ReuseExchange cannot dedupe here: column
+    * pruning gives each consumer a different aggregate output list, so
+    * the branches never canonicalize equal — measured as the round-6 3×
+    * regression.) The checkpoint blocks are ContextCleaner-reclaimed
+    * when the result frame is dropped. The prefix count c(w1·) ≡
+    * Σ_{w2} c(w1,w2) is a WINDOW over the (w1,w2)-grain bigram table —
+    * partitions bounded by vocabulary fan-out, never corpus size — and
+    * the probability join carries distinct-bigram-per-doc rows, not one
+    * row per occurrence — hot-bigram skew there is AQE skew-split
+    * territory, not a one-reducer prefix join. */
   def lmScore(docs: DataFrame): DataFrame = {
     val bg = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -329,15 +337,35 @@ object TextOps {
         """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
            (a, b) -> struct(a AS w1, b AS w2))""")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val pc = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val prob = bc.join(pc, "w1")
+      // Pre-state the not-null constraints the downstream joins would
+      // infer (doc_id from the final left join's build side, w1/w2 from
+      // the equi-joins): with them already present, BOTH consumers of
+      // the pre-aggregation below canonicalize to the SAME subplan and
+      // ReuseExchange dedupes the token-scale tokenize+explode to one
+      // physical pass. Without this, InferFiltersFromConstraints pushes
+      // a different filter set into each branch and the corpus is
+      // tokenized once per consumer (the round-6 3× regression).
+      .filter(col("doc_id").isNotNull && col("w1").isNotNull &&
+        col("w2").isNotNull)
+    // Distinct-bigram-per-doc grain, materialized once: the single
+    // token-scale pass both consumers below share.
+    val bgd = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val bc = bgd.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c2"))
+    // c(w1·) as a window over the (w1,w2)-grain table: each w1 partition
+    // holds at most |vocab| rows (distinct successors), so no corpus-
+    // scale hot key can form — and bc feeds it without a third branch.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val prob = bc
+      .withColumn("c1", sum(col("c2")).over(wAll))
       .select(col("w1"), col("w2"),
         expr("CAST((CAST(c2 AS DECIMAL(38,0)) * 1000000) div c1 AS BIGINT)")
           .as("p_micro"))
-    val perDoc = bg.join(prob, Seq("w1", "w2"))
+    val perDoc = bgd.join(prob, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("m"), sum(col("p_micro")).as("sp"))
+      .agg(sum(col("n")).as("m"),
+        sum(col("n") * col("p_micro")).as("sp"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

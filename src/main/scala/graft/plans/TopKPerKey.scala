@@ -17,10 +17,12 @@ import org.apache.spark.sql.types.IntegerType
   * Spark 3.5's WindowGroupLimit optimization bounds the row COUNT but
   * keeps the sort-based pipeline (inserted sorts below both the partial
   * and final limits). This node plans ([[TopKStrategy]]) into a
-  * partial/final pair of bounded hash-HEAP executors with NO sort
-  * anywhere: the partial retains at most k rows per (key × input
-  * partition) BEFORE the exchange — the shuffle ships k·keys rows, not
-  * the corpus — and the final heap emits ranks per key after it.
+  * bounded hash-HEAP partial + streaming-head final: the partial
+  * retains at most k rows per (key × input partition) BEFORE the
+  * exchange — the shuffle ships k·keys rows, not the corpus — and the
+  * final streams sorted groups (Spark's spill-safe SortExec over the
+  * already-bounded rows) emitting ranks in O(1) memory. The only sort
+  * in the pipeline runs on k·distinct-keys rows, never the input.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
@@ -54,6 +56,11 @@ case class TopKPerKey(
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
+  // Tie semantics differ row-level from un-rewritten WindowExec output
+  // (both are valid row_number answers); surface that once per JVM so a
+  // user diffing against vanilla Spark has the pointer.
+  private val tieNoteLogged = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def limitOf(cond: Expression, rank: Attribute): Option[Int] =
     cond match {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
@@ -84,6 +91,11 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
           if part.nonEmpty && order.nonEmpty =>
         limitOf(cond, alias.toAttribute) match {
           case Some(k) if k >= 1 =>
+            if (tieNoteLogged.compareAndSet(false, true))
+              logInfo("graft TopKPerKey rewrite active: group limits plan " +
+                "as bounded-heap top-k; rows tied under the window order " +
+                "may differ from WindowExec's (equally valid) selection. " +
+                "Disable with spark.graft.topk.rewrite=false.")
             // When this rule runs AFTER InsertWindowGroupLimit (the
             // runtime extraOptimizations path), the window's child is
             // already wrapped in Spark's sort-based WindowGroupLimit —

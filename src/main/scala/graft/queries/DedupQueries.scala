@@ -238,11 +238,15 @@ object DedupQueries {
 
     // Embedding-cosine near-dup pairs. Brute pairing at test SF; the LSH
     // bucketing in SimQueries is the scale path for the same predicate.
+    // Guarded: refuses inputs above SimOps.BruteAuditMaxRows so the
+    // O(n^2) audit arm can never be pointed at a real corpus by accident.
     QueryDef("dedup_embedding_cosine",
       (s, d) => {
         graft.catalyst.GraftFunctions.register(s)
         val v = SimOps.withNorm(
-          Tables.embeddings(s, d).select("vec_id", "embedding"), "embedding", "n")
+          SimOps.guardBruteAudit(
+            Tables.embeddings(s, d).select("vec_id", "embedding"),
+            "dedup_embedding_cosine"), "embedding", "n")
         v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             round(expr("array_dot(a.embedding, b.embedding)") /

@@ -583,31 +583,23 @@ object PipelineQueries {
       presentOrder = Seq("doc_id", "chunk_idx"))
     ,
 
-    // Entity resolution end-to-end — the composition record-linkage
-    // pipelines run: block → fuzzy-match → TRANSITIVE-CLOSURE cluster →
-    // canonicalize. q_fuzzy_join stops at pairwise matches; here the
-    // match graph (blocked levenshtein <= 2 over DISTINCT part names,
-    // name id = min partkey per name — the factorization that keeps the
-    // verify at name grain, never entity pairs) feeds the shared
-    // union-find/pointer-jump CC, and every name maps to its cluster's
-    // canonical id (CC's min-label IS the canonical). Names with no
-    // fuzzy partner keep their own id via the left join. Integer output
-    // end to end; the oracle replays CC as the recursive min-label walk.
+    // Contrastive training-pair prep: per anchor, its 5 nearest
+    // neighbors labeled 1 (the positives a similarity loss pulls
+    // together) unioned with 5 reproducible uniform NON-edges
+    // labeled 0 (the easy negatives; sim_hard_negatives supplies
+    // the confusable band separately) — a balanced 5/5 per anchor,
+    // all integer columns. Composes the k-NN edge cache and the
+    // hash-ordered anti-join sampler; both legs reuse the exact
+    // machinery their own gates pin.
     QueryDef("pipeline_contrastive_pairs",
       (s, d) => {
-        // Contrastive training-pair prep: per anchor, its 5 nearest
-        // neighbors labeled 1 (the positives a similarity loss pulls
-        // together) unioned with 5 reproducible uniform NON-edges
-        // labeled 0 (the easy negatives; sim_hard_negatives supplies
-        // the confusable band separately) — a balanced 5/5 per anchor,
-        // all integer columns. Composes the k-NN edge cache and the
-        // hash-ordered anti-join sampler; both legs reuse the exact
-        // machinery their own gates pin.
         graft.catalyst.GraftFunctions.register(s)
         import graft.ops.SimOps
         val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d),
           SimQueries.KnnK, SimQueries.LshTabs)
-        val pos = edges.filter(col("query_id") < 10)
+        // rank <= 5 explicitly (not "all KnnK ranks") so the balanced
+        // 5/5 contract survives a KnnK bump.
+        val pos = edges.filter(col("query_id") < 10 && col("rank") <= 5)
           .select(col("query_id").as("anchor"),
             col("neighbor_id").as("other"), col("rank"), lit(1).as("label"))
         val e = edges.select(col("query_id").as("src"),
@@ -632,7 +624,7 @@ object PipelineQueries {
       Some(s"""WITH er AS (${graft.ops.SimOps.topKLshMultiSql("embeddings",
                  "TRUE", SimQueries.KnnK, SimQueries.LshTabs)}),
              | pos AS (SELECT query_id AS anchor, neighbor_id AS other,
-             |   rank, 1 AS label FROM er WHERE query_id < 10),
+             |   rank, 1 AS label FROM er WHERE query_id < 10 AND rank <= 5),
              | e AS (SELECT query_id AS src, neighbor_id AS dst FROM er),
              | n AS (SELECT vec_id AS node_id FROM embeddings),
              | q AS (SELECT node_id AS q FROM n WHERE node_id < 10),
@@ -651,6 +643,16 @@ object PipelineQueries {
              | ORDER BY anchor, label, rank""".stripMargin.replace("\n", "")),
       presentOrder = Seq("anchor", "label", "rank")),
 
+    // Entity resolution end-to-end — the composition record-linkage
+    // pipelines run: block → fuzzy-match → TRANSITIVE-CLOSURE cluster →
+    // canonicalize. q_fuzzy_join stops at pairwise matches; here the
+    // match graph (blocked levenshtein <= 2 over DISTINCT part names,
+    // name id = min partkey per name — the factorization that keeps the
+    // verify at name grain, never entity pairs) feeds the shared
+    // union-find/pointer-jump CC, and every name maps to its cluster's
+    // canonical id (CC's min-label IS the canonical). Names with no
+    // fuzzy partner keep their own id via the left join. Integer output
+    // end to end; the oracle replays CC as the recursive min-label walk.
     QueryDef("pipeline_entity_resolution",
       (s, d) => {
         val nm = Tables.part(s, d)

@@ -479,11 +479,13 @@ object RelQueries3 {
     // Group-wise top-k through the CUSTOM PHYSICAL OPERATOR: written as
     // the idiomatic row_number()-filter window, which TopKRewriteRule
     // turns into the TopKPerKey logical node and TopKStrategy plans as
-    // the partial/final bounded-heap exec pair — no Window, no Sort,
-    // and the shuffle carries at most k rows per (key × map partition)
-    // instead of every order (PlanSpec pins the plan shape and the
-    // rewrite-off equality). The oracle is the plain window SQL: the
-    // operator must be row-identical to what the window computes.
+    // a bounded-heap partial + streaming-head final — no Window, and
+    // the only Sort runs over the partial-bounded exchange (k rows per
+    // key × map partition cross the wire, not every order; the final
+    // streams sorted groups in O(1) memory, spill-safe via SortExec).
+    // PlanSpec pins the plan shape and the rewrite-off equality. The
+    // oracle is the plain window SQL: the operator must be
+    // row-identical to what the window computes.
     QueryDef("q_topk_per_key",
       (s, d) => {
         graft.catalyst.GraftFunctions.register(s)

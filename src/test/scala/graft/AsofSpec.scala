@@ -68,6 +68,23 @@ class AsofSpec extends SparkSpec {
       ("u1", 100, "d", null)))  // match exists (r25) but 75s stale
   }
 
+  test("asofJoinTolerance nulls ONLY its own asof_ payload — a left column named asof_* survives") {
+    import spark.implicits._
+    // Left frame carries a pre-existing column whose name starts with
+    // asof_ (e.g. output of an earlier as-of pass): the staleness filter
+    // must null exactly the payload columns THIS join produced, never
+    // prefix-match the left frame's columns.
+    val left = Seq(("u1", 100, "keepme")).toDF("k", "t", "asof_note")
+    val right = Seq(("u1", 10, "r10")).toDF("k", "rt", "state")
+    val row = AsofOps.asofJoinTolerance(left, right, Seq("k"), "t", "rt",
+        Seq("rt", "state"), toleranceSec = 20L)
+      .select("k", "t", "asof_note", "asof_state").collect().head
+    assert(row.getString(3) == null,   // 90s stale: this join's payload nulls
+      "stale payload must null")
+    assert(row.getString(2) === "keepme",
+      "left-frame asof_* column must pass through untouched")
+  }
+
   test("asofJoin plans with zero join nodes and one key shuffle") {
     val left = df(Seq(("u1", 1, "a")), ("k", "t", "tag"))
     val right = df(Seq(("u1", 1, "s")), ("k", "rt", "state"))

@@ -122,6 +122,23 @@ class DedupSimSpec extends SparkSpec {
     assert(cc.values.toSet === Set(100L))
   }
 
+  test("guardBruteAudit refuses oversized inputs and passes bounded ones through") {
+    import graft.ops.SimOps
+    val small = spark.range(10).toDF("vec_id")
+    // under the bound: identity
+    assert(SimOps.guardBruteAudit(small, "t", maxRows = 10).count() === 10)
+    // over the bound: refuse with the audit-arm message
+    val err = intercept[IllegalArgumentException] {
+      SimOps.guardBruteAudit(spark.range(11).toDF("vec_id"), "t", maxRows = 10)
+    }
+    assert(err.getMessage.contains("quadratic"))
+    // the default production bound trips too (probe reads ≤ maxRows+1 rows)
+    val big = spark.range(SimOps.BruteAuditMaxRows + 1).toDF("vec_id")
+    intercept[IllegalArgumentException] {
+      SimOps.guardBruteAudit(big, "dedup_embedding_cosine")
+    }
+  }
+
   test("connectedComponents: driver fast path and distributed path agree") {
     import spark.implicits._
     val rnd2 = new scala.util.Random(7)

@@ -346,8 +346,7 @@ class PlanSpec extends SparkSpec {
       s"no key to sort-merge on — scoring is a broadcast product:\n$p")
   }
 
-  test("group-wise top-k plans as the bounded-heap exec pair: no Window, no Sort") {
-    import org.apache.spark.sql.execution.SortExec
+  test("group-wise top-k plans as heap partial + streaming final: no Window, sort only over bounded rows") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = Catalog.queries("q_topk_per_key")(spark, d)
     val phys = df.queryExecution.executedPlan
@@ -359,8 +358,15 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(s).isDefined, s"partial must sit under the exchange:\n$s")
     assert(!s.contains("WindowExec") && phys.collectFirst {
       case w: WindowExec => w }.isEmpty, s"window survived:\n$s")
-    assert(phys.collectFirst { case x: SortExec => x }.isEmpty,
-      s"bounded heaps must not sort:\n$s")
+    // The ONLY sort permitted is the final's required ordering over the
+    // partial-bounded exchange (string match: AQE's wrapper hides the
+    // inner plan from collect()). A sort below the partial would mean
+    // the corpus is sorted — exactly what this operator exists to avoid.
+    assert("(?s)TopKPerKeyFinal.*Sort .*Exchange.*TopKPerKeyPartial".r
+      .findFirstIn(s).isDefined,
+      s"spill-safe final needs the sorted-group contract over the exchange:\n$s")
+    assert(!s.split("TopKPerKeyPartial", 2)(1).contains("Sort "),
+      s"a sort ran below the partial (un-bounded rows):\n$s")
     // Row-identical to the un-rewritten window path, rank included.
     val got = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
@@ -375,6 +381,52 @@ class PlanSpec extends SparkSpec {
         .toSet
       assert(got === want)
     } finally spark.conf.unset("spark.graft.topk.rewrite")
+  }
+
+  test("top-k partial degrades to pass-through past the key-cardinality cap, results unchanged") {
+    // maxKeysPerPartition=1: all but one key per map partition skip the
+    // partial bound and ship raw — the spill-safety fallback. The final's
+    // sorted streaming head must still produce the exact window answer.
+    val want = Catalog.queries("q_topk_per_key")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "1")
+    try {
+      val df = Catalog.queries("q_topk_per_key")(spark, d)
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("TopKPerKeyPartial"), s"rewrite off?\n$s")
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(got === want)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
+  test("top-k rewrite under AQE: stripped WindowGroupLimit cannot resurface mid-stage") {
+    // TopKRewriteRule strips Spark's pre-inserted WindowGroupLimit; AQE
+    // re-optimizes per-stage with its own rule list, so this pins that
+    // the adaptive final plan still runs the graft pair (and no
+    // window/group-limit reappears) AND the rows stay window-identical.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = Catalog.queries("q_topk_per_key")(spark, d)
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      // executedPlan after collect() reflects the final adaptive plan
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("TopKPerKeyFinal") && s.contains("TopKPerKeyPartial"),
+        s"graft pair lost under AQE:\n$s")
+      assert(!s.contains("WindowGroupLimit") && !s.contains("WindowExec"),
+        s"sort-based group limit resurfaced under AQE:\n$s")
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      val want = try Catalog.queries("q_topk_per_key")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      finally spark.conf.unset("spark.graft.topk.rewrite")
+      assert(got === want)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
   test("runtime Bloom filter injects onto the probe side of a selective shuffle join") {
