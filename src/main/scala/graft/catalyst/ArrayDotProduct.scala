@@ -138,7 +138,10 @@ object GraftFunctions {
         new CmsAgg, org.apache.spark.sql.Encoders.scalaLong))
     // Runtime twin of the extensions-class injection, for sessions built
     // without the config (the driver's Verify/Bench mains): the top-k
-    // rewrite needs both its optimizer rule and its planner strategy.
+    // rewrite needs both its optimizer rule and its planner strategy,
+    // and the banded-join rewrite its rule — without this, the natural
+    // abs(Δt)<=tol form would silently keep the hot-key-quadratic plan
+    // in any session not configured with GraftSparkExtensions.
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
@@ -146,6 +149,10 @@ object GraftFunctions {
         .contains(graft.plans.TopKRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.TopKRewriteRule
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.BandedJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandedJoinRule
   }
 }
 

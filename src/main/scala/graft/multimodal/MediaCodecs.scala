@@ -343,4 +343,187 @@ object MediaCodecs {
       (px, py, math.min(p, w - px * p), math.min(p, h - py * p),
         sums(py * nx + px)))
   }
+
+  // ---- PNG (8-bit truecolor, zlib DEFLATE, full filter set) -------------
+
+  final case class PngMeta(width: Int, height: Int, bitDepth: Int,
+                           colorType: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** The Paeth predictor (PNG spec §9): nearest of left/up/up-left to
+    * the linear estimate a + b − c, ties broken a, then b, then c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG encoder for 8-bit truecolor (color type 2): pixel (x, y)
+    * takes `f(x, y) = (r, g, b)` in image coordinates (top-down — PNG's
+    * native row order, no BMP-style flip). Rows are filtered with the
+    * full spec filter set CYCLING per row (row % 5 → None/Sub/Up/
+    * Average/Paeth) so a decoder that skips filter reconstruction
+    * cannot round-trip the bytes, then zlib-DEFLATEd into one IDAT.
+    * Each chunk carries its real CRC-32. */
+  def buildPng(width: Int, height: Int,
+               f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bpp = 3
+    val stride = bpp * width
+    val raw = new Array[Byte](height * (1 + stride)) // filter byte + row
+    var prior = new Array[Byte](stride)
+    var y = 0
+    while (y < height) {
+      val row = new Array[Byte](stride)
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = f(x, y)
+        row(bpp * x) = r.toByte; row(bpp * x + 1) = g.toByte
+        row(bpp * x + 2) = b.toByte
+        x += 1
+      }
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = row(i) & 0xff
+        val left = if (i >= bpp) row(i - bpp) & 0xff else 0
+        val up = prior(i) & 0xff
+        val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        val filt = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (1 + stride) + 1 + i) = filt.toByte
+        i += 1
+      }
+      prior = row
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, adaptive, no interlace
+    PngSig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", zOut.toByteArray) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** REAL PNG decoder: verifies the signature, walks the chunk list
+    * CHECKING every CRC-32, parses IHDR (8-bit truecolor, no interlace
+    * only), concatenates the IDAT stream, INFLATEs it, reconstructs all
+    * five spec filters row by row, and folds the RGB grid into exact
+    * per-channel sums. None on anything malformed: bad magic, a chunk
+    * that lies about its length, a corrupted CRC, an unsupported
+    * color/depth/interlace combination, undecodable zlib data, or an
+    * inflated length that disagrees with the geometry. */
+  def parsePng(bytes: Array[Byte]): Option[PngMeta] = {
+    if (bytes == null || bytes.length < PngSig.length + 12) return None
+    if (!PngSig.indices.forall(i => bytes(i) == PngSig(i))) return None
+    var off = PngSig.length
+    var ihdr: Option[(Int, Int, Int, Int)] = None // (w, h, depth, colorType)
+    val idat = new java.io.ByteArrayOutputStream
+    var ended = false
+    while (!ended && off + 12 <= bytes.length) {
+      val len = readBe32(bytes, off)
+      if (len < 0 || off + 12 + len > bytes.length) return None
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, off + 4, 4 + len)
+      if (crc.getValue.toInt != readBe32(bytes, off + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          val w = readBe32(bytes, off + 8)
+          val h = readBe32(bytes, off + 12)
+          val depth = bytes(off + 16) & 0xff
+          val ct = bytes(off + 17) & 0xff
+          val interlace = bytes(off + 20) & 0xff
+          if (w <= 0 || h <= 0 || depth != 8 || ct != 2 || interlace != 0)
+            return None
+          ihdr = Some((w, h, depth, ct))
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks pass (CRC already verified)
+      }
+      off += 12 + len
+    }
+    val (w, h, depth, ct) = ihdr.getOrElse(return None)
+    if (!ended || idat.size == 0) return None
+    val bpp = 3
+    val stride = bpp * w
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      var step = -1
+      while (got < raw.length && !inflater.finished() && step != 0) {
+        step = inflater.inflate(raw, got, raw.length - got)
+        got += step
+      }
+      // Exact geometry: short zlib data AND extra pixel rows both reject.
+      if (got != raw.length || !inflater.finished()) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    var (sumR, sumG, sumB) = (0L, 0L, 0L)
+    var prior = new Array[Byte](stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      val row = new Array[Byte](stride)
+      var i = 0
+      while (i < stride) {
+        val filt = raw(y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= bpp) row(i - bpp) & 0xff else 0
+        val up = prior(i) & 0xff
+        val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => filt
+          case 1 => filt + left
+          case 2 => filt + up
+          case 3 => filt + (left + up) / 2
+          case 4 => filt + paeth(left, up, ul)
+        }
+        row(i) = recon.toByte
+        i += 1
+      }
+      i = 0
+      while (i < stride) {
+        (i % bpp: @annotation.switch) match {
+          case 0 => sumR += row(i) & 0xff
+          case 1 => sumG += row(i) & 0xff
+          case 2 => sumB += row(i) & 0xff
+        }
+        i += 1
+      }
+      prior = row
+      y += 1
+    }
+    Some(PngMeta(w, h, depth, ct, sumR, sumG, sumB))
+  }
 }

@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * columns with typed metadata structs, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * Codec status: WAV (RIFF/PCM) and BMP decode are REAL — pure byte
-  * layouts parsed by [[MediaCodecs]] with no native library, gated end to
-  * end by `mm_wav_decode`/`mm_bmp_decode`. Compressed formats (JPEG/MP4)
-  * need codec libraries this environment lacks, so the remaining
-  * `*Stub` operators are clearly-marked deterministic fakes deriving
+  * Codec status: WAV (RIFF/PCM), BMP, and PNG (zlib DEFLATE + full
+  * filter reconstruction) decode are REAL — parsed by [[MediaCodecs]]
+  * with no library beyond java.util.zip, gated end to end by
+  * `mm_wav_decode`/`mm_bmp_decode`/`mm_png_decode`. LOSSY compressed
+  * formats (JPEG/MP4) need codec libraries this environment lacks, so
+  * the remaining `*Stub` operators are clearly-marked deterministic fakes deriving
   * plausible metadata/features from the bytes via stable arithmetic. For
   * the stubs the Spark-side contract — schema, binary column handling,
   * partition-batched execution shape, null/short-input behavior — is
@@ -159,6 +160,25 @@ object MultimodalOps {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         MediaCodecs.parseBmp(bytes).map(m =>
           BmpRow(id, m.width, m.height, m.bitsPerPixel, m.sumR, m.sumG, m.sumB))
+      })
+  }
+
+  case class PngRow(docId: Long, width: Int, height: Int, bitDepth: Int,
+                    colorType: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL compressed-image decode (no stub): 8-bit truecolor PNG via
+    * [[MediaCodecs.parsePng]] — CRC-verified chunk walk, zlib INFLATE,
+    * full five-filter scanline reconstruction, exact channel sums. Same
+    * narrow-map / drop-invalid shape as [[decodeBmp]]. */
+  def decodePng(media: DataFrame, idCol: String,
+                bytesCol: String): Dataset[PngRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.parsePng(bytes).map(m =>
+          PngRow(id, m.width, m.height, m.bitDepth, m.colorType,
+            m.sumR, m.sumG, m.sumB))
       })
   }
 

@@ -143,6 +143,47 @@ object MultimodalQueries {
              | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // REAL COMPRESSED-format decode: per doc, an 8-bit truecolor PNG
+    // (deflated scanlines, filter type cycling None/Sub/Up/Average/Paeth
+    // per row) built from a per-channel gradient formula, then parsed
+    // back through the CRC-verified chunk walk + Inflater + five-filter
+    // reconstruction. A decoder that skips unfiltering, misreads a CRC,
+    // or mis-sizes the inflate buffer cannot reproduce the analytic
+    // channel sums the oracle computes from the same formulas.
+    QueryDef("mm_png_decode",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (id % 19 + 5).toInt
+            val h = (nc % 13 + 3).toInt
+            (id, graft.multimodal.MediaCodecs.buildPng(w, h,
+              (x, y) => (
+                ((x * 7 + y * 13 + id) % 256).toInt,
+                ((x * 11 + y * 3 + nc) % 256).toInt,
+                ((x * 5 + y * 17 + id + nc) % 256).toInt)))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.decodePng(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("width"), col("height"),
+            col("bitDepth").as("bit_depth"),
+            col("colorType").as("color_type"),
+            col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+            col("sumB").as("sum_b"))
+      },
+      Some("""WITH p AS (SELECT doc_id, n_chars, doc_id % 19 + 5 AS w,
+             |  n_chars % 13 + 3 AS h FROM documents),
+             | gx AS (SELECT doc_id, n_chars, w, h, unnest(range(0, w)) AS x FROM p),
+             | pix AS (SELECT doc_id, n_chars, w, h, x, unnest(range(0, h)) AS y FROM gx)
+             | SELECT doc_id, CAST(max(w) AS INT) AS width,
+             |  CAST(max(h) AS INT) AS height,
+             |  CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+             |  CAST(sum((x * 7 + y * 13 + doc_id) % 256) AS BIGINT) AS sum_r,
+             |  CAST(sum((x * 11 + y * 3 + n_chars) % 256) AS BIGINT) AS sum_g,
+             |  CAST(sum((x * 5 + y * 17 + doc_id + n_chars) % 256) AS BIGINT) AS sum_b
+             | FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // REAL audio feature extraction over REAL decoded samples (not the
     // md5 fake): peak amplitude and zero-crossing count folded in the
     // same sample pass as the decode. The ±A alternating synthesis has

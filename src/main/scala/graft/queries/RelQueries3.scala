@@ -378,6 +378,41 @@ object RelQueries3 {
              | GROUP BY hid ORDER BY hid""".stripMargin.replace("\n", "")),
       presentOrder = Seq("h_id")),
 
+    // LEFT OUTER band join in the NATURAL form — each event decorated
+    // with the same user's high readings within ±300s, null row when
+    // none. Written as the plain abs(Δt)<=tol left join; BandedJoinRule
+    // rewrites it automatically (right side replicated to 3 buckets,
+    // preserved left un-replicated, so outer multiplicity is exact —
+    // PlanSpec pins the shape). The oracle is the un-banded LEFT JOIN:
+    // the rewrite must be invisible, nulls included.
+    QueryDef("q_interval_left_band",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s) // injects BandedJoinRule
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("long").as("es"), col("value"))
+        val high = e.filter(col("value") >= 200)
+          .select(col("user_id").as("hu"), col("es").as("hes"),
+            col("value").as("hv"))
+        e.join(high,
+            e("user_id") === high("hu") &&
+              abs(e("es") - high("hes")) <= lit(300L), "left")
+          .groupBy(col("event_id"))
+          .agg(count(col("hes")).as("n_high_nearby"),
+            round(sum(col("hv")), 2).as("sum_high"),
+            min(abs(col("es") - col("hes"))).as("min_abs_delta"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |   CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+             | h AS (SELECT user_id AS hu, es AS hes, value AS hv
+             |   FROM e WHERE value >= 200)
+             | SELECT event_id, count(hes) AS n_high_nearby,
+             |  round(sum(hv), 2) AS sum_high,
+             |  CAST(min(abs(e.es - hes)) AS BIGINT) AS min_abs_delta
+             | FROM e LEFT JOIN h ON e.user_id = hu AND abs(e.es - hes) <= 300
+             | GROUP BY event_id ORDER BY event_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("event_id")),
+
     // Backward as-of (point-in-time) join: each event joined to the
     // user's most recent at-or-before "high" state change — the
     // union+window shape (one shuffle by key, zero join nodes, |left|

@@ -249,4 +249,69 @@ class MultimodalSpec extends SparkSpec {
     val bad = img.clone(); bad(0) = 'X'.toByte
     assert(MediaCodecs.bmpPatchSums(bad, 8).isEmpty)
   }
+
+  test("PNG codec: round-trip through deflate + all five filters, geometry edges") {
+    import graft.multimodal.MediaCodecs
+    def sums(w: Int, h: Int, f: (Int, Int) => (Int, Int, Int)) = {
+      val cs = for (x <- 0 until w; y <- 0 until h) yield f(x, y)
+      (cs.map(_._1.toLong).sum, cs.map(_._2.toLong).sum, cs.map(_._3.toLong).sum)
+    }
+    // h = 7 > 5: every filter type (None/Sub/Up/Average/Paeth) appears
+    val f = (x: Int, y: Int) =>
+      ((x * 7 + y * 13) % 256, (x * 11 + y * 3) % 256, (x * 5 + y * 17) % 256)
+    val m = MediaCodecs.parsePng(MediaCodecs.buildPng(9, 7, f)).get
+    val (sr, sg, sb) = sums(9, 7, f)
+    assert((m.width, m.height, m.bitDepth, m.colorType) === (9, 7, 8, 2))
+    assert((m.sumR, m.sumG, m.sumB) === (sr, sg, sb))
+    // 1×1 (no left/up neighbors anywhere) and 1×6 (pure Up/Paeth column)
+    val one = MediaCodecs.parsePng(MediaCodecs.buildPng(1, 1, (_, _) => (200, 100, 50))).get
+    assert((one.sumR, one.sumG, one.sumB) === (200L, 100L, 50L))
+    val col1 = MediaCodecs.parsePng(MediaCodecs.buildPng(1, 6, (_, y) => (y, 2 * y, 3 * y))).get
+    assert((col1.sumR, col1.sumG, col1.sumB) === (15L, 30L, 45L))
+    // PNG and BMP built from the SAME gradient agree on channel sums
+    // (cross-codec consistency: two independent byte paths, one truth)
+    val bmp = MediaCodecs.parseBmp(MediaCodecs.buildBmpGradient(9, 7, f)).get
+    assert((bmp.sumR, bmp.sumG, bmp.sumB) === (m.sumR, m.sumG, m.sumB))
+  }
+
+  test("PNG codec: malformed inputs reject — magic, CRC, zlib, geometry, color type") {
+    import graft.multimodal.MediaCodecs
+    val good = MediaCodecs.buildPng(6, 5, (x, y) => (x, y, x + y))
+    assert(MediaCodecs.parsePng(good).isDefined)
+    // bad signature
+    val sig = good.clone(); sig(1) = 'X'.toByte
+    assert(MediaCodecs.parsePng(sig).isEmpty)
+    // truncated anywhere
+    assert(MediaCodecs.parsePng(good.take(20)).isEmpty)
+    assert(MediaCodecs.parsePng(good.take(good.length - 4)).isEmpty)
+    // flip one IDAT payload byte: the CRC check must catch it
+    val ihdrLen = 8 + 12 + 13 // sig + IHDR chunk
+    val corrupt = good.clone()
+    corrupt(ihdrLen + 8 + 2) = (corrupt(ihdrLen + 8 + 2) ^ 0x41).toByte
+    assert(MediaCodecs.parsePng(corrupt).isEmpty)
+    // valid chunk framing but undecodable zlib: rebuild IDAT as garbage
+    // with a CORRECT crc, so the failure is the Inflater's, not the walk's
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      val c = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+      len ++ t ++ data ++ c
+    }
+    val head = good.take(ihdrLen)
+    val junk = head ++ chunk("IDAT", Array.fill[Byte](20)(0x55)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(MediaCodecs.parsePng(junk).isEmpty)
+    // geometry lie: IHDR claims one more row than the pixel data holds
+    val ihdrData = good.slice(16, 16 + 13)
+    val tall = ihdrData.clone()
+    tall(7) = (tall(7) + 1).toByte // height LSB (BE word at offset 4)
+    val lied = good.take(8) ++ chunk("IHDR", tall) ++ good.drop(8 + 12 + 13)
+    assert(MediaCodecs.parsePng(lied).isEmpty)
+    // unsupported color type (grayscale), CRC valid
+    val gray = ihdrData.clone(); gray(9) = 0
+    val wrongCt = good.take(8) ++ chunk("IHDR", gray) ++ good.drop(8 + 12 + 13)
+    assert(MediaCodecs.parsePng(wrongCt).isEmpty)
+  }
 }
