@@ -21,6 +21,89 @@ import graft.ops.SimOps
   */
 object ClinicalQueries {
 
+  /** MODD pipeline over a (user_id, sec, event_id, value) frame —
+    * factored out of the gate so ClinicalSpec can pin the SEMANTICS on
+    * hand-computed Molnar-1972-style fixtures (slot-representative
+    * pick, consecutive-day pairing, exact micro-unit mean), not just
+    * cross-engine agreement. */
+  def modd(ev0: DataFrame): DataFrame = {
+    val ev = ev0
+      .withColumn("day", expr("sec div 86400"))
+      .withColumn("slot", expr("(sec % 86400) div 3600"))
+      .withColumn("off", abs(expr("sec % 3600") - lit(1800L)))
+    val wRep = Window.partitionBy(col("user_id"), col("day"), col("slot"))
+      .orderBy(col("off"), col("event_id"))
+    val rep = ev.withColumn("rn", row_number().over(wRep))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("slot"), col("value"))
+    val wPair = Window.partitionBy(col("user_id"), col("slot"))
+      .orderBy(col("day"))
+    rep
+      .withColumn("pv", lag(col("value"), 1).over(wPair))
+      .withColumn("pd", lag(col("day"), 1).over(wPair))
+      .filter(col("pd") === col("day") - 1)
+      // Accumulate in exact integer micro-units: a double-sum's value
+      // depends on addend order (Spark's partial merge vs the
+      // oracle's sequential scan — a 1-ulp drift flipped the 4th
+      // decimal on one sf0.01 row), a long-sum's does not. One
+      // identical IEEE division at the end on both sides.
+      .withColumn("dm",
+        expr("CAST(floor(abs(value - pv) * 1000000 + 0.5) AS LONG)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dm")).as("__sm"))
+      .select(col("user_id"), col("n_pairs"),
+        SimOps.quant4(col("__sm").cast("double") /
+          (col("n_pairs") * lit(1000000L)).cast("double")).as("modd"))
+  }
+
+  /** MAGE pipeline over a (user_id, sec, event_id, value) frame — same
+    * factoring rationale as [[modd]]: the Service-1970 semantics
+    * (collapse → interior turning points → amplitudes vs 1 SD) are
+    * pinned by hand-worked fixtures in ClinicalSpec. */
+  def mage(ev: DataFrame): DataFrame = {
+    val sd = ev.groupBy(col("user_id"))
+      .agg(stddev_samp(col("value")).as("__sd"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val collapsed = ev
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .filter(col("pv").isNull || col("value") =!= col("pv"))
+      .drop("pv")
+    val turns = collapsed
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("nxt", lead(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull && col("nxt").isNotNull &&
+        ((col("value") > col("prev") && col("value") > col("nxt")) ||
+         (col("value") < col("prev") && col("value") < col("nxt"))))
+      .select(col("user_id"), col("sec"), col("event_id"), col("value"))
+    val amp = turns
+      .withColumn("tv", lag(col("value"), 1).over(w))
+      .filter(col("tv").isNotNull)
+      .withColumn("amp", abs(col("value") - col("tv")))
+      .select(col("user_id"), col("amp"))
+    // ONE sd branch: left-joining amplitudes onto the per-user SD and
+    // aggregating conditionally keeps zero-excursion users without a
+    // second SD subtree (a naive "exc join sd, then sd left-join exc"
+    // plan scans + aggregates the events table twice for SD).
+    // Integer micro-unit accumulation (same rationale as [[modd]]):
+    // the amplitude mean must not depend on partial-sum order.
+    sd.join(amp, Seq("user_id"), "left")
+      .withColumn("qual",
+        col("amp").isNotNull &&
+          SimOps.quant4(col("amp")) > SimOps.quant4(col("__sd")))
+      .withColumn("am",
+        when(col("qual"), expr("CAST(floor(amp * 1000000 + 0.5) AS LONG)")))
+      .groupBy(col("user_id"), col("__sd"))
+      .agg(sum(when(col("qual"), 1L).otherwise(0L)).as("n_excursions"),
+        sum(col("am")).as("__sm"))
+      .select(col("user_id"), SimOps.quant4(col("__sd")).as("sd_glucose"),
+        col("n_excursions"),
+        when(col("n_excursions") > 0,
+          SimOps.quant4(col("__sm").cast("double") /
+            (col("n_excursions") * lit(1000000L)).cast("double")))
+          .as("mage"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // MODD — Mean Of Daily Differences: |glucose(t) − glucose(t − 24 h)|
@@ -38,37 +121,9 @@ object ClinicalQueries {
     // self-join (the textbook MODD join on ts = ts - 24h would shuffle
     // the full feed twice and die on irregular timestamps).
     QueryDef("ref_modd",
-      (s, d) => {
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
-            col("event_id"), col("value"))
-          .withColumn("day", expr("sec div 86400"))
-          .withColumn("slot", expr("(sec % 86400) div 3600"))
-          .withColumn("off", abs(expr("sec % 3600") - lit(1800L)))
-        val wRep = Window.partitionBy(col("user_id"), col("day"), col("slot"))
-          .orderBy(col("off"), col("event_id"))
-        val rep = ev.withColumn("rn", row_number().over(wRep))
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("day"), col("slot"), col("value"))
-        val wPair = Window.partitionBy(col("user_id"), col("slot"))
-          .orderBy(col("day"))
-        rep
-          .withColumn("pv", lag(col("value"), 1).over(wPair))
-          .withColumn("pd", lag(col("day"), 1).over(wPair))
-          .filter(col("pd") === col("day") - 1)
-          // Accumulate in exact integer micro-units: a double-sum's value
-          // depends on addend order (Spark's partial merge vs the
-          // oracle's sequential scan — a 1-ulp drift flipped the 4th
-          // decimal on one sf0.01 row), a long-sum's does not. One
-          // identical IEEE division at the end on both sides.
-          .withColumn("dm",
-            expr("CAST(floor(abs(value - pv) * 1000000 + 0.5) AS LONG)"))
-          .groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_pairs"), sum(col("dm")).as("__sm"))
-          .select(col("user_id"), col("n_pairs"),
-            SimOps.quant4(col("__sm").cast("double") /
-              (col("n_pairs") * lit(1000000L)).cast("double")).as("modd"))
-      },
+      (s, d) => modd(Tables.events(s, d)
+        .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+          col("event_id"), col("value"))),
       Some(s"""WITH ev AS (SELECT user_id, event_id, value,
              |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
              | e2 AS (SELECT user_id, event_id, value, sec // 86400 AS day,
@@ -109,52 +164,9 @@ object ClinicalQueries {
     // is a user-keyed hash-agg of the same scan joined back on the
     // window's own key.
     QueryDef("ref_mage",
-      (s, d) => {
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
-            col("event_id"), col("value"))
-        val sd = ev.groupBy(col("user_id"))
-          .agg(stddev_samp(col("value")).as("__sd"))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("sec"), col("event_id"))
-        val collapsed = ev
-          .withColumn("pv", lag(col("value"), 1).over(w))
-          .filter(col("pv").isNull || col("value") =!= col("pv"))
-          .drop("pv")
-        val turns = collapsed
-          .withColumn("prev", lag(col("value"), 1).over(w))
-          .withColumn("nxt", lead(col("value"), 1).over(w))
-          .filter(col("prev").isNotNull && col("nxt").isNotNull &&
-            ((col("value") > col("prev") && col("value") > col("nxt")) ||
-             (col("value") < col("prev") && col("value") < col("nxt"))))
-          .select(col("user_id"), col("sec"), col("event_id"), col("value"))
-        val amp = turns
-          .withColumn("tv", lag(col("value"), 1).over(w))
-          .filter(col("tv").isNotNull)
-          .withColumn("amp", abs(col("value") - col("tv")))
-          .select(col("user_id"), col("amp"))
-        // ONE sd branch: left-joining amplitudes onto the per-user SD and
-        // aggregating conditionally keeps zero-excursion users without a
-        // second SD subtree (a naive "exc join sd, then sd left-join exc"
-        // plan scans + aggregates the events table twice for SD).
-        // Integer micro-unit accumulation (same rationale as ref_modd):
-        // the amplitude mean must not depend on partial-sum order.
-        sd.join(amp, Seq("user_id"), "left")
-          .withColumn("qual",
-            col("amp").isNotNull &&
-              SimOps.quant4(col("amp")) > SimOps.quant4(col("__sd")))
-          .withColumn("am",
-            when(col("qual"), expr("CAST(floor(amp * 1000000 + 0.5) AS LONG)")))
-          .groupBy(col("user_id"), col("__sd"))
-          .agg(sum(when(col("qual"), 1L).otherwise(0L)).as("n_excursions"),
-            sum(col("am")).as("__sm"))
-          .select(col("user_id"), SimOps.quant4(col("__sd")).as("sd_glucose"),
-            col("n_excursions"),
-            when(col("n_excursions") > 0,
-              SimOps.quant4(col("__sm").cast("double") /
-                (col("n_excursions") * lit(1000000L)).cast("double")))
-              .as("mage"))
-      },
+      (s, d) => mage(Tables.events(s, d)
+        .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+          col("event_id"), col("value"))),
       Some(s"""WITH ev AS (SELECT user_id, event_id, value,
              |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
              | sd AS (SELECT user_id, stddev_samp(value) AS sdv

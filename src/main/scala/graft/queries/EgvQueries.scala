@@ -23,6 +23,23 @@ object EgvQueries {
   private val todSql =
     "(date_part('hour', ts) * 3600 + date_part('minute', ts) * 60 + date_part('second', ts))"
 
+  /** Shared funnel-anchor CTEs (stage minima with the 6-hour conversion
+    * window) — used by BOTH `ref_funnel` (final-stage report) and
+    * `stream_funnel_transitions` (the twin's per-stage emission grain),
+    * so the two oracles cannot drift apart. */
+  private val FunnelCtes =
+    """u AS (SELECT DISTINCT user_id FROM events),
+      | t1 AS (SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      | t2 AS (SELECT e.user_id, min(ts) AS t_click FROM events e
+      |  JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE event_type = 'click' AND ts > t_view
+      |   AND ts <= t_view + INTERVAL 6 HOUR GROUP BY e.user_id),
+      | t3 AS (SELECT e.user_id, min(ts) AS t_purchase FROM events e
+      |  JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE event_type = 'purchase' AND ts > t_click
+      |   AND ts <= t_click + INTERVAL 6 HOUR GROUP BY e.user_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // F1 — threshold filter (StreamsFilterEgvs.java:28-31), value >= 200.
@@ -659,17 +676,7 @@ object EgvQueries {
               .when(col("t_view").isNotNull, 1)
               .otherwise(0).as("stage"))
       },
-      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
-             | t1 AS (SELECT user_id, min(ts) AS t_view FROM events
-             |  WHERE event_type = 'view' GROUP BY user_id),
-             | t2 AS (SELECT e.user_id, min(ts) AS t_click FROM events e
-             |  JOIN t1 ON e.user_id = t1.user_id
-             |  WHERE event_type = 'click' AND ts > t_view
-             |   AND ts <= t_view + INTERVAL 6 HOUR GROUP BY e.user_id),
-             | t3 AS (SELECT e.user_id, min(ts) AS t_purchase FROM events e
-             |  JOIN t2 ON e.user_id = t2.user_id
-             |  WHERE event_type = 'purchase' AND ts > t_click
-             |   AND ts <= t_click + INTERVAL 6 HOUR GROUP BY e.user_id)
+      Some(s"""WITH $FunnelCtes
              | SELECT u.user_id, t_view, t_click, t_purchase,
              |  CASE WHEN t_purchase IS NOT NULL THEN 3
              |       WHEN t_click IS NOT NULL THEN 2
@@ -679,6 +686,25 @@ object EgvQueries {
              |  LEFT JOIN t3 ON u.user_id = t3.user_id
              | ORDER BY u.user_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("user_id")),
+
+    // Batch twin of StatefulOps.streamingFunnel's EMISSION grain: one
+    // (user, stage, ts) row per stage reached — exactly the
+    // FunnelTransition rows the live twin appends (stage anchors, not
+    // just the final stage ref_funnel reports). Derived by unpivoting
+    // the SAME gated funnel frame, so the twin, this gate, and
+    // ref_funnel cannot drift apart independently: the StreamingSpec
+    // parity test compares the twin's rows against this query.
+    QueryDef("stream_funnel_transitions",
+      (s, d) => graft.Catalog.queries("ref_funnel")(s, d)
+        .select(col("user_id"), expr(
+          "stack(3, 1, t_view, 2, t_click, 3, t_purchase) AS (stage, ts)"))
+        .filter(col("ts").isNotNull),
+      Some(s"""WITH $FunnelCtes
+             | SELECT user_id, 1 AS stage, t_view AS ts FROM t1
+             | UNION ALL SELECT user_id, 2 AS stage, t_click AS ts FROM t2
+             | UNION ALL SELECT user_id, 3 AS stage, t_purchase AS ts FROM t3
+             | ORDER BY user_id, stage""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("user_id", "stage")),
 
     // P1 — lenient JSON scalar extraction with NPE-to-0 semantics
     // (StreamsFilterEgvs.java:43-52) made explicit via coalesce.

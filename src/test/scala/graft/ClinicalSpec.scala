@@ -57,6 +57,51 @@ class ClinicalSpec extends SparkSpec {
     assert(rows(1)._3.isNaN)
   }
 
+  test("MAGE definitional walkthrough (Service 1970): every arithmetic step hand-derived") {
+    // The published definition: mean amplitude of glycemic excursions
+    // whose |peak − nadir| exceeds ONE SD of the whole series. Worked
+    // example, one user, values 100, 180, 60, 140, 80, 160 at minutes
+    // 0..5 (no consecutive duplicates, so collapse is the identity):
+    //   interior turning points (strict sign change):
+    //     180 (100<180>60, peak), 60 (nadir), 140 (peak), 80 (nadir)
+    //   amplitudes between consecutive turning points:
+    //     |60−180| = 120, |140−60| = 80, |80−140| = 60
+    //   SD of the FULL series: mean = 720/6 = 120,
+    //     Σdev² = 20²+60²+60²+20²+40²+40² = 11200, s² = 11200/5 = 2240,
+    //     s = √2240 = 47.32863826…  → quant4 = 47.3286
+    //   all three amplitudes exceed s → n = 3,
+    //   MAGE = (120+80+60)/3 = 86.66666… → quant4 = 86.6667
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L, 1L, 100.0), (1L, 60L, 2L, 180.0), (1L, 120L, 3L, 60.0),
+      (1L, 180L, 4L, 140.0), (1L, 240L, 5L, 80.0), (1L, 300L, 6L, 160.0))
+      .toDF("user_id", "sec", "event_id", "value")
+    val r = graft.queries.ClinicalQueries.mage(ev).collect().head
+    assert(r.getDouble(1) === 47.3286)  // sd_glucose
+    assert(r.getLong(2) === 3L)         // n_excursions
+    assert(r.getDouble(3) === 86.6667)  // mage
+  }
+
+  test("MODD definitional walkthrough (Molnar 1972): time-matched day-over-day mean") {
+    // The published definition: mean |glucose(t) − glucose(t − 24 h)|
+    // over time-matched readings on consecutive days. Worked example,
+    // one user, readings at the hour-slot centers of hours 0, 1, 2:
+    //   day 0: 100, 120, 140        day 1: 110, 150, 130
+    //   matched absolute differences: |110−100| = 10, |150−120| = 30,
+    //   |130−140| = 10 → MODD = (10+30+10)/3 = 16.66666… → 16.6667
+    import spark.implicits._
+    def sec(day: Int, hour: Int) = day * 86400L + hour * 3600L + 1800L
+    val ev = Seq(
+      (1L, sec(0, 0), 1L, 100.0), (1L, sec(0, 1), 2L, 120.0),
+      (1L, sec(0, 2), 3L, 140.0),
+      (1L, sec(1, 0), 4L, 110.0), (1L, sec(1, 1), 5L, 150.0),
+      (1L, sec(1, 2), 6L, 130.0))
+      .toDF("user_id", "sec", "event_id", "value")
+    val r = graft.queries.ClinicalQueries.modd(ev).collect().head
+    assert(r.getLong(1) === 3L)         // n_pairs
+    assert(r.getDouble(2) === 16.6667)  // modd
+  }
+
   test("ref_event_response buckets the 2h post-anchor window, left-inclusive") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("resp").toString

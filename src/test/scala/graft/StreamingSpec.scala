@@ -568,6 +568,13 @@ class StreamingSpec extends SparkSpec {
     }
     assert(streamed.groupBy(t => (t.userId, t.stage)).forall(_._2.length == 1),
       "each stage must be reached exactly once per user")
+    // Full-row parity against the twin's own gate: every transition the
+    // stream emitted — (user, stage, anchor ts) — must equal the gated
+    // stream_funnel_transitions rows exactly, anchors included.
+    val gated = Catalog.queries("stream_funnel_transitions")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getInt(1), r.getTimestamp(2))).toSet
+    assert(streamed.map(t => (t.userId, t.stage, t.ts)).toSet === gated)
   }
 
   test("streaming as-of enrichment matches the batch as-of join across batches") {
