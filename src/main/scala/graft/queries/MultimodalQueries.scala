@@ -143,6 +143,94 @@ object MultimodalQueries {
              | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // REAL anti-aliased resize: per doc, a per-channel gradient BMP
+    // box-downsampled 4× (every source pixel folds into its block's
+    // exact integer mean — NN would drop 15/16 of the signal), then the
+    // RESULT is re-parsed and channel-summed. Oracle reproduces the
+    // two-level arithmetic analytically: per-block sums // 16, summed.
+    QueryDef("mm_bmp_resize_box",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (8 * (1 + id % 3)).toInt
+            val h = (8 * (1 + nc % 2)).toInt
+            (id, graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
+              (x, y) => (
+                ((x * 7 + y * 13 + id) % 256).toInt,
+                ((x * 11 + y * 3 + nc) % 256).toInt,
+                ((x * 5 + y * 17 + id + nc) % 256).toInt)))
+          }.toDF("doc_id", "bytes")
+        val small = MultimodalOps.resizeBmpBoxOp(blobs, "doc_id", "bytes", 4)
+        MultimodalOps.decodeBmp(small, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("width"), col("height"),
+            col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+            col("sumB").as("sum_b"))
+      },
+      Some("""WITH p AS (SELECT doc_id, n_chars,
+             |   8 * (1 + doc_id % 3) AS w, 8 * (1 + n_chars % 2) AS h
+             |  FROM documents),
+             | gx AS (SELECT doc_id, n_chars, w, h, unnest(range(0, w)) AS x FROM p),
+             | pix AS (SELECT doc_id, n_chars, w, h, x, unnest(range(0, h)) AS y FROM gx),
+             | blk AS (SELECT doc_id, w, h, x // 4 AS bx, y // 4 AS by,
+             |   sum((x * 7 + y * 13 + doc_id) % 256) AS sr,
+             |   sum((x * 11 + y * 3 + n_chars) % 256) AS sg,
+             |   sum((x * 5 + y * 17 + doc_id + n_chars) % 256) AS sb
+             |  FROM pix GROUP BY doc_id, w, h, bx, by)
+             | SELECT doc_id, CAST(max(w) // 4 AS INT) AS width,
+             |  CAST(max(h) // 4 AS INT) AS height,
+             |  CAST(sum(sr // 16) AS BIGINT) AS sum_r,
+             |  CAST(sum(sg // 16) AS BIGINT) AS sum_g,
+             |  CAST(sum(sb // 16) AS BIGINT) AS sum_b
+             | FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // REAL silence trim over REAL PCM bytes: per doc, p leading and q
+    // trailing zero samples around an alternating ±amp body — trimmed at
+    // threshold 0, re-encoded, re-parsed. Every doc_id % 50 == 0 blob is
+    // ALL-silent and must trim to an empty (still valid) container with
+    // the whole length counted as leading silence — the edge the oracle
+    // pins via CASE. Analytic outcome: lead = p, tail = q, n_after = n,
+    // sum_squares_after = n · amp².
+    QueryDef("mm_wav_silence_trim",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val p = (id % 7).toInt
+            val q = (nc % 5).toInt
+            val n = ((nc % 100) + 1).toInt
+            val amp = if (id % 50 == 0) 0 else (id % 1000 + 1).toInt
+            val samples = Array.fill(p)(0.toShort) ++
+              Array.tabulate(n)(i => (if (i % 2 == 0) amp else -amp).toShort) ++
+              Array.fill(q)(0.toShort)
+            (id, graft.multimodal.MediaCodecs.buildWav(8000, 1, samples))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.trimWav(blobs, "doc_id", "bytes", threshold = 0).toDF()
+          .select(col("docId").as("doc_id"), col("nBefore").as("n_before"),
+            col("leadTrimmed").as("lead_trimmed"),
+            col("tailTrimmed").as("tail_trimmed"),
+            col("nAfter").as("n_after"),
+            col("sumSquaresAfter").as("sum_squares_after"))
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 7 AS p, n_chars % 5 AS q,
+             |  (n_chars % 100) + 1 AS n,
+             |  CASE WHEN doc_id % 50 = 0 THEN 0
+             |       ELSE doc_id % 1000 + 1 END AS amp FROM documents)
+             | SELECT doc_id,
+             |  CAST(p + n + q AS BIGINT) AS n_before,
+             |  CAST(CASE WHEN amp = 0 THEN p + n + q ELSE p END AS INT)
+             |    AS lead_trimmed,
+             |  CAST(CASE WHEN amp = 0 THEN 0 ELSE q END AS INT)
+             |    AS tail_trimmed,
+             |  CAST(CASE WHEN amp = 0 THEN 0 ELSE n END AS BIGINT) AS n_after,
+             |  CAST(CASE WHEN amp = 0 THEN 0 ELSE n * amp * amp END AS BIGINT)
+             |    AS sum_squares_after
+             | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // REAL COMPRESSED-format decode: per doc, an 8-bit truecolor PNG
     // (deflated scanlines, filter type cycling None/Sub/Up/Average/Paeth
     // per row) built from a per-channel gradient formula, then parsed

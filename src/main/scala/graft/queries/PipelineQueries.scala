@@ -22,7 +22,81 @@ object PipelineQueries {
   /** Train share of the leakage-safe split: 9000/10000 = 90%. */
   val SplitTrainBuckets = 9000
 
+  /** k-anonymity threshold for the privacy ladder. */
+  val KAnon = 5
+
   val defs: Seq[QueryDef] = Seq(
+
+    // k-anonymity generalization ladder — the privacy audit-and-recode
+    // pass run before PUBLISHING training data: every document's
+    // quasi-identifier tuple (source, lang, length band) must be shared
+    // by at least k PUBLISHED records, or an attacker joins the metadata
+    // back to an individual. LOCAL recoding with REMAINING-count
+    // refinement: each rung counts only docs not already safe at a finer
+    // level —
+    //   level 0: (source, lang, n_chars div 1000), full-group size ≥ k
+    //   level 1: (source, lang, n_chars div 5000) over level-0 LEAVERS
+    //   level 2: (lang) over the still-unsafe remainder
+    //   level 3: suppressed
+    // The remaining-count is what makes the guarantee real: counting
+    // FULL groups at every rung (the naive form) lets the finer-level
+    // docs leave a coarse group and publishes the leftovers as a class
+    // smaller than k — the classic local-recoding pitfall, pinned by the
+    // invariant spec (every published (k_level, qi) class has ≥ k rows).
+    // Shape at 100 TB: the three group-size tables are bounded by
+    // distinct QI values (dimension-tiny), so each lookup is a broadcast
+    // equi-join onto the doc scan — one pass, zero doc-grain shuffles.
+    QueryDef("pipeline_k_anonymity",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"),
+            expr("n_chars div 1000").as("b0"),
+            expr("n_chars div 5000").as("b1"))
+        val s0 = broadcast(docs.groupBy(col("source"), col("lang"), col("b0"))
+          .agg(count(lit(1)).as("s0")))
+        val d0 = docs.join(s0, Seq("source", "lang", "b0"))
+        // Rung 1 counts only level-0 leavers; rung 2 only rung-1 leavers.
+        val s1 = broadcast(d0.filter(col("s0") < KAnon)
+          .groupBy(col("source"), col("lang"), col("b1"))
+          .agg(count(lit(1)).as("s1")))
+        val d1 = d0.join(s1, Seq("source", "lang", "b1"), "left")
+        val s2 = broadcast(d1
+          .filter(col("s0") < KAnon && coalesce(col("s1"), lit(0L)) < KAnon)
+          .groupBy(col("lang")).agg(count(lit(1)).as("s2")))
+        d1.join(s2, Seq("lang"), "left")
+          .select(col("doc_id"),
+            when(col("s0") >= KAnon, 0)
+              .when(col("s1") >= KAnon, 1)
+              .when(coalesce(col("s2"), lit(0L)) >= KAnon, 2)
+              .otherwise(3).as("k_level"),
+            when(col("s0") >= KAnon,
+                concat_ws("|", col("source"), col("lang"), col("b0")))
+              .when(col("s1") >= KAnon,
+                concat_ws("|", col("source"), col("lang"), col("b1")))
+              .when(coalesce(col("s2"), lit(0L)) >= KAnon, col("lang"))
+              .otherwise(lit("suppressed")).as("qi"))
+      },
+      Some(s"""WITH dc AS (SELECT doc_id, source, lang,
+             |   n_chars // 1000 AS b0, n_chars // 5000 AS b1
+             |  FROM documents),
+             | g0 AS (SELECT *,
+             |   count(*) OVER (PARTITION BY source, lang, b0) AS s0 FROM dc),
+             | g1 AS (SELECT *,
+             |   sum(CASE WHEN s0 < $KAnon THEN 1 ELSE 0 END)
+             |     OVER (PARTITION BY source, lang, b1) AS s1 FROM g0),
+             | g2 AS (SELECT *,
+             |   sum(CASE WHEN s0 < $KAnon AND s1 < $KAnon THEN 1 ELSE 0 END)
+             |     OVER (PARTITION BY lang) AS s2 FROM g1)
+             | SELECT doc_id,
+             |  CAST(CASE WHEN s0 >= $KAnon THEN 0
+             |       WHEN s1 >= $KAnon THEN 1
+             |       WHEN s2 >= $KAnon THEN 2 ELSE 3 END AS INT) AS k_level,
+             |  CASE WHEN s0 >= $KAnon THEN source || '|' || lang || '|' || b0
+             |       WHEN s1 >= $KAnon THEN source || '|' || lang || '|' || b1
+             |       WHEN s2 >= $KAnon THEN lang
+             |       ELSE 'suppressed' END AS qi
+             | FROM g2 ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
 
     QueryDef("pipeline_corpus_curation",
       (s, d) => {

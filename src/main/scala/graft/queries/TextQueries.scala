@@ -1,5 +1,6 @@
 package graft.queries
 
+
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -420,6 +421,51 @@ object TextQueries {
              |  ((n_tokens * n_tokens - ss) * 1000000)
              |    // (n_tokens * n_tokens) AS gini_micro
              | FROM g ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // Heaps-law vocabulary growth curve — "how fast does the vocab grow
+    // as the corpus grows", the ingestion observable that schedules BPE
+    // retraining and sizes term dictionaries. New-vocabulary credit per
+    // doc = terms whose FIRST occurrence (min doc_id) is that doc; the
+    // running totals are computed by SkewOps.prefixSums — the two-level
+    // distributed prefix sum (range partitions + partition-local windows
+    // + a broadcast offset table) — NOT a global one-reducer window: at
+    // 100 TB the curve's doc-grain rows still dwarf a single partition.
+    // Checkpointed every 50 doc_ids to keep the gate row count stable.
+    QueryDef("text_heaps_law",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        val newPerDoc = toks.groupBy(col("term"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("nv"))
+        val perDoc = docs
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+          .join(newPerDoc, Seq("doc_id"), "left")
+          .withColumn("nv", coalesce(col("nv"), lit(0L)))
+        graft.ops.SkewOps.prefixSums(perDoc, Seq("doc_id"),
+            Seq("cum_tokens" -> col("nt"), "vocab_size" -> col("nv")))
+          .filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("cum_tokens"), col("vocab_size"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")})
+             |   AS term FROM documents),
+             | fo AS (SELECT term, min(doc_id) AS fd FROM tk GROUP BY term),
+             | nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+             |  FROM fo GROUP BY fd),
+             | pd AS (SELECT d.doc_id,
+             |   CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS nt,
+             |   COALESCE(nv, 0) AS nv
+             |  FROM documents d LEFT JOIN nv ON d.doc_id = nv.doc_id),
+             | c AS (SELECT doc_id, sum(nt) OVER w AS cum_tokens,
+             |   sum(nv) OVER w AS vocab_size FROM pd
+             |  WINDOW w AS (ORDER BY doc_id))
+             | SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             |  CAST(vocab_size AS BIGINT) AS vocab_size
+             | FROM c WHERE doc_id % 50 = 0
+             | ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id"))
   )
 }

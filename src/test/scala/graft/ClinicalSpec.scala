@@ -57,6 +57,37 @@ class ClinicalSpec extends SparkSpec {
     assert(rows(1)._3.isNaN)
   }
 
+  test("k-anonymity: published classes all reach k; refined counts beat the naive-pitfall fixture") {
+    import spark.implicits._
+    // Pitfall fixture (k=5): (srcA, xx, b0=0) holds 4 docs (unsafe at
+    // level 0) and (srcA, xx, b0=4) holds 5 (safe). BOTH share b1=0, so
+    // the NAIVE full-group level-1 count sees 9 >= k and would publish
+    // the 4 leavers as a class of four — re-identifiable. The refined
+    // remaining-count sees 4 < k and escalates; with srcB's 2 unsafe
+    // docs the lang remainder is 6 >= k → all six publish level 2 "xx".
+    val dir = java.nio.file.Files.createTempDirectory("kanon").toString
+    val rows =
+      (1L to 4L).map(i => (i, "", "xx", "srcA", 100L + i)) ++
+      (5L to 9L).map(i => (i, "", "xx", "srcA", 4100L + i)) ++
+      (10L to 11L).map(i => (i, "", "xx", "srcB", 200L + i))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Catalog.queries("pipeline_k_anonymity")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    (Seq(1L, 2L, 3L, 4L, 10L, 11L)).foreach { i =>
+      assert(out(i) === (2, "xx"), s"doc $i must escalate past the pitfall rung")
+    }
+    (5L to 9L).foreach { i => assert(out(i)._1 === 0, s"doc $i") }
+    // Invariant on real data: every published (k_level, qi) class of
+    // non-suppressed docs has at least k members.
+    val real = Catalog.queries("pipeline_k_anonymity")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(1), r.getString(2)))
+    val classes = real.filter(_._1 < 3).groupBy(identity).map(_._2.length)
+    assert(classes.nonEmpty && classes.forall(_ >= graft.queries.PipelineQueries.KAnon),
+      s"published class below k: ${classes.toSeq.sorted.take(3)}")
+  }
+
   test("MAGE definitional walkthrough (Service 1970): every arithmetic step hand-derived") {
     // The published definition: mean amplitude of glycemic excursions
     // whose |peak − nadir| exceeds ONE SD of the whole series. Worked

@@ -250,6 +250,65 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.bmpPatchSums(bad, 8).isEmpty)
   }
 
+  test("BMP box resize: exact block means, uniform identity, geometry guards") {
+    import graft.multimodal.MediaCodecs
+    // 4×4 checkerboard of 0/255 at f=2: every 2×2 block holds two of
+    // each → mean (2·255) / 4 = 127 exactly, all three channels
+    val checker = MediaCodecs.buildBmpGradient(4, 4,
+      (x, y) => { val v = if ((x + y) % 2 == 0) 255 else 0; (v, v, v) })
+    val m = MediaCodecs.parseBmp(MediaCodecs.resizeBmpBox(checker, 2).get).get
+    assert((m.width, m.height) === (2, 2))
+    assert((m.sumR, m.sumG, m.sumB) === (4 * 127L, 4 * 127L, 4 * 127L))
+    // solid color: box mean is the identity at any factor
+    val solid = MediaCodecs.buildBmp(8, 8, 10, 20, 30)
+    val sm = MediaCodecs.parseBmp(MediaCodecs.resizeBmpBox(solid, 4).get).get
+    assert((sm.width, sm.height, sm.sumR, sm.sumG, sm.sumB) ===
+      (2, 2, 4 * 10L, 4 * 20L, 4 * 30L))
+    // brute cross-check on a gradient: per-block integer means
+    val grad = MediaCodecs.buildBmpGradient(8, 4,
+      (x, y) => ((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 5) % 256))
+    val g = MediaCodecs.parseBmp(MediaCodecs.resizeBmpBox(grad, 4).get).get
+    def brute(f: (Int, Int) => Int): Long =
+      (for (bx <- 0 until 2; by <- 0 until 1) yield
+        (for (x <- 4 * bx until 4 * bx + 4; y <- 4 * by until 4 * by + 4)
+          yield f(x, y).toLong).sum / 16).sum
+    assert(g.sumR === brute((x, y) => (x * 7 + y * 13) % 256))
+    assert(g.sumG === brute((x, _) => (x * 3) % 256))
+    assert(g.sumB === brute((_, y) => (y * 5) % 256))
+    // guards: non-divisible geometry, bad factor, bad magic
+    assert(MediaCodecs.resizeBmpBox(MediaCodecs.buildBmp(6, 4, 1, 1, 1), 4).isEmpty)
+    assert(MediaCodecs.resizeBmpBox(solid, 0).isEmpty)
+    val bad = solid.clone(); bad(0) = 'X'.toByte
+    assert(MediaCodecs.resizeBmpBox(bad, 2).isEmpty)
+  }
+
+  test("WAV silence trim: edges drop, interior silence survives, all-silent empties, stereo rejects") {
+    import graft.multimodal.MediaCodecs
+    def wav(ss: Int*) = MediaCodecs.buildWav(8000, 1, ss.map(_.toShort).toArray)
+    // 2 leading + 3 trailing zeros; interior zero must SURVIVE
+    val (out, lead, tail) =
+      MediaCodecs.trimWavSilence(wav(0, 0, 5, 0, -7, 0, 0, 0), 0).get
+    assert((lead, tail) === (2, 3))
+    val m = MediaCodecs.parseWav(out).get
+    assert(m.nSamples === 3 && m.sumSquares === 25L + 49L)
+    // threshold 2: |1| and |2| count as silence, |3| does not
+    val (o2, l2, t2) = MediaCodecs.trimWavSilence(wav(1, -2, 3, 2), 2).get
+    assert((l2, t2) === (2, 1))
+    assert(MediaCodecs.parseWav(o2).get.nSamples === 1)
+    // all-silent: empty container, full length counted as leading
+    val (o3, l3, t3) = MediaCodecs.trimWavSilence(wav(0, 0, 0), 0).get
+    assert((l3, t3) === (3, 0))
+    assert(MediaCodecs.parseWav(o3).get.nSamples === 0)
+    // no silence anywhere: identity in samples
+    val (o4, l4, t4) = MediaCodecs.trimWavSilence(wav(9, -9), 0).get
+    assert((l4, t4) === (0, 0))
+    assert(MediaCodecs.parseWav(o4).get.sumSquares === 162L)
+    // stereo and garbage reject
+    val stereo = MediaCodecs.buildWav(8000, 2, Array[Short](1, 2, 3, 4))
+    assert(MediaCodecs.trimWavSilence(stereo, 0).isEmpty)
+    assert(MediaCodecs.trimWavSilence(Array[Byte](1, 2, 3), 0).isEmpty)
+  }
+
   test("PNG codec: round-trip through deflate + all five filters, geometry edges") {
     import graft.multimodal.MediaCodecs
     def sums(w: Int, h: Int, f: (Int, Int) => (Int, Int, Int)) = {

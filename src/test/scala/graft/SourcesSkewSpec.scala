@@ -57,6 +57,38 @@ class SourcesSkewSpec extends SparkSpec {
     assert(salted === expected)
   }
 
+  test("prefixSums equals the one-reducer global window at any partition count, no Window over all rows") {
+    import spark.implicits._
+    // Irregular values + non-contiguous keys; two value columns at once.
+    val df = (1 to 997).map(i => (i * 3L, (i % 13).toLong, (i % 7).toLong))
+      .toDF("k", "a", "b")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    val want = df
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .select("k", "ca", "cb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (parts <- Seq(1, 3, 8)) { // boundary placement must be invisible
+      val got = SkewOps.prefixSums(df, Seq("k"),
+          Seq("ca" -> col("a"), "cb" -> col("b")), partitions = parts)
+        .select("k", "ca", "cb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"partitions=$parts")
+    }
+    // Plan shape: every Window node must be partitioned (by __pid) or
+    // over the #partitions-row offset table — never ordered-only over
+    // the full data (the single-reducer cliff this operator removes).
+    val plan = SkewOps.prefixSums(df, Seq("k"), Seq("ca" -> col("a")))
+      .queryExecution.optimizedPlan
+    val fullWindows = plan.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window
+          if win.partitionSpec.isEmpty &&
+            win.child.maxRows.isEmpty &&
+            !win.child.toString.contains("__pid") => win
+    }
+    assert(fullWindows.isEmpty, s"unpartitioned data-scale window:\n$plan")
+  }
+
   test("json ingestion captures corrupt records instead of dropping or failing") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
