@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge tables — the family
@@ -70,6 +71,101 @@ object GraphOps {
   /** Scale of the local-clustering-coefficient fixed-point output
     * (10⁶ micro-units, floor division — integer-exact on both engines). */
   val LccScale = 1000000L
+
+  /** k-core decomposition by iterative peeling with a FIXED round
+    * count: each round drops every node whose degree in the CURRENT
+    * subgraph is < k, then restricts the edges to survivors — the
+    * density observable curation uses to separate tight template/
+    * boilerplate families (deep cores) from loosely-connected genuine
+    * content. A single degree filter is NOT the k-core (removing a
+    * node lowers its neighbors' degrees, which can cascade — the
+    * pendant-chain fixture in DedupSimSpec pins exactly that); the
+    * fixed `rounds` bound keeps both engines on the identical unrolled
+    * computation, and the gate-corpus spec proves the peel CONVERGES
+    * within the bound (a no-op final round), so the output is the true
+    * core there, not a truncation.
+    *
+    * Output per input node: in_core 0/1 and the node's degree inside
+    * the final core subgraph (0 outside).
+    *
+    * Scale shape: each round is a degree hash-agg over the current
+    * (u, v) edge set plus two semi-joins against the survivor set —
+    * slim long pairs, one shuffle each; every round's edge frame is
+    * localCheckpoint'ed (the bfsLayers discipline) so lineage stays
+    * flat across rounds. Edge count is non-increasing, so the peel
+    * costs at most `rounds` × (one scan of the shrinking graph). */
+  def kCore(nodes: DataFrame, edges: DataFrame, k: Int,
+            rounds: Int): DataFrame = {
+    var e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var alive: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      alive = deg.filter(col("deg") >= k).select("node").localCheckpoint()
+      e = e
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    val coreDeg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("cd"))
+    nodes.select(col("node_id"))
+      .join(alive.select(col("node").as("node_id"), lit(1).as("__in")),
+        Seq("node_id"), "left")
+      .join(coreDeg.select(col("node").as("node_id"), col("cd")),
+        Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("__in"), lit(0)).as("in_core"),
+        coalesce(col("cd"), lit(0L)).as("core_degree"))
+  }
+
+  /** Oracle twin of [[kCore]]: the identical peel unrolled as chained
+    * CTEs — round r's survivor set a$r and restricted edge set e$r.
+    * Every round CTE is AS MATERIALIZED: each references its
+    * predecessor more than once, and DuckDB's default per-reference
+    * inlining would otherwise copy the whole upstream edge pipeline
+    * 2^rounds times (measured: file-handle exhaustion at rounds=8). */
+  def kCoreSql(nodesSql: String, edgesSql: String, k: Int,
+               rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH nodes AS ($nodesSql),
+        edges AS ($edgesSql),
+        e0 AS MATERIALIZED (
+               SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM edges WHERE src <> dst)""")
+    for (r <- 1 to rounds) {
+      val prev = s"e${r - 1}"
+      sb.append(s""",
+        d$r AS MATERIALIZED (
+                  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                  SELECT u AS node FROM $prev
+                  UNION ALL SELECT v FROM $prev) GROUP BY node),
+        a$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),
+        e$r AS MATERIALIZED (SELECT u, v FROM $prev
+                WHERE u IN (SELECT node FROM a$r)
+                  AND v IN (SELECT node FROM a$r))""")
+    }
+    sb.append(s""",
+        cd AS (SELECT node, CAST(count(*) AS BIGINT) AS cd FROM (
+                 SELECT u AS node FROM e$rounds
+                 UNION ALL SELECT v FROM e$rounds) GROUP BY node)
+        SELECT n.node_id,
+               CAST(CASE WHEN a.node IS NULL THEN 0 ELSE 1 END AS INT)
+                 AS in_core,
+               COALESCE(cd.cd, 0) AS core_degree
+        FROM nodes n
+        LEFT JOIN a$rounds a ON n.node_id = a.node
+        LEFT JOIN cd ON n.node_id = cd.node
+        ORDER BY n.node_id""")
+    sb.toString
+  }
 
   /** Per-node triangle count, degree, and local clustering coefficient
     * over an arbitrary directed edge list (symmetrized internally) — the
@@ -192,6 +288,84 @@ object GraphOps {
         r0 AS (SELECT node_id, CAST($PrS0 AS BIGINT) AS pr FROM nodes),
         ${its.mkString(",\n        ")}
         SELECT node_id, pr AS pagerank FROM it$iters ORDER BY node_id"""
+  }
+
+  /** Semi-supervised label propagation with a FIXED round count: seed
+    * nodes carry immutable labels; each round, every still-unlabeled
+    * node adopts the MAJORITY label among its labeled neighbors (tie →
+    * smallest label — a total, engine-portable rule), labels only ever
+    * spread (a labeled node never changes). The fixed `rounds` bound
+    * keeps both engines on the identical unrolled computation; nodes
+    * the seeds cannot reach within the bound stay NULL (both engines).
+    * This is the cheap transduction pass that extends a small set of
+    * human-audited domain/quality labels over the corpus k-NN graph.
+    *
+    * Scale shape per round: one equi-join of the (symmetrized, cached)
+    * edge list against the slim current label frame, a (node, label)
+    * hash-agg with map-side combine, and a node-partitioned window to
+    * pick the majority — no global window, no growing lineage (each
+    * round localCheckpoints, the bfsLayers discipline). */
+  def labelPropagate(nodes: DataFrame, edges: DataFrame, seedPred: Column,
+                     rounds: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")).persist()
+    var lbl = nodes
+      .select(col("node_id"),
+        when(seedPred, col("node_id")).as("label"))
+      .localCheckpoint()
+    val wPick = Window.partitionBy(col("dst"))
+      .orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      val pick = sym
+        .join(lbl.filter(col("label").isNotNull), sym("src") === lbl("node_id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("dst"), col("label").as("maj"))
+      lbl = lbl.join(pick, lbl("node_id") === pick("dst"), "left")
+        .select(col("node_id"), coalesce(col("label"), col("maj")).as("label"))
+        .localCheckpoint()
+    }
+    sym.unpersist(false) // all rounds materialized by the checkpoints
+    lbl.select(col("node_id"), col("label"))
+  }
+
+  /** Oracle twin of [[labelPropagate]] — identical unrolled rounds; the
+    * round CTEs are AS MATERIALIZED for the same per-reference-inlining
+    * reason as [[kCoreSql]]. */
+  def labelPropagateSql(nodesSql: String, edgesSql: String,
+                        seedPredSql: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH nodes AS ($nodesSql),
+        edges AS ($edgesSql),
+        sym AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges)),
+        l0 AS MATERIALIZED (
+          SELECT node_id,
+                 CASE WHEN $seedPredSql THEN node_id END AS label
+          FROM nodes)""")
+    for (r <- 1 to rounds) {
+      val prev = s"l${r - 1}"
+      sb.append(s""",
+        c$r AS MATERIALIZED (
+          SELECT dst, label, CAST(count(*) AS BIGINT) AS cnt
+          FROM sym JOIN $prev ON sym.src = $prev.node_id
+          WHERE label IS NOT NULL GROUP BY dst, label),
+        p$r AS MATERIALIZED (
+          SELECT dst, label AS maj FROM (
+            SELECT *, row_number() OVER (PARTITION BY dst
+              ORDER BY cnt DESC, label) AS rn FROM c$r) WHERE rn = 1),
+        l$r AS MATERIALIZED (
+          SELECT node_id, COALESCE(label, maj) AS label
+          FROM $prev LEFT JOIN p$r ON $prev.node_id = p$r.dst)""")
+    }
+    sb.append(s"""
+        SELECT node_id, label FROM l$rounds ORDER BY node_id""")
+    sb.toString
   }
 
   /** BFS distance layers from a seed set over a directed edge list —

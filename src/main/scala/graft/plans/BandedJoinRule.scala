@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
@@ -40,8 +40,13 @@ import org.apache.spark.sql.types.LongType
   * inside the JOIN condition (never a post-filter), which is what
   * preserves the outer null-extension.
   *
+  * RIGHT OUTER mirrors LEFT OUTER with the sides swapped (left
+  * replicates, preserved right stays single). FULL OUTER is not
+  * rewritten: both sides would need preservation and replication at
+  * once, which this construction cannot express.
+  *
   * Scope guards (the rule must never fire on a shape it cannot prove):
-  * INNER or LEFT OUTER join; condition = at least one cross-side
+  * INNER, LEFT OUTER, or RIGHT OUTER join; condition = at least one cross-side
   * equality plus EXACTLY ONE `abs(lt − rt) <= C` with `lt`, `rt`
   * LONG-typed and fully resolved to opposite sides and `C` a positive
   * integral literal; and the to-be-replicated side not already banded
@@ -137,6 +142,23 @@ object BandedJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             EqualTo(lBucketAlias.toAttribute, rBucket) :+ bandPred).reduce(And)
           Project(j.output,
             Join(lProj, gen, LeftOuter, Some(newCond), hint))
+        case None => j
+      }
+    case j @ Join(left, right, RightOuter, Some(cond), hint)
+        if !left.output.exists(_.name == OffName) =>
+      bandShape(cond, left, right) match {
+        case Some((bandPred, lt, rt, tol, rest)) =>
+          val tolLit = Literal(tol, LongType)
+          // Mirror of the LeftOuter case: the preserved RIGHT side stays
+          // un-replicated, the LEFT fans out to the three buckets.
+          val (gen, offAttr) = offsetsGen(left)
+          val lBucket = Add(IntegralDivide(lt, tolLit), offAttr)
+          val rBucketAlias = Alias(IntegralDivide(rt, tolLit), "__band_b")()
+          val rProj = Project(right.output :+ rBucketAlias, right)
+          val newCond = (rest :+
+            EqualTo(lBucket, rBucketAlias.toAttribute) :+ bandPred).reduce(And)
+          Project(j.output,
+            Join(gen, rProj, RightOuter, Some(newCond), hint))
         case None => j
       }
   }

@@ -306,6 +306,49 @@ object SimQueries {
           SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
       presentOrder = Seq("node_id")),
 
+    // Semi-supervised label propagation over the k-NN graph: every
+    // 25th vector is a human-audited seed; 3 majority rounds spread the
+    // labels (tie → smallest). Unreached nodes stay NULL. Fixed rounds
+    // mirrored by the unrolled oracle.
+    QueryDef("graph_label_prop",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        GraphOps.labelPropagate(nodes, edges,
+          col("node_id") % 25 === 0, rounds = 3)
+      },
+      Some(GraphOps.labelPropagateSql(
+        "SELECT vec_id AS node_id FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
+        "node_id % 25 = 0", rounds = 3)),
+      presentOrder = Seq("node_id")),
+
+    // k-core decomposition over the k-NN graph (k=4, 8 peel rounds —
+    // convergence within the bound proven by spec): the density signal
+    // separating deep template cliques from loosely-linked content.
+    // Iterative peeling, NOT a one-shot degree filter (the cascade
+    // fixture in DedupSimSpec shows the difference); oracle unrolls the
+    // identical rounds as chained CTEs.
+    QueryDef("graph_kcore",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        GraphOps.kCore(nodes, edges, k = 4, rounds = 8)
+      },
+      Some(GraphOps.kCoreSql(
+        "SELECT vec_id AS node_id FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
+        k = 4, rounds = 8)),
+      presentOrder = Seq("node_id")),
+
     // Triangle count + local clustering coefficient over the k-NN graph
     // (degree-ordered orientation, so the wedge join is O(m^1.5) worst-
     // case instead of hub-degree² — the "last reducer" fix): which

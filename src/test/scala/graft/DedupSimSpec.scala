@@ -139,6 +139,54 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagate: majority spread, min-label tie, seeds immutable, unreached stay null") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // Path 10-11-12-13-14 seeded at both ends, plus isolated 99.
+    // Round 1: 11 adopts 10, 13 adopts 14 (12 has no labeled neighbor
+    // yet). Round 2: 12 sees {10 via 11, 14 via 13} — a 1-1 tie — and
+    // must take the SMALLEST label. 99 stays null forever.
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("src", "dst")
+    val nodes = Seq(10L, 11L, 12L, 13L, 14L, 99L).toDF("node_id")
+    val out = GraphOps.labelPropagate(nodes, edges,
+        col("node_id").isin(10L, 14L), rounds = 3).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      13L -> 14L, 14L -> 14L, 99L -> -1L))
+  }
+
+  test("kCore peels cascades (a one-shot degree filter would not) and converges on gate data") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // Pendant chain a-b-c-d hanging off triangle t1-t2-t3: initial
+    // degrees give b, c, d degree 2, so a single >=2 filter keeps them —
+    // but removing a (degree 1) cascades down the chain, and the true
+    // 2-core is the triangle alone. Needs 4 peel rounds.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L)).toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("node_id")
+    val out = GraphOps.kCore(nodes, edges, k = 2, rounds = 8).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    (1L to 4L).foreach(n => assert(out(n) === ((0, 0L)), s"node $n"))
+    (5L to 7L).foreach(n => assert(out(n) === ((1, 2L)), s"node $n"))
+    // Convergence on the gate corpus: one MORE round changes nothing,
+    // so the gated rounds=8 output is the true k-core, not a truncation.
+    graft.catalyst.GraftFunctions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    val knn = graft.ops.SimOps.knnEdgesCached(
+        graft.Tables.embeddings(spark, d),
+        graft.queries.SimQueries.KnnK, graft.queries.SimQueries.LshTabs)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val vnodes = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id").as("node_id"))
+    def snap(rounds: Int) =
+      GraphOps.kCore(vnodes, knn, k = 4, rounds = rounds).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(snap(8) === snap(9), "peel must have converged within 8 rounds")
+  }
+
   test("connectedComponents: driver fast path and distributed path agree") {
     import spark.implicits._
     val rnd2 = new scala.util.Random(7)

@@ -353,6 +353,22 @@ class PlanSpec extends SparkSpec {
     val nulls = j.filter(col("rt").isNull).collect()
     assert(nulls.length === 1 && nulls.head.getLong(0) === 3L)
     assert(j.count() === 4) // 3 matches + 1 null-extended, no replicas
+    // RIGHT OUTER mirror: preserved right stays single, left replicates.
+    val r2 = Seq((1L, 650L, "x"), (1L, 5000L, "y"), (9L, 1L, "w"))
+      .toDF("k", "rt", "name")
+    val jr = l.join(r2, l("k") === r2("k") &&
+      abs(l("t") - r2("rt")) <= 600, "right")
+    assert(jr.queryExecution.optimizedPlan.toString.contains("__band_off"),
+      "right-outer rewrite did not fire")
+    val baseR = l.join(r2, l("k") === r2("k") &&
+      (l("t") - r2("rt")) <= 600 && (r2("rt") - l("t")) <= 600, "right")
+    def rrows(df: org.apache.spark.sql.DataFrame) = df
+      .select(r2("k"), col("rt"), col("t")).collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSeq.sorted
+    assert(rrows(jr) === rrows(baseR))
+    // unmatched right rows (5000 out of band; k=9 absent) null exactly once
+    assert(jr.filter(col("t").isNull).count() === 2)
   }
 
   test("boilerplate df join is hash-keyed — no sort-merge fallback, no cartesian") {
