@@ -103,7 +103,15 @@ object GraphOps {
       .distinct()
       .localCheckpoint()
     var alive: DataFrame = null
-    for (_ <- 1 to rounds) {
+    // Early exit at the fixpoint: when a round removes NO edge, degrees
+    // are unchanged, so the survivor set is unchanged and every further
+    // round is the identity — stopping early is result-identical to the
+    // full `rounds` unroll the oracle runs (counts are cheap: both
+    // frames are checkpointed).
+    var nEdges = e.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val deg = e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -112,6 +120,10 @@ object GraphOps {
         .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
         .localCheckpoint()
+      val n2 = e.count()
+      converged = n2 == nEdges // at least one round always runs
+      nEdges = n2
+      r += 1
     }
     val coreDeg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))

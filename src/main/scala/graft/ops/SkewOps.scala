@@ -76,10 +76,17 @@ object SkewOps {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val valued = df.withColumns(
       sums.map { case (nm, c) => s"__v_$nm" -> c }.toMap)
+    // Materialized ONCE: the offsets branch and the join branch must see
+    // the SAME physical range partitioning — repartitionByRange samples
+    // its boundaries per execution, so two separate executions can place
+    // boundary rows differently and the offsets would not match the
+    // partitions they are added to (measured: wrong sums past the first
+    // boundary at 10^5 rows).
     val ranged = valued
       .repartitionByRange(n, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // Bounded side table: one row per range partition, prefix-summed
     // over ascending pid (range partitions are ordered by construction).
     // Its global window is harmless: #partitions rows, not the data.
