@@ -57,7 +57,8 @@ object Catalog {
     graft.queries.SketchQueries.defs ++
     graft.queries.SampleQueries.defs ++
     graft.queries.PipelineQueries.defs ++
-    graft.queries.ProfileQueries.defs
+    graft.queries.ProfileQueries.defs ++
+    graft.queries.TimeSeriesQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

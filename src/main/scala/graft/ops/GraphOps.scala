@@ -455,4 +455,82 @@ object GraphOps {
         SELECT n.node_id, COALESCE(m.dist, -1) AS dist
         FROM nodes n LEFT JOIN m ON n.node_id = m.node_id
         ORDER BY n.node_id"""
+
+  /** Directed-modularity panel over a community assignment: per
+    * community, node count, within-community edge count, out/in degree
+    * mass, and the community's exact-integer modularity contribution
+    *   q_c = e_c·10⁶ div m  −  out_c·in_c·10⁶ div m²
+    * (micro-units, floor division — Σ q_c is the usual Q up to the
+    * per-term floor). The quality gate for [[labelPropagate]]'s output:
+    * a propagation change that fragments communities moves this panel,
+    * turning the gate red. NULL-labeled (unreached) nodes are excluded
+    * from both node and edge mass; `m` counts edges with BOTH endpoints
+    * labeled, so the null-community never distorts the expectation term.
+    *
+    * Scale shape: two slim equi-joins of the edge list against the
+    * (node, label) frame, then label-keyed hash-aggs (map-side
+    * combinable, community-count rows); the scalar `m` is a 1-row
+    * broadcast. No window, no self-join. */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val lbl = labels.filter(col("label").isNotNull)
+    val e = edges.select(col("src"), col("dst"))
+      .join(lbl.select(col("node_id").as("src"), col("label").as("src_label")),
+        Seq("src"))
+      .join(lbl.select(col("node_id").as("dst"), col("label").as("dst_label")),
+        Seq("dst"))
+      .select(col("src_label"), col("dst_label"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val outD = e.groupBy(col("src_label").as("label"))
+      .agg(count(lit(1)).as("deg_out"))
+    val inD = e.groupBy(col("dst_label").as("label"))
+      .agg(count(lit(1)).as("deg_in"))
+    val within = e.filter(col("src_label") === col("dst_label"))
+      .groupBy(col("src_label").as("label"))
+      .agg(count(lit(1)).as("e_within"))
+    lbl.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .join(within, Seq("label"), "left")
+      .join(outD, Seq("label"), "left")
+      .join(inD, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .withColumn("e_within", coalesce(col("e_within"), lit(0L)))
+      .withColumn("deg_out", coalesce(col("deg_out"), lit(0L)))
+      .withColumn("deg_in", coalesce(col("deg_in"), lit(0L)))
+      .select(col("label"), col("n_nodes"), col("e_within"),
+        col("deg_out"), col("deg_in"),
+        expr("((e_within * 1000000) div m) - " +
+          "((deg_out * deg_in * 1000000) div (m * m))")
+          .as("q_contrib_micro"))
+  }
+
+  /** Oracle twin of [[modularity]] — identical masses and floor
+    * divisions; `//` is DuckDB's floor division, matching Spark `div`
+    * on these non-negative operands. */
+  def modularitySql(labelsSql: String, edgesSql: String): String =
+    s"""WITH lbl AS MATERIALIZED (
+          SELECT node_id, label FROM ($labelsSql) WHERE label IS NOT NULL),
+        ed AS MATERIALIZED ($edgesSql),
+        e AS MATERIALIZED (
+          SELECT ls.label AS src_label, ld.label AS dst_label
+          FROM ed JOIN lbl ls ON ed.src = ls.node_id
+                  JOIN lbl ld ON ed.dst = ld.node_id),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        outd AS (SELECT src_label AS label,
+          CAST(count(*) AS BIGINT) AS deg_out FROM e GROUP BY 1),
+        ind AS (SELECT dst_label AS label,
+          CAST(count(*) AS BIGINT) AS deg_in FROM e GROUP BY 1),
+        w AS (SELECT src_label AS label,
+          CAST(count(*) AS BIGINT) AS e_within
+          FROM e WHERE src_label = dst_label GROUP BY 1),
+        nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM lbl GROUP BY 1)
+        SELECT nn.label, n_nodes,
+          COALESCE(e_within, 0) AS e_within,
+          COALESCE(deg_out, 0) AS deg_out,
+          COALESCE(deg_in, 0) AS deg_in,
+          ((COALESCE(e_within, 0) * 1000000) // m) -
+            ((COALESCE(deg_out, 0) * COALESCE(deg_in, 0) * 1000000)
+              // (m * m)) AS q_contrib_micro
+        FROM nn LEFT JOIN w USING (label) LEFT JOIN outd USING (label)
+          LEFT JOIN ind USING (label) CROSS JOIN m
+        ORDER BY nn.label"""
 }

@@ -25,6 +25,67 @@ object PipelineQueries {
   /** k-anonymity threshold for the privacy ladder. */
   val KAnon = 5
 
+  /** l-diversity floor: a published class whose members share fewer
+    * than this many distinct sensitive values is homogeneity-attackable
+    * even when it is k-anonymous. */
+  val LDiv = 3
+
+  /** The k-anonymity generalization ladder as a reusable frame:
+    * (doc_id, k_level, qi). See `pipeline_k_anonymity` for semantics. */
+  private def kAnonLadder(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      expr("n_chars div 1000").as("b0"),
+      expr("n_chars div 5000").as("b1"))
+    val s0 = broadcast(base.groupBy(col("source"), col("lang"), col("b0"))
+      .agg(count(lit(1)).as("s0")))
+    val d0 = base.join(s0, Seq("source", "lang", "b0"))
+    // Rung 1 counts only level-0 leavers; rung 2 only rung-1 leavers.
+    val s1 = broadcast(d0.filter(col("s0") < KAnon)
+      .groupBy(col("source"), col("lang"), col("b1"))
+      .agg(count(lit(1)).as("s1")))
+    val d1 = d0.join(s1, Seq("source", "lang", "b1"), "left")
+    val s2 = broadcast(d1
+      .filter(col("s0") < KAnon && coalesce(col("s1"), lit(0L)) < KAnon)
+      .groupBy(col("lang")).agg(count(lit(1)).as("s2")))
+    d1.join(s2, Seq("lang"), "left")
+      .select(col("doc_id"),
+        when(col("s0") >= KAnon, 0)
+          .when(col("s1") >= KAnon, 1)
+          .when(coalesce(col("s2"), lit(0L)) >= KAnon, 2)
+          .otherwise(3).as("k_level"),
+        when(col("s0") >= KAnon,
+            concat_ws("|", col("source"), col("lang"), col("b0")))
+          .when(col("s1") >= KAnon,
+            concat_ws("|", col("source"), col("lang"), col("b1")))
+          .when(coalesce(col("s2"), lit(0L)) >= KAnon, col("lang"))
+          .otherwise(lit("suppressed")).as("qi"))
+  }
+
+  /** Oracle CTE block producing the identical ladder as `lad(doc_id,
+    * k_level, qi)` — shared by the k-anonymity and l-diversity gates. */
+  private def kAnonLadderCtes: String =
+    s"""dc AS (SELECT doc_id, source, lang,
+       |   n_chars // 1000 AS b0, n_chars // 5000 AS b1
+       |  FROM documents),
+       | g0 AS (SELECT *,
+       |   count(*) OVER (PARTITION BY source, lang, b0) AS s0 FROM dc),
+       | g1 AS (SELECT *,
+       |   sum(CASE WHEN s0 < $KAnon THEN 1 ELSE 0 END)
+       |     OVER (PARTITION BY source, lang, b1) AS s1 FROM g0),
+       | g2 AS (SELECT *,
+       |   sum(CASE WHEN s0 < $KAnon AND s1 < $KAnon THEN 1 ELSE 0 END)
+       |     OVER (PARTITION BY lang) AS s2 FROM g1),
+       | lad AS (SELECT doc_id,
+       |  CAST(CASE WHEN s0 >= $KAnon THEN 0
+       |       WHEN s1 >= $KAnon THEN 1
+       |       WHEN s2 >= $KAnon THEN 2 ELSE 3 END AS INT) AS k_level,
+       |  CASE WHEN s0 >= $KAnon THEN source || '|' || lang || '|' || b0
+       |       WHEN s1 >= $KAnon THEN source || '|' || lang || '|' || b1
+       |       WHEN s2 >= $KAnon THEN lang
+       |       ELSE 'suppressed' END AS qi
+       | FROM g2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // k-anonymity generalization ladder — the privacy audit-and-recode
@@ -47,56 +108,43 @@ object PipelineQueries {
     // distinct QI values (dimension-tiny), so each lookup is a broadcast
     // equi-join onto the doc scan — one pass, zero doc-grain shuffles.
     QueryDef("pipeline_k_anonymity",
+      (s, d) => kAnonLadder(Tables.documents(s, d)),
+      Some(s"""WITH $kAnonLadderCtes
+             | SELECT doc_id, k_level, qi
+             | FROM lad ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // l-diversity audit of the ladder's PUBLISHED classes: k-anonymity
+    // alone is homogeneity-attackable — if every member of a k-sized
+    // class shares the same sensitive value, the attacker learns it
+    // without re-identifying anyone. Sensitive proxy = first hex digit
+    // of md5(text) (a deterministic 16-way content class both engines
+    // compute identically); per (k_level, qi) class: size, distinct
+    // sensitive values, and the l≥$LDiv verdict. Shape: the ladder's
+    // three broadcast lookups, then one (k_level, qi)-keyed two-phase
+    // distinct-agg — output bounded by the class count, not the corpus.
+    QueryDef("pipeline_l_diversity",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), col("lang"),
-            expr("n_chars div 1000").as("b0"),
-            expr("n_chars div 5000").as("b1"))
-        val s0 = broadcast(docs.groupBy(col("source"), col("lang"), col("b0"))
-          .agg(count(lit(1)).as("s0")))
-        val d0 = docs.join(s0, Seq("source", "lang", "b0"))
-        // Rung 1 counts only level-0 leavers; rung 2 only rung-1 leavers.
-        val s1 = broadcast(d0.filter(col("s0") < KAnon)
-          .groupBy(col("source"), col("lang"), col("b1"))
-          .agg(count(lit(1)).as("s1")))
-        val d1 = d0.join(s1, Seq("source", "lang", "b1"), "left")
-        val s2 = broadcast(d1
-          .filter(col("s0") < KAnon && coalesce(col("s1"), lit(0L)) < KAnon)
-          .groupBy(col("lang")).agg(count(lit(1)).as("s2")))
-        d1.join(s2, Seq("lang"), "left")
-          .select(col("doc_id"),
-            when(col("s0") >= KAnon, 0)
-              .when(col("s1") >= KAnon, 1)
-              .when(coalesce(col("s2"), lit(0L)) >= KAnon, 2)
-              .otherwise(3).as("k_level"),
-            when(col("s0") >= KAnon,
-                concat_ws("|", col("source"), col("lang"), col("b0")))
-              .when(col("s1") >= KAnon,
-                concat_ws("|", col("source"), col("lang"), col("b1")))
-              .when(coalesce(col("s2"), lit(0L)) >= KAnon, col("lang"))
-              .otherwise(lit("suppressed")).as("qi"))
+        kAnonLadder(docs)
+          .join(docs.select(col("doc_id"),
+            substring(md5(col("text")), 1, 1).as("sens")), Seq("doc_id"))
+          .groupBy(col("k_level"), col("qi"))
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(col("sens")).as("l_distinct"))
+          .select(col("k_level"), col("qi"), col("class_size"),
+            col("l_distinct"), (col("l_distinct") >= LDiv).as("is_l_diverse"))
       },
-      Some(s"""WITH dc AS (SELECT doc_id, source, lang,
-             |   n_chars // 1000 AS b0, n_chars // 5000 AS b1
-             |  FROM documents),
-             | g0 AS (SELECT *,
-             |   count(*) OVER (PARTITION BY source, lang, b0) AS s0 FROM dc),
-             | g1 AS (SELECT *,
-             |   sum(CASE WHEN s0 < $KAnon THEN 1 ELSE 0 END)
-             |     OVER (PARTITION BY source, lang, b1) AS s1 FROM g0),
-             | g2 AS (SELECT *,
-             |   sum(CASE WHEN s0 < $KAnon AND s1 < $KAnon THEN 1 ELSE 0 END)
-             |     OVER (PARTITION BY lang) AS s2 FROM g1)
-             | SELECT doc_id,
-             |  CAST(CASE WHEN s0 >= $KAnon THEN 0
-             |       WHEN s1 >= $KAnon THEN 1
-             |       WHEN s2 >= $KAnon THEN 2 ELSE 3 END AS INT) AS k_level,
-             |  CASE WHEN s0 >= $KAnon THEN source || '|' || lang || '|' || b0
-             |       WHEN s1 >= $KAnon THEN source || '|' || lang || '|' || b1
-             |       WHEN s2 >= $KAnon THEN lang
-             |       ELSE 'suppressed' END AS qi
-             | FROM g2 ORDER BY doc_id""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("doc_id")),
+      Some(s"""WITH $kAnonLadderCtes,
+             | sens AS (SELECT l.k_level, l.qi,
+             |   substr(md5(dd.text), 1, 1) AS sens
+             |  FROM lad l JOIN documents dd ON l.doc_id = dd.doc_id)
+             | SELECT k_level, qi, CAST(count(*) AS BIGINT) AS class_size,
+             |  CAST(count(DISTINCT sens) AS BIGINT) AS l_distinct,
+             |  count(DISTINCT sens) >= $LDiv AS is_l_diverse
+             | FROM sens GROUP BY 1, 2
+             | ORDER BY k_level, qi""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("k_level", "qi")),
 
     QueryDef("pipeline_corpus_curation",
       (s, d) => {

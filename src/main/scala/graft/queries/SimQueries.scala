@@ -368,6 +368,35 @@ object SimQueries {
           SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
       presentOrder = Seq("node_id")),
 
+    // Directed-modularity panel of the label-prop communities: the
+    // quality number for the transduction pass — per community, exact
+    // integer node/edge masses and the micro-unit modularity
+    // contribution q_c = e_c·10⁶ div m − out_c·in_c·10⁶ div m². A
+    // propagation change that fragments or merges communities moves
+    // this panel, so the gate pins clustering QUALITY, not just label
+    // assignment. Oracle replays the identical label-prop rounds, then
+    // the identical masses and floor divisions.
+    QueryDef("graph_modularity",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        val labels = GraphOps.labelPropagate(nodes, edges,
+          col("node_id") % 25 === 0, rounds = 3)
+        GraphOps.modularity(labels, edges)
+      },
+      Some(GraphOps.modularitySql(
+        GraphOps.labelPropagateSql(
+          "SELECT vec_id AS node_id FROM embeddings",
+          "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+            SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
+          "node_id % 25 = 0", rounds = 3),
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
+      presentOrder = Seq("label")),
+
     // Per-dimension quantile transform — the rank-based feature
     // normalization (sklearn QuantileTransformer's discrete core) that
     // makes heavy-tailed embedding dims comparable before indexing:

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops.{SimOps, TsOps}
+
+/** Classical time-series diagnostics over the event stream — the
+  * signal-shape checks (serial correlation, mean-shift detection) run
+  * before a sensor feed is trusted as a training signal. Everything is
+  * exact-integer milli-units except the single quantized Pearson ratio,
+  * which both engines derive from the identical BIGINT sufficient
+  * statistics with the identical IEEE expression tree.
+  */
+object TimeSeriesQueries {
+
+  /** Largest autocorrelation lag in the panel. */
+  val AcfMaxLag = 3
+
+  /** CUSUM shift flag: peak |S| must exceed this fraction (1/4) of the
+    * user's total absolute-deviation mass. Random fluctuation peaks at
+    * O(√n·mad) — far below n·mad/4 for any real series length — while a
+    * mid-series mean shift concentrates ~half the mass on one side. */
+  val CusumPeakDivisor = 4
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Lagged co-moment panel (ACF lags 1..3): pairs are formed WITHIN
+    // each user's time-ordered series (a cross-user pair is
+    // meaningless), then pooled into one corpus-wide panel per lag. The
+    // integer sufficient statistics (n, Σx, Σy, Σxy, Σxx, Σyy in
+    // milli-units) are the gate's hash-exact core; acf is the Pearson
+    // ratio both engines compute from those BIGINTs with the same
+    // DOUBLE expression, quantized to 4 dp. Shape at 100 TB: one
+    // user-partitioned window sort (no global window), then a 3-row
+    // hash-agg with map-side combine — the panel is O(1) output no
+    // matter the corpus.
+    QueryDef("ts_autocorr",
+      (s, d) => TsOps.autocorr(Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS LONG)").as("vm"))),
+      Some(s"""WITH ev AS (SELECT user_id, ts, event_id,
+             |   CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm FROM events),
+             | l AS (SELECT vm AS x,
+             |   lag(vm, 1) OVER w AS y1, lag(vm, 2) OVER w AS y2,
+             |   lag(vm, 3) OVER w AS y3
+             |  FROM ev WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY ts, event_id)),
+             | p AS (SELECT 1 AS lag_k, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+             |  UNION ALL SELECT 2, x, y2 FROM l WHERE y2 IS NOT NULL
+             |  UNION ALL SELECT 3, x, y3 FROM l WHERE y3 IS NOT NULL),
+             | g AS (SELECT CAST(lag_k AS INT) AS lag_k,
+             |   CAST(count(*) AS BIGINT) AS n_pairs,
+             |   CAST(sum(x) AS BIGINT) AS sum_x,
+             |   CAST(sum(y) AS BIGINT) AS sum_y,
+             |   CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             |   CAST(sum(x * x) AS BIGINT) AS sum_xx,
+             |   CAST(sum(y * y) AS BIGINT) AS sum_yy
+             |  FROM p GROUP BY 1)
+             | SELECT lag_k, n_pairs, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+             |  ${SimOps.quant4Sql(
+                  "(CAST(n_pairs AS DOUBLE) * CAST(sum_xy AS DOUBLE) - " +
+                  "CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE)) / " +
+                  "sqrt((CAST(n_pairs AS DOUBLE) * CAST(sum_xx AS DOUBLE) - " +
+                  "CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) * " +
+                  "(CAST(n_pairs AS DOUBLE) * CAST(sum_yy AS DOUBLE) - " +
+                  "CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))")}
+             |    AS acf
+             | FROM g ORDER BY lag_k""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("lag_k")),
+
+    // Per-user CUSUM mean-shift scan: S_t = Σ_{i≤t} (x_i − μ_user) in
+    // exact milli-units (μ is the floor-divided mean, so S is pure
+    // integer), peak = the row maximizing |S| (ties → earliest — a
+    // total order), flagged when the peak exceeds 1/4 of the user's
+    // absolute-deviation mass (integer compare, no σ/√n needed). This
+    // is the sensor-drift detector: a re-calibrated or swapped device
+    // shows as a mean shift and its peak row dates the change. Shape:
+    // every window is user-partitioned (one exchange, sorts shared);
+    // no global window, no self-join; output is one row per user.
+    QueryDef("ts_cusum",
+      (s, d) => TsOps.cusum(Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS LONG)").as("vm")),
+        CusumPeakDivisor),
+      Some(s"""WITH ev AS (SELECT user_id, ts, event_id,
+             |   CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm FROM events),
+             | b AS (SELECT user_id, ts, event_id, vm,
+             |   CAST(count(*) OVER pu AS BIGINT) AS n_readings,
+             |   CAST(sum(vm) OVER pu AS BIGINT)
+             |     // CAST(count(*) OVER pu AS BIGINT) AS mean_milli
+             |  FROM ev WINDOW pu AS (PARTITION BY user_id)),
+             | dv AS (SELECT *, vm - mean_milli AS dev FROM b),
+             | sc AS (SELECT *,
+             |   CAST(sum(dev) OVER (PARTITION BY user_id
+             |     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+             |     AS BIGINT) AS s,
+             |   CAST(sum(abs(dev)) OVER (PARTITION BY user_id)
+             |     AS BIGINT) AS sum_abs_dev
+             |  FROM dv),
+             | pk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |   ORDER BY abs(s) DESC, ts, event_id) AS rn FROM sc)
+             | SELECT user_id, n_readings, mean_milli,
+             |  s AS peak_cusum_milli, event_id AS peak_event_id,
+             |  abs(s) > sum_abs_dev // $CusumPeakDivisor AS is_shift
+             | FROM pk WHERE rn = 1 ORDER BY user_id""".stripMargin
+               .replace("\n", "")),
+      presentOrder = Seq("user_id")))
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GraphOps, TsOps}
+
+/** Hand-computed fixtures for the time-series diagnostics
+  * (autocorrelation panel, CUSUM shift scan), the modularity panel,
+  * and the l-diversity invariant over the k-anonymity ladder. */
+class TsPrivacySpec extends SparkSpec {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("autocorr: linear series gives r=1 at lags 1-2, NULL at n=1 lag") {
+    import spark.implicits._
+    // One user, series 1,2,3,4 (milli 1000..4000). Lag 1 pairs
+    // (2,1),(3,2),(4,3) and lag 2 pairs (3,1),(4,2) are perfectly
+    // linear -> r = 1.0 exactly. Lag 3 has the single pair (4,1):
+    // zero variance -> 0/0 -> NULL (both engines).
+    val ev = Seq.tabulate(4)(i => (7L, ts(i + 1), i.toLong, (i + 1) * 1000L))
+      .toDF("user_id", "ts", "event_id", "vm")
+    val out = TsOps.autocorr(ev).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+      .toMap
+    assert(out(1) === ((3L, Some(1.0))))
+    assert(out(2) === ((2L, Some(1.0))))
+    assert(out(3) === ((1L, None)))
+  }
+
+  test("autocorr: pairs never cross a user boundary") {
+    import spark.implicits._
+    // Two users with 2 readings each: only ONE lag-1 pair per user,
+    // no lag-2/3 rows at all. A cross-user pair would add a third
+    // lag-1 pair or produce lag-2 rows.
+    val ev = Seq((1L, ts(1), 0L, 1000L), (1L, ts(2), 1L, 2000L),
+        (2L, ts(3), 2L, 5000L), (2L, ts(4), 3L, 6000L))
+      .toDF("user_id", "ts", "event_id", "vm")
+    val out = TsOps.autocorr(ev).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(1 -> 2L))
+  }
+
+  test("cusum: mid-series step shift is flagged at its change point") {
+    import spark.implicits._
+    // values 0,0,0,0,10,10,10,10 (milli): mean 5000, devs -5000 x4 then
+    // +5000 x4, S = -5000,-10000,-15000,-20000,-15000,-10000,-5000,0.
+    // Peak |S| = 20000 at event 3 (the last pre-shift row), total
+    // abs-dev mass 40000, threshold 40000 div 4 = 10000 -> flagged.
+    val shift = Seq.tabulate(8)(i =>
+      (1L, ts(i + 1), i.toLong, if (i < 4) 0L else 10000L))
+    // Alternating 10,0,10,0: mean 5000, S = 5000,0,5000,0 -> peak 5000
+    // at the FIRST row (tie -> earliest), mass 20000, threshold 5000,
+    // 5000 > 5000 is false -> not flagged.
+    val noise = Seq.tabulate(4)(i =>
+      (2L, ts(i + 1), (10 + i).toLong, if (i % 2 == 0) 10000L else 0L))
+    val out = TsOps.cusum((shift ++ noise)
+        .toDF("user_id", "ts", "event_id", "vm"), 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))
+      .toMap
+    assert(out(1L) === ((8L, 5000L, -20000L, 3L, true)))
+    assert(out(2L) === ((4L, 5000L, 5000L, 10L, false)))
+  }
+
+  test("modularity: two triangles + bridge, unlabeled node excluded") {
+    import spark.implicits._
+    // Directed triangles {0,1,2} and {3,4,5}, bridge 2->3; node 6 is
+    // UNLABELED with edges both ways to node 0 — those edges must not
+    // count anywhere (m stays 7). Labeled m=7:
+    //   A={0,1,2}: e_within=3, out=4 (3 cycle + bridge), in=3
+    //     q_A = 3e6 div 7 - (4*3*1e6) div 49 = 428571 - 244897 = 183674
+    //   B={3,4,5}: e_within=3, out=3, in=4 (bridge lands here)
+    //     q_B = 428571 - 244897 = 183674
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+        (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L),
+        (6L, 0L), (0L, 6L))
+      .toDF("src", "dst")
+    val labels = Seq((0L, Some(0L)), (1L, Some(0L)), (2L, Some(0L)),
+        (3L, Some(3L)), (4L, Some(3L)), (5L, Some(3L)), (6L, None))
+      .toDF("node_id", "label")
+    val out = GraphOps.modularity(labels, edges).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+      .toMap
+    assert(out(0L) === ((3L, 3L, 4L, 3L, 183674L)))
+    assert(out(3L) === ((3L, 3L, 3L, 4L, 183674L)))
+  }
+
+  test("l-diversity gate: published classes are k-anonymous and the " +
+      "verdict matches the distinct count") {
+    val out = Catalog.queries("pipeline_l_diversity")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (kLevel, size, lDist, verdict) =
+        (r.getInt(0), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      // The ladder invariant carries over: every PUBLISHED class
+      // (k_level < 3) the audit sees has at least k members.
+      if (kLevel < 3) assert(size >= queries.PipelineQueries.KAnon, r)
+      // 16-way sensitive proxy: distinct count is bounded and the
+      // verdict is exactly the threshold compare.
+      assert(lDist >= 1L && lDist <= 16L)
+      assert(verdict === (lDist >= queries.PipelineQueries.LDiv))
+    }
+  }
+}
