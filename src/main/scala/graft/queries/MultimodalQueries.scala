@@ -272,6 +272,89 @@ object MultimodalQueries {
              | FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // Second REAL compressed-image codec, different compression FAMILY:
+    // GIF87a over a REAL variable-width LZW coder (9→12-bit codes
+    // LSB-first, CLEAR reset at 4096 entries, KwKwK special case) —
+    // dictionary coding where PNG is zlib/Huffman. Palette index i maps
+    // to (i, 2i mod 256, 255−i), so the three channel sums are three
+    // DIFFERENT analytic functions of the synthesized index stream: a
+    // decoder that skips the palette lookup, transposes channels, or
+    // mis-syncs the LZW width cannot match. The oracle replays the
+    // per-pixel index arithmetic over the same grid.
+    QueryDef("mm_gif_decode",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (id % 23 + 6).toInt
+            val h = (nc % 17 + 4).toInt
+            (id, graft.multimodal.MediaCodecs.buildGif(w, h,
+              (x, y) => ((x * 31 + y * 17 + id) % 256).toInt))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.decodeGif(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("width"), col("height"),
+            col("paletteSize").as("palette_size"),
+            col("nPixels").as("n_pixels"), col("sumIdx").as("sum_idx"),
+            col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+            col("sumB").as("sum_b"))
+      },
+      Some("""WITH p AS (SELECT doc_id, n_chars, doc_id % 23 + 6 AS w,
+             |  n_chars % 17 + 4 AS h FROM documents),
+             | gx AS (SELECT doc_id, n_chars, w, h, unnest(range(0, w)) AS x FROM p),
+             | pix AS (SELECT doc_id, w, h,
+             |  (x * 31 + y * 17 + doc_id) % 256 AS idx
+             |  FROM (SELECT doc_id, n_chars, w, h, x,
+             |    unnest(range(0, h)) AS y FROM gx))
+             | SELECT doc_id, CAST(max(w) AS INT) AS width,
+             |  CAST(max(h) AS INT) AS height,
+             |  CAST(256 AS INT) AS palette_size,
+             |  CAST(count(*) AS BIGINT) AS n_pixels,
+             |  CAST(sum(idx) AS BIGINT) AS sum_idx,
+             |  CAST(sum(idx) AS BIGINT) AS sum_r,
+             |  CAST(sum((2 * idx) % 256) AS BIGINT) AS sum_g,
+             |  CAST(sum(255 - idx) AS BIGINT) AS sum_b
+             | FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // REAL multi-resolution audio analysis: the integer-exact Haar
+    // band "spectrogram" (a DFT needs irrational twiddles; the Haar
+    // basis needs only ±1 — exact BIGINT end-to-end) over REAL decoded
+    // WAV samples. Synthesis: a period-2^p square wave of amplitude A
+    // concentrates ALL energy in detail band p — E_p = n·2^p·A², every
+    // other band and the residual exactly 0 — so one closed-form CASE
+    // is the full oracle, and any level mixing, pairing error, or
+    // off-by-one in the pyramid shows as a nonzero forbidden band.
+    QueryDef("mm_audio_haar",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val p = (id % 3 + 1).toInt
+            val amp = (id % 800 + 100).toInt
+            val n = 1 << ((nc % 3) + 5).toInt
+            val samples = Array.tabulate(n)(i =>
+              (if (((i >> (p - 1)) & 1) == 0) amp else -amp).toShort)
+            (id, graft.multimodal.MediaCodecs.buildWav(8000, 1, samples))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.wavHaarBands(blobs, "doc_id", "bytes", maxLevels = 5)
+          .toDF()
+          .select(col("docId").as("doc_id"), col("level"), col("energy"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  CAST(doc_id % 3 + 1 AS INT) AS pp,
+             |  CAST(doc_id % 800 + 100 AS BIGINT) AS amp,
+             |  CAST(1 << CAST(n_chars % 3 + 5 AS INT) AS BIGINT) AS n
+             |  FROM documents),
+             | lv AS (SELECT doc_id, pp, amp, n,
+             |  CAST(unnest(range(0, 6)) AS INT) AS level FROM p)
+             | SELECT doc_id, level,
+             |  CAST(CASE WHEN level = pp THEN n * (1 << pp) * amp * amp
+             |       ELSE 0 END AS BIGINT) AS energy
+             | FROM lv ORDER BY doc_id, level""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id", "level")),
+
     // REAL audio feature extraction over REAL decoded samples (not the
     // md5 fake): peak amplitude and zero-crossing count folded in the
     // same sample pass as the decode. The ±A alternating synthesis has

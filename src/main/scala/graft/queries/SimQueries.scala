@@ -531,6 +531,15 @@ object SimQueries {
         dim = Dim)),
       presentOrder = Seq("cluster")),
 
+    // Farthest-point traversal (Gonzalez k-center greedy): the
+    // diversity-first selection pass — 6 picks covering the embedding
+    // space's extremes, exact-integer micro squared-L2, ties by lowest
+    // id. Oracle unrolls the identical greedy as chained CTEs.
+    QueryDef("sim_coreset_farthest",
+      (s, d) => SimOps.coresetFarthest(Tables.embeddings(s, d), k = 6),
+      Some(SimOps.coresetFarthestSql("embeddings", k = 6, dim = Dim)),
+      presentOrder = Seq("rank")),
+
     QueryDef("sim_topk_ivfpq",
       (s, d) => SimOps.topKIvfPq(Tables.embeddings(s, d),
         col("vec_id") < 10, K, Cells, NProbe, PqM, PqK, Dim, PqShortlist,

@@ -16,6 +16,21 @@ class DedupSimSpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("coresetFarthest: greedy picks the extremes, ties by lowest id") {
+    import spark.implicits._
+    // v0=(0,0) seeds (lowest id). v3=(10,10) is farthest (2e14 micro²).
+    // v1=(1,0) and v2=(0,1) then tie at 1e12 to the chosen set -> the
+    // lower id v1 wins round 3.
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.SimOps.coresetFarthest(vecs, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(out === Seq((1, 0L, 0L), (2, 3L, 200000000000000L),
+      (3, 1L, 1000000000000L)))
+  }
+
   test("exactDedup groups identical texts and keeps the smallest id") {
     val out = DedupOps.exactDedup(docs, "text", "doc_id")
       .select("keep_id", "n_copies").collect()

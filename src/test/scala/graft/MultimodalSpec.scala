@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.MultimodalOps
+import graft.multimodal.{MediaCodecs, MultimodalOps}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -372,5 +372,108 @@ class MultimodalSpec extends SparkSpec {
     val gray = ihdrData.clone(); gray(9) = 0
     val wrongCt = good.take(8) ++ chunk("IHDR", gray) ++ good.drop(8 + 12 + 13)
     assert(MediaCodecs.parsePng(wrongCt).isEmpty)
+  }
+
+  test("Haar band energies: hand-computed pyramid, truncation, edges") {
+    // x = 1..8: level 1 a=(3,7,11,15) d=(-1,-1,-1,-1) -> E1 = 4;
+    // level 2 a=(10,26) d=(-4,-4) -> E2 = 32; level 3 a=(36) d=(-16)
+    // -> E3 = 256; residual = 36^2 = 1296.
+    val x8 = Array.tabulate(8)(i => (i + 1).toShort)
+    val (b8, r8) = MediaCodecs.haarBandEnergies(x8, 5)
+    assert(b8.toSeq === Seq(4L, 32L, 256L) && r8 === 1296L)
+    // maxLevels stops the pyramid early: residual = 10^2 + 26^2.
+    val (b2, r2) = MediaCodecs.haarBandEnergies(x8, 2)
+    assert(b2.toSeq === Seq(4L, 32L) && r2 === 776L)
+    // Non-dyadic length truncates to the first 2^floor(log2 n) samples.
+    val x10 = Array.tabulate(10)(i => (i + 1).toShort)
+    assert(MediaCodecs.haarBandEnergies(x10, 5)._1.toSeq ===
+      Seq(4L, 32L, 256L))
+    // Single sample: no bands, residual is its square.
+    val (b1, r1) = MediaCodecs.haarBandEnergies(Array(7.toShort), 5)
+    assert(b1.isEmpty && r1 === 49L)
+    // Square wave period 4, amplitude 3, n=16: all energy in band 2
+    // (E2 = 16 * 4 * 9 = 576), everything else exactly zero.
+    val sq = Array.tabulate(16)(i =>
+      (if (((i >> 1) & 1) == 0) 3 else -3).toShort)
+    val (bs, rs) = MediaCodecs.haarBandEnergies(sq, 5)
+    assert(bs.toSeq === Seq(0L, 576L, 0L, 0L) && rs === 0L)
+  }
+
+  test("GIF round-trip: analytic sums, incl. LZW width growth and reset") {
+    // Small image: dictionary stays in 9-bit codes.
+    def idx(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+    val small = MediaCodecs.parseGif(MediaCodecs.buildGif(9, 7, idx)).get
+    val n = 9 * 7
+    val expIdx = (for (y <- 0 until 7; x <- 0 until 9) yield idx(x, y)).sum
+    assert(small.width === 9 && small.height === 7 && small.paletteSize === 256)
+    assert(small.nPixels === n.toLong && small.sumIdx === expIdx.toLong)
+    assert(small.sumR === expIdx.toLong)
+    assert(small.sumG ===
+      (for (y <- 0 until 7; x <- 0 until 9) yield (2 * idx(x, y)) % 256)
+        .sum.toLong)
+    assert(small.sumB === 255L * n - expIdx)
+    // 120x120 high-entropy image: > 4096 dictionary entries, so the
+    // encoder must walk 9->10->11->12-bit codes AND emit a mid-stream
+    // CLEAR reset; any width desync corrupts every downstream sum.
+    def big(x: Int, y: Int): Int = (x * 131 + y * 197 + (x * y) % 83) % 256
+    val large = MediaCodecs.parseGif(MediaCodecs.buildGif(120, 120, big)).get
+    val expBig = (for (y <- 0 until 120; x <- 0 until 120)
+      yield big(x, y).toLong).sum
+    assert(large.nPixels === 120L * 120 && large.sumIdx === expBig)
+    // 1x1 edge: a single code between CLEAR and EOI.
+    val one = MediaCodecs.parseGif(MediaCodecs.buildGif(1, 1, (_, _) => 42)).get
+    assert(one.nPixels === 1L && one.sumIdx === 42L && one.sumB === 213L)
+  }
+
+  test("GIF cross-validation against the JDK's independent ImageIO codec") {
+    // Our encoder -> ImageIO's decoder: pixel-exact agreement proves
+    // the LZW bitstream is REAL GIF, not a private dialect.
+    def idx(x: Int, y: Int): Int = (x * 7 + y * 13) % 256
+    val mine = MediaCodecs.buildGif(33, 21, idx)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(mine))
+    assert(img.getWidth === 33 && img.getHeight === 21)
+    for (y <- 0 until 21; x <- 0 until 33) {
+      val i = idx(x, y)
+      val exp = (0xff << 24) | (i << 16) | (((2 * i) % 256) << 8) | (255 - i)
+      assert(img.getRGB(x, y) === exp, s"pixel ($x,$y)")
+    }
+    // ImageIO's encoder -> our decoder: sums must match the source
+    // raster (exercises foreign sub-block framing / deferred-clear
+    // styles our encoder doesn't emit).
+    val src = new java.awt.image.BufferedImage(40, 25,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 25; x <- 0 until 40)
+      src.setRGB(x, y, (0xff << 24) | (idx(x, y) << 16) |
+        (idx(x, y) << 8) | idx(x, y))
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(src, "gif", bos))
+    val theirs = MediaCodecs.parseGif(bos.toByteArray).get
+    assert(theirs.width === 40 && theirs.height === 25)
+    var (expR, expG, expB) = (0L, 0L, 0L)
+    for (y <- 0 until 25; x <- 0 until 40) {
+      val rgb = src.getRGB(x, y)
+      expR += (rgb >> 16) & 0xff; expG += (rgb >> 8) & 0xff
+      expB += rgb & 0xff
+    }
+    assert((theirs.sumR, theirs.sumG, theirs.sumB) === ((expR, expG, expB)))
+  }
+
+  test("GIF malformed inputs reject") {
+    val good = MediaCodecs.buildGif(8, 6, (x, y) => (x + y) % 256)
+    assert(MediaCodecs.parseGif(good).isDefined)
+    // magic flip
+    val sig = good.clone(); sig(3) = 'X'.toByte
+    assert(MediaCodecs.parseGif(sig).isEmpty)
+    // truncation: mid-palette, mid-LZW-stream, and missing trailer
+    assert(MediaCodecs.parseGif(good.take(100)).isEmpty)
+    assert(MediaCodecs.parseGif(good.take(good.length - 10)).isEmpty)
+    assert(MediaCodecs.parseGif(good.dropRight(1)).isEmpty)
+    // geometry lie: image descriptor claims one more pixel column than
+    // the LZW stream produces
+    val lie = good.clone()
+    val idOff = 6 + 7 + 768 // header + LSD + global color table
+    assert((lie(idOff) & 0xff) === 0x2c)
+    lie(idOff + 5) = (lie(idOff + 5) + 1).toByte // width LSB
+    assert(MediaCodecs.parseGif(lie).isEmpty)
   }
 }
