@@ -115,7 +115,10 @@ object GraftFunctions {
     (FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (children: Seq[Expression]) =>
-        PqEncode(children(0), children(1), children(2), children(3))))
+        PqEncode(children(0), children(1), children(2), children(3))),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config). Also registers the `minhash_sketch` UDAF — the

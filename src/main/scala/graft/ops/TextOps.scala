@@ -602,6 +602,21 @@ object TextOps {
   def bm25TopK(docs: DataFrame, nQueryTerms: Int, skip: Int,
                topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    bm25Scored(docs, nQueryTerms, skip)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col("score_micro").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"),
+        col("dl"), col("score_micro"))
+  }
+
+  /** The scored (query-term, doc) slice shared by [[bm25TopK]] and
+    * [[bm25QueryTopK]]: one (term, doc) hash-agg for tf, the bounded
+    * vocabulary scan for the self-derived query terms, the 2-cell
+    * corpus-totals broadcast, and the integer micro BM25 score. */
+  private def bm25Scored(docs: DataFrame, nQueryTerms: Int,
+                         skip: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("dl"),
       explode(tokens(col("text"))).as("term"))
@@ -622,7 +637,7 @@ object TextOps {
         size(tokens(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("dl")).as("t_tokens"))
-    val scored = tf.join(broadcast(qterms), "term")
+    tf.join(broadcast(qterms), "term")
       .crossJoin(broadcast(globals))
       .withColumn("avgdl_micro", expr("t_tokens * 1000000L div n_docs"))
       .withColumn("ratio_micro", expr("dl * 1000000000000L div avgdl_micro"))
@@ -633,16 +648,128 @@ object TextOps {
       .withColumn("idf_micro", expr("n_docs * 1000000L div df"))
       .withColumn("score_micro", expr(
         "CAST((CAST(tfsat_micro AS DECIMAL(38,0)) * idf_micro) div 1000000 AS BIGINT)"))
-    scored
-      .withColumn("rank", row_number().over(Window.partitionBy(col("term"))
-        .orderBy(col("score_micro").desc, col("doc_id"))).cast("int"))
-      .filter(col("rank") <= topK)
-      .select(col("term"), col("rank"), col("doc_id"), col("tf"),
-        col("dl"), col("score_micro"))
   }
+
+  /** Multi-term BM25 QUERY evaluation with threshold-certified pruning —
+    * the batch recast of WAND/Fagin's Threshold Algorithm: the full doc
+    * score is Σ over matched query terms, but instead of aggregating
+    * EVERY matching document to doc grain, score only the union of each
+    * term's top-`candPerTerm` postings and certify the result with the
+    * TA bound. Soundness: a doc outside every term's top-K′ list has
+    * per-term score ≤ that term's K′-th best, so its total ≤
+    * bound = Σ_t s_t(K′); if the K-th best candidate total STRICTLY
+    * exceeds the bound (strict, so an outside doc cannot even tie into
+    * the published top-k), the candidate top-k is the global top-k.
+    * When the certificate fails — or fewer than `topK` candidates
+    * exist — the operator falls back to the full doc-grain aggregation,
+    * so the RESULT is exact either way; pruning is purely a cost choice.
+    *
+    * Scale shape: the per-term top-K′ is the bounded-heap
+    * `row_number()<=k` shape (TopKPerKey rewrites it); candidates are
+    * ≤ nQueryTerms·K′ doc ids — a broadcast-able list — so the exact
+    * re-score touches only their postings; the certificate is two
+    * scalar aggregates (≤ topK rows + nQueryTerms rows) on the driver,
+    * the same bounded-artifact discipline as the k-means codebooks. At
+    * 100 TB the avoided work is the doc-grain shuffle of every document
+    * matching any query term (stopword-adjacent terms match most of the
+    * corpus).
+    */
+  def bm25QueryTopK(docs: DataFrame, nQueryTerms: Int, skip: Int,
+                    topK: Int, candPerTerm: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scored(docs, nQueryTerms, skip)
+      .select(col("term"), col("doc_id"), col("score_micro"))
+      .persist()
+    try {
+      val ranked = scored.withColumn("tr", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("score_micro").desc, col("doc_id"))))
+      val cand = ranked.filter(col("tr") <= candPerTerm)
+        .select(col("doc_id")).distinct()
+      val candTotals = scored.join(broadcast(cand), "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("score_micro")).as("total_micro"),
+          count(lit(1)).as("n_terms"))
+      val topCand = candTotals
+        .orderBy(col("total_micro").desc, col("doc_id")).limit(topK)
+        .collect()
+      // TA bound: terms with fewer than K′ postings contribute 0 (all
+      // their docs are already candidates; an outside doc scores 0 on
+      // them).
+      val bound = ranked.filter(col("tr") === candPerTerm)
+        .agg(coalesce(sum(col("score_micro")), lit(0L))).first().getLong(0)
+      val certified = topCand.length >= topK &&
+        topCand.last.getLong(1) > bound
+      val top =
+        if (certified) {
+          val spark = docs.sparkSession
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(topCand.toIndexedSeq, 1),
+            candTotals.schema)
+        } else scored.groupBy(col("doc_id"))
+          .agg(sum(col("score_micro")).as("total_micro"),
+            count(lit(1)).as("n_terms"))
+          .orderBy(col("total_micro").desc, col("doc_id")).limit(topK)
+      top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("total_micro").desc, col("doc_id"))).cast("int"))
+        .select(col("rank"), col("doc_id"), col("total_micro"),
+          col("n_terms"))
+    } finally { scored.unpersist(false); () }
+  }
+
+  /** True iff [[bm25QueryTopK]]'s TA certificate holds for these knobs
+    * on this corpus (the pruned path answered without the fallback).
+    * Spec-surface only — the published result is exact either way. */
+  def bm25QueryCertified(docs: DataFrame, nQueryTerms: Int, skip: Int,
+                         topK: Int, candPerTerm: Int): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scored(docs, nQueryTerms, skip)
+      .select(col("term"), col("doc_id"), col("score_micro"))
+    val ranked = scored.withColumn("tr", row_number().over(
+      Window.partitionBy(col("term"))
+        .orderBy(col("score_micro").desc, col("doc_id"))))
+    val cand = ranked.filter(col("tr") <= candPerTerm)
+      .select(col("doc_id")).distinct()
+    val topCand = scored.join(broadcast(cand), "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_micro")).as("total_micro"))
+      .orderBy(col("total_micro").desc, col("doc_id")).limit(topK)
+      .collect()
+    val bound = ranked.filter(col("tr") === candPerTerm)
+      .agg(coalesce(sum(col("score_micro")), lit(0L))).first().getLong(0)
+    topCand.length >= topK && topCand.last.getLong(1) > bound
+  }
+
+  /** Oracle twin of [[bm25QueryTopK]]: the brute full-corpus doc-grain
+    * aggregation — equality proves the pruned path exact. */
+  def bm25QueryTopKSql(table: String, nQueryTerms: Int, skip: Int,
+                       topK: Int): String =
+    s"""${bm25CoreSql(table, nQueryTerms, skip)},
+        tot AS (SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS total_micro,
+                       CAST(count(*) AS BIGINT) AS n_terms
+                FROM s GROUP BY doc_id)
+        SELECT rank, doc_id, total_micro, n_terms FROM (
+          SELECT doc_id, total_micro, n_terms,
+                 CAST(row_number() OVER (ORDER BY total_micro DESC, doc_id)
+                   AS INT) AS rank
+          FROM tot)
+        WHERE rank <= $topK ORDER BY rank"""
 
   def bm25TopKSql(table: String, nQueryTerms: Int, skip: Int,
                   topK: Int): String =
+    s"""${bm25CoreSql(table, nQueryTerms, skip)}
+        SELECT term, rank, doc_id, tf, dl, score_micro FROM (
+          SELECT term, doc_id, tf, dl, score_micro,
+                 CAST(row_number() OVER (PARTITION BY term
+                   ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+          FROM s)
+        WHERE rank <= $topK ORDER BY term, rank"""
+
+  /** The shared CTE chain of the BM25 oracles, ending at the scored
+    * (query-term, doc) slice `s`. */
+  private def bm25CoreSql(table: String, nQueryTerms: Int,
+                          skip: Int): String =
     s"""WITH toks AS (
           SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS dl,
                  unnest(${tokensSql("text")}) AS term
@@ -671,11 +798,81 @@ object TextOps {
                                 // 4)) // 10) AS HUGEINT)
                        * (g.n_docs * 1000000 // q.df)) // 1000000 AS BIGINT)
                    AS score_micro
-          FROM tf t JOIN qt q USING (term) CROSS JOIN g)
-        SELECT term, rank, doc_id, tf, dl, score_micro FROM (
-          SELECT term, doc_id, tf, dl, score_micro,
-                 CAST(row_number() OVER (PARTITION BY term
-                   ORDER BY score_micro DESC, doc_id) AS INT) AS rank
-          FROM s)
-        WHERE rank <= $topK ORDER BY term, rank"""
+          FROM tf t JOIN qt q USING (term) CROSS JOIN g)"""
+
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken 2003, the
+    * MOSS algorithm): over each document's sequence of k-gram hashes,
+    * slide a window of `w` consecutive hashes and select the MINIMUM in
+    * each window, rightmost position on ties. The guarantee the existing
+    * min-hash fingerprint ([[shingleHashes]] min) cannot give: any shared
+    * run of ≥ w+k−1 tokens between two documents is certain to contribute
+    * at least one IDENTICAL selected (hash) to both fingerprints, while
+    * only ~2/(w+1) of the k-grams are kept.
+    *
+    * Determinism without argmin/argmax tie rules: window winner = the
+    * single BIGINT min of `h·2²⁰ + (2²⁰−1−pos)` — minimizing picks the
+    * smallest hash and, among equal hashes, the LARGEST position, and the
+    * encode is collision-free for any document under 2²⁰ k-grams (the
+    * 40-bit hash keeps the product inside 63 bits). Docs with fewer than
+    * k tokens have no k-grams and produce no row (documented contract).
+    *
+    * Scale shape: explode is ≤ w rows per k-gram (w = 4 here); the
+    * (doc, window) winner and the per-doc roll-up are two hash-aggs on
+    * doc-bounded grains — no joins, no windows, map-side combinable.
+    */
+  def winnowFingerprint(docs: DataFrame, w: Int): DataFrame = {
+    val P = 1L << 20
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        greatest(size(col("__t")) - 2, lit(0)).cast("long").as("m"),
+        posexplode(shingleStrings("__t")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("m"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long").as("h"))
+    val sel = sh
+      .withColumn("j", explode(expr(
+        s"sequence(greatest(pos - ${w - 1}, 0L), least(pos, greatest(m - $w, 0L)))")))
+      .groupBy(col("doc_id"), col("m"), col("j"))
+      .agg(min(expr(s"h * ${P}L + ${P - 1}L - pos")).as("key"))
+      .select(col("doc_id"), col("m"), expr(s"key div ${P}L").as("h"),
+        expr(s"${P - 1}L - key % ${P}L").as("pos"))
+      .distinct()
+    sel.groupBy(col("doc_id"))
+      .agg(max(col("m")).as("n_kgrams"),
+        count(lit(1)).as("n_prints"),
+        expr("bit_xor(h)").as("fp_xor"),
+        min(col("h")).as("fp_min"))
+      .select(col("doc_id"), col("n_kgrams"), col("n_prints"),
+        col("fp_xor"), col("fp_min"))
+  }
+
+  /** Oracle twin of [[winnowFingerprint]]: identical shingle strings,
+    * 40-bit hash, window explode, and min-key tie encode in DuckDB. */
+  def winnowFingerprintSql(table: String, w: Int): String = {
+    val P = 1L << 20
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $table),
+        sh AS (SELECT doc_id,
+                 CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS m,
+                 CAST(unnest(range(0, greatest(len(toks) - 2, 0))) AS BIGINT) AS pos,
+                 toks FROM t),
+        h AS (SELECT doc_id, m, pos,
+                CAST('0x' || substr(md5(toks[pos + 1] || ' ' ||
+                  toks[pos + 2] || ' ' || toks[pos + 3]), 1, 10) AS BIGINT) AS h
+              FROM sh),
+        wj AS (SELECT doc_id, m, pos, h,
+                 unnest(range(greatest(pos - ${w - 1}, 0),
+                              least(pos, greatest(m - $w, 0)) + 1)) AS j
+               FROM h),
+        win AS (SELECT doc_id, m, j,
+                  min(h * $P + ${P - 1} - pos) AS key
+                FROM wj GROUP BY 1, 2, 3),
+        sel AS (SELECT DISTINCT doc_id, m,
+                  key // $P AS h, ${P - 1} - key % $P AS pos
+                FROM win)
+        SELECT doc_id, CAST(max(m) AS BIGINT) AS n_kgrams,
+               CAST(count(*) AS BIGINT) AS n_prints,
+               CAST(bit_xor(h) AS BIGINT) AS fp_xor,
+               CAST(min(h) AS BIGINT) AS fp_min
+        FROM sel GROUP BY doc_id ORDER BY doc_id"""
+  }
 }

@@ -97,4 +97,83 @@ object TsOps {
         (abs(col("s")) > expr(s"sum_abs_dev div $peakDivisor"))
           .as("is_shift"))
   }
+
+  /** Theil–Sen robust trend slope per user over the trailing `window`
+    * readings: the (lower) median of the pairwise slopes
+    * (v_j − v_i)/(j − i) over all index pairs i < j — a single outlier
+    * reading drags an OLS slope arbitrarily but moves a pairwise median
+    * by at most one rank (29% breakdown point). Slopes use the reading
+    * INDEX as the abscissa (the evenly-spaced form), in floor-divided
+    * integer micro-milli-units per step; the floor division is spelled
+    * as the explicit nonneg-residue identity `(a − ((a%b)+b)%b) div b`
+    * because Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors — they disagree exactly on the negative slopes this
+    * operator exists to rank. The median VALUE at rank ⌈P/2⌉ is
+    * well-defined by the slope order alone (equal slopes collapse), so
+    * no tie-break column is needed for determinism.
+    *
+    * Scale shape: the trailing window is one user-partitioned
+    * row_number; the pair join is per-key bounded (≤ window rows per
+    * user ⇒ ≤ window²/2 pairs, never data-sized); the median is one
+    * more user-partitioned window over ≤ 120 rows per user. No global
+    * window, no unbounded self-join. */
+  def theilSen(ev: DataFrame, window: Int): DataFrame = {
+    val wRecent = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val recent = ev
+      .withColumn("rn", row_number().over(wRecent))
+      .filter(col("rn") <= window)
+      .withColumn("nr", count(lit(1))
+        .over(Window.partitionBy(col("user_id"))))
+      // Ascending index; only differences j−i matter, so the shift for
+      // users with fewer than `window` readings is irrelevant.
+      .select(col("user_id"), col("nr"),
+        (lit(window) - col("rn")).cast("long").as("idx"), col("vm"))
+    val pairs = recent.as("a").join(recent.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.idx") < col("b.idx"))
+      .select(col("a.user_id").as("user_id"), col("a.nr").as("nr"),
+        ((col("b.vm") - col("a.vm")) * 1000000L).as("num"),
+        (col("b.idx") - col("a.idx")).as("den"))
+      .withColumn("slope",
+        expr("(num - ((num % den) + den) % den) div den"))
+    val wMed = Window.partitionBy(col("user_id")).orderBy(col("slope"))
+    pairs
+      .withColumn("mr", row_number().over(wMed))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("mr") === expr("(n_pairs + 1) div 2"))
+      .select(col("user_id"), col("nr").as("n_readings"),
+        col("n_pairs"), col("slope").as("slope_step_micro"))
+  }
+
+  /** Oracle twin of [[theilSen]]. */
+  def theilSenSql(table: String, window: Int): String =
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm FROM $table),
+        r AS (SELECT user_id, vm,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM ev),
+        rec AS (SELECT user_id, vm,
+                  CAST($window - rn AS BIGINT) AS idx,
+                  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nr
+                FROM r WHERE rn <= $window),
+        pr AS (SELECT a.user_id, a.nr,
+                 (b.vm - a.vm) * 1000000 AS num, b.idx - a.idx AS den
+               FROM rec a JOIN rec b
+                 ON a.user_id = b.user_id AND a.idx < b.idx),
+        sl AS (SELECT user_id, nr,
+                 (num - ((num % den) + den) % den) // den AS slope
+               FROM pr),
+        m AS (SELECT user_id, nr, slope,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY slope) AS mr,
+                CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                  AS n_pairs
+              FROM sl)
+        SELECT user_id, nr AS n_readings, n_pairs,
+               CAST(slope AS BIGINT) AS slope_step_micro
+        FROM m WHERE mr = (n_pairs + 1) // 2
+        ORDER BY user_id"""
 }

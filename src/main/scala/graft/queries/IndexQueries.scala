@@ -73,6 +73,22 @@ object IndexQueries {
         nQueryTerms = 5, skip = 10, topK = 10)),
       presentOrder = Seq("term", "rank")),
 
+    // Multi-term BM25 QUERY top-k with threshold-certified pruning —
+    // the batch Fagin/WAND: only the union of per-term top-25 postings
+    // is aggregated to doc grain, and the TA bound (Σ of each term's
+    // 25th-best score) certifies the candidate top-k as the GLOBAL
+    // top-k (strict inequality, so an outside doc cannot even tie in);
+    // certificate failure falls back to the full aggregation, so the
+    // result is exact either way. The oracle is the brute full-corpus
+    // doc-grain sum — equality IS the exactness proof of the pruned
+    // path.
+    QueryDef("text_bm25_query",
+      (s, d) => TextOps.bm25QueryTopK(Tables.documents(s, d),
+        nQueryTerms = 5, skip = 10, topK = 10, candPerTerm = 25),
+      Some(TextOps.bm25QueryTopKSql("documents",
+        nQueryTerms = 5, skip = 10, topK = 10)),
+      presentOrder = Seq("rank")),
+
     // BPE pair counting — the distributed step of tokenizer training:
     // count adjacent sub-word piece pairs over the corpus, emit the
     // top-10 merge candidates. (Full BPE training iterates this count →

@@ -210,6 +210,48 @@ object RelQueries3 {
              | ORDER BY key_a""".stripMargin.replace("\n", "")),
       presentOrder = Seq("key_a")),
 
+    // Jaro–Winkler best-match linkage: for every customer name, the
+    // single most-similar OTHER name in its block (blocked on the
+    // hundreds-prefix of the numeric suffix — per-block candidate sets
+    // are bounded at 100, the classic blocking discipline), scored by
+    // the native codegen `jaro_winkler` Expression
+    // (catalyst/JaroWinkler.scala — Spark has levenshtein but no Jaro
+    // family; a Scala UDF here would serialize per pair and break
+    // codegen around the ranking). Ranking runs on the RAW double (the
+    // 25k-pair fuzz pins Spark/DuckDB bit-equality), ties by lowest
+    // partner key; only the published score is 4dp-quantized. The top-1
+    // window is the row_number()<=k shape the TopKPerKey rewrite
+    // accelerates.
+    QueryDef("q_fuzzy_jaro",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val c = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_name"), substring(col("c_name"), 10, 7).as("blk"))
+        val pairs = c.toDF("key_a", "name_a", "blk")
+          .join(c.toDF("key_b", "name_b", "blk"), Seq("blk"))
+          .filter(col("key_a") =!= col("key_b"))
+          .withColumn("jw", expr("jaro_winkler(name_a, name_b)"))
+        pairs
+          .withColumn("rk", row_number().over(Window
+            .partitionBy(col("key_a"))
+            .orderBy(col("jw").desc, col("key_b"))))
+          .filter(col("rk") === 1)
+          .select(col("key_a"), col("key_b").as("best_key"),
+            graft.ops.SimOps.quant4(col("jw")).as("jw_q4"))
+      },
+      Some(s"""WITH c AS (SELECT c_custkey AS k, c_name AS nm,
+             |   substr(c_name, 10, 7) AS blk FROM customer),
+             | pr AS (SELECT a.k AS key_a, b.k AS key_b,
+             |   jaro_winkler_similarity(a.nm, b.nm) AS jw
+             |  FROM c a JOIN c b ON a.blk = b.blk AND a.k <> b.k),
+             | rk AS (SELECT *, row_number() OVER (PARTITION BY key_a
+             |   ORDER BY jw DESC, key_b) AS rk FROM pr)
+             | SELECT key_a, key_b AS best_key,
+             |  ${graft.ops.SimOps.quant4Sql("jw")} AS jw_q4
+             | FROM rk WHERE rk = 1
+             | ORDER BY key_a""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("key_a")),
+
     // Full-outer join completing the join matrix (inner/broadcast/semi/
     // anti/salted/as-of/interval are gated elsewhere): customers with no
     // orders survive with a zero count (the null-producing side), and the

@@ -466,6 +466,18 @@ object TextQueries {
              |  CAST(vocab_size AS BIGINT) AS vocab_size
              | FROM c WHERE doc_id % 50 = 0
              | ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // Winnowing fingerprint selection (the MOSS algorithm): min-in-window
+    // over the k-gram hash stream, rightmost tie — the guaranteed-recall
+    // fingerprint (any shared ≥ w+k−1-token run contributes an identical
+    // selected hash to both docs) at ~2/(w+1) the k-gram count, where
+    // text_fingerprint's single min-hash has no such guarantee. The
+    // winner-per-window tie rule is a collision-free BIGINT min encode,
+    // no argmin needed; oracle replays the identical windows and encode.
+    QueryDef("text_winnowing",
+      (s, d) => TextOps.winnowFingerprint(Tables.documents(s, d), w = 4),
+      Some(TextOps.winnowFingerprintSql("documents", w = 4)),
       presentOrder = Seq("doc_id"))
   )
 }

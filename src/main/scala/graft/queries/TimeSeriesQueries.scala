@@ -105,5 +105,20 @@ object TimeSeriesQueries {
              |  abs(s) > sum_abs_dev // $CusumPeakDivisor AS is_shift
              | FROM pk WHERE rn = 1 ORDER BY user_id""".stripMargin
                .replace("\n", "")),
+      presentOrder = Seq("user_id")),
+
+    // Theil–Sen robust trend per user over the trailing 16 readings:
+    // lower median of the 120 pairwise index slopes in exact integer
+    // micro-milli per step — the outlier-immune replacement for the OLS
+    // trend (one glitch reading breaks OLS; the pairwise median has a
+    // 29% breakdown point). Floor division is spelled via the explicit
+    // nonneg-residue identity because Spark div truncates while DuckDB
+    // // floors — they disagree precisely on negative slopes.
+    QueryDef("ts_theil_sen",
+      (s, d) => TsOps.theilSen(Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS LONG)").as("vm")),
+        window = 16),
+      Some(TsOps.theilSenSql("events", window = 16)),
       presentOrder = Seq("user_id")))
 }

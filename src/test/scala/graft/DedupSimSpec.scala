@@ -31,6 +31,119 @@ class DedupSimSpec extends SparkSpec {
       (3, 1L, 1000000000000L)))
   }
 
+  test("bm25QueryTopK: pruned result equals brute at every candidate width") {
+    import spark.implicits._
+    // 50 docs over 20 content terms w01..w20: term t appears with
+    // tf 21 in a sliding 10-doc window, tf 1 in the next 20 docs, and
+    // NOT AT ALL elsewhere — df = 30 > candPerTerm 25, so pruning
+    // really drops postings, while the total-tf tie across terms makes
+    // ranks resolve by name (query = w11..w15 at skip 10) and docs
+    // 36..47 are high in ≥ 2 query terms and dominate the totals.
+    val docs = (0 until 50).map { d =>
+      val text = (1 to 20).flatMap { t =>
+        val r = (d + t) % 50
+        val tf = if (r < 10) 21 else if (r < 30) 1 else 0
+        Seq.fill(tf)(f"w$t%02d")
+      }.mkString(" ")
+      (d.toLong, text)
+    }.toDF("doc_id", "text")
+    val wide = graft.ops.TextOps
+      .bm25QueryTopK(docs, 5, 10, 10, candPerTerm = 10000)
+      .collect().map(_.toSeq).toSeq
+    val pruned = graft.ops.TextOps
+      .bm25QueryTopK(docs, 5, 10, 10, candPerTerm = 25)
+      .collect().map(_.toSeq).toSeq
+    val narrow = graft.ops.TextOps
+      .bm25QueryTopK(docs, 5, 10, 10, candPerTerm = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(pruned === wide)
+    assert(narrow === wide)
+    // The 25-wide run must have answered via the certificate (the
+    // pruned path, not the fallback); the 2-wide run must have failed
+    // it (so the fallback is what produced `narrow`'s equality).
+    assert(graft.ops.TextOps.bm25QueryCertified(docs, 5, 10, 10, 25))
+    assert(!graft.ops.TextOps.bm25QueryCertified(docs, 5, 10, 10, 2))
+  }
+
+  test("jaro_winkler: textbook fixtures at exact doubles, both eval paths") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    // Expected values are DuckDB's jaro_winkler_similarity outputs,
+    // exact to the last ulp (the oracle twin must hash-match).
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),   // 2 transpositions
+      ("DWAYNE", "DUANE", 0.8400000000000001),    // prefix 1 boost
+      ("DIXON", "DICKSONX", 0.8133333333333332),  // prefix 2 boost
+      ("CRATE", "TRACE", 0.7333333333333334),     // no common prefix
+      ("ab", "ba", 0.0),                          // window 0: no matches
+      ("abczzz", "abcxy", 0.79),                  // jaro == 0.7: boost fires
+      ("abcccccccc", "abxxxxxxxx", 0.4666666666666666), // < 0.7: NO boost
+      ("aaaaaabc", "aaaaaaxy", 0.9),              // prefix capped at 4
+      ("", "abc", 0.0), ("", "", 0.0), ("abc", "abc", 1.0))
+    cases.toDF("a", "b", "exp")
+      .withColumn("got", expr("jaro_winkler(a, b)"))
+      .collect().foreach { r =>
+        assert(r.getDouble(3) === r.getDouble(2),
+          s"${r.getString(0)} / ${r.getString(1)}")
+      }
+    // The static scorer (interpreted path target) agrees bit-for-bit.
+    cases.foreach { case (a, b, e) =>
+      assert(graft.catalyst.JaroWinkler.scoreStr(a, b) === e, s"$a / $b")
+    }
+    // Null propagates.
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .withColumn("got", expr("jaro_winkler(a, b)")).collect()
+    assert(n.head.isNullAt(2))
+  }
+
+  test("winnowFingerprint equals a brute single-threaded winnower") {
+    import spark.implicits._
+    val texts = Seq(
+      0L -> "a b c d e f g h i j",             // m=8 > w
+      1L -> "x y a b c d e f g h i j z",       // shares a >=7-token run with 0
+      2L -> "p q r",                           // exactly one k-gram (m=1)
+      3L -> "s t u v",                         // m=2 < w
+      4L -> "k k k k k k k k",                 // all-identical shingles: ties
+      5L -> "a b")                             // < k tokens: NO output row
+    val out = graft.ops.TextOps.winnowFingerprint(
+        texts.toDF("doc_id", "text"), w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def h40(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(5).map(b => f"$b%02x").mkString, 16)
+    }
+    def brute(text: String, w: Int): Option[(Long, Long, Long, Long)] = {
+      val t = text.split(" ")
+      val hs = (0 until math.max(t.length - 2, 0)).map(i =>
+        h40(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
+      if (hs.isEmpty) return None
+      val sel = (0 to math.max(hs.length - w, 0)).map { j =>
+        val win = (j until math.min(j + w, hs.length))
+        val m = win.map(hs).min
+        val pos = win.filter(p => hs(p) == m).max // rightmost tie
+        (pos, hs(pos))
+      }.distinct
+      Some((hs.length.toLong, sel.length.toLong,
+        sel.map(_._2).reduce(_ ^ _), sel.map(_._2).min))
+    }
+    for ((id, text) <- texts) assert(out.get(id) === brute(text, 4), s"doc $id")
+    // Selection density is a strict subset for the long doc.
+    assert(out(0L)._2 < out(0L)._1)
+    // The >=7-token shared run guarantees a shared selected hash: the
+    // brute sets of docs 0 and 1 must intersect.
+    def bruteSet(text: String): Set[Long] = {
+      val t = text.split(" ")
+      val hs = (0 until t.length - 2).map(i =>
+        h40(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
+      (0 to hs.length - 4).map { j =>
+        (j until j + 4).map(hs).min
+      }.toSet
+    }
+    assert(bruteSet(texts(0)._2).intersect(bruteSet(texts(1)._2)).nonEmpty)
+  }
+
   test("exactDedup groups identical texts and keeps the smallest id") {
     val out = DedupOps.exactDedup(docs, "text", "doc_id")
       .select("keep_id", "n_copies").collect()

@@ -43,6 +43,46 @@ class TsPrivacySpec extends SparkSpec {
     assert(out === Map(1 -> 2L))
   }
 
+  test("theilSen: outlier-immune median slope; negative slopes floor") {
+    import spark.implicits._
+    // User 1: 10,20,30,1000,50 (milli). The 1000 outlier leaves the
+    // median of the 10 pairwise slopes at exactly 10e6 micro/step
+    // (slopes sorted: -950e6, 10e6 x6, 330e6, 490e6, 970e6; lower
+    // median = rank 5 of 10). OLS would report ~ +150/step.
+    // User 4: 0,9,9,-1 -> sorted slopes -10e6, -5e6, -333334, 0,
+    // 4.5e6, 9e6; rank (6+1) div 2 = 3 -> -333334, which is
+    // floor(-1e6/3): truncation toward zero would give -333333.
+    // User 9: a single reading -> no pairs -> no output row.
+    val ev =
+      (Seq(10L, 20L, 30L, 1000L, 50L).zipWithIndex.map { case (v, i) =>
+        (1L, ts(i + 1), i.toLong, v) } ++
+       Seq(0L, 9L, 9L, -1L).zipWithIndex.map { case (v, i) =>
+        (4L, ts(i + 1), 100L + i, v) } ++
+       Seq((9L, ts(1), 200L, 42L)))
+        .toDF("user_id", "ts", "event_id", "vm")
+    val out = TsOps.theilSen(ev, window = 16).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((5L, 10L, 10000000L)),
+      4L -> ((4L, 6L, -333334L))))
+  }
+
+  test("theilSen: trailing window keeps only the newest readings") {
+    import spark.implicits._
+    // 6 readings, window 4: the two oldest (slope-breaking values)
+    // must be excluded; the kept tail 1,2,3,4 has every pair slope
+    // exactly 1e6.
+    val ev = Seq(900L, -900L, 1L, 2L, 3L, 4L).zipWithIndex.map {
+      case (v, i) => (1L, ts(i + 1), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "vm")
+    val out = TsOps.theilSen(ev, window = 4).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 6L, 1000000L)))
+  }
+
   test("cusum: mid-series step shift is flagged at its change point") {
     import spark.implicits._
     // values 0,0,0,0,10,10,10,10 (milli): mean 5000, devs -5000 x4 then
