@@ -1696,6 +1696,95 @@ object SimOps {
     sb.toString
   }
 
+  /** Dominant principal component by power iteration over the corpus
+    * Gram matrix — the whitening/projection axis a training-data
+    * pipeline extracts before dimensionality reduction or deduplication
+    * in a projected space. Exact-integer end to end: embeddings are
+    * MILLI-quantized (so G = Σ v·vᵀ stays in 63 bits at any realistic
+    * corpus: |v_milli| ≤ 2¹⁰ ⇒ G ≤ n·2²⁰), the iterate is renormalized
+    * each round to max|component| = 10⁶ with SIGN-SPLIT division
+    * (divide the absolute value, reapply the sign) so truncating Spark
+    * and flooring DuckDB agree, and after `rounds` rounds the 64
+    * components are published in micro-units.
+    *
+    * Scale shape: the Gram is ONE distributed pass — posexplode to
+    * (i, vᵢ) then to (i, j, vᵢ·vⱼ), hash-agg to d² = 4096 cells with
+    * map-side combine (the shuffle carries d² rows per partition, not
+    * data). The iteration itself runs on the collected d×d matrix — a
+    * bounded driver artifact exactly like the k-means centroids and PQ
+    * codebooks. At 100 TB only the one Gram pass touches data.
+    */
+  def pcaPower(vectors: DataFrame, dim: Int, rounds: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val milli = vectors.select(col("vec_id"), expr(milliExpr).as("vm"))
+    val gRows = milli
+      .select(col("vm"), posexplode(col("vm")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("vm")).as(Seq("j", "vj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(expr("vi * vj")).as("g"))
+      .collect()
+    val g = Array.ofDim[Long](dim, dim)
+    gRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var x = Array.fill(dim)(1000000L)
+    var r = 0
+    while (r < rounds) {
+      val y = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += g(i)(j) * x(j); j += 1 }
+        acc
+      }
+      val m = y.map(math.abs).max
+      if (m > 0L)
+        x = y.map(v =>
+          if (v < 0) -((BigInt(-v) * 1000000) / m).toLong
+          else ((BigInt(v) * 1000000) / m).toLong)
+      r += 1
+    }
+    spark.createDataFrame(x.toIndexedSeq.zipWithIndex.map {
+      case (c, i) => (i + 1, c)
+    }).toDF("dim", "comp_micro")
+  }
+
+  /** Engine-exact MILLI quantization (PCA's Gram needs the smaller
+    * radix to keep G·x inside 63 bits — see [[pcaPower]]). */
+  private val milliExpr =
+    "transform(embedding, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000.0d + 0.5d) AS BIGINT))"
+
+  /** Oracle twin of [[pcaPower]]: the identical Gram and the identical
+    * sign-split renormalized rounds unrolled as chained CTEs. */
+  def pcaPowerSql(table: String, dim: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH m AS MATERIALIZED (
+          SELECT list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS vm
+          FROM $table),
+        e AS (SELECT vm, CAST(unnest(range(1, ${dim + 1})) AS INT) AS i
+              FROM m),
+        p AS (SELECT i, vm[i] AS vi,
+                CAST(unnest(range(1, ${dim + 1})) AS INT) AS j, vm
+              FROM e),
+        g AS MATERIALIZED (SELECT i, j,
+               CAST(sum(vi * vm[j]) AS BIGINT) AS g
+             FROM p GROUP BY i, j),
+        x0 AS (SELECT CAST(unnest(range(1, ${dim + 1})) AS INT) AS i,
+                      CAST(1000000 AS BIGINT) AS x)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        y$r AS (SELECT g.i, CAST(sum(g.g * x.x) AS HUGEINT) AS y
+                FROM g JOIN x${r - 1} x ON g.j = x.i GROUP BY g.i),
+        n$r AS (SELECT max(abs(y)) AS mx FROM y$r),
+        x$r AS (SELECT i, CAST(CASE WHEN y < 0
+                  THEN -(((-y) * 1000000) // mx)
+                  ELSE (y * 1000000) // mx END AS BIGINT) AS x
+                FROM y$r, n$r)""")
+    }
+    sb.append(s"""
+        SELECT i AS dim, x AS comp_micro FROM x$rounds ORDER BY dim""")
+    sb.toString
+  }
+
   def kmeansSql(table: String, k: Int, rounds: Int, dim: Int,
                 salt: String = "km"): String = {
     val fr = rounds + 1
@@ -1820,4 +1909,96 @@ object SimOps {
                  ${quant4Sql("score")} AS cosine
           FROM scored)
         WHERE rank <= $topK ORDER BY query_id, rank"""
+
+  /** Fixed ±1 Rademacher sign matrix (`p` rows × `dim` cols) for the
+    * Johnson–Lindenstrauss random projection, derived from the shared
+    * LCG so both engines embed the identical literal. Achlioptas (2003)
+    * showed ±1 entries satisfy the JL distance-preservation guarantee —
+    * no Gaussian sampling (and no libm) needed. */
+  def jlSigns(p: Int, dim: Int, seed: Long = 11L): Seq[Seq[Long]] = {
+    val it = Iterator.iterate(seed)(x =>
+      (1103515245L * x + 12345L) % DedupOps.P).drop(1)
+    Seq.fill(p)(Seq.fill(dim)(if (it.next() % 2 == 0) 1L else -1L))
+  }
+
+  /** Johnson–Lindenstrauss random projection distortion audit: project
+    * micro-quantized embeddings through the fixed ±1 sign matrix
+    * ([[jlSigns]]) to `p` dimensions and report, for every pair in the
+    * (small, fixed) audit set, the projected vs original squared-L2
+    * ratio in permille. For a Rademacher matrix E‖Rx‖² = p·‖x‖², so an
+    * undistorted pair reads ~1000; JL says the spread tightens as p
+    * grows — this is the observability a pipeline needs before it
+    * swaps full embeddings for projected sketches in dedup/clustering.
+    *
+    * Exact-integer end to end: the pair DIFFERENCE is projected (one
+    * signed sum per output dim — |Δproj_j| ≤ dim·2·10⁶ keeps every
+    * square within BIGINT), squares summed per pair, and the permille
+    * ratio taken with a DECIMAL(38,0)/HUGEINT product and floor
+    * division on nonnegative values — identical in both engines.
+    *
+    * Scale shape: the projection itself is a NARROW map (the p×dim sign
+    * matrix rides along as one literal — the k-means-centroid
+    * discipline); only the audit's pair join touches a bounded slice
+    * (`auditPred` rows, broadcast self-join). At 100 TB the projection
+    * runs corpus-wide with zero shuffles; the distortion audit stays a
+    * bounded probe. */
+  def jlProjectionAudit(vectors: DataFrame, auditPred: Column,
+                        p: Int, dim: Int): DataFrame = {
+    val signs = jlSigns(p, dim)
+    val vm = vectors.filter(auditPred)
+      .select(col("vec_id"), expr(microExpr).as("vm"))
+    val a = vm.toDF("vec_a", "va")
+    val b = vm.toDF("vec_b", "vb")
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("dv", zip_with(col("va"), col("vb"), (x, y) => x - y))
+      .withColumn("orig_d2",
+        aggregate(col("dv"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("proj_d2",
+        aggregate(
+          transform(typedLit(signs), row =>
+            aggregate(zip_with(col("dv"), row, (x, s) => x * s),
+              lit(0L), (acc, x) => acc + x)),
+          lit(0L), (acc, y) => acc + y * y))
+      .select(col("vec_a"), col("vec_b"), col("orig_d2"), col("proj_d2"),
+        when(col("orig_d2") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(CAST(proj_d2 AS DECIMAL(38,0)) * 1000 div " +
+              s"(CAST($p AS DECIMAL(38,0)) * orig_d2) AS BIGINT)"))
+          .as("ratio_permille"))
+  }
+
+  /** Oracle twin of [[jlProjectionAudit]]: identical sign literal,
+    * difference projection, and HUGEINT floor-division ratio. */
+  def jlProjectionAuditSql(table: String, auditPredSql: String,
+                           p: Int, dim: Int): String = {
+    val signs = jlSigns(p, dim)
+    val lit = signs.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]") + "::BIGINT[][]"
+    s"""WITH vm AS (
+          SELECT vec_id, list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+          FROM $table WHERE $auditPredSql),
+        pr AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            list_transform(range(1, $dim + 1),
+              i -> a.vm[i] - b.vm[i]) AS dv
+          FROM vm a JOIN vm b ON a.vec_id < b.vec_id),
+        d AS (
+          SELECT vec_a, vec_b,
+            CAST(list_sum(list_transform(dv, x -> x * x)) AS BIGINT)
+              AS orig_d2,
+            CAST(list_sum(list_transform($lit,
+              row -> CAST(list_sum(list_transform(range(1, $dim + 1),
+                       i -> dv[i] * row[i])) AS BIGINT)
+                     * CAST(list_sum(list_transform(range(1, $dim + 1),
+                       i -> dv[i] * row[i])) AS BIGINT)))
+              AS BIGINT) AS proj_d2
+          FROM pr)
+        SELECT vec_a, vec_b, orig_d2, proj_d2,
+          CASE WHEN orig_d2 = 0 THEN NULL
+               ELSE CAST((CAST(proj_d2 AS HUGEINT) * 1000) //
+                         (CAST($p AS HUGEINT) * orig_d2) AS BIGINT)
+          END AS ratio_permille
+        FROM d ORDER BY vec_a, vec_b"""
+  }
 }

@@ -820,7 +820,18 @@ object TextOps {
     * (doc, window) winner and the per-doc roll-up are two hash-aggs on
     * doc-bounded grains — no joins, no windows, map-side combinable.
     */
-  def winnowFingerprint(docs: DataFrame, w: Int): DataFrame = {
+  def winnowFingerprint(docs: DataFrame, w: Int): DataFrame =
+    winnowSelected(docs, w).groupBy(col("doc_id"))
+      .agg(max(col("m")).as("n_kgrams"),
+        count(lit(1)).as("n_prints"),
+        expr("bit_xor(h)").as("fp_xor"),
+        min(col("h")).as("fp_min"))
+      .select(col("doc_id"), col("n_kgrams"), col("n_prints"),
+        col("fp_xor"), col("fp_min"))
+
+  /** The selected winnowing set (doc_id, m, pos, h) shared by
+    * [[winnowFingerprint]] and [[winnowPairs]]. */
+  private def winnowSelected(docs: DataFrame, w: Int): DataFrame = {
     val P = 1L << 20
     val sh = docs
       .select(col("doc_id"), tokens(col("text")).as("__t"))
@@ -829,7 +840,7 @@ object TextOps {
         posexplode(shingleStrings("__t")).as(Seq("pos", "s")))
       .select(col("doc_id"), col("m"), col("pos").cast("long").as("pos"),
         conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long").as("h"))
-    val sel = sh
+    sh
       .withColumn("j", explode(expr(
         s"sequence(greatest(pos - ${w - 1}, 0L), least(pos, greatest(m - $w, 0L)))")))
       .groupBy(col("doc_id"), col("m"), col("j"))
@@ -837,18 +848,21 @@ object TextOps {
       .select(col("doc_id"), col("m"), expr(s"key div ${P}L").as("h"),
         expr(s"${P - 1}L - key % ${P}L").as("pos"))
       .distinct()
-    sel.groupBy(col("doc_id"))
-      .agg(max(col("m")).as("n_kgrams"),
-        count(lit(1)).as("n_prints"),
-        expr("bit_xor(h)").as("fp_xor"),
-        min(col("h")).as("fp_min"))
-      .select(col("doc_id"), col("n_kgrams"), col("n_prints"),
-        col("fp_xor"), col("fp_min"))
   }
 
   /** Oracle twin of [[winnowFingerprint]]: identical shingle strings,
     * 40-bit hash, window explode, and min-key tie encode in DuckDB. */
-  def winnowFingerprintSql(table: String, w: Int): String = {
+  def winnowFingerprintSql(table: String, w: Int): String =
+    s"""${winnowCoreSql(table, w)}
+        SELECT doc_id, CAST(max(m) AS BIGINT) AS n_kgrams,
+               CAST(count(*) AS BIGINT) AS n_prints,
+               CAST(bit_xor(h) AS BIGINT) AS fp_xor,
+               CAST(min(h) AS BIGINT) AS fp_min
+        FROM sel GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Shared CTE chain of the winnowing oracles, ending at the selected
+    * (doc_id, m, h, pos) set `sel`. */
+  private def winnowCoreSql(table: String, w: Int): String = {
     val P = 1L << 20
     s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $table),
         sh AS (SELECT doc_id,
@@ -868,11 +882,57 @@ object TextOps {
                 FROM wj GROUP BY 1, 2, 3),
         sel AS (SELECT DISTINCT doc_id, m,
                   key // $P AS h, ${P - 1} - key % $P AS pos
-                FROM win)
-        SELECT doc_id, CAST(max(m) AS BIGINT) AS n_kgrams,
-               CAST(count(*) AS BIGINT) AS n_prints,
-               CAST(bit_xor(h) AS BIGINT) AS fp_xor,
-               CAST(min(h) AS BIGINT) AS fp_min
-        FROM sel GROUP BY doc_id ORDER BY doc_id"""
+                FROM win)"""
   }
+
+  /** MOSS pair detection over the winnowing fingerprints: pairs of
+    * documents sharing at least `minShared` selected hashes, with the
+    * containment ratio shared/min(|A|,|B|) in permille. This is what
+    * the selection guarantee buys: a shared ≥ w+k−1-token run IS
+    * represented in both selected sets, so real overlapping docs
+    * surface here while the ~2/(w+1) density keeps the index a
+    * fraction of the k-gram inverted index. The sf0.01 corpus is
+    * cleanly bimodal (coincidence pairs share ≤ 2–3 prints, planted
+    * near-dups 6–37), so the threshold is a real separator.
+    *
+    * Scale shape: one hash-grain self-join on the (already ~5×
+    * thinned) selected-print inverted index, then a pair-grain
+    * hash-agg — the dedup_chunk/shingle family's shape; at crawl scale
+    * the production knob is the same df cap the LSH index uses
+    * ([[graft.catalyst.BoundedCollectSet]] discipline). */
+  def winnowPairs(docs: DataFrame, w: Int, minShared: Int): DataFrame = {
+    val sel = winnowSelected(docs, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val cnt = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+    val pr = sel.toDF("doc_a", "h")
+      .join(sel.toDF("doc_b", "h"), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pr
+      .join(cnt.toDF("doc_a", "n_a"), "doc_a")
+      .join(cnt.toDF("doc_b", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        expr("shared * 1000L div least(n_a, n_b)").as("overlap_permille"))
+  }
+
+  /** Oracle twin of [[winnowPairs]]. */
+  def winnowPairsSql(table: String, w: Int, minShared: Int): String =
+    s"""${winnowCoreSql(table, w)},
+        seld AS (SELECT DISTINCT doc_id, h FROM sel),
+        cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh
+                FROM seld GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS shared
+               FROM seld a JOIN seld b
+                 ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared, ca.nh AS n_a, cb.nh AS n_b,
+               shared * 1000 // least(ca.nh, cb.nh) AS overlap_permille
+        FROM pr JOIN cnt ca ON pr.doc_a = ca.doc_id
+                JOIN cnt cb ON pr.doc_b = cb.doc_id
+        WHERE shared >= $minShared
+        ORDER BY doc_a, doc_b"""
 }

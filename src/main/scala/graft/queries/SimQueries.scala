@@ -540,6 +540,31 @@ object SimQueries {
       Some(SimOps.coresetFarthestSql("embeddings", k = 6, dim = Dim)),
       presentOrder = Seq("rank")),
 
+    // Dominant principal component by power iteration: ONE distributed
+    // Gram pass (posexplode² → d² hash-agg cells, map-side combined),
+    // then 4 integer-renormalized rounds on the collected d×d matrix
+    // (bounded driver artifact, k-means-centroid discipline). Milli
+    // quantization keeps G·x in 63 bits; renormalization divides the
+    // ABSOLUTE value and reapplies the sign so truncating Spark and
+    // flooring DuckDB agree. Oracle unrolls the identical rounds.
+    QueryDef("sim_pca_power",
+      (s, d) => SimOps.pcaPower(Tables.embeddings(s, d), Dim, rounds = 4),
+      Some(SimOps.pcaPowerSql("embeddings", Dim, rounds = 4)),
+      presentOrder = Seq("dim")),
+
+    // Johnson–Lindenstrauss projection distortion audit: embeddings
+    // projected through a fixed ±1 Rademacher matrix (Achlioptas) to 16
+    // dims; per audit pair the projected-vs-original squared-L2 ratio in
+    // permille (E = 1000 for an undistorted pair). The projection is a
+    // narrow map (sign matrix is ONE literal); only the audit's pair
+    // join touches a bounded slice. Exact integers end to end.
+    QueryDef("sim_random_projection",
+      (s, d) => SimOps.jlProjectionAudit(Tables.embeddings(s, d),
+        col("vec_id") < 24, p = 16, dim = Dim),
+      Some(SimOps.jlProjectionAuditSql("embeddings", "vec_id < 24",
+        p = 16, dim = Dim)),
+      presentOrder = Seq("vec_a", "vec_b")),
+
     QueryDef("sim_topk_ivfpq",
       (s, d) => SimOps.topKIvfPq(Tables.embeddings(s, d),
         col("vec_id") < 10, K, Cells, NProbe, PqM, PqK, Dim, PqShortlist,

@@ -478,6 +478,19 @@ object TextQueries {
     QueryDef("text_winnowing",
       (s, d) => TextOps.winnowFingerprint(Tables.documents(s, d), w = 4),
       Some(TextOps.winnowFingerprintSql("documents", w = 4)),
-      presentOrder = Seq("doc_id"))
+      presentOrder = Seq("doc_id")),
+
+    // MOSS pair detection on the winnowing prints: doc pairs sharing
+    // >= 3 selected hashes + containment permille. The sf0.01 corpus
+    // is bimodal (coincidence <= ~3 shared, planted near-dups 6-37),
+    // so the threshold separates; the selection guarantee means a
+    // shared >= w+k-1-token run cannot be missed. One hash-grain
+    // self-join over the ~5x-thinned print index (df cap is the
+    // production knob at crawl scale, as in the LSH index).
+    QueryDef("dedup_winnow_pairs",
+      (s, d) => TextOps.winnowPairs(Tables.documents(s, d), w = 4,
+        minShared = 3),
+      Some(TextOps.winnowPairsSql("documents", w = 4, minShared = 3)),
+      presentOrder = Seq("doc_a", "doc_b"))
   )
 }

@@ -16,6 +16,42 @@ class DedupSimSpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("pcaPower converges to a planted dominant axis") {
+    import spark.implicits._
+    // 40 vectors in R^4: strong variance along e2 (values ±0.5), weak
+    // noise elsewhere. The dominant eigenvector of G = Σ v vᵀ is ~e2,
+    // so after 4 rounds the iterate must put its max |component| (the
+    // 1e6 one) on dim 2 and small magnitudes elsewhere.
+    val vecs = (0 until 40).map { i =>
+      val s = if (i % 2 == 0) 0.5f else -0.5f
+      (i.toLong, Array(0.01f * (i % 3), s, 0.02f, -0.01f))
+    }.toDF("vec_id", "embedding")
+    val out = graft.ops.SimOps.pcaPower(vecs, dim = 4, rounds = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(math.abs(out(2)) === 1000000L, s"dominant axis: $out")
+    assert((1 to 4).filter(_ != 2).forall(d =>
+      math.abs(out(d)) < 200000L), s"minor axes too large: $out")
+  }
+
+  test("jlProjectionAudit: single-coordinate pairs are distortion-free") {
+    import spark.implicits._
+    // dv concentrated on ONE coordinate makes every projected component
+    // ±δ, so proj_d2 = p·δ² exactly and the ratio is exactly 1000 —
+    // a closed-form check of the whole integer pipeline. An identical
+    // pair must emit orig_d2 = 0 with a NULL ratio.
+    val z = Array.fill(4)(0f)
+    val vecs = Seq(
+      (0L, z), (1L, Array(0.5f, 0f, 0f, 0f)), (2L, Array(0.5f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.SimOps
+      .jlProjectionAudit(vecs, col("vec_id") < 3, p = 8, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out((0L, 1L)) === Some(1000L))
+    assert(out((0L, 2L)) === Some(1000L))
+    assert(out((1L, 2L)) === None)
+  }
+
   test("coresetFarthest: greedy picks the extremes, ties by lowest id") {
     import spark.implicits._
     // v0=(0,0) seeds (lowest id). v3=(10,10) is farthest (2e14 micro²).
