@@ -235,4 +235,71 @@ object SampleOps {
             AS est_contrib
         FROM r LEFT JOIN tau USING (grp) WHERE rn <= $k
         ORDER BY 1, 2"""
+
+  /** Pareto-frontier (skyline) document selection: keep every doc NOT
+    * dominated on the two maximize-objectives (o1 = token count,
+    * o2 = type-token ratio permille) — the multi-objective data
+    * selection a curation pipeline runs when "long" and "lexically
+    * diverse" trade off and any scalarization would bake in weights.
+    * q dominates p iff q ≥ p on both objectives and > on at least one;
+    * equal-point duplicates are mutually non-dominating and both stay.
+    *
+    * Scale shape — NO global sort and NO self-join: o1 is bucketed
+    * (width `bucketW`); the bucket-grain max-o2 table (dimension-tiny)
+    * gets a strict-upper cumulative max and broadcasts back. A doc in
+    * bucket b with o2 ≤ that upper max is dominated by some strictly-
+    * longer doc and is pruned BEFORE any window. Domination by a pruned
+    * doc implies domination by its (upper-bucket) pruner, so the
+    * surviving set is closed under the remaining checks, which are two
+    * PER-BUCKET windows (partitioned, parallel): max o2 over same-
+    * bucket strictly-greater o1 (integer RANGE frame on −o1), and max
+    * o2 over ties of o1. The classic one-reducer `ORDER BY o1` skyline
+    * sweep becomes bucket-local work exactly like
+    * [[SkewOps.prefixSums]] de-globalizes the running sum. */
+  def paretoFront(docs: DataFrame, bucketW: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("o1"),
+        expr("size(array_distinct(__t)) * 1000L div size(__t)").as("o2"))
+      .filter(col("o1") > 0L)
+      .withColumn("b", expr(s"o1 div $bucketW"))
+    val wUpper = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Bucket-grain (tiny): per-bucket max o2, then the running max over
+    // STRICTLY higher buckets. The single-partition window is over the
+    // bucket table, not the corpus — the k-means-summary discipline.
+    val upper = base.groupBy(col("b")).agg(max(col("o2")).as("mx"))
+      .withColumn("ub", max(col("mx")).over(wUpper))
+      .select(col("b"), coalesce(col("ub"), lit(-1L)).as("ub"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("o1n"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("b"), col("o1"))
+    base.join(broadcast(upper), "b")
+      .filter(col("o2") > col("ub"))
+      .withColumn("o1n", -col("o1"))
+      .withColumn("m1", max(col("o2")).over(wIn))
+      .withColumn("m2", max(col("o2")).over(wEq))
+      .filter(coalesce(col("m1"), lit(-1L)) < col("o2") &&
+        col("m2") === col("o2"))
+      .select(col("doc_id"), col("o1").as("n_tokens"),
+        col("o2").as("ttr_permille"))
+  }
+
+  /** Oracle twin of [[paretoFront]]: the definitional NOT EXISTS —
+    * gate equality proves the bucket-pruned window plan IS the
+    * skyline. */
+  def paretoFrontSql(table: String): String =
+    s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+          FROM $table),
+        b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS o1,
+                CAST(len(list_distinct(toks)) AS BIGINT) * 1000
+                  // len(toks) AS o2
+              FROM t WHERE len(toks) > 0)
+        SELECT p.doc_id, p.o1 AS n_tokens, p.o2 AS ttr_permille
+        FROM b p
+        WHERE NOT EXISTS (SELECT 1 FROM b q
+          WHERE q.o1 >= p.o1 AND q.o2 >= p.o2
+            AND (q.o1 > p.o1 OR q.o2 > p.o2))
+        ORDER BY p.doc_id"""
 }

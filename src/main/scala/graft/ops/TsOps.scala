@@ -176,4 +176,74 @@ object TsOps {
                CAST(slope AS BIGINT) AS slope_step_micro
         FROM m WHERE mr = (n_pairs + 1) // 2
         ORDER BY user_id"""
+
+  /** Holt double-exponential smoothing per user: the level+trend
+    * recursion (α = β = 1/4, l₁ = x₁, b₁ = 0)
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * — the one-step forecaster (f = l + b) dashboards run when a series
+    * has drift EWMA's flat level cannot follow. A left fold with a TWO-
+    * component state, which no window frame aggregate expresses: run as
+    * the [[graft.queries.EgvQueries]] EWMA pattern's array `aggregate`
+    * HOF over one per-user ordered collect. The fold fixes the operation
+    * order AND the duplicated l_t subexpression is the identical IEEE
+    * tree in both engines (neither lambda dialect has let-binding), so
+    * the gate needs no tolerance. One user-keyed exchange; state linear
+    * in the user's readings (retention-bounded).
+    *
+    * State is a 2-element DOUBLE ARRAY, not a struct: DuckDB 1.0's
+    * `list_reduce` evaluates a struct-building lambda field by field
+    * with the accumulator clobbered in between — the 'b' field sees the
+    * freshly computed 'l' where Spark's `aggregate` sees the previous
+    * one (probe: `(acc,s) -> {'l': acc.l+1000, 'b': acc.l}` over 3
+    * elements returns b = l = 2001). List accumulators fold correctly.
+    *
+    * `ev` must provide (user_id, sec, event_id, value<double>). */
+  def holt(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_readings"),
+        expr("""aggregate(
+            transform(
+              array_sort(collect_list(struct(sec, event_id, value))),
+              s -> s.value),
+            CAST(NULL AS ARRAY<DOUBLE>),
+            (acc, x) -> CASE WHEN acc IS NULL
+              THEN array(x, CAST(0.0 AS DOUBLE))
+              ELSE array(
+                x * CAST(0.25 AS DOUBLE)
+                  + (acc[0] + acc[1]) * CAST(0.75 AS DOUBLE),
+                (x * CAST(0.25 AS DOUBLE)
+                  + (acc[0] + acc[1]) * CAST(0.75 AS DOUBLE)
+                  - acc[0]) * CAST(0.25 AS DOUBLE)
+                  + acc[1] * CAST(0.75 AS DOUBLE)) END)""").as("st"))
+      .select(col("user_id"), col("n_readings"),
+        SimOps.quant4(expr("st[0]")).as("level"),
+        SimOps.quant4(expr("st[1]")).as("trend"),
+        SimOps.quant4(expr("st[0] + st[1]")).as("forecast"))
+
+  /** Oracle twin of [[holt]]: the identical fold via list-typed
+    * `list_reduce` (seeding with [x₁, 0] IS the l₁ = x₁, b₁ = 0 init),
+    * every constant CAST AS DOUBLE so DuckDB cannot bind DECIMAL
+    * arithmetic. See [[holt]] for why the state is a list. */
+  def holtSql(table: String): String =
+    s"""WITH o AS (SELECT user_id,
+          list(value::DOUBLE ORDER BY epoch(ts), event_id) AS xs,
+          CAST(count(*) AS BIGINT) AS n_readings
+         FROM $table GROUP BY user_id),
+        f AS (SELECT user_id, n_readings,
+          list_reduce(
+            list_transform(xs, x -> [x, CAST(0.0 AS DOUBLE)]),
+            (acc, s) -> [
+              s[1] * CAST(0.25 AS DOUBLE)
+                + (acc[1] + acc[2]) * CAST(0.75 AS DOUBLE),
+              (s[1] * CAST(0.25 AS DOUBLE)
+                + (acc[1] + acc[2]) * CAST(0.75 AS DOUBLE)
+                - acc[1]) * CAST(0.25 AS DOUBLE)
+                + acc[2] * CAST(0.75 AS DOUBLE)]) AS st
+         FROM o)
+        SELECT user_id, n_readings,
+          ${SimOps.quant4Sql("st[1]")} AS level,
+          ${SimOps.quant4Sql("st[2]")} AS trend,
+          ${SimOps.quant4Sql("st[1] + st[2]")} AS forecast
+        FROM f ORDER BY user_id"""
 }

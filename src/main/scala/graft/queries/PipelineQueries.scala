@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -29,6 +30,12 @@ object PipelineQueries {
     * than this many distinct sensitive values is homogeneity-attackable
     * even when it is k-anonymous. */
   val LDiv = 3
+
+  /** t-closeness bound in micro-units: a published class whose ordered
+    * sensitive-attribute distribution sits farther than this EMD from
+    * the corpus-wide distribution leaks attribute skew (Li et al.,
+    * ICDE 2007) even when k-anonymous AND l-diverse. */
+  val TClose = 250000L
 
   /** The k-anonymity generalization ladder as a reusable frame:
     * (doc_id, k_level, qi). See `pipeline_k_anonymity` for semantics. */
@@ -143,6 +150,79 @@ object PipelineQueries {
              |  CAST(count(DISTINCT sens) AS BIGINT) AS l_distinct,
              |  count(DISTINCT sens) >= $LDiv AS is_l_diverse
              | FROM sens GROUP BY 1, 2
+             | ORDER BY k_level, qi""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("k_level", "qi")),
+
+    // t-closeness audit — the third rung of the privacy ladder: a class
+    // can be k-anonymous AND l-diverse yet still leak (skewness attack:
+    // 90% of a class in one sensitive band tells the attacker plenty).
+    // Sensitive attribute = capped length band (ORDERED, so the right
+    // distance is Earth Mover's with unit ground distance = mean
+    // |cumulative difference|, Li et al. ICDE 2007). Exact integers:
+    // per-term micro probabilities by floor division, cumulated per
+    // class, |Δ| summed, divided by m−1. Shape at 100 TB: the class ×
+    // band grid is (classes · ≤16) rows — the doc scan contributes one
+    // (class, band)-keyed hash-agg; everything after is dimension-tiny.
+    QueryDef("pipeline_t_closeness",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ls = kAnonLadder(docs).join(
+          docs.select(col("doc_id"),
+            expr("least(n_chars div 500, 15)").as("sv")), Seq("doc_id"))
+        val svals = ls.groupBy(col("sv")).agg(count(lit(1)).as("g"))
+        val tot = svals.agg(sum(col("g")).as("n_total"),
+          count(lit(1)).as("m"))
+        val classes = ls.groupBy(col("k_level"), col("qi"))
+          .agg(count(lit(1)).as("class_size"))
+        val cls = ls.groupBy(col("k_level"), col("qi"), col("sv"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("k_level"), col("qi"))
+          .orderBy(col("sv"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        classes.crossJoin(broadcast(svals))
+          .join(cls, Seq("k_level", "qi", "sv"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("cp",
+            sum(expr("c * 1000000L div class_size")).over(w))
+          .withColumn("cq", sum(expr("g * 1000000L div n_total")).over(w))
+          .groupBy(col("k_level"), col("qi"), col("class_size"), col("m"))
+          .agg(sum(abs(col("cp") - col("cq"))).as("sad"))
+          .select(col("k_level"), col("qi"), col("class_size"),
+            expr("sad div greatest(m - 1, 1L)").as("t_micro"))
+          .withColumn("is_t_close", col("t_micro") <= TClose)
+      },
+      Some(s"""WITH $kAnonLadderCtes,
+             | sb AS (SELECT doc_id, least(n_chars // 500, 15) AS sv
+             |  FROM documents),
+             | ls AS (SELECT l.k_level, l.qi, s.sv
+             |  FROM lad l JOIN sb s ON l.doc_id = s.doc_id),
+             | svals AS (SELECT sv, CAST(count(*) AS BIGINT) AS g
+             |  FROM ls GROUP BY sv),
+             | tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total,
+             |   CAST(count(*) AS BIGINT) AS m FROM svals),
+             | classes AS (SELECT k_level, qi,
+             |   CAST(count(*) AS BIGINT) AS class_size
+             |  FROM ls GROUP BY 1, 2),
+             | cls AS (SELECT k_level, qi, sv,
+             |   CAST(count(*) AS BIGINT) AS c FROM ls GROUP BY 1, 2, 3),
+             | grid AS (SELECT cl.k_level, cl.qi, cl.class_size, s.sv,
+             |   s.g, COALESCE(c.c, 0) AS c
+             |  FROM classes cl CROSS JOIN svals s
+             |  LEFT JOIN cls c ON c.k_level = cl.k_level
+             |   AND c.qi = cl.qi AND c.sv = s.sv),
+             | cum AS (SELECT k_level, qi, class_size, m,
+             |   sum(c * 1000000 // class_size) OVER
+             |     (PARTITION BY k_level, qi ORDER BY sv) AS cp,
+             |   sum(g * 1000000 // n_total) OVER
+             |     (PARTITION BY k_level, qi ORDER BY sv) AS cq
+             |  FROM grid, tot)
+             | SELECT k_level, qi, class_size,
+             |  CAST(sum(abs(cp - cq)) // greatest(m - 1, 1) AS BIGINT)
+             |    AS t_micro,
+             |  CAST(sum(abs(cp - cq)) // greatest(m - 1, 1) AS BIGINT)
+             |    <= $TClose AS is_t_close
+             | FROM cum GROUP BY k_level, qi, class_size, m
              | ORDER BY k_level, qi""".stripMargin.replace("\n", "")),
       presentOrder = Seq("k_level", "qi")),
 

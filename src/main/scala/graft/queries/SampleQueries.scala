@@ -190,6 +190,20 @@ object SampleQueries {
         "doc_id", "n_chars", "source", "ps1", 8),
       Some(SampleOps.prioritySampleSql("documents",
         "doc_id", "n_chars", "source", "ps1", 8)),
-      presentOrder = Seq("source", "rank"))
+      presentOrder = Seq("source", "rank")),
+
+    // Pareto-frontier (skyline) selection on (token count, type-token
+    // ratio): the docs no other doc beats on BOTH length and lexical
+    // diversity — multi-objective data selection without baked-in
+    // scalarization weights. No global sort, no self-join: a
+    // dimension-tiny bucket max table prunes everything dominated from
+    // a strictly-higher bucket, then two PER-BUCKET windows finish the
+    // same-bucket checks (prune-closure argument in the Scaladoc).
+    // Oracle is the definitional NOT EXISTS.
+    QueryDef("sample_pareto_front",
+      (s, d) => SampleOps.paretoFront(Tables.documents(s, d),
+        bucketW = 32),
+      Some(SampleOps.paretoFrontSql("documents")),
+      presentOrder = Seq("doc_id"))
   )
 }

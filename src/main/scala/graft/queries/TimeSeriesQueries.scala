@@ -120,5 +120,18 @@ object TimeSeriesQueries {
         expr("CAST(floor(value * 1000 + 0.5) AS LONG)").as("vm")),
         window = 16),
       Some(TsOps.theilSenSql("events", window = 16)),
+      presentOrder = Seq("user_id")),
+
+    // Holt double-exponential smoothing: level + trend recursion
+    // (α = β = 1/4) as a struct-state left fold over one per-user
+    // ordered collect — the drift-following forecaster EWMA's flat
+    // level cannot be. Fixed fold order + identical IEEE expression
+    // trees (the duplicated l_t subexpression included) make the
+    // RECURSIVE two-component statistic gate with no tolerance.
+    QueryDef("ts_holt",
+      (s, d) => TsOps.holt(Tables.events(s, d)
+        .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+          col("event_id"), col("value"))),
+      Some(TsOps.holtSql("events")),
       presentOrder = Seq("user_id")))
 }

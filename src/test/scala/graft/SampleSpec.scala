@@ -136,4 +136,24 @@ class SampleSpec extends SparkSpec {
     assert(touts.forall(r =>
       r.getAs[Double]("est_contrib") == r.getAs[Long]("weight").toDouble))
   }
+
+  test("paretoFront: bucket-pruned skyline equals brute dominance; " +
+      "equal points both survive") {
+    import spark.implicits._
+    // (o1 = tokens, o2 = ttr permille):
+    //   d1 "a b c"    → (3, 1000)  dominated by d3/d5 (4, 1000)
+    //   d2 "a a b b"  → (4,  500)  dominated by d3/d5
+    //   d3 "a b c d"  → (4, 1000)  skyline (tied with d5 — both stay)
+    //   d4 "a a"      → (2,  500)  dominated
+    //   d5 "p q r s"  → (4, 1000)  skyline
+    //   d6 "a a b b c c x y" → (8, 750) skyline (longest; lower ttr)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a a b b"), (3L, "a b c d"),
+      (4L, "a a"), (5L, "p q r s"), (6L, "a a b b c c x y")
+    ).toDF("doc_id", "text")
+    // bucketW=2 forces the multi-bucket path (buckets 1, 2, 4).
+    val got = SampleOps.paretoFront(docs, bucketW = 2)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(3L, 5L, 6L))
+  }
 }

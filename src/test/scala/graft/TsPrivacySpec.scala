@@ -149,4 +149,43 @@ class TsPrivacySpec extends SparkSpec {
       assert(verdict === (lDist >= queries.PipelineQueries.LDiv))
     }
   }
+
+  test("holt: hand-derived level/trend recursion, init l1=x1 b1=0") {
+    import spark.implicits._
+    // Series 1, 5, 3 (α = β = 1/4):
+    //   init    l=1,      b=0
+    //   x=5:    l=5/4+3/4       = 2.0
+    //           b=(2−1)/4+0     = 0.25
+    //   x=3:    l=3/4+2.25·3/4  = 2.4375
+    //           b=(2.4375−2)/4+0.25·3/4 = 0.296875
+    // forecast = 2.734375; quant4 → 2.4375 / 0.2969 / 2.7344.
+    val ev = Seq((1L, 10L, 0L, 1.0), (1L, 20L, 1L, 5.0),
+      (1L, 30L, 2L, 3.0)).toDF("user_id", "sec", "event_id", "value")
+    val r = TsOps.holt(ev).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 3L)
+    assert(r(0).getDouble(2) === 2.4375)
+    assert(r(0).getDouble(3) === 0.2969)
+    assert(r(0).getDouble(4) === 2.7344)
+  }
+
+  test("t-closeness gate: EMD is bounded, zero only for global-shaped " +
+      "classes, and the verdict is the threshold compare") {
+    val out = Catalog.queries("pipeline_t_closeness")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (tMicro, verdict) = (r.getLong(3), r.getBoolean(4))
+      // EMD with unit ground distance over micro probabilities is in
+      // [0, 10^6]; the verdict is exactly the threshold compare.
+      assert(tMicro >= 0L && tMicro <= 1000000L, r)
+      assert(verdict === (tMicro <= queries.PipelineQueries.TClose), r)
+    }
+    // The whole-corpus distribution compared against itself must read
+    // t = 0: that is what a single all-docs class would publish, and
+    // the suppressed/level-2 classes that aggregate most of the corpus
+    // must sit well below a concentrated class. Sanity floor: at least
+    // one class is NOT distribution-identical to the corpus.
+    assert(out.exists(_.getLong(3) > 0L))
+  }
 }
