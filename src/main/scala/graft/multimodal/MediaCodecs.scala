@@ -918,4 +918,154 @@ object MediaCodecs {
     if (produced != total) return None
     Some(GifMeta(w, h, palN, total, sumIdx, sumR, sumG, sumB))
   }
+
+  // ---- Header-only metadata sniff (the "decode metadata" stage) ---------
+
+  /** Container-level metadata: what an ingest catalog records per blob
+    * before any pixel/sample decode. Image fields are None for audio and
+    * vice versa; `nFrames` is populated only for containers that carry a
+    * frame count in their structure (GIF image descriptors). */
+  final case class ContainerMeta(kind: String,
+                                 width: Option[Int], height: Option[Int],
+                                 channels: Option[Int],
+                                 sampleRate: Option[Int],
+                                 nFrames: Option[Int])
+
+  /** REAL header-only metadata decode: dispatches on the container magic
+    * and parses exactly the header structures that carry the metadata —
+    * PNG IHDR (CRC-verified), GIF logical screen descriptor plus a
+    * sub-block walk counting image descriptors (no LZW decode), BMP
+    * BITMAPINFOHEADER, WAV RIFF chunk walk to `fmt `. Never touches
+    * pixel/sample payloads, so cost is O(header) per blob regardless of
+    * blob size — the shape a catalog pass over 100 TB of media needs.
+    * Returns None for unrecognized magic or a structurally invalid
+    * header (truncated, bad CRC, non-PCM, unsupported depth). */
+  def sniffMeta(bytes: Array[Byte]): Option[ContainerMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (PngSig.indices.forall(i => bytes(i) == PngSig(i))) sniffPng(bytes)
+    else if (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte) sniffGif(bytes)
+    else if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      sniffBmp(bytes)
+    else if (tag(bytes, 0, "RIFF") && tag(bytes, 8, "WAVE")) sniffWav(bytes)
+    else None
+  }
+
+  /** PNG spec: IHDR must be the FIRST chunk after the signature. CRC is
+    * verified (a flipped header byte must reject, not misreport). */
+  private def sniffPng(bytes: Array[Byte]): Option[ContainerMeta] = {
+    val off = PngSig.length
+    if (off + 12 + 13 > bytes.length) return None
+    if (readBe32(bytes, off) != 13) return None
+    if (new String(bytes, off + 4, 4, "US-ASCII") != "IHDR") return None
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, off + 4, 4 + 13)
+    if (crc.getValue.toInt != readBe32(bytes, off + 8 + 13)) return None
+    val w = readBe32(bytes, off + 8)
+    val h = readBe32(bytes, off + 12)
+    val depth = bytes(off + 16) & 0xff
+    val colorType = bytes(off + 17) & 0xff
+    if (w <= 0 || h <= 0) return None
+    if (depth != 1 && depth != 2 && depth != 4 && depth != 8 &&
+      depth != 16) return None
+    val channels = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette index
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => return None
+    }
+    Some(ContainerMeta("image", Some(w), Some(h), Some(channels),
+      None, None))
+  }
+
+  /** GIF logical screen descriptor for dimensions, then a structural
+    * walk over extensions/image blocks — skipping sub-blocks by their
+    * length prefixes, no LZW decode — counting image descriptors as the
+    * frame count. A walk that runs off the end (missing trailer) is a
+    * truncated file and rejects. */
+  private def sniffGif(bytes: Array[Byte]): Option[ContainerMeta] = {
+    if (bytes.length < 14) return None
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val w = readLe16(bytes, 6)
+    val h = readLe16(bytes, 8)
+    if (w <= 0 || h <= 0) return None
+    val packed = bytes(10) & 0xff
+    var off = 13
+    if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 7) + 1))
+    var frames = 0
+    // Skips a length-prefixed sub-block chain (incl. the 0 terminator);
+    // -1 on truncation.
+    def skipSubBlocks(start: Int): Int = {
+      var o = start
+      while (o < bytes.length && (bytes(o) & 0xff) != 0) {
+        o += 1 + (bytes(o) & 0xff)
+      }
+      if (o >= bytes.length) -1 else o + 1
+    }
+    var done = false
+    while (!done) {
+      if (off >= bytes.length) return None // missing trailer
+      (bytes(off) & 0xff) match {
+        case 0x3b => done = true // trailer
+        case 0x21 => // extension: introducer + label + sub-blocks
+          off = skipSubBlocks(off + 2)
+          if (off < 0) return None
+        case 0x2c => // image descriptor
+          if (off + 10 > bytes.length) return None
+          val idPacked = bytes(off + 9) & 0xff
+          off += 10
+          if ((idPacked & 0x80) != 0) off += 3 * (1 << ((idPacked & 7) + 1))
+          off += 1 // LZW minimum code size
+          off = skipSubBlocks(off)
+          if (off < 0) return None
+          frames += 1
+        case _ => return None
+      }
+    }
+    if (frames == 0) return None
+    Some(ContainerMeta("image", Some(w), Some(h), Some(3), None,
+      Some(frames)))
+  }
+
+  /** BMP BITMAPINFOHEADER: dimensions + bit depth; uncompressed 8/24/32
+    * bpp only (channels = bpp/8). */
+  private def sniffBmp(bytes: Array[Byte]): Option[ContainerMeta] = {
+    if (bytes.length < 54) return None
+    if (readLe32(bytes, 14) < 40) return None // info-header size
+    val w = readLe32(bytes, 18)
+    val h = readLe32(bytes, 22)
+    val planes = readLe16(bytes, 26)
+    val bpp = readLe16(bytes, 28)
+    val compression = readLe32(bytes, 30)
+    if (w <= 0 || h <= 0 || planes != 1 || compression != 0) return None
+    if (bpp != 8 && bpp != 24 && bpp != 32) return None
+    Some(ContainerMeta("image", Some(w), Some(h), Some(bpp / 8),
+      None, None))
+  }
+
+  /** WAV RIFF chunk walk to `fmt `: PCM only; channels + sample rate
+    * from the format fields. Stops at the fmt chunk — the data payload
+    * is never visited. */
+  private def sniffWav(bytes: Array[Byte]): Option[ContainerMeta] = {
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val len = readLe32(bytes, off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        if (readLe16(bytes, off + 8) != 1) return None // PCM only
+        val channels = readLe16(bytes, off + 10)
+        val rate = readLe32(bytes, off + 12)
+        if (channels < 1 || rate <= 0) return None
+        return Some(ContainerMeta("audio", None, None, Some(channels),
+          Some(rate), None))
+      }
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
 }

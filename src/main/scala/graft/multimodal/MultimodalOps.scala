@@ -8,17 +8,18 @@ import org.apache.spark.sql.types._
   * columns with typed metadata structs, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * Codec status: WAV (RIFF/PCM), BMP, and PNG (zlib DEFLATE + full
-  * filter reconstruction) decode are REAL — parsed by [[MediaCodecs]]
-  * with no library beyond java.util.zip, gated end to end by
-  * `mm_wav_decode`/`mm_bmp_decode`/`mm_png_decode`. LOSSY compressed
-  * formats (JPEG/MP4) need codec libraries this environment lacks, so
-  * the remaining `*Stub` operators are clearly-marked deterministic fakes deriving
-  * plausible metadata/features from the bytes via stable arithmetic. For
-  * the stubs the Spark-side contract — schema, binary column handling,
-  * partition-batched execution shape, null/short-input behavior — is
-  * real and tested; swap the stub body for a codec call (e.g.
-  * javax.imageio / ffmpeg bindings) without touching any plan structure.
+  * Codec status: WAV (RIFF/PCM), BMP, PNG (zlib DEFLATE + full filter
+  * reconstruction), and GIF (variable-width LZW) decode are REAL —
+  * parsed by [[MediaCodecs]] with no library beyond java.util.zip,
+  * gated end to end by `mm_wav_decode`/`mm_bmp_decode`/`mm_png_decode`/
+  * `mm_gif_decode` — as are the header-only metadata sniff
+  * ([[decodeMeta]]) and pixel-block feature extraction
+  * ([[extractFeatures]]). The one remaining stub is video frame
+  * sampling ([[frameSampleStub]]): LOSSY video (MP4) needs codec
+  * libraries this environment lacks, so frames are fixed-size byte
+  * slices — the Spark-side contract (schema, binary handling, explode
+  * shape) is real and tested; swap the slice for a codec call (e.g.
+  * ffmpeg bindings) without touching any plan structure.
   *
   * Scale design: per-partition batched processing via `mapPartitions`
   * (the JVM analog of arrow-batched pandas UDFs): media bytes never pass
@@ -38,75 +39,73 @@ object MultimodalOps {
     StructField("sample_rate", IntegerType),  // audio only
     StructField("n_frames", IntegerType)))    // video only
 
-  case class MediaFeature(mediaId: Long, nBytes: Int, checksum: Long,
-                          feature: Array[Float])
+  case class MediaMetaRow(docId: Long, kind: String,
+                          width: Option[Int], height: Option[Int],
+                          channels: Option[Int], sampleRate: Option[Int],
+                          nFrames: Option[Int])
 
-  /** STUB decode — deterministic fake metadata from the blob bytes.
-    * Real implementation would parse the container header. Expressed as
-    * narrow column ops (codegen-friendly), so the fake is also
-    * SQL-expressible for the oracle gate. */
-  def decodeImageMetaStub(bytesCol: String): org.apache.spark.sql.Column = {
-    // ??? real codec goes here; fake: dimensions from byte length + first byte.
-    val n = length(col(bytesCol))
-    struct(
-      lit("image").as("kind"),
-      (n % 640 + 16).cast("int").as("width"),
-      (pmod(ascii(substring(col(bytesCol).cast("string"), 1, 1)), lit(480)) + 16).cast("int").as("height"),
-      lit(3).cast("int").as("channels"),
-      lit(null).cast("int").as("sample_rate"),
-      lit(null).cast("int").as("n_frames"))
-  }
-
-  /** STUB feature extraction — partition-batched `mapPartitions` with an
-    * explicit batch size: the real implementation would hand each batch of
-    * blobs to a native/codec library in one call (amortizing per-call
-    * overhead), which is exactly the shape this preserves. The fake
-    * derives a `dim`-wide float vector from a 60-bit md5 checksum of the
-    * bytes, with power-of-two scaling so every component is exactly
-    * representable — the fake is therefore bit-reproducible in ANY engine
-    * (md5 + integer shifts + exact float arithmetic), letting the oracle
-    * gate check this operator's output end to end. */
-  def extractFeaturesStub(media: DataFrame, idCol: String, bytesCol: String,
-                          dim: Int = 8, batchSize: Int = 64): Dataset[MediaFeature] = {
+  /** REAL metadata decode: [[MediaCodecs.sniffMeta]] dispatches on the
+    * container magic and parses only the header structures — PNG IHDR
+    * (CRC-verified), GIF logical screen descriptor + frame-count block
+    * walk, BMP info header, WAV fmt chunk. Blobs whose header is
+    * unrecognized or structurally invalid are DROPPED (the
+    * filter-invalid contract of an ingest decode stage, same as
+    * [[decodeWav]]). Narrow map, cost O(header) per blob — payload
+    * bytes are never visited, so this is the catalog pass you can run
+    * over 100 TB of media. */
+  def decodeMeta(media: DataFrame, idCol: String,
+                 bytesCol: String): Dataset[MediaMetaRow] = {
     import media.sparkSession.implicits._
     media.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        rows.grouped(batchSize).flatMap { batch =>
-          // ??? real batched codec/model call goes here; deterministic fake:
-          batch.map { case (id, bytes) =>
-            val bs = if (bytes == null) Array.empty[Byte] else bytes
-            val hex = md.digest(bs).map("%02x".format(_)).mkString.take(15)
-            val acc = java.lang.Long.parseLong(hex, 16) // 60-bit, positive
-            val feat = Array.tabulate(dim) { i =>
-              ((acc >>> (i * 7)) & 0xffff).toFloat / 65536f * 2f - 1f
-            }
-            MediaFeature(id, bs.length, acc, feat)
-          }
+        rows.flatMap { case (id, bytes) =>
+          MediaCodecs.sniffMeta(bytes).map(m =>
+            MediaMetaRow(id, m.kind, m.width, m.height, m.channels,
+              m.sampleRate, m.nFrames))
         }
       }
   }
 
-  /** STUB resize — keeps the plumbing honest: output is again a binary
-    * column + updated metadata; the fake truncates bytes proportionally. */
-  def resizeStub(media: DataFrame, bytesCol: String, metaCol: String,
-                 newWidth: Int, newHeight: Int): DataFrame = {
-    // ??? real resample goes here; fake keeps a proportional prefix.
-    media
-      .withColumn("__scale",
-        least(lit(1.0), lit(newWidth * newHeight).cast("double") /
-          (col(s"$metaCol.width") * col(s"$metaCol.height"))))
-      .withColumn(bytesCol,
-        expr(s"substring($bytesCol, 1, greatest(1, CAST(length($bytesCol) * __scale AS INT)))"))
-      .withColumn(metaCol, struct(
-        col(s"$metaCol.kind"),
-        lit(newWidth).cast("int").as("width"),
-        lit(newHeight).cast("int").as("height"),
-        col(s"$metaCol.channels"),
-        col(s"$metaCol.sample_rate"),
-        col(s"$metaCol.n_frames")))
-      .drop("__scale")
+  case class MediaFeature(mediaId: Long, nBytes: Int, feature: Array[Long])
+
+  /** REAL feature extraction — partition-batched `mapPartitions` with an
+    * explicit batch size (the shape that would hand each batch of blobs
+    * to a codec/model library in one call, amortizing per-call
+    * overhead). Features come from the ACTUAL decoded pixels: the
+    * R-channel grid from [[MediaCodecs.bmpGrayR]] (bottom-up flip + row
+    * padding applied) is split into `dim` contiguous equal blocks in
+    * row-major order (block of pixel i = i·dim div n) and each feature
+    * is that block's floor-divided integer mean — integer-exact, so an
+    * analytic oracle over the pixel formula still gates it, and a
+    * one-pixel change moves its block's feature. Rows that are not
+    * valid 24-bit BMPs are dropped (filter-invalid contract). */
+  def extractFeatures(media: DataFrame, idCol: String, bytesCol: String,
+                      dim: Int = 8, batchSize: Int = 64): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            MediaCodecs.bmpGrayR(bytes).map { px =>
+              val n = px.length
+              val sums = new Array[Long](dim)
+              val counts = new Array[Long](dim)
+              var i = 0
+              while (i < n) {
+                val b = ((i.toLong * dim) / n).toInt
+                sums(b) += px(i)
+                counts(b) += 1
+                i += 1
+              }
+              val feat = Array.tabulate(dim)(b =>
+                if (counts(b) == 0) 0L else sums(b) / counts(b))
+              MediaFeature(id, bytes.length, feat)
+            }
+          }
+        }
+      }
   }
 
   /** STUB frame sampling — video blob → every k-th "frame" (fixed-size

@@ -96,6 +96,11 @@ object GraphOps {
     * costs at most `rounds` × (one scan of the shrinking graph). */
   def kCore(nodes: DataFrame, edges: DataFrame, k: Int,
             rounds: Int): DataFrame = {
+    // `alive` is only assigned inside the peel loop, and kCoreSql
+    // emits broken SQL for rounds < 1 — fail loudly up front instead
+    // of an NPE at the final join.
+    require(rounds >= 1, s"kCore needs rounds >= 1, got $rounds")
+    require(k >= 1, s"kCore needs k >= 1, got $k")
     var e = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -497,8 +502,15 @@ object GraphOps {
       .withColumn("deg_in", coalesce(col("deg_in"), lit(0L)))
       .select(col("label"), col("n_nodes"), col("e_within"),
         col("deg_out"), col("deg_in"),
-        expr("((e_within * 1000000) div m) - " +
-          "((deg_out * deg_in * 1000000) div (m * m))")
+        // Products in DECIMAL(38,0) (the TextOps BM25 pattern):
+        // deg_out·deg_in·10⁶ wraps Int64 once m exceeds ~3e6 edges —
+        // Spark's non-ANSI arithmetic would wrap silently while the
+        // DuckDB twin raises. Quotients are ≤10⁶ so the result is a
+        // safe BIGINT.
+        expr("CAST((CAST(e_within AS DECIMAL(38,0)) * 1000000) div m" +
+          " AS BIGINT) - " +
+          "CAST((CAST(deg_out AS DECIMAL(38,0)) * deg_in * 1000000) div" +
+          " (CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)")
           .as("q_contrib_micro"))
   }
 
@@ -527,9 +539,9 @@ object GraphOps {
           COALESCE(e_within, 0) AS e_within,
           COALESCE(deg_out, 0) AS deg_out,
           COALESCE(deg_in, 0) AS deg_in,
-          ((COALESCE(e_within, 0) * 1000000) // m) -
-            ((COALESCE(deg_out, 0) * COALESCE(deg_in, 0) * 1000000)
-              // (m * m)) AS q_contrib_micro
+          CAST(((COALESCE(e_within, 0)::HUGEINT * 1000000) // m) -
+            ((COALESCE(deg_out, 0)::HUGEINT * COALESCE(deg_in, 0) * 1000000)
+              // (m::HUGEINT * m)) AS BIGINT) AS q_contrib_micro
         FROM nn LEFT JOIN w USING (label) LEFT JOIN outd USING (label)
           LEFT JOIN ind USING (label) CROSS JOIN m
         ORDER BY nn.label"""

@@ -1728,17 +1728,22 @@ object SimOps {
     var x = Array.fill(dim)(1000000L)
     var r = 0
     while (r < rounds) {
+      // Accumulate G·x in BigInt: Gram entries scale with corpus size
+      // (|G| up to n·2²⁰) so the per-component sum can exceed Int64
+      // for corpora beyond ~1.4e5 vectors; the oracle already runs
+      // this product in HUGEINT, and a silent Long wrap here would
+      // diverge engines exactly at the advertised scale.
       val y = Array.tabulate(dim) { i =>
-        var acc = 0L
+        var acc = BigInt(0)
         var j = 0
-        while (j < dim) { acc += g(i)(j) * x(j); j += 1 }
+        while (j < dim) { acc += BigInt(g(i)(j)) * x(j); j += 1 }
         acc
       }
-      val m = y.map(math.abs).max
-      if (m > 0L)
+      val m = y.map(_.abs).max
+      if (m > 0)
         x = y.map(v =>
-          if (v < 0) -((BigInt(-v) * 1000000) / m).toLong
-          else ((BigInt(v) * 1000000) / m).toLong)
+          if (v < 0) -((-v * 1000000) / m).toLong
+          else ((v * 1000000) / m).toLong)
       r += 1
     }
     spark.createDataFrame(x.toIndexedSeq.zipWithIndex.map {

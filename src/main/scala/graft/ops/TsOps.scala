@@ -85,7 +85,13 @@ object TsOps {
     ev
       .withColumn("n_readings", count(lit(1)).over(wAll))
       .withColumn("__sv", sum(col("vm")).over(wAll))
-      .withColumn("mean_milli", expr("__sv div n_readings"))
+      // Floor division (nonneg-residue identity, as in theilSen):
+      // Spark's `div` truncates toward zero while DuckDB's `//`
+      // floors; they disagree whenever the milli-value sum is
+      // negative, which would cascade into dev, S, and is_shift.
+      .withColumn("mean_milli",
+        expr("(__sv - ((__sv % n_readings) + n_readings) % n_readings)" +
+          " div n_readings"))
       .withColumn("dev", col("vm") - col("mean_milli"))
       .withColumn("s", sum(col("dev")).over(wRun))
       .withColumn("sum_abs_dev", sum(abs(col("dev"))).over(wAll))

@@ -544,17 +544,56 @@ object MultimodalQueries {
              | FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
-    // Decode-metadata stub over blobs: narrow map, no shuffle.
+    // REAL metadata decode over REAL container bytes: per doc, one of
+    // the four real containers (BMP / PNG / GIF / WAV by doc_id % 4) is
+    // synthesized with header fields derived from (doc_id, n_chars),
+    // then decodeMeta sniffs the magic and parses ONLY the header
+    // structures (PNG IHDR CRC-verified, GIF logical screen descriptor
+    // + frame-count walk, BMP info header, WAV fmt chunk — payload
+    // never visited, the O(header) catalog pass 100 TB of media needs).
+    // The oracle recomputes every field analytically from the same
+    // formulas, so a dispatch or header-offset bug cannot match.
+    // Malformed-header rejection is pinned by MultimodalSpec.
     QueryDef("mm_decode_meta",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("bytes", col("text").cast("binary"))
-        .withColumn("meta", MultimodalOps.decodeImageMetaStub("bytes"))
-        .select(col("doc_id"), length(col("bytes")).as("n_bytes"),
-          col("meta.kind").as("kind"), col("meta.width").as("width"),
-          col("meta.height").as("height")),
-      Some("""SELECT doc_id, CAST(len(text) AS INT) AS n_bytes, 'image' AS kind,
-             | CAST(len(text) % 640 + 16 AS INT) AS width,
-             | CAST(ascii(substr(text, 1, 1)) % 480 + 16 AS INT) AS height
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val bytes = (id % 4).toInt match {
+              case 0 => graft.multimodal.MediaCodecs.buildBmp(
+                (id % 21 + 4).toInt, (nc % 17 + 3).toInt, 1, 2, 3)
+              case 1 => graft.multimodal.MediaCodecs.buildPng(
+                (id % 13 + 4).toInt, (nc % 11 + 3).toInt,
+                (x, y) => ((x + y) % 256, 0, 0))
+              case 2 => graft.multimodal.MediaCodecs.buildGif(
+                (id % 9 + 4).toInt, (nc % 7 + 3).toInt,
+                (x, y) => (x + y) % 256)
+              case _ => graft.multimodal.MediaCodecs.buildWav(
+                (8000 + (id % 3) * 4000).toInt, (1 + id % 2).toInt,
+                Array.fill((nc % 50 + 2).toInt)(100.toShort))
+            }
+            (id, bytes)
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.decodeMeta(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("kind"),
+            col("width"), col("height"), col("channels"),
+            col("sampleRate").as("sample_rate"),
+            col("nFrames").as("n_frames"))
+      },
+      Some("""SELECT doc_id,
+             | CASE WHEN doc_id % 4 = 3 THEN 'audio' ELSE 'image' END AS kind,
+             | CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 21 + 4
+             |   WHEN 1 THEN doc_id % 13 + 4 WHEN 2 THEN doc_id % 9 + 4
+             |   END AS INT) AS width,
+             | CAST(CASE doc_id % 4 WHEN 0 THEN n_chars % 17 + 3
+             |   WHEN 1 THEN n_chars % 11 + 3 WHEN 2 THEN n_chars % 7 + 3
+             |   END AS INT) AS height,
+             | CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2
+             |   ELSE 3 END AS INT) AS channels,
+             | CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 3) * 4000
+             |   END AS INT) AS sample_rate,
+             | CAST(CASE WHEN doc_id % 4 = 2 THEN 1 END AS INT) AS n_frames
              | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
@@ -644,30 +683,55 @@ object MultimodalQueries {
              | FROM w ORDER BY doc_id, win""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "win")),
 
-    // Feature-extraction stub via partition-batched mapPartitions. The
-    // fake is a 60-bit md5 checksum + power-of-two-scaled float
-    // components — bit-reproducible in DuckDB (md5 + integer shifts +
-    // exact float arithmetic), so the batched-UDF plumbing is checked by
-    // the full oracle gate, feature values included (emitted as scalar
-    // float columns; documents.text is pure ASCII so VARCHAR md5 ==
-    // binary md5).
+    // REAL feature extraction via partition-batched mapPartitions:
+    // per-doc gradient BMPs decoded by the real parser (bottom-up flip
+    // + row padding), the R-channel pixel sequence split into 8
+    // contiguous row-major blocks, each feature the block's
+    // floor-divided integer mean. The oracle brute-forces the pixel
+    // grid from the same formula (doc × range(w) × range(h)) and
+    // reproduces block assignment (idx·8 // n) and the floor means —
+    // the Spark side never sees the formula, only the bytes, so any
+    // decode/flip/padding/blocking bug breaks the gate. n_bytes is the
+    // REAL container size (54 + padded-row stride · h), checking the
+    // builder's size arithmetic too. A one-pixel flip moving its
+    // block's feature is pinned by MultimodalSpec.
     QueryDef("mm_embed_features",
-      (s, d) => MultimodalOps.extractFeaturesStub(
-          Tables.documents(s, d).withColumn("bytes", col("text").cast("binary")),
-          "doc_id", "bytes")
-        .toDF()
-        .select(Seq(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
-          col("checksum")) ++
-          (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i")): _*),
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (id % 21 + 4).toInt
+            val h = (nc % 17 + 3).toInt
+            (id, graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
+              (x, y) => {
+                val v = ((x * 7 + y * 13 + id) % 256).toInt
+                (v, v, v)
+              }))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.extractFeatures(blobs, "doc_id", "bytes")
+          .toDF()
+          .select(Seq(col("mediaId").as("media_id"),
+            col("nBytes").as("n_bytes")) ++
+            (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i")): _*)
+      },
       Some {
         val fs = (0 until 8).map(i =>
-          s"CAST(((checksum >> ${i * 7}) & 65535) / 65536.0 * 2 - 1 AS FLOAT) AS f$i")
+          s"CAST(max(CASE WHEN blk = $i THEN f END) AS BIGINT) AS f$i")
           .mkString(", ")
-        s"""WITH c AS (SELECT doc_id AS media_id, CAST(len(text) AS INT) AS n_bytes,
-            CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS checksum
-            FROM documents)
-            SELECT media_id, n_bytes, checksum, $fs
-            FROM c ORDER BY media_id"""
+        s"""WITH p AS (SELECT doc_id, doc_id % 21 + 4 AS w,
+            n_chars % 17 + 3 AS h FROM documents),
+           gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+           pix AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM gx),
+           v AS (SELECT doc_id, ((y * w + x) * 8) // (w * h) AS blk,
+             (x * 7 + y * 13 + doc_id) % 256 AS v FROM pix),
+           b AS (SELECT doc_id, blk, sum(v) // count(*) AS f
+             FROM v GROUP BY doc_id, blk),
+           nb AS (SELECT doc_id,
+             CAST(54 + ((3 * w + 3) // 4) * 4 * h AS INT) AS n_bytes FROM p)
+           SELECT b.doc_id AS media_id, nb.n_bytes, $fs
+           FROM b JOIN nb ON b.doc_id = nb.doc_id
+           GROUP BY b.doc_id, nb.n_bytes ORDER BY media_id"""
       },
       presentOrder = Seq("media_id"))
   )

@@ -335,6 +335,11 @@ class DedupSimSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
     (1L to 4L).foreach(n => assert(out(n) === ((0, 0L)), s"node $n"))
     (5L to 7L).foreach(n => assert(out(n) === ((1, 2L)), s"node $n"))
+    // Invalid bounds fail loudly up front, not as an NPE mid-plan.
+    intercept[IllegalArgumentException](
+      GraphOps.kCore(nodes, edges, k = 2, rounds = 0))
+    intercept[IllegalArgumentException](
+      GraphOps.kCore(nodes, edges, k = 0, rounds = 8))
     // Convergence on the gate corpus: one MORE round changes nothing,
     // so the gated rounds=8 output is the true k-core, not a truncation.
     graft.catalyst.GraftFunctions.register(spark)

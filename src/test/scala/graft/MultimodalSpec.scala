@@ -16,38 +16,94 @@ class MultimodalSpec extends SparkSpec {
       .withColumn("bytes", col("payload").cast("binary"))
   }
 
-  test("decode stub emits typed metadata with stable dimensions") {
-    val widths = media.withColumn("meta", MultimodalOps.decodeImageMetaStub("bytes"))
-      .select("media_id", "meta.width").collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toMap
-    assert(widths === Map(1L -> 116, 2L -> (1000 % 640 + 16), 3L -> 16))
+  test("sniffMeta: real headers across all four containers; payload-" +
+    "independent fields") {
+    val bmp = MediaCodecs.buildBmp(7, 5, 10, 20, 30)
+    val png = MediaCodecs.buildPng(6, 4, (x, y) => (x, y, 0))
+    val gif = MediaCodecs.buildGif(5, 3, (x, y) => (x + y) % 256)
+    val wav = MediaCodecs.buildWav(12000, 2, Array[Short](1, -1, 2, -2))
+    assert(MediaCodecs.sniffMeta(bmp) ===
+      Some(MediaCodecs.ContainerMeta("image", Some(7), Some(5), Some(3),
+        None, None)))
+    assert(MediaCodecs.sniffMeta(png) ===
+      Some(MediaCodecs.ContainerMeta("image", Some(6), Some(4), Some(3),
+        None, None)))
+    assert(MediaCodecs.sniffMeta(gif) ===
+      Some(MediaCodecs.ContainerMeta("image", Some(5), Some(3), Some(3),
+        None, Some(1))))
+    assert(MediaCodecs.sniffMeta(wav) ===
+      Some(MediaCodecs.ContainerMeta("audio", None, None, Some(2),
+        Some(12000), None)))
   }
 
-  test("feature extractor: deterministic, batch-shaped, null-safe, fixed dim") {
-    val a = MultimodalOps.extractFeaturesStub(media, "media_id", "bytes", dim = 8, batchSize = 2)
+  test("sniffMeta: malformed headers REJECT — wrong magic, truncation, " +
+    "flipped IHDR byte (CRC), non-PCM WAV, unsupported BMP depth") {
+    assert(MediaCodecs.sniffMeta(null).isEmpty)
+    assert(MediaCodecs.sniffMeta("not a container".getBytes).isEmpty)
+    val png = MediaCodecs.buildPng(6, 4, (x, y) => (x, y, 0))
+    // Truncated mid-IHDR.
+    assert(MediaCodecs.sniffMeta(png.take(20)).isEmpty)
+    // Flip a width byte inside IHDR: CRC must catch it — a sniffer
+    // that skips CRC would happily misreport the width.
+    val bad = png.clone(); bad(19) = (bad(19) ^ 0x01).toByte
+    assert(MediaCodecs.sniffMeta(bad).isEmpty)
+    // GIF missing its trailer is a truncated file.
+    val gif = MediaCodecs.buildGif(5, 3, (x, y) => x % 256)
+    assert(MediaCodecs.sniffMeta(gif.dropRight(1)).isEmpty)
+    // WAV with a non-PCM format code.
+    val wav = MediaCodecs.buildWav(8000, 1, Array[Short](0, 1))
+    val comp = wav.clone(); comp(20) = 2 // fmt audioFormat = ADPCM
+    assert(MediaCodecs.sniffMeta(comp).isEmpty)
+    // BMP with 16 bpp (unsupported depth).
+    val bmp = MediaCodecs.buildBmp(4, 3, 1, 2, 3)
+    val b16 = bmp.clone(); b16(28) = 16
+    assert(MediaCodecs.sniffMeta(b16).isEmpty)
+  }
+
+  test("decodeMeta drops undecodable blobs, keeps real ones") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, MediaCodecs.buildBmp(7, 5, 10, 20, 30)),
+      (2L, "garbage bytes here".getBytes),
+      (3L, MediaCodecs.buildWav(8000, 1, Array[Short](5, -5))))
+      .toDF("media_id", "bytes")
+    val out = MultimodalOps.decodeMeta(rows, "media_id", "bytes")
+      .collect().map(m => m.docId -> m.kind).toMap
+    assert(out === Map(1L -> "image", 3L -> "audio"))
+  }
+
+  test("extractFeatures: real pixel features — batch-size invariant, " +
+    "one flipped pixel moves its block's feature") {
+    import spark.implicits._
+    val w = 4; val h = 3 // 12 pixels -> 8 blocks of 1-2 pixels
+    val base = MediaCodecs.buildBmpGradient(w, h,
+      (x, y) => { val v = (x * 7 + y * 13) % 256; (v, v, v) })
+    // Flip pixel (0, 0)'s R channel to 255: bmpGrayR index 0 -> block 0.
+    val flipped = MediaCodecs.buildBmpGradient(w, h,
+      (x, y) => {
+        val v = if (x == 0 && y == 0) 255 else (x * 7 + y * 13) % 256
+        (v, v, v)
+      })
+    val df = Seq((1L, base), (2L, flipped), (3L, "junk".getBytes))
+      .toDF("media_id", "bytes")
+    val a = MultimodalOps.extractFeatures(df, "media_id", "bytes",
+        dim = 8, batchSize = 2)
       .collect().map(f => f.mediaId -> f).toMap
-    val b = MultimodalOps.extractFeaturesStub(media, "media_id", "bytes", dim = 8, batchSize = 64)
+    val b = MultimodalOps.extractFeatures(df, "media_id", "bytes",
+        dim = 8, batchSize = 64)
       .collect().map(f => f.mediaId -> f).toMap
-    // batch size must not change results
-    assert(a.keySet === b.keySet)
+    assert(a.keySet === Set(1L, 2L)) // junk dropped
     for (id <- a.keySet) {
-      assert(a(id).checksum === b(id).checksum)
       assert(a(id).feature.toSeq === b(id).feature.toSeq)
       assert(a(id).feature.length === 8)
-      assert(a(id).feature.forall(f => f >= -1f && f <= 1f))
     }
-    assert(a(3L).nBytes === 0) // empty blob handled
-    assert(a(1L).checksum !== a(2L).checksum)
-  }
-
-  test("resize stub shrinks bytes and rewrites metadata") {
-    val withMeta = media.filter(col("media_id") === 2L)
-      .withColumn("meta", MultimodalOps.decodeImageMetaStub("bytes"))
-    val resized = MultimodalOps.resizeStub(withMeta, "bytes", "meta", 16, 16)
-      .select(length(col("bytes")).as("n"), col("meta.width"), col("meta.height"))
-      .collect().head
-    assert(resized.getInt(1) === 16 && resized.getInt(2) === 16)
-    assert(resized.getInt(0) < 1000 && resized.getInt(0) >= 1)
+    // Pixels drive the features: the flipped pixel lives in block 0 and
+    // only blocks containing it may move.
+    assert(a(1L).feature(0) !== a(2L).feature(0))
+    // Analytic check of block 0 (pixels 0..1 of 12 -> indices 0 and 1):
+    // base values 0 and 7 -> mean 3; flipped 255 and 7 -> mean 131.
+    assert(a(1L).feature(0) === 3L)
+    assert(a(2L).feature(0) === 131L)
   }
 
   test("frame sampling explodes every k-th fixed-size frame") {

@@ -107,6 +107,20 @@ class TsPrivacySpec extends SparkSpec {
     assert(out(2L) === ((4L, 5000L, 5000L, 10L, false)))
   }
 
+  test("cusum: negative milli-sum mean FLOORS (DuckDB // parity), " +
+    "not truncates") {
+    import spark.implicits._
+    // values -1, -1, -1 (milli): sum -3, n 2... use sum -3 over n 2:
+    // values -1 and -2: sum -3, floor(-3/2) = -2 (truncation gives -1).
+    // devs: -1-(-2)=1, -2-(-2)=0; S = 1, 1; mass 1; peak at first row.
+    val out = TsOps.cusum(Seq(
+        (9L, ts(1), 0L, -1L), (9L, ts(2), 1L, -2L))
+        .toDF("user_id", "ts", "event_id", "vm"), 4)
+      .collect().head
+    assert(out.getLong(2) === -2L)   // floored mean, engine-parity
+    assert(out.getLong(3) === 1L)    // peak S under the floored mean
+  }
+
   test("modularity: two triangles + bridge, unlabeled node excluded") {
     import spark.implicits._
     // Directed triangles {0,1,2} and {3,4,5}, bridge 2->3; node 6 is
