@@ -152,12 +152,26 @@ object DedupOps {
     * RAREST shingles, so the per-shingle fan-out df² concentrates on
     * low-df shingles by construction (the structural opposite of the
     * hot-shingle risk the df cap exists for), then one pair-keyed count
-    * for the exact verify. At crawl scale PPJoin's positional
-    * upper-bound filter tightens the candidate set further; this
-    * implementation keeps the simpler complete prefix + length filters. */
+    * for the exact verify. PPJoin's POSITIONAL upper-bound filter
+    * (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08) prunes candidates before that verify join with
+    * zero recall loss: both docs order shingles by the same global
+    * (df, h) key, so at the pair's FIRST common shingle — positions
+    * (pa, pb), nothing common before it — the overlap is at most
+    * 1 + min(na − pa, nb − pb) (one for the match plus whatever follows
+    * it in each set); pairs whose bound already misses the required
+    * overlap c·(tNum+tDen) >= tNum·(na+nb) never reach the verify. The
+    * dedup over prefix-join multi-matches becomes a min_by aggregate
+    * (same shuffle as the old distinct, map-side combinable), so the
+    * filter is free shuffle-wise and strictly shrinks the verify join. */
   def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
                         tNum: Long = 3, tDen: Long = 5): DataFrame = {
-    val toks = shingleInv(docs, textCol, idCol).distinct()
+    // Materialize the distinct shingle index ONCE: five consumers read
+    // it (df agg, size agg, the ordering window, both verify-join
+    // sides) and without the checkpoint each one re-runs the tokenize +
+    // explode + md5 + distinct pipeline — the most expensive scan in
+    // the query — from the raw text.
+    val toks = shingleInv(docs, textCol, idCol).distinct().localCheckpoint()
     val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
     val sized = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ordered = toks.join(dfreq, "h")
@@ -168,15 +182,26 @@ object DedupOps {
     val prefix = ordered.filter(
       col("pos") <= col("n") -
         expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
-      .select(col("doc_id"), col("h"), col("n"))
+      .select(col("doc_id"), col("h"), col("df"), col("pos"), col("n"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
         lit(tNum) * col("a.n") <= lit(tDen) * col("b.n") &&
         lit(tNum) * col("b.n") <= lit(tDen) * col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .distinct()
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.df").as("df"), col("a.h").as("h"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      // One row per pair at its FIRST common prefix shingle in the
+      // global (df, h) order — the occurrence where the positional
+      // bound is valid (no common shingle precedes it).
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(min_by(struct(col("pa"), col("pb")),
+        struct(col("df"), col("h"))).as("fp"))
+      .filter((lit(1) +
+        least(col("na") - col("fp.pa"), col("nb") - col("fp.pb"))) *
+        lit(tNum + tDen) >= lit(tNum) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
     cand
       .join(toks.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("h")),
