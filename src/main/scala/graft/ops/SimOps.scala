@@ -1283,6 +1283,185 @@ object SimOps {
           FROM banded)
         WHERE rank <= $n ORDER BY query_id, rank"""
 
+  /** Graph-navigating ANN — the NSW/HNSW family's base-layer search
+    * (Malkov & Yashunin, "Efficient and robust approximate nearest
+    * neighbor search using Hierarchical Navigable Small World graphs",
+    * TPAMI'18) re-expressed as batch beam search over the corpus k-NN
+    * graph: start every query at the same `entries` hash-ordered entry
+    * points, then for `rounds` rounds expand the per-query beam (the
+    * `beam` best NEW nodes by exact cosine) through the symmetrized
+    * adjacency, finally rank everything VISITED and keep the top k.
+    * Greedy navigation converges to the query's neighborhood in
+    * O(diameter) rounds because k-NN edges shrink distance
+    * monotonically in expectation — the same reason HNSW's base layer
+    * works.
+    *
+    * Determinism: entry choice is the engine-wide md5 hash order (the
+    * IVF-init rule), scores are 6-dp-rounded cosines with vec_id
+    * tie-breaks everywhere, so the unrolled-CTE oracle replays the
+    * exact search. Recall < 1 by construction (a neighbor unreachable
+    * within `rounds` beam hops is missed) — floor-gated in
+    * [[recallAudit]].
+    *
+    * Scale shape: per round, ONE frontier→adjacency equi-join (frontier
+    * is beam·|queries| slim rows), one anti-join against the visited
+    * set, one candidate-sized exact-scoring join (embeddings fetched by
+    * id — never scanned), one per-query WindowGroupLimit; every
+    * round state is localCheckpoint'ed (the bfsLayers discipline) so
+    * lineage stays flat. Nothing ever touches corpus² — cost is
+    * O(rounds · beam · degree · |queries|). */
+  def topKGraphBeam(vectors: DataFrame, queryPred: Column, k: Int,
+                    edges: DataFrame, beam: Int, rounds: Int,
+                    entries: Int, salt: String = "nsw"): DataFrame = {
+    require(rounds >= 1 && beam >= 1 && entries >= 1,
+      s"topKGraphBeam needs rounds/beam/entries >= 1, got " +
+        s"$rounds/$beam/$entries")
+    val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
+      "embedding", "vn")
+    val queries = v.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("vn").as("qn"))
+    // Checkpoint the directed edge list BEFORE symmetrizing: the union
+    // of two selects over the live LSH-built plan re-runs that build
+    // twice and carries its constraints into Union rewriting.
+    val dir = edges
+      .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+      .localCheckpoint()
+    val adj = dir
+      .unionAll(dir.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .repartition(col("u")) // rounds re-join on u; shuffle adj ONCE
+      .localCheckpoint()
+    val ent = v
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(entries)
+      .select(col("vec_id"))
+    // The query's OWN node stays in the walk (it scores 1.0, tops the
+    // beam, and its neighborhood is exactly where the answers are —
+    // excluding it here would wall off anything only reachable through
+    // it); it is dropped from the final ranking instead.
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v, "vec_id")
+        .join(broadcast(queries), "query_id")
+        .withColumn("score",
+          round(expr("array_dot(q, embedding)") / (col("qn") * col("vn")), 6))
+        .select(col("query_id"), col("vec_id"), col("score"))
+    def topBeam(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= beam)
+        .select(col("query_id"), col("vec_id"))
+    }
+    // Visited state is a LIST of checkpointed layer leaves, unioned
+    // fresh per use (the bfsLayers discipline) — checkpointing a
+    // union-of-unions instead trips Union constraint rewriting on the
+    // shared-lineage attribute ids and grows the plan besides.
+    var layers = List(score(
+        queries.select(col("query_id")).crossJoin(broadcast(ent)))
+      .localCheckpoint())
+    var frontier = topBeam(layers.head).localCheckpoint()
+    // Re-alias every output before a union: checkpointed leaves carry
+    // constraints naming pre-checkpoint attribute ids, which crashes
+    // Union constraint rewriting (key-not-found in the optimizer); a
+    // fresh Project rewrites constraints onto new ids and drops the
+    // foreign ones.
+    def scrub(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    var r = 0
+    while (r < rounds) {
+      val visited = layers.map(l =>
+          scrub(l.select(col("query_id"), col("vec_id"))))
+        .reduce(_ unionAll _)
+      val cand = frontier.as("f").join(adj.as("a"),
+          col("f.vec_id") === col("a.u"))
+        .select(col("f.query_id").as("query_id"), col("a.v").as("vec_id"))
+        .distinct()
+      val fresh = cand.join(visited, Seq("query_id", "vec_id"), "left_anti")
+      val scored = score(fresh).localCheckpoint()
+      layers = scored :: layers
+      frontier = topBeam(scored).localCheckpoint()
+      r += 1
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val all = layers.map(scrub).reduce(_ unionAll _)
+    // RDD round-trip: sever the union's constraint set entirely before
+    // the final rank — see the scrub comment; the rows here are
+    // rounds·beam·degree·|queries| slim triples, so the conversion is
+    // noise.
+    val spark = vectors.sparkSession
+    spark.createDataFrame(all.rdd, all.schema)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        quant4(col("score")).as("cosine"))
+  }
+
+  /** Oracle twin of [[topKGraphBeam]]: the identical entry choice, beam
+    * rounds, and rankings unrolled as chained MATERIALIZED CTEs (each
+    * vis/fr layer is referenced twice downstream — materialization
+    * keeps the chain linear, the kCore/bfsLayers oracle pattern). */
+  def topKGraphBeamSql(table: String, queryPredSql: String, k: Int,
+                       knnK: Int, tables: Seq[Seq[Seq[Double]]],
+                       beam: Int, rounds: Int, entries: Int,
+                       salt: String = "nsw"): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH er AS MATERIALIZED (
+          SELECT query_id, neighbor_id
+          FROM (${topKLshMultiSql(table, "TRUE", knnK, tables)}) e0),
+        adj AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+          SELECT query_id AS u, neighbor_id AS v FROM er
+          UNION ALL
+          SELECT neighbor_id AS u, query_id AS v FROM er) s),
+        vv AS MATERIALIZED (SELECT vec_id, embedding FROM $table),
+        qq AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS q
+          FROM vv WHERE $queryPredSql),
+        ent AS MATERIALIZED (SELECT vec_id FROM vv
+          ORDER BY ${graft.ops.TextOps.hash64Sql(
+            s"'$salt' || CAST(vec_id AS VARCHAR)")}, vec_id
+          LIMIT $entries),
+        vis0 AS MATERIALIZED (
+          SELECT query_id, vv.vec_id,
+                 round(${cosineSql("q", "embedding")}, 6) AS score
+          FROM qq CROSS JOIN ent JOIN vv ON vv.vec_id = ent.vec_id),
+        fr0 AS MATERIALIZED (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rk
+          FROM vis0) z WHERE rk <= $beam)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        cand$r AS (SELECT DISTINCT f.query_id, a.v AS vec_id
+          FROM fr${r - 1} f JOIN adj a ON f.vec_id = a.u),
+        new$r AS MATERIALIZED (
+          SELECT c.query_id, c.vec_id,
+                 round(${cosineSql("q", "embedding")}, 6) AS score
+          FROM cand$r c JOIN vv ON vv.vec_id = c.vec_id
+               JOIN qq ON qq.query_id = c.query_id
+          WHERE NOT EXISTS (SELECT 1 FROM vis${r - 1} w
+            WHERE w.query_id = c.query_id AND w.vec_id = c.vec_id)),
+        vis$r AS MATERIALIZED (
+          SELECT * FROM vis${r - 1} UNION ALL SELECT * FROM new$r),
+        fr$r AS MATERIALIZED (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rk
+          FROM new$r) z WHERE rk <= $beam)""")
+    }
+    sb.append(s"""
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+          SELECT query_id, vec_id AS neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS INT) AS rank,
+                 ${quant4Sql("score")} AS cosine
+          FROM vis$rounds WHERE vec_id <> query_id) z
+        WHERE rank <= $k ORDER BY query_id, rank""")
+    sb.toString
+  }
+
   /** Recall@k regression gate for the two approximate indexes: joins each
     * approximate top-k to the brute-force exact top-k and emits per-method
     * (matched, total, recall, meets_floor). The oracle twin recomputes the
@@ -1297,7 +1476,9 @@ object SimOps {
                   pqM: Int, pqK: Int, dim: Int, pqShortlist: Int,
                   lshFloor: Double, ivfFloor: Double,
                   pqFloor: Double, ivfpqFloor: Double,
-                  ivfTrainRounds: Int = 0): DataFrame = {
+                  ivfTrainRounds: Int = 0,
+                  graphParams: Option[(Int, Int, Int, Int, Double)] = None)
+  : DataFrame = {
     // persist: all four method branches join against the same exact
     // top-k; without it the all-pairs brute scan re-executes per branch.
     val bruteK = topKBruteForce(vectors, queryPred, k)
@@ -1315,7 +1496,7 @@ object SimOps {
           quant4(col("matched").cast("double") / col("total").cast("double")))
         .select(lit(name).as("method"), col("matched"), col("total"),
           col("recall"), (col("recall") >= floor).as("meets_floor"))
-    one("ivf", topKIvf(vectors, queryPred, k, c, nprobe,
+    val base = one("ivf", topKIvf(vectors, queryPred, k, c, nprobe,
         trainRounds = ivfTrainRounds, dim = dim), ivfFloor)
       .union(one("lsh", topKLshMulti(vectors, queryPred, k, tables), lshFloor))
       .union(one("pq",
@@ -1323,12 +1504,32 @@ object SimOps {
       .union(one("ivfpq",
         topKIvfPq(vectors, queryPred, k, c, nprobe, pqM, pqK, dim,
           pqShortlist, trainRounds = ivfTrainRounds), ivfpqFloor))
+    graphParams.fold(base) { case (knnK, beam, rounds, entries, floor) =>
+      base.union(one("graph",
+        topKGraphBeam(vectors, queryPred, k,
+          knnEdgesCached(vectors, knnK, tables), beam, rounds, entries),
+        floor))
+    }
   }
 
   def recallAuditSql(table: String, queryPredSql: String, k: Int,
                      tables: Seq[Seq[Seq[Double]]], c: Int, nprobe: Int,
                      pqM: Int, pqK: Int, dim: Int, pqShortlist: Int,
-                     ivfTrainRounds: Int = 0): String =
+                     ivfTrainRounds: Int = 0,
+                     graphParams: Option[(Int, Int, Int, Int)] = None)
+  : String = {
+    val graphCte = graphParams.fold("") { case (knnK, beam, rounds, ent) =>
+      s""",
+        graphk AS (SELECT * FROM (${topKGraphBeamSql(table, queryPredSql,
+          k, knnK, tables, beam, rounds, ent)}) tg)"""
+    }
+    val graphArm = if (graphParams.isEmpty) "" else
+      s"""UNION ALL
+          SELECT 'graph' AS method,
+                 CAST(count(a.neighbor_id) AS BIGINT) AS matched,
+                 CAST(count(*) AS BIGINT) AS total
+          FROM brute b LEFT JOIN graphk a USING (query_id, neighbor_id)
+          """
     s"""WITH brute AS (SELECT * FROM (${topKBruteForceSql(table, queryPredSql, k)}) tb),
         ivfk AS (SELECT * FROM (${topKIvfSql(table, queryPredSql, k, c, nprobe,
                   trainRounds = ivfTrainRounds, dim = dim)}) ti),
@@ -1337,7 +1538,7 @@ object SimOps {
                   pqM, pqK, dim, pqShortlist)}) tp),
         ivfpqk AS (SELECT * FROM (${topKIvfPqSql(table, queryPredSql, k,
                   c, nprobe, pqM, pqK, dim, pqShortlist,
-                  trainRounds = ivfTrainRounds)}) tq),
+                  trainRounds = ivfTrainRounds)}) tq)$graphCte,
         m AS (
           SELECT 'ivf' AS method,
                  CAST(count(a.neighbor_id) AS BIGINT) AS matched,
@@ -1357,12 +1558,14 @@ object SimOps {
           SELECT 'ivfpq' AS method,
                  CAST(count(a.neighbor_id) AS BIGINT) AS matched,
                  CAST(count(*) AS BIGINT) AS total
-          FROM brute b LEFT JOIN ivfpqk a USING (query_id, neighbor_id))
+          FROM brute b LEFT JOIN ivfpqk a USING (query_id, neighbor_id)
+          $graphArm)
         SELECT method, matched, total,
                ${quant4Sql("CAST(matched AS DOUBLE) / CAST(total AS DOUBLE)")}
                  AS recall,
                TRUE AS meets_floor
         FROM m ORDER BY method"""
+  }
 
   /** Lloyd's k-means over the embedding column — the trainer behind
     * [[topKIvf]]'s coarse quantizer (via [[kmeansCentroidsMicro]]) and

@@ -356,6 +356,47 @@ class DedupSimSpec extends SparkSpec {
     assert(snap(8) === snap(9), "peel must have converged within 8 rounds")
   }
 
+  test("topKGraphBeam: exhaustive budget on a connected graph equals " +
+    "brute force; bounded budget misses unreachable neighborhoods; " +
+    "invalid knobs reject") {
+    import spark.implicits._
+    import graft.ops.SimOps
+    graft.catalyst.GraftFunctions.register(spark)
+    // 12 unit vectors on a circle: cosine falls with angular distance,
+    // so vec i's true nearest neighbors are i±1, i±2, … A chain i—i+1
+    // is then a perfect navigable graph.
+    val n = 12
+    val vecs = (0 until n).map { i =>
+      val th = 2.0 * math.Pi * i / (4.0 * n) // quarter arc: all cos > 0
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("vec_id", "embedding")
+    val chain = (0 until n - 1)
+      .map(i => (i.toLong, (i + 1).toLong))
+      .toDF("query_id", "neighbor_id")
+    val brute = SimOps.topKBruteForce(vecs, col("vec_id") < 3, 4)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    // Budget that can walk the whole chain from any entry: must be
+    // EXACT (identical ranks), and deterministic across runs.
+    def full = SimOps.topKGraphBeam(vecs, col("vec_id") < 3, 4, chain,
+        beam = n, rounds = n, entries = 2)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    val a = full
+    assert(a === brute)
+    assert(a === full)
+    // One round from the hash-chosen entries cannot reach everything —
+    // the approximate regime still returns SOMETHING for each query but
+    // not the exact set (the recall < 1 contract).
+    val low = SimOps.topKGraphBeam(vecs, col("vec_id") < 3, 4, chain,
+        beam = 1, rounds = 1, entries = 1)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    assert(low.nonEmpty)
+    assert(low !== brute)
+    intercept[IllegalArgumentException](
+      SimOps.topKGraphBeam(vecs, col("vec_id") < 3, 4, chain, 0, 1, 1))
+    intercept[IllegalArgumentException](
+      SimOps.topKGraphBeam(vecs, col("vec_id") < 3, 4, chain, 1, 0, 1))
+  }
+
   test("connectedComponents: driver fast path and distributed path agree") {
     import spark.implicits._
     val rnd2 = new scala.util.Random(7)
