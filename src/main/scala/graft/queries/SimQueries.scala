@@ -21,18 +21,19 @@ object SimQueries {
     * one ~n/64 bucket cannot even fill k. Floor gated by
     * `sim_recall_audit`. */
   val LshTabs = SimOps.lshTables(tables = 8, planes = 4, dim = 64)
-  /** IVF coarse quantizer: 16 cells, 4 probed per query (~25% of the
-    * corpus scanned — recall/latency knob). Cells are k-means-TRAINED
-    * (4 exact-integer Lloyd rounds on NORMALIZED vectors, hash-seeded
-    * init) rather than a raw vector sample: trained cells track the
-    * data distribution, so the same nprobe budget scans better-matched
-    * candidates. Training reads at most 256·c hash-ordered vectors
-    * (`SimOps.IvfTrainCap` — the FAISS sample rule), so train cost is
-    * corpus-size-free. Measured recall@10: untrained sample 0.50 at
-    * sf0.01; trained ivf 0.65 / 0.56 / 0.58 (ivfpq 0.57 at sf0.1,
-    * else equal) at sf0.001/0.01/0.1. */
-  val Cells = 16
-  val NProbe = 4
+  /** IVF coarse quantizer: 32 cells, 10 probed per query (~31% of the
+    * corpus scanned). Cells are k-means-TRAINED (4 exact-integer Lloyd
+    * rounds on NORMALIZED vectors, hash-seeded init) rather than a raw
+    * vector sample: trained cells track the data distribution, so the
+    * same nprobe budget scans better-matched candidates. Training reads
+    * at most 256·c hash-ordered vectors (`SimOps.IvfTrainCap` — the
+    * FAISS sample rule), so train cost is corpus-size-free. The
+    * `IvfSweep` drive showed FINER cells at a fixed scan fraction are
+    * the recall lever (25% scan: 16/4 = 0.56 vs 32/8 = 0.69 at sf0.01)
+    * while extra train rounds are flat; 32/10 measured recall@10
+    * 0.71 / 0.73 / 0.69 at sf0.001/0.01/0.1 (old 16/4: 0.65/0.56/0.58). */
+  val Cells = 32
+  val NProbe = 10
   val IvfTrainRounds = 4
   /** PQ-ADC search index: 16 subspaces × 32 centroids on the normalized
     * corpus, 100-deep ADC shortlist exactly re-ranked (measured recall@10
@@ -70,21 +71,23 @@ object SimQueries {
     * readable. */
   val KmK = 8
   val KmRounds = 2
-  /** Recall floors: comfortably below measured (0.67 lsh / 0.56+ ivf /
+  /** Recall floors: comfortably below measured (0.67 lsh / 0.69+ ivf /
     * 0.95 pq) so corpus jitter passes, high enough that a cratered index
     * fails. The ivf/ivfpq floors rose 0.35/0.30 → 0.45/0.40 when the
-    * trained coarse quantizer landed. */
+    * trained coarse quantizer landed, then 0.45 → 0.6 with the finer
+    * 32-cell quantizer. */
   val LshFloor = 0.5
-  val IvfFloor = 0.45
+  val IvfFloor = 0.6
   val PqFloor = 0.7
   /** Comfortably below the measured 0.94 sf0.1 worst case, far above
     * a cratered navigation (degree-5 without the self-node-in-walk fix
     * measured 0.53). */
   val GraphFloor = 0.7
   /** IVF-PQ: recall is bounded above by the IVF cell pruning (measured
-    * ≈ ivf's); the PQ-ADC shortlist inside probed cells costs ~nothing
-    * at this corpus/shortlist ratio. */
-  val IvfPqFloor = 0.4
+    * ≈ ivf's — 0.71/0.73/0.66 across SFs on the 32-cell quantizer); the
+    * PQ-ADC shortlist inside probed cells costs ~nothing at this
+    * corpus/shortlist ratio. */
+  val IvfPqFloor = 0.55
 
   val defs: Seq[QueryDef] = Seq(
 
