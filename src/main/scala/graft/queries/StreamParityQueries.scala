@@ -182,6 +182,55 @@ object StreamParityQueries {
              |       WHEN pv = value THEN 'unchanged'
              |       ELSE 'changed' END AS status
              | FROM g ORDER BY event_id""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("event_id"))
+      presentOrder = Seq("event_id")),
+
+    // Batch twin of StatefulOps.streamingKAnon — the LIVE rung of the
+    // privacy ladder (pipeline_k_anonymity audits a closed corpus; a
+    // live publisher must suppress-until-k): per level-0 QI class
+    // (source|lang|1k-char band) in doc_id arrival order, the first
+    // k−1 records are held and released together by the k-th arrival
+    // (released_by = that doc); later members publish immediately
+    // (released_by = self); classes never reaching k emit nothing.
+    // Shape: one QI-keyed window pair, output bounded by published
+    // docs. The streaming op reproduces exactly these rows across
+    // micro-batch splits of an id-ordered feed (StreamingSpec parity);
+    // its state is at most k−1 ids + a flag per class — O(classes·k),
+    // corpus-size-free.
+    QueryDef("stream_k_anon",
+      (s, d) => {
+        val k = PipelineQueries.KAnon
+        val dc = Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("|", col("source"), col("lang"),
+            expr("n_chars div 1000")).as("qi"))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qi")).orderBy(col("doc_id"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qi"))
+        dc.withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("kth",
+            max(when(col("rn") === k, col("doc_id"))).over(wAll))
+          .filter(col("n") >= k)
+          .select(col("doc_id"), col("qi"),
+            when(col("rn") <= k, col("kth")).otherwise(col("doc_id"))
+              .as("released_by"))
+      },
+      Some(s"""WITH dc AS (SELECT doc_id,
+             |   source || '|' || lang || '|' || (n_chars // 1000) AS qi
+             |  FROM documents),
+             | r AS (SELECT doc_id, qi,
+             |   row_number() OVER (PARTITION BY qi ORDER BY doc_id) AS rn,
+             |   count(*) OVER (PARTITION BY qi) AS n
+             |  FROM dc),
+             | r2 AS (SELECT *,
+             |   max(CASE WHEN rn = ${PipelineQueries.KAnon} THEN doc_id END)
+             |     OVER (PARTITION BY qi) AS kth
+             |  FROM r)
+             | SELECT doc_id, qi,
+             |  CASE WHEN rn <= ${PipelineQueries.KAnon} THEN kth
+             |       ELSE doc_id END AS released_by
+             | FROM r2 WHERE n >= ${PipelineQueries.KAnon}
+             | ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id"))
   )
 }

@@ -373,6 +373,52 @@ object StatefulOps {
       }
   }
 
+  case class QiDoc(qi: String, docId: Long)
+  case class KAnonRelease(docId: Long, qi: String, releasedBy: Long)
+  case class HeldDocs(held: List[Long], published: Boolean)
+
+  /** Streaming twin of the gated `stream_k_anon` — the LIVE
+    * suppress-until-k rung of the privacy ladder
+    * (`pipeline_k_anonymity` etc. audit a closed corpus; a live
+    * publisher must instead HOLD each arriving record until its
+    * quasi-identifier class is safe to publish): the first k−1 records
+    * of a class buffer in keyed state; the k-th arrival releases the
+    * whole buffer at once (every one of those rows carries
+    * `releasedBy` = the k-th doc), and every later member publishes
+    * immediately (releasedBy = itself). Records of classes that never
+    * reach k are never emitted — exactly the batch query's n ≥ k
+    * filter.
+    *
+    * State per class is at most k−1 held ids + a published flag —
+    * O(classes·k) total, corpus-size-free, the bound that makes this
+    * runnable forever. Intra-batch order is docId asc (the arrival
+    * contract), so any micro-batch split of an id-ordered feed
+    * reproduces the batch rows exactly (StreamingSpec parity). */
+  def streamingKAnon(docs: Dataset[QiDoc], k: Int): Dataset[KAnonRelease] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.qi)
+      .flatMapGroupsWithState[HeldDocs, KAnonRelease](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (qi: String, rows: Iterator[QiDoc], state: GroupState[HeldDocs]) =>
+          val sorted = rows.toSeq.sortBy(_.docId)
+          val out = scala.collection.mutable.ArrayBuffer.empty[KAnonRelease]
+          var st = state.getOption.getOrElse(HeldDocs(Nil, published = false))
+          for (r <- sorted) {
+            if (st.published) out += KAnonRelease(r.docId, qi, r.docId)
+            else {
+              val held = r.docId :: st.held
+              if (held.length >= k) {
+                held.reverse.foreach(d => out += KAnonRelease(d, qi, r.docId))
+                st = HeldDocs(Nil, published = true)
+              } else st = HeldDocs(held, published = false)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class CdcUpdate(userId: Long, eventType: String, sec: Long,
                        eventId: Long, value: Double)
   case class CdcRow(userId: Long, eventType: String, eventId: Long,

@@ -1017,6 +1017,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.toMap === batch)
   }
 
+  test("streaming k-anonymity suppress-until-k equals the batch gate " +
+    "across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{KAnonRelease, QiDoc}
+    val dir = "/root/testdata/sf0.001"
+    val batch = Catalog.queries("stream_k_anon")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("qi"), r.getAs[Long]("released_by")))).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .select(concat_ws("|", col("source"), col("lang"),
+        expr("n_chars div 1000")).as("qi"), col("doc_id"))
+      .orderBy("doc_id").collect()
+      .map(r => QiDoc(r.getString(0), r.getLong(1)))
+    val got = scala.collection.mutable.Map[Long, (String, Long)]()
+    val in = MemoryStream[QiDoc]
+    val q = graft.streaming.StatefulOps
+      .streamingKAnon(in.toDS(), graft.queries.PipelineQueries.KAnon)
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[KAnonRelease], _: Long) =>
+        ds.collect().foreach(r => got(r.docId) = (r.qi, r.releasedBy))
+      }.start()
+    val third = docs.length / 3
+    in.addData(docs.take(third): _*); q.processAllAvailable()
+    in.addData(docs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(docs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    // Same published rows, same release attribution — and nothing from
+    // a below-k class leaked.
+    assert(got.size === batch.size)
+    assert(got.toMap === batch)
+  }
+
   test("streaming EWMA snapshot is bit-equal to the batch fold across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
