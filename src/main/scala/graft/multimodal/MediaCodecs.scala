@@ -948,7 +948,37 @@ object MediaCodecs {
     else if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
       sniffBmp(bytes)
     else if (tag(bytes, 0, "RIFF") && tag(bytes, 8, "WAVE")) sniffWav(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      sniffJpeg(bytes)
     else None
+  }
+
+  /** JPEG marker walk to the first SOFn (any DCT process — frame
+    * geometry is defined identically for baseline and progressive):
+    * height/width/component count from the frame header. Payload
+    * entropy data is never visited. */
+  private def sniffJpeg(bytes: Array[Byte]): Option[ContainerMeta] = {
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val marker = bytes(off + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS first
+      val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      if (len < 2 || off + 2 + len > bytes.length) return None
+      val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      if (isSof) {
+        if (len < 8) return None
+        val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
+        val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
+        val n = bytes(off + 9) & 0xff
+        if (w <= 0 || h <= 0 || n < 1 || n > 4) return None
+        return Some(ContainerMeta("image", Some(w), Some(h), Some(n),
+          None, None))
+      }
+      off += 2 + len
+    }
+    None
   }
 
   /** PNG spec: IHDR must be the FIRST chunk after the signature. CRC is
@@ -1045,6 +1075,510 @@ object MediaCodecs {
     Some(ContainerMeta("image", Some(w), Some(h), Some(bpp / 8),
       None, None))
   }
+
+  // ---- JPEG (baseline sequential DCT, ITU T.81) -------------------------
+
+  final case class JpegMeta(width: Int, height: Int, nComp: Int,
+                            sumR: Long, sumG: Long, sumB: Long)
+
+  /** Canonical Huffman table (T.81 annex C): symbols assigned
+    * consecutive codes per length, shorter lengths first. Decoding
+    * walks bit-by-bit tracking the running code against each length's
+    * first-code/count (the classic serial decoder — fine for this
+    * codec's test-scale use). */
+  private final class JpegHuff(counts: Array[Int], symbols: Array[Int]) {
+    // firstCode(l), firstIndex(l) for code lengths 1..16
+    private val firstCode = new Array[Int](17)
+    private val firstIdx = new Array[Int](17)
+    locally {
+      var code = 0
+      var idx = 0
+      var l = 1
+      while (l <= 16) {
+        firstCode(l) = code
+        firstIdx(l) = idx
+        code += counts(l - 1)
+        idx += counts(l - 1)
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Decodes one symbol from the bit reader; -1 on invalid code. */
+    def decode(br: JpegBits): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val b = br.bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        val n = counts(l - 1)
+        if (n > 0 && code - firstCode(l) < n)
+          return symbols(firstIdx(l) + (code - firstCode(l)))
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with 0xFF00
+    * byte-stuffing removal; restart markers are consumed by `restart()`
+    * (byte-align + skip FFD0–FFD7). */
+  private final class JpegBits(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= data.length) return -1
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= data.length) return -1
+          val m = data(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed FF
+          else return -1 // marker inside entropy data (handled via restart())
+          b = 0xff
+        }
+        acc = b
+        nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = bit()
+        if (b < 0) return Int.MinValue
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+    /** T.81 F.2.2.1 EXTEND: maps a received magnitude to its signed
+      * value. */
+    def extend(v: Int, n: Int): Int =
+      if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+    /** Byte-aligns and consumes an expected RSTn marker. False if the
+      * next marker is not FFD0–FFD7. */
+    def restart(): Boolean = {
+      nBits = 0
+      if (pos + 2 > data.length) return false
+      if ((data(pos) & 0xff) != 0xff) return false
+      val m = data(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      true
+    }
+  }
+
+  /** T.81 zigzag order: zigzagOrder(i) = raster index of the i-th
+    * zigzag coefficient. */
+  private val zigzagOrder: Array[Int] = {
+    val z = new Array[Int](64)
+    var (x, y, i) = (0, 0, 0)
+    var up = true
+    while (i < 64) {
+      z(i) = y * 8 + x
+      i += 1
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+    }
+    z
+  }
+
+  /** Separable 2-D inverse DCT (T.81 A.3.3) in double precision with a
+    * StrictMath-built basis table — bit-deterministic across JVMs and
+    * well inside the T.83 accuracy bound (reference decoders agree to
+    * ±1 per sample). `in` is the dequantized raster-order block; output
+    * is level-shifted (+128) clamped samples. */
+  private val idctBasis: Array[Double] = {
+    val t = new Array[Double](64) // t(u*8+x) = c(u)/2 · cos((2x+1)uπ/16)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = cu / 2.0 *
+          StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+  private def idct8x8(in: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: 1-D IDCT over u for each row y of coeffs
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += idctBasis(u * 8 + x) * in(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](64)
+    var x = 0
+    while (x < 8) { // columns
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += idctBasis(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
+        val px = StrictMath.round(s).toInt + 128
+        out(yy * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        yy += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  /** REAL baseline-JPEG decode to packed RGB (grayscale replicated):
+    * marker walk (DQT/SOF0/DHT/DRI/SOS, APPn/COM skipped), canonical
+    * Huffman entropy decode with byte-stuffing and restart handling,
+    * dequantization in zigzag order, exact separable IDCT, nearest-
+    * neighbor chroma upsampling, integer JFIF YCbCr→RGB. Returns
+    * (width, height, nComp, rgb) with rgb(y·w+x) = 0xRRGGBB; None for
+    * anything that is not a well-formed 8-bit baseline sequential scan
+    * (progressive SOF2, arithmetic coding, 12-bit, truncation, bad
+    * codes all reject). Cross-validated both directions against the
+    * JDK's independent ImageIO codec in MultimodalSpec. */
+  def jpegRgb(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    val qt = new Array[Array[Int]](4) // quant tables, raster order
+    val dcT = new Array[JpegHuff](4)
+    val acT = new Array[JpegHuff](4)
+    var width = 0
+    var height = 0
+    var nComp = 0
+    // per component: id, h, v, tq; scan: dcSel, acSel
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var compId: Array[Int] = null
+    var restartInterval = 0
+    var off = 2
+    var sosAt = -1
+    var dcSel: Array[Int] = null
+    var acSel: Array[Int] = null
+    while (sosAt < 0) {
+      if (off + 4 > bytes.length) return None
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val marker = bytes(off + 1) & 0xff
+      val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      if (off + 2 + len > bytes.length || len < 2) return None
+      val seg = off + 4
+      val segLen = len - 2
+      marker match {
+        case 0xdb => // DQT
+          var p = seg
+          while (p < seg + segLen) {
+            val pq = (bytes(p) & 0xf0) >> 4
+            val tq = bytes(p) & 0x0f
+            if (tq > 3) return None
+            p += 1
+            val t = new Array[Int](64)
+            if (pq == 0) {
+              if (p + 64 > seg + segLen) return None
+              var i = 0
+              while (i < 64) { t(zigzagOrder(i)) = bytes(p + i) & 0xff; i += 1 }
+              p += 64
+            } else if (pq == 1) {
+              if (p + 128 > seg + segLen) return None
+              var i = 0
+              while (i < 64) {
+                t(zigzagOrder(i)) = ((bytes(p + 2 * i) & 0xff) << 8) |
+                  (bytes(p + 2 * i + 1) & 0xff)
+                i += 1
+              }
+              p += 128
+            } else return None
+            qt(tq) = t
+          }
+        case 0xc0 => // SOF0 baseline
+          if (segLen < 6) return None
+          val prec = bytes(seg) & 0xff
+          if (prec != 8) return None
+          height = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+          width = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+          nComp = bytes(seg + 5) & 0xff
+          if (width <= 0 || height <= 0) return None
+          if (nComp != 1 && nComp != 3) return None
+          if (segLen < 6 + 3 * nComp) return None
+          compId = new Array[Int](nComp)
+          compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp)
+          compQ = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compId(c) = bytes(seg + 6 + 3 * c) & 0xff
+            val hv = bytes(seg + 7 + 3 * c) & 0xff
+            compH(c) = (hv >> 4) & 0xf
+            compV(c) = hv & 0xf
+            compQ(c) = bytes(seg + 8 + 3 * c) & 0xff
+            if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
+              compV(c) > 4 || compQ(c) > 3) return None
+            c += 1
+          }
+        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 || m == 0xc5 ||
+          m == 0xc6 || m == 0xc7 || (m >= 0xc9 && m <= 0xcb) ||
+          (m >= 0xcd && m <= 0xcf) =>
+          return None // non-baseline SOF (progressive, arithmetic, …)
+        case 0xc4 => // DHT
+          var p = seg
+          while (p < seg + segLen) {
+            val tc = (bytes(p) & 0xf0) >> 4
+            val th = bytes(p) & 0x0f
+            if (tc > 1 || th > 3) return None
+            p += 1
+            if (p + 16 > seg + segLen) return None
+            val counts = Array.tabulate(16)(i => bytes(p + i) & 0xff)
+            p += 16
+            val total = counts.sum
+            if (p + total > seg + segLen) return None
+            val syms = Array.tabulate(total)(i => bytes(p + i) & 0xff)
+            p += total
+            val h = new JpegHuff(counts, syms)
+            if (tc == 0) dcT(th) = h else acT(th) = h
+          }
+        case 0xdd => // DRI
+          if (segLen < 4) return None
+          restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+        case 0xda => // SOS
+          if (compId == null) return None
+          val ns = bytes(seg) & 0xff
+          if (ns != nComp || segLen < 1 + 2 * ns + 3) return None
+          dcSel = new Array[Int](nComp)
+          acSel = new Array[Int](nComp)
+          var c = 0
+          while (c < ns) {
+            val id = bytes(seg + 1 + 2 * c) & 0xff
+            val ci = compId.indexOf(id)
+            if (ci < 0) return None
+            dcSel(ci) = (bytes(seg + 2 + 2 * c) & 0xf0) >> 4
+            acSel(ci) = bytes(seg + 2 + 2 * c) & 0x0f
+            c += 1
+          }
+          // baseline scan must be Ss=0, Se=63, AhAl=0
+          if ((bytes(seg + 1 + 2 * ns) & 0xff) != 0 ||
+            (bytes(seg + 2 + 2 * ns) & 0xff) != 63 ||
+            (bytes(seg + 3 + 2 * ns) & 0xff) != 0) return None
+          sosAt = off + 2 + len
+        case _ => // APPn / COM / others: skip
+      }
+      off += 2 + len
+    }
+    if (width == 0 || compId == null) return None
+    val hMax = compH.max
+    val vMax = compV.max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // Per-component sample planes at the component's own resolution.
+    val planeW = Array.tabulate(nComp)(c => mcusX * 8 * compH(c))
+    val planeH = Array.tabulate(nComp)(c => mcusY * 8 * compV(c))
+    val planes = Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
+    val br = new JpegBits(bytes, sosAt)
+    val dcPred = new Array[Int](nComp)
+    val coeffs = new Array[Int](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) return None
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val my = mcu / mcusX
+      val mx = mcu % mcusX
+      var c = 0
+      while (c < nComp) {
+        val q = qt(compQ(c))
+        val dh = dcT(dcSel(c))
+        val ah = acT(acSel(c))
+        if (q == null || dh == null || ah == null) return None
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            java.util.Arrays.fill(coeffs, 0)
+            val s = dh.decode(br)
+            if (s < 0 || s > 15) return None
+            val diffRaw = br.receive(s)
+            if (diffRaw == Int.MinValue) return None
+            dcPred(c) += br.extend(diffRaw, s)
+            coeffs(0) = dcPred(c) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = ah.decode(br)
+              if (rs < 0) return None
+              val r = (rs >> 4) & 0xf
+              val sz = rs & 0xf
+              if (sz == 0) {
+                if (r == 15) k += 16 else eob = true
+              } else {
+                k += r
+                if (k > 63) return None
+                val vRaw = br.receive(sz)
+                if (vRaw == Int.MinValue) return None
+                coeffs(zigzagOrder(k)) = br.extend(vRaw, sz) * q(zigzagOrder(k))
+                k += 1
+              }
+            }
+            val px = idct8x8(coeffs)
+            // place block into the component plane
+            val ox = (mx * compH(c) + bx) * 8
+            val oy = (my * compV(c) + by) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(c)((oy + yy) * planeW(c) + ox + xx) = px(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // Upsample (nearest) + color-convert to packed RGB, cropped to w×h.
+    val rgb = new Array[Int](width * height)
+    var yy = 0
+    while (yy < height) {
+      var xx = 0
+      while (xx < width) {
+        if (nComp == 1) {
+          val v = planes(0)(yy * planeW(0) + xx)
+          rgb(yy * width + xx) = (v << 16) | (v << 8) | v
+        } else {
+          def samp(c: Int): Int = {
+            val sx = xx * compH(c) / hMax
+            val sy = yy * compV(c) / vMax
+            planes(c)(sy * planeW(c) + sx)
+          }
+          val y0 = samp(0)
+          val cb = samp(1) - 128
+          val cr = samp(2) - 128
+          // JFIF fixed-point conversion (16-bit scaled, round-half-up)
+          def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+          val r = clamp(y0 + ((91881 * cr + 32768) >> 16))
+          val g = clamp(y0 - ((22554 * cb + 46802 * cr + 32768) >> 16))
+          val b = clamp(y0 + ((116130 * cb + 32768) >> 16))
+          rgb(yy * width + xx) = (r << 16) | (g << 8) | b
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    Some((width, height, nComp, rgb))
+  }
+
+  /** Grayscale JPEG synthesis via the JDK's own ImageIO encoder (part
+    * of every JRE — no external library): the blob generator for
+    * [[jpegRgb]]'s gate and specs, deliberately an INDEPENDENT codec so
+    * the decoder under test shares nothing with the encoder (the GIF
+    * cross-validation pattern). */
+  def buildJpegGray(width: Int, height: Int, f: (Int, Int) => Int,
+                    quality: Float = 0.8f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, f(x, y) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    w.dispose()
+    bos.toByteArray
+  }
+
+  /** Max per-sample deviation of [[jpegRgb]]'s decode against the JDK
+    * ImageIO decoder's on the same bytes (raw raster samples for
+    * grayscale — getRGB would gamma-convert gray to sRGB and fake a
+    * mismatch). None if either decoder rejects or geometry disagrees.
+    * The T.83 accuracy bound puts conforming decoders within ±1 per
+    * sample on luma; the gate pins that. */
+  def jpegMaxDevVsImageIO(bytes: Array[Byte]): Option[Int] = {
+    val ours = jpegRgb(bytes)
+    val ref =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    (ours, ref) match {
+      case (Some((w, h, _, rgb)), Some(img))
+        if img.getWidth == w && img.getHeight == h =>
+        val gray = img.getColorModel.getNumComponents == 1
+        var maxD = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val a = rgb(y * w + x)
+            if (gray) {
+              val d = math.abs((a & 0xff) - img.getRaster.getSample(x, y, 0))
+              if (d > maxD) maxD = d
+            } else {
+              val b = img.getRGB(x, y)
+              var sh = 0
+              while (sh <= 16) {
+                val d = math.abs(((a >> sh) & 0xff) - ((b >> sh) & 0xff))
+                if (d > maxD) maxD = d
+                sh += 8
+              }
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Some(maxD)
+      case _ => None
+    }
+  }
+
+  /** [[jpegRgb]] folded to per-channel sums (the decode-verification
+    * shape the BMP/PNG/GIF gates use). */
+  def parseJpeg(bytes: Array[Byte]): Option[JpegMeta] =
+    jpegRgb(bytes).map { case (w, h, n, rgb) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < rgb.length) {
+        sr += (rgb(i) >> 16) & 0xff
+        sg += (rgb(i) >> 8) & 0xff
+        sb += rgb(i) & 0xff
+        i += 1
+      }
+      JpegMeta(w, h, n, sr, sg, sb)
+    }
 
   /** WAV RIFF chunk walk to `fmt `: PCM only; channels + sample rate
     * from the format fields. Stops at the fmt chunk — the data payload

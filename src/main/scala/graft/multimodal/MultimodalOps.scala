@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * resize / frame-sample operators.
   *
   * Codec status: WAV (RIFF/PCM), BMP, PNG (zlib DEFLATE + full filter
-  * reconstruction), and GIF (variable-width LZW) decode are REAL —
-  * parsed by [[MediaCodecs]] with no library beyond java.util.zip,
-  * gated end to end by `mm_wav_decode`/`mm_bmp_decode`/`mm_png_decode`/
-  * `mm_gif_decode` — as are the header-only metadata sniff
-  * ([[decodeMeta]]) and pixel-block feature extraction
-  * ([[extractFeatures]]). The one remaining stub is video frame
-  * sampling ([[frameSampleStub]]): LOSSY video (MP4) needs codec
+  * reconstruction), GIF (variable-width LZW), and baseline JPEG
+  * (canonical Huffman + exact separable IDCT, cross-validated against
+  * the JDK's independent ImageIO codec) decode are REAL — parsed by
+  * [[MediaCodecs]] with no library beyond the JDK, gated end to end by
+  * `mm_wav_decode`/`mm_bmp_decode`/`mm_png_decode`/`mm_gif_decode`/
+  * `mm_jpeg_decode` — as are the header-only metadata sniff
+  * ([[decodeMeta]], all five containers) and pixel-block feature
+  * extraction ([[extractFeatures]]). The one remaining stub is video
+  * frame sampling ([[frameSampleStub]]): LOSSY video (MP4) needs codec
   * libraries this environment lacks, so frames are fixed-size byte
   * slices — the Spark-side contract (schema, binary handling, explode
   * shape) is real and tested; swap the slice for a codec call (e.g.

@@ -544,6 +544,39 @@ object MultimodalQueries {
              | FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // REAL baseline-JPEG decode (ITU T.81 sequential DCT: marker walk,
+    // canonical Huffman entropy decode, dequant, exact separable IDCT):
+    // per doc, a grayscale gradient is ENCODED by the JDK's independent
+    // ImageIO codec and decoded by graft's own decoder; decode_ok pins
+    // the T.83-style accuracy contract (max per-sample deviation vs the
+    // ImageIO reference decode <= 1) plus geometry agreement, and the
+    // oracle recomputes the dimensions analytically and pins TRUE — a
+    // Huffman/IDCT/MCU-geometry bug flips the boolean red. Lossy pixel
+    // values themselves are codec-defined, so the pinned-audit pattern
+    // (the sim_recall_audit rule) is the honest gate here. Narrow map,
+    // blobs never shuffle.
+    QueryDef("mm_jpeg_decode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (id % 16 + 8).toInt
+            val h = (nc % 12 + 8).toInt
+            val bytes = graft.multimodal.MediaCodecs.buildJpegGray(w, h,
+              (x, y) => ((x * 5 + y * 9 + id) % 256).toInt)
+            val m = graft.multimodal.MediaCodecs.jpegRgb(bytes)
+            val dev = graft.multimodal.MediaCodecs.jpegMaxDevVsImageIO(bytes)
+            (id, m.map(_._1).getOrElse(-1), m.map(_._2).getOrElse(-1),
+              m.map(_._3).getOrElse(-1), dev.exists(_ <= 1))
+          }.toDF("doc_id", "width", "height", "n_comp", "decode_ok")
+      },
+      Some("""SELECT doc_id, CAST(doc_id % 16 + 8 AS INT) AS width,
+             | CAST(n_chars % 12 + 8 AS INT) AS height,
+             | CAST(1 AS INT) AS n_comp, TRUE AS decode_ok
+             | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // REAL metadata decode over REAL container bytes: per doc, one of
     // the four real containers (BMP / PNG / GIF / WAV by doc_id % 4) is
     // synthesized with header fields derived from (doc_id, n_chars),

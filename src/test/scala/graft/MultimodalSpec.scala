@@ -34,6 +34,10 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.sniffMeta(wav) ===
       Some(MediaCodecs.ContainerMeta("audio", None, None, Some(2),
         Some(12000), None)))
+    val jpg = MediaCodecs.buildJpegGray(19, 7, (x, y) => x * y)
+    assert(MediaCodecs.sniffMeta(jpg) ===
+      Some(MediaCodecs.ContainerMeta("image", Some(19), Some(7), Some(1),
+        None, None)))
   }
 
   test("sniffMeta: malformed headers REJECT — wrong magic, truncation, " +
@@ -58,6 +62,64 @@ class MultimodalSpec extends SparkSpec {
     val bmp = MediaCodecs.buildBmp(4, 3, 1, 2, 3)
     val b16 = bmp.clone(); b16(28) = 16
     assert(MediaCodecs.sniffMeta(b16).isEmpty)
+  }
+
+  test("JPEG decoder: cross-validated against the JDK's independent " +
+    "ImageIO codec — gray within ±1, solid color exact, smooth color " +
+    "within chroma-upsampling tolerance") {
+    // Grayscale sawtooth (high-frequency content) across geometries
+    // incl. non-multiples of 8 (partial edge MCUs) and qualities
+    // (different quant tables): conforming decoders agree within ±1
+    // per sample (T.83 accuracy class).
+    for ((w, h) <- Seq((16, 16), (20, 13), (8, 8), (33, 9));
+         q <- Seq(0.9f, 0.7f, 0.5f)) {
+      val bytes = MediaCodecs.buildJpegGray(w, h,
+        (x, y) => (x * 7 + y * 11) % 256, q)
+      val dev = MediaCodecs.jpegMaxDevVsImageIO(bytes)
+      assert(dev.isDefined && dev.get <= 1, s"gray ${w}x$h q=$q dev=$dev")
+      val meta = MediaCodecs.parseJpeg(bytes).get
+      assert((meta.width, meta.height, meta.nComp) === ((w, h, 1)))
+    }
+    // Solid-color RGB (4:2:0 chroma at lower quality is upsampling-
+    // invariant): decoders agree exactly.
+    for (q <- Seq(0.9f, 0.5f)) {
+      val img = new java.awt.image.BufferedImage(24, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 24)
+        img.setRGB(x, y, (180 << 16) | (90 << 8) | 40)
+      val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = wtr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      val bos = new java.io.ByteArrayOutputStream
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wtr.setOutput(ios)
+      wtr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); wtr.dispose()
+      val dev = MediaCodecs.jpegMaxDevVsImageIO(bos.toByteArray)
+      assert(dev.contains(0), s"solid q=$q dev=$dev")
+      assert(MediaCodecs.parseJpeg(bos.toByteArray).get.nComp === 3)
+    }
+  }
+
+  test("JPEG decoder: malformed inputs reject — progressive SOF2, " +
+    "truncation, wrong magic") {
+    val g = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wtr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wtr.setOutput(ios)
+    wtr.write(null, new javax.imageio.IIOImage(g, null, null), p)
+    ios.close(); wtr.dispose()
+    assert(MediaCodecs.jpegRgb(bos.toByteArray).isEmpty,
+      "progressive (SOF2) must reject — baseline decoder")
+    val ok = MediaCodecs.buildJpegGray(16, 16, (x, y) => x + y)
+    assert(MediaCodecs.jpegRgb(ok.take(ok.length / 2)).isEmpty)
+    assert(MediaCodecs.jpegRgb("not a jpeg".getBytes).isEmpty)
+    assert(MediaCodecs.jpegRgb(null).isEmpty)
   }
 
   test("decodeMeta drops undecodable blobs, keeps real ones") {
