@@ -1316,8 +1316,14 @@ object SimOps {
     require(rounds >= 1 && beam >= 1 && entries >= 1,
       s"topKGraphBeam needs rounds/beam/entries >= 1, got " +
         s"$rounds/$beam/$entries")
+    // Repartition-once-by-join-key + checkpoint (the bfsLayers edge
+    // discipline): every round's candidate-scoring join fetches
+    // embeddings by vec_id, and without the pinned distribution the
+    // corpus re-shuffles per round.
     val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
-      "embedding", "vn")
+        "embedding", "vn")
+      .repartition(col("vec_id"))
+      .localCheckpoint()
     val queries = v.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("vn").as("qn"))
@@ -1358,10 +1364,15 @@ object SimOps {
     // fresh per use (the bfsLayers discipline) — checkpointing a
     // union-of-unions instead trips Union constraint rewriting on the
     // shared-lineage attribute ids and grows the plan besides.
+    // frontier is NOT checkpointed: it is one window over the already-
+    // checkpointed layer leaf, so its lineage is flat and skipping the
+    // eager materialization saves an action per round (the rounds are
+    // overhead-bound — per-round state is beam·degree·|queries| slim
+    // rows).
     var layers = List(score(
         queries.select(col("query_id")).crossJoin(broadcast(ent)))
       .localCheckpoint())
-    var frontier = topBeam(layers.head).localCheckpoint()
+    var frontier = topBeam(layers.head)
     // Re-alias every output before a union: checkpointed leaves carry
     // constraints naming pre-checkpoint attribute ids, which crashes
     // Union constraint rewriting (key-not-found in the optimizer); a
@@ -1381,7 +1392,7 @@ object SimOps {
       val fresh = cand.join(visited, Seq("query_id", "vec_id"), "left_anti")
       val scored = score(fresh).localCheckpoint()
       layers = scored :: layers
-      frontier = topBeam(scored).localCheckpoint()
+      frontier = topBeam(scored)
       r += 1
     }
     val w = Window.partitionBy(col("query_id"))
