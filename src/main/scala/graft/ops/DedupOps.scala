@@ -941,6 +941,118 @@ object DedupOps {
     array(keys: _*)
   }
 
+  /** One-Permutation-Hashing MinHash signatures with rotation
+    * densification (Li, Owen & Zhang NIPS'12; Shrivastava & Li ICML'14
+    * "Densifying One Permutation Hashing via Rotation") — the
+    * CPU-scale path beside [[signatures]]: ONE hash evaluation per
+    * shingle instead of k. The hash space [0, p) is split into k bins
+    * by `x mod k`; each bin keeps its min; an EMPTY bin i borrows the
+    * value of the nearest non-empty bin to its right (cyclic, distance
+    * j) offset by j·p, so a borrowed slot only collides with a slot
+    * borrowed from the same distance with the same source value — the
+    * rotation scheme's unbiased-estimator construction.
+    *
+    * At 100 TB the signature scan is the dominant dedup cost: classic
+    * k=16 MinHash evaluates 16 modular products per (doc, shingle) row,
+    * OPH exactly one `mod` + one conditional-min — same single
+    * hash-agg shuffle shape, k× less signature CPU. Short documents
+    * (fewer shingles than bins) are exactly where densification matters;
+    * with no densification empty bins would never collide.
+    *
+    * Output: (doc_id, m0 … m{k-1}) — drop-in for [[bandKeys]]. */
+  def ophSignatures(inv: DataFrame, k: Int): DataFrame = {
+    val withX = inv.withColumn("x", col("h") % P)
+    val sparse = (0 until k).map { i =>
+      min(when(col("x") % k === i, col("x"))).as(s"s$i")
+    }
+    val binned = withX.groupBy("doc_id").agg(sparse.head, sparse.tail: _*)
+    val dens = (0 until k).map { i =>
+      coalesce((0 until k).map { j =>
+        col(s"s${(i + j) % k}") + lit(j.toLong * P)
+      }: _*).as(s"m$i")
+    }
+    binned.select(col("doc_id") +: dens: _*)
+  }
+
+  /** Oracle twins of [[ophSignatures]] over a shingle-array expression:
+    * per-bin list mins (empty list → NULL), then the identical cyclic
+    * coalesce with j·p offsets over a column named by `spExpr`. */
+  def ophSparseSql(shExpr: String, k: Int): String = {
+    val sparse = (0 until k).map { i =>
+      s"list_min(list_filter(list_transform($shExpr, x -> x % ${P}), " +
+        s"x -> x % $k = $i))"
+    }
+    sparse.mkString("[", ", ", "]")
+  }
+
+  def ophDensifySql(spExpr: String, k: Int): String = {
+    val dens = (0 until k).map { i =>
+      (0 until k).map { j =>
+        s"$spExpr[${(i + j) % k + 1}] + ${j.toLong * P}"
+      }.mkString("COALESCE(", ", ", ")")
+    }
+    dens.mkString("[", ", ", "]")
+  }
+
+  /** MinHash+LSH near-dup pairs on OPH-densified signatures — identical
+    * banding/candidate/verify machinery to [[minhashLshPairs]], only the
+    * signature scan changes (1 hash per shingle instead of k). Recall
+    * differs slightly from the classic estimator (binned mins are a
+    * sampled permutation), which is why both surfaces exist. */
+  def ophLshPairs(docs: DataFrame, textCol: String, idCol: String,
+                  threshold: Double, bands: Int = 4,
+                  rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = ophSignatures(shingleInv(docs, textCol, idCol), k)
+      .withColumn("bk", bandKeys(bands, rowsPerBand))
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(col("bk")).as(Seq("band", "key")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val candIds = cand.select(col("doc_a").as("cid"))
+      .union(cand.select(col("doc_b").as("cid"))).distinct()
+    val candSets = shingleSets(
+      docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
+      textCol, idCol)
+    cand
+      .join(candSets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(candSets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def ophLshPairsSql(table: String, textCol: String, idCol: String,
+                     threshold: Double, bands: Int = 4,
+                     rowsPerBand: Int = 4): String = {
+    val k = bands * rowsPerBand
+    s"""WITH sets AS (${shingleSetsSql(table, textCol, idCol)}),
+        sigs0 AS (SELECT doc_id, sh, ${ophSparseSql("sh", k)} AS sp
+                  FROM sets WHERE len(sh) > 0),
+        sigs AS (SELECT doc_id, sh, ${ophDensifySql("sp", k)} AS sig
+                 FROM sigs0),
+        keyed AS (SELECT doc_id, sh, ${bandKeysSql("sig", bands, rowsPerBand)} AS bk FROM sigs),
+        buckets AS (SELECT doc_id, sh, generate_subscripts(bk, 1) AS band,
+                           unnest(bk) AS key FROM keyed),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+          FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+                    JOIN sets sb ON cand.doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM verified
+        WHERE j >= $threshold ORDER BY doc_a, doc_b"""
+  }
+
   /** MinHash+LSH near-dup pairs: signature → band buckets → candidate
     * pairs sharing ≥1 bucket → exact-Jaccard verification >= threshold.
     * Output identical in shape to [[jaccardPairs]]; recall < 1 is inherent

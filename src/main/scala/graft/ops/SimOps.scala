@@ -2220,4 +2220,76 @@ object SimOps {
           END AS ratio_permille
         FROM d ORDER BY vec_a, vec_b"""
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+    * with the pairwise cosine comparison BOUNDED to k-means clusters —
+    * the curation pass that removes "different words, same meaning"
+    * redundancy exact/MinHash dedup cannot see.
+    *
+    * Pipeline: (1) cluster the corpus with the trained coarse quantizer
+    * ([[kmeansCentroidsMicro]] on normalized vectors — shared memo with
+    * the IVF family, exact-integer cell choice); (2) within each
+    * cluster only, exact-cosine self-join; (3) a vector is DROPPED when
+    * a lower-id cluster-mate scores ≥ threshold (the keep-min-id rule
+    * every dedup operator here uses; the paper keeps the member least
+    * similar to the centroid — any deterministic representative works,
+    * min-id is engine-portable with zero float compares).
+    *
+    * Output: one row per dropped vector — (cell, dropped_id,
+    * dup_of = lowest qualifying keeper, cosine = score against it).
+    *
+    * Scale shape (the paper's own argument, re-expressed relationally):
+    * the cluster equi-join caps candidate pairs at Σ(nᵢ²) ≈ n²/c — with
+    * c grown ∝ n (the paper uses 50k clusters for LAION-scale) the
+    * per-cluster block stays constant-sized, training cost is capped by
+    * [[IvfTrainCap]]·c samples, assignment is a narrow map, and the
+    * only shuffles are the cell hash-partition + per-cell join. No
+    * global pairwise pass exists at any size. Recall < 1 across cell
+    * boundaries is inherent (same contract as IVF's unprobed cells). */
+  def semDedup(vectors: DataFrame, threshold: Double, c: Int,
+               trainRounds: Int, dim: Int,
+               saltKm: String = "semkm"): DataFrame = {
+    val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
+      "embedding", "vn")
+    val (assign, _) =
+      trainedCells(v, lit(false), c, 1, trainRounds, dim, saltKm)
+    val wc = v.join(assign, "vec_id")
+    val pairs = wc.as("a").join(wc.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("keep"), col("b.vec_id").as("dropped"),
+        round(expr("array_dot(a.embedding, b.embedding)") /
+          (col("a.vn") * col("b.vn")), 6).as("score"))
+      .filter(col("score") >= threshold)
+    pairs.groupBy(col("cell"), col("dropped").as("dropped_id"))
+      .agg(min(col("keep")).as("dup_of"),
+        quant4(min_by(col("score"), col("keep"))).as("cosine"))
+  }
+
+  /** Oracle twin of [[semDedup]]: the Lloyd chain + assignment CTEs the
+    * IVF oracles use, then the identical within-cell join and
+    * keep-min-id aggregation. */
+  def semDedupSql(table: String, threshold: Double, c: Int,
+                  trainRounds: Int, dim: Int,
+                  saltKm: String = "semkm"): String = {
+    val fr = trainRounds + 1
+    s"""WITH ${kmChainCtes(table, c, trainRounds, dim, saltKm,
+          normalize = true, trainCap = IvfTrainCap * c)},
+        ${kmAssignCte(fr, dim, "vmt")},
+        assign AS (SELECT vec_id, cl AS cell FROM a$fr),
+        wc AS (SELECT s.cell, v.vec_id, v.embedding
+               FROM assign s JOIN $table v USING (vec_id)),
+        pairs AS (
+          SELECT cell, keep, dropped, score FROM (
+            SELECT a.cell, a.vec_id AS keep, b.vec_id AS dropped,
+                   round(${cosineSql("a.embedding", "b.embedding")}, 6)
+                     AS score
+            FROM wc a JOIN wc b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id)
+          WHERE score >= $threshold)
+        SELECT cell, dropped AS dropped_id, min(keep) AS dup_of,
+               ${quant4Sql("min_by(score, keep)")} AS cosine
+        FROM pairs GROUP BY cell, dropped
+        ORDER BY cell, dropped_id"""
+  }
 }

@@ -91,6 +91,17 @@ object DedupQueries {
       Some(DedupOps.minhashLshPairsSql("documents", "text", "doc_id", JaccardThreshold)),
       presentOrder = Seq("doc_a", "doc_b")),
 
+    // One-Permutation-Hashing MinHash (rotation-densified): the same
+    // band/verify machinery as dedup_minhash_lsh but the signature scan
+    // evaluates ONE hash per shingle instead of k=16 — the CPU winner
+    // at crawl scale, where the signature pass dominates dedup cost.
+    QueryDef("dedup_minhash_oph",
+      (s, d) => DedupOps.ophLshPairs(Tables.documents(s, d), "text",
+        "doc_id", JaccardThreshold),
+      Some(DedupOps.ophLshPairsSql("documents", "text", "doc_id",
+        JaccardThreshold)),
+      presentOrder = Seq("doc_a", "doc_b")),
+
     // MinHash estimator-accuracy audit: per LSH candidate pair, the
     // signature-agreement estimate vs the exact shingle Jaccard, both
     // integer permille — the quality surface for every consumer that
@@ -261,6 +272,23 @@ object DedupQueries {
               | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
               | WHERE score >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin.replace("\n", "")),
       presentOrder = Seq("vec_a", "vec_b")),
+
+    // SemDeDup (Abbas et al. 2023): the SCALE path for embedding-space
+    // dedup — pairwise cosine confined to trained k-means clusters, so
+    // candidate pairs are n²/c instead of n² and every stage (capped
+    // training, narrow-map assignment, per-cell equi-join) survives a
+    // 100 TB corpus. Keep-min-id representative per duplicate edge;
+    // the brute dedup_embedding_cosine above is this operator's
+    // guarded exactness audit.
+    QueryDef("dedup_semantic",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.semDedup(Tables.embeddings(s, d), CosineThreshold,
+          c = 8, trainRounds = 2, dim = 64)
+      },
+      Some(SimOps.semDedupSql("embeddings", CosineThreshold,
+        c = 8, trainRounds = 2, dim = 64)),
+      presentOrder = Seq("cell", "dropped_id")),
 
     // Max-containment pairs over the same capped shingle universe:
     // C = common / min(|A|,|B|) catches a short document copied inside a

@@ -436,6 +436,59 @@ class DedupSimSpec extends SparkSpec {
     assert(lsh === again)
   }
 
+  test("ophSignatures: bin mins where occupied, rotation-borrow with j*P offset where empty") {
+    import spark.implicits._
+    val k = 4
+    // Two shingle hashes for one doc: x = h % P, bins x % 4.
+    val h1 = 8L  // x=8,  bin 0, value 8
+    val h2 = 13L // x=13, bin 1, value 13
+    val inv = Seq((1L, h1), (1L, h2)).toDF("doc_id", "h")
+    val sig = graft.ops.DedupOps.ophSignatures(inv, k)
+      .collect()(0)
+    val P = graft.ops.DedupOps.P
+    // bin0=8, bin1=13, bin2/bin3 empty -> borrow rightward cyclically:
+    // m2 = bin2? no -> bin3? no -> bin0 at distance 2 -> 8 + 2P
+    // m3 = bin3? no -> bin0 at distance 1 -> 8 + P
+    assert(sig.getLong(1) === 8L)
+    assert(sig.getLong(2) === 13L)
+    assert(sig.getLong(3) === 8L + 2 * P)
+    assert(sig.getLong(4) === 8L + P)
+  }
+
+  test("ophLshPairs: identical docs always pair; pairs are a subset of exact") {
+    val lsh = graft.ops.DedupOps.ophLshPairs(docs, "text", "doc_id", 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs: 0=base, 1=near-dup (1 token edit), 2=unrelated, 3=base copy
+    assert(lsh.contains((0L, 3L))) // identical docs share every band
+    val exact = Set((0L, 1L), (0L, 3L), (1L, 3L))
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+  }
+
+  test("semDedup: exact duplicates keep one survivor; orthogonal vectors survive") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    // Identical vectors quantize to identical micro-vectors, so they land
+    // in the SAME cell whatever the trained centroids are — within-cell
+    // pairwise must then drop all but the lowest id. The orthogonal
+    // singleton can never reach cosine 0.99 against anything.
+    val vecs = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),
+      (11L, Array(1f, 0f, 0f, 0f)),   // exact dup of 10
+      (12L, Array(1f, 0f, 0f, 0f)),   // exact dup of 10
+      (20L, Array(0f, 1f, 0f, 0f)),   // orthogonal, unique
+      (21L, Array(0f, 0f, 1f, 0f))    // orthogonal, unique
+    ).toDF("vec_id", "embedding")
+    val out = SimOps.semDedup(vecs, 0.99, c = 2, trainRounds = 1, dim = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out.keySet === Set(11L, 12L), s"dropped set: $out")
+    assert(out(11L) === 10L && out(12L) === 10L, s"dup_of: $out")
+    // determinism: rerun yields the identical result
+    val again = SimOps.semDedup(vecs, 0.99, c = 2, trainRounds = 1, dim = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === again)
+  }
+
   test("simhash of identical texts is identical; near-dups are close") {
     import spark.implicits._
     val f = docs.withColumn("toks", TextOps.tokens(col("text")))
