@@ -252,4 +252,82 @@ object TsOps {
           ${SimOps.quant4Sql("st[2]")} AS trend,
           ${SimOps.quant4Sql("st[1] + st[2]")} AS forecast
         FROM f ORDER BY user_id"""
+
+  /** SAX symbolization (Lin, Keogh, Wei & Lonardi, DMKD'07) per user:
+    * PAA frame means over `segLen`-reading segments (floor-divided
+    * milli-units — the theilSen nonneg-residue identity, so negative
+    * sums agree across engines), quantized to an `alpha`-letter word by
+    * EQUAL-WIDTH bins over the user's own [min, max] — the
+    * integer-exact stand-in for classical SAX's Gaussian breakpoints
+    * after z-normalization (those need a float σ both engines would
+    * have to agree on bit-for-bit; equal-width keeps the entire
+    * pipeline in BIGINT). The word is the fixed-length symbolic index
+    * a series store builds iSAX trees and motif/discord scans over —
+    * n readings compress to n/segLen letters before any cross-series
+    * comparison happens.
+    *
+    * Scale shape: one user-partitioned window for the index (never a
+    * global sort), a (user, seg) hash-agg with map-side combine, a
+    * user-level range agg, one user roll-up; output O(n/segLen) chars
+    * per user. The letter concat orders by seg INSIDE the aggregation
+    * (sorted struct collect / ORDER BY string_agg), so no presentation
+    * sort leaks into the analytic plan. */
+  def sax(ev: DataFrame, segLen: Int, alpha: Int): DataFrame = {
+    require(segLen >= 1 && alpha >= 2 && alpha <= 26,
+      s"sax needs segLen >= 1 and 2 <= alpha <= 26 (got $segLen, $alpha)")
+    val letters = ('a' until ('a' + alpha).toChar).mkString
+    val wIdx = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val segs = ev
+      .withColumn("idx", (row_number().over(wIdx) - 1).cast("long"))
+      .withColumn("seg", expr(s"idx div $segLen"))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("ns"))
+      .withColumn("paa", expr("(sv - ((sv % ns) + ns) % ns) div ns"))
+    val ranges = ev.groupBy(col("user_id"))
+      .agg(min(col("vm")).as("vmin"), max(col("vm")).as("vmax"),
+        count(lit(1)).as("n_readings"))
+    segs.join(ranges, "user_id")
+      .withColumn("bucket", least(lit(alpha - 1).cast("long"),
+        expr(s"((paa - vmin) * $alpha) div (vmax - vmin + 1)")))
+      .withColumn("letter",
+        expr(s"substr('$letters', CAST(bucket AS INT) + 1, 1)"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n_readings")).as("n_readings"),
+        count(lit(1)).as("n_segments"),
+        max(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(seg, letter))), s -> s.letter), '')").as("sax_word"))
+  }
+
+  /** Oracle twin of [[sax]]: identical index window, floor-divided PAA
+    * (DuckDB `//` floors natively), equal-width bucket, and an
+    * ORDER BY string_agg for the word. */
+  def saxSql(table: String, segLen: Int, alpha: Int): String = {
+    val letters = ('a' until ('a' + alpha).toChar).mkString
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm FROM $table),
+        ix AS (SELECT user_id, vm,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+               FROM ev),
+        sg AS (SELECT user_id, idx // $segLen AS seg,
+                 CAST(sum(vm) AS BIGINT) AS sv,
+                 CAST(count(*) AS BIGINT) AS ns
+               FROM ix GROUP BY 1, 2),
+        rg AS (SELECT user_id, min(vm) AS vmin, max(vm) AS vmax,
+                 CAST(count(*) AS BIGINT) AS n_readings
+               FROM ev GROUP BY 1),
+        bk AS (SELECT s.user_id, s.seg, r.vmin, r.vmax, r.n_readings,
+                 least(CAST(${alpha - 1} AS BIGINT),
+                   (((sv // ns) - r.vmin) * $alpha)
+                     // (r.vmax - r.vmin + 1)) AS bucket
+               FROM sg s JOIN rg r USING (user_id))
+        SELECT user_id, max(n_readings) AS n_readings,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               max(vmin) AS vmin, max(vmax) AS vmax,
+               string_agg(substr('$letters', CAST(bucket AS INT) + 1, 1),
+                          '' ORDER BY seg) AS sax_word
+        FROM bk GROUP BY user_id ORDER BY user_id"""
+  }
 }

@@ -133,5 +133,20 @@ object TimeSeriesQueries {
         .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
           col("event_id"), col("value"))),
       Some(TsOps.holtSql("events")),
+      presentOrder = Seq("user_id")),
+
+    // SAX symbolization: PAA frame means (8 readings/segment,
+    // floor-divided milli-units) quantized to a 4-letter word by
+    // equal-width bins over each user's own range — the integer-exact
+    // stand-in for Gaussian-breakpoint SAX, and the fixed-length
+    // symbolic index (iSAX trees, motif/discord scans) a 100 TB series
+    // store compares INSTEAD of raw series. One user window + two
+    // hash-aggs; the word orders by segment inside the aggregation.
+    QueryDef("ts_sax",
+      (s, d) => TsOps.sax(Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS LONG)").as("vm")),
+        segLen = 8, alpha = 4),
+      Some(TsOps.saxSql("events", segLen = 8, alpha = 4)),
       presentOrder = Seq("user_id")))
 }

@@ -121,6 +121,36 @@ class TsPrivacySpec extends SparkSpec {
     assert(out.getLong(3) === 1L)    // peak S under the floored mean
   }
 
+  test("sax: step series symbolizes low->high, constant series is all-'a'") {
+    import spark.implicits._
+    // user 1: 4 low readings (0) then 4 high (1000): segLen=4 gives PAA
+    // [0, 1000]; equal-width 4 bins over [0,1000] -> buckets 0 and 3.
+    // user 2: constant 500 -> vmax-vmin+1 = 1, all buckets 0.
+    val ev = ((0 until 8).map(i =>
+        (1L, ts(i), i.toLong, if (i < 4) 0L else 1000L)) ++
+      (0 until 8).map(i => (2L, ts(i), 100L + i, 500L)))
+      .toDF("user_id", "tsc", "event_id", "vm")
+      .select(col("user_id"), col("tsc").as("ts"), col("event_id"), col("vm"))
+    val out = TsOps.sax(ev, segLen = 4, alpha = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out(1L) === "ad", s"words: $out")
+    assert(out(2L) === "aa", s"words: $out")
+  }
+
+  test("sax: negative PAA means floor like DuckDB //, partial tail segment kept") {
+    import spark.implicits._
+    // 3 readings with segLen=2: seg0 = (-3 + -4) = -7 over 2 -> floor
+    // -4 (truncation would give -3); seg1 is the 1-reading tail (6).
+    // Range [-4, 6]: width 11; buckets: (-4 - -4)*4 // 11 = 0 -> 'a';
+    // (6 - -4)*4 // 11 = 40 // 11 = 3 -> 'd'.
+    val ev = Seq((1L, ts(0), 0L, -3L), (1L, ts(1), 1L, -4L),
+        (1L, ts(2), 2L, 6L))
+      .toDF("user_id", "ts", "event_id", "vm")
+    val row = TsOps.sax(ev, segLen = 2, alpha = 4).collect()(0)
+    assert(row.getLong(2) === 2L) // n_segments
+    assert(row.getString(5) === "ad", s"word: ${row.getString(5)}")
+  }
+
   test("modularity: two triangles + bridge, unlabeled node excluded") {
     import spark.implicits._
     // Directed triangles {0,1,2} and {3,4,5}, bridge 2->3; node 6 is
