@@ -302,4 +302,110 @@ object SampleOps {
           WHERE q.o1 >= p.o1 AND q.o2 >= p.o2
             AND (q.o1 > p.o1 OR q.o2 > p.o2))
         ORDER BY p.doc_id"""
+
+  /** Hashed-feature space for [[dsirWeights]]: 64 unigram buckets. */
+  val DsirBuckets = 64
+
+  /** Per-doc cap on likelihood-ratio factors (first 8 distinct features
+    * in bucket order) — bounds the fold depth and, with the 4×
+    * clipping, keeps the fixed-point product inside BIGINT by
+    * construction (1e6 · 4⁸ · 4e6 < 2⁶³). */
+  val DsirMaxFeats = 8
+
+  /** Per-factor clip to [¼×, 4×] — truncated importance sampling
+    * (Ionides 2008), the standard variance control; also the overflow
+    * proof above. */
+  val DsirClipLo = 250000L
+  val DsirClipHi = 4000000L
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023),
+    * re-expressed in the engine's fixed-point discipline: hashed
+    * unigram presence features ([[DsirBuckets]] buckets of the engine
+    * hash), Laplace-smoothed per-bucket document frequencies for the
+    * TARGET slice (`targetPred`) vs the RAW corpus, and a per-doc
+    * importance weight that is the PRODUCT of per-feature likelihood
+    * ratios — computed as a sequential micro-fixed-point fold
+    * (w ← w·r // 1e6 over the doc's first [[DsirMaxFeats]] features in
+    * bucket order) instead of a float log-sum, so both engines produce
+    * the identical BIGINT. Each ratio is clipped to
+    * [[[DsirClipLo]], [[DsirClipHi]]] (truncated importance sampling).
+    * Selection is hash-systematic: keep when the doc's stable
+    * [0,10000) bucket falls under the capped weight — deterministic,
+    * partition-independent, auditable (the [[sampleBucket]] contract).
+    *
+    * Scale shape: one tokenize+explode pass into a distinct (doc, f)
+    * hash-agg; the feature grid is [[DsirBuckets]] rows (broadcast);
+    * the per-doc fold rides the existing (doc)-keyed aggregation. No
+    * shuffle carries more than the distinct (doc, feature) pairs —
+    * ≤ 64 per doc regardless of document length. */
+  def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), targetPred.as("is_t"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(TextOps.hash64(col("tok")), lit(DsirBuckets.toLong)).as("f"))
+      .distinct()
+    val grid = feats.groupBy(col("f")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = grid.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val ratios = grid.crossJoin(broadcast(tot))
+      .select(col("f"), expr(
+        s"""least(greatest(
+              (ct + 1) * (tr + $DsirBuckets) * 1000000L div
+                ((cr + 1) * (tt + $DsirBuckets)),
+              ${DsirClipLo}L), ${DsirClipHi}L)""").as("rm"))
+    val perDoc = feats.select(col("doc_id"), col("f"))
+      .join(broadcast(ratios), "f")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        expr(s"""aggregate(
+            transform(slice(array_sort(collect_list(struct(f, rm))),
+              1, $DsirMaxFeats), s -> s.rm),
+            1000000L, (acc, x) -> acc * x div 1000000L)""").as("w_micro"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_micro"), lit(1000000L)).as("w_micro"))
+      .withColumn("kept",
+        sampleBucket(col("doc_id"), "dsir") * 100L <
+          least(col("w_micro"), lit(1000000L)))
+  }
+
+  /** Oracle twin of [[dsirWeights]]: identical grid, clip, and fold —
+    * DuckDB's `list(rm ORDER BY f)` + `list_reduce` seeded by
+    * `list_prepend(1e6)` is the same left fold. */
+  def dsirWeightsSql(table: String, targetPredSql: String): String =
+    s"""WITH fx AS (SELECT DISTINCT doc_id, $targetPredSql AS is_t,
+          ${TextOps.hash64Sql("tok")} % $DsirBuckets AS f
+          FROM (SELECT doc_id, lang, unnest(${TextOps.tokensSql("text")})
+                  AS tok FROM $table)),
+        grid AS (SELECT f,
+            CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+            CAST(count(*) AS BIGINT) AS cr
+          FROM fx GROUP BY f),
+        tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+            CAST(sum(cr) AS BIGINT) AS tr FROM grid),
+        ratios AS (SELECT f,
+            least(greatest(
+              (ct + 1) * (tr + $DsirBuckets) * 1000000 //
+                ((cr + 1) * (tt + $DsirBuckets)),
+              $DsirClipLo), $DsirClipHi) AS rm
+          FROM grid CROSS JOIN tot),
+        pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+            CAST(list_reduce(
+              list_prepend(CAST(1000000 AS BIGINT),
+                list_slice(list(rm ORDER BY f), 1, $DsirMaxFeats)),
+              (acc, x) -> (acc * x) // 1000000) AS BIGINT) AS w_micro
+          FROM (SELECT doc_id, f FROM fx) j JOIN ratios USING (f)
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(pd.n_feats, 0) AS n_feats,
+          COALESCE(pd.w_micro, 1000000) AS w_micro,
+          ${sampleBucketSql("d.doc_id", "dsir")} * 100 <
+            least(COALESCE(pd.w_micro, 1000000), 1000000) AS kept
+        FROM $table d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        ORDER BY d.doc_id"""
 }

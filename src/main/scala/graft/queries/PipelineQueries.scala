@@ -226,6 +226,75 @@ object PipelineQueries {
              | ORDER BY k_level, qi""".stripMargin.replace("\n", "")),
       presentOrder = Seq("k_level", "qi")),
 
+    // Fourth rung of the privacy ladder: LOCAL differential privacy via
+    // generalized randomized response (Warner 1965; the RAPPOR
+    // mechanism's core). Each record reports its true category with
+    // p = 3/4, else a uniform draw over the full K=5 alphabet (so
+    // P[report own] = 0.8, P[report specific other] = 0.05 —
+    // ε = ln(0.8/0.05) ≈ 2.77). The aggregator sees ONLY reported
+    // values and debiases: est = (obs − (1−p)·n/K) / p, in milli-units
+    // with floor division (nonneg-residue identity on the Spark side so
+    // negative numerators agree). The per-record coin is the
+    // deterministic engine-portable hash64('rr'||doc_id) — the
+    // pii_redact planting pattern: a real RNG is not hash-gateable, a
+    // seeded hash exercises the identical estimator algebra. Gate
+    // checks: exact truth beside the estimate, and the 3σ bound
+    // err² ≤ (3·σ_max)²·n with σ_max = sd(obs)/p ≤ √n/(2p) pinned TRUE.
+    // Shape at 100 TB: one narrow map (coin + report) into a K-row
+    // hash-agg with map-side combine — the truth column is gate-only
+    // audit; production publishes only (obs, est).
+    QueryDef("pipeline_rr_frequency",
+      (s, d) => {
+        val alphabet = Seq("de", "en", "es", "fr", "zh")
+        val arr = alphabet.map(l => s"'$l'").mkString("array(", ", ", ")")
+        val docs = Tables.documents(s, d)
+        val rep = docs.select(col("lang"),
+            TextOps.hash64(concat(lit("rr"), col("doc_id").cast("string")))
+              .as("coin"))
+          .select(when(col("coin") % 20 < 15, col("lang"))
+            .otherwise(expr(
+              s"element_at($arr, CAST((coin div 20) % 5 AS INT) + 1)"))
+            .as("lang"))
+        val truth = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("true_n"))
+        val obs = rep.groupBy(col("lang"))
+          .agg(count(lit(1)).as("obs_n"))
+        val tot = docs.agg(count(lit(1)).as("n_total"))
+        truth.join(obs, Seq("lang"), "left")
+          .withColumn("obs_n", coalesce(col("obs_n"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("num", (col("obs_n") * 1000L - col("n_total") * 50L) * 4L)
+          .withColumn("est_milli",
+            expr("(num - ((num % 3) + 3) % 3) div 3"))
+          .withColumn("err_milli", abs(col("est_milli") - col("true_n") * 1000L))
+          .select(col("lang"), col("true_n"), col("obs_n"), col("est_milli"),
+            col("err_milli"),
+            (col("err_milli") * col("err_milli") <=
+              lit(4000000L) * col("n_total")).as("in_bound"))
+      },
+      Some("""WITH c AS (SELECT doc_id, lang,
+             |   CAST('0x' || substr(md5('rr' || CAST(doc_id AS VARCHAR)), 1, 15)
+             |     AS BIGINT) AS coin
+             |  FROM documents),
+             | rep AS (SELECT CASE WHEN coin % 20 < 15 THEN lang
+             |   ELSE (['de','en','es','fr','zh'])[CAST((coin // 20) % 5 AS INT) + 1]
+             |   END AS lang FROM c),
+             | t AS (SELECT lang, CAST(count(*) AS BIGINT) AS true_n
+             |  FROM documents GROUP BY 1),
+             | o AS (SELECT lang, CAST(count(*) AS BIGINT) AS obs_n
+             |  FROM rep GROUP BY 1),
+             | n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+             | e AS (SELECT t.lang, t.true_n, COALESCE(o.obs_n, 0) AS obs_n,
+             |   ((COALESCE(o.obs_n, 0) * 1000 - n.n_total * 50) * 4) // 3
+             |     AS est_milli, n.n_total
+             |  FROM t LEFT JOIN o ON t.lang = o.lang CROSS JOIN n)
+             | SELECT lang, true_n, obs_n, est_milli,
+             |  abs(est_milli - true_n * 1000) AS err_milli,
+             |  abs(est_milli - true_n * 1000) * abs(est_milli - true_n * 1000)
+             |    <= 4000000 * n_total AS in_bound
+             | FROM e ORDER BY lang""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("lang")),
+
     QueryDef("pipeline_corpus_curation",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -204,6 +204,21 @@ object SampleQueries {
       (s, d) => SampleOps.paretoFront(Tables.documents(s, d),
         bucketW = 32),
       Some(SampleOps.paretoFrontSql("documents")),
+      presentOrder = Seq("doc_id")),
+
+    // DSIR importance resampling (Xie et al. NeurIPS'23): reweight the
+    // raw corpus toward a target domain (here lang='en') by hashed
+    // unigram likelihood ratios — the data-selection pass run before
+    // pretraining mixes are drawn. Fixed-point fold instead of float
+    // log-sums (engine-exact), ratios clipped to [¼×, 4×] (truncated
+    // importance sampling), hash-systematic keep decision. One
+    // tokenize pass, a 64-row broadcast grid, doc-keyed fold — the
+    // shuffle carries ≤ 64 distinct features per doc at any corpus
+    // size.
+    QueryDef("sample_dsir",
+      (s, d) => SampleOps.dsirWeights(Tables.documents(s, d),
+        col("lang") === "en"),
+      Some(SampleOps.dsirWeightsSql("documents", "lang = 'en'")),
       presentOrder = Seq("doc_id"))
   )
 }

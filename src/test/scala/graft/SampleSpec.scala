@@ -20,6 +20,29 @@ class SampleSpec extends SparkSpec {
     assert(a !== c) // salt selects a different stable sample
   }
 
+  test("dsirWeights: target-marker features upweight, off-target downweight, " +
+      "clip bounds hold, empty docs get the neutral weight") {
+    import spark.implicits._
+    // 20 target docs all containing the marker token "alphaalpha"; 20
+    // raw-only docs all containing "omegaomega"; shared filler tokens.
+    // The target-marker bucket has ct=cr -> ratio ≈ (tr+B)/(tt+B) > 1;
+    // the off-target bucket has ct=0 -> ratio < 1.
+    val docs = ((0L until 20L).map(i => (i, "en", s"alphaalpha fill$i common")) ++
+      (20L until 40L).map(i => (i, "de", s"omegaomega fill$i common")) ++
+      Seq((99L, "en", null.asInstanceOf[String])))
+      .toDF("doc_id", "lang", "text")
+    val out = SampleOps.dsirWeights(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wTarget = out(0L)._2
+    val wOff = out(20L)._2
+    assert(wTarget > 1000000L, s"target weight $wTarget")
+    assert(wOff < 1000000L, s"off-target weight $wOff")
+    // clip bounds: every factor in [1/4x, 4x], at most 8 factors
+    assert(out.values.forall { case (_, w) =>
+      w >= 1000000L / 65536L && w <= 1000000L * 65536L })
+    assert(out(99L) === ((0L, 1000000L))) // tokenless doc: neutral
+  }
+
   test("stratifiedSample applies per-stratum rates; unlisted strata drop") {
     import spark.implicits._
     val df = (0L until 3000L)

@@ -151,6 +151,21 @@ class TsPrivacySpec extends SparkSpec {
     assert(row.getString(5) === "ad", s"word: ${row.getString(5)}")
   }
 
+  test("randomized-response estimator: estimates sum to n (floor slack) " +
+      "and land inside the 3-sigma bound on gate data") {
+    val s = spark
+    val out = graft.Catalog.queries("pipeline_rr_frequency")(
+      s, "/root/testdata/sf0.001").collect()
+    val n = out.map(_.getLong(1)).sum // true_n sums to corpus size
+    val estSum = out.map(_.getLong(3)).sum
+    // Σ est = (Σobs·1000 − K·n·50)·4/3 = 1000·n exactly pre-floor;
+    // flooring loses at most 1 per category.
+    assert(math.abs(estSum - 1000L * n) <= out.length,
+      s"est sum $estSum vs ${1000L * n}")
+    assert(out.forall(_.getBoolean(5)), // in_bound pinned TRUE
+      s"out of bound: ${out.mkString(", ")}")
+  }
+
   test("modularity: two triangles + bridge, unlabeled node excluded") {
     import spark.implicits._
     // Directed triangles {0,1,2} and {3,4,5}, bridge 2->3; node 6 is
