@@ -475,6 +475,165 @@ object TextOps {
                  AS lm_score
         FROM $table d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"""
 
+  /** Trigram Stupid Backoff scoring (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP 2007 — the score function
+    * built FOR distributed count tables: no discounting mass to
+    * normalize across shards, just counts and a fixed backoff factor):
+    *
+    *   S(w3 | w1 w2) = c(w1 w2 w3)/c(w1 w2)      if the trigram is seen
+    *                 = 0.4 · c(w2 w3)/c(w2)      else if the bigram is
+    *                 = 0.4² · c(w3)/N            else if the unigram is
+    *                 = 0                          else (true OOV)
+    *
+    * Counts are trained on the `trainPred` slice only and every doc is
+    * scored — out-of-slice n-grams actually exercise the backoff chain
+    * (a self-trained corpus would hit the trigram level everywhere).
+    * Fixed-point micro probabilities with floor division (all operands
+    * nonnegative, so `div` ≡ `//`); the backoff factors are exact micro
+    * constants 400000 and 160000, applied as `(k·p) div 1e6` — both
+    * engines produce the identical BIGINT per trigram, and the only
+    * double is the final [[SimOps.quant4]]'d mean. Per-doc backoff-level
+    * tallies (`n_tri_hit`/`n_bi_back`/`n_uni_back`/`n_oov`) are the
+    * audit columns: they say *why* a doc scored low (domain-shifted but
+    * fluent → bigram backoffs; garbage → OOV), which is the actual
+    * data-curation signal.
+    *
+    * Scale shape: the three count tables are n-gram-distinct-bounded
+    * hash-aggs with map-side combine (this is exactly the layout Brants
+    * shards across machines); scoring joins run at the
+    * distinct-trigram-per-doc grain (never one row per occurrence), as
+    * plain equi-joins — hot n-grams are AQE skew-split territory. The
+    * trigram grain is computed once and localCheckpoint'd for its two
+    * consumers (train counts + scoring), the [[lmScore]] ReuseExchange
+    * lesson. */
+  def stupidBackoff(docs: DataFrame, trainPred: Column): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), trainPred.as("is_t"), tokens(col("text")).as("t"))
+    val tgd = base
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("is_t"), explode(expr(
+        """transform(sequence(1, size(t) - 2),
+           i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2,
+                       element_at(t, i + 2) AS w3))""")).as("g"))
+      .select(col("doc_id"), col("is_t"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .groupBy(col("doc_id"), col("is_t"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val uni = base.filter(col("is_t"))
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTot = uni.agg(sum(col("c1")).as("nn"))
+    val bi = base.filter(col("is_t"))
+      .select(explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> struct(a AS wa, b AS wb))""")).as("b"))
+      .select(col("b.wa").as("wa"), col("b.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c2"))
+    val biP = bi.join(uni.select(col("w").as("wa"), col("c1")), "wa")
+      .select(col("wa"), col("wb"), expr(
+        "CAST((CAST(c2 AS DECIMAL(38,0)) * 1000000) div c1 AS BIGINT)")
+        .as("bi_p"))
+    val triP = tgd.filter(col("is_t"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("n")).as("c3"))
+      .join(bi.select(col("wa").as("w1"), col("wb").as("w2"), col("c2")),
+        Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"), expr(
+        "CAST((CAST(c3 AS DECIMAL(38,0)) * 1000000) div c2 AS BIGINT)")
+        .as("tri_p"))
+    val uniP = uni.crossJoin(broadcast(nTot))
+      .select(col("w").as("w3"), expr(
+        "CAST((CAST(c1 AS DECIMAL(38,0)) * 1000000) div nn AS BIGINT)")
+        .as("uni_p"))
+    val scored = tgd
+      .select(col("doc_id"), col("w1"), col("w2"), col("w3"), col("n"))
+      .join(triP, Seq("w1", "w2", "w3"), "left")
+      .join(biP.select(col("wa").as("w2"), col("wb").as("w3"), col("bi_p")),
+        Seq("w2", "w3"), "left")
+      .join(uniP, Seq("w3"), "left")
+      .withColumn("s_micro", coalesce(col("tri_p"),
+        expr("(400000L * bi_p) div 1000000L"),
+        expr("(160000L * uni_p) div 1000000L"), lit(0L)))
+      .withColumn("lvl",
+        when(col("tri_p").isNotNull, 3).when(col("bi_p").isNotNull, 2)
+          .when(col("uni_p").isNotNull, 1).otherwise(0))
+    val perDoc = scored.groupBy(col("doc_id")).agg(
+      sum(col("n")).as("m"),
+      sum(col("n") * col("s_micro")).as("sp"),
+      sum(when(col("lvl") === 3, col("n")).otherwise(0L)).as("h3"),
+      sum(when(col("lvl") === 2, col("n")).otherwise(0L)).as("h2"),
+      sum(when(col("lvl") === 1, col("n")).otherwise(0L)).as("h1"),
+      sum(when(col("lvl") === 0, col("n")).otherwise(0L)).as("h0"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m"), lit(0L)).as("n_trigrams"),
+        coalesce(col("h3"), lit(0L)).as("n_tri_hit"),
+        coalesce(col("h2"), lit(0L)).as("n_bi_back"),
+        coalesce(col("h1"), lit(0L)).as("n_uni_back"),
+        coalesce(col("h0"), lit(0L)).as("n_oov"),
+        SimOps.quant4(col("sp").cast("double") /
+          (col("m") * lit(1000000L)).cast("double")).as("sb_score"))
+  }
+
+  /** Oracle twin of [[stupidBackoff]]: identical count tables, micro
+    * floor divisions, backoff constants, and coalesce order in DuckDB. */
+  def stupidBackoffSql(table: String, trainPredSql: String): String =
+    s"""WITH base AS (SELECT doc_id, ($trainPredSql) AS is_t,
+          ${tokensSql("text")} AS t FROM $table),
+        tg AS (SELECT doc_id, is_t,
+            unnest(list_transform(range(1, len(t) - 1),
+              j -> {'w1': t[j], 'w2': t[j + 1], 'w3': t[j + 2]})) AS g
+          FROM base WHERE len(t) >= 3),
+        tgd AS (SELECT doc_id, is_t, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+            CAST(count(*) AS BIGINT) AS n
+          FROM tg GROUP BY doc_id, is_t, g.w1, g.w2, g.w3),
+        unic AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+          FROM (SELECT unnest(t) AS w FROM base WHERE is_t) GROUP BY w),
+        ntot AS (SELECT CAST(sum(c1) AS BIGINT) AS nn FROM unic),
+        bic AS (SELECT b.wa AS wa, b.wb AS wb, CAST(count(*) AS BIGINT) AS c2
+          FROM (SELECT unnest(list_transform(range(1, len(t)),
+                  j -> {'wa': t[j], 'wb': t[j + 1]})) AS b
+                FROM base WHERE is_t)
+          GROUP BY b.wa, b.wb),
+        bip AS (SELECT wa, wb,
+            CAST((CAST(c2 AS HUGEINT) * 1000000) // c1 AS BIGINT) AS bi_p
+          FROM bic JOIN unic ON wa = w),
+        trip AS (SELECT w1, w2, w3,
+            CAST((CAST(c3 AS HUGEINT) * 1000000) // c2 AS BIGINT) AS tri_p
+          FROM (SELECT w1, w2, w3, sum(n) AS c3 FROM tgd WHERE is_t
+                GROUP BY w1, w2, w3) tric
+          JOIN bic ON w1 = wa AND w2 = wb),
+        unip AS (SELECT w, CAST((CAST(c1 AS HUGEINT) * 1000000) // nn
+            AS BIGINT) AS uni_p
+          FROM unic CROSS JOIN ntot),
+        sc AS (SELECT doc_id, n,
+            COALESCE(tri_p, (400000 * bi_p) // 1000000,
+              (160000 * uni_p) // 1000000, 0) AS s,
+            CASE WHEN tri_p IS NOT NULL THEN 3
+                 WHEN bi_p IS NOT NULL THEN 2
+                 WHEN uni_p IS NOT NULL THEN 1 ELSE 0 END AS lvl
+          FROM tgd g
+          LEFT JOIN trip USING (w1, w2, w3)
+          LEFT JOIN bip ON g.w2 = bip.wa AND g.w3 = bip.wb
+          LEFT JOIN unip ON g.w3 = unip.w),
+        pd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS m, sum(n * s) AS sp,
+            CAST(sum(CASE WHEN lvl = 3 THEN n ELSE 0 END) AS BIGINT) AS h3,
+            CAST(sum(CASE WHEN lvl = 2 THEN n ELSE 0 END) AS BIGINT) AS h2,
+            CAST(sum(CASE WHEN lvl = 1 THEN n ELSE 0 END) AS BIGINT) AS h1,
+            CAST(sum(CASE WHEN lvl = 0 THEN n ELSE 0 END) AS BIGINT) AS h0
+          FROM sc GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(m, 0) AS n_trigrams,
+          COALESCE(h3, 0) AS n_tri_hit,
+          COALESCE(h2, 0) AS n_bi_back,
+          COALESCE(h1, 0) AS n_uni_back,
+          COALESCE(h0, 0) AS n_oov,
+          ${SimOps.quant4Sql(
+            "CAST(sp AS DOUBLE) / CAST(m * 1000000 AS DOUBLE)")}
+            AS sb_score
+        FROM $table d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
+
   /** Phrase search over the positional inverted index — the retrieval
     * consumer `text_inverted_index` exists for: find every occurrence of
     * an exact 3-token phrase by intersecting posting lists at adjacent

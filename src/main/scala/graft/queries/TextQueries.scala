@@ -277,6 +277,20 @@ object TextQueries {
       Some(TextOps.lmScoreSql("documents")),
       presentOrder = Seq("doc_id"))
 ,
+    // Trigram Stupid Backoff (Brants et al. EMNLP'07) — the LM score
+    // function designed for sharded count tables (no cross-shard
+    // normalization), trained on the lang='en' slice and scoring the
+    // whole corpus so off-slice docs exercise the full
+    // trigram→bigram→unigram→OOV backoff chain. The per-doc backoff-
+    // level tallies are the curation signal (fluent-but-shifted vs
+    // garbage). Fixed-point micro probabilities; the only double is the
+    // final quantized mean.
+    QueryDef("text_stupid_backoff",
+      (s, d) => TextOps.stupidBackoff(Tables.documents(s, d),
+        col("lang") === "en"),
+      Some(TextOps.stupidBackoffSql("documents", "lang = 'en'")),
+      presentOrder = Seq("doc_id"))
+,
     // Vocabulary drift between the indexed slice and the arriving slice
     // (the text twin of sim_dim_drift): total-variation distance over
     // term distributions — KL-free by design so the statistic stays in

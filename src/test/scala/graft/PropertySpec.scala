@@ -95,6 +95,31 @@ class PropertySpec extends SparkSpec {
     assert(out(3L) === ((0L, None))) // no bigrams: NULL score, not 0
   }
 
+  test("stupidBackoff: hand-computed scores at every backoff level") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // Train slice = doc 1 "a b c a b c": uni a2 b2 c2 N=6; bigrams
+    // (a,b)2 (b,c)2 (c,a)1; trigrams (a,b,c)2 (b,c,a)1 (c,a,b)1.
+    val docs = Seq(
+      (1L, "en", "a b c a b c"), // self: tri hits 1e6, 5e5, 1e6 -> 0.875
+      (2L, "de", "a b c d"),     // (a,b,c)=1e6 tri; (b,c,d) OOV -> 0.5
+      (3L, "de", "x b c"),       // bi backoff: 0.4*c(b,c)/c(b)=400000
+      (4L, "de", "z z a"),       // uni double-backoff: 0.16*2/6=53333
+      (5L, "de", "q q d"),       // true OOV: 0
+      (6L, "de", "z"))           // <3 tokens: no trigrams, NULL score
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.stupidBackoff(docs, col("lang") === "en").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)), Option(r.get(6)))).toMap
+    assert(out(1L) === (((4L, 4L, 0L, 0L, 0L), Some(0.875))))
+    assert(out(2L) === (((2L, 1L, 0L, 0L, 1L), Some(0.5))))
+    assert(out(3L) === (((1L, 0L, 1L, 0L, 0L), Some(0.4))))
+    assert(out(4L) === (((1L, 0L, 0L, 1L, 0L), Some(0.0533))))
+    assert(out(5L) === (((1L, 0L, 0L, 0L, 1L), Some(0.0))))
+    assert(out(6L) === (((0L, 0L, 0L, 0L, 0L), None)))
+  }
+
   test("vocabDrift: hand-computed TV distance with a top-term tie") {
     import spark.implicits._
     import graft.ops.TextOps
