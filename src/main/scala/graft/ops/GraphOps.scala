@@ -307,6 +307,77 @@ object GraphOps {
         SELECT node_id, pr AS pagerank FROM it$iters ORDER BY node_id"""
   }
 
+  /** Personalized PageRank (topic-sensitive PageRank, Haveliwala WWW'02;
+    * a.k.a. random walk with restart): identical damped iteration to
+    * [[pageRank]] except the teleport mass lands ONLY on the `seedPred`
+    * set — every round each seed receives the fixed restart grant
+    * [[PrBase]] and non-seeds receive none, so mass concentrates in the
+    * seeds' neighborhoods. This is the "expand from a trusted core"
+    * primitive: seed the walker at human-audited documents (or a known
+    * topic slice) and rank the corpus by proximity to that core —
+    * TrustRank-style quality propagation and topic-conditioned curation
+    * in one operator.
+    *
+    * Integer contract: init mass S0 at seeds / 0 elsewhere, damping as
+    * the exact 85/100 rational with floor division; total mass never
+    * exceeds |seeds|·S0 plus damped inbound sums, strictly below the
+    * [[pageRank]] overflow bound (which already covers N·S0). Dangling
+    * leak is the same documented contract.
+    *
+    * Scale shape: identical to [[pageRank]] — the degree-joined edge
+    * table persists once, each round is one equi-join + one map-side-
+    * combined hash-agg + a nodes left-join; rounds O(iters), lineage
+    * flat. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+                           seedPred: Column,
+                           iters: Int = PrIters): DataFrame = {
+    val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val eo = edges.select("src", "dst").join(outd, "src").persist()
+    val nn = nodes.select(col("node_id"), seedPred.as("is_seed"))
+    var r = nn.select(col("node_id"),
+      when(col("is_seed"), lit(PrS0)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val inbound = eo.join(r, eo("src") === r("node_id"))
+        .select(col("dst"), expr("pr div od").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      r = nn
+        .join(inbound, col("node_id") === inbound("dst"), "left")
+        .select(col("node_id"),
+          (when(col("is_seed"), lit(PrBase)).otherwise(lit(0L)) + expr(
+            s"($PrDampNum * coalesce(m, CAST(0 AS BIGINT))) div $PrDampDen"))
+            .as("pr"))
+    }
+    nn.join(r, "node_id")
+      .select(col("node_id"), col("is_seed"), col("pr").as("ppr"))
+  }
+
+  /** Oracle twin of [[personalizedPageRank]]: `nodesSql` must yield
+    * (node_id, is_seed); rounds replay as chained CTEs. */
+  def personalizedPageRankSql(nodesSql: String, edgesSql: String,
+                              iters: Int = PrIters): String = {
+    val its = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s"""it$i AS (SELECT n.node_id,
+            CAST(CASE WHEN n.is_seed THEN $PrBase ELSE 0 END
+                 + ($PrDampNum * COALESCE(s.m, 0)) // $PrDampDen
+                 AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst, SUM(p.pr // o.od) AS m
+              FROM edges e JOIN $prev p ON e.src = p.node_id
+                           JOIN outd o ON e.src = o.src
+              GROUP BY e.dst) s ON n.node_id = s.dst)"""
+    }
+    s"""WITH nodes AS ($nodesSql),
+        edges AS ($edgesSql),
+        outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        r0 AS (SELECT node_id,
+          CAST(CASE WHEN is_seed THEN $PrS0 ELSE 0 END AS BIGINT) AS pr
+          FROM nodes),
+        ${its.mkString(",\n        ")}
+        SELECT n.node_id, n.is_seed, pr AS ppr
+        FROM it$iters JOIN nodes n USING (node_id) ORDER BY n.node_id"""
+  }
+
   /** Semi-supervised label propagation with a FIXED round count: seed
     * nodes carry immutable labels; each round, every still-unlabeled
     * node adopts the MAJORITY label among its labeled neighbors (tie →

@@ -350,6 +350,28 @@ object SimQueries {
           SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
       presentOrder = Seq("node_id")),
 
+    // Personalized PageRank over the k-NN graph (topic-sensitive /
+    // random-walk-with-restart): teleport mass lands only on the seed
+    // set (every 37th vector — the "human-audited core"), so scores
+    // rank the corpus by walk-proximity to trusted neighborhoods
+    // (TrustRank-style curation). Same exact-integer damping and
+    // unrolled-CTE oracle as graph_pagerank.
+    QueryDef("graph_ppr",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        GraphOps.personalizedPageRank(nodes, edges,
+          col("node_id") % 37 === 0)
+      },
+      Some(GraphOps.personalizedPageRankSql(
+        "SELECT vec_id AS node_id, vec_id % 37 = 0 AS is_seed FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
+      presentOrder = Seq("node_id")),
+
     // Semi-supervised label propagation over the k-NN graph: every
     // 25th vector is a human-audited seed; 3 majority rounds spread the
     // labels (tie → smallest). Unreached nodes stay NULL. Fixed rounds
