@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage — the Fellegi–Sunter model (Fellegi &
+  * Sunter, "A Theory for Record Linkage", JASA 1969), the standard
+  * framework behind every production entity-resolution system: candidate
+  * pairs from BLOCKING, per-field agreement likelihood ratios
+  * m/u (agree) vs (1−m)/(1−u) (disagree), a composite score that is the
+  * product of the field ratios under conditional independence, and a
+  * two-threshold decision rule (match / possible-match-for-clerical-
+  * review / non-match).
+  *
+  * Engine-exactness: the classical formulation sums log-weights; this
+  * implementation multiplies the UNLOGGED ratios in fixed-point micro
+  * units with floor division — the identical monotone statistic (log is
+  * order-preserving), and every intermediate is a BIGINT both engines
+  * agree on. The m probabilities are declared model constants (as in
+  * practice, where they come from a labeled sample or EM); the u
+  * probabilities are estimated FROM THE DATA as the exact rational
+  * agreement probability of a uniformly random record pair:
+  * u_f = Σ_v c_v(c_v−1) / (n(n−1)) in micro units — the standard
+  * frequency-based u estimate, computed distributed.
+  *
+  * Per-field ratios are clipped to [[FsClipLo]]..[[FsClipHi]] (1/32× ..
+  * 32×): the clip bounds the four-factor product at 1e6·32⁴ ≈ 1.05e12
+  * and the largest intermediate multiply at ~1.05e18 < 2⁶³ — overflow-
+  * free by construction (the DSIR discipline).
+  *
+  * Scale shape: blocking keys (name noun × size) bound candidate
+  * generation — the self-join is quadratic ONLY within a block, the
+  * standard linkage tradeoff (block-size skew is AQE skew-join
+  * territory; at crawl scale the block key must keep blocks bounded,
+  * e.g. add a second key). The four u statistics are value-distinct
+  * hash-aggs broadcast as one-row frames; scoring is narrow arithmetic
+  * on the pair stream; the published summary is a tiny hash-agg by
+  * block noun.
+  */
+object LinkOps {
+
+  /** m = P(field agrees | records truly match), micro. One declared
+    * constant for all four fields (a labeled sample would refine). */
+  val FsM = 950000L
+
+  /** Per-field ratio clip: [1/32×, 32×] micro. */
+  val FsClipLo = 31250L
+  val FsClipHi = 32000000L
+
+  /** Decision thresholds on the composite micro ratio: ≥32× → match,
+    * ≥1× → possible (clerical review), else non-match. */
+  val FsThMatch = 32000000L
+  val FsThPossible = 1000000L
+
+  private def uMicroAgg(rec: DataFrame, field: String, as: String) =
+    rec.groupBy(col(field)).agg(count(lit(1)).as("cv"))
+      .agg(expr(
+        s"""CAST(sum(CAST(cv AS DECIMAL(38,0)) * (cv - 1)) * 1000000 div
+            (CAST(sum(cv) AS DECIMAL(38,0)) * (sum(cv) - 1)) AS BIGINT)""")
+        .as(as))
+
+  /** FS linkage over the part catalog: records blocked on
+    * (name noun, size); fields compared = name adjective, brand, type,
+    * price bucket (floor(price)/100). Published: per-noun decision
+    * summary — pair counts by decision plus the score range. */
+  def fellegiSunter(part: DataFrame): DataFrame = {
+    val rec = part.select(col("p_partkey").as("rid"),
+      regexp_extract(col("p_name"), "[^ ]+$", 0).as("noun"),
+      regexp_extract(col("p_name"), "^[^ ]+", 0).as("adj"),
+      col("p_brand").as("brand"), col("p_type").as("ptype"),
+      col("p_size").as("sz"),
+      expr("CAST(floor(p_retailprice) AS BIGINT) div 100").as("price_b"))
+      .localCheckpoint()
+    val us = uMicroAgg(rec, "adj", "u_adj")
+      .crossJoin(uMicroAgg(rec, "brand", "u_brand"))
+      .crossJoin(uMicroAgg(rec, "ptype", "u_type"))
+      .crossJoin(uMicroAgg(rec, "price_b", "u_price"))
+    val a = rec.select(col("rid").as("ra"), col("noun"), col("sz"),
+      col("adj").as("fa1"), col("brand").as("fa2"), col("ptype").as("fa3"),
+      col("price_b").as("fa4"))
+    val b = rec.select(col("rid").as("rb"), col("noun"), col("sz"),
+      col("adj").as("fb1"), col("brand").as("fb2"), col("ptype").as("fb3"),
+      col("price_b").as("fb4"))
+    def r(i: Int, u: String): Column = least(greatest(
+      when(col(s"fa$i") === col(s"fb$i"),
+        expr(s"(${FsM}L * 1000000L) div greatest($u, 1L)"))
+        .otherwise(expr(
+          s"((1000000L - ${FsM}L) * 1000000L) div greatest(1000000L - $u, 1L)")),
+      lit(FsClipLo)), lit(FsClipHi))
+    val pairs = a.join(b, Seq("noun", "sz")).filter(col("ra") < col("rb"))
+      .crossJoin(broadcast(us))
+      .withColumn("r1", r(1, "u_adj")).withColumn("r2", r(2, "u_brand"))
+      .withColumn("r3", r(3, "u_type")).withColumn("r4", r(4, "u_price"))
+      .withColumn("score", expr(
+        "((((r1 * r2) div 1000000L) * r3) div 1000000L) * r4 div 1000000L"))
+      .withColumn("decision",
+        when(col("score") >= FsThMatch, "match")
+          .when(col("score") >= FsThPossible, "possible")
+          .otherwise("nonmatch"))
+    pairs.groupBy(col("noun")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("decision") === "match", 1L).otherwise(0L)).as("n_match"),
+      sum(when(col("decision") === "possible", 1L).otherwise(0L))
+        .as("n_possible"),
+      sum(when(col("decision") === "nonmatch", 1L).otherwise(0L))
+        .as("n_nonmatch"),
+      max(col("score")).as("max_score"),
+      min(col("score")).as("min_score"))
+  }
+
+  /** Oracle twin of [[fellegiSunter]]: identical u estimates, clipped
+    * ratios, fold order, and thresholds in DuckDB. */
+  def fellegiSunterSql(table: String): String = {
+    def u(field: String): String =
+      s"""SELECT CAST(sum(CAST(cv AS HUGEINT) * (cv - 1)) * 1000000 //
+            (CAST(sum(cv) AS HUGEINT) * (sum(cv) - 1)) AS BIGINT)
+          FROM (SELECT count(*) AS cv FROM rec GROUP BY $field)"""
+    def r(i: Int, uName: String): String =
+      s"""least(greatest(CASE WHEN fa$i = fb$i
+            THEN (CAST($FsM AS BIGINT) * 1000000) // greatest($uName, 1)
+            ELSE (CAST(${1000000L - FsM} AS BIGINT) * 1000000) //
+                 greatest(1000000 - $uName, 1) END,
+          CAST($FsClipLo AS BIGINT)), CAST($FsClipHi AS BIGINT))"""
+    s"""WITH rec AS (SELECT p_partkey AS rid,
+          regexp_extract(p_name, '[^ ]+$$') AS noun,
+          regexp_extract(p_name, '^[^ ]+') AS adj,
+          p_brand AS brand, p_type AS ptype, p_size AS sz,
+          CAST(floor(p_retailprice) AS BIGINT) // 100 AS price_b
+          FROM $table),
+        us AS (SELECT (${u("adj")}) AS u_adj, (${u("brand")}) AS u_brand,
+          (${u("ptype")}) AS u_type, (${u("price_b")}) AS u_price),
+        pr AS (SELECT a.noun,
+            ${r(1, "u_adj")} AS r1, ${r(2, "u_brand")} AS r2,
+            ${r(3, "u_type")} AS r3, ${r(4, "u_price")} AS r4
+          FROM (SELECT rid AS ra, noun, sz, adj AS fa1, brand AS fa2,
+                  ptype AS fa3, price_b AS fa4 FROM rec) a
+          JOIN (SELECT rid AS rb, noun, sz, adj AS fb1, brand AS fb2,
+                  ptype AS fb3, price_b AS fb4 FROM rec) b
+            USING (noun, sz)
+          CROSS JOIN us
+          WHERE ra < rb),
+        sc AS (SELECT noun,
+            ((((r1 * r2) // 1000000) * r3) // 1000000) * r4 // 1000000
+              AS score
+          FROM pr),
+        dec AS (SELECT noun, score,
+            CASE WHEN score >= $FsThMatch THEN 'match'
+                 WHEN score >= $FsThPossible THEN 'possible'
+                 ELSE 'nonmatch' END AS decision
+          FROM sc)
+        SELECT noun, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN decision = 'match' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match,
+          CAST(sum(CASE WHEN decision = 'possible' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_possible,
+          CAST(sum(CASE WHEN decision = 'nonmatch' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nonmatch,
+          max(score) AS max_score, min(score) AS min_score
+        FROM dec GROUP BY noun ORDER BY noun"""
+  }
+}
