@@ -303,6 +303,50 @@ object SampleOps {
             AND (q.o1 > p.o1 OR q.o2 > p.o2))
         ORDER BY p.doc_id"""
 
+  /** Modulus of the geometric-mechanism coin: 3·2²⁰. Divisible by 3 and
+    * by every 2^j (j ≤ 20), so EVERY branch probability of the α = 1/2
+    * two-sided geometric is an exact integer cell count — the whole
+    * sampler is integer arithmetic, no floats anywhere. */
+  val GeoMod = 3145728L
+
+  /** Truncated two-sided geometric mechanism (Ghosh–Roughgarden–
+    * Sundararajan STOC'09 — the discrete, utility-optimal counterpart
+    * of Laplace noise for ε-differentially-private counts): noise Δ with
+    * P(Δ=k) = ((1−α)/(1+α))·α^|k| at α = 1/2 (ε = ln 2 per unit
+    * sensitivity), truncated at |Δ| ≤ 10 with the residual tail mass
+    * folded into ±10 (the truncated geometric mechanism — itself the
+    * optimal mechanism for bounded output ranges).
+    *
+    * `u` must be uniform over [0, [[GeoMod]]): the inverse-CDF walk is a
+    * static 21-branch when-chain over exact integer cell widths —
+    * P(0) = 2²⁰/M = 1/3, P(±k) = 2^(20−k)/M for k = 1..9, P(±10) =
+    * 2048/M each. Deterministic, codegen-friendly, engine-exact; a
+    * production deployment swaps the hash coin for a real RNG without
+    * touching the estimator algebra (the pipeline_rr_frequency
+    * contract). */
+  def geoNoise(u: Column): Column = {
+    var acc = 1L << 20
+    var c = when(u < acc, 0L)
+    for (k <- 1 to 10) {
+      val w = if (k == 10) 2048L else 1L << (20 - k)
+      c = c.when(u < acc + w, k.toLong); acc += w
+      c = c.when(u < acc + w, -k.toLong); acc += w
+    }
+    c.otherwise(0L) // unreachable for u in [0, GeoMod)
+  }
+
+  /** Oracle twin of [[geoNoise]]: the identical CASE chain over `uExpr`. */
+  def geoNoiseSql(uExpr: String): String = {
+    val sb = new StringBuilder(s"CASE WHEN $uExpr < ${1L << 20} THEN 0")
+    var acc = 1L << 20
+    for (k <- 1 to 10) {
+      val w = if (k == 10) 2048L else 1L << (20 - k)
+      sb.append(s" WHEN $uExpr < ${acc + w} THEN $k"); acc += w
+      sb.append(s" WHEN $uExpr < ${acc + w} THEN -$k"); acc += w
+    }
+    sb.append(" ELSE 0 END").toString
+  }
+
   /** Hashed-feature space for [[dsirWeights]]: 64 unigram buckets. */
   val DsirBuckets = 64
 
