@@ -330,4 +330,132 @@ object TsOps {
                           '' ORDER BY seg) AS sax_word
         FROM bk GROUP BY user_id ORDER BY user_id"""
   }
+
+  /** Unreachable-cell sentinel for the banded DTW table. Real path costs
+    * are bounded by pathLen·maxCost ≈ 16·2e9 milli ≪ 1e15, so INF + one
+    * cost term never wraps and never beats a real path. */
+  val DtwInf = 1000000000000000L
+
+  /** The banded-DTW dynamic program as ONE whole-stage-codegen SQL
+    * expression: a nested `aggregate` fold — outer over rows i (state =
+    * previous DP row, an ARRAY<BIGINT> of length w+1 with the D(i,0)=∞
+    * boundary), inner over columns j (state = the growing current row,
+    * seeded with the j=0 boundary cell). Cells outside the Sakoe–Chiba
+    * band |i−j| > r are pinned to [[DtwInf]]; in-band cells always have
+    * an in-band diagonal predecessor (|（i−1)−(j−1)| ≤ r), so the final
+    * corner cell is the EXACT banded DTW distance, not a truncation.
+    * All-integer milli units; both engines run the identical fold. */
+  def dtwExpr(va: String, vb: String, w: Int, band: Int): String = {
+    val inf = s"CAST($DtwInf AS BIGINT)"
+    val seed = (Seq("CAST(0 AS BIGINT)") ++ Seq.fill(w)(inf))
+      .mkString("array(", ", ", ")")
+    s"""aggregate(
+        sequence(1, $w),
+        $seed,
+        (prev, i) -> aggregate(
+          sequence(1, $w),
+          array($inf),
+          (cur, j) -> concat(cur, array(
+            CASE WHEN abs(i - j) > $band THEN $inf
+            ELSE least(least(element_at(prev, j + 1), element_at(cur, j)),
+                       element_at(prev, j))
+                 + abs(element_at($va, i) - element_at($vb, j)) END))),
+        acc -> element_at(acc, ${w + 1}))"""
+  }
+
+  /** Dynamic Time Warping similarity search over per-user series
+    * (Berndt & Clifford KDD'94; Sakoe & Chiba 1978 for the band): each
+    * query user's PAA-reduced series (first `w` segments of `segLen`
+    * readings, floor-divided milli means — the [[sax]] front end) is
+    * compared against every user's series under a Sakoe–Chiba band of
+    * half-width `band`, and the `topK` nearest neighbors per query are
+    * published. DTW is THE standard alignment-tolerant distance for
+    * sensor/usage series — two users with the same pattern shifted by a
+    * few readings score near zero where Euclidean distance explodes.
+    *
+    * PAA-first is the scale design (Keogh's exact-indexing insight):
+    * the DP is O(w·band) per pair on the REDUCED series, w=8 here vs
+    * raw lengths in the dozens. The query set is a broadcast (bounded
+    * by `queryMod` selection); candidate scoring is one narrow pass
+    * over users × queries with the fold above fused into codegen; the
+    * per-query top-k is a WindowGroupLimit (spill-safe, the
+    * sim_topk_brute shape). At crawl scale the brute arm becomes the
+    * audit and an LB_Keogh envelope prefilter would gate candidates —
+    * same contract as SimOps' guarded brute. */
+  def dtwTopK(ev: DataFrame, segLen: Int = 5, w: Int = 8, band: Int = 2,
+              queryMod: Int = 50, topK: Int = 3): DataFrame = {
+    require(segLen >= 1 && w >= 2 && band >= 1 && topK >= 1,
+      s"dtwTopK bad params ($segLen, $w, $band, $topK)")
+    val wIdx = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val vecs = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .withColumn("idx", (row_number().over(wIdx) - 1).cast("long"))
+      .withColumn("seg", expr(s"idx div $segLen"))
+      .filter(col("seg") < w)
+      .groupBy(col("user_id"), col("seg"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("ns"))
+      .withColumn("paa", expr("(sv - ((sv % ns) + ns) % ns) div ns"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("nseg"),
+        expr("transform(array_sort(collect_list(struct(seg, paa))), " +
+          "s -> s.paa)").as("v"))
+      .filter(col("nseg") === w)
+      .select(col("user_id"), col("v"))
+    val q = vecs.filter(col("user_id") % queryMod === 0)
+      .select(col("user_id").as("query_id"), col("v").as("qv"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("dtw"), col("user_id"))
+    vecs.crossJoin(broadcast(q))
+      .filter(col("user_id") =!= col("query_id"))
+      .withColumn("dtw", expr(dtwExpr("qv", "v", w, band)))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("user_id").as("neighbor_id"), col("dtw"))
+  }
+
+  /** Oracle twin of [[dtwTopK]]: the identical PAA front end and DP
+    * fold in DuckDB — `list_reduce` has no seed argument, so both fold
+    * seeds ride as `list_prepend`ed first elements, and loop indices
+    * travel as single-element lists to satisfy list_reduce's
+    * accumulator/element type unification. */
+  def dtwTopKSql(table: String, segLen: Int = 5, w: Int = 8, band: Int = 2,
+                 queryMod: Int = 50, topK: Int = 3): String = {
+    val inf = s"CAST($DtwInf AS BIGINT)"
+    val seed = (Seq("CAST(0 AS BIGINT)") ++ Seq.fill(w)(inf))
+      .mkString("[", ", ", "]")
+    val fold =
+      s"""list_reduce(
+          list_prepend($seed,
+            list_transform(range(1, ${w + 1}), i -> [CAST(i AS BIGINT)])),
+          (prev, ie) -> list_reduce(
+            list_prepend([$inf],
+              list_transform(range(1, ${w + 1}), j -> [CAST(j AS BIGINT)])),
+            (cur, je) -> list_concat(cur, [
+              CASE WHEN abs(ie[1] - je[1]) > $band THEN $inf
+              ELSE least(least(prev[je[1] + 1], cur[je[1]]), prev[je[1]])
+                   + abs(qv[ie[1]] - v[je[1]]) END])))[${w + 1}]"""
+    s"""WITH ix AS (SELECT user_id,
+          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+          FROM $table),
+        sg AS (SELECT user_id, idx // $segLen AS seg,
+            CAST(sum(vm) AS BIGINT) // CAST(count(*) AS BIGINT) AS paa
+          FROM ix WHERE idx // $segLen < $w GROUP BY 1, 2),
+        vc AS (SELECT user_id, list(paa ORDER BY seg) AS v
+          FROM sg GROUP BY user_id HAVING count(*) = $w),
+        qs AS (SELECT user_id AS query_id, v AS qv FROM vc
+          WHERE user_id % $queryMod = 0),
+        sc AS (SELECT query_id, user_id AS neighbor_id, $fold AS dtw
+          FROM vc CROSS JOIN qs WHERE user_id <> query_id),
+        rk AS (SELECT query_id, neighbor_id, dtw,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dtw, neighbor_id) AS BIGINT) AS rank
+          FROM sc)
+        SELECT query_id, rank, neighbor_id, dtw FROM rk
+        WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.ops.{DedupOps, SampleOps, TextOps}
+import graft.ops.{DedupOps, LinkOps, SampleOps, TextOps}
 
 /** End-to-end corpus curation: the composition a training-data pipeline
   * actually runs — quality gate → exact-dup removal → near-dup cluster
@@ -293,6 +293,41 @@ object PipelineQueries {
              |  abs(est_milli - true_n * 1000) * abs(est_milli - true_n * 1000)
              |    <= 4000000 * n_total AS in_bound
              | FROM e ORDER BY lang""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("lang")),
+
+    // Fifth rung of the privacy ladder — CENTRAL differential privacy:
+    // the trusted aggregator computes exact per-language counts and
+    // releases them with truncated two-sided geometric noise (the
+    // discrete optimal mechanism; see SampleOps.geoNoise), ε = ln 2 at
+    // unit sensitivity (each doc contributes to exactly one disjoint
+    // count). Complements rung 4 (pipeline_rr_frequency), where noise
+    // is added at the RECORD before aggregation. The coin is the
+    // deterministic engine-portable hash (gate-able); production swaps
+    // in a real RNG, same release algebra. true_n is gate-only audit;
+    // production publishes (released_n) alone.
+    QueryDef("pipeline_geometric_dp",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.groupBy(col("lang")).agg(count(lit(1)).as("true_n"))
+          .withColumn("u", pmod(
+            TextOps.hash64(concat(lit("geo"), col("lang"))),
+            lit(SampleOps.GeoMod)))
+          .select(col("lang"), col("true_n"),
+            SampleOps.geoNoise(col("u")).as("noise"),
+            greatest(col("true_n") + SampleOps.geoNoise(col("u")), lit(0L))
+              .as("released_n"),
+            (abs(SampleOps.geoNoise(col("u"))) <= 10).as("in_bound"))
+      },
+      Some(s"""WITH t AS (SELECT lang, CAST(count(*) AS BIGINT) AS true_n,
+             |   ${TextOps.hash64Sql("'geo' || lang")} % ${SampleOps.GeoMod}
+             |     AS u
+             |  FROM documents GROUP BY lang)
+             | SELECT lang, true_n,
+             |  CAST(${SampleOps.geoNoiseSql("u")} AS BIGINT) AS noise,
+             |  greatest(true_n + ${SampleOps.geoNoiseSql("u")}, 0)
+             |    AS released_n,
+             |  abs(${SampleOps.geoNoiseSql("u")}) <= 10 AS in_bound
+             | FROM t ORDER BY lang""".stripMargin.replace("\n", "")),
       presentOrder = Seq("lang")),
 
     QueryDef("pipeline_corpus_curation",
@@ -913,6 +948,20 @@ object PipelineQueries {
              | SELECT * FROM pos UNION ALL SELECT * FROM neg
              | ORDER BY anchor, label, rank""".stripMargin.replace("\n", "")),
       presentOrder = Seq("anchor", "label", "rank")),
+
+    // Fellegi–Sunter probabilistic linkage (JASA 1969) — the SCORED
+    // counterpart of pipeline_entity_resolution's boolean matcher:
+    // blocked candidate pairs, per-field m/u likelihood ratios with
+    // data-estimated u (exact rational agreement probability of a
+    // random pair), composite product score in clipped fixed-point
+    // micro, and the classic two-threshold match / possible / nonmatch
+    // rule. Published at block-noun grain: decision counts + score
+    // range. All-integer; see LinkOps for the overflow-by-construction
+    // clip bound.
+    QueryDef("pipeline_fs_linkage",
+      (s, d) => LinkOps.fellegiSunter(Tables.part(s, d)),
+      Some(LinkOps.fellegiSunterSql("part")),
+      presentOrder = Seq("noun")),
 
     // Entity resolution end-to-end — the composition record-linkage
     // pipelines run: block → fuzzy-match → TRANSITIVE-CLOSURE cluster →

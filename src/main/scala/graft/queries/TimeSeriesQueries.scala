@@ -148,5 +148,18 @@ object TimeSeriesQueries {
         expr("CAST(floor(value * 1000 + 0.5) AS LONG)").as("vm")),
         segLen = 8, alpha = 4),
       Some(TsOps.saxSql("events", segLen = 8, alpha = 4)),
-      presentOrder = Seq("user_id")))
+      presentOrder = Seq("user_id")),
+
+    // Banded DTW similarity search (Berndt–Clifford / Sakoe–Chiba) over
+    // PAA-reduced user series: the alignment-tolerant "find users with
+    // this usage pattern" primitive that Euclidean top-k cannot express
+    // (a few-reading phase shift costs ~0 under DTW). The whole DP is
+    // one codegen'd nested-aggregate fold per pair — integer milli in,
+    // BIGINT distance out; oracle replays the identical fold via
+    // list_reduce. Query set = every 50th user (broadcast); top-3 per
+    // query via WindowGroupLimit.
+    QueryDef("ts_dtw_topk",
+      (s, d) => TsOps.dtwTopK(Tables.events(s, d)),
+      Some(TsOps.dtwTopKSql("events")),
+      presentOrder = Seq("query_id", "rank")))
 }

@@ -1420,4 +1420,31 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(d2(6L) === -1 && d2(5L) === 2)
   }
+
+  test("fellegiSunter: hand-computed u estimates, clipped ratios, " +
+      "two-threshold decisions, blocking excludes cross-noun pairs") {
+    import spark.implicits._
+    import graft.ops.LinkOps
+    // n=4. u_adj = u_brand = u_price = 6e6/12 = 500000; u_type = 1e6
+    // (all T1 -> type disagreement ratio hits the 32e6 clip; agreement
+    // = 950000). agree@500000 = 1900000; disagree@500000 = 100000.
+    // Block (widget,5) = rows {1,2,3}; row 4 (bolt) pairs with nobody.
+    // (1,2) all-agree fold: 1900000 -> 3610000 -> 3429500 -> 6516050
+    //   => possible (>= 1e6, < 32e6).
+    // (1,3)/(2,3): 100000 -> 10000 -> 9500 -> 950 => nonmatch.
+    val part = Seq(
+      (1L, "cold widget", "B1", "T1", 5, 100.0),
+      (2L, "cold widget", "B1", "T1", 5, 105.0),
+      (3L, "small widget", "B2", "T1", 5, 350.0),
+      (4L, "cold bolt", "B1", "T1", 5, 100.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val out = LinkOps.fellegiSunter(part).collect()
+    assert(out.length === 1) // the bolt block has no pairs
+    val r = out(0)
+    assert(r.getString(0) === "widget")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((3L, 0L, 1L, 2L)))
+    assert((r.getLong(5), r.getLong(6)) === ((6516050L, 950L)))
+  }
 }

@@ -166,6 +166,69 @@ class TsPrivacySpec extends SparkSpec {
       s"out of bound: ${out.mkString(", ")}")
   }
 
+  test("dtwTopK: hand-checked banded alignment beats Euclidean, " +
+      "constant series ranks by diagonal cost, self excluded") {
+    import spark.implicits._
+    import graft.ops.TsOps
+    // segLen=1 -> PAA = raw milli readings. u0 = 1..8 (query, 0%50=0);
+    // u1 = (1,2,3,5,5,6,7,9): DTW=|4-5|+|8-9| = 2000 milli (diagonal
+    // with two unit substitutions; warping can't beat it); u2 = all-10:
+    // diagonal sum |i-10| = 44 -> 44000.
+    val ev = (1 to 8).flatMap { i =>
+      Seq((0L, i.toLong, i.toLong, i.toDouble),
+        (1L, i.toLong, i.toLong,
+          Seq(1d, 2d, 3d, 5d, 5d, 6d, 7d, 9d)(i - 1)),
+        (2L, i.toLong, i.toLong, 10d))
+    }.toDF("user_id", "ts", "event_id", "value")
+    val out = TsOps.dtwTopK(ev, segLen = 1, w = 8, band = 2,
+        queryMod = 50, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map(
+      (0L, 1L) -> ((1L, 2000L)),
+      (0L, 2L) -> ((2L, 44000L))))
+  }
+
+  test("geoNoise: exact truncated two-sided geometric masses over the " +
+      "full coin space, zero mean") {
+    import graft.ops.SampleOps
+    // Enumerate EVERY coin value 0..3*2^20-1: branch masses must equal
+    // the theoretical alpha=1/2 geometric exactly — P(0)=2^20,
+    // P(+-k)=2^(20-k) for k=1..9, truncation mass 2048 at +-10.
+    val counts = spark.range(SampleOps.GeoMod)
+      .select(SampleOps.geoNoise(col("id")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(0L) === (1L << 20))
+    for (k <- 1 to 9) {
+      assert(counts(k.toLong) === (1L << (20 - k)), s"mass at +$k")
+      assert(counts(-k.toLong) === (1L << (20 - k)), s"mass at -$k")
+    }
+    assert(counts(10L) === 2048L && counts(-10L) === 2048L)
+    assert(counts.keySet.size === 21)
+    assert(counts.map { case (d, n) => d * n }.sum === 0L)
+  }
+
+  test("personalizedPageRank: hand-derived 3 rounds on a path, teleport " +
+      "only at the seed") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // Path 0<->1<->2, seed {0}. od: 0->1, 1->2, 2->1.
+    // r0 = (1e12, 0, 0); base = 0.15e12 at the seed only.
+    // r1 = (150e9, 850e9, 0)
+    // r2 = (511.25e9, 127.5e9, 361.25e9)
+    // r3 = (204.1875e9, 741.625e9, 54.1875e9)
+    val nodes = Seq(0L, 1L, 2L).toDF("node_id")
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val out = GraphOps.personalizedPageRank(nodes, edges,
+        col("node_id") === 0L).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(out(0L) === ((true, 204187500000L)))
+    assert(out(1L) === ((false, 741625000000L)))
+    assert(out(2L) === ((false, 54187500000L)))
+  }
+
   test("modularity: two triangles + bridge, unlabeled node excluded") {
     import spark.implicits._
     // Directed triangles {0,1,2} and {3,4,5}, bridge 2->3; node 6 is
