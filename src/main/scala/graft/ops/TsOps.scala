@@ -382,13 +382,14 @@ object TsOps {
     * sim_topk_brute shape). At crawl scale the brute arm becomes the
     * audit and an LB_Keogh envelope prefilter would gate candidates —
     * same contract as SimOps' guarded brute. */
-  def dtwTopK(ev: DataFrame, segLen: Int = 5, w: Int = 8, band: Int = 2,
-              queryMod: Int = 50, topK: Int = 3): DataFrame = {
-    require(segLen >= 1 && w >= 2 && band >= 1 && topK >= 1,
-      s"dtwTopK bad params ($segLen, $w, $band, $topK)")
+  /** The PAA front end shared by [[dtwTopK]] and [[dtwTopKPruned]]:
+    * per-user milli readings in (ts, event_id) order, floor-divided
+    * means over the first `w` segments of `segLen`, one ARRAY<BIGINT>
+    * row per user that has all `w` segments. */
+  def paaVectors(ev: DataFrame, segLen: Int, w: Int): DataFrame = {
     val wIdx = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val vecs = ev
+    ev
       .select(col("user_id"), col("ts"), col("event_id"),
         expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
       .withColumn("idx", (row_number().over(wIdx) - 1).cast("long"))
@@ -403,6 +404,27 @@ object TsOps {
           "s -> s.paa)").as("v"))
       .filter(col("nseg") === w)
       .select(col("user_id"), col("v"))
+  }
+
+  /** SQL CTEs for [[paaVectors]] (expects to be embedded in a WITH
+    * chain; exposes `vc(user_id, v)`). */
+  def paaVectorsSql(table: String, segLen: Int, w: Int): String =
+    s"""ix AS (SELECT user_id,
+          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+          FROM $table),
+        sg AS (SELECT user_id, idx // $segLen AS seg,
+            CAST(sum(vm) AS BIGINT) // CAST(count(*) AS BIGINT) AS paa
+          FROM ix WHERE idx // $segLen < $w GROUP BY 1, 2),
+        vc AS (SELECT user_id, list(paa ORDER BY seg) AS v
+          FROM sg GROUP BY user_id HAVING count(*) = $w)"""
+
+  def dtwTopK(ev: DataFrame, segLen: Int = 5, w: Int = 8, band: Int = 2,
+              queryMod: Int = 50, topK: Int = 3): DataFrame = {
+    require(segLen >= 1 && w >= 2 && band >= 1 && topK >= 1,
+      s"dtwTopK bad params ($segLen, $w, $band, $topK)")
+    val vecs = paaVectors(ev, segLen, w)
     val q = vecs.filter(col("user_id") % queryMod === 0)
       .select(col("user_id").as("query_id"), col("v").as("qv"))
     val wRank = Window.partitionBy(col("query_id"))
@@ -437,16 +459,7 @@ object TsOps {
               CASE WHEN abs(ie[1] - je[1]) > $band THEN $inf
               ELSE least(least(prev[je[1] + 1], cur[je[1]]), prev[je[1]])
                    + abs(qv[ie[1]] - v[je[1]]) END])))[${w + 1}]"""
-    s"""WITH ix AS (SELECT user_id,
-          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
-          CAST(row_number() OVER (PARTITION BY user_id
-            ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
-          FROM $table),
-        sg AS (SELECT user_id, idx // $segLen AS seg,
-            CAST(sum(vm) AS BIGINT) // CAST(count(*) AS BIGINT) AS paa
-          FROM ix WHERE idx // $segLen < $w GROUP BY 1, 2),
-        vc AS (SELECT user_id, list(paa ORDER BY seg) AS v
-          FROM sg GROUP BY user_id HAVING count(*) = $w),
+    s"""WITH ${paaVectorsSql(table, segLen, w)},
         qs AS (SELECT user_id AS query_id, v AS qv FROM vc
           WHERE user_id % $queryMod = 0),
         sc AS (SELECT query_id, user_id AS neighbor_id, $fold AS dtw
@@ -456,6 +469,127 @@ object TsOps {
               ORDER BY dtw, neighbor_id) AS BIGINT) AS rank
           FROM sc)
         SELECT query_id, rank, neighbor_id, dtw FROM rk
+        WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
+
+  /** CERTIFIED-pruned DTW top-k — [[dtwTopK]]'s scale path, exact by
+    * theorem (Keogh & Ratanamahatana, "Exact indexing of dynamic time
+    * warping", KAIS 2005): per query build the Sakoe–Chiba ENVELOPE
+    * U_i = max(q_{i−r..i+r}), L_i = min(q_{i−r..i+r}); then
+    * LB_Keogh(c) = Σ_i max(c_i − U_i, L_i − c_i, 0) ≤ DTW(q, c) for
+    * every candidate. The exact two-phase search:
+    *   1. seed = the topK candidates by (LB, id); run full DTW on them;
+    *      τ = max(seed DTWs) — an upper bound on the true k-th distance
+    *      (the true top-k DTWs are each ≤ the worst of ANY k DTWs).
+    *   2. full DTW only where LB ≤ τ; any skipped pair has
+    *      DTW ≥ LB > τ ≥ k-th-best, so it cannot enter the top-k —
+    *      the result is IDENTICAL to the brute [[dtwTopK]] (spec-pinned),
+    *      with `n_scored` published per query as the certification
+    *      observable (how many full DPs actually ran).
+    * The LB is O(w) per pair vs the DP's O(w·band); at crawl scale the
+    * candidate stream after phase 2's filter is where the wall-clock
+    * goes, and the bound's tightness — not cluster layout — decides it.
+    *
+    * Scale shape: identical broadcast/narrow-pass layout to [[dtwTopK]];
+    * the slim (query, candidate, lb) stream is localCheckpoint'ed once
+    * for its two consumers (seed ranking + candidate filter), and τ is a
+    * per-query broadcastable aggregate. */
+  def dtwTopKPruned(ev: DataFrame, segLen: Int = 5, w: Int = 8,
+                    band: Int = 2, queryMod: Int = 50,
+                    topK: Int = 3): DataFrame = {
+    require(segLen >= 1 && w >= 2 && band >= 1 && topK >= 1,
+      s"dtwTopKPruned bad params ($segLen, $w, $band, $topK)")
+    val vecs = paaVectors(ev, segLen, w)
+    val q = vecs.filter(col("user_id") % queryMod === 0)
+      .select(col("user_id").as("query_id"), col("v").as("qv"),
+        expr(s"""transform(sequence(1, $w), i -> array_max(
+            slice(v, greatest(1, i - $band),
+                  least($w, i + $band) - greatest(1, i - $band) + 1)))""")
+          .as("ue"),
+        expr(s"""transform(sequence(1, $w), i -> array_min(
+            slice(v, greatest(1, i - $band),
+                  least($w, i + $band) - greatest(1, i - $band) + 1)))""")
+          .as("le"))
+    val pairs = vecs.crossJoin(broadcast(q))
+      .filter(col("user_id") =!= col("query_id"))
+      .withColumn("lb", expr(
+        s"""aggregate(sequence(1, $w), CAST(0 AS BIGINT), (acc, i) ->
+            acc + greatest(element_at(v, i) - element_at(ue, i),
+                           element_at(le, i) - element_at(v, i),
+                           CAST(0 AS BIGINT)))"""))
+      .select(col("query_id"), col("user_id").as("neighbor_id"),
+        col("qv"), col("v"), col("lb"))
+      .localCheckpoint()
+    val wSeed = Window.partitionBy(col("query_id"))
+      .orderBy(col("lb"), col("neighbor_id"))
+    val tau = pairs
+      .withColumn("sr", row_number().over(wSeed))
+      .filter(col("sr") <= topK)
+      .withColumn("dtw", expr(dtwExpr("qv", "v", w, band)))
+      .groupBy(col("query_id")).agg(max(col("dtw")).as("tau"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("dtw"), col("neighbor_id"))
+    val wCnt = Window.partitionBy(col("query_id"))
+    pairs.join(broadcast(tau), "query_id")
+      .filter(col("lb") <= col("tau"))
+      .withColumn("dtw", expr(dtwExpr("qv", "v", w, band)))
+      .withColumn("n_scored", count(lit(1)).over(wCnt))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dtw"), col("n_scored"))
+  }
+
+  /** Oracle twin of [[dtwTopKPruned]]: identical envelope, LB sum, seed
+    * τ, candidate filter, and DP fold in DuckDB (end-inclusive 1-based
+    * list slicing matches the slice() bounds above). */
+  def dtwTopKPrunedSql(table: String, segLen: Int = 5, w: Int = 8,
+                       band: Int = 2, queryMod: Int = 50,
+                       topK: Int = 3): String = {
+    val inf = s"CAST($DtwInf AS BIGINT)"
+    val seed = (Seq("CAST(0 AS BIGINT)") ++ Seq.fill(w)(inf))
+      .mkString("[", ", ", "]")
+    def fold(a: String, b: String) =
+      s"""list_reduce(
+          list_prepend($seed,
+            list_transform(range(1, ${w + 1}), i -> [CAST(i AS BIGINT)])),
+          (prev, ie) -> list_reduce(
+            list_prepend([$inf],
+              list_transform(range(1, ${w + 1}), j -> [CAST(j AS BIGINT)])),
+            (cur, je) -> list_concat(cur, [
+              CASE WHEN abs(ie[1] - je[1]) > $band THEN $inf
+              ELSE least(least(prev[je[1] + 1], cur[je[1]]), prev[je[1]])
+                   + abs($a[ie[1]] - $b[je[1]]) END])))[${w + 1}]"""
+    s"""WITH ${paaVectorsSql(table, segLen, w)},
+        qs AS (SELECT user_id AS query_id, v AS qv,
+            list_transform(range(1, ${w + 1}), i ->
+              list_max(v[greatest(1, i - $band):least($w, i + $band)]))
+              AS ue,
+            list_transform(range(1, ${w + 1}), i ->
+              list_min(v[greatest(1, i - $band):least($w, i + $band)]))
+              AS le
+          FROM vc WHERE user_id % $queryMod = 0),
+        pr AS (SELECT query_id, user_id AS neighbor_id, qv, v,
+            CAST(list_sum(list_transform(range(1, ${w + 1}), i ->
+              greatest(v[i] - ue[i], le[i] - v[i], CAST(0 AS BIGINT))))
+              AS BIGINT) AS lb
+          FROM vc CROSS JOIN qs WHERE user_id <> query_id),
+        sd AS (SELECT query_id, neighbor_id, qv, v, lb,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY lb, neighbor_id) AS sr
+          FROM pr),
+        tau AS (SELECT query_id, max(${fold("qv", "v")}) AS tau
+          FROM sd WHERE sr <= $topK GROUP BY query_id),
+        cand AS (SELECT p.query_id, p.neighbor_id,
+            ${fold("p.qv", "p.v")} AS dtw
+          FROM pr p JOIN tau t USING (query_id) WHERE p.lb <= t.tau),
+        rk AS (SELECT query_id, neighbor_id, dtw,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dtw, neighbor_id) AS BIGINT) AS rank,
+            CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
+              AS n_scored
+          FROM cand)
+        SELECT query_id, rank, neighbor_id, dtw, n_scored FROM rk
         WHERE rank <= $topK ORDER BY query_id, rank"""
   }
 }

@@ -161,5 +161,16 @@ object TimeSeriesQueries {
     QueryDef("ts_dtw_topk",
       (s, d) => TsOps.dtwTopK(Tables.events(s, d)),
       Some(TsOps.dtwTopKSql("events")),
+      presentOrder = Seq("query_id", "rank")),
+
+    // LB_Keogh-certified DTW top-k (Keogh & Ratanamahatana KAIS'05) —
+    // ts_dtw_topk's scale path: the O(w) envelope lower bound gates the
+    // O(w·band) DP, seeds give the tau cutoff, and skipped pairs are
+    // provably outside the top-k (DTW >= LB > tau) — results identical
+    // to brute (spec-pinned), with n_scored published as the
+    // certification observable.
+    QueryDef("ts_dtw_lb",
+      (s, d) => TsOps.dtwTopKPruned(Tables.events(s, d)),
+      Some(TsOps.dtwTopKPrunedSql("events")),
       presentOrder = Seq("query_id", "rank")))
 }

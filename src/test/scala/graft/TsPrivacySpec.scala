@@ -189,6 +189,42 @@ class TsPrivacySpec extends SparkSpec {
       (0L, 2L) -> ((2L, 44000L))))
   }
 
+  test("dtwTopKPruned: certified LB_Keogh pruning returns exactly the " +
+      "brute top-k and actually prunes on gate data") {
+    import graft.ops.TsOps
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val brute = TsOps.dtwTopK(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val out = TsOps.dtwTopKPruned(ev).collect()
+    assert(out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      === brute)
+    val nTotal = TsOps.paaVectors(ev, 5, 8).count() - 1 // candidates/query
+    assert(out.forall(r => r.getLong(4) >= 3 && r.getLong(4) <= nTotal))
+  }
+
+  test("dtwTopKPruned: far-away candidates are LB-pruned before the DP") {
+    import spark.implicits._
+    import graft.ops.TsOps
+    // Query u0 = 1..8; u50 identical (dtw 0 -> tau 0); u1..u3 constant
+    // 100/200/300 -> LB >> 0, provably outside tau, never DP-scored.
+    val ev = (1 to 8).flatMap { i =>
+      Seq((0L, i.toLong, i.toLong, i.toDouble),
+        (50L, i.toLong, i.toLong, i.toDouble),
+        (1L, i.toLong, i.toLong, 100d),
+        (2L, i.toLong, i.toLong, 200d),
+        (3L, i.toLong, i.toLong, 300d))
+    }.toDF("user_id", "ts", "event_id", "value")
+    // queryMod=50 -> queries {0, 50}; each has the identical twin at
+    // dtw 0, so tau = 0 and the three constants prune away: n_scored=1.
+    val out = TsOps.dtwTopKPruned(ev, segLen = 1, w = 8, band = 2,
+        queryMod = 50, topK = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out === Map(0L -> ((50L, 0L, 1L)), 50L -> ((0L, 0L, 1L))))
+  }
+
   test("geoNoise: exact truncated two-sided geometric masses over the " +
       "full coin space, zero mean") {
     import graft.ops.SampleOps
