@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines: corpus
@@ -346,6 +347,75 @@ object SampleOps {
     }
     sb.append(" ELSE 0 END").toString
   }
+
+  /** Water-filling token-budget allocation across domains — the
+    * max-min-fair split used when a pretraining mix must fit a token
+    * budget without letting one giant domain starve the rest: every
+    * domain receives min(demand, level), with the common `level` chosen
+    * so the budget is exactly consumed (up to floor remainder). The
+    * classic iterative cap-and-redistribute converges in one pass when
+    * demands are sorted: with d₁ ≤ … ≤ d_n and prefix sums S_k, domain
+    * k saturates iff d_k·(n−k+1) ≤ B − S_{k−1} (its demand fits even if
+    * every later domain got the same), k* = max such k, and
+    * level = (B − S_{k*}) div (n − k*). All-integer; the floor
+    * remainder (< n−k* tokens) stays unallocated, documented.
+    *
+    * Budget here = half the corpus tokens. Scale shape: one token-count
+    * hash-agg to domain grain, then windows over the DOMAIN table —
+    * rows bounded by the number of sources, never corpus size (the
+    * vocab-window discipline); the k* boundary is a broadcast scalar. */
+  def waterFill(docs: DataFrame): DataFrame = {
+    val dem = docs
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("demand"))
+    val tot = dem.agg(sum(col("demand")).as("t"),
+      count(lit(1)).as("n"))
+    val w = Window.orderBy(col("demand"), col("source"))
+    val ranked = dem.crossJoin(broadcast(tot))
+      .withColumn("b", expr("t div 2"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("s_k", sum(col("demand")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cond",
+        col("demand") * (col("n") - col("k") + 1) <=
+          col("b") - (col("s_k") - col("demand")))
+    val bound = ranked.agg(
+      max(when(col("cond"), col("k")).otherwise(0L)).as("kstar"),
+      max(when(col("cond"), col("s_k")).otherwise(0L)).as("s_star"))
+    ranked.crossJoin(broadcast(bound))
+      .select(col("source"), col("demand"),
+        expr("(b - s_star) div (n - kstar)").as("level"),
+        when(col("k") <= col("kstar"), col("demand"))
+          .otherwise(expr("(b - s_star) div (n - kstar)")).as("alloc"),
+        (col("k") <= col("kstar")).as("saturated"))
+  }
+
+  /** Oracle twin of [[waterFill]]: identical sort, prefix sums,
+    * saturation condition, and floor-divided level in DuckDB. */
+  def waterFillSql(table: String): String =
+    s"""WITH dem AS (SELECT source,
+          CAST(sum(len(${TextOps.tokensSql("text")})) AS BIGINT) AS demand
+          FROM $table GROUP BY source),
+        tot AS (SELECT CAST(sum(demand) AS BIGINT) AS t,
+            CAST(count(*) AS BIGINT) AS n FROM dem),
+        rk AS (SELECT source, demand, t, n, t // 2 AS b,
+            CAST(row_number() OVER (ORDER BY demand, source) AS BIGINT)
+              AS k,
+            CAST(sum(demand) OVER (ORDER BY demand, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s_k
+          FROM dem CROSS JOIN tot),
+        cd AS (SELECT *,
+            demand * (n - k + 1) <= b - (s_k - demand) AS cond FROM rk),
+        bd AS (SELECT max(CASE WHEN cond THEN k ELSE 0 END) AS kstar,
+            max(CASE WHEN cond THEN s_k ELSE 0 END) AS s_star FROM cd)
+        SELECT source, demand,
+          (b - s_star) // (n - kstar) AS level,
+          CASE WHEN k <= kstar THEN demand
+               ELSE (b - s_star) // (n - kstar) END AS alloc,
+          k <= kstar AS saturated
+        FROM cd CROSS JOIN bd ORDER BY source"""
 
   /** Hashed-feature space for [[dsirWeights]]: 64 unigram buckets. */
   val DsirBuckets = 64

@@ -215,6 +215,18 @@ object SampleQueries {
     // tokenize pass, a 64-row broadcast grid, doc-keyed fold — the
     // shuffle carries ≤ 64 distinct features per doc at any corpus
     // size.
+    // Water-filling (max-min fair) token-budget allocation across
+    // sources: every domain gets min(demand, level) with the level
+    // chosen so half the corpus tokens are consumed exactly (floor
+    // remainder documented) — the budget-constrained mix allocator
+    // that keeps one giant domain from starving the rest. Closed-form
+    // sorted prefix-sum solve, no iteration; windows run over the
+    // domain table (bounded by #sources), never corpus rows.
+    QueryDef("sample_water_fill",
+      (s, d) => SampleOps.waterFill(Tables.documents(s, d)),
+      Some(SampleOps.waterFillSql("documents")),
+      presentOrder = Seq("source")),
+
     QueryDef("sample_dsir",
       (s, d) => SampleOps.dsirWeights(Tables.documents(s, d),
         col("lang") === "en"),

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.ops.SampleOps
 
@@ -41,6 +41,27 @@ class SampleSpec extends SparkSpec {
     assert(out.values.forall { case (_, w) =>
       w >= 1000000L / 65536L && w <= 1000000L * 65536L })
     assert(out(99L) === ((0L, 1000000L))) // tokenless doc: neutral
+  }
+
+  test("waterFill: hand-solved level, saturation boundary at equality, " +
+      "budget exactly consumed") {
+    import spark.implicits._
+    // Demands 10/20/70 tokens, B = 100 div 2 = 50.
+    // k=1: 10*3=30 <= 50 ok; k=2: 20*2=40 <= 40 ok (equality);
+    // k=3: 70*1=70 > 20 no. k*=2, level=(50-30)//1=20.
+    // Allocs 10+20+20 = 50 = B exactly.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(("a", words(10)), ("b", words(20)), ("c", words(70)))
+      .toDF("source", "text").withColumn("doc_id", lit(1L))
+    val out = SampleOps.waterFill(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out === Map(
+      "a" -> ((10L, 20L, 10L, true)),
+      "b" -> ((20L, 20L, 20L, true)),
+      "c" -> ((70L, 20L, 20L, false))))
+    assert(out.values.map(_._3).sum === 50L)
   }
 
   test("stratifiedSample applies per-stratum rates; unlisted strata drop") {
