@@ -592,4 +592,83 @@ object TsOps {
         SELECT query_id, rank, neighbor_id, dtw, n_scored FROM rk
         WHERE rank <= $topK ORDER BY query_id, rank"""
   }
+
+  /** Per-series MOTIF discovery — the matrix-profile primitive (Yeh et
+    * al., "Matrix Profile I", ICDM 2016): for every user, the pair of
+    * non-overlapping length-`m` subsequences with minimal squared
+    * Euclidean distance. The motif is the "repeated behavior" signal
+    * (recurring daily routine, duplicated sensor trace, replayed
+    * session); the trivial-match exclusion zone (pb − pa ≥ m) is what
+    * separates a motif from a subsequence matching its own shifted
+    * self. Distances stay in exact integer milli² (values ≤ ~10⁶ milli
+    * → per-cell diff² ≤ 10¹², ×m = 8·10¹² ≪ 2⁶³); ties broken
+    * (dist, pos_a, pos_b) so both engines pick the identical pair.
+    *
+    * Scale shape: subsequences materialize as length-`m` arrays via ONE
+    * frame-ordered window collect per reading (no self-join at token
+    * grain); the pair space is per-user quadratic in the SUBSEQUENCE
+    * count — bounded by the per-user series length, the standard
+    * matrix-profile cost model (users parallelize perfectly; a single
+    * monster series would call for the STOMP recurrence instead,
+    * documented here as the known upgrade). */
+  def matrixProfile(ev: DataFrame, m: Int = 8): DataFrame = {
+    require(m >= 2, s"matrixProfile needs m >= 2 (got $m)")
+    val wIdx = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val subs = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .withColumn("pos", (row_number().over(wIdx) - 1).cast("long"))
+      .withColumn("s", collect_list(col("vm")).over(
+        wIdx.rowsBetween(Window.currentRow, m - 1)))
+      .filter(size(col("s")) === m)
+      .select(col("user_id"), col("pos"), col("s"))
+    val pairs = subs.select(col("user_id"), col("pos").as("pa"),
+        col("s").as("sa"))
+      .join(subs.select(col("user_id"), col("pos").as("pb"),
+        col("s").as("sb")), "user_id")
+      .filter(col("pa") + m <= col("pb"))
+      .withColumn("dist_sq", expr(
+        """aggregate(zip_with(sa, sb, (x, y) -> (x - y) * (x - y)),
+           CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+    val wBest = Window.partitionBy(col("user_id"))
+      .orderBy(col("dist_sq"), col("pa"), col("pb"))
+    pairs
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_pairs", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_pairs"), col("pa").as("pos_a"),
+        col("pb").as("pos_b"), col("dist_sq"))
+  }
+
+  /** Oracle twin of [[matrixProfile]]: identical frame-ordered window
+    * collect, exclusion zone, integer distance, and tie order. */
+  def matrixProfileSql(table: String, m: Int = 8): String =
+    s"""WITH ix AS (SELECT user_id,
+          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) - 1 AS BIGINT) AS pos,
+          ts, event_id
+          FROM $table),
+        sub AS (SELECT user_id, pos, s FROM (
+            SELECT user_id, pos,
+              list(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND ${m - 1} FOLLOWING) AS s
+            FROM ix)
+          WHERE len(s) = $m),
+        pr AS (SELECT a.user_id, a.pos AS pa, b.pos AS pb,
+            CAST(list_sum(list_transform(range(1, ${m + 1}),
+              i -> (a.s[i] - b.s[i]) * (a.s[i] - b.s[i]))) AS BIGINT)
+              AS dist_sq
+          FROM sub a JOIN sub b ON a.user_id = b.user_id
+            AND a.pos + $m <= b.pos),
+        rk AS (SELECT user_id, pa, pb, dist_sq,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY dist_sq, pa, pb) AS rn,
+            CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+              AS n_pairs
+          FROM pr)
+        SELECT user_id, n_pairs, pa AS pos_a, pb AS pos_b, dist_sq
+        FROM rk WHERE rn = 1 ORDER BY user_id"""
 }

@@ -172,5 +172,16 @@ object TimeSeriesQueries {
     QueryDef("ts_dtw_lb",
       (s, d) => TsOps.dtwTopKPruned(Tables.events(s, d)),
       Some(TsOps.dtwTopKPrunedSql("events")),
-      presentOrder = Seq("query_id", "rank")))
+      presentOrder = Seq("query_id", "rank")),
+
+    // Matrix-profile motif discovery (Yeh et al. ICDM'16): per user,
+    // the closest pair of NON-overlapping length-8 subsequences by
+    // exact integer squared distance — the repeated-behavior detector
+    // (recurring routine / replayed trace). Subsequences come from one
+    // frame-ordered window collect; the exclusion zone pb-pa >= m
+    // rules out trivial self-matches; ties (dist, pos_a, pos_b).
+    QueryDef("ts_matrix_profile",
+      (s, d) => TsOps.matrixProfile(Tables.events(s, d)),
+      Some(TsOps.matrixProfileSql("events")),
+      presentOrder = Seq("user_id")))
 }

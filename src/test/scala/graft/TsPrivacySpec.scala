@@ -204,6 +204,29 @@ class TsPrivacySpec extends SparkSpec {
     assert(out.forall(r => r.getLong(4) >= 3 && r.getLong(4) <= nTotal))
   }
 
+  test("matrixProfile: planted motif found at distance 0 outside the " +
+      "exclusion zone; linear series motif is the slope-distance pair") {
+    import spark.implicits._
+    import graft.ops.TsOps
+    // u1: 1..8 planted at pos 0 and pos 11 (gap 11 >= m=8) -> dist 0.
+    val s1 = Seq(1, 2, 3, 4, 5, 6, 7, 8, 50, 60, 70,
+      1, 2, 3, 4, 5, 6, 7, 8, 90)
+    // u2: strict ramp 1..20: subsequences at gap g differ by g at every
+    // cell -> dist = 8*(1000g)^2, minimized at the exclusion boundary
+    // g=8 -> 512e6; tie-break smallest pa -> (0, 8).
+    val s2 = 1 to 20
+    val ev = (s1.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, i.toLong, v.toDouble) } ++
+      s2.zipWithIndex.map { case (v, i) =>
+        (2L, i.toLong, i.toLong, v.toDouble) })
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TsOps.matrixProfile(ev, m = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((15L, 0L, 11L, 0L)))
+    assert(out(2L) === ((15L, 0L, 8L, 512000000L)))
+  }
+
   test("dtwTopKPruned: far-away candidates are LB-pruned before the DP") {
     import spark.implicits._
     import graft.ops.TsOps
