@@ -277,6 +277,57 @@ object TextQueries {
       Some(TextOps.lmScoreSql("documents")),
       presentOrder = Seq("doc_id"))
 ,
+    // TextRank keyword extraction (Mihalcea & Tarau EMNLP'04): damped
+    // PageRank over the word co-occurrence graph (adjacent-token
+    // edges, symmetrized, self-loops dropped) — the unsupervised
+    // keyword scorer that beats raw frequency because a word matters
+    // when it co-occurs with OTHER central words. Reuses the exact-
+    // integer pageRank rounds (graph_pagerank's operator) over a
+    // vocabulary-bounded graph; top-15 by (mass, word). Stopwords stay
+    // in deliberately: they rank high and DEMONSTRATE the centrality
+    // signal; a production caller filters its stoplist first.
+    QueryDef("text_textrank_keywords",
+      (s, d) => {
+        val bg = Tables.documents(s, d)
+          .select(explode(expr(
+            """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+               slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+               (a, b) -> struct(a AS w1, b AS w2))""")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .filter(col("w1") =!= col("w2"))
+        val edges = bg.select(col("w1").as("src"), col("w2").as("dst"))
+          .union(bg.select(col("w2").as("src"), col("w1").as("dst")))
+          .distinct()
+        val nodes = edges.select(col("src").as("node_id")).distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pagerank").desc, col("node_id"))
+        graft.ops.GraphOps.pageRank(nodes, edges)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 15)
+          .select(col("rank"), col("node_id").as("word"),
+            col("pagerank").as("pr_micro"))
+      },
+      Some({
+        val edgesSql =
+          """SELECT w1 AS src, w2 AS dst FROM bgx
+             UNION SELECT w2 AS src, w1 AS dst FROM bgx"""
+        val prSql = graft.ops.GraphOps.pageRankSql(
+          s"SELECT DISTINCT src AS node_id FROM ($edgesSql)", edgesSql)
+        s"""WITH bgx AS (SELECT DISTINCT b.w1 AS w1, b.w2 AS w2 FROM (
+              SELECT unnest(list_transform(
+                range(1, len(string_split(text, ' '))),
+                j -> {'w1': string_split(text, ' ')[j],
+                      'w2': string_split(text, ' ')[j + 1]})) AS b
+              FROM documents) WHERE b.w1 <> b.w2)
+            SELECT * FROM (
+              SELECT CAST(row_number() OVER (
+                  ORDER BY pagerank DESC, node_id) AS BIGINT) AS rank,
+                node_id AS word, pagerank AS pr_micro
+              FROM ($prSql))
+            WHERE rank <= 15 ORDER BY rank"""
+      }),
+      presentOrder = Seq("rank")),
+
     // Trigram Stupid Backoff (Brants et al. EMNLP'07) — the LM score
     // function designed for sharded count tables (no cross-shard
     // normalization), trained on the lang='en' slice and scoring the

@@ -137,6 +137,34 @@ class PropertySpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("textrank keywords: centrality outranks raw frequency on a " +
+      "hub-word fixture") {
+    import spark.implicits._
+    // 'hub' co-occurs with four distinct words; 'freq' repeats but only
+    // ever next to 'pad' (one unique neighbor). TextRank must rank hub
+    // above freq even though freq has more occurrences.
+    val docs = Seq(
+      (1L, "hub alpha hub beta"),
+      (2L, "hub gamma hub delta"),
+      (3L, "freq pad freq pad freq pad freq pad freq pad"))
+      .toDF("doc_id", "text")
+    val bg = docs.select(explode(expr(
+        """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+           slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+           (a, b) -> struct(a AS w1, b AS w2))""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val edges = bg.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(bg.select(col("w2").as("src"), col("w1").as("dst"))).distinct()
+    val nodes = edges.select(col("src").as("node_id")).distinct()
+    val pr = graft.ops.GraphOps.pageRank(nodes, edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("hub") > pr("freq"),
+      s"hub ${pr("hub")} should outrank freq ${pr("freq")}")
+    assert(pr.keySet === Set("hub", "alpha", "beta", "gamma", "delta",
+      "freq", "pad"))
+  }
+
   test("vocabDrift: hand-computed TV distance with a top-term tie") {
     import spark.implicits._
     import graft.ops.TextOps
