@@ -2292,4 +2292,94 @@ object SimOps {
         FROM pairs GROUP BY cell, dropped
         ORDER BY cell, dropped_id"""
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity-aware final stage every retrieval
+    * stack runs after top-k: greedily pick
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) at λ = ½, so an
+    * exact duplicate of an already-picked result scores ~0 while a
+    * moderately-relevant but DIFFERENT result wins (the near-dup
+    * collapse that plain top-k can't avoid). Candidates come from the
+    * existing brute top-`nCand` arm (at scale: any ANN arm — the
+    * rerank only ever sees the bounded candidate list); relevance and
+    * pairwise sims are the same round-6-then-quant4 cosine the brute
+    * gate pins, and the greedy argmax ties break (score desc, vec_id),
+    * so both engines select the identical sequence.
+    *
+    * Scale shape: everything after candidate generation is O(nCand²)
+    * on a broadcast-sized frame — the candidate list and its pairwise
+    * sim table are localCheckpoint'ed once and reused by all `k`
+    * greedy rounds (plans stay flat); the rounds are driver-side plan
+    * composition over ≤ nCand-row frames, never corpus scans. */
+  def mmrRerank(vectors: DataFrame, queryId: Long, nCand: Int = 20,
+                k: Int = 5): DataFrame = {
+    require(nCand >= k && k >= 1, s"mmrRerank bad params ($nCand, $k)")
+    val cand = topKBruteForce(vectors, col("vec_id") === queryId, nCand)
+      .select(col("neighbor_id").as("vec_id"), col("cosine").as("rel"))
+      .localCheckpoint()
+    val cv = withNorm(vectors.select(col("vec_id"), col("embedding")),
+        "embedding", "nn")
+      .join(broadcast(cand.select(col("vec_id"))), "vec_id")
+    val sims = cv.select(col("vec_id").as("ca"), col("embedding").as("ea"),
+        col("nn").as("na"))
+      .crossJoin(broadcast(cv.select(col("vec_id").as("cb"),
+        col("embedding").as("eb"), col("nn").as("nb"))))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb"),
+        quant4(round(expr("array_dot(ea, eb)") / (col("na") * col("nb")),
+          6)).as("sim"))
+      .localCheckpoint()
+    var sel = cand
+      .withColumn("score", quant4(col("rel") * 0.5))
+      .orderBy(col("score").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1L).as("pick_order"), col("rel"),
+        col("score").as("mmr_score"))
+    for (j <- 2 to k) {
+      val ms = sims
+        .join(sel.select(col("vec_id").as("cb")), "cb")
+        .groupBy(col("ca")).agg(max(col("sim")).as("msim"))
+      val next = cand
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(ms, col("vec_id") === col("ca"))
+        .withColumn("score", quant4(col("rel") * 0.5 - col("msim") * 0.5))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(j.toLong).as("pick_order"), col("rel"),
+          col("score").as("mmr_score"))
+      sel = sel.unionByName(next)
+    }
+    sel
+  }
+
+  /** Oracle twin of [[mmrRerank]]: the greedy rounds replay as unrolled
+    * CTEs (the pageRank pattern), identical cosine/round/quant4 chain
+    * and tie order. */
+  def mmrRerankSql(table: String, queryId: Long, nCand: Int = 20,
+                   k: Int = 5): String = {
+    val rounds = (2 to k).map { j =>
+      s"""s$j AS (SELECT c.vec_id, CAST($j AS BIGINT) AS pick_order, c.rel,
+            ${quant4Sql("c.rel * 0.5 - max(s.sim) * 0.5")} AS mmr_score
+          FROM cand c JOIN sims s ON s.ca = c.vec_id
+            AND s.cb IN (SELECT vec_id FROM sel${j - 1})
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${j - 1})
+          GROUP BY c.vec_id, c.rel
+          ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+        sel$j AS (SELECT * FROM sel${j - 1} UNION ALL SELECT * FROM s$j)"""
+    }
+    s"""WITH cand AS (SELECT neighbor_id AS vec_id, cosine AS rel
+          FROM (${topKBruteForceSql(table, s"vec_id = $queryId", nCand)})),
+        cv AS (SELECT e.vec_id, e.embedding
+          FROM $table e JOIN cand USING (vec_id)),
+        sims AS (SELECT a.vec_id AS ca, b.vec_id AS cb,
+            ${quant4Sql(
+              s"round(${cosineSql("a.embedding", "b.embedding")}, 6)")}
+              AS sim
+          FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+        s1 AS (SELECT vec_id, CAST(1 AS BIGINT) AS pick_order, rel,
+            ${quant4Sql("rel * 0.5")} AS mmr_score
+          FROM cand ORDER BY mmr_score DESC, vec_id LIMIT 1),
+        sel1 AS (SELECT * FROM s1),
+        ${rounds.mkString(",\n        ")}
+        SELECT vec_id, pick_order, rel, mmr_score FROM sel$k
+        ORDER BY pick_order"""
+  }
 }

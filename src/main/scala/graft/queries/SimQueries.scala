@@ -350,6 +350,21 @@ object SimQueries {
           SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
       presentOrder = Seq("node_id")),
 
+    // MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98) —
+    // the post-retrieval stage that stops near-duplicate results from
+    // crowding the top-k: greedy argmax of
+    // 0.5*rel - 0.5*max-sim-to-picked over the brute top-20 for query
+    // vec 0, 5 picks. Ties (score desc, vec_id); rounds replay as
+    // unrolled CTEs in the oracle. Everything after candidate
+    // generation is O(20^2) on broadcast frames.
+    QueryDef("sim_mmr_rerank",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.mmrRerank(Tables.embeddings(s, d), queryId = 0L)
+      },
+      Some(SimOps.mmrRerankSql("embeddings", queryId = 0L)),
+      presentOrder = Seq("pick_order")),
+
     // Personalized PageRank over the k-NN graph (topic-sensitive /
     // random-walk-with-restart): teleport mass lands only on the seed
     // set (every 37th vector — the "human-audited core"), so scores

@@ -1421,6 +1421,28 @@ class DedupSimSpec extends SparkSpec {
     assert(d2(6L) === -1 && d2(5L) === 2)
   }
 
+  test("mmrRerank: a diverse lower-relevance result beats the exact " +
+      "duplicate of the first pick") {
+    import spark.implicits._
+    import graft.ops.SimOps
+    graft.catalyst.GraftFunctions.register(spark)
+    // q = [1,0,0,0]; 1 and 2 are the SAME direction (sim = 1, rel
+    // 0.9939 each); 3 is diverse (rel 0.7071, sim-to-1 0.6247).
+    // Greedy: pick 1 (tie -> smaller id); then 3 (0.5*0.7071 -
+    // 0.5*0.6247 = +0.0412 beats the dup's 0.5*0.9939 - 0.5 =
+    // -0.0031); the dup comes last.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(1.8f, 0.2f, 0f, 0f)),
+      (3L, Array(0.5f, -0.5f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimOps.mmrRerank(emb, queryId = 0L, nCand = 3, k = 3)
+      .collect().sortBy(_.getLong(1))
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L, 2L))
+    assert(out(1).getDouble(3) > 0 && out(2).getDouble(3) < 0)
+  }
+
   test("fellegiSunter: hand-computed u estimates, clipped ratios, " +
       "two-threshold decisions, blocking excludes cross-noun pairs") {
     import spark.implicits._
