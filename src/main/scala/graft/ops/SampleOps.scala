@@ -336,6 +336,24 @@ object SampleOps {
     c.otherwise(0L) // unreachable for u in [0, GeoMod)
   }
 
+  /** JVM scalar twin of [[geoNoise]] for keyed-state streaming twins —
+    * the identical cumulative walk (parity spec-pinned at every branch
+    * boundary in TsPrivacySpec). */
+  def geoNoiseScalar(u: Long): Long = {
+    var acc = 1L << 20
+    if (u < acc) return 0L
+    var k = 1
+    while (k <= 10) {
+      val w = if (k == 10) 2048L else 1L << (20 - k)
+      if (u < acc + w) return k.toLong
+      acc += w
+      if (u < acc + w) return -k.toLong
+      acc += w
+      k += 1
+    }
+    0L // unreachable for u in [0, GeoMod)
+  }
+
   /** Oracle twin of [[geoNoise]]: the identical CASE chain over `uExpr`. */
   def geoNoiseSql(uExpr: String): String = {
     val sb = new StringBuilder(s"CASE WHEN $uExpr < ${1L << 20} THEN 0")

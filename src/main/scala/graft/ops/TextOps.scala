@@ -27,6 +27,16 @@ object TextOps {
   def hash64Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** JVM scalar twin of [[hash64]] for keyed-state streaming twins that
+    * must draw the SAME deterministic coin as their batch gate (60-bit
+    * nonnegative, so `parseLong` never overflows). Parity is spec-pinned
+    * in TsPrivacySpec. */
+  def hash64Scalar(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+
   /** Whitespace tokenization — the reference vocabulary is single-spaced. */
   def tokens(text: Column): Column = split(text, " ")
   def tokensSql(e: String): String = s"string_split($e, ' ')"

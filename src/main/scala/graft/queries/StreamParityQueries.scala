@@ -196,6 +196,50 @@ object StreamParityQueries {
     // micro-batch splits of an id-ordered feed (StreamingSpec parity);
     // its state is at most k−1 ids + a flag per class — O(classes·k),
     // corpus-size-free.
+    // Batch twin of StatefulOps.streamingGeoDp — PRIVATE CONTINUAL
+    // counting with a doubling release schedule: a live publisher
+    // releases a category's noisy count only when it crosses a power
+    // of two (O(log n) releases bound the privacy loss; per-release
+    // noise is the truncated geometric mechanism, the central-DP rung
+    // of pipeline_geometric_dp). The coin is hash64(qi#n), so every
+    // release is idempotent under replay and batch/stream agree
+    // row-for-row (StreamingSpec parity). Shape: one QI-keyed
+    // row_number window, a power-of-two bit filter, narrow noise
+    // arithmetic — output O(categories · log n).
+    QueryDef("stream_geo_dp",
+      (s, d) => {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qi")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang").as("qi"))
+          .withColumn("rn", row_number().over(wOrd).cast("long"))
+          .filter(expr("(rn & (rn - 1)) = 0"))
+          .withColumn("u", pmod(graft.ops.TextOps.hash64(
+            concat(col("qi"), lit("#"), col("rn").cast("string"))),
+            lit(graft.ops.SampleOps.GeoMod)))
+          .select(col("qi"), col("rn").as("true_n"),
+            graft.ops.SampleOps.geoNoise(col("u")).as("noise"),
+            greatest(col("rn") + graft.ops.SampleOps.geoNoise(col("u")),
+              lit(0L)).as("released_n"),
+            col("doc_id").as("released_at"))
+      },
+      Some(s"""WITH r AS (SELECT doc_id, lang AS qi,
+             |   CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+             |     AS BIGINT) AS rn
+             |  FROM documents),
+             | p AS (SELECT qi, rn AS true_n, doc_id AS released_at,
+             |   ${graft.ops.TextOps.hash64Sql(
+                  "qi || '#' || CAST(rn AS VARCHAR)")}
+             |     % ${graft.ops.SampleOps.GeoMod} AS u
+             |  FROM r WHERE (rn & (rn - 1)) = 0)
+             | SELECT qi, true_n,
+             |  CAST(${graft.ops.SampleOps.geoNoiseSql("u")} AS BIGINT)
+             |    AS noise,
+             |  greatest(true_n + ${graft.ops.SampleOps.geoNoiseSql("u")}, 0)
+             |    AS released_n, released_at
+             | FROM p ORDER BY qi, true_n""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("qi", "true_n")),
+
     QueryDef("stream_k_anon",
       (s, d) => {
         val k = PipelineQueries.KAnon

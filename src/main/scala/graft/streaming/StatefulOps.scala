@@ -419,6 +419,52 @@ object StatefulOps {
       }
   }
 
+  case class CatDoc(qi: String, docId: Long)
+  case class DpRelease(qi: String, trueN: Long, noise: Long,
+                       releasedN: Long, releasedAt: Long)
+  case class CatCount(n: Long)
+
+  /** Streaming twin of the gated `stream_geo_dp` — PRIVATE CONTINUAL
+    * counting with a doubling release schedule: a live publisher cannot
+    * emit a DP count per arrival (privacy loss would grow linearly with
+    * the stream), so it releases only when a category's count crosses a
+    * power of two — O(log n) releases total, each a fresh truncated-
+    * geometric draw keyed by (category, count) so replays are
+    * idempotent. Between releases the true count stays hidden; the
+    * published trajectory is the standard sparse-release compromise
+    * (the binary-tree mechanism's simpler sibling, with the same
+    * log-bounded release count).
+    *
+    * State per category is ONE counter — O(categories), corpus-free.
+    * The coin is [[graft.ops.TextOps.hash64Scalar]] of `qi#n`, the same
+    * value the batch gate's Column hash produces, and the noise is
+    * [[graft.ops.SampleOps.geoNoiseScalar]] — so any micro-batch split
+    * of an id-ordered feed reproduces the batch rows exactly
+    * (StreamingSpec parity). */
+  def streamingGeoDp(docs: Dataset[CatDoc]): Dataset[DpRelease] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.qi)
+      .flatMapGroupsWithState[CatCount, DpRelease](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (qi: String, rows: Iterator[CatDoc], state: GroupState[CatCount]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DpRelease]
+          for (r <- rows.toSeq.sortBy(_.docId)) {
+            n += 1
+            if ((n & (n - 1)) == 0L) {
+              val u = graft.ops.TextOps.hash64Scalar(s"$qi#$n") %
+                graft.ops.SampleOps.GeoMod
+              val noise = graft.ops.SampleOps.geoNoiseScalar(u)
+              out += DpRelease(qi, n, noise, math.max(n + noise, 0L),
+                r.docId)
+            }
+          }
+          state.update(CatCount(n))
+          out.iterator
+      }
+  }
+
   case class CdcUpdate(userId: Long, eventType: String, sec: Long,
                        eventId: Long, value: Double)
   case class CdcRow(userId: Long, eventType: String, eventId: Long,

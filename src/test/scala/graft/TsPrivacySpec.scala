@@ -268,6 +268,31 @@ class TsPrivacySpec extends SparkSpec {
     assert(counts.map { case (d, n) => d * n }.sum === 0L)
   }
 
+  test("scalar twins match their Column versions: hash64 on strings, " +
+      "geoNoise at every branch boundary") {
+    import spark.implicits._
+    import graft.ops.{SampleOps, TextOps}
+    val strs = Seq("en#1", "de#64", "zh#1024", "", "a b c", "geoen")
+    val colVals = strs.toDF("s")
+      .select(TextOps.hash64(col("s"))).collect().map(_.getLong(0))
+    assert(strs.map(TextOps.hash64Scalar).zip(colVals)
+      .forall { case (a, b) => a == b })
+    // every cumulative boundary +-1 plus the ends
+    val widths = Seq(1L << 20) ++ (1 to 10).flatMap { k =>
+      val w = if (k == 10) 2048L else 1L << (20 - k); Seq(w, w)
+    }
+    val bounds = widths.scanLeft(0L)(_ + _)
+    val probes = (bounds.flatMap(b => Seq(b - 1, b, b + 1)) ++
+      Seq(0L, SampleOps.GeoMod - 1)).filter(u =>
+      u >= 0 && u < SampleOps.GeoMod).distinct
+    val colNoise = probes.toDF("u")
+      .select(col("u"), SampleOps.geoNoise(col("u"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probes.foreach { u =>
+      assert(SampleOps.geoNoiseScalar(u) === colNoise(u), s"u=$u")
+    }
+  }
+
   test("personalizedPageRank: hand-derived 3 rounds on a path, teleport " +
       "only at the seed") {
     import spark.implicits._
