@@ -705,6 +705,46 @@ object MediaCodecs {
     * `f(x, y)` gives the palette index of pixel (x, y) in row-major
     * image coordinates. */
   def buildGif(width: Int, height: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect ratio
+    out.write(gifPalette)
+    writeGifImage(out, width, height, f)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL animated-GIF encoder — the multi-frame sibling of [[buildGif]]:
+    * GIF89a logical screen + global color table + `nFrames` full-size
+    * image descriptors back to back (each its own variable-width LZW
+    * stream), trailer. `f(t, x, y)` gives frame t's palette index at
+    * (x, y). Cross-validated against the JDK's independent ImageIO GIF
+    * reader in MultimodalSpec. */
+  def buildGifAnimated(width: Int, height: Int, nFrames: Int,
+                       f: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0xf7)
+    out.write(0); out.write(0)
+    out.write(gifPalette)
+    var t = 0
+    while (t < nFrames) {
+      val tt = t
+      writeGifImage(out, width, height, (x, y) => f(tt, x, y))
+      t += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** One image: descriptor + min-code byte + LZW sub-blocks + block
+    * terminator (shared by [[buildGif]] and [[buildGifAnimated]]). */
+  private def writeGifImage(out: java.io.ByteArrayOutputStream,
+                            width: Int, height: Int,
+                            f: (Int, Int) => Int): Unit = {
     val m = 8 // min LZW code size for a 256-color image
     val clear = 1 << m
     val eoi = clear + 1
@@ -746,12 +786,6 @@ object MediaCodecs {
     if (cur >= 0) bw.write(cur, codeSize)
     bw.write(eoi, codeSize)
     val lzw = bw.finish()
-    val out = new java.io.ByteArrayOutputStream
-    out.write("GIF87a".getBytes("US-ASCII"))
-    out.write(le16(width)); out.write(le16(height))
-    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
-    out.write(0); out.write(0) // background index, aspect ratio
-    out.write(gifPalette)
     out.write(0x2c) // image descriptor
     out.write(le16(0)); out.write(le16(0))
     out.write(le16(width)); out.write(le16(height))
@@ -764,8 +798,6 @@ object MediaCodecs {
       off += n
     }
     out.write(0) // block terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
   }
 
   /** REAL GIF decoder: verifies the 87a/89a signature, reads the
@@ -803,6 +835,77 @@ object MediaCodecs {
       }
       off += 1 // terminator
     }
+    decodeGifImage(bytes, off, palette) match {
+      case Some((fr, off2))
+          if off2 < bytes.length && (bytes(off2) & 0xff) == 0x3b =>
+        Some(GifMeta(fr.width, fr.height, fr.palN, fr.nPixels, fr.sumIdx,
+          fr.sumR, fr.sumG, fr.sumB))
+      case _ => None
+    }
+  }
+
+  /** Per-frame decode stats for multi-frame streams (palette-size field
+    * omitted: it is a property of the table in use, already surfaced by
+    * [[parseGif]]/[[sniffMeta]]). */
+  final case class GifFrame(width: Int, height: Int, palN: Int,
+                            nPixels: Long, sumIdx: Long, sumR: Long,
+                            sumG: Long, sumB: Long)
+
+  /** REAL multi-frame GIF decode — walks EVERY image descriptor
+    * (skipping 89a extensions between frames), LZW-decodes each frame
+    * through the active palette, and returns per-frame exact sums in
+    * stream order. None on any malformed frame or a missing trailer.
+    * This is the real "video" frame-extraction stage: one container,
+    * n frames, each decoded independently. */
+  def gifFrameSums(bytes: Array[Byte]): Option[Vector[GifFrame]] = {
+    if (bytes == null || bytes.length < 14) return None
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    var off = 6
+    if (off + 7 > bytes.length) return None
+    val packed = bytes(off + 4) & 0xff
+    off += 7
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (off + 3 * n > bytes.length) return None
+      palette = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+      off += 3 * n
+    }
+    val frames = Vector.newBuilder[GifFrame]
+    var done = false
+    while (!done) {
+      // Skip any extension blocks before the next image/trailer.
+      while (off < bytes.length && (bytes(off) & 0xff) == 0x21) {
+        off += 2
+        var bl = if (off < bytes.length) bytes(off) & 0xff else return None
+        while (bl != 0) {
+          off += 1 + bl
+          if (off >= bytes.length) return None
+          bl = bytes(off) & 0xff
+        }
+        off += 1
+      }
+      if (off >= bytes.length) return None
+      if ((bytes(off) & 0xff) == 0x3b) done = true
+      else decodeGifImage(bytes, off, palette) match {
+        case Some((fr, off2)) => frames += fr; off = off2
+        case None => return None
+      }
+    }
+    val v = frames.result()
+    if (v.isEmpty) None else Some(v)
+  }
+
+  /** Decodes ONE image (descriptor at `off0`) through `globalPal` (or
+    * its local color table); returns the frame stats and the offset
+    * just past the image's sub-blocks. Shared by [[parseGif]] and
+    * [[gifFrameSums]]. */
+  private def decodeGifImage(bytes: Array[Byte], off0: Int,
+                             globalPal: Array[Byte])
+      : Option[(GifFrame, Int)] = {
+    var off = off0
+    var palette = globalPal
     if (off >= bytes.length || (bytes(off) & 0xff) != 0x2c) return None
     if (off + 10 > bytes.length) return None
     val w = readLe16(bytes, off + 5)
@@ -833,9 +936,6 @@ object MediaCodecs {
       bl = bytes.lift(off).map(_ & 0xff).getOrElse(return None)
     }
     off += 1
-    // Anything after the image must lead to the 0x3B trailer; a missing
-    // trailer is a truncated file.
-    if (off >= bytes.length || (bytes(off) & 0xff) != 0x3b) return None
     // --- LZW decode ---
     val data = lzwBuf.toByteArray
     val clear = 1 << minCode
@@ -916,7 +1016,7 @@ object MediaCodecs {
       }
     }
     if (produced != total) return None
-    Some(GifMeta(w, h, palN, total, sumIdx, sumR, sumG, sumB))
+    Some((GifFrame(w, h, palN, total, sumIdx, sumR, sumG, sumB), off))
   }
 
   // ---- Header-only metadata sniff (the "decode metadata" stage) ---------

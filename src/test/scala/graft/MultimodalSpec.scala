@@ -576,6 +576,43 @@ class MultimodalSpec extends SparkSpec {
     assert((theirs.sumR, theirs.sumG, theirs.sumB) === ((expR, expG, expB)))
   }
 
+  test("animated GIF: every frame decodes to its own exact sums, ImageIO " +
+      "reads the same frames, single-frame parseGif rejects it") {
+    def idx(t: Int, x: Int, y: Int): Int = (x * 7 + y * 13 + t * 31) % 256
+    val nf = 4
+    val anim = MediaCodecs.buildGifAnimated(19, 11, nf, idx)
+    // Header frame count (no decode) agrees.
+    assert(MediaCodecs.sniffMeta(anim).flatMap(_.nFrames) === Some(nf))
+    // Our decoder: per-frame exact sums.
+    val frames = MediaCodecs.gifFrameSums(anim).get
+    assert(frames.length === nf)
+    for (t <- 0 until nf) {
+      var s = 0L
+      for (y <- 0 until 11; x <- 0 until 19) s += idx(t, x, y)
+      assert(frames(t).width === 19 && frames(t).height === 11)
+      assert(frames(t).sumIdx === s, s"frame $t")
+      assert(frames(t).nPixels === 19L * 11)
+    }
+    // The JDK's independent reader sees the SAME number of frames and
+    // the same pixels in frame 2 — the bitstream is real multi-image
+    // GIF, not a private concatenation.
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(anim)))
+    assert(rdr.getNumImages(true) === nf)
+    val f2 = rdr.read(2)
+    for (y <- 0 until 11; x <- 0 until 19) {
+      val i = idx(2, x, y)
+      val exp = (0xff << 24) | (i << 16) | (((2 * i) % 256) << 8) | (255 - i)
+      assert(f2.getRGB(x, y) === exp, s"frame2 pixel ($x,$y)")
+    }
+    // parseGif keeps its single-image contract: a multi-frame stream is
+    // not "one image followed by the trailer".
+    assert(MediaCodecs.parseGif(anim).isEmpty)
+    // Truncating the last frame's data breaks the whole walk.
+    assert(MediaCodecs.gifFrameSums(anim.dropRight(2)).isEmpty)
+  }
+
   test("GIF malformed inputs reject") {
     val good = MediaCodecs.buildGif(8, 6, (x, y) => (x + y) % 256)
     assert(MediaCodecs.parseGif(good).isDefined)
