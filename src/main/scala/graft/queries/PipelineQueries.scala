@@ -330,6 +330,45 @@ object PipelineQueries {
              | FROM t ORDER BY lang""".stripMargin.replace("\n", "")),
       presentOrder = Seq("lang")),
 
+    // LM-perplexity filtering (the CCNet recipe, Wenzek et al.
+    // LREC'20): score every doc with the slice-trained Stupid Backoff
+    // LM (text_stupid_backoff's operator), split the corpus into exact
+    // terciles of the score order, keep the top band — THE standard
+    // web-corpus cleaning pass before pretraining. Terciles are exact
+    // integer ranks (3·(rn−1) div n), never float quantiles; scoreless
+    // docs (< 3 tokens) sort below every scored doc via the −1
+    // sentinel key and land in the dropped tail. The global sort is
+    // the gate-exact variant; at crawl scale the same band assignment
+    // runs on a range-partitioned sort (documented), everything else
+    // is unchanged.
+    QueryDef("pipeline_lm_filter",
+      (s, d) => {
+        val sb = TextOps.stupidBackoff(Tables.documents(s, d),
+            col("lang") === "en")
+          .select(col("doc_id"), col("sb_score"))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("doc_id"))
+        sb.withColumn("k", coalesce(col("sb_score"), lit(-1d)))
+          .withColumn("rn", row_number().over(wOrd).cast("long"))
+          .crossJoin(broadcast(sb.agg(count(lit(1)).as("n"))))
+          .select(col("doc_id"), col("sb_score"),
+            expr("(3 * (rn - 1)) div n").as("band"),
+            expr("(3 * (rn - 1)) div n = 2").as("kept"))
+      },
+      Some(s"""WITH sb AS (SELECT doc_id, sb_score FROM (
+             |   ${TextOps.stupidBackoffSql("documents", "lang = 'en'")})),
+             | r AS (SELECT doc_id, sb_score,
+             |   COALESCE(sb_score, -1) AS k FROM sb),
+             | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+             | b AS (SELECT doc_id, sb_score,
+             |   CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+             |     AS rn FROM r)
+             | SELECT doc_id, sb_score, (3 * (rn - 1)) // n AS band,
+             |  (3 * (rn - 1)) // n = 2 AS kept
+             | FROM b CROSS JOIN n ORDER BY doc_id""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     QueryDef("pipeline_corpus_curation",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -268,6 +268,25 @@ class TsPrivacySpec extends SparkSpec {
     assert(counts.map { case (d, n) => d * n }.sum === 0L)
   }
 
+  test("lm filter: exact terciles, kept == top band, score order " +
+      "respected across bands, scoreless docs dropped") {
+    val out = graft.Catalog.queries("pipeline_lm_filter")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 500)
+    val byBand = out.groupBy(_.getLong(2))
+    assert(byBand.keySet === Set(0L, 1L, 2L))
+    val sizes = byBand.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(out.forall(r => r.getBoolean(3) === (r.getLong(2) == 2L)))
+    def key(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(1)) -1d else r.getDouble(1)
+    val b0max = byBand(0L).map(key).max
+    val b1 = byBand(1L).map(key)
+    val b2min = byBand(2L).map(key).min
+    assert(b0max <= b1.min && b1.max <= b2min)
+    assert(out.filter(_.isNullAt(1)).forall(_.getLong(2) == 0L))
+  }
+
   test("scalar twins match their Column versions: hash64 on strings, " +
       "geoNoise at every branch boundary") {
     import spark.implicits._
@@ -311,6 +330,30 @@ class TsPrivacySpec extends SparkSpec {
     assert(out(0L) === ((true, 204187500000L)))
     assert(out(1L) === ((false, 741625000000L)))
     assert(out(2L) === ((false, 54187500000L)))
+  }
+
+  test("louvainRounds: hand-traced 2 synchronous rounds on two " +
+      "triangles + bridge, isolated node untouched") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // Triangles {0,1,2}, {3,4,5}, bridge 2-3 (given once; op
+    // symmetrizes). deg = (2,2,3,3,2,2), 2m = 14.
+    // Round 1 (singletons, score = 14·e − deg_v·deg_u):
+    //   0→1, 1→0, 2→0 (tie 8 at {0,1} → asc), 3→4, 4→5, 5→4.
+    // Round 2 (labels {0:{1,2}, 1:{0}, 4:{3,5}, 5:{4}}):
+    //   0→0 (28−2·5=18 vs stay 0, gain 18000//14 = 1285)
+    //   1→1 (10 vs stay 8, gain 142);  2 stays 0 (tie 8, asc, gain 0)
+    //   3 stays 4 (tie 8, asc);  4→4 (18 vs 0, gain 1285)
+    //   5→5 (10 vs stay 8, gain 142).  Node 6 isolated: own label.
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("node_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphOps.louvainRounds(nodes, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      0L -> ((0L, 1285L)), 1L -> ((1L, 142L)), 2L -> ((0L, 0L)),
+      3L -> ((4L, 0L)), 4L -> ((4L, 1285L)), 5L -> ((5L, 142L)),
+      6L -> ((6L, 0L))))
   }
 
   test("modularity: two triangles + bridge, unlabeled node excluded") {
