@@ -351,6 +351,144 @@ object GraphOps {
       .select(col("node_id"), col("is_seed"), col("pr").as("ppr"))
   }
 
+  /** Synchronous Louvain MOVE phase (Blondel et al., "Fast unfolding of
+    * communities in large networks", 2008), `rounds` fixed rounds — the
+    * community-detection step between [[labelPropagate]] (no modularity
+    * objective) and [[modularity]] (scores a given labeling): every
+    * node simultaneously moves to the candidate community (its
+    * neighbors' communities + staying) maximizing the modularity gain.
+    * With a per-node constant offset removed, argmax of the gain equals
+    * argmax of score(C) = e_{v,C}·2m − deg_v·Σ_{C\v} — EXACT integers
+    * (products in DECIMAL(38,0), the [[modularity]] overflow
+    * discipline), ties (score desc, community asc), so both engines
+    * move every node identically. Synchronous rounds can oscillate
+    * pairs (the known price of the distributed variant vs sequential
+    * Louvain); the fixed round count and deterministic ties keep the
+    * unrolled oracle exact. Emitted `gain_milli` is the RELATIVE gain
+    * over staying, scaled by 1000/2m — nonnegative by construction, so
+    * floor division agrees across engines.
+    *
+    * Scale shape: per round, one (node, neighbor-community) hash-agg
+    * over the symmetrized edges, a community degree-sum agg, and a
+    * per-node WindowGroupLimit argmax — the standard distributed-Louvain
+    * layout; community state localCheckpoints between rounds. */
+  def louvainRounds(nodes: DataFrame, edges: DataFrame,
+                    rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"louvainRounds needs rounds >= 1 (got $rounds)")
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val deg = und.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("deg"))
+    val m2 = und.agg(count(lit(1)).as("m2"))
+    var comm = nodes.select(col("node_id"), col("node_id").as("c"))
+    var gains = nodes.select(col("node_id"), lit(0L).as("gain_milli"))
+    for (_ <- 1 to rounds) {
+      val cm = comm.join(deg, "node_id")
+      val evc = und
+        .join(comm.select(col("node_id").as("dst"), col("c").as("cc")),
+          "dst")
+        .groupBy(col("src").as("node_id"), col("cc"))
+        .agg(count(lit(1)).as("e"))
+      val degsum = cm.groupBy(col("c").as("cc")).agg(sum(col("deg")).as("s"))
+      val cand = evc.select(col("node_id"), col("cc"))
+        .union(cm.select(col("node_id"), col("c").as("cc")))
+        .distinct()
+        .join(evc, Seq("node_id", "cc"), "left")
+        .withColumn("e", coalesce(col("e"), lit(0L)))
+        .join(cm.select(col("node_id"), col("c"), col("deg")), "node_id")
+        .join(degsum, "cc")
+        .crossJoin(broadcast(m2))
+        .withColumn("sx", col("s") -
+          when(col("cc") === col("c"), col("deg")).otherwise(lit(0L)))
+        .withColumn("score", expr(
+          "CAST(e AS DECIMAL(38,0)) * m2 - CAST(deg AS DECIMAL(38,0)) * sx"))
+        .localCheckpoint()
+      val w = Window.partitionBy(col("node_id"))
+        .orderBy(col("score").desc, col("cc"))
+      val pick = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node_id"), col("cc").as("newc"), col("score"),
+          col("m2"))
+        .join(cand.filter(col("cc") === col("c"))
+          .select(col("node_id"), col("score").as("stay_score")), "node_id")
+        .select(col("node_id"), col("newc"), expr(
+          "CAST(((score - stay_score) * 1000) div m2 AS BIGINT)")
+          .as("gain_milli"))
+      comm = nodes
+        .join(pick.select(col("node_id"), col("newc")), Seq("node_id"),
+          "left")
+        .select(col("node_id"), coalesce(col("newc"), col("node_id"))
+          .as("c"))
+        .localCheckpoint()
+      gains = nodes
+        .join(pick.select(col("node_id"), col("gain_milli")),
+          Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("gain_milli"), lit(0L)).as("gain_milli"))
+    }
+    comm.join(gains, "node_id")
+      .select(col("node_id"), col("c").as("community"), col("gain_milli"))
+  }
+
+  /** Oracle twin of [[louvainRounds]]: rounds replay as chained CTEs
+    * (HUGEINT products mirror the DECIMAL(38,0) route). */
+  def louvainRoundsSql(nodesSql: String, edgesSql: String,
+                       rounds: Int = 2): String = {
+    val its = (1 to rounds).map { r =>
+      val prev = s"comm${r - 1}"
+      s"""evc$r AS MATERIALIZED (SELECT u.src AS node_id, p.c AS cc,
+            CAST(count(*) AS BIGINT) AS e
+          FROM und u JOIN $prev p ON u.dst = p.node_id GROUP BY 1, 2),
+        cm$r AS (SELECT p.node_id, p.c, d.deg
+          FROM $prev p JOIN deg d USING (node_id)),
+        ds$r AS (SELECT c AS cc, CAST(sum(deg) AS BIGINT) AS s
+          FROM cm$r GROUP BY 1),
+        cd$r AS MATERIALIZED (SELECT k.node_id, k.cc, cm.c,
+            CAST(COALESCE(e.e, 0) AS HUGEINT) * m2.m2
+              - CAST(cm.deg AS HUGEINT) *
+                (ds.s - CASE WHEN k.cc = cm.c THEN cm.deg ELSE 0 END)
+              AS score
+          FROM (SELECT node_id, cc FROM evc$r
+                UNION SELECT node_id, c FROM cm$r) k
+          LEFT JOIN evc$r e USING (node_id, cc)
+          JOIN cm$r cm USING (node_id)
+          JOIN ds$r ds USING (cc)
+          CROSS JOIN m2),
+        pk$r AS (SELECT node_id, cc AS newc, score FROM (
+            SELECT node_id, cc, score, row_number() OVER (
+              PARTITION BY node_id ORDER BY score DESC, cc) AS rn
+            FROM cd$r) WHERE rn = 1),
+        g$r AS (SELECT p.node_id, p.newc,
+            CAST(((p.score - st.score) * 1000) // m2.m2 AS BIGINT)
+              AS gain_milli
+          FROM pk$r p
+          JOIN (SELECT node_id, score FROM cd$r WHERE cc = c) st
+            USING (node_id)
+          CROSS JOIN m2),
+        comm$r AS MATERIALIZED (SELECT n.node_id,
+            COALESCE(g.newc, n.node_id) AS c
+          FROM nodes n LEFT JOIN g$r g USING (node_id))"""
+    }
+    s"""WITH nodes AS MATERIALIZED ($nodesSql),
+        ed AS MATERIALIZED ($edgesSql),
+        und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM ed
+            UNION ALL SELECT dst AS src, src AS dst FROM ed)
+          WHERE src <> dst),
+        deg AS MATERIALIZED (SELECT src AS node_id,
+            CAST(count(*) AS BIGINT) AS deg
+          FROM und GROUP BY 1),
+        m2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+        comm0 AS (SELECT node_id, node_id AS c FROM nodes),
+        ${its.mkString(",\n        ")}
+        SELECT c.node_id, c.c AS community,
+          COALESCE(g.gain_milli, 0) AS gain_milli
+        FROM comm$rounds c LEFT JOIN g$rounds g USING (node_id)
+        ORDER BY c.node_id"""
+  }
+
   /** Oracle twin of [[personalizedPageRank]]: `nodesSql` must yield
     * (node_id, is_seed); rounds replay as chained CTEs. */
   def personalizedPageRankSql(nodesSql: String, edgesSql: String,

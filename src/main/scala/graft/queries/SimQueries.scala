@@ -350,6 +350,28 @@ object SimQueries {
           SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
       presentOrder = Seq("node_id")),
 
+    // Synchronous Louvain move phase (Blondel et al. 2008) over the
+    // k-NN graph, 2 rounds: the modularity-objective community
+    // detector between graph_label_prop (no objective) and
+    // graph_modularity (scores a labeling). Exact-integer gain argmax
+    // (DECIMAL products, ties score-desc/community-asc); relative
+    // gain_milli is nonnegative by construction. Oracle unrolls the
+    // identical rounds.
+    QueryDef("graph_louvain",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        GraphOps.louvainRounds(nodes, edges)
+      },
+      Some(GraphOps.louvainRoundsSql(
+        "SELECT vec_id AS node_id FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")")),
+      presentOrder = Seq("node_id")),
+
     // MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98) —
     // the post-retrieval stage that stops near-duplicate results from
     // crowding the top-k: greedy argmax of
