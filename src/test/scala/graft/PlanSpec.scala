@@ -513,4 +513,44 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("DTW search: DP fold stays in the plan as an expression (no UDF), " +
+    "query side broadcasts, top-k is a window group limit") {
+    val p = planOf("ts_dtw_topk")
+    // sequence(1, w) constant-folds to an array literal; the fold itself
+    // shows as nested lambdafunctions over the vector columns.
+    assert(p.contains("lambdafunction") && p.contains("element_at(qv"),
+      s"DP fold should be an inline HOF expression:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      s"no UDFs allowed in the DTW path:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query vectors should broadcast:\n$p")
+    assert(p.contains("TopKPerKey") || p.contains("WindowGroupLimit"),
+      s"per-query top-k should plan as the bounded-heap TopKPerKey " +
+        s"operator (or WindowGroupLimit):\n$p")
+  }
+
+  test("FS linkage: u statistics broadcast; the block self-join is a " +
+    "hash/sort join on the block key, never cartesian") {
+    val p = planOf("pipeline_fs_linkage")
+    assert(!p.contains("CartesianProduct"), s"blocked pairs must join " +
+      s"on the block key:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row u frames should broadcast:\n$p")
+  }
+
+  test("DSIR: ratio grid broadcasts onto the per-doc fold") {
+    val p = planOf("sample_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row ratio grid should broadcast-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("stupid backoff: n-gram probability joins stay hash joins with " +
+    "no UDFs in the path") {
+    val p = planOf("text_stupid_backoff")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      s"no UDFs in the LM path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
 }
