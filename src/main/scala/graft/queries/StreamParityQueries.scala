@@ -240,6 +240,68 @@ object StreamParityQueries {
              | FROM p ORDER BY qi, true_n""".stripMargin.replace("\n", "")),
       presentOrder = Seq("qi", "true_n")),
 
+    // The binary-tree mechanism (Chan–Shi–Song TISSEC'11 / Dwork et
+    // al. STOC'10) — continual private counting at EVERY arrival, the
+    // dense counterpart of stream_geo_dp's doubling schedule: the
+    // running count t decomposes into its set-bit dyadic nodes (node
+    // (b, t>>b) covers 2^b arrivals), each node carries ONE truncated-
+    // geometric draw keyed by (qi, b, node-index), and release(t) =
+    // t + Σ node noises. Each arrival touches O(log T) nodes total, so
+    // per-record privacy loss is log-bounded and the error is
+    // O(log^1.5 T) — the classic result. Release depends only on
+    // (qi, t), so the live twin is the keyed counter of
+    // streamingGeoDp with this formula (stateless given t). Shape: one
+    // QI-keyed row_number window, a ≤20-element bit explode, narrow
+    // noise arithmetic, (qi, t) hash-agg.
+    QueryDef("stream_tree_dp",
+      (s, d) => {
+        val masks = (0 until 20).map(1L << _)
+        val arr = masks.mkString("array(", "L, ", "L)")
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qi")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang").as("qi"))
+          .withColumn("t", row_number().over(wOrd).cast("long"))
+          .select(col("qi"), col("t"), explode(expr(
+            s"filter(sequence(0, 19), b -> (t div element_at($arr, b + 1)) % 2 = 1)"))
+            .as("b"))
+          .withColumn("idx", expr(s"t div element_at($arr, b + 1)"))
+          .withColumn("u", pmod(graft.ops.TextOps.hash64(
+            concat_ws("|", col("qi"), col("b"), col("idx"))),
+            lit(graft.ops.SampleOps.GeoMod)))
+          .withColumn("noise", graft.ops.SampleOps.geoNoise(col("u")))
+          .groupBy(col("qi"), col("t"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("noise")).as("nz"))
+          .select(col("qi"), col("t").as("true_n"), col("n_nodes"),
+            (col("t") + col("nz")).as("released_n"),
+            (abs(col("nz")) <= col("n_nodes") * 10).as("in_bound"))
+      },
+      Some({
+        val arr = (0 until 20).map(1L << _).mkString("[", ", ", "]")
+        s"""WITH r AS (SELECT lang AS qi,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+               AS BIGINT) AS t
+            FROM documents),
+           bx AS (SELECT qi, t,
+              unnest(list_filter(range(0, 20),
+                b -> (t // ($arr)[b + 1]) % 2 = 1)) AS b
+            FROM r),
+           nz AS (SELECT qi, t,
+              CAST(${graft.ops.SampleOps.geoNoiseSql("u")} AS BIGINT)
+                AS noise
+            FROM (SELECT qi, t,
+                ${graft.ops.TextOps.hash64Sql(
+                  "qi || '|' || CAST(b AS VARCHAR) || '|' || " +
+                  s"CAST(t // ($arr)[b + 1] AS VARCHAR)")}
+                  % ${graft.ops.SampleOps.GeoMod} AS u
+              FROM bx))
+           SELECT qi, t AS true_n, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(t + sum(noise) AS BIGINT) AS released_n,
+             abs(sum(noise)) <= count(*) * 10 AS in_bound
+           FROM nz GROUP BY qi, t ORDER BY qi, true_n"""
+      }),
+      presentOrder = Seq("qi", "true_n")),
+
     QueryDef("stream_k_anon",
       (s, d) => {
         val k = PipelineQueries.KAnon

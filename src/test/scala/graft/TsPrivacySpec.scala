@@ -287,6 +287,26 @@ class TsPrivacySpec extends SparkSpec {
     assert(out.filter(_.isNullAt(1)).forall(_.getLong(2) == 0L))
   }
 
+  test("tree-DP continual release: n_nodes is popcount(t), every release " +
+      "recomputes exactly from the scalar twins, bound holds") {
+    import graft.ops.{SampleOps, TextOps}
+    val out = graft.Catalog.queries("stream_tree_dp")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 500) // one release per arrival
+    out.foreach { r =>
+      val (qi, t, n, rel, ok) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(n === java.lang.Long.bitCount(t).toLong, s"popcount at t=$t")
+      val noise = (0 until 20).filter(b => ((t >> b) & 1L) == 1L).map { b =>
+        val u = TextOps.hash64Scalar(s"$qi|$b|${t >> b}") % SampleOps.GeoMod
+        SampleOps.geoNoiseScalar(u)
+      }.sum
+      assert(rel === t + noise, s"release at ($qi, $t)")
+      assert(ok === (math.abs(noise) <= 10 * n))
+      assert(ok, s"bound violated at ($qi, $t)")
+    }
+  }
+
   test("scalar twins match their Column versions: hash64 on strings, " +
       "geoNoise at every branch boundary") {
     import spark.implicits._
