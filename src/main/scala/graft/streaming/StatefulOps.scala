@@ -465,6 +465,48 @@ object StatefulOps {
       }
   }
 
+  case class TreeRelease(qi: String, trueN: Long, nNodes: Long,
+                         releasedN: Long)
+
+  /** Streaming twin of the gated `stream_tree_dp` — the binary-tree
+    * mechanism live: a release fires at EVERY arrival, computed from
+    * the category's counter alone (release(t) = t + Σ set-bit node
+    * noises, each node keyed (qi, level, index) through the same
+    * scalar hash/noise twins the batch gate uses). State per category
+    * is ONE counter — the dyadic node noises need no storage because
+    * they are deterministic functions of their key, which is also what
+    * makes replays idempotent. Micro-batch-split parity in
+    * StreamingSpec. */
+  def streamingTreeDp(docs: Dataset[CatDoc]): Dataset[TreeRelease] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.qi)
+      .flatMapGroupsWithState[CatCount, TreeRelease](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (qi: String, rows: Iterator[CatDoc], state: GroupState[CatCount]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[TreeRelease]
+          for (_ <- rows.toSeq.sortBy(_.docId)) {
+            n += 1
+            var noise = 0L
+            var nodes = 0L
+            var b = 0
+            while (b < 20) {
+              if (((n >> b) & 1L) == 1L) {
+                val u = graft.ops.TextOps.hash64Scalar(
+                  s"$qi|$b|${n >> b}") % graft.ops.SampleOps.GeoMod
+                noise += graft.ops.SampleOps.geoNoiseScalar(u)
+                nodes += 1
+              }
+              b += 1
+            }
+            out += TreeRelease(qi, n, nodes, n + noise)
+          }
+          state.update(CatCount(n))
+          out.iterator
+      }
+  }
+
   case class CdcUpdate(userId: Long, eventType: String, sec: Long,
                        eventId: Long, value: Double)
   case class CdcRow(userId: Long, eventType: String, eventId: Long,

@@ -1079,6 +1079,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toMap === batch)
   }
 
+  test("streaming binary-tree DP releases equal the batch gate at every " +
+    "arrival across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{CatDoc, TreeRelease}
+    val dir = "/root/testdata/sf0.001"
+    val batch = Catalog.queries("stream_tree_dp")(spark, dir)
+      .collect().map(r => (r.getAs[String]("qi"), r.getAs[Long]("true_n")) ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("released_n")))).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("lang").as("qi"), col("doc_id"))
+      .orderBy("doc_id").collect()
+      .map(r => CatDoc(r.getString(0), r.getLong(1)))
+    val got = scala.collection.mutable.Map[(String, Long), (Long, Long)]()
+    val in = MemoryStream[CatDoc]
+    val q = graft.streaming.StatefulOps.streamingTreeDp(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[TreeRelease], _: Long) =>
+        ds.collect().foreach(r =>
+          got((r.qi, r.trueN)) = (r.nNodes, r.releasedN))
+      }.start()
+    val third = docs.length / 3
+    in.addData(docs.take(third): _*); q.processAllAvailable()
+    in.addData(docs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(docs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(got.size === batch.size) // one release per arrival, no extras
+    assert(got.toMap === batch)
+  }
+
   test("streaming EWMA snapshot is bit-equal to the batch fold across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
