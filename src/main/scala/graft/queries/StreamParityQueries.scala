@@ -249,8 +249,9 @@ object StreamParityQueries {
     // t + Σ node noises. Each arrival touches O(log T) nodes total, so
     // per-record privacy loss is log-bounded and the error is
     // O(log^1.5 T) — the classic result. Release depends only on
-    // (qi, t), so the live twin is the keyed counter of
-    // streamingGeoDp with this formula (stateless given t). Shape: one
+    // (qi, t), so the live twin (StatefulOps.streamingTreeDp,
+    // StreamingSpec parity) is one keyed counter per category —
+    // node noises need no storage. Shape: one
     // QI-keyed row_number window, a ≤20-element bit explode, narrow
     // noise arithmetic, (qi, t) hash-agg.
     QueryDef("stream_tree_dp",
