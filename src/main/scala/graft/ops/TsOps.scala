@@ -623,6 +623,11 @@ object TsOps {
         wIdx.rowsBetween(Window.currentRow, m - 1)))
       .filter(size(col("s")) === m)
       .select(col("user_id"), col("pos"), col("s"))
+      // Both pair sides read this frame; the alias chain defeats
+      // ReuseExchange (two full scan+window pipelines, measured in the
+      // round-8 plan audit) — one checkpoint of the slim
+      // (user, pos, m-array) table halves the heavy work.
+      .localCheckpoint()
     val pairs = subs.select(col("user_id"), col("pos").as("pa"),
         col("s").as("sa"))
       .join(subs.select(col("user_id"), col("pos").as("pb"),
