@@ -383,9 +383,13 @@ object SampleOps {
     * rows bounded by the number of sources, never corpus size (the
     * vocab-window discipline); the k* boundary is a broadcast scalar. */
   def waterFill(docs: DataFrame): DataFrame = {
+    // NULL text → NULL token count in both engines; coalesce to 0 so
+    // demand is never NULL (Spark windows order NULLs first, DuckDB
+    // last — a NULL demand would diverge the rank/prefix-sum solve).
     val dem = docs
       .select(col("source"),
-        size(TextOps.tokens(col("text"))).cast("long").as("tk"))
+        coalesce(size(TextOps.tokens(col("text"))).cast("long"), lit(0L))
+          .as("tk"))
       .groupBy(col("source")).agg(sum(col("tk")).as("demand"))
     val tot = dem.agg(sum(col("demand")).as("t"),
       count(lit(1)).as("n"))
@@ -401,11 +405,16 @@ object SampleOps {
     val bound = ranked.agg(
       max(when(col("cond"), col("k")).otherwise(0L)).as("kstar"),
       max(when(col("cond"), col("s_k")).otherwise(0L)).as("s_star"))
+    // greatest(n - kstar, 1): when every domain saturates (kstar = n,
+    // e.g. total demand ≤ 1 token) the raw divisor is 0 — Spark div
+    // yields NULL while DuckDB // errors; the guard makes both emit a
+    // well-defined level (b - s_star ≥ 0 there by the cond at k = n).
     ranked.crossJoin(broadcast(bound))
       .select(col("source"), col("demand"),
-        expr("(b - s_star) div (n - kstar)").as("level"),
+        expr("(b - s_star) div greatest(n - kstar, 1)").as("level"),
         when(col("k") <= col("kstar"), col("demand"))
-          .otherwise(expr("(b - s_star) div (n - kstar)")).as("alloc"),
+          .otherwise(expr("(b - s_star) div greatest(n - kstar, 1)"))
+          .as("alloc"),
         (col("k") <= col("kstar")).as("saturated"))
   }
 
@@ -413,7 +422,8 @@ object SampleOps {
     * saturation condition, and floor-divided level in DuckDB. */
   def waterFillSql(table: String): String =
     s"""WITH dem AS (SELECT source,
-          CAST(sum(len(${TextOps.tokensSql("text")})) AS BIGINT) AS demand
+          CAST(sum(COALESCE(len(${TextOps.tokensSql("text")}), 0))
+            AS BIGINT) AS demand
           FROM $table GROUP BY source),
         tot AS (SELECT CAST(sum(demand) AS BIGINT) AS t,
             CAST(count(*) AS BIGINT) AS n FROM dem),
@@ -429,9 +439,9 @@ object SampleOps {
         bd AS (SELECT max(CASE WHEN cond THEN k ELSE 0 END) AS kstar,
             max(CASE WHEN cond THEN s_k ELSE 0 END) AS s_star FROM cd)
         SELECT source, demand,
-          (b - s_star) // (n - kstar) AS level,
+          (b - s_star) // greatest(n - kstar, 1) AS level,
           CASE WHEN k <= kstar THEN demand
-               ELSE (b - s_star) // (n - kstar) END AS alloc,
+               ELSE (b - s_star) // greatest(n - kstar, 1) END AS alloc,
           k <= kstar AS saturated
         FROM cd CROSS JOIN bd ORDER BY source"""
 
@@ -449,6 +459,21 @@ object SampleOps {
     * proof above. */
   val DsirClipLo = 250000L
   val DsirClipHi = 4000000L
+
+  /** The smoothed likelihood-ratio-in-micro-units expression over
+    * (ct, cr, tt, tr). The raw numerator (ct+1)·(tr+64)·1e6 grows as
+    * ~ndocs² (tr ≈ 64·ndocs) and would wrap 2⁶³ silently near 4e5
+    * docs, so the products route through DECIMAL(38,0) (the
+    * stupidBackoff/modularity pattern); the clipped result is ≤ 4e6,
+    * making the BIGINT cast back exact. Spec-pinned at an
+    * over-2⁶³-numerator fixture against the HUGEINT oracle route. */
+  val dsirRatioExpr: String =
+    s"""least(greatest(
+          CAST(CAST(ct + 1 AS DECIMAL(38,0)) * (tr + $DsirBuckets)
+              * 1000000 div
+            (CAST(cr + 1 AS DECIMAL(38,0)) * (tt + $DsirBuckets))
+            AS BIGINT),
+          ${DsirClipLo}L), ${DsirClipHi}L)"""
 
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023),
@@ -483,11 +508,7 @@ object SampleOps {
       count(lit(1)).as("cr"))
     val tot = grid.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val ratios = grid.crossJoin(broadcast(tot))
-      .select(col("f"), expr(
-        s"""least(greatest(
-              (ct + 1) * (tr + $DsirBuckets) * 1000000L div
-                ((cr + 1) * (tt + $DsirBuckets)),
-              ${DsirClipLo}L), ${DsirClipHi}L)""").as("rm"))
+      .select(col("f"), expr(dsirRatioExpr).as("rm"))
     val perDoc = feats.select(col("doc_id"), col("f"))
       .join(broadcast(ratios), "f")
       .groupBy(col("doc_id"))
@@ -512,8 +533,8 @@ object SampleOps {
   def dsirWeightsSql(table: String, targetPredSql: String): String =
     s"""WITH fx AS (SELECT DISTINCT doc_id, $targetPredSql AS is_t,
           ${TextOps.hash64Sql("tok")} % $DsirBuckets AS f
-          FROM (SELECT doc_id, lang, unnest(${TextOps.tokensSql("text")})
-                  AS tok FROM $table)),
+          FROM (SELECT t.*, unnest(${TextOps.tokensSql("text")})
+                  AS tok FROM $table t)),
         grid AS (SELECT f,
             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
             CAST(count(*) AS BIGINT) AS cr
@@ -521,10 +542,10 @@ object SampleOps {
         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
             CAST(sum(cr) AS BIGINT) AS tr FROM grid),
         ratios AS (SELECT f,
-            least(greatest(
-              (ct + 1) * (tr + $DsirBuckets) * 1000000 //
-                ((cr + 1) * (tt + $DsirBuckets)),
-              $DsirClipLo), $DsirClipHi) AS rm
+            CAST(least(greatest(
+              CAST(ct + 1 AS HUGEINT) * (tr + $DsirBuckets) * 1000000 //
+                (CAST(cr + 1 AS HUGEINT) * (tt + $DsirBuckets)),
+              $DsirClipLo), $DsirClipHi) AS BIGINT) AS rm
           FROM grid CROSS JOIN tot),
         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
             CAST(list_reduce(

@@ -231,6 +231,19 @@ object SampleQueries {
       (s, d) => SampleOps.dsirWeights(Tables.documents(s, d),
         col("lang") === "en"),
       Some(SampleOps.dsirWeightsSql("documents", "lang = 'en'")),
+      presentOrder = Seq("doc_id")),
+
+    // Same DSIR pass with the target slice defined over a DIFFERENT
+    // column (source, not lang) — pins that the oracle twin projects
+    // the full row into its unnest (a lang-only projection would be a
+    // silent binder error for any non-lang predicate, the round-8
+    // ADVICE item), i.e. the Scala API's arbitrary-Column contract
+    // holds on both engines.
+    QueryDef("sample_dsir_src",
+      (s, d) => SampleOps.dsirWeights(Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      Some(SampleOps.dsirWeightsSql("documents",
+        "source IN ('src0', 'src1', 'src2', 'src3', 'src4')")),
       presentOrder = Seq("doc_id"))
   )
 }

@@ -64,6 +64,51 @@ class SampleSpec extends SparkSpec {
     assert(out.values.map(_._3).sum === 50L)
   }
 
+  test("waterFill: NULL text contributes zero demand; all-saturated corpus " +
+      "(kstar = n) yields a defined level instead of a NULL/error divide") {
+    import spark.implicits._
+    // One source is all-NULL text (demand 0 after the coalesce — a
+    // NULL demand would sort first in Spark, last in DuckDB).
+    val docs = Seq(("a", null.asInstanceOf[String]),
+      ("a", null.asInstanceOf[String]), ("b", "one two three four"))
+      .toDF("source", "text").withColumn("doc_id", lit(1L))
+    val out = SampleOps.waterFill(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // demands 0/4, B = 2; k=1 (a): 0*2 <= 2 sat; k=2 (b): 4 > 2-0 no.
+    // level = (2-0) div (2-1) = 2.
+    assert(out === Map("a" -> ((0L, 2L, 0L, true)),
+      "b" -> ((4L, 2L, 2L, false))))
+    // All sources saturate: divisor n - kstar = 0 -> the greatest(,1)
+    // guard makes level deterministic (0 here) rather than NULL.
+    val all = Seq(("a", null.asInstanceOf[String]),
+      ("b", null.asInstanceOf[String]))
+      .toDF("source", "text").withColumn("doc_id", lit(1L))
+    val sat = SampleOps.waterFill(all).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(sat.toSet === Set(("a", 0L, 0L, true), ("b", 0L, 0L, true)))
+  }
+
+  test("dsirRatioExpr survives a numerator past 2^63: DECIMAL(38,0) route " +
+      "returns the exact clipped ratio where BIGINT would wrap") {
+    import spark.implicits._
+    // ct+1 = 2e9, tr+64 = 5e9: numerator 2e9 * 5e9 * 1e6 = 1e25 >> 2^63.
+    // True ratio = 1e25 / ((4e9) * (2.5e9)) = 1e6 exactly.
+    val row = Seq((1999999999L, 3999999999L, 2499999936L, 4999999936L))
+      .toDF("ct", "cr", "tt", "tr")
+      .selectExpr(SampleOps.dsirRatioExpr + " AS rm").collect()(0)
+    assert(row.getLong(0) === 1000000L)
+    // Long-wrap sanity: the unrouted product is wrapped garbage.
+    assert(BigInt(2000000000L * 5000000000L * 1000000L) !==
+      BigInt(2000000000L) * BigInt(5000000000L) * BigInt(1000000L))
+    // clip still binds at the edges through the decimal route
+    val hi = Seq((1000000L, 0L, 0L, 1000000L)).toDF("ct", "cr", "tt", "tr")
+      .selectExpr(SampleOps.dsirRatioExpr + " AS rm").collect()(0)
+    assert(hi.getLong(0) === SampleOps.DsirClipHi)
+  }
+
   test("stratifiedSample applies per-stratum rates; unlisted strata drop") {
     import spark.implicits._
     val df = (0L until 3000L)
