@@ -252,11 +252,16 @@ object StreamParityQueries {
     // (qi, t), so the live twin (StatefulOps.streamingTreeDp,
     // StreamingSpec parity) is one keyed counter per category —
     // node noises need no storage. Shape: one
-    // QI-keyed row_number window, a ≤20-element bit explode, narrow
-    // noise arithmetic, (qi, t) hash-agg.
+    // QI-keyed row_number window, a ≤63-element bit explode, narrow
+    // noise arithmetic, (qi, t) hash-agg. All 63 nonneg bit positions
+    // are walked (not a 20-bit cap): a capped filter would emit an
+    // EMPTY list — explode drops the row entirely — whenever t is a
+    // multiple of 2^20, breaking batch/stream parity and releasing an
+    // unnoised exact count past 2^20 arrivals. Any t ≥ 1 has a set
+    // bit < 63, so the explode never drops a release.
     QueryDef("stream_tree_dp",
       (s, d) => {
-        val masks = (0 until 20).map(1L << _)
+        val masks = (0 until 63).map(1L << _)
         val arr = masks.mkString("array(", "L, ", "L)")
         val wOrd = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qi")).orderBy(col("doc_id"))
@@ -264,7 +269,7 @@ object StreamParityQueries {
           .select(col("doc_id"), col("lang").as("qi"))
           .withColumn("t", row_number().over(wOrd).cast("long"))
           .select(col("qi"), col("t"), explode(expr(
-            s"filter(sequence(0, 19), b -> (t div element_at($arr, b + 1)) % 2 = 1)"))
+            s"filter(sequence(0, 62), b -> (t div element_at($arr, b + 1)) % 2 = 1)"))
             .as("b"))
           .withColumn("idx", expr(s"t div element_at($arr, b + 1)"))
           .withColumn("u", pmod(graft.ops.TextOps.hash64(
@@ -278,13 +283,13 @@ object StreamParityQueries {
             (abs(col("nz")) <= col("n_nodes") * 10).as("in_bound"))
       },
       Some({
-        val arr = (0 until 20).map(1L << _).mkString("[", ", ", "]")
+        val arr = (0 until 63).map(1L << _).mkString("[", ", ", "]")
         s"""WITH r AS (SELECT lang AS qi,
              CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
                AS BIGINT) AS t
             FROM documents),
            bx AS (SELECT qi, t,
-              unnest(list_filter(range(0, 20),
+              unnest(list_filter(range(0, 63),
                 b -> (t // ($arr)[b + 1]) % 2 = 1)) AS b
             FROM r),
            nz AS (SELECT qi, t,

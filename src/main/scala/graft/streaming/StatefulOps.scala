@@ -477,6 +477,28 @@ object StatefulOps {
     * they are deterministic functions of their key, which is also what
     * makes replays idempotent. Micro-batch-split parity in
     * StreamingSpec. */
+  /** The pure release function of the binary-tree mechanism: walks
+    * ALL 63 nonneg bit positions of t. A 20-bit cap would emit an
+    * unnoised exact release whenever t is a multiple of 2^20 (every
+    * set bit above the cap skipped); t ≥ 1 always has a set bit
+    * below 63, so nNodes ≥ 1 at every arrival. Spec-pinned at the
+    * t = 2^20 edge against the batch gate's bit-explode expression. */
+  def treeRelease(qi: String, t: Long): TreeRelease = {
+    var noise = 0L
+    var nodes = 0L
+    var b = 0
+    while (b < 63) {
+      if (((t >> b) & 1L) == 1L) {
+        val u = graft.ops.TextOps.hash64Scalar(
+          s"$qi|$b|${t >> b}") % graft.ops.SampleOps.GeoMod
+        noise += graft.ops.SampleOps.geoNoiseScalar(u)
+        nodes += 1
+      }
+      b += 1
+    }
+    TreeRelease(qi, t, nodes, t + noise)
+  }
+
   def streamingTreeDp(docs: Dataset[CatDoc]): Dataset[TreeRelease] = {
     import docs.sparkSession.implicits._
     docs
@@ -488,19 +510,7 @@ object StatefulOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[TreeRelease]
           for (_ <- rows.toSeq.sortBy(_.docId)) {
             n += 1
-            var noise = 0L
-            var nodes = 0L
-            var b = 0
-            while (b < 20) {
-              if (((n >> b) & 1L) == 1L) {
-                val u = graft.ops.TextOps.hash64Scalar(
-                  s"$qi|$b|${n >> b}") % graft.ops.SampleOps.GeoMod
-                noise += graft.ops.SampleOps.geoNoiseScalar(u)
-                nodes += 1
-              }
-              b += 1
-            }
-            out += TreeRelease(qi, n, nodes, n + noise)
+            out += treeRelease(qi, n)
           }
           state.update(CatCount(n))
           out.iterator

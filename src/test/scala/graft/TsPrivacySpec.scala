@@ -297,13 +297,43 @@ class TsPrivacySpec extends SparkSpec {
       val (qi, t, n, rel, ok) = (r.getString(0), r.getLong(1),
         r.getLong(2), r.getLong(3), r.getBoolean(4))
       assert(n === java.lang.Long.bitCount(t).toLong, s"popcount at t=$t")
-      val noise = (0 until 20).filter(b => ((t >> b) & 1L) == 1L).map { b =>
+      val noise = (0 until 63).filter(b => ((t >> b) & 1L) == 1L).map { b =>
         val u = TextOps.hash64Scalar(s"$qi|$b|${t >> b}") % SampleOps.GeoMod
         SampleOps.geoNoiseScalar(u)
       }.sum
       assert(rel === t + noise, s"release at ($qi, $t)")
       assert(ok === (math.abs(noise) <= 10 * n))
       assert(ok, s"bound violated at ($qi, $t)")
+      // the batch row must agree with the streaming twin's pure form
+      val tw = graft.streaming.StatefulOps.treeRelease(qi, t)
+      assert((tw.nNodes, tw.releasedN) === ((n, rel)))
+    }
+  }
+
+  test("tree-DP at the 2^20 edge: a count whose set bits all sit above " +
+      "bit 19 still gets a noised release on BOTH twins") {
+    import graft.ops.{SampleOps, TextOps}
+    import graft.streaming.StatefulOps
+    // t = 2^20: a 20-bit cap would explode an EMPTY bit list (batch
+    // row dropped) and release the exact unnoised count live.
+    for (t <- Seq(1L << 20, 3L << 20, 1L << 45, (1L << 62) + (1L << 21))) {
+      val bits = (0 until 63).filter(b => ((t >> b) & 1L) == 1L)
+      assert(bits.nonEmpty)
+      // batch side: the gate's exact filter/sequence expression
+      val arr = (0 until 63).map(1L << _).mkString("array(", "L, ", "L)")
+      val got = spark.sql(
+        s"""SELECT filter(sequence(0, 62),
+              b -> (${t}L div element_at($arr, b + 1)) % 2 = 1) AS bits""")
+        .collect()(0).getSeq[Int](0)
+      assert(got === bits, s"batch bit walk at t=$t")
+      // streaming side: one node per set bit, release = t + Σ noises
+      val rel = StatefulOps.treeRelease("en", t)
+      val noise = bits.map { b =>
+        val u = TextOps.hash64Scalar(s"en|$b|${t >> b}") % SampleOps.GeoMod
+        SampleOps.geoNoiseScalar(u)
+      }.sum
+      assert(rel.nNodes === bits.length.toLong)
+      assert(rel.releasedN === t + noise)
     }
   }
 
