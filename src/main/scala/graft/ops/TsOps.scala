@@ -604,52 +604,134 @@ object TsOps {
     * → per-cell diff² ≤ 10¹², ×m = 8·10¹² ≪ 2⁶³); ties broken
     * (dist, pos_a, pos_b) so both engines pick the identical pair.
     *
-    * Scale shape: subsequences materialize as length-`m` arrays via ONE
-    * frame-ordered window collect per reading (no self-join at token
-    * grain); the pair space is per-user quadratic in the SUBSEQUENCE
-    * count — bounded by the per-user series length, the standard
-    * matrix-profile cost model (users parallelize perfectly; a single
-    * monster series would call for the STOMP recurrence instead,
-    * documented here as the known upgrade). */
-  def matrixProfile(ev: DataFrame, m: Int = 8): DataFrame = {
+    * Scale shape — the STOMP recurrence (Zhu et al., "Matrix Profile
+    * II", ICDM 2016), declaratively: dist²(a, a+k) = SS(a) + SS(a+k)
+    * − 2·dot(a, a+k), and along a DIAGONAL (fixed lag k) the dot is a
+    * plain m-row moving sum of the elementwise products
+    * p(i) = x(i)·x(i+k) — a window prefix sum, which is exactly
+    * STOMP's O(1)-per-cell update (vs the O(m) zip_with of the naive
+    * pair join this replaced in round 9). The cell table is the
+    * inherent O(n²/2) of an EXACT full profile, but each cell is one
+    * narrow (k, pos, product) row, and the diagonal windows partition
+    * by (user, k) — a monster series spreads across its n−m diagonals
+    * instead of pinning one user partition, so AQE/32 tasks split it.
+    * [[matrixProfileBanded]] is the linear-cost horizon variant for
+    * series where even O(n²) cells is too much. */
+  def matrixProfile(ev: DataFrame, m: Int = 8): DataFrame =
+    matrixProfileCells(ev, m, horizon = None)
+
+  /** Horizon-banded matrix profile: motifs must recur within `horizon`
+    * positions (pb − pa ≤ H) — the banded-join discipline applied to
+    * motif discovery. Cell count drops from O(n²/2) to O(n·H): the
+    * scale path for monster series where the exact full profile's
+    * quadratic cell table is unpayable. Semantics: closest
+    * non-overlapping pair WITHIN the horizon; `n_pairs` counts in-band
+    * pairs only. */
+  def matrixProfileBanded(ev: DataFrame, m: Int = 8,
+                          horizon: Int = 32): DataFrame = {
+    require(horizon >= m, s"horizon must be >= m (got $horizon < $m)")
+    matrixProfileCells(ev, m, Some(horizon))
+  }
+
+  /** Bucket width for the EXACT profile's chunked pair join: one
+    * monster series splits into n/4096 join groups instead of pinning
+    * a single task with its full O(n²) candidate enumeration. Gated
+    * series (≤ a few hundred readings) stay in one bucket. */
+  val MpChunk = 4096
+
+  private def matrixProfileCells(ev: DataFrame, m: Int,
+                                 horizon: Option[Int]): DataFrame = {
     require(m >= 2, s"matrixProfile needs m >= 2 (got $m)")
     val wIdx = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val subs = ev
+    val ix = ev
       .select(col("user_id"), col("ts"), col("event_id"),
         expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
       .withColumn("pos", (row_number().over(wIdx) - 1).cast("long"))
-      .withColumn("s", collect_list(col("vm")).over(
-        wIdx.rowsBetween(Window.currentRow, m - 1)))
-      .filter(size(col("s")) === m)
-      .select(col("user_id"), col("pos"), col("s"))
-      // Both pair sides read this frame; the alias chain defeats
-      // ReuseExchange (two full scan+window pipelines, measured in the
-      // round-8 plan audit) — one checkpoint of the slim
-      // (user, pos, m-array) table halves the heavy work.
-      .localCheckpoint()
-    val pairs = subs.select(col("user_id"), col("pos").as("pa"),
-        col("s").as("sa"))
-      .join(subs.select(col("user_id"), col("pos").as("pb"),
-        col("s").as("sb")), "user_id")
-      .filter(col("pa") + m <= col("pb"))
-      .withColumn("dist_sq", expr(
-        """aggregate(zip_with(sa, sb, (x, y) -> (x - y) * (x - y)),
-           CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
-    val wBest = Window.partitionBy(col("user_id"))
-      .orderBy(col("dist_sq"), col("pa"), col("pb"))
-    pairs
-      .withColumn("rn", row_number().over(wBest))
-      .withColumn("n_pairs", count(lit(1)).over(
+      .withColumn("n", count(lit(1)).over(
         Window.partitionBy(col("user_id"))))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("n_pairs"), col("pa").as("pos_a"),
-        col("pb").as("pos_b"), col("dist_sq"))
+      // SS(pos) = Σ vm² over the m-window starting here (NULL when the
+      // window hangs off the series end — such anchors never qualify).
+      .withColumn("ss", when(
+        count(lit(1)).over(wIdx.rowsBetween(Window.currentRow, m - 1))
+          === m,
+        sum(col("vm") * col("vm")).over(
+          wIdx.rowsBetween(Window.currentRow, m - 1))))
+      .select(col("user_id"), col("pos"), col("n"), col("vm"), col("ss"))
+      // Both pair-join sides read this frame; one checkpoint of the
+      // slim (user, pos, vm, ss) table keeps a single scan+window
+      // pipeline feeding both (the round-8 ReuseExchange lesson).
+      .localCheckpoint()
+    // The banded-join discipline (BandedJoinRule / bandedIntervalJoin):
+    // a join on user_id alone enumerates |series|² candidates inside
+    // ONE join group before any band filter — quadratic in key
+    // popularity, and AQE cannot split it (measured: the naive form
+    // went superlinear at 2^17 readings in the MpScale drive). Anchors
+    // replicate to the position buckets their partners can live in
+    // ([pos+m, pos+h] for the banded arm, [pos+m, n-1] chunked by
+    // [[MpChunk]] for the exact arm); partners project their single
+    // bucket, so the join is an equi-join on (user, bucket), every
+    // pair meets in exactly one bucket (no dedup), and the exact range
+    // predicate stays as the post-filter.
+    val w = horizon.getOrElse(MpChunk).toLong
+    val hiExpr = horizon match {
+      case Some(h) => s"least(pos + $h, n - 1)"
+      case None    => "n - 1"
+    }
+    val aRep = ix
+      .filter(expr(s"pos + $m <= $hiExpr"))
+      .withColumn("bk", explode(expr(
+        s"sequence((pos + $m) div $w, ($hiExpr) div $w)")))
+      .select(col("user_id"), col("bk"), col("pos").as("pa"),
+        col("vm").as("va"), col("ss").as("sa"))
+    val bSide = ix
+      .select(col("user_id"), expr(s"pos div $w").as("bk"),
+        col("pos").as("pb"), col("vm").as("vb"), col("ss").as("sb"))
+    val bandPred = horizon match {
+      case Some(h) => col("pb") <= col("pa") + h
+      case None    => lit(true)
+    }
+    // One narrow product cell per (anchor, lag): p = x(i)·x(i+k).
+    val cells = aRep.join(bSide, Seq("user_id", "bk"))
+      .filter(col("pb") >= col("pa") + m && bandPred)
+      .select(col("user_id"), (col("pb") - col("pa")).as("k"),
+        col("pa"), (col("va") * col("vb")).as("p"),
+        col("sa"), col("sb"))
+    // STOMP along each diagonal: the m-cell moving sum IS the dot
+    // product walk; a frame short of m cells falls off the diagonal
+    // end (pa + m − 1 + k > n − 1) and is not a valid pair.
+    val wDiag = Window.partitionBy(col("user_id"), col("k"))
+      .orderBy(col("pa"))
+    val frame = wDiag.rowsBetween(Window.currentRow, m - 1)
+    val dists = cells
+      .withColumn("dot", sum(col("p")).over(frame))
+      .withColumn("nf", count(lit(1)).over(frame))
+      .filter(col("nf") === m)
+      .select(col("user_id"), col("pa"),
+        (col("pa") + col("k")).as("pb"),
+        (col("sa") + col("sb") - lit(2L) * col("dot")).as("dist_sq"))
+    dists.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct(col("dist_sq"), col("pa"), col("pb"))).as("best"))
+      .select(col("user_id"), col("n_pairs"),
+        col("best.pa").as("pos_a"), col("best.pb").as("pos_b"),
+        col("best.dist_sq").as("dist_sq"))
   }
 
+  /** Oracle twin of [[matrixProfileBanded]]: the definitional
+    * quadratic pair form with the horizon predicate — DuckDB at oracle
+    * scale affords the naive form the Spark side deliberately avoids. */
+  def matrixProfileBandedSql(table: String, m: Int = 8,
+                             horizon: Int = 32): String =
+    matrixProfileSql(table, m, Some(horizon))
+
   /** Oracle twin of [[matrixProfile]]: identical frame-ordered window
-    * collect, exclusion zone, integer distance, and tie order. */
-  def matrixProfileSql(table: String, m: Int = 8): String =
+    * collect, exclusion zone, integer distance, and tie order — the
+    * DEFINITIONAL all-pairs form (the Spark side runs the STOMP
+    * diagonal recurrence; the gate proves them equal). */
+  def matrixProfileSql(table: String, m: Int = 8,
+                       horizon: Option[Int] = None): String = {
+    val band = horizon.map(h => s" AND b.pos <= a.pos + $h").getOrElse("")
     s"""WITH ix AS (SELECT user_id,
           CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
           CAST(row_number() OVER (PARTITION BY user_id
@@ -667,7 +749,7 @@ object TsOps {
               i -> (a.s[i] - b.s[i]) * (a.s[i] - b.s[i]))) AS BIGINT)
               AS dist_sq
           FROM sub a JOIN sub b ON a.user_id = b.user_id
-            AND a.pos + $m <= b.pos),
+            AND a.pos + $m <= b.pos$band),
         rk AS (SELECT user_id, pa, pb, dist_sq,
             row_number() OVER (PARTITION BY user_id
               ORDER BY dist_sq, pa, pb) AS rn,
@@ -676,4 +758,5 @@ object TsOps {
           FROM pr)
         SELECT user_id, n_pairs, pa AS pos_a, pb AS pos_b, dist_sq
         FROM rk WHERE rn = 1 ORDER BY user_id"""
+  }
 }

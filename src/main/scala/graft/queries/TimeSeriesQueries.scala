@@ -183,5 +183,17 @@ object TimeSeriesQueries {
     QueryDef("ts_matrix_profile",
       (s, d) => TsOps.matrixProfile(Tables.events(s, d)),
       Some(TsOps.matrixProfileSql("events")),
+      presentOrder = Seq("user_id")),
+
+    // Horizon-banded matrix profile — the monster-series scale path:
+    // motifs must recur within 32 positions, dropping the cell table
+    // from O(n²/2) to O(n·H) per series (the banded-join discipline).
+    // Same STOMP diagonal recurrence, same tie order; n_pairs counts
+    // in-band pairs only. Oracle is the definitional all-pairs form
+    // with the horizon predicate.
+    QueryDef("ts_matrix_profile_band",
+      (s, d) => TsOps.matrixProfileBanded(Tables.events(s, d),
+        m = 8, horizon = 32),
+      Some(TsOps.matrixProfileBandedSql("events", m = 8, horizon = 32)),
       presentOrder = Seq("user_id")))
 }

@@ -227,6 +227,53 @@ class TsPrivacySpec extends SparkSpec {
     assert(out(2L) === ((15L, 0L, 8L, 512000000L)))
   }
 
+  test("matrixProfile STOMP recurrence equals the definitional all-pairs " +
+      "brute on LCG series; banded variant equals brute under the horizon") {
+    import spark.implicits._
+    import graft.ops.TsOps
+    val m = 8
+    val h = 16
+    // Three deterministic LCG series of different lengths (incl. one
+    // shorter than 2m to exercise the empty-profile edge).
+    val series = Map(
+      1L -> Iterator.iterate(7L)(x => (x * 1103515245L + 12345L)
+        % 1000L).take(60).toVector,
+      2L -> Iterator.iterate(311L)(x => (x * 1103515245L + 12345L)
+        % 997L).take(37).toVector,
+      3L -> Iterator.iterate(5L)(x => (x * 6364136223846793005L
+        + 1442695040888963407L).abs % 500L).take(12).toVector)
+    val ev = series.toSeq.flatMap { case (u, vs) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        (u, i.toLong, i.toLong, v.toDouble) }
+    }.toDF("user_id", "ts", "event_id", "value")
+    // Scala brute reference over milli-quantized values.
+    def brute(maxGap: Long): Map[Long, (Long, Long, Long, Long)] =
+      series.flatMap { case (u, vs) =>
+        val x = vs.map(v => math.floor(v * 1000d + 0.5).toLong)
+        val n = x.length
+        val pairs = for {
+          pa <- 0 to n - 2 * m; pb <- (pa + m) to (n - m)
+          if pb - pa <= maxGap
+        } yield {
+          val d = (0 until m).map(j =>
+            (x(pa + j) - x(pb + j)) * (x(pa + j) - x(pb + j))).sum
+          (d, pa.toLong, pb.toLong)
+        }
+        if (pairs.isEmpty) None
+        else {
+          val best = pairs.min
+          Some(u -> ((pairs.size.toLong, best._2, best._3, best._1)))
+        }
+      }
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(TsOps.matrixProfile(ev, m)) === brute(Long.MaxValue))
+    assert(got(TsOps.matrixProfileBanded(ev, m, h)) === brute(h))
+    // u3 (length 12 < 2m) has no non-overlapping pair on either arm.
+    assert(!got(TsOps.matrixProfile(ev, m)).contains(3L))
+  }
+
   test("dtwTopKPruned: far-away candidates are LB-pruned before the DP") {
     import spark.implicits._
     import graft.ops.TsOps
