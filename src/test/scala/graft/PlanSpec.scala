@@ -213,6 +213,38 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("graft.pairs.dir", "")
   }
 
+  test("recall audit consumes the materialized k-NN cache and shares one " +
+      "coarse-cell build across the ivf and ivfpq arms") {
+    import graft.ops.SimOps
+    import graft.queries.SimQueries._
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn").toString
+    spark.conf.set("graft.knn.dir", dir)
+    try {
+      // First call materializes the degree-10 edge table the NSW arm
+      // navigates; a later consumer must SCAN it, not rebuild the LSH
+      // graph in-query (one fewer graph build).
+      graft.Materialize(SimOps.knnEdgesCached(
+        Tables.embeddings(spark, d), GraphDegree, LshTabs))
+      val pe = SimOps.knnEdgesCached(
+          Tables.embeddings(spark, d), GraphDegree, LshTabs)
+        .queryExecution.executedPlan.toString
+      assert(pe.contains(dir) && "Scan parquet".r.findAllIn(pe).size == 1
+          && !pe.contains("Exchange"),
+        s"knn reuse must be a single parquet scan of the cache:\n$pe")
+      // The audit built after it consumes that cache at beam-round
+      // construction (rounds checkpoint, so the FINAL plan's graph arm
+      // is ExistingRDD state, not a rebuilt LSH pipeline), and the
+      // shared assignment/probe checkpoint means both trained-cell
+      // arms read ExistingRDD leaves instead of re-running the
+      // normalize+assign pipeline per arm (ivf cand + ivfpq
+      // resid/cand all land on checkpointed frames).
+      val p = Catalog.queries("sim_recall_audit")(spark, d)
+        .queryExecution.executedPlan.toString
+      assert("ExistingRDD".r.findAllIn(p).size >= 3,
+        s"expected checkpointed shared cell frames in the audit plan:\n$p")
+    } finally spark.conf.set("graft.knn.dir", "")
+  }
+
   test("exact percentiles stay on bounded-group inputs") {
     // Spark's exact `percentile` buffers all values per group on an
     // executor; q_percentiles is only allowed while its grouping key has
