@@ -1024,12 +1024,19 @@ object MediaCodecs {
   /** Container-level metadata: what an ingest catalog records per blob
     * before any pixel/sample decode. Image fields are None for audio and
     * vice versa; `nFrames` is populated only for containers that carry a
-    * frame count in their structure (GIF image descriptors). */
+    * frame count in their structure (GIF image descriptors, MP4 stsz);
+    * `progressive` only for JPEG (a real web crawl is full of SOF2
+    * streams — the catalog must report their geometry and flag them,
+    * not count them as decode failures); `durationMs`/`codec` only for
+    * timed containers (MP4 mvhd/stsd). */
   final case class ContainerMeta(kind: String,
                                  width: Option[Int], height: Option[Int],
                                  channels: Option[Int],
                                  sampleRate: Option[Int],
-                                 nFrames: Option[Int])
+                                 nFrames: Option[Int],
+                                 progressive: Option[Boolean] = None,
+                                 durationMs: Option[Int] = None,
+                                 codec: Option[String] = None)
 
   /** REAL header-only metadata decode: dispatches on the container magic
     * and parses exactly the header structures that carry the metadata —
@@ -1050,13 +1057,18 @@ object MediaCodecs {
     else if (tag(bytes, 0, "RIFF") && tag(bytes, 8, "WAVE")) sniffWav(bytes)
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       sniffJpeg(bytes)
+    else if (tag(bytes, 4, "ftyp")) sniffMp4(bytes)
     else None
   }
 
   /** JPEG marker walk to the first SOFn (any DCT process — frame
     * geometry is defined identically for baseline and progressive):
-    * height/width/component count from the frame header. Payload
-    * entropy data is never visited. */
+    * height/width/component count from the frame header, plus a
+    * `progressive` flag for the SOF2/6/10/14 processes (spectral
+    * selection): [[jpegRgb]] rightly rejects those at decode, but the
+    * catalog pass must still report their geometry — progressive is a
+    * large share of real web-crawl JPEGs. Payload entropy data is
+    * never visited. */
   private def sniffJpeg(bytes: Array[Byte]): Option[ContainerMeta] = {
     var off = 2
     while (off + 4 <= bytes.length) {
@@ -1073,12 +1085,36 @@ object MediaCodecs {
         val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
         val n = bytes(off + 9) & 0xff
         if (w <= 0 || h <= 0 || n < 1 || n > 4) return None
+        val prog = marker == 0xc2 || marker == 0xc6 ||
+          marker == 0xca || marker == 0xce
         return Some(ContainerMeta("image", Some(w), Some(h), Some(n),
-          None, None))
+          None, None, progressive = Some(prog)))
       }
       off += 2 + len
     }
     None
+  }
+
+  /** Fixture helper for the progressive-JPEG CATALOG path: rewrites the
+    * first SOF0 marker of a baseline stream to SOF2, producing a
+    * structurally valid progressive frame HEADER (the entropy payload
+    * is not reinterpreted — [[sniffMeta]] never visits it, and
+    * [[jpegRgb]] must reject the result). Walks markers exactly like
+    * [[sniffJpeg]], so a table byte that happens to read 0xFFC0 cannot
+    * be clobbered. */
+  def withProgressiveSofHeader(bytes: Array[Byte]): Array[Byte] = {
+    val out = bytes.clone()
+    var off = 2
+    while (off + 4 <= out.length) {
+      if ((out(off) & 0xff) != 0xff) return out
+      val marker = out(off + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return out
+      if (marker == 0xc0) { out(off + 1) = 0xc2.toByte; return out }
+      val len = ((out(off + 2) & 0xff) << 8) | (out(off + 3) & 0xff)
+      if (len < 2) return out
+      off += 2 + len
+    }
+    out
   }
 
   /** PNG spec: IHDR must be the FIRST chunk after the signature. CRC is
@@ -1701,5 +1737,139 @@ object MediaCodecs {
       off += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }
     None
+  }
+
+  // ---- ISO-BMFF (MP4) box walk — metadata only, no codec ----------------
+
+  /** Finds the first `boxType` box inside [start, end): returns its
+    * (payloadStart, payloadEnd). Handles size==1 (64-bit largesize)
+    * and rejects size==0-to-end only at top level via the caller's
+    * `end`. Any malformed size (negative, overflowing, past `end`)
+    * aborts the walk. */
+  private def findBox(bytes: Array[Byte], start: Int, end: Int,
+                      boxType: String): Option[(Int, Int)] = {
+    var off = start
+    while (off + 8 <= end) {
+      val size32 = readBe32(bytes, off)
+      val t = new String(bytes, off + 4, 4, "US-ASCII")
+      var payload = off + 8
+      val boxEnd: Long =
+        if (size32 == 1) {
+          if (off + 16 > end) return None
+          payload = off + 16
+          (readBe32(bytes, off + 8).toLong << 32) |
+            (readBe32(bytes, off + 12).toLong & 0xffffffffL)
+        } else if (size32 == 0) end.toLong // box extends to container end
+        else off.toLong + (size32.toLong & 0xffffffffL)
+      if (size32 == 1) {
+        // largesize counts from the box start
+        val bs = boxEnd + off
+        if (bs < payload || bs > end) return None
+        if (t == boxType) return Some((payload, bs.toInt))
+        off = bs.toInt
+      } else {
+        if (boxEnd < payload || boxEnd > end) return None
+        if (t == boxType) return Some((payload, boxEnd.toInt))
+        off = boxEnd.toInt
+      }
+    }
+    None
+  }
+
+  /** ISO-BMFF metadata sniff (the pattern that decided JPEG: the box
+    * LAYOUT is public byte structure — ftyp/moov/mvhd/trak/tkhd/mdia/
+    * minf/stbl/stsd/stsz — while the codec payload inside mdat needs a
+    * video decoder this environment rightly does not ship). Reports
+    * what a media catalog records per clip: presentation duration
+    * (mvhd duration/timescale → ms, floored), track geometry (tkhd
+    * 16.16 fixed-point width/height), frame count (stsz sample_count),
+    * and the sample-entry codec fourcc (stsd). O(header) — mdat is
+    * skipped by its size field, payload bytes never visited. */
+  private def sniffMp4(bytes: Array[Byte]): Option[ContainerMeta] = {
+    val n = bytes.length
+    for {
+      (mvS, mvE) <- findBox(bytes, 0, n, "moov")
+      (mhS, mhE) <- findBox(bytes, mvS, mvE, "mvhd")
+      (tkS, tkE) <- findBox(bytes, mvS, mvE, "trak")
+      (thS, thE) <- findBox(bytes, tkS, tkE, "tkhd")
+      (mdS, mdE) <- findBox(bytes, tkS, tkE, "mdia")
+      (mnS, mnE) <- findBox(bytes, mdS, mdE, "minf")
+      (sbS, sbE) <- findBox(bytes, mnS, mnE, "stbl")
+      (sdS, sdE) <- findBox(bytes, sbS, sbE, "stsd")
+      (szS, szE) <- findBox(bytes, sbS, sbE, "stsz")
+      meta <- {
+        // mvhd: version(1) flags(3), then v0 c4 m4 ts4 dur4 / v1 c8 m8 ts4 dur8
+        val v = bytes(mhS) & 0xff
+        val (ts, dur) =
+          if (v == 1 && mhS + 28 <= mhE)
+            (readBe32(bytes, mhS + 20),
+              (readBe32(bytes, mhS + 24).toLong << 32) |
+                (readBe32(bytes, mhS + 28).toLong & 0xffffffffL))
+          else if (v == 0 && mhS + 20 <= mhE)
+            (readBe32(bytes, mhS + 12),
+              readBe32(bytes, mhS + 16).toLong & 0xffffffffL)
+          else (0, -1L)
+        // tkhd: width/height are the LAST 8 payload bytes (16.16 fixed)
+        val tv = bytes(thS) & 0xff
+        val geomOk = thE - thS >= (if (tv == 1) 4 + 32 + 60 else 4 + 20 + 60)
+        val w = if (geomOk) readBe32(bytes, thE - 8) >>> 16 else 0
+        val h = if (geomOk) readBe32(bytes, thE - 4) >>> 16 else 0
+        // stsd: fullbox(4) entry_count(4) entry[size(4) format(4) ...]
+        val codec =
+          if (sdE - sdS >= 16 && readBe32(bytes, sdS + 4) >= 1)
+            Some(new String(bytes, sdS + 12, 4, "US-ASCII"))
+          else None
+        // stsz: fullbox(4) sample_size(4) sample_count(4)
+        val frames = if (szE - szS >= 12) readBe32(bytes, szS + 8) else -1
+        if (ts <= 0 || dur < 0 || w <= 0 || h <= 0 || frames < 0 ||
+            codec.isEmpty) None
+        else {
+          val ms = dur * 1000L / ts
+          if (ms > Int.MaxValue) None
+          else Some(ContainerMeta("video", Some(w), Some(h), None, None,
+            Some(frames), durationMs = Some(ms.toInt), codec = codec))
+        }
+      }
+    } yield meta
+  }
+
+  private def mp4Box(boxType: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(8 + body.length) ++ boxType.getBytes("US-ASCII") ++ body
+  }
+
+  /** Minimal-but-structurally-faithful ISO-BMFF writer for the
+    * [[sniffMp4]] gate: ftyp + moov(mvhd v0, trak(tkhd v0 with 16.16
+    * geometry, mdia(minf(stbl(stsd with one `codec` sample entry,
+    * stsz with `nFrames` entries))))) + an mdat the sniff must SKIP by
+    * its size field. Same synthesis-then-decode discipline as
+    * buildWav/buildPng: header fields derive from per-doc formulas and
+    * the oracle recomputes them analytically. */
+  def buildMp4(width: Int, height: Int, timescale: Int, duration: Int,
+               nFrames: Int, codec: String): Array[Byte] = {
+    require(codec.length == 4, s"fourcc must be 4 chars: $codec")
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), be32(0),
+      "isom".getBytes("US-ASCII"))
+    val mvhd = mp4Box("mvhd", be32(0), // version 0 + flags
+      be32(0), be32(0), be32(timescale), be32(duration),
+      be32(0x00010000), Array[Byte](0, 0), Array.fill[Byte](10)(0),
+      Array.fill[Byte](36)(0), Array.fill[Byte](24)(0), be32(2))
+    val tkhd = mp4Box("tkhd", be32(7), // version 0 + enabled flags
+      be32(0), be32(0), be32(1), be32(0), be32(duration),
+      Array.fill[Byte](8)(0), Array[Byte](0, 0), Array[Byte](0, 0),
+      Array[Byte](0, 0), Array[Byte](0, 0), Array.fill[Byte](36)(0),
+      be32(width << 16), be32(height << 16))
+    val entry = mp4Box(codec, Array.fill[Byte](8)(0))
+    val stsd = mp4Box("stsd", be32(0), be32(1), entry)
+    val stsz = mp4Box("stsz", be32(0), be32(0), be32(nFrames),
+      Array.tabulate(nFrames * 4)(i => ((i * 7 + 1) & 0x7f).toByte))
+    val stbl = mp4Box("stbl", stsd, stsz)
+    val minf = mp4Box("minf", stbl)
+    val mdia = mp4Box("mdia", minf)
+    val trak = mp4Box("trak", tkhd, mdia)
+    val moov = mp4Box("moov", mvhd, trak)
+    val mdat = mp4Box("mdat",
+      Array.tabulate(32)(i => ((i * 13 + 5) & 0xff).toByte))
+    ftyp ++ mdat ++ moov // mdat BEFORE moov: the walk must skip it
   }
 }

@@ -15,13 +15,20 @@ import org.apache.spark.sql.types._
   * [[MediaCodecs]] with no library beyond the JDK, gated end to end by
   * `mm_wav_decode`/`mm_bmp_decode`/`mm_png_decode`/`mm_gif_decode`/
   * `mm_jpeg_decode` — as are the header-only metadata sniff
-  * ([[decodeMeta]], all five containers) and pixel-block feature
-  * extraction ([[extractFeatures]]). The one remaining stub is video
-  * frame sampling ([[frameSampleStub]]): LOSSY video (MP4) needs codec
-  * libraries this environment lacks, so frames are fixed-size byte
-  * slices — the Spark-side contract (schema, binary handling, explode
-  * shape) is real and tested; swap the slice for a codec call (e.g.
-  * ffmpeg bindings) without touching any plan structure.
+  * ([[decodeMeta]]: all six containers including the ISO-BMFF/MP4 box
+  * walk — mvhd duration, tkhd geometry, stsz frame count, stsd codec
+  * fourcc — and the progressive-JPEG flag) and pixel-block feature
+  * extraction ([[extractFeatures]]). MP4 PIXEL decode is permanently
+  * out of scope (decided 2026-08-15, the same way JPEG was decided
+  * the other way): the box LAYOUT is pure public byte structure and
+  * is now parsed for real, while the codec payload inside mdat
+  * (H.264/HEVC entropy decode + inter-frame prediction) is a video
+  * decoder this environment does not ship and no formula oracle could
+  * gate. [[frameSampleStub]] remains the clearly-marked stand-in for
+  * that one step: frames are fixed-size byte slices — the Spark-side
+  * contract (schema, binary handling, explode shape) is real and
+  * tested; swap the slice for a codec call (e.g. ffmpeg bindings)
+  * without touching any plan structure.
   *
   * Scale design: per-partition batched processing via `mapPartitions`
   * (the JVM analog of arrow-batched pandas UDFs): media bytes never pass
@@ -39,12 +46,17 @@ object MultimodalOps {
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
     StructField("sample_rate", IntegerType),  // audio only
-    StructField("n_frames", IntegerType)))    // video only
+    StructField("n_frames", IntegerType),     // GIF / MP4 only
+    StructField("progressive", BooleanType),  // JPEG only
+    StructField("duration_ms", IntegerType),  // MP4 only
+    StructField("codec", StringType)))        // MP4 only (stsd fourcc)
 
   case class MediaMetaRow(docId: Long, kind: String,
                           width: Option[Int], height: Option[Int],
                           channels: Option[Int], sampleRate: Option[Int],
-                          nFrames: Option[Int])
+                          nFrames: Option[Int],
+                          progressive: Option[Boolean],
+                          durationMs: Option[Int], codec: Option[String])
 
   /** REAL metadata decode: [[MediaCodecs.sniffMeta]] dispatches on the
     * container magic and parses only the header structures — PNG IHDR
@@ -64,7 +76,8 @@ object MultimodalOps {
         rows.flatMap { case (id, bytes) =>
           MediaCodecs.sniffMeta(bytes).map(m =>
             MediaMetaRow(id, m.kind, m.width, m.height, m.channels,
-              m.sampleRate, m.nFrames))
+              m.sampleRate, m.nFrames, m.progressive, m.durationMs,
+              m.codec))
         }
       }
   }

@@ -578,22 +578,29 @@ object MultimodalQueries {
       presentOrder = Seq("doc_id")),
 
     // REAL metadata decode over REAL container bytes: per doc, one of
-    // the four real containers (BMP / PNG / GIF / WAV by doc_id % 4) is
-    // synthesized with header fields derived from (doc_id, n_chars),
-    // then decodeMeta sniffs the magic and parses ONLY the header
-    // structures (PNG IHDR CRC-verified, GIF logical screen descriptor
-    // + frame-count walk, BMP info header, WAV fmt chunk — payload
-    // never visited, the O(header) catalog pass 100 TB of media needs).
-    // The oracle recomputes every field analytically from the same
-    // formulas, so a dispatch or header-offset bug cannot match.
-    // Malformed-header rejection is pinned by MultimodalSpec.
+    // SIX real containers (BMP / PNG / GIF / WAV / JPEG / MP4 by
+    // doc_id % 6) is synthesized with header fields derived from
+    // (doc_id, n_chars), then decodeMeta sniffs the magic and parses
+    // ONLY the header structures (PNG IHDR CRC-verified, GIF logical
+    // screen descriptor + frame-count walk, BMP info header, WAV fmt
+    // chunk, JPEG SOFn marker walk incl. the progressive flag —
+    // even-id JPEGs get their SOF0 rewritten to SOF2, the web-crawl
+    // case jpegRgb rightly refuses to decode but the catalog must
+    // still report — and the ISO-BMFF ftyp/moov/trak/stbl box walk:
+    // mvhd duration·1000/timescale floored to ms, tkhd 16.16
+    // geometry, stsz frame count, stsd codec fourcc, mdat skipped by
+    // size. Payload never visited; the O(header) catalog pass 100 TB
+    // of media needs). The oracle recomputes every field analytically
+    // from the same formulas, so a dispatch or header-offset bug
+    // cannot match. Malformed-header rejection pinned by
+    // MultimodalSpec.
     QueryDef("mm_decode_meta",
       (s, d) => {
         import s.implicits._
         val blobs = Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
           .map { case (id, nc) =>
-            val bytes = (id % 4).toInt match {
+            val bytes = (id % 6).toInt match {
               case 0 => graft.multimodal.MediaCodecs.buildBmp(
                 (id % 21 + 4).toInt, (nc % 17 + 3).toInt, 1, 2, 3)
               case 1 => graft.multimodal.MediaCodecs.buildPng(
@@ -602,9 +609,22 @@ object MultimodalQueries {
               case 2 => graft.multimodal.MediaCodecs.buildGif(
                 (id % 9 + 4).toInt, (nc % 7 + 3).toInt,
                 (x, y) => (x + y) % 256)
-              case _ => graft.multimodal.MediaCodecs.buildWav(
+              case 3 => graft.multimodal.MediaCodecs.buildWav(
                 (8000 + (id % 3) * 4000).toInt, (1 + id % 2).toInt,
                 Array.fill((nc % 50 + 2).toInt)(100.toShort))
+              case 4 =>
+                val base = graft.multimodal.MediaCodecs.buildJpegGray(
+                  (id % 16 + 8).toInt, (nc % 12 + 8).toInt,
+                  (x, y) => ((x * 5 + y * 9 + id) % 256).toInt)
+                if (id % 2 == 0)
+                  graft.multimodal.MediaCodecs
+                    .withProgressiveSofHeader(base)
+                else base
+              case _ => graft.multimodal.MediaCodecs.buildMp4(
+                (id % 31 + 16).toInt, (nc % 23 + 16).toInt,
+                timescale = 600, duration = (nc % 900 + 100).toInt,
+                nFrames = (id % 40 + 1).toInt,
+                codec = Seq("avc1", "mp4v", "hev1")((id % 3).toInt))
             }
             (id, bytes)
           }.toDF("doc_id", "bytes")
@@ -612,21 +632,37 @@ object MultimodalQueries {
           .select(col("docId").as("doc_id"), col("kind"),
             col("width"), col("height"), col("channels"),
             col("sampleRate").as("sample_rate"),
-            col("nFrames").as("n_frames"))
+            col("nFrames").as("n_frames"), col("progressive"),
+            col("durationMs").as("duration_ms"), col("codec"))
       },
       Some("""SELECT doc_id,
-             | CASE WHEN doc_id % 4 = 3 THEN 'audio' ELSE 'image' END AS kind,
-             | CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 21 + 4
+             | CASE WHEN doc_id % 6 = 3 THEN 'audio'
+             |   WHEN doc_id % 6 = 5 THEN 'video' ELSE 'image' END AS kind,
+             | CAST(CASE doc_id % 6 WHEN 0 THEN doc_id % 21 + 4
              |   WHEN 1 THEN doc_id % 13 + 4 WHEN 2 THEN doc_id % 9 + 4
+             |   WHEN 4 THEN doc_id % 16 + 8 WHEN 5 THEN doc_id % 31 + 16
              |   END AS INT) AS width,
-             | CAST(CASE doc_id % 4 WHEN 0 THEN n_chars % 17 + 3
+             | CAST(CASE doc_id % 6 WHEN 0 THEN n_chars % 17 + 3
              |   WHEN 1 THEN n_chars % 11 + 3 WHEN 2 THEN n_chars % 7 + 3
+             |   WHEN 4 THEN n_chars % 12 + 8 WHEN 5 THEN n_chars % 23 + 16
              |   END AS INT) AS height,
-             | CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2
+             | CAST(CASE WHEN doc_id % 6 = 3 THEN 1 + doc_id % 2
+             |   WHEN doc_id % 6 = 4 THEN 1
+             |   WHEN doc_id % 6 = 5 THEN NULL
              |   ELSE 3 END AS INT) AS channels,
-             | CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 3) * 4000
+             | CAST(CASE WHEN doc_id % 6 = 3 THEN 8000 + (doc_id % 3) * 4000
              |   END AS INT) AS sample_rate,
-             | CAST(CASE WHEN doc_id % 4 = 2 THEN 1 END AS INT) AS n_frames
+             | CAST(CASE WHEN doc_id % 6 = 2 THEN 1
+             |   WHEN doc_id % 6 = 5 THEN doc_id % 40 + 1
+             |   END AS INT) AS n_frames,
+             | CASE WHEN doc_id % 6 = 4 THEN doc_id % 2 = 0 END
+             |   AS progressive,
+             | CAST(CASE WHEN doc_id % 6 = 5
+             |   THEN ((n_chars % 900 + 100) * 1000) // 600
+             |   END AS INT) AS duration_ms,
+             | CASE WHEN doc_id % 6 = 5 THEN
+             |   (['avc1', 'mp4v', 'hev1'])[CAST(doc_id % 3 AS INT) + 1]
+             |   END AS codec
              | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 

@@ -37,7 +37,51 @@ class MultimodalSpec extends SparkSpec {
     val jpg = MediaCodecs.buildJpegGray(19, 7, (x, y) => x * y)
     assert(MediaCodecs.sniffMeta(jpg) ===
       Some(MediaCodecs.ContainerMeta("image", Some(19), Some(7), Some(1),
-        None, None)))
+        None, None, progressive = Some(false))))
+  }
+
+  test("sniffMeta: progressive JPEG reports geometry + flag while " +
+    "jpegRgb still refuses to decode it") {
+    val base = MediaCodecs.buildJpegGray(19, 7, (x, y) => x * y)
+    val prog = MediaCodecs.withProgressiveSofHeader(base)
+    assert(!java.util.Arrays.equals(base, prog)) // SOF0 -> SOF2 applied
+    assert(MediaCodecs.sniffMeta(prog) ===
+      Some(MediaCodecs.ContainerMeta("image", Some(19), Some(7), Some(1),
+        None, None, progressive = Some(true))))
+    assert(MediaCodecs.jpegRgb(prog).isEmpty) // decode correctly rejects
+    assert(MediaCodecs.jpegRgb(base).nonEmpty)
+  }
+
+  test("sniffMeta: MP4 box walk — hand-built fixture fields exact, mdat " +
+    "skipped by size, malformed boxes reject") {
+    val mp4 = MediaCodecs.buildMp4(width = 640, height = 360,
+      timescale = 600, duration = 1234, nFrames = 25, codec = "avc1")
+    assert(MediaCodecs.sniffMeta(mp4) ===
+      Some(MediaCodecs.ContainerMeta("video", Some(640), Some(360), None,
+        None, Some(25), durationMs = Some(1234 * 1000 / 600),
+        codec = Some("avc1"))))
+    // floor, not round: 1234*1000/600 = 2056.66… -> 2056
+    assert(MediaCodecs.sniffMeta(mp4).get.durationMs === Some(2056))
+    // Truncated before moov completes: reject.
+    assert(MediaCodecs.sniffMeta(mp4.dropRight(40)).isEmpty)
+    // A lying box size (moov size points past the file): reject.
+    val idx = {
+      var i = -1
+      var o = 0
+      while (i < 0 && o + 8 <= mp4.length) {
+        if (new String(mp4, o + 4, 4, "US-ASCII") == "moov") i = o
+        else o += ((mp4(o) & 0xff) << 24 | (mp4(o + 1) & 0xff) << 16 |
+          (mp4(o + 2) & 0xff) << 8 | (mp4(o + 3) & 0xff))
+      }
+      i
+    }
+    assert(idx > 0)
+    val bad = mp4.clone(); bad(idx) = 0x7f.toByte // giant moov size
+    assert(MediaCodecs.sniffMeta(bad).isEmpty)
+    // Zero timescale: reject rather than divide.
+    val mp40 = MediaCodecs.buildMp4(8, 8, timescale = 600, duration = 0,
+      nFrames = 1, codec = "mp4v")
+    assert(MediaCodecs.sniffMeta(mp40).get.durationMs === Some(0))
   }
 
   test("sniffMeta: malformed headers REJECT — wrong magic, truncation, " +
