@@ -593,6 +593,62 @@ object TsOps {
         WHERE rank <= $topK ORDER BY query_id, rank"""
   }
 
+  /** Candidate-count threshold below which [[dtwTopKAdaptive]] skips
+    * the LB_Keogh pass: at the gated sf0.1 density (149 candidates/
+    * query) the envelope build + two DP phases cost MORE than the
+    * 14–63% DP savings they buy (PLANS.md, round 8) — the bound's
+    * asymptotics only win once the candidate stream is wide enough to
+    * amortize them. */
+  val LbMinCandidates = 512
+
+  /** Adaptive exact DTW top-k: ONE deterministic branch on the
+    * per-query candidate count (|PAA vectors| − 1 — a scalar both
+    * engines compute identically), taken BEFORE any heavy work:
+    *   - below [[LbMinCandidates]]: the brute [[dtwTopK]] scan — every
+    *     candidate DP-scored, n_scored = the full candidate count
+    *     (published either way, the certification observable);
+    *   - at/above: [[dtwTopKPruned]]'s LB_Keogh-certified two-phase
+    *     search verbatim.
+    * Both arms are EXACT (the pruned arm by the Keogh bound theorem),
+    * so the ranked pairs are identical whichever fires — only
+    * n_scored reports the arm. The count is one driver action over
+    * the slim PAA table (at 100 TB: a catalog row-count estimate).
+    * The oracle twin replays the same branch as two UNION ALL arms
+    * each guarded by the count predicate — exactly one emits rows. */
+  def dtwTopKAdaptive(ev: DataFrame, segLen: Int = 5, w: Int = 8,
+                      band: Int = 2, queryMod: Int = 50, topK: Int = 3,
+                      lbMinCandidates: Int = LbMinCandidates): DataFrame = {
+    val nCand = paaVectors(ev, segLen, w).count() - 1
+    if (nCand < lbMinCandidates)
+      dtwTopK(ev, segLen, w, band, queryMod, topK)
+        .withColumn("n_scored", lit(nCand))
+    else
+      dtwTopKPruned(ev, segLen, w, band, queryMod, topK)
+  }
+
+  /** Oracle twin of [[dtwTopKAdaptive]]: both arms in one statement,
+    * each filtered by the same candidate-count branch — DuckDB prunes
+    * nothing, but exactly one arm produces rows, matching the Spark
+    * side's driver-count branch. */
+  def dtwTopKAdaptiveSql(table: String, segLen: Int = 5, w: Int = 8,
+                         band: Int = 2, queryMod: Int = 50,
+                         topK: Int = 3,
+                         lbMinCandidates: Int = LbMinCandidates): String = {
+    val brute = dtwTopKSql(table, segLen, w, band, queryMod, topK)
+    val pruned = dtwTopKPrunedSql(table, segLen, w, band, queryMod, topK)
+    s"""WITH bq AS ($brute), pq AS ($pruned),
+        cn AS (SELECT CAST(count(*) - 1 AS BIGINT) AS n
+          FROM (WITH ${paaVectorsSql(table, segLen, w)}
+                SELECT user_id FROM vc))
+        SELECT query_id, rank, neighbor_id, dtw,
+               (SELECT n FROM cn) AS n_scored
+        FROM bq WHERE (SELECT n FROM cn) < $lbMinCandidates
+        UNION ALL
+        SELECT query_id, rank, neighbor_id, dtw, n_scored
+        FROM pq WHERE (SELECT n FROM cn) >= $lbMinCandidates
+        ORDER BY query_id, rank"""
+  }
+
   /** Per-series MOTIF discovery — the matrix-profile primitive (Yeh et
     * al., "Matrix Profile I", ICDM 2016): for every user, the pair of
     * non-overlapping length-`m` subsequences with minimal squared

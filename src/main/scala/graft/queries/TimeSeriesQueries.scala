@@ -164,14 +164,18 @@ object TimeSeriesQueries {
       presentOrder = Seq("query_id", "rank")),
 
     // LB_Keogh-certified DTW top-k (Keogh & Ratanamahatana KAIS'05) —
-    // ts_dtw_topk's scale path: the O(w) envelope lower bound gates the
-    // O(w·band) DP, seeds give the tau cutoff, and skipped pairs are
-    // provably outside the top-k (DTW >= LB > tau) — results identical
-    // to brute (spec-pinned), with n_scored published as the
-    // certification observable.
+    // ts_dtw_topk's scale path, now behind an ADAPTIVE gate (round 9):
+    // below 512 candidates/query the envelope build + two DP phases
+    // cost more than the DP savings they buy (measured at sf0.1's 149
+    // candidates, PLANS.md), so the operator branches ONCE on the PAA
+    // vector count — brute scan with n_scored = all candidates below
+    // the threshold, the certified two-phase search above it. Both
+    // arms are exact, the branch is a deterministic scalar both
+    // engines compute, and the oracle replays it as two count-guarded
+    // UNION ALL arms.
     QueryDef("ts_dtw_lb",
-      (s, d) => TsOps.dtwTopKPruned(Tables.events(s, d)),
-      Some(TsOps.dtwTopKPrunedSql("events")),
+      (s, d) => TsOps.dtwTopKAdaptive(Tables.events(s, d)),
+      Some(TsOps.dtwTopKAdaptiveSql("events")),
       presentOrder = Seq("query_id", "rank")),
 
     // Matrix-profile motif discovery (Yeh et al. ICDM'16): per user,

@@ -295,6 +295,42 @@ class TsPrivacySpec extends SparkSpec {
     assert(out === Map(0L -> ((50L, 0L, 1L)), 50L -> ((0L, 0L, 1L))))
   }
 
+  test("dtwTopKAdaptive: below the candidate threshold it IS brute " +
+      "(LB pass skipped, n_scored = all candidates); above it IS the " +
+      "certified-pruned arm — results identical either way") {
+    import spark.implicits._
+    import graft.ops.TsOps
+    val ev = (1 to 8).flatMap { i =>
+      Seq((0L, i.toLong, i.toLong, i.toDouble),
+        (50L, i.toLong, i.toLong, i.toDouble),
+        (1L, i.toLong, i.toLong, 100d),
+        (2L, i.toLong, i.toLong, 200d),
+        (3L, i.toLong, i.toLong, 300d))
+    }.toDF("user_id", "ts", "event_id", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // 4 candidates/query < 512 -> brute arm: same top-k as dtwTopK,
+    // n_scored = ALL candidates (published either way).
+    val small = rows(TsOps.dtwTopKAdaptive(ev, segLen = 1, w = 8,
+      band = 2, queryMod = 50, topK = 1, lbMinCandidates = 512))
+    val brute = TsOps.dtwTopK(ev, segLen = 1, w = 8, band = 2,
+        queryMod = 50, topK = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        4L)).toSet
+    assert(small === brute)
+    // threshold 1 -> the certified-pruned arm verbatim (n_scored = 1
+    // per query on this fixture: the identical twin seeds tau = 0).
+    val big = rows(TsOps.dtwTopKAdaptive(ev, segLen = 1, w = 8,
+      band = 2, queryMod = 50, topK = 1, lbMinCandidates = 1))
+    val pruned = rows(TsOps.dtwTopKPruned(ev, segLen = 1, w = 8,
+      band = 2, queryMod = 50, topK = 1))
+    assert(big === pruned)
+    // the two arms agree on the ranked pairs (exactness theorem)
+    assert(small.map(t => (t._1, t._2, t._3, t._4)) ===
+      big.map(t => (t._1, t._2, t._3, t._4)))
+  }
+
   test("geoNoise: exact truncated two-sided geometric masses over the " +
       "full coin space, zero mean") {
     import graft.ops.SampleOps
