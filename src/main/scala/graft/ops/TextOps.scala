@@ -644,6 +644,46 @@ object TextOps {
             AS sb_score
         FROM $table d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
 
+  /** Serving flag threshold for [[stupidBackoffServe]] and its live
+    * twin: a quant4'd mean trigram score under 0.05 (or a doc too
+    * short to form a trigram) marks the arriving doc for review — the
+    * CCNet-style quality cut applied AT INGEST rather than in a batch
+    * sweep. */
+  val SbFlagThreshold = 0.05
+
+  /** The SERVING view of [[stupidBackoff]] — score only the docs
+    * OUTSIDE the train slice (the model is trained on a corpus
+    * snapshot; the serve set is what arrives afterwards) and attach
+    * the live keep/flag decision. `sb_score` is coalesced to the −1.0
+    * sentinel for docs with no trigram (a NULL would sort differently
+    * across engines — the engine-exactness NULL rule); such docs are
+    * always flagged. This is the batch gate of the stateless
+    * streaming twin `StatefulOps.streamingLmScore`, which broadcasts
+    * the SAME count tables (the Brants serving shape) and must emit
+    * identical rows (StreamingSpec parity). */
+  def stupidBackoffServe(docs: DataFrame, trainPred: Column): DataFrame =
+    stupidBackoff(docs, trainPred)
+      .join(docs.select(col("doc_id"), trainPred.as("__t")), "doc_id")
+      .filter(!col("__t"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_tri_hit"),
+        col("n_bi_back"), col("n_uni_back"), col("n_oov"),
+        coalesce(col("sb_score"), lit(-1.0)).as("sb_score"),
+        (col("n_trigrams") === 0L ||
+          coalesce(col("sb_score"), lit(-1.0)) < SbFlagThreshold)
+          .as("flagged"))
+
+  /** Oracle twin of [[stupidBackoffServe]]: the [[stupidBackoffSql]]
+    * pipeline filtered to the NOT-train slice with the same sentinel
+    * coalesce and flag predicate. */
+  def stupidBackoffServeSql(table: String, trainPredSql: String): String =
+    s"""WITH sb AS (${stupidBackoffSql(table, trainPredSql)})
+        SELECT doc_id, n_trigrams, n_tri_hit, n_bi_back, n_uni_back,
+          n_oov, COALESCE(sb_score, -1.0) AS sb_score,
+          (n_trigrams = 0 OR COALESCE(sb_score, -1.0)
+            < $SbFlagThreshold) AS flagged
+        FROM sb JOIN $table d USING (doc_id)
+        WHERE NOT ($trainPredSql) ORDER BY doc_id"""
+
   /** Phrase search over the positional inverted index — the retrieval
     * consumer `text_inverted_index` exists for: find every occurrence of
     * an exact 3-token phrase by intersecting posting lists at adjacent

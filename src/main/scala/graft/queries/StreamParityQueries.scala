@@ -343,6 +343,24 @@ object StreamParityQueries {
              |       ELSE doc_id END AS released_by
              | FROM r2 WHERE n >= ${PipelineQueries.KAnon}
              | ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // The SERVING view of the Stupid-Backoff LM (Brants et al.
+    // EMNLP'07): the model is trained on the corpus snapshot
+    // (lang='en'), and every doc arriving OUTSIDE that slice is scored
+    // statelessly with the live keep/flag decision attached — the
+    // CCNet-style quality cut applied at ingest. The live twin
+    // (StatefulOps.streamingLmScore, StreamingSpec parity across
+    // micro-batch splits) broadcasts the SAME count tables and
+    // replays the exact integer backoff ladder per trigram; no keyed
+    // state, no shuffle, replays idempotent. sb_score uses the -1.0
+    // no-trigram sentinel (never NULL - the cross-engine NULL-order
+    // rule).
+    QueryDef("stream_lm_score",
+      (s, d) => graft.ops.TextOps.stupidBackoffServe(
+        Tables.documents(s, d), col("lang") === "en"),
+      Some(graft.ops.TextOps.stupidBackoffServeSql(
+        "documents", "lang = 'en'")),
       presentOrder = Seq("doc_id"))
   )
 }

@@ -885,4 +885,115 @@ object StatefulOps {
           Iterator(DistinctEst(grp, Math.round(sk.getEstimate)))
       }
   }
+
+  // ---- Stateless LM serving (the Brants broadcast shape) ---------------
+
+  /** Trained Stupid-Backoff count tables as a driver/broadcast model:
+    * the serving form of `TextOps.stupidBackoff`'s three hash-aggs —
+    * counts, not probabilities, so the scorer reproduces the batch
+    * gate's DECIMAL-floor divisions exactly at lookup time. Size is
+    * bounded by the train slice's distinct n-grams (the shard Brants
+    * et al. serve from memory); a 100 TB deployment shards these
+    * tables by n-gram hash instead of broadcasting one copy — the
+    * lookup semantics below are unchanged. */
+  case class SbModel(uni: Map[String, Long],
+                     bi: Map[(String, String), Long],
+                     tri: Map[(String, String, String), Long],
+                     nTot: Long)
+
+  /** One batch pass over the train slice → [[SbModel]]. The three
+    * n-gram grains aggregate distributed (map-side combine) and only
+    * the distinct-n-gram count tables collect. */
+  def trainSbModel(docs: org.apache.spark.sql.DataFrame,
+                   trainPred: org.apache.spark.sql.Column): SbModel = {
+    import org.apache.spark.sql.functions._
+    val t = docs.filter(trainPred)
+      .select(graft.ops.TextOps.tokens(col("text")).as("t"))
+      .filter(col("t").isNotNull)
+    val uni = t.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = t.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> struct(a AS wa, b AS wb))""")).as("b"))
+      .groupBy(col("b.wa"), col("b.wb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val tri = t.filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 2),
+           i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2,
+                       element_at(t, i + 2) AS w3))""")).as("g"))
+      .groupBy(col("g.w1"), col("g.w2"), col("g.w3"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    SbModel(uni, bi, tri, uni.values.sum)
+  }
+
+  case class LmDoc(docId: Long, text: String)
+  case class LmScoreRow(docId: Long, nTrigrams: Long, nTriHit: Long,
+                        nBiBack: Long, nUniBack: Long, nOov: Long,
+                        sbScore: Double, flagged: Boolean)
+
+  /** Streaming twin of the gated `stream_lm_score` — the trained
+    * n-gram tables broadcast once, every arriving doc scored
+    * STATELESSLY in a narrow map (the decontamination pattern: no
+    * keyed state, no shuffle, append mode, replay-idempotent). Each
+    * per-trigram score replays the batch gate's exact integer ladder:
+    * tri c3·10⁶ div c2, else 0.4·(c2·10⁶ div c1) div 10⁶, else
+    * 0.4²·(c1·10⁶ div N) div 10⁶, else 0 — BigInt products mirror the
+    * batch DECIMAL(38,0) route, so a count past 2⁶³/10⁶ cannot
+    * diverge the twins. */
+  def streamingLmScore(docs: Dataset[LmDoc], model: SbModel)
+  : Dataset[LmScoreRow] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.mapPartitions { rows =>
+      val m = bc.value
+      rows.map { d =>
+        val toks: Array[String] =
+          if (d.text == null) Array.empty else d.text.split(" ", -1)
+        var nTri = 0L; var h3 = 0L; var h2 = 0L; var h1 = 0L; var h0 = 0L
+        var sp = 0L
+        if (toks.length >= 3) {
+          var i = 0
+          while (i + 2 < toks.length) {
+            val (w1, w2, w3) = (toks(i), toks(i + 1), toks(i + 2))
+            nTri += 1
+            m.tri.get((w1, w2, w3)) match {
+              case Some(c3) =>
+                h3 += 1
+                sp += (BigInt(c3) * 1000000 / m.bi((w1, w2))).toLong
+              case None => m.bi.get((w2, w3)) match {
+                case Some(c2) =>
+                  h2 += 1
+                  val biP = (BigInt(c2) * 1000000 / m.uni(w2)).toLong
+                  sp += 400000L * biP / 1000000L
+                case None => m.uni.get(w3) match {
+                  case Some(c1) =>
+                    h1 += 1
+                    val uniP = (BigInt(c1) * 1000000 / m.nTot).toLong
+                    sp += 160000L * uniP / 1000000L
+                  case None => h0 += 1
+                }
+              }
+            }
+            i += 1
+          }
+        }
+        val score =
+          if (nTri == 0) -1.0
+          else {
+            val x = sp.toDouble / (nTri * 1000000L).toDouble
+            if (x.isNaN || x.isInfinite) x
+            else math.floor(x * 10000.0 + 0.5) / 10000.0
+          }
+        LmScoreRow(d.docId, nTri, h3, h2, h1, h0, score,
+          nTri == 0 || score < graft.ops.TextOps.SbFlagThreshold)
+      }
+    }
+  }
 }
