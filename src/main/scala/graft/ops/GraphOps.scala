@@ -184,6 +184,110 @@ object GraphOps {
     sb.toString
   }
 
+  /** k-truss decomposition (Cohen, "Trusses: cohesive subgraphs for
+    * social network analysis", NSA tech report 2008; the MapReduce
+    * peel is Cohen 2009): the maximal subgraph in which EVERY edge
+    * closes at least k−2 triangles. A strictly stronger cohesion
+    * signal than [[kCore]] (every k-truss edge lies in a (k−1)-core,
+    * not vice versa): the truss keeps template cliques and drops the
+    * bridge edges a core-based filter keeps — the edge-grain
+    * dedup/community primitive.
+    *
+    * Per round: support(u,v) = |common neighbors| via the two-sided
+    * adjacency wedge join, then edges with support < k−2 peel, and
+    * their removal can cascade (the diamond fixture in DedupSimSpec:
+    * one chord survives round 1 and dies round 2). Early exit at the
+    * fixpoint — a round removing no edge leaves every support
+    * unchanged, so stopping is result-identical to the oracle's full
+    * unroll (the [[kCore]] argument); per-round frames
+    * localCheckpoint so the plan stays linear in rounds.
+    *
+    * Output: every ORIGINAL undirected edge with its truss membership
+    * and its support WITHIN the final truss (0 outside).
+    *
+    * Scale shape: each round is one hash-agg wedge join (cost
+    * Σ_w deg(w)² — the degree-ordered orientation of
+    * [[triangleStats]] is the known upgrade for hub-heavy graphs) +
+    * one semi-join peel; no driver state beyond the edge count. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"kTruss needs k >= 3, got $k")
+    require(rounds >= 1, s"kTruss needs rounds >= 1, got $rounds")
+    val e0 = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    def support(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      e.join(adj.select(col("a").as("u"), col("b").as("w")), Seq("u"))
+        .join(adj.select(col("a").as("v"), col("b").as("w")),
+          Seq("v", "w"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+    }
+    var e = e0
+    var nEdges = e.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      e = e.join(support(e), Seq("u", "v"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val n2 = e.count()
+      converged = n2 == nEdges
+      nEdges = n2
+      r += 1
+    }
+    val finalSup = support(e)
+    e0.join(e.withColumn("__in", lit(1)), Seq("u", "v"), "left")
+      .join(finalSup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("__in"), lit(0)).as("in_truss"),
+        coalesce(col("sup"), lit(0L)).as("truss_support"))
+  }
+
+  /** Oracle twin of [[kTruss]]: the identical peel unrolled as chained
+    * MATERIALIZED CTEs (each round's edge set read by the adjacency,
+    * the wedge join, and the next round — the kCore inlining lesson). */
+  def kTrussSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH edges AS ($edgesSql),
+        t0 AS MATERIALIZED (
+               SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM edges WHERE src <> dst)""")
+    def supCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+            SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+            FROM $src e
+            JOIN (SELECT u AS a, v AS b FROM $src
+                  UNION ALL SELECT v, u FROM $src) x ON x.a = e.u
+            JOIN (SELECT u AS a, v AS b FROM $src
+                  UNION ALL SELECT v, u FROM $src) y
+              ON y.a = e.v AND y.b = x.b
+            GROUP BY e.u, e.v)"""
+    for (r <- 1 to rounds) {
+      val prev = s"t${r - 1}"
+      sb.append(s""",
+        ${supCte(s"s$r", prev)},
+        t$r AS MATERIALIZED (
+          SELECT p.u, p.v FROM $prev p
+          LEFT JOIN s$r s ON s.u = p.u AND s.v = p.v
+          WHERE COALESCE(s.sup, 0) >= ${k - 2})""")
+    }
+    sb.append(s""",
+        ${supCte("sf", s"t$rounds")}
+        SELECT e.u, e.v,
+          CAST(CASE WHEN t.u IS NULL THEN 0 ELSE 1 END AS INT) AS in_truss,
+          COALESCE(sf.sup, 0) AS truss_support
+        FROM t0 e
+        LEFT JOIN t$rounds t ON t.u = e.u AND t.v = e.v
+        LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v
+        ORDER BY e.u, e.v""")
+    sb.toString
+  }
+
   /** Per-node triangle count, degree, and local clustering coefficient
     * over an arbitrary directed edge list (symmetrized internally) — the
     * cohesion observable over the corpus k-NN graph: a node whose

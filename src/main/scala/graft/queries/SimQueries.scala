@@ -460,6 +460,28 @@ object SimQueries {
         k = 4, rounds = 8)),
       presentOrder = Seq("node_id")),
 
+    // k-truss decomposition over the k-NN graph (k=4: every surviving
+    // edge closes >= 2 triangles; 6 peel rounds, convergence within
+    // the bound spec-proven): the EDGE-grain cohesion signal — a
+    // strictly stronger filter than k-core (truss edges lie in a
+    // 3-core, not vice versa), keeping template cliques and dropping
+    // the bridge edges a degree filter keeps. Peel cascades are real
+    // (the diamond fixture dies in two rounds, not one); oracle
+    // unrolls the identical rounds as MATERIALIZED CTEs.
+    QueryDef("graph_ktruss",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        GraphOps.kTruss(edges, k = 4, rounds = 6)
+      },
+      Some(GraphOps.kTrussSql(
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
+        k = 4, rounds = 6)),
+      presentOrder = Seq("u", "v")),
+
     // Triangle count + local clustering coefficient over the k-NN graph
     // (degree-ordered orientation, so the wedge join is O(m^1.5) worst-
     // case instead of hub-degree² — the "last reducer" fix): which

@@ -356,6 +356,50 @@ class DedupSimSpec extends SparkSpec {
     assert(snap(8) === snap(9), "peel must have converged within 8 rounds")
   }
 
+  test("kTruss: 4-clique survives k=4, pendant triangle dies, the diamond " +
+    "chord CASCADES (dies round 2, not round 1), convergence on gate data") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // Component A: 4-clique 1-2-3-4 (every edge support 2 — the 4-truss).
+    // Component B: triangle 10-11-12 (support 1 each — peels round 1).
+    // Component C: diamond 20-21-22-23 = K4 minus (22,23): the chord
+    // (20,21) has support 2 and SURVIVES round 1 while the four rim
+    // edges (support 1) peel; its support then drops to 0 and it dies
+    // round 2 — a one-shot support filter would keep it.
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ Seq((10L, 11L), (10L, 12L), (11L, 12L)) ++
+      Seq((20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L)))
+      .toDF("src", "dst")
+    val out = GraphOps.kTruss(edges, k = 4, rounds = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getLong(3)))).toMap
+    assert(out.size === 14)
+    // the clique: in-truss with support 2
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .foreach(e => assert(out(e) === ((1, 2L)), s"clique edge $e"))
+    // everything else: out, support 0 in the final truss
+    (out.keySet -- Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))).foreach(e => assert(out(e) === ((0, 0L)), s"edge $e"))
+    // the cascade is real: one round keeps the chord
+    val oneRound = GraphOps.kTruss(edges, k = 4, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(oneRound((20L, 21L)) === 1, "chord must survive round 1")
+    intercept[IllegalArgumentException](GraphOps.kTruss(edges, 2, 6))
+    intercept[IllegalArgumentException](GraphOps.kTruss(edges, 4, 0))
+    // Convergence on the gate corpus within the gated 6 rounds.
+    graft.catalyst.GraftFunctions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    val knn = graft.ops.SimOps.knnEdgesCached(
+        graft.Tables.embeddings(spark, d),
+        graft.queries.SimQueries.KnnK, graft.queries.SimQueries.LshTabs)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    def snap(rounds: Int) =
+      GraphOps.kTruss(knn, k = 4, rounds = rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+    assert(snap(6) === snap(7), "peel must have converged within 6 rounds")
+  }
+
   test("topKGraphBeam: exhaustive budget on a connected graph equals " +
     "brute force; bounded budget misses unreachable neighborhoods; " +
     "invalid knobs reject") {
