@@ -593,6 +593,69 @@ object TsOps {
         WHERE rank <= $topK ORDER BY query_id, rank"""
   }
 
+  /** Hampel identifier threshold in ten-thousandths: 3 · 1.4826 (the
+    * MAD-to-σ consistency constant for the normal) = 4.4478 → the flag
+    * fires when |x − med| · 10⁴ > 44478 · MAD — exact integers, no
+    * float compare anywhere. */
+  val HampelK4 = 44478L
+
+  /** Hampel filter (Hampel 1974; Pearson's "mining imperfect data"
+    * formulation) — the robust rolling-window outlier detector a
+    * sensor-cleaning pass runs BEFORE any model sees the series: per
+    * reading, the median and MAD of the ±`w` window around it, flag
+    * when the deviation exceeds 3σ-equivalent ([[HampelK4]]). Median
+    * beats the rolling mean the EWMA family uses because one spike
+    * cannot drag its own threshold up (masking); MAD = 0 (constant
+    * window) degenerates to "any deviation flags", the standard
+    * convention. Exact integer milli values, lower-median
+    * ((n+1) div 2 after sort) on both engines, so the flag bit is
+    * engine-portable with zero float compares.
+    *
+    * Scale shape: ONE frame-ordered window per user (2w+1 ≤ 15 longs
+    * per row — bounded state), then narrow per-row array math; no
+    * self-join, no shuffle beyond the user partition. */
+  def hampel(ev: DataFrame, w: Int = 3): DataFrame = {
+    require(w >= 1, s"hampel needs w >= 1, got $w")
+    val wIdx = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .withColumn("pos", (row_number().over(wIdx) - 1).cast("long"))
+      .withColumn("arr", collect_list(col("vm")).over(
+        wIdx.rowsBetween(-w, w)))
+      .withColumn("med", expr(
+        "element_at(array_sort(arr), CAST((size(arr) + 1) div 2 AS INT))"))
+      .withColumn("mad", expr(
+        """element_at(array_sort(transform(arr, x -> abs(x - med))),
+           CAST((size(arr) + 1) div 2 AS INT))"""))
+      .select(col("user_id"), col("pos"), col("vm"), col("med"),
+        col("mad"),
+        (abs(col("vm") - col("med")) * lit(10000L) >
+          lit(HampelK4) * col("mad")).as("flagged"))
+  }
+
+  /** Oracle twin of [[hampel]]: identical frame, lower-median index,
+    * MAD, and integer threshold compare in DuckDB. */
+  def hampelSql(table: String, w: Int = 3): String =
+    s"""WITH ix AS (SELECT user_id,
+          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) - 1 AS BIGINT) AS pos,
+          list(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN $w PRECEDING AND $w FOLLOWING) AS arr
+          FROM $table),
+        md AS (SELECT user_id, pos, vm, arr,
+            list_sort(arr)[(len(arr) + 1) // 2] AS med
+          FROM ix),
+        md2 AS (SELECT user_id, pos, vm, med,
+            list_sort(list_transform(arr, x -> abs(x - med)))
+              [(len(arr) + 1) // 2] AS mad
+          FROM md)
+        SELECT user_id, pos, vm, med, mad,
+          abs(vm - med) * 10000 > $HampelK4 * mad AS flagged
+        FROM md2 ORDER BY user_id, pos"""
+
   /** Candidate-count threshold below which [[dtwTopKAdaptive]] skips
     * the LB_Keogh pass: at the gated sf0.1 density (149 candidates/
     * query) the envelope build + two DP phases cost MORE than the

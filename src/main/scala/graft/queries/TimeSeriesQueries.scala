@@ -184,6 +184,18 @@ object TimeSeriesQueries {
     // (recurring routine / replayed trace). Subsequences come from one
     // frame-ordered window collect; the exclusion zone pb-pa >= m
     // rules out trivial self-matches; ties (dist, pos_a, pos_b).
+    // Hampel rolling-median outlier filter (the robust sensor-cleaning
+    // pass run before any model sees the series): per reading, median
+    // and MAD of the ±3 window, flag when |x − med|·10⁴ > 44478·MAD
+    // (3·1.4826 in ten-thousandths — exact integers, zero float
+    // compares). Median, not mean: one spike cannot mask itself by
+    // dragging its own threshold. One frame-ordered window per user,
+    // bounded 7-long state per row.
+    QueryDef("ts_hampel",
+      (s, d) => TsOps.hampel(Tables.events(s, d)),
+      Some(TsOps.hampelSql("events")),
+      presentOrder = Seq("user_id", "pos")),
+
     QueryDef("ts_matrix_profile",
       (s, d) => TsOps.matrixProfile(Tables.events(s, d)),
       Some(TsOps.matrixProfileSql("events")),

@@ -295,6 +295,38 @@ class TsPrivacySpec extends SparkSpec {
     assert(out === Map(0L -> ((50L, 0L, 1L)), 50L -> ((0L, 0L, 1L))))
   }
 
+  test("hampel: a spike flags against the rolling median even when it " +
+      "sits INSIDE its own window (no masking); constant windows use " +
+      "the MAD = 0 degenerate rule; edge windows take the lower median") {
+    import spark.implicits._
+    import graft.ops.TsOps
+    // u1: constant 10s with one 100 spike at pos 3. Every window median
+    // is 10 (the spike cannot drag it), MAD = 0, so only the spike's
+    // own nonzero deviation fires (0 > 0 is false for the rest).
+    val s1 = Seq(10d, 10d, 10d, 100d, 10d, 10d, 10d)
+    // u2: gentle noise — MAD = 1000 milli at the center, and the
+    // largest deviation (2000 micro-milli·1e4 = 2e7) stays under
+    // 44478·1000 = 4.45e7: nothing flags.
+    val s2 = Seq(10d, 12d, 11d, 13d, 11d, 12d, 10d)
+    val ev = (s1.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, i.toLong, v) } ++
+      s2.zipWithIndex.map { case (v, i) => (2L, i.toLong, i.toLong, v) })
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TsOps.hampel(ev, w = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out((1L, 3L)) === ((10000L, 0L, true))) // the spike
+    (0L to 6L).filter(_ != 3L).foreach { p =>
+      assert(out((1L, p))._3 === false, s"u1 pos $p")
+      assert(out((1L, p))._1 === 10000L) // median never dragged
+    }
+    (0L to 6L).foreach(p => assert(out((2L, p))._3 === false, s"u2 pos $p"))
+    // lower-median at an even-sized edge window: u1 pos 0 sees
+    // [10,10,10,100] -> med = sorted[(4+1) div 2 = 2] = 10.
+    assert(out((1L, 0L))._1 === 10000L)
+    assert(out((2L, 3L))._2 === 1000L) // center MAD hand-checked
+  }
+
   test("dtwTopKAdaptive: below the candidate threshold it IS brute " +
       "(LB pass skipped, n_scored = all candidates); above it IS the " +
       "certified-pruned arm — results identical either way") {
