@@ -644,6 +644,140 @@ object TextOps {
             AS sb_score
         FROM $table d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney,
+    * ICASSP 1995; the Chen & Goodman 1999 interpolated form — the
+    * smoothing that WON their study and the standard against which
+    * Stupid Backoff trades accuracy for shardability):
+    *
+    *   P(w2|w1) = max(c(w1w2) − d, 0)/c(w1·)
+    *              + d·N1+(w1·)/c(w1·) · P_cont(w2)
+    *   P_cont(w2) = N1+(·w2) / B
+    *
+    * with d = 0.75, N1+(w1·)/N1+(·w2) the distinct-continuation
+    * counts, and B the distinct-bigram total — the continuation
+    * probability is what lets "Francisco" score low as a novel
+    * continuation even though it is frequent (the famous example).
+    * An unseen CONTEXT backs off to P_cont(w2) outright; a w2 never
+    * seen as a continuation is true OOV. Everything is fixed-point
+    * micro with floor division (d = 750000 micro; products through
+    * DECIMAL(38,0)/HUGEINT per the house overflow rule), so both
+    * engines produce the identical BIGINT per bigram. Per-doc level
+    * tallies (`n_kn_hit`/`n_cont_back`/`n_oov`) are the curation
+    * audit columns, as in [[stupidBackoff]].
+    *
+    * Scale shape: count tables are distinct-bigram-bounded hash-aggs
+    * with map-side combine; scoring joins run at the distinct
+    * (doc, bigram) grain as plain equi-joins; the bigram grain is
+    * computed once and localCheckpoint'd for its two consumers. */
+  def knBigram(docs: DataFrame, trainPred: Column): DataFrame = {
+    val d = 750000L
+    val base = docs
+      .select(col("doc_id"), trainPred.as("is_t"), tokens(col("text")).as("t"))
+    val bgd = base
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("is_t"), explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> struct(a AS w1, b AS w2))""")).as("g"))
+      .select(col("doc_id"), col("is_t"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("doc_id"), col("is_t"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val bc = bgd.filter(col("is_t"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c12"))
+    val ctx = bc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("ctxc"), count(lit(1)).as("nfollow"))
+    val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
+    val bTot = bc.agg(count(lit(1)).as("bb"))
+    val contP = cont.crossJoin(broadcast(bTot))
+      .select(col("w2"), expr(
+        "CAST(CAST(nprec AS DECIMAL(38,0)) * 1000000 div bb AS BIGINT)")
+        .as("pcont"))
+    val scored = bgd
+      .select(col("doc_id"), col("w1"), col("w2"), col("n"))
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(contP, Seq("w2"), "left")
+      .withColumn("p_micro", when(col("ctxc").isNotNull,
+          coalesce(expr(
+            s"CAST((CAST(c12 AS DECIMAL(38,0)) * 1000000 - $d) div ctxc" +
+              " AS BIGINT)"), lit(0L)) +
+          expr(s"(CAST($d * nfollow AS DECIMAL(38,0)) div ctxc)" +
+            " * coalesce(pcont, 0L) div 1000000L").cast("long"))
+        .otherwise(coalesce(col("pcont"), lit(0L))))
+      .withColumn("lvl",
+        when(col("c12").isNotNull, 2)
+          .when(col("pcont").isNotNull, 1).otherwise(0))
+    val perDoc = scored.groupBy(col("doc_id")).agg(
+      sum(col("n")).as("m"),
+      sum(col("n") * col("p_micro")).as("sp"),
+      sum(when(col("lvl") === 2, col("n")).otherwise(0L)).as("h2"),
+      sum(when(col("lvl") === 1, col("n")).otherwise(0L)).as("h1"),
+      sum(when(col("lvl") === 0, col("n")).otherwise(0L)).as("h0"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m"), lit(0L)).as("n_bigrams"),
+        coalesce(col("h2"), lit(0L)).as("n_kn_hit"),
+        coalesce(col("h1"), lit(0L)).as("n_cont_back"),
+        coalesce(col("h0"), lit(0L)).as("n_oov"),
+        coalesce(SimOps.quant4(col("sp").cast("double") /
+          (col("m") * lit(1000000L)).cast("double")), lit(-1.0))
+          .as("kn_score"))
+  }
+
+  /** Oracle twin of [[knBigram]]: identical count tables, micro floor
+    * divisions, discount, interpolation, and level classification. */
+  def knBigramSql(table: String, trainPredSql: String): String =
+    s"""WITH base AS (SELECT doc_id, ($trainPredSql) AS is_t,
+          ${tokensSql("text")} AS t FROM $table),
+        bgd AS (SELECT doc_id, is_t, g.w1 AS w1, g.w2 AS w2,
+            CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT doc_id, is_t,
+              unnest(list_transform(range(1, len(t)),
+                j -> {'w1': t[j], 'w2': t[j + 1]})) AS g
+            FROM base WHERE len(t) >= 2)
+          GROUP BY doc_id, is_t, g.w1, g.w2),
+        bc AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12
+          FROM bgd WHERE is_t GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS ctxc,
+            CAST(count(*) AS BIGINT) AS nfollow
+          FROM bc GROUP BY w1),
+        cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nprec
+          FROM bc GROUP BY w2),
+        bt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bc),
+        cp AS (SELECT w2,
+            CAST(CAST(nprec AS HUGEINT) * 1000000 // bb AS BIGINT)
+              AS pcont
+          FROM cont CROSS JOIN bt),
+        sc AS (SELECT doc_id, n,
+            CASE WHEN ctxc IS NOT NULL THEN
+              COALESCE(CAST((CAST(c12 AS HUGEINT) * 1000000 - 750000)
+                // ctxc AS BIGINT), 0)
+              + CAST((CAST(750000 AS HUGEINT) * nfollow // ctxc)
+                  * COALESCE(pcont, 0) // 1000000 AS BIGINT)
+            ELSE COALESCE(pcont, 0) END AS p,
+            CASE WHEN c12 IS NOT NULL THEN 2
+                 WHEN pcont IS NOT NULL THEN 1 ELSE 0 END AS lvl
+          FROM bgd g
+          LEFT JOIN bc USING (w1, w2)
+          LEFT JOIN ctx USING (w1)
+          LEFT JOIN cp USING (w2)),
+        pd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS m, sum(n * p) AS sp,
+            CAST(sum(CASE WHEN lvl = 2 THEN n ELSE 0 END) AS BIGINT) AS h2,
+            CAST(sum(CASE WHEN lvl = 1 THEN n ELSE 0 END) AS BIGINT) AS h1,
+            CAST(sum(CASE WHEN lvl = 0 THEN n ELSE 0 END) AS BIGINT) AS h0
+          FROM sc GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(m, 0) AS n_bigrams,
+          COALESCE(h2, 0) AS n_kn_hit,
+          COALESCE(h1, 0) AS n_cont_back,
+          COALESCE(h0, 0) AS n_oov,
+          COALESCE(${SimOps.quant4Sql(
+            "CAST(sp AS DOUBLE) / CAST(m * 1000000 AS DOUBLE)")}, -1.0)
+            AS kn_score
+        FROM $table d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
+
   /** Serving flag threshold for [[stupidBackoffServe]] and its live
     * twin: a quant4'd mean trigram score under 0.05 (or a doc too
     * short to form a trigram) marks the arriving doc for review — the

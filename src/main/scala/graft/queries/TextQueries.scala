@@ -342,6 +342,21 @@ object TextQueries {
       Some(TextOps.stupidBackoffSql("documents", "lang = 'en'")),
       presentOrder = Seq("doc_id"))
 ,
+    // Interpolated Kneser–Ney bigram LM (Kneser & Ney ICASSP'95, the
+    // Chen & Goodman'99 winning form) — the PROPER smoothing next to
+    // Stupid Backoff's sharded approximation: absolute discount 0.75
+    // with the continuation-probability lower order (N1+ distinct
+    // counts — "Francisco" scores low as a novel continuation even
+    // though it is frequent). Unseen contexts back off to P_cont;
+    // never-continued words are true OOV. Fixed-point micro with
+    // DECIMAL(38,0)/HUGEINT products; per-doc level tallies are the
+    // curation audit.
+    QueryDef("text_kneser_ney",
+      (s, d) => TextOps.knBigram(Tables.documents(s, d),
+        col("lang") === "en"),
+      Some(TextOps.knBigramSql("documents", "lang = 'en'")),
+      presentOrder = Seq("doc_id"))
+,
     // Vocabulary drift between the indexed slice and the arriving slice
     // (the text twin of sim_dim_drift): total-variation distance over
     // term distributions — KL-free by design so the statistic stays in

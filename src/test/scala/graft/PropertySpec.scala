@@ -120,6 +120,41 @@ class PropertySpec extends SparkSpec {
     assert(out(6L) === (((0L, 0L, 0L, 0L, 0L), None)))
   }
 
+  test("knBigram: hand-computed interpolated Kneser-Ney at every level — " +
+      "discounted hit, unseen-context continuation backoff, true OOV") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // Train (en): bigrams (a,b):2 (a,c):1 (x,b):1 -> B=3.
+    // ctx: a (ctxc 3, nfollow 2), x (1, 1).
+    // cont: b nprec 2 -> pcont 666666; c nprec 1 -> pcont 333333.
+    val docs = Seq(
+      (1L, "en", "a b"), (2L, "en", "a b"), (3L, "en", "a c"),
+      (4L, "en", "x b"),
+      // (a,b) hit: (2e6-750000) div 3 = 416666; lambda(a) = 500000;
+      // + 500000*666666 div 1e6 = 333333 -> 749999 -> 0.75
+      (10L, "de", "a b"),
+      // unseen bigram, known context x: 0 + 750000*333333 div 1e6
+      //   = 249999 -> 0.25, continuation-level
+      (11L, "de", "x c"),
+      // unseen context b, 'a' never a continuation -> 0.0, OOV
+      (12L, "de", "b a"),
+      // unseen context y -> pure P_cont(b) = 666666 -> 0.6667
+      (13L, "de", "y b"),
+      // < 2 tokens: no bigram, sentinel score
+      (14L, "de", "z"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.knBigram(docs, col("lang") === "en").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out(10L) === ((1L, 1L, 0L, 0L, 0.75)))
+    assert(out(11L) === ((1L, 0L, 1L, 0L, 0.25)))
+    assert(out(12L) === ((1L, 0L, 0L, 1L, 0.0)))
+    assert(out(13L) === ((1L, 0L, 1L, 0L, 0.6667)))
+    assert(out(14L) === ((0L, 0L, 0L, 0L, -1.0)))
+    assert(out(1L) === ((1L, 1L, 0L, 0L, 0.75))) // train doc scored too
+  }
+
   test("rrf fusion: micro contributions recompute exactly, ranking is " +
       "strictly ordered, both-arm docs outrank single-arm peers") {
     val out = graft.Catalog.queries("text_rrf_fusion")(
