@@ -774,6 +774,96 @@ object GraphOps {
         FROM nodes n LEFT JOIN m ON n.node_id = m.node_id
         ORDER BY n.node_id"""
 
+  /** Sampled harmonic centrality (Marchiori & Latora's harmonic mean
+    * formulation; the pivot-sampling estimator shape of Eppstein &
+    * Wang 2004): H(v) = Σ_seeds 1e6 div d(seed, v) over `k`
+    * hash-chosen BFS sources — the centrality that handles
+    * disconnected graphs gracefully (unreachable pairs contribute 0,
+    * no ∞ to patch), which is exactly the regime of a corpus k-NN
+    * graph with isolated template islands. Exact integers: distances
+    * are BFS layer indices, each contribution floor(1e6/d), so the
+    * sampled statistic is engine-portable bit-for-bit (the estimator's
+    * sampling error is the knob, never float drift).
+    *
+    * Per-seed frontier rounds share [[bfsLayers]]'s discipline: the
+    * (seed, node) state rides one frontier frame, every layer
+    * localCheckpoints (the exponential-planning lesson), the
+    * symmetrized adjacency repartitions by src once. Seeds are the
+    * first `k` nodes in the engine-wide hash order (the IVF-init
+    * rule) — deterministic on any partitioning. */
+  def harmonicCentrality(nodes: DataFrame, edges: DataFrame,
+                         k: Int = 8, maxDepth: Int = 6,
+                         salt: String = "hc"): DataFrame = {
+    require(k >= 1 && maxDepth >= 1,
+      s"harmonicCentrality bad params ($k, $maxDepth)")
+    val adj = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).persist()
+    val seeds = nodes.select(col("node_id")).distinct()
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("node_id").cast("string"))))
+      .orderBy(col("h"), col("node_id")).limit(k)
+      .select(col("node_id").as("seed"))
+    var layers = List(
+      seeds.select(col("seed"), col("seed").as("node_id"))
+        .localCheckpoint())
+    for (_ <- 1 to maxDepth) {
+      val visited = layers.reduce(_ unionAll _)
+      val next = layers.head.join(adj, col("node_id") === col("src"))
+        .select(col("seed"), col("dst").as("node_id")).distinct()
+        .join(visited, Seq("seed", "node_id"), "left_anti")
+        .localCheckpoint()
+      layers = next :: layers
+    }
+    adj.unpersist(false)
+    val dists = layers.reverse.zipWithIndex.map { case (f, dd) =>
+      f.select(col("seed"), col("node_id"), lit(dd.toLong).as("dist"))
+    }.reduce(_ unionAll _)
+    val h = dists.filter(col("dist") >= 1L)
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L div dist")).as("h_micro"))
+    nodes.select(col("node_id")).join(h, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("h_micro"), lit(0L)).as("h_micro"))
+  }
+
+  /** Oracle twin of [[harmonicCentrality]]: the same hash-ordered seed
+    * pick, a bounded recursive CTE over (seed, node, dist) whose UNION
+    * dedups triples, min(dist) per pair, then the floor-divided
+    * harmonic sum. */
+  def harmonicCentralitySql(nodesSql: String, edgesSql: String,
+                            k: Int = 8, maxDepth: Int = 6,
+                            salt: String = "hc"): String = {
+    val h = graft.ops.TextOps.hash64Sql(
+      s"'$salt' || CAST(node_id AS VARCHAR)")
+    s"""WITH RECURSIVE nodes AS ($nodesSql),
+        e0 AS ($edgesSql),
+        edges AS (SELECT src, dst FROM (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+          WHERE src <> dst),
+        seeds AS (SELECT node_id AS seed FROM (
+          SELECT DISTINCT node_id FROM nodes) n
+          ORDER BY $h, node_id LIMIT $k),
+        bfs(seed, node_id, dist) AS (
+          SELECT seed, seed, 0 FROM seeds
+          UNION
+          SELECT b.seed, e.dst, b.dist + 1
+          FROM bfs b JOIN edges e ON b.node_id = e.src
+          WHERE b.dist < $maxDepth),
+        m AS (SELECT seed, node_id, CAST(min(dist) AS BIGINT) AS d
+              FROM bfs GROUP BY seed, node_id),
+        hc AS (SELECT node_id, CAST(count(*) AS BIGINT) AS n_reached,
+              CAST(sum(1000000 // d) AS BIGINT) AS h_micro
+            FROM m WHERE d >= 1 GROUP BY node_id)
+        SELECT n.node_id, COALESCE(hc.n_reached, 0) AS n_reached,
+               COALESCE(hc.h_micro, 0) AS h_micro
+        FROM nodes n LEFT JOIN hc ON n.node_id = hc.node_id
+        ORDER BY n.node_id"""
+  }
+
   /** Directed-modularity panel over a community assignment: per
     * community, node count, within-community edge count, out/in degree
     * mass, and the community's exact-integer modularity contribution

@@ -460,6 +460,32 @@ object SimQueries {
         k = 4, rounds = 8)),
       presentOrder = Seq("node_id")),
 
+    // Sampled harmonic centrality over the k-NN graph: H(v) =
+    // Σ_seeds 1e6 div d(seed, v) from 8 hash-chosen BFS sources — the
+    // centrality that is well-defined on disconnected graphs
+    // (unreachable pairs contribute 0, no ∞ patch), i.e. exactly a
+    // corpus k-NN graph with isolated template islands. Exact integer
+    // layer distances, so the sampled statistic is engine-portable
+    // bit-for-bit; per-seed frontier rounds ride the bfsLayers
+    // checkpoint discipline; oracle is a bounded recursive CTE over
+    // (seed, node, dist).
+    QueryDef("graph_harmonic",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d)
+          .select(col("vec_id").as("node_id"))
+        GraphOps.harmonicCentrality(nodes, edges, k = 8, maxDepth = 6)
+      },
+      Some(GraphOps.harmonicCentralitySql(
+        "SELECT vec_id AS node_id FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
+        k = 8, maxDepth = 6)),
+      presentOrder = Seq("node_id")),
+
     // k-truss decomposition over the k-NN graph (k=4: every surviving
     // edge closes >= 2 triangles; 6 peel rounds, convergence within
     // the bound spec-proven): the EDGE-grain cohesion signal — a

@@ -400,6 +400,31 @@ class DedupSimSpec extends SparkSpec {
     assert(snap(6) === snap(7), "peel must have converged within 6 rounds")
   }
 
+  test("harmonicCentrality: exact hand sums on a path with every node a " +
+    "seed; disconnected node contributes and receives nothing; maxDepth " +
+    "truncates honestly") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // Path 1-2-3 plus isolated 9. k = 10 >= |V| makes every node a
+    // seed, so the sampled statistic IS the exact harmonic centrality:
+    // H(1) = 1e6/1 (from 2) + 1e6/2 (from 3) = 1500000; H(2) = 2e6.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("node_id")
+    val out = GraphOps.harmonicCentrality(nodes, edges, k = 10,
+        maxDepth = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((2L, 1500000L)), 2L -> ((2L, 2000000L)),
+      3L -> ((2L, 1500000L)), 9L -> ((0L, 0L))))
+    // depth 1: node 1 only hears from its direct neighbor
+    val shallow = GraphOps.harmonicCentrality(nodes, edges, k = 10,
+        maxDepth = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(shallow(1L) === ((1L, 1000000L)))
+    assert(shallow(2L) === ((2L, 2000000L)))
+    intercept[IllegalArgumentException](
+      GraphOps.harmonicCentrality(nodes, edges, k = 0, maxDepth = 6))
+  }
+
   test("topKGraphBeam: exhaustive budget on a connected graph equals " +
     "brute force; bounded budget misses unreachable neighborhoods; " +
     "invalid knobs reject") {
