@@ -644,6 +644,68 @@ object TextOps {
             AS sb_score
         FROM $table d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
 
+  /** Good–Turing count-of-counts panel (Good 1953; the Gale & Sampson
+    * 1995 "simple GT" presentation): for every observed frequency
+    * class r, the class size N_r, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, and the total probability mass GT
+    * assigns to the class, mass(r) = (r+1)·N_{r+1}/N — one uniform
+    * formula that at r = 0 IS the unseen-mass estimate N_1/N, the
+    * number every smoothing scheme (Katz, absolute discounting, KN's
+    * own discount fit) starts from. Raw GT (no N_r smoothing): where
+    * N_{r+1} = 0 the adjusted count reports 0, the honest raw
+    * estimate — the Gale–Sampson log-linear fit is the documented
+    * production refinement. Fixed-point micro with floor division;
+    * products through DECIMAL(38,0)/HUGEINT (r·N_r·1e6 wraps 2⁶³ on
+    * heavy-tail corpora).
+    *
+    * Scale shape: one tokenize+explode into a vocab-bounded hash-agg,
+    * then a count-of-counts hash-agg whose output is O(√tokens) rows
+    * (distinct frequency classes) — the panel is a bounded artifact
+    * at any corpus size. */
+  def goodTuring(docs: DataFrame): DataFrame = {
+    val c = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val cc = c.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint() // read by itself (shifted) and the r=0 union
+    val tot = c.agg(sum(col("c")).as("nn"))
+    val withZero = cc.unionByName(
+      docs.sparkSession.range(1)
+        .select(lit(0L).as("r"), lit(0L).as("n_r")))
+    val nxt = cc.select((col("r") - 1L).as("r"), col("n_r").as("n_next"))
+    withZero.join(nxt, Seq("r"), "left").crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        when(col("r") >= 1L, expr(
+          """CAST(CAST(r + 1 AS DECIMAL(38,0)) * coalesce(n_next, 0)
+             * 1000000 div n_r AS BIGINT)"""))
+          .otherwise(lit(0L)).as("r_star_micro"),
+        expr("""CAST(CAST(r + 1 AS DECIMAL(38,0)) * coalesce(n_next, 0)
+             * 1000000 div nn AS BIGINT)""").as("mass_micro"))
+  }
+
+  /** Oracle twin of [[goodTuring]]: identical count-of-counts, shifted
+    * self-join, r = 0 row, and HUGEINT floor divisions. */
+  def goodTuringSql(table: String): String =
+    s"""WITH cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(${tokensSql("text")}) AS w FROM $table)
+          GROUP BY w),
+        cc AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+          FROM cw GROUP BY c),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cw),
+        cz AS (SELECT r, n_r FROM cc
+               UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        nx AS (SELECT r - 1 AS r, n_r AS n_next FROM cc)
+        SELECT cz.r, cz.n_r, COALESCE(nx.n_next, 0) AS n_next,
+          CASE WHEN cz.r >= 1 THEN
+            CAST(CAST(cz.r + 1 AS HUGEINT) * COALESCE(nx.n_next, 0)
+              * 1000000 // cz.n_r AS BIGINT)
+          ELSE 0 END AS r_star_micro,
+          CAST(CAST(cz.r + 1 AS HUGEINT) * COALESCE(nx.n_next, 0)
+            * 1000000 // nn AS BIGINT) AS mass_micro
+        FROM cz LEFT JOIN nx ON cz.r = nx.r CROSS JOIN tot
+        ORDER BY cz.r"""
+
   /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney,
     * ICASSP 1995; the Chen & Goodman 1999 interpolated form — the
     * smoothing that WON their study and the standard against which

@@ -357,6 +357,18 @@ object TextQueries {
       Some(TextOps.knBigramSql("documents", "lang = 'en'")),
       presentOrder = Seq("doc_id"))
 ,
+    // Good–Turing count-of-counts panel (Good'53 / Gale & Sampson'95):
+    // per frequency class r, the class size N_r, raw adjusted count
+    // r* = (r+1)N_{r+1}/N_r, and the GT probability mass
+    // (r+1)N_{r+1}/N — whose r = 0 row IS the unseen-mass estimate
+    // N_1/N, the number every smoothing scheme starts from. Bounded
+    // O(√tokens) output rows at any corpus size; fixed-point micro
+    // with DECIMAL(38,0)/HUGEINT products.
+    QueryDef("text_good_turing",
+      (s, d) => TextOps.goodTuring(Tables.documents(s, d)),
+      Some(TextOps.goodTuringSql("documents")),
+      presentOrder = Seq("r"))
+,
     // Vocabulary drift between the indexed slice and the arriving slice
     // (the text twin of sim_dim_drift): total-variation distance over
     // term distributions — KL-free by design so the statistic stays in

@@ -120,6 +120,23 @@ class PropertySpec extends SparkSpec {
     assert(out(6L) === (((0L, 0L, 0L, 0L, 0L), None)))
   }
 
+  test("goodTuring: hand-computed count-of-counts panel — r = 0 row is " +
+      "the unseen mass N1/N, masses sum to ~1e6, top class adjusts to 0") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // "a a a b b c": counts a3 b2 c1 -> N1 = N2 = N3 = 1, N = 6.
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextOps.goodTuring(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      0L -> ((0L, 1L, 0L, 166666L)),       // unseen mass = N1/N = 1/6
+      1L -> ((1L, 1L, 2000000L, 333333L)), // r* = 2*1/1 = 2.0
+      2L -> ((1L, 1L, 3000000L, 500000L)), // r* = 3*1/1 = 3.0
+      3L -> ((1L, 0L, 0L, 0L))))           // no N4: raw GT reports 0
+    assert(out.values.map(_._4).sum === 999999L) // Σ mass ≈ 1 (floors)
+  }
+
   test("knBigram: hand-computed interpolated Kneser-Ney at every level — " +
       "discounted hit, unseen-context continuation backoff, true OOV") {
     import spark.implicits._
