@@ -1002,6 +1002,20 @@ object PipelineQueries {
       Some(LinkOps.fellegiSunterSql("part")),
       presentOrder = Seq("noun")),
 
+    // PassJoin edit-distance similarity self-join (Li, Deng & Feng
+    // VLDB'11): every doc pair whose 24-char key prefix is within 2
+    // edits — the fuzzy-key linkage pass over titles/URLs/IDs. EXACT
+    // by segment pigeonhole (k edits over k+1 segments leave one
+    // segment intact, shifted <= k), so candidates are a plain string
+    // equi-join on (segment index, substring) and the built-in
+    // levenshtein (bit-identical on both engines) verifies — no
+    // recall knob, missed-pair probability 0. Per doc: 3 index rows,
+    // <= 11 probe rows; the DP runs on candidates only.
+    QueryDef("link_edit_join",
+      (s, d) => LinkOps.passJoin(Tables.documents(s, d)),
+      Some(LinkOps.passJoinSql("documents")),
+      presentOrder = Seq("doc_a", "doc_b")),
+
     // Entity resolution end-to-end — the composition record-linkage
     // pipelines run: block → fuzzy-match → TRANSITIVE-CLOSURE cluster →
     // canonicalize. q_fuzzy_join stops at pairwise matches; here the
