@@ -774,6 +774,87 @@ object GraphOps {
         FROM nodes n LEFT JOIN m ON n.node_id = m.node_id
         ORDER BY n.node_id"""
 
+  /** Double-sweep diameter lower bound (Magnien, Latapy & Habib's
+    * classic BFS double sweep; the opening move of iFUB): BFS from a
+    * hash-chosen start, take the farthest node u (ties → lowest id),
+    * BFS again from u — ecc(u) lower-bounds the diameter and is
+    * empirically tight on real graphs. The one-row panel a graph
+    * health check wants: how stretched is the corpus k-NN graph, and
+    * how much of it is unreachable from its periphery. Undirected
+    * (edges symmetrized); exact BFS layer integers throughout, so the
+    * bound is engine-portable bit-for-bit.
+    *
+    * Scale shape: exactly two [[bfsLayers]] runs (the checkpointed
+    * frontier discipline) plus two bounded argmax collects — driver
+    * state is three scalars. */
+  def diameterDoubleSweep(nodes: DataFrame, edges: DataFrame,
+                          maxDepth: Int = 8,
+                          salt: String = "dia"): DataFrame = {
+    require(maxDepth >= 1, s"diameterDoubleSweep needs maxDepth >= 1")
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val start = nodes.select(col("node_id")).distinct()
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("node_id").cast("string"))))
+      .orderBy(col("h"), col("node_id")).limit(1)
+      .collect()(0).getLong(0)
+    def far(seed: Long): (Long, Int, Long) = {
+      val d = bfsLayers(nodes, und, col("node_id") === seed, maxDepth)
+      val top = d.filter(col("dist") >= 0)
+        .orderBy(col("dist").desc, col("node_id")).limit(1)
+        .collect()(0)
+      val unreached = d.filter(col("dist") < 0).count()
+      (top.getLong(0), top.getInt(1), unreached)
+    }
+    val (u, _, _) = far(start)
+    val (v, eccU, unreachedU) = far(u)
+    nodes.sparkSession.createDataFrame(Seq(
+        (start, u, v, eccU.toLong, unreachedU)))
+      .toDF("start_id", "far_a", "far_b", "diam_lb", "n_unreached")
+  }
+
+  /** Oracle twin of [[diameterDoubleSweep]]: two chained bounded
+    * recursive CTEs, the second seeded by the first's argmax scalar,
+    * with the same (dist DESC, node_id) tie order. */
+  def diameterDoubleSweepSql(nodesSql: String, edgesSql: String,
+                             maxDepth: Int = 8,
+                             salt: String = "dia"): String = {
+    val h = graft.ops.TextOps.hash64Sql(
+      s"'$salt' || CAST(node_id AS VARCHAR)")
+    s"""WITH RECURSIVE nodes AS ($nodesSql),
+        e0 AS ($edgesSql),
+        edges AS (SELECT src, dst FROM e0
+                  UNION ALL SELECT dst, src FROM e0),
+        st AS (SELECT node_id AS s FROM (
+          SELECT DISTINCT node_id FROM nodes) n
+          ORDER BY $h, node_id LIMIT 1),
+        b1(node_id, dist) AS (
+          SELECT s, 0 FROM st
+          UNION
+          SELECT e.dst, b.dist + 1
+          FROM b1 b JOIN edges e ON b.node_id = e.src
+          WHERE b.dist < $maxDepth),
+        m1 AS (SELECT node_id, min(dist) AS dist FROM b1 GROUP BY 1),
+        u AS (SELECT node_id AS u FROM m1
+              ORDER BY dist DESC, node_id LIMIT 1),
+        b2(node_id, dist) AS (
+          SELECT u, 0 FROM u
+          UNION
+          SELECT e.dst, b.dist + 1
+          FROM b2 b JOIN edges e ON b.node_id = e.src
+          WHERE b.dist < $maxDepth),
+        m2 AS (SELECT node_id, min(dist) AS dist FROM b2 GROUP BY 1),
+        v AS (SELECT node_id AS v, dist AS ecc FROM m2
+              ORDER BY dist DESC, node_id LIMIT 1)
+        SELECT st.s AS start_id, u.u AS far_a, v.v AS far_b,
+          CAST(v.ecc AS BIGINT) AS diam_lb,
+          (SELECT CAST(count(*) AS BIGINT)
+           FROM (SELECT DISTINCT node_id FROM nodes) n
+           WHERE n.node_id NOT IN (SELECT node_id FROM m2))
+            AS n_unreached
+        FROM st CROSS JOIN u CROSS JOIN v"""
+  }
+
   /** Sampled harmonic centrality (Marchiori & Latora's harmonic mean
     * formulation; the pivot-sampling estimator shape of Eppstein &
     * Wang 2004): H(v) = Σ_seeds 1e6 div d(seed, v) over `k`

@@ -460,6 +460,30 @@ object SimQueries {
         k = 4, rounds = 8)),
       presentOrder = Seq("node_id")),
 
+    // Double-sweep diameter lower bound over the k-NN graph (the iFUB
+    // opening move): BFS from a hash seed to its farthest node u, BFS
+    // from u — ecc(u) lower-bounds the diameter, empirically tight on
+    // real graphs; one-row health panel (how stretched is the corpus
+    // graph, how much is unreachable from its periphery). Two
+    // checkpointed BFS runs, two bounded argmax collects; oracle is
+    // two chained recursive CTEs with the same tie order.
+    QueryDef("graph_diameter",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d)
+          .select(col("vec_id").as("node_id"))
+        GraphOps.diameterDoubleSweep(nodes, edges, maxDepth = 8)
+      },
+      Some(GraphOps.diameterDoubleSweepSql(
+        "SELECT vec_id AS node_id FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
+        maxDepth = 8)),
+      presentOrder = Seq("start_id")),
+
     // Sampled harmonic centrality over the k-NN graph: H(v) =
     // Σ_seeds 1e6 div d(seed, v) from 8 hash-chosen BFS sources — the
     // centrality that is well-defined on disconnected graphs

@@ -400,6 +400,41 @@ class DedupSimSpec extends SparkSpec {
     assert(snap(6) === snap(7), "peel must have converged within 6 rounds")
   }
 
+  test("diameterDoubleSweep: finds the true diameter of a path (double " +
+    "sweep is exact on trees), counts the isolated island as unreachable") {
+    import spark.implicits._
+    import graft.ops.{GraphOps, TextOps}
+    val ids = Seq(1L, 2L, 3L, 4L, 9L)
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L), 9L -> Seq())
+    // reference double sweep with the same hash start + tie order
+    def bfs(s: Long): Map[Long, Int] = {
+      var d = Map(s -> 0); var fr = Seq(s)
+      while (fr.nonEmpty) {
+        val nx = fr.flatMap(adj).filterNot(d.contains).distinct
+        nx.foreach(n => d += n -> (d(fr.head) + 1))
+        val depth = d(fr.head) + 1
+        fr = nx; fr.foreach(n => d += n -> depth)
+      }
+      d
+    }
+    val start = ids.minBy(i => (TextOps.hash64Scalar("dia" + i), i))
+    def far(s: Long) = { val d = bfs(s)
+      val m = d.values.max; (d.filter(_._2 == m).keys.min, m) }
+    val (u, _) = far(start)
+    val (v, ecc) = far(u)
+    val out = GraphOps.diameterDoubleSweep(
+      ids.toDF("node_id"),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"),
+      maxDepth = 8).collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4)) ===
+      ((start, u, v, ecc.toLong, ids.size - bfs(u).size.toLong)))
+    // on a tree the double sweep IS the diameter: if the start landed
+    // in the path component the bound must be the true diameter 3
+    if (start != 9L) assert(out.getLong(3) === 3L)
+  }
+
   test("harmonicCentrality: exact hand sums on a path with every node a " +
     "seed; disconnected node contributes and receives nothing; maxDepth " +
     "truncates honestly") {
@@ -1510,6 +1545,50 @@ class DedupSimSpec extends SparkSpec {
       .collect().sortBy(_.getLong(1))
     assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L, 2L))
     assert(out(1).getDouble(3) > 0 && out(2).getDouble(3) < 0)
+  }
+
+  test("passJoin: pigeonhole-exact vs brute levenshtein on random keys; " +
+    "substitution/insert/delete pairs found; k+1 excluded; short docs out") {
+    import spark.implicits._
+    import graft.ops.LinkOps
+    val base = "abcdefgh12345678ABCDEFGH" // 24 chars, 3 segments of 8
+    val docs = Seq(
+      (1L, base),
+      (2L, base.updated(0, 'z').updated(23, 'z')),  // 2 substitutions
+      (3L, "X" + base.take(23)),                    // 1 insertion (shift)
+      (4L, base.drop(1) + "Q"),                     // 1 deletion + pad
+      (5L, base.updated(0, 'x').updated(9, 'x').updated(18, 'x')), // 3 subs
+      (6L, "completely different key 000"),
+      (7L, "short")) ++                             // < 24 chars: excluded
+      // 60 deterministic pseudo-random keys: the brute cross-check set
+      (100L until 160L).map { i =>
+        (i, (0 until 24).map(j =>
+          ('a' + ((i * 31 + j * 7 + i * j) % 17)).toChar).mkString)
+      }
+    val df = docs.toDF("doc_id", "text")
+    val got = LinkOps.passJoin(df, keyLen = 24, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute reference over the same keys
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i =>
+        Array.tabulate(b.length + 1)(j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val keys = docs.filter(_._2.length >= 24)
+      .map { case (id, t) => id -> t.take(24) }
+    val brute = (for {
+      (ia, ka) <- keys; (ib, kb) <- keys
+      if ia < ib && lev(ka, kb) <= 2
+    } yield (ia, ib) -> lev(ka, kb).toLong).toMap
+    assert(got === brute)
+    assert(got((1L, 2L)) === 2L) // substitutions
+    // fixed-width shifts: insert/delete + the truncated/padded tail
+    assert(got((1L, 3L)) === 2L && got((1L, 4L)) === 2L)
+    assert(!got.contains((1L, 5L))) // distance 3 > k
+    assert(!got.keySet.exists(p => p._1 == 7L || p._2 == 7L))
   }
 
   test("fellegiSunter: hand-computed u estimates, clipped ratios, " +
