@@ -1742,12 +1742,15 @@ object MediaCodecs {
   // ---- ISO-BMFF (MP4) box walk — metadata only, no codec ----------------
 
   /** Finds the first `boxType` box inside [start, end): returns its
-    * (payloadStart, payloadEnd). Handles size==1 (64-bit largesize)
-    * and rejects size==0-to-end only at top level via the caller's
-    * `end`. Any malformed size (negative, overflowing, past `end`)
-    * aborts the walk. */
+    * (payloadStart, payloadEnd). Handles size==1 (64-bit largesize).
+    * size==0 ("box extends to end of file") is legal ONLY for the
+    * final top-level box per ISO/IEC 14496-12 §4.2 — a nested
+    * zero-size box would silently swallow its following siblings, so
+    * it aborts the walk instead. Any malformed size (negative,
+    * overflowing, past `end`) also aborts. */
   private def findBox(bytes: Array[Byte], start: Int, end: Int,
-                      boxType: String): Option[(Int, Int)] = {
+                      boxType: String,
+                      topLevel: Boolean = false): Option[(Int, Int)] = {
     var off = start
     while (off + 8 <= end) {
       val size32 = readBe32(bytes, off)
@@ -1759,7 +1762,10 @@ object MediaCodecs {
           payload = off + 16
           (readBe32(bytes, off + 8).toLong << 32) |
             (readBe32(bytes, off + 12).toLong & 0xffffffffL)
-        } else if (size32 == 0) end.toLong // box extends to container end
+        } else if (size32 == 0) {
+          if (!topLevel) return None // legal only for the last top-level box
+          end.toLong // box extends to container end
+        }
         else off.toLong + (size32.toLong & 0xffffffffL)
       if (size32 == 1) {
         // largesize counts from the box start
@@ -1785,10 +1791,15 @@ object MediaCodecs {
     * 16.16 fixed-point width/height), frame count (stsz sample_count),
     * and the sample-entry codec fourcc (stsd). O(header) — mdat is
     * skipped by its size field, payload bytes never visited. */
-  private def sniffMp4(bytes: Array[Byte]): Option[ContainerMeta] = {
+  private def sniffMp4(bytes: Array[Byte]): Option[ContainerMeta] =
+    // Try: a malformed header must yield None (the sniffer contract),
+    // never an exception out of a whole ingest task.
+    scala.util.Try(sniffMp4Walk(bytes)).toOption.flatten
+
+  private def sniffMp4Walk(bytes: Array[Byte]): Option[ContainerMeta] = {
     val n = bytes.length
     for {
-      (mvS, mvE) <- findBox(bytes, 0, n, "moov")
+      (mvS, mvE) <- findBox(bytes, 0, n, "moov", topLevel = true)
       (mhS, mhE) <- findBox(bytes, mvS, mvE, "mvhd")
       (tkS, tkE) <- findBox(bytes, mvS, mvE, "trak")
       (thS, thE) <- findBox(bytes, tkS, tkE, "tkhd")
@@ -1799,9 +1810,11 @@ object MediaCodecs {
       (szS, szE) <- findBox(bytes, sbS, sbE, "stsz")
       meta <- {
         // mvhd: version(1) flags(3), then v0 c4 m4 ts4 dur4 / v1 c8 m8 ts4 dur8
-        val v = bytes(mhS) & 0xff
+        val v = if (mhS < mhE) bytes(mhS) & 0xff else -1
         val (ts, dur) =
-          if (v == 1 && mhS + 28 <= mhE)
+          // v1: c8 m8 ts4 dur8 after the 4-byte fullbox header — the
+          // dur read at mhS+24 spans 8 bytes, so needs mhS+32 <= mhE.
+          if (v == 1 && mhS + 32 <= mhE)
             (readBe32(bytes, mhS + 20),
               (readBe32(bytes, mhS + 24).toLong << 32) |
                 (readBe32(bytes, mhS + 28).toLong & 0xffffffffL))

@@ -84,6 +84,60 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.sniffMeta(mp40).get.durationMs === Some(0))
   }
 
+  test("sniffMeta: MP4 hardening — truncated v1 mvhd yields None (not " +
+    "a throw / neighbor-byte read); nested zero-size boxes reject; " +
+    "top-level zero-size final box still sniffs") {
+    def be32(v: Int): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def box(t: String, body: Array[Byte]*): Array[Byte] = {
+      val b = body.flatten.toArray
+      be32(8 + b.length) ++ t.getBytes("US-ASCII") ++ b
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0),
+      "isom".getBytes("US-ASCII"))
+    // A v1 mvhd whose payload stops 4 bytes short of the 8-byte
+    // duration: fullbox(4) + created(8) + modified(8) + timescale(4)
+    // + only the HIGH half of duration = 28 bytes. The old guard
+    // (mhS+28 <= mhE) accepted it and read 4 bytes past the payload —
+    // an AIOOBE when the box ends the buffer.
+    val mvhdShortV1 = box("mvhd", Array[Byte](1, 0, 0, 0),
+      Array.fill[Byte](16)(0), be32(600), be32(0))
+    val full = MediaCodecs.buildMp4(8, 8, 600, 100, 1, "avc1")
+    def boxOffset(bs: Array[Byte], t: String, from: Int, to: Int): Int = {
+      var o = from
+      while (o + 8 <= to) {
+        if (new String(bs, o + 4, 4, "US-ASCII") == t) return o
+        o += ((bs(o) & 0xff) << 24 | (bs(o + 1) & 0xff) << 16 |
+          (bs(o + 2) & 0xff) << 8 | (bs(o + 3) & 0xff))
+      }
+      -1
+    }
+    val moovOff = boxOffset(full, "moov", 0, full.length)
+    val trak = {
+      val tOff = boxOffset(full, "trak", moovOff + 8, full.length)
+      val tLen = (full(tOff) & 0xff) << 24 | (full(tOff + 1) & 0xff) << 16 |
+        (full(tOff + 2) & 0xff) << 8 | (full(tOff + 3) & 0xff)
+      full.slice(tOff, tOff + tLen)
+    }
+    // mvhd LAST in the file so an over-read is past the array end.
+    val truncated = ftyp ++ box("moov", trak, mvhdShortV1)
+    assert(MediaCodecs.sniffMeta(truncated).isEmpty) // no throw
+    // Nested zero-size tkhd: must reject, not swallow its siblings.
+    val tkhdOff = boxOffset(full,
+      "tkhd", boxOffset(full, "trak", moovOff + 8, full.length) + 8,
+      full.length)
+    val zeroNested = full.clone()
+    (0 until 4).foreach(i => zeroNested(tkhdOff + i) = 0)
+    assert(MediaCodecs.sniffMeta(zeroNested).isEmpty)
+    // Zero-size FINAL TOP-LEVEL box (the one legal case): moov is last
+    // in buildMp4's layout, so zeroing its size must still sniff.
+    val zeroTop = full.clone()
+    (0 until 4).foreach(i => zeroTop(moovOff + i) = 0)
+    assert(MediaCodecs.sniffMeta(zeroTop) === MediaCodecs.sniffMeta(full))
+    assert(MediaCodecs.sniffMeta(zeroTop).nonEmpty)
+  }
+
   test("sniffMeta: malformed headers REJECT — wrong magic, truncation, " +
     "flipped IHDR byte (CRC), non-PCM WAV, unsupported BMP depth") {
     assert(MediaCodecs.sniffMeta(null).isEmpty)
