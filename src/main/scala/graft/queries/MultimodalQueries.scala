@@ -584,9 +584,10 @@ object MultimodalQueries {
     // ONLY the header structures (PNG IHDR CRC-verified, GIF logical
     // screen descriptor + frame-count walk, BMP info header, WAV fmt
     // chunk, JPEG SOFn marker walk incl. the progressive flag —
-    // even-id JPEGs get their SOF0 rewritten to SOF2, the web-crawl
-    // case jpegRgb rightly refuses to decode but the catalog must
-    // still report — and the ISO-BMFF ftyp/moov/trak/stbl box walk:
+    // half the JPEGs (by (id/6)%2, which varies within the id%6==4
+    // class) get their SOF0 rewritten to SOF2, the web-crawl case
+    // jpegRgb rightly refuses to decode but the catalog must still
+    // report — and the ISO-BMFF ftyp/moov/trak/stbl box walk:
     // mvhd duration·1000/timescale floored to ms, tkhd 16.16
     // geometry, stsz frame count, stsd codec fourcc, mdat skipped by
     // size. Payload never visited; the O(header) catalog pass 100 TB
@@ -616,7 +617,10 @@ object MultimodalQueries {
                 val base = graft.multimodal.MediaCodecs.buildJpegGray(
                   (id % 16 + 8).toInt, (nc % 12 + 8).toInt,
                   (x, y) => ((x * 5 + y * 9 + id) % 256).toInt)
-                if (id % 2 == 0)
+                // (id / 6) % 2, NOT id % 2: the residue class id%6==4
+                // is all-even, so id%2 was constant-true and the
+                // baseline arm never flowed through the gate.
+                if ((id / 6) % 2 == 0)
                   graft.multimodal.MediaCodecs
                     .withProgressiveSofHeader(base)
                 else base
@@ -655,7 +659,7 @@ object MultimodalQueries {
              | CAST(CASE WHEN doc_id % 6 = 2 THEN 1
              |   WHEN doc_id % 6 = 5 THEN doc_id % 40 + 1
              |   END AS INT) AS n_frames,
-             | CASE WHEN doc_id % 6 = 4 THEN doc_id % 2 = 0 END
+             | CASE WHEN doc_id % 6 = 4 THEN (doc_id // 6) % 2 = 0 END
              |   AS progressive,
              | CAST(CASE WHEN doc_id % 6 = 5
              |   THEN ((n_chars % 900 + 100) * 1000) // 600
