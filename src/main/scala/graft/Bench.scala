@@ -70,6 +70,15 @@ object Bench {
     if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath,
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Clobber-proof evidence: later runs overwrite bench_<sf>.json (a
+    // clean builder artifact was lost to the driver's sweep once), so
+    // every run ALSO writes a timestamped copy that survives for
+    // regression diffing and adjudication.
+    val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+      .format(new java.util.Date())
+    java.nio.file.Files.write(
+      outPath.resolveSibling(s"bench_${sfTag}_$stamp.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

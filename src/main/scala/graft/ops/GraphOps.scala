@@ -193,22 +193,31 @@ object GraphOps {
     * bridge edges a core-based filter keeps — the edge-grain
     * dedup/community primitive.
     *
-    * Per round: support(u,v) = |common neighbors| via the two-sided
-    * adjacency wedge join, then edges with support < k−2 peel, and
-    * their removal can cascade (the diamond fixture in DedupSimSpec:
-    * one chord survives round 1 and dies round 2). Early exit at the
-    * fixpoint — a round removing no edge leaves every support
-    * unchanged, so stopping is result-identical to the oracle's full
-    * unroll (the [[kCore]] argument); per-round frames
+    * Per round: support(u,v) = triangles through (u,v) = |common
+    * neighbors|, counted ONCE per triangle at its degree-ordered apex
+    * (the [[triangleStats]] orientation, Suri & Vassilvitskii WWW'11)
+    * and scattered to the triangle's three undirected edges — NOT the
+    * raw two-sided wedge join, whose Σ deg(w)² blows up quadratically
+    * inside one join group at a celebrity hub (the "last reducer";
+    * the TrussScale drive plants a 2¹⁷-leaf star and measures flat
+    * per-round cost, where the raw wedge would emit C(2¹⁷,2) ≈ 8.6e9
+    * rows). Oriented out-degree is O(√m), so the apex wedge join is
+    * O(m^1.5) worst-case. Values are identical to the raw wedge join,
+    * so the oracle's common-neighbor CTEs are unchanged. Edges with
+    * support < k−2 peel; removal cascades (the diamond fixture in
+    * DedupSimSpec: one chord survives round 1 and dies round 2).
+    * Early exit at the fixpoint — a round removing no edge leaves
+    * every support unchanged, so stopping is result-identical to the
+    * oracle's full unroll (the [[kCore]] argument); per-round frames
     * localCheckpoint so the plan stays linear in rounds.
     *
     * Output: every ORIGINAL undirected edge with its truss membership
     * and its support WITHIN the final truss (0 outside).
     *
-    * Scale shape: each round is one hash-agg wedge join (cost
-    * Σ_w deg(w)² — the degree-ordered orientation of
-    * [[triangleStats]] is the known upgrade for hub-heavy graphs) +
-    * one semi-join peel; no driver state beyond the edge count. */
+    * Scale shape: per round, one degree hash-agg, the oriented wedge
+    * equi-join, a triangle-close equi-join, one explode + hash-agg
+    * (slim (long, long) rows throughout) + one semi-join peel; no
+    * driver state beyond the edge count. */
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"kTruss needs k >= 3, got $k")
     require(rounds >= 1, s"kTruss needs rounds >= 1, got $rounds")
@@ -219,11 +228,37 @@ object GraphOps {
       .distinct()
       .localCheckpoint()
     def support(e: DataFrame): DataFrame = {
-      val adj = e.select(col("u").as("a"), col("v").as("b"))
-        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
-      e.join(adj.select(col("a").as("u"), col("b").as("w")), Seq("u"))
-        .join(adj.select(col("a").as("v"), col("b").as("w")),
-          Seq("v", "w"))
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      // Total-order orientation low-(deg, id) → high: acyclic, every
+      // triangle has exactly one apex with two out-edges. The oriented
+      // frame localCheckpoints (it is read three times; the per-round
+      // checkpoint discipline keeps plans linear in rounds).
+      val o = e
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")),
+            col("u")).otherwise(col("v")).as("a"),
+          when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")),
+            col("v")).otherwise(col("u")).as("b"))
+        .localCheckpoint()
+      val tri = o.select(col("a").as("x"), col("b").as("y"))
+        .join(o.select(col("a").as("x2"), col("b").as("z")),
+          col("x") === col("x2"))
+        .select(col("x"), col("y"), col("z"))
+        .join(o.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+      tri.select(explode(array(
+          struct(least(col("x"), col("y")).as("u"),
+            greatest(col("x"), col("y")).as("v")),
+          struct(least(col("x"), col("z")).as("u"),
+            greatest(col("x"), col("z")).as("v")),
+          struct(least(col("y"), col("z")).as("u"),
+            greatest(col("y"), col("z")).as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
     }
     var e = e0
