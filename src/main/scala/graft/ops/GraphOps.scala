@@ -890,6 +890,246 @@ object GraphOps {
         FROM st CROSS JOIN u CROSS JOIN v"""
   }
 
+  /** Multi-source BFS over a shared pre-partitioned symmetric edge
+    * frame: first-reached (seed, node) layers, the [[harmonicCentrality]]
+    * frontier discipline (every layer localCheckpoints — the
+    * exponential-planning lesson) plus an empty-frontier early exit
+    * (result-identical: the skipped layers are empty). */
+  private def multiBfs(seeds: DataFrame, e: DataFrame, maxDepth: Int)
+  : DataFrame = {
+    var layers = List(
+      seeds.select(col("seed"), col("seed").as("node_id")).distinct()
+        .localCheckpoint())
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val visited = layers.reduce(_ unionAll _)
+      val next = layers.head.join(e, col("node_id") === col("src"))
+        .select(col("seed"), col("dst").as("node_id")).distinct()
+        .join(visited, Seq("seed", "node_id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true else layers = next :: layers
+      depth += 1
+    }
+    layers.reverse.zipWithIndex.map { case (f, dd) =>
+      f.select(col("seed"), col("node_id"), lit(dd).as("dist"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Exact diameter via iFUB (Crescenzi, Grossi, Habib, Lanzi &
+    * Marino, "On computing the diameter of real-world undirected
+    * graphs", TCS 2013) — the published completion of
+    * [[diameterDoubleSweep]]:
+    *
+    *  1. double sweep: BFS from the hash seed → farthest node a; BFS
+    *     from a → ecc(a) (the classic lower bound) and antipode b,
+    *  2. root u = the MIDPOINT of the a–b shortest path (the paper's
+    *     root rule: a central node has small eccentricity, so the top
+    *     BFS levels — the only ones iFUB visits — are small sets),
+    *  3. refinement: with fringe levels F_i(u), lb = max(ecc(a),
+    *     ecc(u)), ub = 2·ecc(u); descending i, fold in
+    *     B_i = max{ecc(w) : w ∈ F_i(u)} and stop when lb ≥ 2(i−1) —
+    *     the paper's theorem: any pair both strictly below level i is
+    *     within 2(i−1), so lb is then the exact diameter (of the
+    *     start component; `n_unreached` on the LB gate reports the
+    *     rest).
+    *
+    * Spark reshape: instead of one BFS per fringe NODE (the paper's
+    * sequential loop), the top `fringeLevels` levels run as ONE
+    * multi-source BFS keyed by seed — a BSP engine amortizes all
+    * seeds' frontiers into the same per-round joins, trading the
+    * per-node early exit for per-CHUNK exit (real-world graphs
+    * resolve within the first levels — the paper's experiments; the
+    * spec pins resolution on the gate corpus). Both engines compute
+    * B_i for the WHOLE chunk and run the identical deterministic fold
+    * (the fold never reads below its stop level, so chunk overshoot
+    * cannot change the answer). All arithmetic is BFS layer integers
+    * — hash-exact; the driver fold collects ≤ fringeLevels+4 scalars.
+    *
+    * Unresolved within the chunk → resolved=false, diam_exact=−1
+    * sentinel (at production scale: run another chunk). Every BFS
+    * early-exits on an empty frontier and the spec pins ecc <
+    * maxDepth, so the depth cap never truncates an eccentricity. */
+  def diameterIfub(nodes: DataFrame, edges: DataFrame,
+                   maxDepth: Int = 12, fringeLevels: Int = 3,
+                   salt: String = "dia"): DataFrame = {
+    require(maxDepth >= 1 && fringeLevels >= 1, "bad iFUB params")
+    val spark = nodes.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).persist()
+    val start = nodes.select(col("node_id")).distinct()
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("node_id").cast("string"))))
+      .orderBy(col("h"), col("node_id")).limit(1)
+      .collect()(0).getLong(0)
+    def bfs(seedId: Long): DataFrame =
+      multiBfs(spark.createDataFrame(Seq(Tuple1(seedId))).toDF("seed"),
+          e, maxDepth)
+        .select(col("node_id"), col("dist"))
+        .localCheckpoint()
+    def argmaxDist(d: DataFrame): (Long, Int) = {
+      val r = d.orderBy(col("dist").desc, col("node_id")).limit(1)
+        .collect()(0)
+      (r.getLong(0), r.getInt(1))
+    }
+    val dStart = bfs(start)
+    val (a, _) = argmaxDist(dStart)
+    val dA = bfs(a)
+    val (b, eccA) = argmaxDist(dA)
+    val dB = bfs(b)
+    // Midpoint of the a–b shortest path: dist-from-a = ecc(a) div 2
+    // AND on a shortest path (d_a + d_b = d(a,b) = ecc(a)); tie →
+    // lowest id. Level ecc(a) div 2 of a shortest path always has a
+    // node, so the pick is total.
+    val m = dA.select(col("node_id"), col("dist").as("da"))
+      .join(dB.select(col("node_id"), col("dist").as("db")), "node_id")
+      .filter(col("da") === eccA / 2 && col("da") + col("db") === eccA)
+      .orderBy(col("node_id")).limit(1).collect()(0).getLong(0)
+    val dM = bfs(m)
+    val eccM = dM.agg(max(col("dist"))).collect()(0).getInt(0)
+    val loI = math.max(1, eccM - fringeLevels + 1)
+    val fringe = dM.filter(col("dist").between(loI, eccM))
+      .select(col("node_id").as("seed"), col("dist").as("lvl"))
+      .localCheckpoint()
+    val bPerLevel: Map[Int, Int] =
+      if (eccM < 1) Map.empty
+      else multiBfs(fringe.select("seed"), e, maxDepth)
+        .groupBy(col("seed")).agg(max(col("dist")).as("ecc"))
+        .join(fringe, Seq("seed"))
+        .groupBy(col("lvl")).agg(max(col("ecc")).as("b"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    e.unpersist(false)
+    // The iFUB fold — a bounded driver loop over ≤ fringeLevels
+    // scalars; both engines run it over the identical B_i values.
+    var lb = math.max(eccA, eccM)
+    var ub = 2 * eccM
+    var i = eccM
+    var resolved = lb >= ub
+    while (!resolved && i >= loI) {
+      lb = math.max(lb, bPerLevel.getOrElse(i, 0))
+      ub = 2 * (i - 1)
+      resolved = lb >= ub
+      i -= 1
+    }
+    if (resolved) ub = lb
+    spark.createDataFrame(Seq((start, a, b, m, eccM.toLong, eccA.toLong,
+        lb.toLong, ub.toLong, resolved,
+        if (resolved) lb.toLong else -1L)))
+      .toDF("start_id", "far_a", "far_b", "root_id", "ecc_root",
+        "sweep_lb", "diam_lb", "diam_ub", "resolved", "diam_exact")
+  }
+
+  /** Oracle twin of [[diameterIfub]]: four chained bounded recursive
+    * CTEs (start → a → b → midpoint root), a multi-source recursive
+    * CTE over (seed, node, dist) for the fringe chunk, per-level
+    * B_i maxima, and the same fold expressed closed-form — i_res is
+    * the LARGEST level i with greatest(lb0, runmax_i) ≥ 2(i−1)
+    * (identical to the descending loop's first stop, which checks the
+    * largest i first). */
+  def diameterIfubSql(nodesSql: String, edgesSql: String,
+                      maxDepth: Int = 12, fringeLevels: Int = 3,
+                      salt: String = "dia"): String = {
+    val h = graft.ops.TextOps.hash64Sql(
+      s"'$salt' || CAST(node_id AS VARCHAR)")
+    s"""WITH RECURSIVE nodes AS ($nodesSql),
+        e0 AS ($edgesSql),
+        edges AS (SELECT src, dst FROM (
+            SELECT src, dst FROM e0 WHERE src <> dst
+            UNION SELECT dst, src FROM e0 WHERE src <> dst)),
+        st AS (SELECT node_id AS s FROM (
+          SELECT DISTINCT node_id FROM nodes) n
+          ORDER BY $h, node_id LIMIT 1),
+        b1(node_id, dist) AS (
+          SELECT s, 0 FROM st
+          UNION
+          SELECT e.dst, b.dist + 1
+          FROM b1 b JOIN edges e ON b.node_id = e.src
+          WHERE b.dist < $maxDepth),
+        m1 AS (SELECT node_id, min(dist) AS dist FROM b1 GROUP BY 1),
+        av AS (SELECT node_id AS a FROM m1
+               ORDER BY dist DESC, node_id LIMIT 1),
+        b2(node_id, dist) AS (
+          SELECT a, 0 FROM av
+          UNION
+          SELECT e.dst, b.dist + 1
+          FROM b2 b JOIN edges e ON b.node_id = e.src
+          WHERE b.dist < $maxDepth),
+        m2 AS (SELECT node_id, min(dist) AS dist FROM b2 GROUP BY 1),
+        ea AS (SELECT max(dist) AS ecc_a FROM m2),
+        bv AS (SELECT node_id AS bb FROM m2
+               ORDER BY dist DESC, node_id LIMIT 1),
+        b3(node_id, dist) AS (
+          SELECT bb, 0 FROM bv
+          UNION
+          SELECT e.dst, b.dist + 1
+          FROM b3 b JOIN edges e ON b.node_id = e.src
+          WHERE b.dist < $maxDepth),
+        m3 AS (SELECT node_id, min(dist) AS dist FROM b3 GROUP BY 1),
+        mid AS (SELECT m2.node_id AS m
+          FROM m2 JOIN m3 ON m2.node_id = m3.node_id CROSS JOIN ea
+          WHERE m2.dist = ecc_a // 2 AND m2.dist + m3.dist = ecc_a
+          ORDER BY m2.node_id LIMIT 1),
+        b4(node_id, dist) AS (
+          SELECT m, 0 FROM mid
+          UNION
+          SELECT e.dst, b.dist + 1
+          FROM b4 b JOIN edges e ON b.node_id = e.src
+          WHERE b.dist < $maxDepth),
+        m4 AS (SELECT node_id, min(dist) AS dist FROM b4 GROUP BY 1),
+        em AS (SELECT max(dist) AS ecc_m FROM m4),
+        fr AS (SELECT node_id AS seed, dist AS lvl FROM m4 CROSS JOIN em
+          WHERE dist >= greatest(1, ecc_m - ${fringeLevels - 1})
+            AND dist <= ecc_m),
+        ms(seed, node_id, dist) AS (
+          SELECT seed, seed, 0 FROM fr
+          UNION
+          SELECT s.seed, e.dst, s.dist + 1
+          FROM ms s JOIN edges e ON s.node_id = e.src
+          WHERE s.dist < $maxDepth),
+        mm AS (SELECT seed, node_id, min(dist) AS dist FROM ms
+               GROUP BY 1, 2),
+        se AS (SELECT seed, max(dist) AS ecc FROM mm GROUP BY 1),
+        lvls AS (SELECT lvl, max(ecc) AS b
+          FROM se JOIN fr USING (seed) GROUP BY lvl),
+        runx AS (SELECT lvl,
+            max(b) OVER (ORDER BY lvl DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS runmax
+          FROM lvls),
+        base AS (SELECT st.s AS start_id, av.a AS far_a, bv.bb AS far_b,
+            mid.m AS root_id, em.ecc_m, ea.ecc_a,
+            greatest(ea.ecc_a, em.ecc_m) AS lb0
+          FROM st CROSS JOIN av CROSS JOIN bv CROSS JOIN mid
+          CROSS JOIN em CROSS JOIN ea),
+        res AS (SELECT max(lvl) AS i_res FROM runx CROSS JOIN base
+          WHERE greatest(lb0, runmax) >= 2 * (lvl - 1)),
+        fold AS (SELECT base.*,
+            (lb0 >= 2 * ecc_m) AS entry_res, res.i_res,
+            (SELECT runmax FROM runx WHERE lvl = res.i_res) AS rm_res,
+            (SELECT runmax FROM runx
+             WHERE lvl = greatest(1, ecc_m - ${fringeLevels - 1}))
+              AS rm_lo
+          FROM base CROSS JOIN res)
+        SELECT start_id, far_a, far_b, root_id,
+          CAST(ecc_m AS BIGINT) AS ecc_root,
+          CAST(ecc_a AS BIGINT) AS sweep_lb,
+          CAST(CASE WHEN entry_res THEN lb0
+               WHEN i_res IS NOT NULL THEN greatest(lb0, rm_res)
+               ELSE greatest(lb0, COALESCE(rm_lo, 0)) END AS BIGINT)
+            AS diam_lb,
+          CAST(CASE WHEN entry_res THEN lb0
+               WHEN i_res IS NOT NULL THEN greatest(lb0, rm_res)
+               ELSE 2 * (greatest(1, ecc_m - ${fringeLevels - 1}) - 1)
+               END AS BIGINT) AS diam_ub,
+          (entry_res OR i_res IS NOT NULL) AS resolved,
+          CAST(CASE WHEN entry_res THEN lb0
+               WHEN i_res IS NOT NULL THEN greatest(lb0, rm_res)
+               ELSE -1 END AS BIGINT) AS diam_exact
+        FROM fold"""
+  }
+
   /** Sampled harmonic centrality (Marchiori & Latora's harmonic mean
     * formulation; the pivot-sampling estimator shape of Eppstein &
     * Wang 2004): H(v) = Σ_seeds 1e6 div d(seed, v) over `k`

@@ -484,6 +484,34 @@ object SimQueries {
         maxDepth = 8)),
       presentOrder = Seq("start_id")),
 
+    // EXACT diameter via iFUB (Crescenzi et al. TCS'13) — the
+    // published completion of graph_diameter's double sweep: BFS to
+    // the a-b antipode pair, root at the path MIDPOINT (small
+    // eccentricity → small top levels), then fold max-eccentricity
+    // over the top fringe levels until lb >= 2(i-1) certifies the
+    // bound. The fringe chunk runs as ONE multi-source BFS (the BSP
+    // reshape of the paper's per-node loop); both engines fold the
+    // identical per-level maxima, so resolution and the exact value
+    // are hash-exact. resolved=false would emit the -1 sentinel; the
+    // spec pins resolved=true on the gate corpus.
+    QueryDef("graph_diameter_exact",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d)
+          .select(col("vec_id").as("node_id"))
+        GraphOps.diameterIfub(nodes, edges, maxDepth = 12,
+          fringeLevels = 3)
+      },
+      Some(GraphOps.diameterIfubSql(
+        "SELECT vec_id AS node_id FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
+        maxDepth = 12, fringeLevels = 3)),
+      presentOrder = Seq("start_id")),
+
     // Sampled harmonic centrality over the k-NN graph: H(v) =
     // Σ_seeds 1e6 div d(seed, v) from 8 hash-chosen BFS sources — the
     // centrality that is well-defined on disconnected graphs
