@@ -159,69 +159,103 @@ object LinkOps {
         FROM dec GROUP BY noun ORDER BY noun"""
   }
 
-  /** The (segment-index, probe-start) grid for [[passJoin]]: index
-    * side cuts the key at fixed starts; probe side reads the same
-    * segment length at every start within ±k of them (clipped to the
-    * key) — the pigeonhole guarantee below needs exactly this window. */
-  private def passGrid(keyLen: Int, k: Int)
-  : (Int, Seq[Int], Seq[(Int, Int)]) = {
+  /** Length-aware partition/probe grids for [[passJoin]]: for every
+    * key length l in [k+1, keyLen], the k+1 even segments (the
+    * paper's allocation — the first (k+1) − (l mod (k+1)) segments
+    * get ⌊l/(k+1)⌋ chars, the rest ⌈l/(k+1)⌉), and for every (l, i)
+    * the probe-start window within ±k of the segment start (the
+    * pigeonhole shift bound; the per-key upper clip happens at join
+    * time because it depends on the probe key's own length). Both
+    * grids are tiny literal tables (≤ keyLen·(k+1)·(2k+1) rows),
+    * broadcast on the Spark side and inlined as VALUES in the
+    * oracle. */
+  private def lenGrids(keyLen: Int, k: Int)
+  : (Seq[(Int, Int, Int, Int)], Seq[(Int, Int, Int, Int)]) = {
     val nSeg = k + 1
-    require(keyLen % nSeg == 0,
-      s"passJoin needs keyLen divisible by k+1 (got $keyLen, $nSeg)")
-    val segLen = keyLen / nSeg
-    val starts = (0 until nSeg).map(_ * segLen + 1)
+    val segs = for {
+      l <- nSeg to keyLen
+      i <- 1 to nSeg
+    } yield {
+      val base = l / nSeg
+      val nBig = l % nSeg
+      val lenI = if (i <= nSeg - nBig) base else base + 1
+      val start = 1 + (i - 1) * base + math.max(0, i - 1 - (nSeg - nBig))
+      (l, i, start, lenI)
+    }
     val probes = for {
-      (s, i) <- starts.zipWithIndex
-      p <- (s - k) to (s + k)
-      if p >= 1 && p <= keyLen - segLen + 1
-    } yield (i + 1, p)
-    (segLen, starts, probes)
+      (l, i, s, len) <- segs
+      p <- math.max(1, s - k) to (s + k)
+    } yield (l, i, p, len)
+    (segs, probes)
   }
 
   /** Edit-distance similarity self-join via segment pigeonholing —
     * PassJoin (Li, Deng & Feng, "PASS-JOIN: a partition-based method
     * for similarity joins", VLDB 2011), the fuzzy-key linkage pass a
     * curation pipeline runs over titles/URLs/IDs: all pairs of docs
-    * whose fixed-width key prefix is within `k` edits.
+    * whose key (the text prefix, capped at `keyLen` chars — SHORTER
+    * keys participate with their full length, the paper's
+    * length-grouped allocation, not a fixed-width filter) is within
+    * `k` edits.
     *
-    * EXACT by pigeonhole: cut the key into k+1 equal segments; any
-    * optimal edit script with ≤ k operations leaves at least one
-    * segment untouched, and insertions/deletions shift its position
-    * by at most k — so every true pair shares (segment i of a) =
-    * (the same-length substring of b starting within ±k of segment
-    * i's start). Candidates come from that EQUI-join on
-    * (segment index, string); `levenshtein` (a built-in on BOTH
-    * engines — the classical unit-cost DP, bit-identical) verifies
-    * exactly. No recall knob anywhere: missed-pair probability is 0.
+    * EXACT by pigeonhole: cut each indexed key of length l into k+1
+    * even segments; any edit script with ≤ k operations leaves at
+    * least one segment untouched, and insertions/deletions shift its
+    * position by at most k — so every true pair shares (length l,
+    * segment i of a) = (a same-length substring of b starting within
+    * ±k of segment i's start), where b probes every indexed length
+    * within ±k of its own (|edit| ≤ k bounds the length gap).
+    * Candidates come from that EQUI-join on (l, i, substring);
+    * `levenshtein` (a built-in on BOTH engines — the classical
+    * unit-cost DP, bit-identical) verifies exactly. Keys shorter than
+    * k+1 chars cannot host k+1 non-empty segments; their partners are
+    * at most k chars longer, so the SHORT pass blocks
+    * {len ≤ k} × {len ≤ 2k} — a bounded-length bucket join. No recall
+    * knob anywhere: missed-pair probability is 0.
     *
-    * Scale shape: k+1 index rows and ≤ (k+1)(2k+1) probe rows per
-    * doc; the candidate join is a plain string equi-join (hot
-    * segments are AQE skew territory, like every blocking scheme);
-    * the DP runs only on candidates. The keyed frame checkpoints once
-    * for its three consumers (index, probe, verify re-join). */
+    * Scale shape: k+1 index rows and ≤ (2k+1)(k+1)(2k+1) probe rows
+    * per doc (tiny constants); the candidate join is a plain string
+    * equi-join (hot segments are AQE skew territory, like every
+    * blocking scheme); the DP runs only on candidates. The keyed
+    * frame checkpoints once for its four consumers (index, probe,
+    * short pass, verify re-join); the grids broadcast. */
   def passJoin(docs: DataFrame, keyLen: Int = 24, k: Int = 2)
   : DataFrame = {
     require(k >= 1, s"passJoin needs k >= 1, got $k")
-    val (segLen, starts, probes) = passGrid(keyLen, k)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (segGrid, probeGrid) = lenGrids(keyLen, k)
     val keyed = docs
-      .filter(length(col("text")) >= keyLen)
-      .select(col("doc_id"), expr(s"substring(text, 1, $keyLen)").as("key"))
+      .select(col("doc_id"),
+        expr(s"substring(text, 1, $keyLen)").as("key"))
+      .filter(length(col("key")) >= 1)
+      .withColumn("kl", length(col("key")))
       .localCheckpoint()
-    val segArr = starts.zipWithIndex.map { case (s, i) =>
-      s"struct(${i + 1} AS i, substring(key, $s, $segLen) AS sub)"
-    }.mkString("array(", ", ", ")")
-    val probeArr = probes.map { case (i, p) =>
-      s"struct($i AS i, substring(key, $p, $segLen) AS sub)"
-    }.mkString("array(", ", ", ")")
-    val segs = keyed.select(col("doc_id").as("doc_a"),
-      explode(expr(segArr)).as("g"))
-      .select(col("doc_a"), col("g.i"), col("g.sub"))
-    val probeSide = keyed.select(col("doc_id").as("doc_b"),
-      explode(expr(probeArr)).as("g"))
-      .select(col("doc_b"), col("g.i"), col("g.sub"))
-    val cand = segs.join(probeSide, Seq("i", "sub"))
+    val sg = segGrid.toDF("l", "i", "s", "len")
+    val pg = probeGrid.toDF("l", "i", "p", "len")
+    val segs = keyed.filter(col("kl") >= k + 1)
+      .join(broadcast(sg), col("kl") === col("l"))
+      .select(col("doc_id").as("doc_a"), col("i"), col("l"),
+        expr("substring(key, s, len)").as("sub"))
+    val probeSide = keyed.filter(col("kl") >= k + 1)
+      .join(broadcast(pg),
+        col("l").between(col("kl") - k, col("kl") + k) &&
+          col("p") + col("len") - 1 <= col("kl"))
+      .select(col("doc_id").as("doc_b"), col("i"), col("l"),
+        expr("substring(key, p, len)").as("sub"))
+    val mainCand = segs.join(probeSide, Seq("l", "i", "sub"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b"))
+    val shortA = keyed.filter(col("kl") <= k)
+      .select(col("doc_id").as("doc_a"), col("kl").as("la"))
+    val shortB = keyed.filter(col("kl") <= 2 * k)
+      .select(col("doc_id").as("doc_b"), col("kl").as("lb"))
+    val shortCand = shortA.join(shortB,
+        col("doc_a") =!= col("doc_b") &&
+          abs(col("la") - col("lb")) <= k)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val cand = mainCand.unionAll(shortCand).distinct()
     cand
       .join(keyed.select(col("doc_id").as("doc_a"), col("key").as("ka")),
         "doc_a")
@@ -236,23 +270,35 @@ object LinkOps {
   /** Oracle twin of [[passJoin]]: the identical segment/probe grids,
     * candidate equi-join, and built-in levenshtein verify in DuckDB. */
   def passJoinSql(table: String, keyLen: Int = 24, k: Int = 2): String = {
-    val (segLen, starts, probes) = passGrid(keyLen, k)
-    val segList = starts.zipWithIndex.map { case (s, i) =>
-      s"{'i': ${i + 1}, 'sub': substr(key, $s, $segLen)}"
-    }.mkString("[", ", ", "]")
-    val probeList = probes.map { case (i, p) =>
-      s"{'i': $i, 'sub': substr(key, $p, $segLen)}"
-    }.mkString("[", ", ", "]")
+    val (segGrid, probeGrid) = lenGrids(keyLen, k)
+    val segVals = segGrid.map { case (l, i, s, len) =>
+      s"($l, $i, $s, $len)" }.mkString(", ")
+    val probeVals = probeGrid.map { case (l, i, p, len) =>
+      s"($l, $i, $p, $len)" }.mkString(", ")
     s"""WITH keyed AS MATERIALIZED (
-          SELECT doc_id, substr(text, 1, $keyLen) AS key
-          FROM $table WHERE len(text) >= $keyLen),
-        segs AS (SELECT doc_id AS doc_a, g.i AS i, g.sub AS sub
-          FROM (SELECT doc_id, unnest($segList) AS g FROM keyed)),
-        probes AS (SELECT doc_id AS doc_b, g.i AS i, g.sub AS sub
-          FROM (SELECT doc_id, unnest($probeList) AS g FROM keyed)),
-        cand AS (SELECT DISTINCT doc_a, doc_b
-          FROM segs JOIN probes USING (i, sub)
-          WHERE doc_a < doc_b)
+          SELECT doc_id, substr(text, 1, $keyLen) AS key,
+                 len(substr(text, 1, $keyLen)) AS kl
+          FROM $table WHERE len(substr(text, 1, $keyLen)) >= 1),
+        sg(l, i, s, len) AS (SELECT * FROM (VALUES $segVals)),
+        pg(l, i, p, len) AS (SELECT * FROM (VALUES $probeVals)),
+        segs AS (SELECT doc_id AS doc_a, i, l,
+            substr(key, s, len) AS sub
+          FROM keyed JOIN sg ON kl = l WHERE kl >= ${k + 1}),
+        probes AS (SELECT doc_id AS doc_b, i, l,
+            substr(key, p, len) AS sub
+          FROM keyed JOIN pg ON l BETWEEN kl - $k AND kl + $k
+            AND p + len - 1 <= kl
+          WHERE kl >= ${k + 1}),
+        mainc AS (SELECT doc_a, doc_b
+          FROM segs JOIN probes USING (l, i, sub)
+          WHERE doc_a < doc_b),
+        shortc AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+            greatest(a.doc_id, b.doc_id) AS doc_b
+          FROM keyed a JOIN keyed b
+            ON a.doc_id <> b.doc_id AND abs(a.kl - b.kl) <= $k
+          WHERE a.kl <= $k AND b.kl <= ${2 * k}),
+        cand AS (SELECT DISTINCT doc_a, doc_b FROM
+          (SELECT * FROM mainc UNION ALL SELECT * FROM shortc))
         SELECT doc_a, doc_b,
           CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_dist
         FROM cand

@@ -1003,17 +1003,27 @@ object PipelineQueries {
       presentOrder = Seq("noun")),
 
     // PassJoin edit-distance similarity self-join (Li, Deng & Feng
-    // VLDB'11): every doc pair whose 24-char key prefix is within 2
-    // edits — the fuzzy-key linkage pass over titles/URLs/IDs. EXACT
-    // by segment pigeonhole (k edits over k+1 segments leave one
-    // segment intact, shifted <= k), so candidates are a plain string
-    // equi-join on (segment index, substring) and the built-in
-    // levenshtein (bit-identical on both engines) verifies — no
-    // recall knob, missed-pair probability 0. Per doc: 3 index rows,
-    // <= 11 probe rows; the DP runs on candidates only.
+    // VLDB'11): every doc pair whose key (prefix capped at 24 chars)
+    // is within 2 edits — the fuzzy-key linkage pass over
+    // titles/URLs/IDs. LENGTH-AWARE (round 10): keys are the paper's
+    // length-grouped allocation, so short keys participate instead of
+    // being filtered; the gate feeds VARIABLE-length keys (text
+    // truncated to 2 + doc_id % 31 chars) so many length groups AND
+    // the short-key pass (kl <= k) flow cross-engine. EXACT by
+    // segment pigeonhole (k edits over k+1 segments leave one segment
+    // intact, shifted <= k, and bound the length gap at k), so
+    // candidates are a plain (length, segment, substring) equi-join
+    // and the built-in levenshtein (bit-identical on both engines)
+    // verifies — no recall knob, missed-pair probability 0. Per doc:
+    // 3 index rows, <= 75 probe rows; the DP runs on candidates only.
     QueryDef("link_edit_join",
-      (s, d) => LinkOps.passJoin(Tables.documents(s, d)),
-      Some(LinkOps.passJoinSql("documents")),
+      (s, d) => LinkOps.passJoin(Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("substring(text, 1, CAST(2 + doc_id % 31 AS INT))")
+            .as("text"))),
+      Some(LinkOps.passJoinSql(
+        "(SELECT doc_id, substr(text, 1, CAST(2 + doc_id % 31 AS INT))" +
+          " AS text FROM documents)")),
       presentOrder = Seq("doc_a", "doc_b")),
 
     // Entity resolution end-to-end — the composition record-linkage
