@@ -880,6 +880,36 @@ object TextOps {
         FROM sb JOIN $table d USING (doc_id)
         WHERE NOT ($trainPredSql) ORDER BY doc_id"""
 
+  /** The SERVING view of [[knBigram]] — the Kneser–Ney mirror of
+    * [[stupidBackoffServe]]: the model trains on the corpus snapshot
+    * (`trainPred`), every doc OUTSIDE that slice is scored with the
+    * live keep/flag decision attached. kn_score already carries the
+    * −1.0 no-bigram sentinel (never NULL — the cross-engine NULL-order
+    * rule); such docs are always flagged. This is the batch gate of
+    * the stateless streaming twin `StatefulOps.streamingKnScore`,
+    * which broadcasts the SAME count tables (bigram counts, context
+    * totals + distinct continuations, continuation probabilities) and
+    * must emit identical rows (StreamingSpec parity across micro-batch
+    * splits). */
+  def knServe(docs: DataFrame, trainPred: Column): DataFrame =
+    knBigram(docs, trainPred)
+      .join(docs.select(col("doc_id"), trainPred.as("__t")), "doc_id")
+      .filter(!col("__t"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_kn_hit"),
+        col("n_cont_back"), col("n_oov"), col("kn_score"),
+        (col("n_bigrams") === 0L ||
+          col("kn_score") < SbFlagThreshold).as("flagged"))
+
+  /** Oracle twin of [[knServe]]: the [[knBigramSql]] pipeline filtered
+    * to the NOT-train slice with the same flag predicate. */
+  def knServeSql(table: String, trainPredSql: String): String =
+    s"""WITH kn AS (${knBigramSql(table, trainPredSql)})
+        SELECT doc_id, n_bigrams, n_kn_hit, n_cont_back, n_oov,
+          kn_score,
+          (n_bigrams = 0 OR kn_score < $SbFlagThreshold) AS flagged
+        FROM kn JOIN $table d USING (doc_id)
+        WHERE NOT ($trainPredSql) ORDER BY doc_id"""
+
   /** Phrase search over the positional inverted index — the retrieval
     * consumer `text_inverted_index` exists for: find every occurrence of
     * an exact 3-token phrase by intersecting posting lists at adjacent

@@ -361,6 +361,25 @@ object StreamParityQueries {
         Tables.documents(s, d), col("lang") === "en"),
       Some(graft.ops.TextOps.stupidBackoffServeSql(
         "documents", "lang = 'en'")),
+      presentOrder = Seq("doc_id")),
+
+    // The SERVING view of the interpolated Kneser–Ney bigram LM — the
+    // smoothing that beats Stupid Backoff on accuracy (Chen & Goodman
+    // 1999) served in the same Brants broadcast shape: the model
+    // trains on the corpus snapshot (lang='en'), every doc arriving
+    // OUTSIDE that slice is scored statelessly with the live
+    // keep/flag decision attached. The live twin
+    // (StatefulOps.streamingKnScore, StreamingSpec parity across
+    // micro-batch splits) broadcasts the SAME count tables (bigram
+    // counts, context totals + distinct continuations, pre-floored
+    // continuation probabilities) and replays the exact integer
+    // interpolation ladder per bigram; no keyed state, no shuffle,
+    // replays idempotent. kn_score uses the -1.0 no-bigram sentinel
+    // (never NULL — the cross-engine NULL-order rule).
+    QueryDef("stream_kn_score",
+      (s, d) => graft.ops.TextOps.knServe(
+        Tables.documents(s, d), col("lang") === "en"),
+      Some(graft.ops.TextOps.knServeSql("documents", "lang = 'en'")),
       presentOrder = Seq("doc_id"))
   )
 }

@@ -996,4 +996,100 @@ object StatefulOps {
       }
     }
   }
+
+  /** Trained interpolated Kneser–Ney tables as a broadcast model (the
+    * [[SbModel]] shape for `TextOps.knBigram`): bigram counts c(w1w2),
+    * per-context totals c(w1·) + distinct continuations N1+(w1·), and
+    * the continuation probability P_cont(w2) pre-floored to micro
+    * (N1+(·w2)·10⁶ div B — a per-w2 constant, so pre-flooring it is
+    * exactly what the batch gate joins in). Bounded by the train
+    * slice's distinct bigrams; a 100 TB deployment shards by n-gram
+    * hash with unchanged lookup semantics. */
+  case class KnModel(bi: Map[(String, String), Long],
+                     ctx: Map[String, (Long, Long)],
+                     pcont: Map[String, Long])
+
+  /** One batch pass over the train slice → [[KnModel]]: the identical
+    * distributed count tables knBigram builds, collected bounded. */
+  def trainKnModel(docs: org.apache.spark.sql.DataFrame,
+                   trainPred: org.apache.spark.sql.Column): KnModel = {
+    import org.apache.spark.sql.functions._
+    val bg = docs.filter(trainPred)
+      .select(graft.ops.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> struct(a AS wa, b AS wb))""")).as("b"))
+      .groupBy(col("b.wa"), col("b.wb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val ctx = bg.groupBy(_._1._1)
+      .map { case (w1, m) => w1 -> ((m.values.sum, m.size.toLong)) }
+    val nPrec = bg.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size }
+    val bTot = bg.size.toLong
+    val pcont = nPrec.map { case (w2, np) =>
+      w2 -> (BigInt(np) * 1000000 / bTot).toLong }
+    KnModel(bg, ctx, pcont)
+  }
+
+  case class KnScoreRow(docId: Long, nBigrams: Long, nKnHit: Long,
+                        nContBack: Long, nOov: Long, knScore: Double,
+                        flagged: Boolean)
+
+  /** Streaming twin of the gated `stream_kn_score` — the trained
+    * Kneser–Ney tables broadcast once, every arriving doc scored
+    * STATELESSLY in a narrow map (no keyed state, no shuffle, append
+    * mode, replay-idempotent). Each bigram occurrence replays the
+    * batch gate's exact integer ladder: seen context →
+    * (c12·10⁶ − d) div c(w1·) + ((d·N1+(w1·)) div c(w1·))·P_cont(w2)
+    * div 10⁶ (missing c12 contributes only the interpolation term);
+    * unseen context → P_cont(w2) outright; unseen continuation → 0.
+    * BigInt products mirror the batch DECIMAL(38,0) route, floor
+    * division throughout (every operand nonnegative, so BigInt's
+    * truncation IS floor). */
+  def streamingKnScore(docs: Dataset[LmDoc], model: KnModel)
+  : Dataset[KnScoreRow] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val d = 750000L
+    docs.mapPartitions { rows =>
+      val m = bc.value
+      rows.map { doc =>
+        val toks: Array[String] =
+          if (doc.text == null) Array.empty else doc.text.split(" ", -1)
+        var nBi = 0L; var h2 = 0L; var h1 = 0L; var h0 = 0L
+        var sp = 0L
+        var i = 0
+        while (i + 1 < toks.length) {
+          val (w1, w2) = (toks(i), toks(i + 1))
+          nBi += 1
+          val pc = m.pcont.get(w2)
+          m.ctx.get(w1) match {
+            case Some((ctxc, nfollow)) =>
+              val t1 = m.bi.get((w1, w2)) match {
+                case Some(c12) =>
+                  ((BigInt(c12) * 1000000 - d) / ctxc).toLong
+                case None => 0L
+              }
+              val t2 = (BigInt(d) * nfollow / ctxc).toLong *
+                pc.getOrElse(0L) / 1000000L
+              sp += t1 + t2
+            case None => sp += pc.getOrElse(0L)
+          }
+          if (m.bi.contains((w1, w2))) h2 += 1
+          else if (pc.isDefined) h1 += 1
+          else h0 += 1
+          i += 1
+        }
+        val score =
+          if (nBi == 0) -1.0
+          else {
+            val x = sp.toDouble / (nBi * 1000000L).toDouble
+            math.floor(x * 10000.0 + 0.5) / 10000.0
+          }
+        KnScoreRow(doc.docId, nBi, h2, h1, h0, score,
+          nBi == 0 || score < graft.ops.TextOps.SbFlagThreshold)
+      }
+    }
+  }
 }

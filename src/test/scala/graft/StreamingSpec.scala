@@ -1161,6 +1161,57 @@ class StreamingSpec extends SparkSpec {
       oov.sbScore === 0.0 && oov.flagged)
   }
 
+  test("streaming Kneser-Ney scoring equals the gated batch serve rows " +
+    "across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{LmDoc, KnScoreRow}
+    val dir = "/root/testdata/sf0.001"
+    // Batch truth: the gated KN serve view (non-train docs only) —
+    // rows derived from the same knBigram pipeline text_kneser_ney
+    // gates, filtered to the serve slice.
+    val batch = Catalog.queries("stream_kn_score")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    val model = graft.streaming.StatefulOps.trainKnModel(
+      graft.Tables.documents(spark, dir), col("lang") === "en")
+    val docs = graft.Tables.documents(spark, dir)
+      .filter(!(col("lang") === "en"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => LmDoc(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val got = scala.collection.mutable.Map[Long,
+      (Long, Long, Long, Long, Double, Boolean)]()
+    val in = MemoryStream[LmDoc]
+    val q = graft.streaming.StatefulOps.streamingKnScore(in.toDS(), model)
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[KnScoreRow], _: Long) =>
+        ds.collect().foreach(r => got(r.docId) = (r.nBigrams, r.nKnHit,
+          r.nContBack, r.nOov, r.knScore, r.flagged))
+      }.start()
+    val third = docs.length / 3
+    in.addData(docs.take(third): _*); q.processAllAvailable()
+    in.addData(docs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(docs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(got.size === batch.size)
+    assert(got.toMap === batch)
+    // the ladder's levels must all be exercised somewhere: KN hits
+    // and at least one continuation-backoff or OOV occurrence
+    val sums = got.values.foldLeft((0L, 0L, 0L)) { (a, v) =>
+      (a._1 + v._2, a._2 + v._3, a._3 + v._4) }
+    assert(sums._1 > 0, "no KN bigram hits at all")
+    assert(sums._2 + sums._3 > 0, "interpolation backoff never taken")
+    // OOV branch: never-seen tokens score 0 and flag; the unseen-
+    // CONTEXT branch (pcont without ctx) is covered by the corpus
+    // parity above when a serve doc opens with a train-continuation.
+    val oov = graft.streaming.StatefulOps.streamingKnScore(
+      Seq(graft.streaming.StatefulOps.LmDoc(
+        999999L, "zzq1 zzq2 zzq3")).toDS(), model).collect()(0)
+    assert(oov.nOov === 2L && oov.nBigrams === 2L &&
+      oov.knScore === 0.0 && oov.flagged)
+  }
+
   test("streaming EWMA snapshot is bit-equal to the batch fold across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
