@@ -1558,6 +1558,206 @@ object SimOps {
     sb.toString
   }
 
+  /** Level-ℓ membership predicate for [[topKHnsw]]: the HNSW geometric
+    * level draw (P(lvl ≥ 1) = 1/4, P(lvl ≥ 2) = 1/16) made
+    * engine-deterministic via the 60-bit nonnegative md5 hash —
+    * lvl(v) ≥ ℓ iff hash("hnswlvl"+id) % 4^ℓ == 0. */
+  private def hnswLvlCond(lvl: Int): Column =
+    graft.ops.TextOps.hash64(
+      concat(lit("hnswlvl"), col("vec_id").cast("string"))) %
+      math.pow(4, lvl).toLong === 0L
+  private def hnswLvlCondSql(lvl: Int): String =
+    s"${graft.ops.TextOps.hash64Sql("'hnswlvl' || CAST(vec_id AS VARCHAR)")}" +
+      s" % ${math.pow(4, lvl).toLong} = 0"
+
+  /** HNSW search — the hierarchical layers over [[topKGraphBeam]]'s
+    * base walk (Malkov & Yashunin, TPAMI'18). Nodes draw geometric
+    * levels from the engine-wide hash (P(lvl ≥ ℓ) = 4^−ℓ, the paper's
+    * mL = 1/ln 4); every upper layer gets its OWN k-NN graph over its
+    * level subset (the paper's per-layer M neighbors — a batch engine
+    * builds log-many geometrically shrinking LSH indexes instead of
+    * replaying sequential inserts; total build cost ≤ Σ 4^−ℓ ≈ 1.33×
+    * the base build). Search: hash entries at the top layer, ONE
+    * narrow descent round per upper layer (beam `descentBeam` over the
+    * layer's small adjacency), then the base-layer beam search with
+    * FEWER rounds — the descent lands the walk inside the query's
+    * neighborhood, so base hops shrink (the NSW gate walks 5 base
+    * rounds; this walks 2 descent + `baseRounds` base, each descent
+    * round touching a 16×/4×-smaller graph). Recall is floor-gated in
+    * [[recallAudit]]'s hnsw arm.
+    *
+    * Scale shape: identical per-round joins to [[topKGraphBeam]] (the
+    * schedule just swaps adjacency frame + beam width per round); the
+    * upper-layer graphs are geometrically smaller, so the added build
+    * and walk cost is a constant factor on the base's. Determinism:
+    * same hash-order entries, 6-dp cosine, vec_id ties — the oracle
+    * unrolls the whole schedule. */
+  def topKHnsw(vectors: DataFrame, queryPred: Column, k: Int,
+               edges: DataFrame, beam: Int, baseRounds: Int,
+               entries: Int, layerDeg: Int,
+               tables: Seq[Seq[Seq[Double]]],
+               descentBeam: Int = 4, salt: String = "hnsw"): DataFrame = {
+    require(baseRounds >= 1 && beam >= 1 && entries >= 1 &&
+      descentBeam >= 1, "bad topKHnsw params")
+    val v = withNorm(vectors.select(col("vec_id"), col("embedding")),
+        "embedding", "vn")
+      .repartition(col("vec_id"))
+      .localCheckpoint()
+    val queries = v.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("vn").as("qn"))
+    def symm(e: DataFrame): DataFrame = {
+      val dir = e.select(col("query_id").as("u"), col("neighbor_id").as("v"))
+        .localCheckpoint()
+      dir.unionAll(dir.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .repartition(col("u"))
+        .localCheckpoint()
+    }
+    val adj0 = symm(edges)
+    // Per-layer k-NN graphs over the level subsets (NOT induced
+    // subgraphs of the base graph — an induced expander subset loses
+    // navigability; the per-subset build is what HNSW's insert
+    // produces).
+    val adjL = (1 to 2).map { l =>
+      symm(topKLshMulti(vectors.filter(hnswLvlCond(l)), lit(true),
+        layerDeg, tables))
+    }
+    // Entry points: highest level first (HNSW enters at the top), then
+    // hash order — the level-DESC sort BACKFILLS from lower layers when
+    // the top layer holds fewer than `entries` nodes (a tiny corpus
+    // can't strand the search on an empty entry set).
+    val ent = v
+      .withColumn("lv", when(hnswLvlCond(2), 2)
+        .when(hnswLvlCond(1), 1).otherwise(0))
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("vec_id").cast("string"))))
+      .orderBy(col("lv").desc, col("h"), col("vec_id")).limit(entries)
+      .select(col("vec_id"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v, "vec_id")
+        .join(broadcast(queries), "query_id")
+        .withColumn("score",
+          round(expr("array_dot(q, embedding)") / (col("qn") * col("vn")), 6))
+        .select(col("query_id"), col("vec_id"), col("score"))
+    def topBeam(scored: DataFrame, w0: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= w0)
+        .select(col("query_id"), col("vec_id"))
+    }
+    def scrub(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    // Schedule: top layer down (descent rounds), then the base rounds.
+    val schedule: Seq[(DataFrame, Int)] =
+      Seq((adjL(1), descentBeam), (adjL(0), descentBeam)) ++
+        Seq.fill(baseRounds)((adj0, beam))
+    var layers = List(score(
+        queries.select(col("query_id")).crossJoin(broadcast(ent)))
+      .localCheckpoint())
+    for ((adjR, w0) <- schedule) {
+      val frontier = topBeam(layers.head, w0)
+      val visited = layers.map(l =>
+          scrub(l.select(col("query_id"), col("vec_id"))))
+        .reduce(_ unionAll _)
+      val cand = frontier.as("f").join(adjR.as("a"),
+          col("f.vec_id") === col("a.u"))
+        .select(col("f.query_id").as("query_id"), col("a.v").as("vec_id"))
+        .distinct()
+      val fresh = cand.join(visited, Seq("query_id", "vec_id"), "left_anti")
+      layers = score(fresh).localCheckpoint() :: layers
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val all = layers.map(scrub).reduce(_ unionAll _)
+    val spark = vectors.sparkSession
+    spark.createDataFrame(all.rdd, all.schema)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        quant4(col("score")).as("cosine"))
+  }
+
+  /** Oracle twin of [[topKHnsw]]: level-subset k-NN CTEs, the same
+    * hash entries, and the full descent+base schedule unrolled as
+    * MATERIALIZED CTEs (the [[topKGraphBeamSql]] pattern with a
+    * per-round adjacency and beam width). */
+  def topKHnswSql(table: String, queryPredSql: String, k: Int,
+                  knnK: Int, tables: Seq[Seq[Seq[Double]]],
+                  beam: Int, baseRounds: Int, entries: Int,
+                  layerDeg: Int, descentBeam: Int = 4,
+                  salt: String = "hnsw"): String = {
+    val sb = new StringBuilder
+    def symmCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+          SELECT query_id AS u, neighbor_id AS v FROM $src
+          UNION ALL
+          SELECT neighbor_id AS u, query_id AS v FROM $src) s)"""
+    sb.append(s"""WITH er AS MATERIALIZED (
+          SELECT query_id, neighbor_id
+          FROM (${topKLshMultiSql(table, "TRUE", knnK, tables)}) e0),
+        ${symmCte("adj0", "er")},
+        er1 AS MATERIALIZED (SELECT query_id, neighbor_id
+          FROM (${topKLshMultiSql(
+            s"(SELECT * FROM $table WHERE ${hnswLvlCondSql(1)})",
+            "TRUE", layerDeg, tables)}) e1),
+        ${symmCte("adj1", "er1")},
+        er2 AS MATERIALIZED (SELECT query_id, neighbor_id
+          FROM (${topKLshMultiSql(
+            s"(SELECT * FROM $table WHERE ${hnswLvlCondSql(2)})",
+            "TRUE", layerDeg, tables)}) e2),
+        ${symmCte("adj2", "er2")},
+        vv AS MATERIALIZED (SELECT vec_id, embedding FROM $table),
+        qq AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS q
+          FROM vv WHERE $queryPredSql),
+        ent AS MATERIALIZED (SELECT vec_id FROM vv
+          ORDER BY (CASE WHEN ${hnswLvlCondSql(2)} THEN 2
+                    WHEN ${hnswLvlCondSql(1)} THEN 1 ELSE 0 END) DESC,
+            ${graft.ops.TextOps.hash64Sql(
+            s"'$salt' || CAST(vec_id AS VARCHAR)")}, vec_id
+          LIMIT $entries),
+        vis0 AS MATERIALIZED (
+          SELECT query_id, vv.vec_id,
+                 round(${cosineSql("q", "embedding")}, 6) AS score
+          FROM qq CROSS JOIN ent JOIN vv ON vv.vec_id = ent.vec_id)""")
+    val schedule: Seq[(String, Int)] =
+      Seq(("adj2", descentBeam), ("adj1", descentBeam)) ++
+        Seq.fill(baseRounds)(("adj0", beam))
+    schedule.zipWithIndex.foreach { case ((adjName, w0), i) =>
+      val r = i + 1
+      sb.append(s""",
+        fr${r - 1} AS MATERIALIZED (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rk
+          FROM ${if (r == 1) "vis0" else s"new${r - 1}"}) z
+          WHERE rk <= $w0),
+        cand$r AS (SELECT DISTINCT f.query_id, a.v AS vec_id
+          FROM fr${r - 1} f JOIN $adjName a ON f.vec_id = a.u),
+        new$r AS MATERIALIZED (
+          SELECT c.query_id, c.vec_id,
+                 round(${cosineSql("q", "embedding")}, 6) AS score
+          FROM cand$r c JOIN vv ON vv.vec_id = c.vec_id
+               JOIN qq ON qq.query_id = c.query_id
+          WHERE NOT EXISTS (SELECT 1 FROM vis${r - 1} w
+            WHERE w.query_id = c.query_id AND w.vec_id = c.vec_id)),
+        vis$r AS MATERIALIZED (
+          SELECT * FROM vis${r - 1} UNION ALL SELECT * FROM new$r)""")
+    }
+    val n = schedule.size
+    sb.append(s"""
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+          SELECT query_id, vec_id AS neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS INT) AS rank,
+                 ${quant4Sql("score")} AS cosine
+          FROM vis$n WHERE vec_id <> query_id) z
+        WHERE rank <= $k ORDER BY query_id, rank""")
+    sb.toString
+  }
+
   /** Recall@k regression gate for the two approximate indexes: joins each
     * approximate top-k to the brute-force exact top-k and emits per-method
     * (matched, total, recall, meets_floor). The oracle twin recomputes the
@@ -1574,7 +1774,9 @@ object SimOps {
                   pqFloor: Double, ivfpqFloor: Double,
                   ivfTrainRounds: Int = 0,
                   graphParams: Option[(Int, Int, Int, Int, Double)] = None,
-                  ivfpqShortlist: Int = 0)
+                  ivfpqShortlist: Int = 0,
+                  hnswParams: Option[(Int, Int, Int, Int, Int, Double)] =
+                    None)
   : DataFrame = {
     val ivfpqSl = if (ivfpqShortlist > 0) ivfpqShortlist else pqShortlist
     // persist: all four method branches join against the same exact
@@ -1616,11 +1818,20 @@ object SimOps {
         topKIvfPq(vectors, queryPred, k, c, nprobe, pqM, pqK, dim,
           ivfpqSl, trainRounds = ivfTrainRounds,
           cellsPre = cellsShared), ivfpqFloor))
-    graphParams.fold(base) { case (knnK, beam, rounds, entries, floor) =>
-      base.union(one("graph",
-        topKGraphBeam(vectors, queryPred, k,
-          knnEdgesCached(vectors, knnK, tables), beam, rounds, entries),
-        floor))
+    val withGraph = graphParams.fold(base) {
+      case (knnK, beam, rounds, entries, floor) =>
+        base.union(one("graph",
+          topKGraphBeam(vectors, queryPred, k,
+            knnEdgesCached(vectors, knnK, tables), beam, rounds, entries),
+          floor))
+    }
+    hnswParams.fold(withGraph) {
+      case (knnK, beam, baseRounds, entries, layerDeg, floor) =>
+        withGraph.union(one("hnsw",
+          topKHnsw(vectors, queryPred, k,
+            knnEdgesCached(vectors, knnK, tables), beam, baseRounds,
+            entries, layerDeg, tables),
+          floor))
     }
   }
 
@@ -1629,7 +1840,8 @@ object SimOps {
                      pqM: Int, pqK: Int, dim: Int, pqShortlist: Int,
                      ivfTrainRounds: Int = 0,
                      graphParams: Option[(Int, Int, Int, Int)] = None,
-                     ivfpqShortlist: Int = 0)
+                     ivfpqShortlist: Int = 0,
+                     hnswParams: Option[(Int, Int, Int, Int, Int)] = None)
   : String = {
     val ivfpqSl = if (ivfpqShortlist > 0) ivfpqShortlist else pqShortlist
     val graphCte = graphParams.fold("") { case (knnK, beam, rounds, ent) =>
@@ -1644,6 +1856,19 @@ object SimOps {
                  CAST(count(*) AS BIGINT) AS total
           FROM brute b LEFT JOIN graphk a USING (query_id, neighbor_id)
           """
+    val hnswCte = hnswParams.fold("") {
+      case (knnK, beam, baseRounds, ent, layerDeg) =>
+        s""",
+        hnswk AS (SELECT * FROM (${topKHnswSql(table, queryPredSql,
+          k, knnK, tables, beam, baseRounds, ent, layerDeg)}) th)"""
+    }
+    val hnswArm = if (hnswParams.isEmpty) "" else
+      s"""UNION ALL
+          SELECT 'hnsw' AS method,
+                 CAST(count(a.neighbor_id) AS BIGINT) AS matched,
+                 CAST(count(*) AS BIGINT) AS total
+          FROM brute b LEFT JOIN hnswk a USING (query_id, neighbor_id)
+          """
     s"""WITH brute AS (SELECT * FROM (${topKBruteForceSql(table, queryPredSql, k)}) tb),
         ivfk AS (SELECT * FROM (${topKIvfSql(table, queryPredSql, k, c, nprobe,
                   trainRounds = ivfTrainRounds, dim = dim)}) ti),
@@ -1652,7 +1877,7 @@ object SimOps {
                   pqM, pqK, dim, pqShortlist)}) tp),
         ivfpqk AS (SELECT * FROM (${topKIvfPqSql(table, queryPredSql, k,
                   c, nprobe, pqM, pqK, dim, ivfpqSl,
-                  trainRounds = ivfTrainRounds)}) tq)$graphCte,
+                  trainRounds = ivfTrainRounds)}) tq)$graphCte$hnswCte,
         m AS (
           SELECT 'ivf' AS method,
                  CAST(count(a.neighbor_id) AS BIGINT) AS matched,
@@ -1673,7 +1898,7 @@ object SimOps {
                  CAST(count(a.neighbor_id) AS BIGINT) AS matched,
                  CAST(count(*) AS BIGINT) AS total
           FROM brute b LEFT JOIN ivfpqk a USING (query_id, neighbor_id)
-          $graphArm)
+          $graphArm$hnswArm)
         SELECT method, matched, total,
                ${quant4Sql("CAST(matched AS DOUBLE) / CAST(total AS DOUBLE)")}
                  AS recall,

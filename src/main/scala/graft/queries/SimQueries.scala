@@ -59,6 +59,13 @@ object SimQueries {
   val GraphBeam = 16
   val GraphRounds = 5
   val GraphEntries = 16
+  // HNSW: 2 descent rounds over the hash-level layers replace 2 of
+  // NSW's base rounds (5 -> 3) and 4 entry points replace 16 — the
+  // hierarchical entry point does the navigation work.
+  val HnswBaseRounds = 3
+  val HnswEntries = 4
+  val HnswLayerDeg = 6
+  val HnswFloor = 0.7
   /** Hard-negative band: cosine in [0.25, 0.45) — above the unrelated
     * floor (top-5 cosines on this corpus span 0.22–0.49), below the
     * 0.45 near-dup cutoff (`DedupQueries.CosineThreshold`) so true
@@ -171,14 +178,18 @@ object SimQueries {
           ivfTrainRounds = IvfTrainRounds,
           graphParams = Some((GraphDegree, GraphBeam, GraphRounds,
             GraphEntries, GraphFloor)),
-          ivfpqShortlist = IvfPqShortlist)
+          ivfpqShortlist = IvfPqShortlist,
+          hnswParams = Some((GraphDegree, GraphBeam, HnswBaseRounds,
+            HnswEntries, HnswLayerDeg, HnswFloor)))
       },
       Some(SimOps.recallAuditSql("embeddings", QueryPredSql, K,
         LshTabs, Cells, NProbe, PqM, PqK, Dim, PqShortlist,
         ivfTrainRounds = IvfTrainRounds,
         graphParams =
           Some((GraphDegree, GraphBeam, GraphRounds, GraphEntries)),
-        ivfpqShortlist = IvfPqShortlist)),
+        ivfpqShortlist = IvfPqShortlist,
+        hnswParams = Some((GraphDegree, GraphBeam, HnswBaseRounds,
+          HnswEntries, HnswLayerDeg)))),
       presentOrder = Seq("method")),
 
     // NSW-style graph ANN: beam search over the corpus k-NN graph — the
@@ -198,6 +209,29 @@ object SimQueries {
       },
       Some(SimOps.topKGraphBeamSql("embeddings", QueryPredSql, K,
         GraphDegree, LshTabs, GraphBeam, GraphRounds, GraphEntries)),
+      presentOrder = Seq("query_id", "rank")),
+
+    // HNSW: hierarchical layers over the NSW base walk (Malkov &
+    // Yashunin TPAMI'18) — geometric hash levels (P(lvl >= l) = 4^-l),
+    // each upper layer its OWN k-NN graph over its level subset (the
+    // batch reshape of sequential inserts; total build <= 1.33x the
+    // base), hash entries at the top layer, one narrow descent round
+    // per layer, then the base beam search with 3 rounds instead of
+    // NSW's 5 — the hierarchical entry point lands the walk near the
+    // query, so base hops shrink while the audit floor holds at 0.7.
+    // Oracle unrolls the full descent+base schedule as MATERIALIZED
+    // CTEs.
+    QueryDef("sim_topk_hnsw",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.topKHnsw(Tables.embeddings(s, d), col("vec_id") < 10,
+          K, SimOps.knnEdgesCached(Tables.embeddings(s, d), GraphDegree,
+            LshTabs),
+          GraphBeam, HnswBaseRounds, HnswEntries, HnswLayerDeg, LshTabs)
+      },
+      Some(SimOps.topKHnswSql("embeddings", QueryPredSql, K,
+        GraphDegree, LshTabs, GraphBeam, HnswBaseRounds, HnswEntries,
+        HnswLayerDeg)),
       presentOrder = Seq("query_id", "rank")),
 
     // PQ-ADC quantized search: codes-only asymmetric-distance scan (the

@@ -567,6 +567,56 @@ class DedupSimSpec extends SparkSpec {
       SimOps.topKGraphBeam(vecs, col("vec_id") < 3, 4, chain, 1, 0, 1))
   }
 
+  test("topKHnsw: exhaustive budget equals brute force; deterministic; " +
+    "level-DESC entry backfill survives an empty top layer; recall on " +
+    "the gate corpus beats the audit floor with fewer base hops; " +
+    "invalid knobs reject") {
+    import spark.implicits._
+    import graft.ops.SimOps
+    import graft.queries.SimQueries._
+    graft.catalyst.GraftFunctions.register(spark)
+    val n = 12
+    val vecs = (0 until n).map { i =>
+      val th = 2.0 * math.Pi * i / (4.0 * n)
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("vec_id", "embedding")
+    val chain = (0 until n - 1)
+      .map(i => (i.toLong, (i + 1).toLong))
+      .toDF("query_id", "neighbor_id")
+    val brute = SimOps.topKBruteForce(vecs, col("vec_id") < 3, 4)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    // Exhaustive budget: the base rounds alone can walk the whole
+    // chain from every entry (entries = n backfills across levels —
+    // a 12-node corpus has essentially no level-2 layer, so this also
+    // pins that an empty top layer cannot strand the search).
+    def full = SimOps.topKHnsw(vecs, col("vec_id") < 3, 4, chain,
+        beam = n, baseRounds = n, entries = n, layerDeg = 4, LshTabs)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    val a = full
+    assert(a === brute)
+    assert(a === full) // deterministic across runs
+    // Gate corpus: the audit-arm configuration must beat the 0.7
+    // floor with 3 base rounds (NSW's gate walks 5) — the
+    // hierarchical entry point carries the difference.
+    val d0 = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, d0)
+    val bruteK = SimOps.topKBruteForce(emb, col("vec_id") < 10, K)
+      .select("query_id", "neighbor_id").collect().toSet
+    val hnswK = SimOps.topKHnsw(emb, col("vec_id") < 10, K,
+        SimOps.topKLshMulti(emb, lit(true), GraphDegree, LshTabs),
+        GraphBeam, HnswBaseRounds, HnswEntries, HnswLayerDeg, LshTabs)
+      .select("query_id", "neighbor_id").collect().toSet
+    val recall = (bruteK & hnswK).size.toDouble / bruteK.size
+    assert(recall >= HnswFloor,
+      s"hnsw recall $recall under the ${HnswFloor} floor")
+    intercept[IllegalArgumentException](
+      SimOps.topKHnsw(vecs, col("vec_id") < 3, 4, chain, 0, 1, 1, 4,
+        LshTabs))
+    intercept[IllegalArgumentException](
+      SimOps.topKHnsw(vecs, col("vec_id") < 3, 4, chain, 1, 0, 1, 4,
+        LshTabs))
+  }
+
   test("connectedComponents: driver fast path and distributed path agree") {
     import spark.implicits._
     val rnd2 = new scala.util.Random(7)
