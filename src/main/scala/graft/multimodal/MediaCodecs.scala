@@ -1469,10 +1469,12 @@ object MediaCodecs {
               compV(c) > 4 || compQ(c) > 3) return None
             c += 1
           }
-        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 || m == 0xc5 ||
+        case 0xc2 => // SOF2 progressive huffman: the multi-scan decoder
+          return jpegRgbProgressive(bytes)
+        case m if m == 0xc1 || m == 0xc3 || m == 0xc5 ||
           m == 0xc6 || m == 0xc7 || (m >= 0xc9 && m <= 0xcb) ||
           (m >= 0xcd && m <= 0xcf) =>
-          return None // non-baseline SOF (progressive, arithmetic, …)
+          return None // non-baseline SOF (arithmetic, lossless, 12-bit …)
         case 0xc4 => // DHT
           var p = seg
           while (p < seg + segLen) {
@@ -1626,13 +1628,483 @@ object MediaCodecs {
     Some((width, height, nComp, rgb))
   }
 
+  /** Progressive (SOF2) huffman JPEG decoder — T.81 Annex G: the
+    * multi-scan path a real web crawl's MAJORITY of images needs.
+    * Coefficients accumulate across scans in zigzag order:
+    *
+    *  - DC first scans (Ss=0, Ah=0): baseline DC differencing, values
+    *    scaled by 2^Al; interleaved over the MCU grid when ns > 1,
+    *    raster over the component's own blocks when ns = 1.
+    *  - DC refinement (Ah>0): one correction bit per block → bit Al.
+    *  - AC first scans (Ss>0, Ah=0): single-component spectral band
+    *    [Ss..Se] with EOB-run coding (G.1.2.2).
+    *  - AC refinement (Ah>0): the G.1.2.3 successive-approximation
+    *    algorithm — new ±2^Al coefficients interleaved with
+    *    correction bits for every nonzero-history coefficient,
+    *    including inside EOB runs.
+    *
+    * Scans decode strictly in stream order (tables may be redefined
+    * between scans); after the last scan the accumulated coefficients
+    * dequantize and ride the SAME IDCT/upsample/color tail as the
+    * baseline path — progressive is a lossless reordering of the same
+    * data, so the ImageIO cross-validation bound (±1/sample) applies
+    * unchanged. Malformed scans (a full-band Ss=0/Se=63 "progressive"
+    * scan, overrunning bands, truncation, bad codes) reject with
+    * None. */
+  private def jpegRgbProgressive(bytes: Array[Byte])
+  : Option[(Int, Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[JpegHuff](4)
+    val acT = new Array[JpegHuff](4)
+    var width = 0
+    var height = 0
+    var nComp = 0
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+    var hMax = 0
+    var vMax = 0
+    var mcusX = 0
+    var mcusY = 0
+    var bW: Array[Int] = null // padded block grid (MCU-aligned)
+    var bH: Array[Int] = null
+    var nbW: Array[Int] = null // the component's own coded block counts
+    var nbH: Array[Int] = null
+    var coef: Array[Array[Int]] = null // per comp, blockIdx*64 + zigzag k
+    var sawEoi = false
+    var off = 2
+    while (!sawEoi) {
+      if (off + 2 > bytes.length) return None
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val marker = bytes(off + 1) & 0xff
+      if (marker == 0xd9) { sawEoi = true }
+      else {
+        if (off + 4 > bytes.length) return None
+        val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        if (off + 2 + len > bytes.length || len < 2) return None
+        val seg = off + 4
+        val segLen = len - 2
+        marker match {
+          case 0xdb =>
+            var p = seg
+            while (p < seg + segLen) {
+              val pq = (bytes(p) & 0xf0) >> 4
+              val tq = bytes(p) & 0x0f
+              if (tq > 3) return None
+              p += 1
+              val t = new Array[Int](64)
+              if (pq == 0) {
+                if (p + 64 > seg + segLen) return None
+                var i = 0
+                while (i < 64) { t(i) = bytes(p + i) & 0xff; i += 1 }
+                p += 64
+              } else if (pq == 1) {
+                if (p + 128 > seg + segLen) return None
+                var i = 0
+                while (i < 64) {
+                  t(i) = ((bytes(p + 2 * i) & 0xff) << 8) |
+                    (bytes(p + 2 * i + 1) & 0xff)
+                  i += 1
+                }
+                p += 128
+              } else return None
+              qt(tq) = t // zigzag order — coefficients are stored zigzag
+            }
+          case 0xc2 =>
+            if (coef != null) return None // one frame only
+            if (segLen < 6) return None
+            if ((bytes(seg) & 0xff) != 8) return None
+            height = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+            width = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+            nComp = bytes(seg + 5) & 0xff
+            if (width <= 0 || height <= 0) return None
+            if (nComp != 1 && nComp != 3) return None
+            if (segLen < 6 + 3 * nComp) return None
+            compId = new Array[Int](nComp)
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = bytes(seg + 6 + 3 * c) & 0xff
+              val hv = bytes(seg + 7 + 3 * c) & 0xff
+              compH(c) = (hv >> 4) & 0xf
+              compV(c) = hv & 0xf
+              compQ(c) = bytes(seg + 8 + 3 * c) & 0xff
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
+                compV(c) > 4 || compQ(c) > 3) return None
+              c += 1
+            }
+            hMax = compH.max
+            vMax = compV.max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            bW = Array.tabulate(nComp)(c0 => mcusX * compH(c0))
+            bH = Array.tabulate(nComp)(c0 => mcusY * compV(c0))
+            nbW = Array.tabulate(nComp) { c0 =>
+              val xc = (width * compH(c0) + hMax - 1) / hMax
+              (xc + 7) / 8
+            }
+            nbH = Array.tabulate(nComp) { c0 =>
+              val yc = (height * compV(c0) + vMax - 1) / vMax
+              (yc + 7) / 8
+            }
+            coef = Array.tabulate(nComp)(c0 =>
+              new Array[Int](bW(c0) * bH(c0) * 64))
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 =>
+            return None // a second, non-SOF2 frame header
+          case m if (m >= 0xc9 && m <= 0xcb) || (m >= 0xcd && m <= 0xcf) =>
+            return None
+          case 0xc4 =>
+            var p = seg
+            while (p < seg + segLen) {
+              val tc = (bytes(p) & 0xf0) >> 4
+              val th = bytes(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              p += 1
+              if (p + 16 > seg + segLen) return None
+              val counts = Array.tabulate(16)(i => bytes(p + i) & 0xff)
+              p += 16
+              val total = counts.sum
+              if (p + total > seg + segLen) return None
+              val syms = Array.tabulate(total)(i => bytes(p + i) & 0xff)
+              p += total
+              val h = new JpegHuff(counts, syms)
+              if (tc == 0) dcT(th) = h else acT(th) = h
+            }
+          case 0xdd =>
+            if (segLen < 4) return None
+            restartInterval =
+              ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+          case 0xda =>
+            if (coef == null) return None
+            val ns = bytes(seg) & 0xff
+            if (ns < 1 || ns > nComp || segLen < 1 + 2 * ns + 3) return None
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns)
+            val scanAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val id = bytes(seg + 1 + 2 * c) & 0xff
+              val ci = compId.indexOf(id)
+              if (ci < 0) return None
+              scanComp(c) = ci
+              scanDc(c) = (bytes(seg + 2 + 2 * c) & 0xf0) >> 4
+              scanAc(c) = bytes(seg + 2 + 2 * c) & 0x0f
+              c += 1
+            }
+            val ss = bytes(seg + 1 + 2 * ns) & 0xff
+            val se = bytes(seg + 2 + 2 * ns) & 0xff
+            val ahAl = bytes(seg + 3 + 2 * ns) & 0xff
+            val ah = (ahAl >> 4) & 0xf
+            val al = ahAl & 0xf
+            // Progressive scan-header legality (T.81 G.1): DC scans
+            // are exactly the 0..0 band; AC scans are a single
+            // component over 1..63; refinement drops one bit.
+            if (ss == 0 && se != 0) return None
+            if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
+            if (ah != 0 && ah != al + 1) return None
+            val entStart = off + 2 + len
+            val br = new JpegBits(bytes, entStart)
+            if (!decodeProgressiveScan(br, coef, scanComp, scanDc, scanAc,
+              ss, se, ah, al, dcT, acT, compH, compV, mcusX, mcusY,
+              bW, nbW, nbH, restartInterval, ns)) return None
+            // Resume the marker walk at the next true marker after the
+            // entropy-coded data (skipping stuffed FF00 and RSTn).
+            var p = br.pos
+            var found = -1
+            while (found < 0 && p + 1 < bytes.length) {
+              if ((bytes(p) & 0xff) == 0xff) {
+                val m2 = bytes(p + 1) & 0xff
+                if (m2 != 0x00 && !(m2 >= 0xd0 && m2 <= 0xd7)) found = p
+                else p += 2
+              } else p += 1
+            }
+            if (found < 0) return None
+            off = found - 2 - len // compensate the shared advance below
+          case _ => ()
+        }
+        off += 2 + len
+      }
+    }
+    if (coef == null) return None
+    // Dequantize + IDCT every block of the padded grid into planes,
+    // then the baseline upsample/color tail.
+    val planeW = Array.tabulate(nComp)(c => bW(c) * 8)
+    val planeH = Array.tabulate(nComp)(c => bH(c) * 8)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Int](planeW(c) * planeH(c)))
+    val blk = new Array[Int](64)
+    var c = 0
+    while (c < nComp) {
+      val q = qt(compQ(c))
+      if (q == null) return None
+      var b = 0
+      val nb = bW(c) * bH(c)
+      while (b < nb) {
+        java.util.Arrays.fill(blk, 0)
+        var k = 0
+        while (k < 64) {
+          val v = coef(c)(b * 64 + k)
+          if (v != 0) blk(zigzagOrder(k)) = v * q(k)
+          k += 1
+        }
+        val px = idct8x8(blk)
+        val ox = (b % bW(c)) * 8
+        val oy = (b / bW(c)) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(c)((oy + yy) * planeW(c) + ox + xx) = px(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        b += 1
+      }
+      c += 1
+    }
+    val rgb = new Array[Int](width * height)
+    var yy = 0
+    while (yy < height) {
+      var xx = 0
+      while (xx < width) {
+        if (nComp == 1) {
+          val v = planes(0)(yy * planeW(0) + xx)
+          rgb(yy * width + xx) = (v << 16) | (v << 8) | v
+        } else {
+          def samp(c0: Int): Int = {
+            val sx = xx * compH(c0) / hMax
+            val sy = yy * compV(c0) / vMax
+            planes(c0)(sy * planeW(c0) + sx)
+          }
+          val y0 = samp(0)
+          val cb = samp(1) - 128
+          val cr = samp(2) - 128
+          def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+          val r = clamp(y0 + ((91881 * cr + 32768) >> 16))
+          val g = clamp(y0 - ((22554 * cb + 46802 * cr + 32768) >> 16))
+          val b = clamp(y0 + ((116130 * cb + 32768) >> 16))
+          rgb(yy * width + xx) = (r << 16) | (g << 8) | b
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    Some((width, height, nComp, rgb))
+  }
+
+  /** One progressive entropy-coded scan over the shared coefficient
+    * store — false on any malformed code/band/truncation. */
+  private def decodeProgressiveScan(br: JpegBits, coef: Array[Array[Int]],
+      scanComp: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int,
+      dcT: Array[JpegHuff], acT: Array[JpegHuff],
+      compH: Array[Int], compV: Array[Int], mcusX: Int, mcusY: Int,
+      bW: Array[Int], nbW: Array[Int], nbH: Array[Int],
+      restartInterval: Int, ns: Int): Boolean = {
+    val dcPred = new Array[Int](scanComp.length)
+    var eobrun = 0
+    def restartIfDue(unit: Int): Boolean = {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        if (!br.restart()) return false
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+      true
+    }
+    def dcFirst(si: Int, blockIdx: Int): Boolean = {
+      val h = dcT(scanDc(si))
+      if (h == null) return false
+      val s = h.decode(br)
+      if (s < 0 || s > 15) return false
+      val raw = br.receive(s)
+      if (raw == Int.MinValue) return false
+      dcPred(si) += br.extend(raw, s)
+      coef(scanComp(si))(blockIdx * 64) = dcPred(si) << al
+      true
+    }
+    def dcRefine(si: Int, blockIdx: Int): Boolean = {
+      val b = br.bit()
+      if (b < 0) return false
+      if (b == 1) coef(scanComp(si))(blockIdx * 64) |= (1 << al)
+      true
+    }
+    def acFirst(ci: Int, blockIdx: Int): Boolean = {
+      val h = acT(scanAc(0))
+      if (h == null) return false
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = h.decode(br)
+        if (rs < 0) return false
+        val r = (rs >> 4) & 0xf
+        val s = rs & 0xf
+        if (s == 0) {
+          if (r == 15) k += 16
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val x = br.receive(r)
+              if (x == Int.MinValue) return false
+              eobrun += x
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          val raw = br.receive(s)
+          if (raw == Int.MinValue) return false
+          coef(ci)(blockIdx * 64 + k) = br.extend(raw, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+    // G.1.2.3: refinement of an AC band — new ±2^al coefficients
+    // interleaved with correction bits on every nonzero-history
+    // coefficient, EOB runs included.
+    def acRefine(ci: Int, blockIdx: Int): Boolean = {
+      val h = acT(scanAc(0))
+      if (h == null) return false
+      val p1 = 1 << al
+      val m1 = -1 << al
+      val base = blockIdx * 64
+      var k = ss
+      if (eobrun == 0) {
+        var break = false
+        while (k <= se && !break) {
+          val rs = h.decode(br)
+          if (rs < 0) return false
+          var r = (rs >> 4) & 0xf
+          val s = rs & 0xf
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) {
+              // NOTE: no −1 here (unlike the first-scan EOB): the
+              // correction sweep below still reads this block's
+              // refinement bits, and ITS eobrun -= 1 consumes the
+              // block — an off-by-one here desyncs every later scan.
+              eobrun = 1 << r
+              if (r > 0) {
+                val x = br.receive(r)
+                if (x == Int.MinValue) return false
+                eobrun += x
+              }
+              break = true // fall through to the EOB correction sweep
+            }
+            // r == 15: skip 16 zero-history coefficients below
+          } else {
+            if (s != 1) return false // refinement codes only ±1
+            val b = br.bit()
+            if (b < 0) return false
+            newVal = if (b == 1) p1 else m1
+          }
+          if (!break) {
+            var placed = false
+            while (k <= se && !placed) {
+              val cv = coef(ci)(base + k)
+              if (cv != 0) {
+                val b = br.bit()
+                if (b < 0) return false
+                if (b == 1 && (cv & p1) == 0)
+                  coef(ci)(base + k) = cv + (if (cv >= 0) p1 else m1)
+                k += 1
+              } else {
+                if (r == 0) {
+                  // the run-terminating zero-history slot: write the
+                  // new ±2^al value (or, for ZRL, just consume it)
+                  if (newVal != 0) coef(ci)(base + k) = newVal
+                  k += 1
+                  placed = true
+                } else { r -= 1; k += 1 }
+              }
+            }
+            if (!placed && newVal != 0) return false // band overrun
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // Correction bits for the remaining nonzero coefficients.
+        while (k <= se) {
+          val cv = coef(ci)(base + k)
+          if (cv != 0) {
+            val b = br.bit()
+            if (b < 0) return false
+            if (b == 1 && (cv & p1) == 0)
+              coef(ci)(base + k) = cv + (if (cv >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    if (ss == 0 && ns > 1) {
+      // Interleaved DC scan over the MCU grid.
+      var mcu = 0
+      val total = mcusX * mcusY
+      while (mcu < total) {
+        if (!restartIfDue(mcu)) return false
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var si = 0
+        while (si < ns) {
+          val ci = scanComp(si)
+          var by = 0
+          while (by < compV(ci)) {
+            var bx = 0
+            while (bx < compH(ci)) {
+              val blockIdx = (my * compV(ci) + by) * bW(ci) +
+                (mx * compH(ci) + bx)
+              val ok = if (ah == 0) dcFirst(si, blockIdx)
+                else dcRefine(si, blockIdx)
+              if (!ok) return false
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // Non-interleaved: raster over the single component's own blocks.
+      val ci = scanComp(0)
+      val w = nbW(ci)
+      val hgt = nbH(ci)
+      var b = 0
+      val total = w * hgt
+      while (b < total) {
+        if (!restartIfDue(b)) return false
+        val blockIdx = (b / w) * bW(ci) + (b % w)
+        val ok =
+          if (ss == 0) {
+            if (ah == 0) dcFirst(0, blockIdx) else dcRefine(0, blockIdx)
+          } else {
+            if (ah == 0) acFirst(ci, blockIdx) else acRefine(ci, blockIdx)
+          }
+        if (!ok) return false
+        b += 1
+      }
+    }
+    true
+  }
+
   /** Grayscale JPEG synthesis via the JDK's own ImageIO encoder (part
     * of every JRE — no external library): the blob generator for
     * [[jpegRgb]]'s gate and specs, deliberately an INDEPENDENT codec so
     * the decoder under test shares nothing with the encoder (the GIF
     * cross-validation pattern). */
   def buildJpegGray(width: Int, height: Int, f: (Int, Int) => Int,
-                    quality: Float = 0.8f): Array[Byte] = {
+                    quality: Float = 0.8f,
+                    progressive: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -1645,10 +2117,45 @@ object MediaCodecs {
       }
       y += 1
     }
+    encodeJpeg(img, quality, progressive)
+  }
+
+  /** Color JPEG synthesis (TYPE_INT_RGB → ImageIO's 4:2:0 YCbCr
+    * encode): the blob generator that exercises the interleaved-DC +
+    * per-component-AC progressive paths and chroma subsampling. */
+  def buildJpegColor(width: Int, height: Int,
+                     f: (Int, Int) => (Int, Int, Int),
+                     quality: Float = 0.8f,
+                     progressive: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = f(x, y)
+        img.setRGB(x, y,
+          ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    encodeJpeg(img, quality, progressive)
+  }
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage,
+                         quality: Float,
+                         progressive: Boolean): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
+    // MODE_DEFAULT = the encoder's own multi-scan progressive script
+    // (spectral selection + successive approximation) — the
+    // independent-codec source of real SOF2 streams for the gate.
+    p.setProgressiveMode(
+      if (progressive) javax.imageio.ImageWriteParam.MODE_DEFAULT
+      else javax.imageio.ImageWriteParam.MODE_DISABLED)
     val bos = new java.io.ByteArrayOutputStream
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     w.setOutput(ios)

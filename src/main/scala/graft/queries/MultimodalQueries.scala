@@ -563,8 +563,14 @@ object MultimodalQueries {
           .map { case (id, nc) =>
             val w = (id % 16 + 8).toInt
             val h = (nc % 12 + 8).toInt
+            // Half the corpus is PROGRESSIVE (SOF2, the JDK encoder's
+            // 6-scan spectral-selection + successive-approximation
+            // script) — the crawl-majority case the round-10 decoder
+            // handles; decode_ok pins the same ±1 ImageIO bound on
+            // both paths.
             val bytes = graft.multimodal.MediaCodecs.buildJpegGray(w, h,
-              (x, y) => ((x * 5 + y * 9 + id) % 256).toInt)
+              (x, y) => ((x * 5 + y * 9 + id) % 256).toInt,
+              progressive = id % 4 < 2)
             val m = graft.multimodal.MediaCodecs.jpegRgb(bytes)
             val dev = graft.multimodal.MediaCodecs.jpegMaxDevVsImageIO(bytes)
             (id, m.map(_._1).getOrElse(-1), m.map(_._2).getOrElse(-1),
@@ -614,16 +620,15 @@ object MultimodalQueries {
                 (8000 + (id % 3) * 4000).toInt, (1 + id % 2).toInt,
                 Array.fill((nc % 50 + 2).toInt)(100.toShort))
               case 4 =>
-                val base = graft.multimodal.MediaCodecs.buildJpegGray(
-                  (id % 16 + 8).toInt, (nc % 12 + 8).toInt,
-                  (x, y) => ((x * 5 + y * 9 + id) % 256).toInt)
                 // (id / 6) % 2, NOT id % 2: the residue class id%6==4
                 // is all-even, so id%2 was constant-true and the
-                // baseline arm never flowed through the gate.
-                if ((id / 6) % 2 == 0)
-                  graft.multimodal.MediaCodecs
-                    .withProgressiveSofHeader(base)
-                else base
+                // baseline arm never flowed through the gate. The
+                // progressive arm is REAL SOF2 bytes (round 10), not a
+                // rewritten header.
+                graft.multimodal.MediaCodecs.buildJpegGray(
+                  (id % 16 + 8).toInt, (nc % 12 + 8).toInt,
+                  (x, y) => ((x * 5 + y * 9 + id) % 256).toInt,
+                  progressive = (id / 6) % 2 == 0)
               case _ => graft.multimodal.MediaCodecs.buildMp4(
                 (id % 31 + 16).toInt, (nc % 23 + 16).toInt,
                 timescale = 600, duration = (nc % 900 + 100).toInt,

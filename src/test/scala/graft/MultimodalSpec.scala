@@ -40,16 +40,64 @@ class MultimodalSpec extends SparkSpec {
         None, None, progressive = Some(false))))
   }
 
-  test("sniffMeta: progressive JPEG reports geometry + flag while " +
-    "jpegRgb still refuses to decode it") {
+  test("sniffMeta: progressive JPEG reports geometry + flag; a LYING " +
+    "SOF2 header over baseline entropy data rejects as malformed") {
     val base = MediaCodecs.buildJpegGray(19, 7, (x, y) => x * y)
-    val prog = MediaCodecs.withProgressiveSofHeader(base)
-    assert(!java.util.Arrays.equals(base, prog)) // SOF0 -> SOF2 applied
+    val lie = MediaCodecs.withProgressiveSofHeader(base)
+    assert(!java.util.Arrays.equals(base, lie)) // SOF0 -> SOF2 applied
+    assert(MediaCodecs.sniffMeta(lie) ===
+      Some(MediaCodecs.ContainerMeta("image", Some(19), Some(7), Some(1),
+        None, None, progressive = Some(true))))
+    // the full-band Ss=0/Se=63 scan is illegal under SOF2 — the
+    // progressive decoder must reject the forged stream, not misread it
+    assert(MediaCodecs.jpegRgb(lie).isEmpty)
+    assert(MediaCodecs.jpegRgb(base).nonEmpty)
+    // REAL progressive bytes sniff the same flag
+    val prog = MediaCodecs.buildJpegGray(19, 7, (x, y) => x * y,
+      progressive = true)
     assert(MediaCodecs.sniffMeta(prog) ===
       Some(MediaCodecs.ContainerMeta("image", Some(19), Some(7), Some(1),
         None, None, progressive = Some(true))))
-    assert(MediaCodecs.jpegRgb(prog).isEmpty) // decode correctly rejects
-    assert(MediaCodecs.jpegRgb(base).nonEmpty)
+  }
+
+  test("progressive JPEG decode (T.81 Annex G): grayscale multi-scan " +
+    "streams decode within the ±1 ImageIO bound across geometries; " +
+    "color progressive is pixel-identical to the baseline path; " +
+    "truncation rejects") {
+    // The JDK encoder's standard 6-scan script exercises DC first +
+    // refinement, spectral bands, and TWO successive-approximation AC
+    // refinement passes (Ah=2→1→0) — multi-block-row geometries pin
+    // the cross-block EOB-run correction sweep.
+    for ((w, h) <- Seq((8, 8), (19, 7), (24, 17), (9, 21), (64, 48))) {
+      val prog = MediaCodecs.buildJpegGray(w, h,
+        (x, y) => (x * 5 + y * 9) % 256, progressive = true)
+      val m = MediaCodecs.jpegRgb(prog)
+      assert(m.nonEmpty && m.get._1 === w && m.get._2 === h &&
+        m.get._3 === 1, s"${w}x$h geometry")
+      val dev = MediaCodecs.jpegMaxDevVsImageIO(prog)
+      assert(dev.exists(_ <= 1), s"${w}x$h dev=$dev")
+    }
+    // Color (4:2:0 subsampled): interleaved DC scans + per-component
+    // AC bands. The chroma upsample gap vs ImageIO's triangle filter
+    // is a property of OUR upsampler, not of the progressive path —
+    // pin that progressive and baseline decode the same content to
+    // the same deviation (value-consistency of the two paths).
+    for ((w, h) <- Seq((16, 16), (21, 13), (40, 30))) {
+      def px(x: Int, y: Int) = ((x * 7) % 256, (y * 11) % 256, (x + y) % 256)
+      val base = MediaCodecs.buildJpegColor(w, h, px)
+      val prog = MediaCodecs.buildJpegColor(w, h, px, progressive = true)
+      val mB = MediaCodecs.jpegRgb(base)
+      val mP = MediaCodecs.jpegRgb(prog)
+      assert(mB.nonEmpty && mP.nonEmpty)
+      assert(mP.get._1 === w && mP.get._2 === h && mP.get._3 === 3)
+      assert(MediaCodecs.jpegMaxDevVsImageIO(prog) ===
+        MediaCodecs.jpegMaxDevVsImageIO(base), s"${w}x$h path parity")
+    }
+    // Truncated mid-scan: reject, never throw.
+    val prog = MediaCodecs.buildJpegGray(24, 17, (x, y) => (x * 3 + y) % 256,
+      progressive = true)
+    assert(MediaCodecs.jpegRgb(prog.dropRight(20)).isEmpty)
+    assert(MediaCodecs.jpegRgb(prog.take(30)).isEmpty)
   }
 
   test("sniffMeta: MP4 box walk — hand-built fixture fields exact, mdat " +
@@ -200,20 +248,14 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("JPEG decoder: malformed inputs reject — progressive SOF2, " +
-    "truncation, wrong magic") {
-    val g = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val p = wtr.getDefaultWriteParam
-    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-    val bos = new java.io.ByteArrayOutputStream
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    wtr.setOutput(ios)
-    wtr.write(null, new javax.imageio.IIOImage(g, null, null), p)
-    ios.close(); wtr.dispose()
-    assert(MediaCodecs.jpegRgb(bos.toByteArray).isEmpty,
-      "progressive (SOF2) must reject — baseline decoder")
+  test("JPEG decoder: malformed inputs reject — truncation, wrong " +
+    "magic; progressive SOF2 now DECODES (round 10)") {
+    // What used to be the rejection case is the round-10 feature: a
+    // real SOF2 multi-scan stream decodes within the ImageIO bound.
+    val prog = MediaCodecs.buildJpegGray(16, 16, (x, y) => x + y,
+      progressive = true)
+    assert(MediaCodecs.jpegRgb(prog).nonEmpty)
+    assert(MediaCodecs.jpegMaxDevVsImageIO(prog).exists(_ <= 1))
     val ok = MediaCodecs.buildJpegGray(16, 16, (x, y) => x + y)
     assert(MediaCodecs.jpegRgb(ok.take(ok.length / 2)).isEmpty)
     assert(MediaCodecs.jpegRgb("not a jpeg".getBytes).isEmpty)
