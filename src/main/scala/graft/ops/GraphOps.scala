@@ -1034,8 +1034,8 @@ object GraphOps {
     val h = graft.ops.TextOps.hash64Sql(
       s"'$salt' || CAST(node_id AS VARCHAR)")
     s"""WITH RECURSIVE nodes AS ($nodesSql),
-        e0 AS ($edgesSql),
-        edges AS (SELECT src, dst FROM (
+        e0 AS MATERIALIZED ($edgesSql),
+        edges AS MATERIALIZED (SELECT src, dst FROM (
             SELECT src, dst FROM e0 WHERE src <> dst
             UNION SELECT dst, src FROM e0 WHERE src <> dst)),
         st AS (SELECT node_id AS s FROM (
@@ -1128,6 +1128,180 @@ object GraphOps {
                WHEN i_res IS NOT NULL THEN greatest(lb0, rm_res)
                ELSE -1 END AS BIGINT) AS diam_exact
         FROM fold"""
+  }
+
+  /** Exact diameter via BoundingDiameters (Takes & Kosters,
+    * "Determining the diameter of small world networks", CIKM 2011) —
+    * the 100 TB-scale companion to [[diameterIfub]]: where iFUB's
+    * fringe chunk is a Θ(n)-seed multi-source BFS on expander-like
+    * graphs (its known worst case), this algorithm runs ONE
+    * single-source BFS per round — O(rounds·m) total, and on
+    * small-world graphs the bound refinement terminates in a handful
+    * of rounds regardless of n.
+    *
+    * Per round, BFS from the selected node v gives ecc(v) and, for
+    * every node w, the sandwich ecc(v) − d(v,w) ≤ ecc(w) ≤
+    * ecc(v) + d(v,w) (and ecc(w) ≥ d(v,w)); the global bounds are
+    * ΔL = max ecc(v) seen, ΔU = min 2·ecc(v). A node leaves the
+    * candidate set when it can no longer move either bound
+    * (εU(w) ≤ ΔL and 2·εL(w) ≥ ΔU); selection INTERCHANGES max-εU
+    * (diameter witnesses) and min-εL (bound tighteners), ties to the
+    * lowest id. Termination: ΔU ≤ ΔL, or the candidate set empties —
+    * then every unprocessed node has ecc ≤ ΔL, so ΔL IS the exact
+    * diameter of the start component even while ΔU > ΔL.
+    *
+    * Both engines run the identical fixed `maxRounds` schedule (the
+    * kTruss bounded-unroll pattern): the oracle computes every round
+    * and folds to the FIRST resolved round; Spark early-exits there —
+    * later rounds cannot change the folded output. Unresolved within
+    * the budget → resolved=false, diam_exact = −1 sentinel.
+    *
+    * Scale shape: per round one [[multiBfs]] single-seed run over the
+    * shared pre-partitioned adjacency, one narrow bounds-update join,
+    * and three bounded collects (ecc, active count, next pick);
+    * driver state is two scalars. */
+  def diameterBounds(nodes: DataFrame, edges: DataFrame,
+                     maxDepth: Int = 12, maxRounds: Int = 6,
+                     salt: String = "dia"): DataFrame = {
+    require(maxDepth >= 1 && maxRounds >= 1, "bad diameterBounds params")
+    val spark = nodes.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).persist()
+    val start = nodes.select(col("node_id")).distinct()
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("node_id").cast("string"))))
+      .orderBy(col("h"), col("node_id")).limit(1)
+      .collect()(0).getLong(0)
+    def bfs(seedId: Long): DataFrame =
+      multiBfs(spark.createDataFrame(Seq(Tuple1(seedId))).toDF("seed"),
+          e, maxDepth)
+        .select(col("node_id"), col("dist"))
+        .localCheckpoint()
+    var v = start
+    var dl = 0
+    var du = Int.MaxValue
+    var bounds: DataFrame = null
+    var r = 0
+    var resolved = false
+    while (r < maxRounds && !resolved) {
+      val d = bfs(v)
+      val ecc = d.agg(max(col("dist"))).collect()(0).getInt(0)
+      dl = math.max(dl, ecc)
+      du = math.min(du, 2 * ecc)
+      val merged =
+        if (bounds == null)
+          d.select(col("node_id"),
+            greatest(col("dist"), lit(ecc) - col("dist")).as("el"),
+            (col("dist") + lit(ecc)).as("eu"))
+        else bounds.join(d, "node_id")
+          .select(col("node_id"),
+            greatest(col("el"), col("dist"), lit(ecc) - col("dist"))
+              .as("el"),
+            least(col("eu"), col("dist") + lit(ecc)).as("eu"))
+      bounds = merged
+        .withColumn("active",
+          !(col("eu") <= dl && col("el") * 2 >= du))
+        .localCheckpoint()
+      r += 1
+      val nActive = bounds.filter(col("active")).count()
+      resolved = du <= dl || nActive == 0L
+      if (!resolved && r < maxRounds) {
+        val act = bounds.filter(col("active"))
+        val pick =
+          if (r % 2 == 1) act.orderBy(col("eu").desc, col("node_id"))
+          else act.orderBy(col("el").asc, col("node_id"))
+        v = pick.limit(1).collect()(0).getLong(0)
+      }
+    }
+    e.unpersist(false)
+    spark.createDataFrame(Seq((start, r.toLong, dl.toLong,
+        math.min(du, 2 * dl).toLong, resolved,
+        if (resolved) dl.toLong else -1L)))
+      .toDF("start_id", "n_bfs", "diam_lb", "diam_ub", "resolved",
+        "diam_exact")
+  }
+
+  /** Oracle twin of [[diameterBounds]]: `maxRounds` chained blocks of
+    * (pick → bounded recursive BFS → ecc → bounds update), every
+    * round computed unconditionally, folded to the first resolved
+    * round — the same fold Spark's early exit implements. */
+  def diameterBoundsSql(nodesSql: String, edgesSql: String,
+                        maxDepth: Int = 12, maxRounds: Int = 6,
+                        salt: String = "dia"): String = {
+    val h = graft.ops.TextOps.hash64Sql(
+      s"'$salt' || CAST(node_id AS VARCHAR)")
+    val sb = new StringBuilder
+    sb.append(s"""WITH RECURSIVE nodes AS ($nodesSql),
+        e0 AS MATERIALIZED ($edgesSql),
+        edges AS MATERIALIZED (SELECT src, dst FROM (
+            SELECT src, dst FROM e0 WHERE src <> dst
+            UNION SELECT dst, src FROM e0 WHERE src <> dst)),
+        v1 AS (SELECT node_id AS v FROM (
+          SELECT DISTINCT node_id FROM nodes) n
+          ORDER BY $h, node_id LIMIT 1)""")
+    for (r <- 1 to maxRounds) {
+      // pick for rounds >= 2: interchanging max-eu / min-el over the
+      // previous round's active set (empty when already resolved —
+      // the whole round chain then yields NULLs the fold ignores).
+      if (r >= 2) {
+        val ord = if (r % 2 == 0) "eu DESC" else "el ASC"
+        sb.append(s""",
+        v$r AS MATERIALIZED (SELECT node_id AS v FROM bd${r - 1}
+          WHERE active ORDER BY $ord, node_id LIMIT 1)""")
+      }
+      sb.append(s""",
+        b$r(node_id, dist) AS (
+          SELECT v, 0 FROM v$r
+          UNION
+          SELECT e.dst, b.dist + 1
+          FROM b$r b JOIN edges e ON b.node_id = e.src
+          WHERE b.dist < $maxDepth),
+        m$r AS MATERIALIZED (
+          SELECT node_id, min(dist) AS dist FROM b$r GROUP BY 1),
+        x$r AS MATERIALIZED (SELECT max(dist) AS ecc FROM m$r),
+        g$r AS MATERIALIZED (SELECT
+            greatest(${if (r == 1) "0" else s"(SELECT dl FROM g${r - 1})"},
+              COALESCE((SELECT ecc FROM x$r), 0)) AS dl,
+            least(${if (r == 1) "2147483647"
+              else s"(SELECT du FROM g${r - 1})"},
+              COALESCE(2 * (SELECT ecc FROM x$r), 2147483647)) AS du),
+        bd$r AS MATERIALIZED (SELECT node_id, el, eu,
+            NOT (eu <= (SELECT dl FROM g$r)
+              AND el * 2 >= (SELECT du FROM g$r)) AS active
+          FROM (${if (r == 1)
+            s"""SELECT m.node_id,
+              greatest(m.dist, (SELECT ecc FROM x1) - m.dist) AS el,
+              m.dist + (SELECT ecc FROM x1) AS eu FROM m1 m"""
+          else
+            s"""SELECT p.node_id,
+              greatest(p.el, m.dist, (SELECT ecc FROM x$r) - m.dist)
+                AS el,
+              least(p.eu, m.dist + (SELECT ecc FROM x$r)) AS eu
+            FROM bd${r - 1} p JOIN m$r m ON p.node_id = m.node_id"""})),
+        s$r AS MATERIALIZED (
+          SELECT $r AS r, (SELECT dl FROM g$r) AS dl,
+            (SELECT du FROM g$r) AS du,
+            (SELECT count(*) FROM bd$r WHERE active) AS n_active)""")
+    }
+    val allRounds = (1 to maxRounds).map(r => s"SELECT * FROM s$r")
+      .mkString(" UNION ALL ")
+    sb.append(s""",
+        rounds AS ($allRounds),
+        res AS (SELECT min(r) AS rstar FROM rounds
+          WHERE du <= dl OR n_active = 0),
+        fin AS (SELECT r, dl, du FROM rounds CROSS JOIN res
+          WHERE r = COALESCE(res.rstar, $maxRounds))
+        SELECT (SELECT v FROM v1) AS start_id,
+          CAST(fin.r AS BIGINT) AS n_bfs,
+          CAST(fin.dl AS BIGINT) AS diam_lb,
+          CAST(least(fin.du, 2 * fin.dl) AS BIGINT) AS diam_ub,
+          ((SELECT rstar FROM res) IS NOT NULL) AS resolved,
+          CAST(CASE WHEN (SELECT rstar FROM res) IS NOT NULL
+            THEN fin.dl ELSE -1 END AS BIGINT) AS diam_exact
+        FROM fin""")
+    sb.toString
   }
 
   /** Sampled harmonic centrality (Marchiori & Latora's harmonic mean

@@ -546,6 +546,39 @@ object SimQueries {
         maxDepth = 12, fringeLevels = 3)),
       presentOrder = Seq("start_id")),
 
+    // Exact diameter via BoundingDiameters (Takes & Kosters CIKM'11):
+    // ONE single-source BFS per round (O(rounds·m) total, no Θ(n)-seed
+    // fringe), per-node eccentricity sandwiches tightened each round,
+    // interchanging max-εU / min-εL pivot selection, candidate-set
+    // pruning; terminates when ub <= lb OR the candidate set empties
+    // (then every unprocessed node is bounded under lb — lb IS the
+    // exact diameter). Gated over the DOCUMENT HIERARCHY graph
+    // (doc_id → doc_id div 2, the implicit binary taxonomy — deep
+    // diameter ~2·log n): the algorithm's home turf per the paper —
+    // the min-εL pick lands a center in round 3 and 2·ecc(center)
+    // meets the peripheral lb, ~4 BFS for an exact answer where the
+    // k-NN expander needs a dominating set (TK's published hard case,
+    // same as iFUB's — graph_diameter_exact documents that regime).
+    // Both engines run the fixed 6-round schedule and fold to the
+    // first resolved round.
+    QueryDef("graph_diameter_tk",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val nodes = docs.select(col("doc_id").as("node_id"))
+        val edges = docs.filter(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"),
+            expr("doc_id div 2").as("dst"))
+        GraphOps.diameterBounds(nodes, edges, maxDepth = 30,
+          maxRounds = 6)
+      },
+      Some(GraphOps.diameterBoundsSql(
+        "SELECT doc_id AS node_id FROM documents",
+        "SELECT doc_id AS src, doc_id // 2 AS dst FROM documents" +
+          " WHERE doc_id >= 1",
+        maxDepth = 30, maxRounds = 6)),
+      presentOrder = Seq("start_id")),
+
     // Sampled harmonic centrality over the k-NN graph: H(v) =
     // Σ_seeds 1e6 div d(seed, v) from 8 hash-chosen BFS sources — the
     // centrality that is well-defined on disconnected graphs

@@ -501,6 +501,65 @@ class DedupSimSpec extends SparkSpec {
     assert(g.getLong(9) >= lbGate, "exact must dominate the sweep lb")
   }
 
+  test("diameterBounds: exact on path/star fixtures in a handful of " +
+    "BFS; brute APSP cross-check; honest -1 when the budget is too " +
+    "small; gate corpus resolves in 3 BFS") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    def run(ids: Seq[Long], es: Seq[(Long, Long)], rounds: Int) =
+      GraphOps.diameterBounds(ids.toDF("node_id"), es.toDF("src", "dst"),
+        maxDepth = 20, maxRounds = rounds).collect()(0)
+    // Path 1..5: diameter 4 — peripheral pick raises lb to 4, the
+    // min-εL pick lands the center (ecc 2) and 2·2 meets it.
+    val p = run(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), rounds = 6)
+    assert(p.getBoolean(4) && p.getLong(5) === 4L && p.getLong(1) <= 4L)
+    // Star: diameter 2, center ecc 1 — resolves once the hub is
+    // processed.
+    val s = run(Seq(100L, 1L, 2L, 3L, 4L),
+      Seq(1L, 2L, 3L, 4L).map(l => (100L, l)), rounds = 6)
+    assert(s.getBoolean(4) && s.getLong(5) === 2L)
+    // Cycle C8 is the algorithm's published hard case (regular
+    // structure: pruning needs a dominating set) — a 3-round budget
+    // must answer honestly with the -1 sentinel, never a wrong value.
+    val c = run((0L to 7L), (0L to 7L).map(i => (i, (i + 1) % 8)),
+      rounds = 3)
+    assert(!c.getBoolean(4) && c.getLong(5) === -1L &&
+      c.getLong(2) <= 4L && c.getLong(3) >= 4L) // bounds bracket truth
+    // Brute APSP cross-check on the 40-node pseudo-random connected
+    // graph (same fixture as the iFUB spec); W shrinks every round,
+    // so a 45-round budget guarantees resolution.
+    val n = 40
+    val extra = (0 until n).flatMap(i =>
+      Seq((i.toLong, ((i * 17 + 5) % n).toLong),
+        (i.toLong, ((i * 29 + 11) % n).toLong)))
+      .filter { case (a, b) => a != b }
+    val es = (0L until (n - 1).toLong).map(i => (i, i + 1)) ++ extra
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).distinct }
+    def ecc(s0: Long): Int = {
+      var d = Map(s0 -> 0); var fr = Seq(s0); var dep = 0
+      while (fr.nonEmpty) {
+        dep += 1
+        val nx = fr.flatMap(adj.getOrElse(_, Seq()))
+          .filterNot(d.contains).distinct
+        nx.foreach(x => d += x -> dep)
+        fr = nx
+      }
+      d.values.max
+    }
+    val bruteDiam = (0L until n.toLong).map(ecc).max.toLong
+    val r = run((0L until n.toLong), es, rounds = 45)
+    assert(r.getBoolean(4) && r.getLong(5) === bruteDiam)
+    // Gate corpus (the doc-hierarchy binary tree): exact diameter in
+    // THREE single-source BFS — the cost profile that makes this the
+    // scale path on hierarchy/power-law graphs.
+    graft.catalyst.GraftFunctions.register(spark)
+    val g = Catalog.queries("graph_diameter_tk")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(g.getBoolean(4) && g.getLong(5) === 16L && g.getLong(1) === 3L)
+  }
+
   test("harmonicCentrality: exact hand sums on a path with every node a " +
     "seed; disconnected node contributes and receives nothing; maxDepth " +
     "truncates honestly") {
