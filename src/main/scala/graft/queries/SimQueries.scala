@@ -553,8 +553,9 @@ object SimQueries {
     // pruning; terminates when ub <= lb OR the candidate set empties
     // (then every unprocessed node is bounded under lb — lb IS the
     // exact diameter). Gated over the DOCUMENT HIERARCHY graph
-    // (doc_id → doc_id div 2, the implicit binary taxonomy — deep
-    // diameter ~2·log n): the algorithm's home turf per the paper —
+    // (doc_id → doc_id div 8, an 8-ary taxonomy — real folder trees
+    // are wide, and diameter 2·log₈ n keeps the BSP BFS round count
+    // small): the algorithm's home turf per the paper —
     // the min-εL pick lands a center in round 3 and 2·ecc(center)
     // meets the peripheral lb, ~4 BFS for an exact answer where the
     // k-NN expander needs a dominating set (TK's published hard case,
@@ -568,13 +569,13 @@ object SimQueries {
         val nodes = docs.select(col("doc_id").as("node_id"))
         val edges = docs.filter(col("doc_id") >= 1)
           .select(col("doc_id").as("src"),
-            expr("doc_id div 2").as("dst"))
+            expr("doc_id div 8").as("dst"))
         GraphOps.diameterBounds(nodes, edges, maxDepth = 30,
           maxRounds = 6)
       },
       Some(GraphOps.diameterBoundsSql(
         "SELECT doc_id AS node_id FROM documents",
-        "SELECT doc_id AS src, doc_id // 2 AS dst FROM documents" +
+        "SELECT doc_id AS src, doc_id // 8 AS dst FROM documents" +
           " WHERE doc_id >= 1",
         maxDepth = 30, maxRounds = 6)),
       presentOrder = Seq("start_id")),

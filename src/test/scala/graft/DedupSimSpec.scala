@@ -551,13 +551,13 @@ class DedupSimSpec extends SparkSpec {
     val bruteDiam = (0L until n.toLong).map(ecc).max.toLong
     val r = run((0L until n.toLong), es, rounds = 45)
     assert(r.getBoolean(4) && r.getLong(5) === bruteDiam)
-    // Gate corpus (the doc-hierarchy binary tree): exact diameter in
+    // Gate corpus (the 8-ary doc-hierarchy tree): exact diameter in
     // THREE single-source BFS — the cost profile that makes this the
     // scale path on hierarchy/power-law graphs.
     graft.catalyst.GraftFunctions.register(spark)
     val g = Catalog.queries("graph_diameter_tk")(
       spark, "/root/testdata/sf0.001").collect()(0)
-    assert(g.getBoolean(4) && g.getLong(5) === 16L && g.getLong(1) === 3L)
+    assert(g.getBoolean(4) && g.getLong(5) === 6L && g.getLong(1) === 3L)
   }
 
   test("harmonicCentrality: exact hand sums on a path with every node a " +
