@@ -218,7 +218,12 @@ object LinkOps {
     * equi-join (hot segments are AQE skew territory, like every
     * blocking scheme); the DP runs only on candidates. The keyed
     * frame checkpoints once for its four consumers (index, probe,
-    * short pass, verify re-join); the grids broadcast. */
+    * short pass, verify re-join); the grids broadcast. One semantics
+    * note for crawl scale: keys of only a few characters match almost
+    * everything within k edits, so for them the OUTPUT (not just the
+    * candidate set) is near-quadratic in the short-key count — an
+    * inherent property of the query, which a caller bounds by
+    * pre-filtering ultra-short keys if that fan-out is unwanted. */
   def passJoin(docs: DataFrame, keyLen: Int = 24, k: Int = 2)
   : DataFrame = {
     require(k >= 1, s"passJoin needs k >= 1, got $k")
