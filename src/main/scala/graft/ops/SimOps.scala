@@ -1296,16 +1296,21 @@ object SimOps {
     * derived-frame limit as the pairs cache: in-memory inputs have no
     * files and always recompute. */
   def knnEdgesCached(vectors: DataFrame, k: Int,
-                     tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+                     tables: Seq[Seq[Seq[Double]]],
+                     variant: String = ""): DataFrame = {
     val spark = vectors.sparkSession
     val dir = spark.conf.get("graft.knn.dir", "")
     val corpus = vectors.inputFiles.sorted.mkString("\n")
     if (dir.isEmpty || corpus.isEmpty)
       topKLshMulti(vectors, lit(true), k, tables)
     else {
+      // `variant` disambiguates DERIVED corpora that share the same
+      // input files (e.g. the HNSW level subsets — a filtered frame
+      // reports its parent's inputFiles, so without the tag two
+      // different subsets would collide on one cache entry).
       val cfg = tables.map(_.map(_.mkString(",")).mkString(";")).mkString("|")
       val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$corpus|$k|$cfg".getBytes("UTF-8"))
+        .digest(s"$corpus|$k|$cfg|$variant".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
       val path = s"$dir/knn_${tag}_k$k"
       val hp = new org.apache.hadoop.fs.Path(path)
@@ -1619,9 +1624,13 @@ object SimOps {
     // subgraphs of the base graph — an induced expander subset loses
     // navigability; the per-subset build is what HNSW's insert
     // produces).
+    // Layer graphs ride the same artifact cache as the base k-NN
+    // table (built once per corpus snapshot, scanned by later
+    // queries); the variant tag keeps the level subsets from
+    // colliding with the base entry on the shared input files.
     val adjL = (1 to 2).map { l =>
-      symm(topKLshMulti(vectors.filter(hnswLvlCond(l)), lit(true),
-        layerDeg, tables))
+      symm(knnEdgesCached(vectors.filter(hnswLvlCond(l)),
+        layerDeg, tables, variant = s"hnswL$l"))
     }
     // Entry points: highest level first (HNSW enters at the top), then
     // hash order — the level-DESC sort BACKFILLS from lower layers when
