@@ -1095,13 +1095,15 @@ object MediaCodecs {
     None
   }
 
-  /** Fixture helper for the progressive-JPEG CATALOG path: rewrites the
-    * first SOF0 marker of a baseline stream to SOF2, producing a
-    * structurally valid progressive frame HEADER (the entropy payload
-    * is not reinterpreted — [[sniffMeta]] never visits it, and
-    * [[jpegRgb]] must reject the result). Walks markers exactly like
-    * [[sniffJpeg]], so a table byte that happens to read 0xFFC0 cannot
-    * be clobbered. */
+  /** Fixture helper producing a FORGED progressive stream: rewrites
+    * the first SOF0 marker of a baseline stream to SOF2. [[sniffMeta]]
+    * reports it progressive (headers only), while [[jpegRgb]]'s real
+    * progressive decoder must REJECT it — the baseline full-band
+    * Ss=0/Se=63 scan is illegal under SOF2 (since round 10 genuine
+    * progressive streams decode; this helper pins the
+    * malformed-rejects contract). Walks markers exactly like
+    * [[sniffJpeg]], so a table byte that happens to read 0xFFC0
+    * cannot be clobbered. */
   def withProgressiveSofHeader(bytes: Array[Byte]): Array[Byte] = {
     val out = bytes.clone()
     var off = 2
