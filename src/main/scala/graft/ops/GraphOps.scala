@@ -894,9 +894,17 @@ object GraphOps {
     * frame: first-reached (seed, node) layers, the [[harmonicCentrality]]
     * frontier discipline (every layer localCheckpoints — the
     * exponential-planning lesson) plus an empty-frontier early exit
-    * (result-identical: the skipped layers are empty). */
+    * (result-identical: the skipped layers are empty).
+    *
+    * Returns (layers, depthCapped): depthCapped is true when the walk
+    * exhausted `maxDepth` with a still-live frontier — some true
+    * distance exceeds the cap, so every eccentricity read from this
+    * run may be UNDERSTATED and callers must degrade to their
+    * resolved=false sentinel instead of certifying a bound. The probe
+    * (one extra frontier join) only runs when the cap was actually
+    * reached, never on inputs whose eccentricities sit under it. */
   private def multiBfs(seeds: DataFrame, e: DataFrame, maxDepth: Int)
-  : DataFrame = {
+  : (DataFrame, Boolean) = {
     var layers = List(
       seeds.select(col("seed"), col("seed").as("node_id")).distinct()
         .localCheckpoint())
@@ -911,9 +919,91 @@ object GraphOps {
       if (next.isEmpty) done = true else layers = next :: layers
       depth += 1
     }
-    layers.reverse.zipWithIndex.map { case (f, dd) =>
+    val capped = !done && {
+      val visited = layers.reduce(_ unionAll _)
+      !layers.head.join(e, col("node_id") === col("src"))
+        .select(col("seed"), col("dst").as("node_id")).distinct()
+        .join(visited, Seq("seed", "node_id"), "left_anti")
+        .isEmpty
+    }
+    (layers.reverse.zipWithIndex.map { case (f, dd) =>
       f.select(col("seed"), col("node_id"), lit(dd).as("dist"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _), capped)
+  }
+
+  /** Max eccentricity over a seed SET via a BIT-PARALLEL multi-source
+    * BFS — the round-11 answer to the iFUB fringe scan's published
+    * expander worst case. The row-keyed [[multiBfs]] materializes
+    * Θ(S·n) (seed, node) rows when the fringe holds most of the
+    * graph (near-APSP state); this scan gives each seed ONE BIT and
+    * keeps per node only the ceil(S/64)-word bitmap of seeds that
+    * reach it — Θ(S·n/64) words, rounds are (frontier ⋈ edges) →
+    * per-node [[graft.catalyst.BitOrAgg]] → and-not against the
+    * cumulative reach.
+    *
+    * It can do this because the iFUB fold only consumes
+    * B = max_{w∈seeds} ecc(w), never per-seed distances: a seed's
+    * ecc is the round its reach last grew, so B is simply the LAST
+    * round any new bit appeared anywhere — bit identity is never
+    * read back, making the packing lossless for this statistic.
+    *
+    * Returns (B, capped): capped=true when growth would continue
+    * past `maxDepth` (probed one round further, only when round
+    * maxDepth itself still grew) — same contract as [[multiBfs]].
+    *
+    * Scale: state is n·S/64 words with S ≤ the caller's seed budget;
+    * the seed→bit assignment is a row_number over ≤ S rows (one
+    * bounded single-partition window, never the full graph). */
+  private def eccMaxBitBfs(seeds: DataFrame, e: DataFrame,
+                           maxDepth: Int, nSeeds: Long): (Int, Boolean) = {
+    val words = ((nSeeds + 63) / 64).toInt
+    val anyBit = (c: Column) => exists(c, x => x =!= 0L)
+    val init = seeds.select(col("seed"))
+      .withColumn("i", row_number().over(Window.orderBy("seed")) - 1)
+      .select(col("seed").as("node_id"), expr(
+        s"""transform(sequence(0, ${words - 1}),
+            w -> IF(w = i div 64,
+                    shiftleft(CAST(1 AS BIGINT), CAST(i % 64 AS INT)),
+                    CAST(0 AS BIGINT)))""").as("bits"))
+      .localCheckpoint()
+    var reach = init
+    var delta = init.withColumnRenamed("bits", "nb")
+    var b = 0
+    var round = 1
+    var capped = false
+    var grew = true
+    // One probe round past the cap: it only flags truncation, its
+    // bits are never folded into reach or B.
+    while (grew && round <= maxDepth + 1 && !capped) {
+      val inc = delta.join(e, delta("node_id") === e("src"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(graft.catalyst.BitOrAgg(col("nb")).as("inc"))
+        .select(col("node_id"), col("inc"))
+      val nd = inc.join(reach, Seq("node_id"), "left")
+        .select(col("node_id"),
+          when(col("bits").isNull, col("inc"))
+            .otherwise(zip_with(col("inc"), col("bits"),
+              (a, bb) => a.bitwiseAND(bitwise_not(bb)))).as("nb"))
+        .filter(anyBit(col("nb")))
+        .localCheckpoint()
+      grew = !nd.isEmpty
+      if (grew) {
+        if (round > maxDepth) capped = true
+        else {
+          b = round
+          reach = reach.join(nd, Seq("node_id"), "full")
+            .select(col("node_id"),
+              when(col("bits").isNull, col("nb"))
+                .when(col("nb").isNull, col("bits"))
+                .otherwise(zip_with(col("bits"), col("nb"),
+                  (x, y) => x.bitwiseOR(y))).as("bits"))
+            .localCheckpoint()
+          delta = nd
+          round += 1
+        }
+      }
+    }
+    (b, capped)
   }
 
   /** Exact diameter via iFUB (Crescenzi, Grossi, Habib, Lanzi &
@@ -934,26 +1024,42 @@ object GraphOps {
     *     start component; `n_unreached` on the LB gate reports the
     *     rest).
     *
-    * Spark reshape: instead of one BFS per fringe NODE (the paper's
-    * sequential loop), the top `fringeLevels` levels run as ONE
-    * multi-source BFS keyed by seed — a BSP engine amortizes all
-    * seeds' frontiers into the same per-round joins, trading the
-    * per-node early exit for per-CHUNK exit (real-world graphs
-    * resolve within the first levels — the paper's experiments; the
-    * spec pins resolution on the gate corpus). Both engines compute
-    * B_i for the WHOLE chunk and run the identical deterministic fold
-    * (the fold never reads below its stop level, so chunk overshoot
-    * cannot change the answer). All arithmetic is BFS layer integers
-    * — hash-exact; the driver fold collects ≤ fringeLevels+4 scalars.
+    * Spark reshape (round-11): the fringe runs LEVEL BY LEVEL
+    * DESCENDING — level ecc(u) first (the smallest set) — each level
+    * one bit-parallel multi-source eccentricity scan
+    * ([[eccMaxBitBfs]]: Θ(S·n/64) bitmap words, never the row-keyed
+    * Θ(S·n) near-APSP state of the expander worst case), folding and
+    * early-exiting BETWEEN levels: the paper's sequential early exit
+    * recovered at BSP granularity (real-world graphs resolve within
+    * the first levels —
+    * the paper's experiments; the spec pins resolution on the gate
+    * corpus). A total `seedBudget` makes a Θ(n)-seed BFS impossible
+    * by construction: a level that would push the processed-seed
+    * count past the budget is NOT run and the fold degrades to the
+    * honest resolved=false / diam_exact=−1 sentinel (budget_hit=true
+    * in the output row — at production scale: raise the budget or
+    * accept the bracket). Before any BFS, fringe seeds are pre-pruned
+    * by the Takes–Kosters eccentricity sandwich harvested from the
+    * four base sweeps (ecc(w) ≤ d(v,w)+ecc(v) for v ∈ {start,a,b,u}):
+    * a seed whose upper bound is already ≤ lb0 cannot raise the
+    * fold's lower bound, so its BFS is skipped — the published
+    * iFUB×BoundingDiameters hybrid (pruned_seeds in the output row).
+    * All arithmetic is BFS layer integers — hash-exact; the driver
+    * fold holds ≤ fringeLevels scalars.
     *
-    * Unresolved within the chunk → resolved=false, diam_exact=−1
-    * sentinel (at production scale: run another chunk). Every BFS
-    * early-exits on an empty frontier and the spec pins ecc <
-    * maxDepth, so the depth cap never truncates an eccentricity. */
+    * Depth-cap honesty: every BFS reports whether `maxDepth` cut a
+    * live frontier; any hit forces resolved=false, diam_exact=−1 and
+    * diam_ub=−1 (an eccentricity read under a hit cap is understated,
+    * so 2·ecc is NOT a certified upper bound; diam_lb remains a
+    * genuine lower bound — observed distances are true distances).
+    * The SQL twin truncates its recursive CTEs identically and
+    * carries the same flag, so the sentinel is cross-engine-gated. */
   def diameterIfub(nodes: DataFrame, edges: DataFrame,
                    maxDepth: Int = 12, fringeLevels: Int = 3,
+                   seedBudget: Int = 65536,
                    salt: String = "dia"): DataFrame = {
-    require(maxDepth >= 1 && fringeLevels >= 1, "bad iFUB params")
+    require(maxDepth >= 1 && fringeLevels >= 1 && seedBudget >= 0,
+      "bad iFUB params")
     val spark = nodes.sparkSession
     val e = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -964,21 +1070,23 @@ object GraphOps {
         concat(lit(salt), col("node_id").cast("string"))))
       .orderBy(col("h"), col("node_id")).limit(1)
       .collect()(0).getLong(0)
-    def bfs(seedId: Long): DataFrame =
-      multiBfs(spark.createDataFrame(Seq(Tuple1(seedId))).toDF("seed"),
-          e, maxDepth)
-        .select(col("node_id"), col("dist"))
-        .localCheckpoint()
+    def bfs(seedId: Long): (DataFrame, Boolean) = {
+      val (d, tr) = multiBfs(
+        spark.createDataFrame(Seq(Tuple1(seedId))).toDF("seed"),
+        e, maxDepth)
+      (d.select(col("node_id"), col("dist")).localCheckpoint(), tr)
+    }
     def argmaxDist(d: DataFrame): (Long, Int) = {
       val r = d.orderBy(col("dist").desc, col("node_id")).limit(1)
         .collect()(0)
       (r.getLong(0), r.getInt(1))
     }
-    val dStart = bfs(start)
-    val (a, _) = argmaxDist(dStart)
-    val dA = bfs(a)
+    val (dStart, t1) = bfs(start)
+    val (a, eccS) = argmaxDist(dStart)
+    val (dA, t2) = bfs(a)
     val (b, eccA) = argmaxDist(dA)
-    val dB = bfs(b)
+    val (dB, t3) = bfs(b)
+    val eccB = dB.agg(max(col("dist"))).collect()(0).getInt(0)
     // Midpoint of the a–b shortest path: dist-from-a = ecc(a) div 2
     // AND on a shortest path (d_a + d_b = d(a,b) = ecc(a)); tie →
     // lowest id. Level ecc(a) div 2 of a shortest path always has a
@@ -987,53 +1095,97 @@ object GraphOps {
       .join(dB.select(col("node_id"), col("dist").as("db")), "node_id")
       .filter(col("da") === eccA / 2 && col("da") + col("db") === eccA)
       .orderBy(col("node_id")).limit(1).collect()(0).getLong(0)
-    val dM = bfs(m)
+    val (dM, t4) = bfs(m)
     val eccM = dM.agg(max(col("dist"))).collect()(0).getInt(0)
+    var capped = t1 || t2 || t3 || t4
+    // Entry bounds fold in ALL four sweep eccentricities (each a
+    // genuine diameter lower bound; each 2·ecc a genuine upper bound
+    // when uncapped) — a larger lb0 can only stop the fold earlier at
+    // the same exact value (lb ≤ diam always; resolution ⇒ lb = diam).
+    val lb0 = Seq(eccS, eccA, eccB, eccM).max
+    val ub0 = Seq(eccS, eccA, eccB, eccM).map(2 * _).min
     val loI = math.max(1, eccM - fringeLevels + 1)
+    val big = lit(2147483647)
     val fringe = dM.filter(col("dist").between(loI, eccM))
-      .select(col("node_id").as("seed"), col("dist").as("lvl"))
+      .select(col("node_id"), col("dist").as("lvl"))
+      .join(dStart.select(col("node_id"), col("dist").as("d1")),
+        Seq("node_id"), "left")
+      .join(dA.select(col("node_id"), col("dist").as("d2")),
+        Seq("node_id"), "left")
+      .join(dB.select(col("node_id"), col("dist").as("d3")),
+        Seq("node_id"), "left")
+      .select(col("node_id").as("seed"), col("lvl"),
+        least(coalesce(col("d1") + lit(eccS), big),
+          coalesce(col("d2") + lit(eccA), big),
+          coalesce(col("d3") + lit(eccB), big),
+          col("lvl") + lit(eccM)).as("eu"))
       .localCheckpoint()
-    val bPerLevel: Map[Int, Int] =
-      if (eccM < 1) Map.empty
-      else multiBfs(fringe.select("seed"), e, maxDepth)
-        .groupBy(col("seed")).agg(max(col("dist")).as("ecc"))
-        .join(fringe, Seq("seed"))
-        .groupBy(col("lvl")).agg(max(col("ecc")).as("b"))
-        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-    e.unpersist(false)
-    // The iFUB fold — a bounded driver loop over ≤ fringeLevels
-    // scalars; both engines run it over the identical B_i values.
-    var lb = math.max(eccA, eccM)
-    var ub = 2 * eccM
-    var i = eccM
+    val pruned = fringe.filter(col("eu") <= lb0).count()
+    val live = fringe.filter(col("eu") > lb0)
+      .select(col("seed"), col("lvl")).localCheckpoint()
+    // The iFUB fold — per-level descending, early exit between
+    // levels; both engines fold the identical B_i values.
+    var lb = lb0
+    var ub = ub0
     var resolved = lb >= ub
-    while (!resolved && i >= loI) {
-      lb = math.max(lb, bPerLevel.getOrElse(i, 0))
-      ub = 2 * (i - 1)
-      resolved = lb >= ub
-      i -= 1
+    var seedsRun = 0L
+    var budgetHit = false
+    var i = eccM
+    while (!resolved && !budgetHit && !capped && i >= loI) {
+      val seedsI = live.filter(col("lvl") === i).select("seed")
+      val cntI = seedsI.count()
+      if (seedsRun + cntI > seedBudget) budgetHit = true
+      else {
+        val bI =
+          if (cntI == 0L) 0
+          else {
+            val (bi, tr) = eccMaxBitBfs(seedsI, e, maxDepth, cntI)
+            if (tr) capped = true
+            bi
+          }
+        lb = math.max(lb, bI)
+        ub = math.min(ub, 2 * (i - 1))
+        resolved = lb >= ub
+        seedsRun += cntI
+        i -= 1
+      }
     }
-    if (resolved) ub = lb
+    e.unpersist(false)
+    val resolvedF = resolved && !capped
+    val ubOut =
+      if (capped) -1L else if (resolved) lb.toLong else ub.toLong
     spark.createDataFrame(Seq((start, a, b, m, eccM.toLong, eccA.toLong,
-        lb.toLong, ub.toLong, resolved,
-        if (resolved) lb.toLong else -1L)))
+        lb.toLong, ubOut, resolvedF,
+        if (resolvedF) lb.toLong else -1L,
+        pruned, seedsRun, budgetHit, capped)))
       .toDF("start_id", "far_a", "far_b", "root_id", "ecc_root",
-        "sweep_lb", "diam_lb", "diam_ub", "resolved", "diam_exact")
+        "sweep_lb", "diam_lb", "diam_ub", "resolved", "diam_exact",
+        "pruned_seeds", "seeds_run", "budget_hit", "depth_capped")
   }
 
   /** Oracle twin of [[diameterIfub]]: four chained bounded recursive
-    * CTEs (start → a → b → midpoint root), a multi-source recursive
-    * CTE over (seed, node, dist) for the fringe chunk, per-level
-    * B_i maxima, and the same fold expressed closed-form — i_res is
-    * the LARGEST level i with greatest(lb0, runmax_i) ≥ 2(i−1)
-    * (identical to the descending loop's first stop, which checks the
-    * largest i first). */
+    * CTEs (start → a → b → midpoint root), the TK sandwich pre-prune
+    * from the same four distance maps, then ONE multi-source
+    * recursive CTE PER FRINGE LEVEL (unrolled over `fringeLevels`)
+    * with the fold expressed as a chain of per-level CTEs carrying
+    * (lb, ub, resolved, seeds, budget_hit, depth_capped) — each level
+    * "runs" only when the previous state is unresolved, unbudgeted
+    * and uncapped, exactly the Spark loop's early exit. Depth-cap
+    * flags: a BFS is capped iff some node first reached at dist =
+    * maxDepth still has an unreached neighbor (the nonempty-frontier
+    * probe, identically truncated in both engines). */
   def diameterIfubSql(nodesSql: String, edgesSql: String,
                       maxDepth: Int = 12, fringeLevels: Int = 3,
+                      seedBudget: Int = 65536,
                       salt: String = "dia"): String = {
     val h = graft.ops.TextOps.hash64Sql(
       s"'$salt' || CAST(node_id AS VARCHAR)")
-    s"""WITH RECURSIVE nodes AS ($nodesSql),
+    def truncOf(mTbl: String): String =
+      s"""EXISTS(SELECT 1 FROM $mTbl b JOIN edges e ON b.node_id = e.src
+            WHERE b.dist = $maxDepth
+              AND e.dst NOT IN (SELECT node_id FROM $mTbl))"""
+    val sb = new StringBuilder
+    sb.append(s"""WITH RECURSIVE nodes AS ($nodesSql),
         e0 AS MATERIALIZED ($edgesSql),
         edges AS MATERIALIZED (SELECT src, dst FROM (
             SELECT src, dst FROM e0 WHERE src <> dst
@@ -1047,7 +1199,9 @@ object GraphOps {
           SELECT e.dst, b.dist + 1
           FROM b1 b JOIN edges e ON b.node_id = e.src
           WHERE b.dist < $maxDepth),
-        m1 AS (SELECT node_id, min(dist) AS dist FROM b1 GROUP BY 1),
+        m1 AS MATERIALIZED (
+          SELECT node_id, min(dist) AS dist FROM b1 GROUP BY 1),
+        es1 AS (SELECT max(dist) AS ecc_s FROM m1),
         av AS (SELECT node_id AS a FROM m1
                ORDER BY dist DESC, node_id LIMIT 1),
         b2(node_id, dist) AS (
@@ -1056,7 +1210,8 @@ object GraphOps {
           SELECT e.dst, b.dist + 1
           FROM b2 b JOIN edges e ON b.node_id = e.src
           WHERE b.dist < $maxDepth),
-        m2 AS (SELECT node_id, min(dist) AS dist FROM b2 GROUP BY 1),
+        m2 AS MATERIALIZED (
+          SELECT node_id, min(dist) AS dist FROM b2 GROUP BY 1),
         ea AS (SELECT max(dist) AS ecc_a FROM m2),
         bv AS (SELECT node_id AS bb FROM m2
                ORDER BY dist DESC, node_id LIMIT 1),
@@ -1066,7 +1221,9 @@ object GraphOps {
           SELECT e.dst, b.dist + 1
           FROM b3 b JOIN edges e ON b.node_id = e.src
           WHERE b.dist < $maxDepth),
-        m3 AS (SELECT node_id, min(dist) AS dist FROM b3 GROUP BY 1),
+        m3 AS MATERIALIZED (
+          SELECT node_id, min(dist) AS dist FROM b3 GROUP BY 1),
+        eb AS (SELECT max(dist) AS ecc_b FROM m3),
         mid AS (SELECT m2.node_id AS m
           FROM m2 JOIN m3 ON m2.node_id = m3.node_id CROSS JOIN ea
           WHERE m2.dist = ecc_a // 2 AND m2.dist + m3.dist = ecc_a
@@ -1077,57 +1234,96 @@ object GraphOps {
           SELECT e.dst, b.dist + 1
           FROM b4 b JOIN edges e ON b.node_id = e.src
           WHERE b.dist < $maxDepth),
-        m4 AS (SELECT node_id, min(dist) AS dist FROM b4 GROUP BY 1),
+        m4 AS MATERIALIZED (
+          SELECT node_id, min(dist) AS dist FROM b4 GROUP BY 1),
         em AS (SELECT max(dist) AS ecc_m FROM m4),
-        fr AS (SELECT node_id AS seed, dist AS lvl FROM m4 CROSS JOIN em
-          WHERE dist >= greatest(1, ecc_m - ${fringeLevels - 1})
-            AND dist <= ecc_m),
-        ms(seed, node_id, dist) AS (
-          SELECT seed, seed, 0 FROM fr
+        fr AS MATERIALIZED (SELECT m4.node_id AS seed, m4.dist AS lvl,
+            least(
+              COALESCE(m1.dist + (SELECT ecc_s FROM es1), 2147483647),
+              COALESCE(m2.dist + (SELECT ecc_a FROM ea), 2147483647),
+              COALESCE(m3.dist + (SELECT ecc_b FROM eb), 2147483647),
+              m4.dist + (SELECT ecc_m FROM em)) AS eu
+          FROM m4
+          LEFT JOIN m1 ON m1.node_id = m4.node_id
+          LEFT JOIN m2 ON m2.node_id = m4.node_id
+          LEFT JOIN m3 ON m3.node_id = m4.node_id
+          CROSS JOIN em
+          WHERE m4.dist >= greatest(1, em.ecc_m - ${fringeLevels - 1})
+            AND m4.dist <= em.ecc_m),
+        base0 AS MATERIALIZED (SELECT
+            greatest(es1.ecc_s, ea.ecc_a, eb.ecc_b, em.ecc_m) AS lb0,
+            least(2 * es1.ecc_s, 2 * ea.ecc_a, 2 * eb.ecc_b,
+              2 * em.ecc_m) AS ub0,
+            em.ecc_m AS ecc_m
+          FROM es1 CROSS JOIN ea CROSS JOIN eb CROSS JOIN em),
+        prn AS (SELECT count(*) AS pruned FROM fr CROSS JOIN base0
+          WHERE eu <= lb0),
+        fm1 AS MATERIALIZED (SELECT ecc_m, lb0 AS lb, ub0 AS ub,
+          (lb0 >= ub0) AS res, CAST(0 AS BIGINT) AS seeds,
+          FALSE AS bhit,
+          (${truncOf("m1")} OR ${truncOf("m2")}
+            OR ${truncOf("m3")} OR ${truncOf("m4")}) AS trc
+          FROM base0)""")
+    for (j <- 0 until fringeLevels) {
+      val prev = if (j == 0) "fm1" else s"f${j - 1}"
+      sb.append(s""",
+        fr$j AS MATERIALIZED (SELECT seed FROM fr CROSS JOIN em
+          CROSS JOIN base0
+          WHERE lvl = em.ecc_m - $j AND eu > lb0),
+        ms$j(seed, node_id, dist) AS (
+          SELECT seed, seed, 0 FROM fr$j
           UNION
           SELECT s.seed, e.dst, s.dist + 1
-          FROM ms s JOIN edges e ON s.node_id = e.src
+          FROM ms$j s JOIN edges e ON s.node_id = e.src
           WHERE s.dist < $maxDepth),
-        mm AS (SELECT seed, node_id, min(dist) AS dist FROM ms
-               GROUP BY 1, 2),
-        se AS (SELECT seed, max(dist) AS ecc FROM mm GROUP BY 1),
-        lvls AS (SELECT lvl, max(ecc) AS b
-          FROM se JOIN fr USING (seed) GROUP BY lvl),
-        runx AS (SELECT lvl,
-            max(b) OVER (ORDER BY lvl DESC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS runmax
-          FROM lvls),
-        base AS (SELECT st.s AS start_id, av.a AS far_a, bv.bb AS far_b,
-            mid.m AS root_id, em.ecc_m, ea.ecc_a,
-            greatest(ea.ecc_a, em.ecc_m) AS lb0
-          FROM st CROSS JOIN av CROSS JOIN bv CROSS JOIN mid
-          CROSS JOIN em CROSS JOIN ea),
-        res AS (SELECT max(lvl) AS i_res FROM runx CROSS JOIN base
-          WHERE greatest(lb0, runmax) >= 2 * (lvl - 1)),
-        fold AS (SELECT base.*,
-            (lb0 >= 2 * ecc_m) AS entry_res, res.i_res,
-            (SELECT runmax FROM runx WHERE lvl = res.i_res) AS rm_res,
-            (SELECT runmax FROM runx
-             WHERE lvl = greatest(1, ecc_m - ${fringeLevels - 1}))
-              AS rm_lo
-          FROM base CROSS JOIN res)
-        SELECT start_id, far_a, far_b, root_id,
-          CAST(ecc_m AS BIGINT) AS ecc_root,
-          CAST(ecc_a AS BIGINT) AS sweep_lb,
-          CAST(CASE WHEN entry_res THEN lb0
-               WHEN i_res IS NOT NULL THEN greatest(lb0, rm_res)
-               ELSE greatest(lb0, COALESCE(rm_lo, 0)) END AS BIGINT)
-            AS diam_lb,
-          CAST(CASE WHEN entry_res THEN lb0
-               WHEN i_res IS NOT NULL THEN greatest(lb0, rm_res)
-               ELSE 2 * (greatest(1, ecc_m - ${fringeLevels - 1}) - 1)
-               END AS BIGINT) AS diam_ub,
-          (entry_res OR i_res IS NOT NULL) AS resolved,
-          CAST(CASE WHEN entry_res THEN lb0
-               WHEN i_res IS NOT NULL THEN greatest(lb0, rm_res)
-               ELSE -1 END AS BIGINT) AS diam_exact
-        FROM fold"""
+        mm$j AS MATERIALIZED (SELECT seed, node_id, min(dist) AS dist
+          FROM ms$j GROUP BY 1, 2),
+        lv$j AS MATERIALIZED (SELECT
+          COALESCE((SELECT max(dist) FROM mm$j), 0) AS b,
+          (SELECT count(*) FROM fr$j) AS cnt,
+          EXISTS(SELECT 1 FROM mm$j b JOIN edges e ON b.node_id = e.src
+            WHERE b.dist = $maxDepth AND NOT EXISTS (
+              SELECT 1 FROM mm$j v WHERE v.seed = b.seed
+                AND v.node_id = e.dst)) AS tr),
+        f$j AS MATERIALIZED (SELECT ecc_m,
+            CASE WHEN can THEN greatest(lb, b) ELSE lb END AS lb,
+            CASE WHEN can THEN least(ub, 2 * (ecc_m - $j - 1))
+              ELSE ub END AS ub,
+            res OR (can
+              AND CASE WHEN can THEN greatest(lb, b) ELSE lb END
+                >= CASE WHEN can THEN least(ub, 2 * (ecc_m - $j - 1))
+                   ELSE ub END) AS res,
+            seeds + CASE WHEN can THEN cnt
+              ELSE CAST(0 AS BIGINT) END AS seeds,
+            bhit OR (NOT res AND NOT trc AND valid
+              AND seeds + cnt > $seedBudget) AS bhit,
+            trc OR (can AND tr) AS trc
+          FROM (SELECT p.*, l.b, l.cnt, l.tr,
+              (p.ecc_m - $j >= 1) AS valid,
+              (NOT p.res AND NOT p.bhit AND NOT p.trc
+                AND (p.ecc_m - $j >= 1)
+                AND p.seeds + l.cnt <= $seedBudget) AS can
+            FROM $prev p CROSS JOIN lv$j l))""")
+    }
+    sb.append(s"""
+        SELECT (SELECT s FROM st) AS start_id,
+          (SELECT a FROM av) AS far_a,
+          (SELECT bb FROM bv) AS far_b,
+          (SELECT m FROM mid) AS root_id,
+          CAST((SELECT ecc_m FROM em) AS BIGINT) AS ecc_root,
+          CAST((SELECT ecc_a FROM ea) AS BIGINT) AS sweep_lb,
+          CAST(f.lb AS BIGINT) AS diam_lb,
+          CAST(CASE WHEN f.trc THEN -1 WHEN f.res THEN f.lb
+            ELSE f.ub END AS BIGINT) AS diam_ub,
+          (f.res AND NOT f.trc) AS resolved,
+          CAST(CASE WHEN f.res AND NOT f.trc THEN f.lb ELSE -1 END
+            AS BIGINT) AS diam_exact,
+          CAST((SELECT pruned FROM prn) AS BIGINT) AS pruned_seeds,
+          CAST(f.seeds AS BIGINT) AS seeds_run,
+          f.bhit AS budget_hit,
+          f.trc AS depth_capped
+        FROM f${fringeLevels - 1} f""")
+    sb.toString
   }
 
   /** Exact diameter via BoundingDiameters (Takes & Kosters,
@@ -1156,6 +1352,15 @@ object GraphOps {
     * later rounds cannot change the folded output. Unresolved within
     * the budget → resolved=false, diam_exact = −1 sentinel.
     *
+    * Depth-cap honesty: a round whose BFS exhausts `maxDepth` with a
+    * live frontier stops the loop immediately with resolved=false,
+    * diam_exact=−1, diam_ub=−1 and depth_capped=true — the observed
+    * eccentricity is understated, so 2·ecc is NOT a certified upper
+    * bound (the dl update still applies: observed BFS distances are
+    * true distances, so dl remains a genuine lower bound). The SQL
+    * twin truncates identically and folds to min(first resolved
+    * round with no earlier cap, first capped round, maxRounds).
+    *
     * Scale shape: per round one [[multiBfs]] single-seed run over the
     * shared pre-partitioned adjacency, one narrow bounds-update join,
     * and three bounded collects (ecc, active count, next pick);
@@ -1174,59 +1379,66 @@ object GraphOps {
         concat(lit(salt), col("node_id").cast("string"))))
       .orderBy(col("h"), col("node_id")).limit(1)
       .collect()(0).getLong(0)
-    def bfs(seedId: Long): DataFrame =
-      multiBfs(spark.createDataFrame(Seq(Tuple1(seedId))).toDF("seed"),
-          e, maxDepth)
-        .select(col("node_id"), col("dist"))
-        .localCheckpoint()
+    def bfs(seedId: Long): (DataFrame, Boolean) = {
+      val (d, tr) = multiBfs(
+        spark.createDataFrame(Seq(Tuple1(seedId))).toDF("seed"),
+        e, maxDepth)
+      (d.select(col("node_id"), col("dist")).localCheckpoint(), tr)
+    }
     var v = start
     var dl = 0
     var du = Int.MaxValue
     var bounds: DataFrame = null
     var r = 0
     var resolved = false
-    while (r < maxRounds && !resolved) {
-      val d = bfs(v)
+    var capped = false
+    while (r < maxRounds && !resolved && !capped) {
+      val (d, tr) = bfs(v)
       val ecc = d.agg(max(col("dist"))).collect()(0).getInt(0)
       dl = math.max(dl, ecc)
-      du = math.min(du, 2 * ecc)
-      val merged =
-        if (bounds == null)
-          d.select(col("node_id"),
-            greatest(col("dist"), lit(ecc) - col("dist")).as("el"),
-            (col("dist") + lit(ecc)).as("eu"))
-        else bounds.join(d, "node_id")
-          .select(col("node_id"),
-            greatest(col("el"), col("dist"), lit(ecc) - col("dist"))
-              .as("el"),
-            least(col("eu"), col("dist") + lit(ecc)).as("eu"))
-      bounds = merged
-        .withColumn("active",
-          !(col("eu") <= dl && col("el") * 2 >= du))
-        .localCheckpoint()
-      r += 1
-      val nActive = bounds.filter(col("active")).count()
-      resolved = du <= dl || nActive == 0L
-      if (!resolved && r < maxRounds) {
-        val act = bounds.filter(col("active"))
-        val pick =
-          if (r % 2 == 1) act.orderBy(col("eu").desc, col("node_id"))
-          else act.orderBy(col("el").asc, col("node_id"))
-        v = pick.limit(1).collect()(0).getLong(0)
+      if (tr) { capped = true; r += 1 }
+      else {
+        du = math.min(du, 2 * ecc)
+        val merged =
+          if (bounds == null)
+            d.select(col("node_id"),
+              greatest(col("dist"), lit(ecc) - col("dist")).as("el"),
+              (col("dist") + lit(ecc)).as("eu"))
+          else bounds.join(d, "node_id")
+            .select(col("node_id"),
+              greatest(col("el"), col("dist"), lit(ecc) - col("dist"))
+                .as("el"),
+              least(col("eu"), col("dist") + lit(ecc)).as("eu"))
+        bounds = merged
+          .withColumn("active",
+            !(col("eu") <= dl && col("el") * 2 >= du))
+          .localCheckpoint()
+        r += 1
+        val nActive = bounds.filter(col("active")).count()
+        resolved = du <= dl || nActive == 0L
+        if (!resolved && r < maxRounds) {
+          val act = bounds.filter(col("active"))
+          val pick =
+            if (r % 2 == 1) act.orderBy(col("eu").desc, col("node_id"))
+            else act.orderBy(col("el").asc, col("node_id"))
+          v = pick.limit(1).collect()(0).getLong(0)
+        }
       }
     }
     e.unpersist(false)
     spark.createDataFrame(Seq((start, r.toLong, dl.toLong,
-        math.min(du, 2 * dl).toLong, resolved,
-        if (resolved) dl.toLong else -1L)))
+        if (capped) -1L else math.min(du, 2 * dl).toLong, resolved,
+        if (resolved) dl.toLong else -1L, capped)))
       .toDF("start_id", "n_bfs", "diam_lb", "diam_ub", "resolved",
-        "diam_exact")
+        "diam_exact", "depth_capped")
   }
 
   /** Oracle twin of [[diameterBounds]]: `maxRounds` chained blocks of
     * (pick → bounded recursive BFS → ecc → bounds update), every
     * round computed unconditionally, folded to the first resolved
-    * round — the same fold Spark's early exit implements. */
+    * round with no earlier depth-cap hit — or to the first capped
+    * round (resolved=false, diam_ub=−1, diam_exact=−1 sentinel) —
+    * the same fold Spark's early exit implements. */
   def diameterBoundsSql(nodesSql: String, edgesSql: String,
                         maxDepth: Int = 12, maxRounds: Int = 6,
                         salt: String = "dia"): String = {
@@ -1283,23 +1495,34 @@ object GraphOps {
         s$r AS MATERIALIZED (
           SELECT $r AS r, (SELECT dl FROM g$r) AS dl,
             (SELECT du FROM g$r) AS du,
-            (SELECT count(*) FROM bd$r WHERE active) AS n_active)""")
+            (SELECT count(*) FROM bd$r WHERE active) AS n_active,
+            EXISTS(SELECT 1 FROM m$r b JOIN edges e ON b.node_id = e.src
+              WHERE b.dist = $maxDepth
+                AND e.dst NOT IN (SELECT node_id FROM m$r)) AS tr)""")
     }
     val allRounds = (1 to maxRounds).map(r => s"SELECT * FROM s$r")
       .mkString(" UNION ALL ")
     sb.append(s""",
         rounds AS ($allRounds),
-        res AS (SELECT min(r) AS rstar FROM rounds
-          WHERE du <= dl OR n_active = 0),
-        fin AS (SELECT r, dl, du FROM rounds CROSS JOIN res
-          WHERE r = COALESCE(res.rstar, $maxRounds))
+        trx AS (SELECT min(r) AS tstar FROM rounds WHERE tr),
+        res AS (SELECT min(r) AS rstar FROM rounds r0
+          WHERE (r0.du <= r0.dl OR r0.n_active = 0)
+            AND NOT EXISTS (SELECT 1 FROM rounds r1
+              WHERE r1.tr AND r1.r <= r0.r)),
+        fin AS (SELECT r, dl, du,
+            ((SELECT rstar FROM res) IS NULL
+              AND (SELECT tstar FROM trx) IS NOT NULL) AS capped
+          FROM rounds CROSS JOIN res CROSS JOIN trx
+          WHERE r = COALESCE(res.rstar, trx.tstar, $maxRounds))
         SELECT (SELECT v FROM v1) AS start_id,
           CAST(fin.r AS BIGINT) AS n_bfs,
           CAST(fin.dl AS BIGINT) AS diam_lb,
-          CAST(least(fin.du, 2 * fin.dl) AS BIGINT) AS diam_ub,
+          CAST(CASE WHEN fin.capped THEN -1
+            ELSE least(fin.du, 2 * fin.dl) END AS BIGINT) AS diam_ub,
           ((SELECT rstar FROM res) IS NOT NULL) AS resolved,
           CAST(CASE WHEN (SELECT rstar FROM res) IS NOT NULL
-            THEN fin.dl ELSE -1 END AS BIGINT) AS diam_exact
+            THEN fin.dl ELSE -1 END AS BIGINT) AS diam_exact,
+          fin.capped AS depth_capped
         FROM fin""")
     sb.toString
   }

@@ -523,11 +523,15 @@ object SimQueries {
     // the a-b antipode pair, root at the path MIDPOINT (small
     // eccentricity → small top levels), then fold max-eccentricity
     // over the top fringe levels until lb >= 2(i-1) certifies the
-    // bound. The fringe chunk runs as ONE multi-source BFS (the BSP
-    // reshape of the paper's per-node loop); both engines fold the
-    // identical per-level maxima, so resolution and the exact value
-    // are hash-exact. resolved=false would emit the -1 sentinel; the
-    // spec pins resolved=true on the gate corpus.
+    // bound. Round-11 shape: one multi-source BFS PER LEVEL,
+    // descending, early-exiting between levels (the paper's
+    // sequential exit at BSP granularity), seeds pre-pruned by the
+    // Takes-Kosters eu-sandwich from the four base sweeps, and a
+    // total seed budget that makes a Θ(n)-seed BFS impossible by
+    // construction (past it: the honest resolved=false sentinel).
+    // Both engines fold the identical per-level maxima, so resolution
+    // and the exact value are hash-exact. resolved=false would emit
+    // the -1 sentinel; the spec pins resolved=true on the gate corpus.
     QueryDef("graph_diameter_exact",
       (s, d) => {
         graft.catalyst.GraftFunctions.register(s)
@@ -578,6 +582,55 @@ object SimQueries {
         "SELECT doc_id AS src, doc_id // 8 AS dst FROM documents" +
           " WHERE doc_id >= 1",
         maxDepth = 30, maxRounds = 6)),
+      presentOrder = Seq("start_id")),
+
+    // Depth-cap honesty drive for the exact-diameter pair (ADVICE
+    // r10): over the document CHAIN graph (doc_id → doc_id−1, a path
+    // whose diameter n−1 dwarfs any sane BFS cap) a capped run must
+    // NEVER certify — both engines truncate their BFS identically,
+    // detect the live frontier at the cap (a node first reached at
+    // dist=cap with an unreached neighbor), and emit the
+    // resolved=false / diam_exact=−1 / diam_ub=−1 sentinel with
+    // depth_capped=true; diam_lb stays a genuine lower bound
+    // (observed BFS distances are true distances). Cheap by
+    // construction: every BFS touches ≤ 2·cap+1 chain nodes.
+    QueryDef("graph_diameter_capped",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val nodes = docs.select(col("doc_id").as("node_id"))
+        val edges = docs.filter(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") - 1).as("dst"))
+        GraphOps.diameterIfub(nodes, edges, maxDepth = 6,
+          fringeLevels = 2)
+      },
+      Some(GraphOps.diameterIfubSql(
+        "SELECT doc_id AS node_id FROM documents",
+        "SELECT doc_id AS src, doc_id - 1 AS dst FROM documents" +
+          " WHERE doc_id >= 1",
+        maxDepth = 6, fringeLevels = 2)),
+      presentOrder = Seq("start_id")),
+
+    // Same drive for BoundingDiameters: round 1's BFS hits the cap →
+    // immediate stop, n_bfs=1, dl = the observed (true) distances'
+    // max, sentinel everywhere else.
+    QueryDef("graph_diameter_tk_capped",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val nodes = docs.select(col("doc_id").as("node_id"))
+        val edges = docs.filter(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") - 1).as("dst"))
+        GraphOps.diameterBounds(nodes, edges, maxDepth = 6,
+          maxRounds = 3)
+      },
+      Some(GraphOps.diameterBoundsSql(
+        "SELECT doc_id AS node_id FROM documents",
+        "SELECT doc_id AS src, doc_id - 1 AS dst FROM documents" +
+          " WHERE doc_id >= 1",
+        maxDepth = 6, maxRounds = 3)),
       presentOrder = Seq("start_id")),
 
     // Sampled harmonic centrality over the k-NN graph: H(v) =

@@ -487,6 +487,28 @@ class DedupSimSpec extends SparkSpec {
     val bruteDiam = (0L until n.toLong).map(ecc).max.toLong
     val r = run((0L until n.toLong), es, fl = 20)
     assert(r.getBoolean(8) && r.getLong(9) === bruteDiam)
+    // Depth-cap honesty (ADVICE r10): a 30-node path under a 12 cap
+    // exceeds every BFS budget — the run must NEVER certify: the
+    // sentinel row has depth_capped=true, resolved=false,
+    // diam_exact=-1 and diam_ub=-1 (2·ecc of a truncated BFS is not
+    // an upper bound), while diam_lb stays a genuine lower bound.
+    val path30 = GraphOps.diameterIfub(
+      (0L until 30L).toDF("node_id"),
+      (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst"),
+      maxDepth = 12, fringeLevels = 3).collect()(0)
+    assert(path30.getBoolean(13) && !path30.getBoolean(8) &&
+      path30.getLong(9) === -1L && path30.getLong(7) === -1L &&
+      path30.getLong(6) >= 1L && path30.getLong(6) <= 29L)
+    // Seed budget: with seedBudget=0 on C8 (not entry-resolved) the
+    // first level cannot run — budget_hit=true, honest -1, and the
+    // lb/ub bracket (from the four base sweeps alone) stays valid.
+    val cb = GraphOps.diameterIfub(
+      (0L to 7L).toDF("node_id"),
+      (0L to 7L).map(i => (i, (i + 1) % 8)).toDF("src", "dst"),
+      maxDepth = 20, fringeLevels = 3, seedBudget = 0).collect()(0)
+    assert(cb.getBoolean(12) && !cb.getBoolean(8) &&
+      cb.getLong(9) === -1L && cb.getLong(11) === 0L &&
+      cb.getLong(6) <= 4L && cb.getLong(7) >= 4L)
     // Gate corpus: resolved within fringeLevels = 3, every BFS depth
     // strictly under the 12 cap (the cap never truncates an
     // eccentricity), and the exact value dominates the LB gate.
@@ -558,6 +580,18 @@ class DedupSimSpec extends SparkSpec {
     val g = Catalog.queries("graph_diameter_tk")(
       spark, "/root/testdata/sf0.001").collect()(0)
     assert(g.getBoolean(4) && g.getLong(5) === 6L && g.getLong(1) === 3L)
+    // Depth-cap honesty (ADVICE r10): a 30-node path under a 12 cap —
+    // round 1's BFS hits the cap with a live frontier, so the run
+    // stops immediately: n_bfs=1, depth_capped=true, resolved=false,
+    // diam_exact=-1, diam_ub=-1; diam_lb keeps the observed (true)
+    // distances' max.
+    val capped = GraphOps.diameterBounds(
+      (0L until 30L).toDF("node_id"),
+      (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst"),
+      maxDepth = 12, maxRounds = 6).collect()(0)
+    assert(capped.getBoolean(6) && !capped.getBoolean(4) &&
+      capped.getLong(5) === -1L && capped.getLong(3) === -1L &&
+      capped.getLong(1) === 1L && capped.getLong(2) >= 1L)
   }
 
   test("harmonicCentrality: exact hand sums on a path with every node a " +
