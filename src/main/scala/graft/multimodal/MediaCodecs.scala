@@ -127,6 +127,57 @@ object MediaCodecs {
     }
   }
 
+  /** Per-channel features of a (possibly multi-channel) PCM-16 WAV —
+    * the stereo de-interleave [[decimateWav]]/[[trimWavSilence]]
+    * declare out of scope (round-11): channel c's samples sit at
+    * interleaved positions c, c+ch, c+2ch… (the RIFF frame layout),
+    * and each channel folds its own (nSamples, sumSquares, peak,
+    * zeroCrossings). Crossings are counted WITHIN the channel — the
+    * interleaved fold [[parseWav]] runs is correct only for mono; on
+    * stereo, L/R alternation fabricates crossings no channel
+    * contains, which is exactly the bug this function exists to
+    * avoid. None on anything [[parseWav]] rejects, or a data chunk
+    * that is not a whole number of frames. */
+  def wavChannelFeatures(bytes: Array[Byte])
+  : Option[Seq[(Int, Long, Long, Int, Long)]] = {
+    parseWav(bytes).flatMap { m =>
+      var off = 12
+      var dataOff = -1
+      var dataSize = 0
+      while (dataOff < 0 && off + 8 <= bytes.length) {
+        val size = readLe32(bytes, off + 4)
+        if (tag(bytes, off, "data")) { dataOff = off + 8; dataSize = size }
+        else off += 8 + size + (size & 1)
+      }
+      val ch = m.channels
+      val n = dataSize / 2
+      if (n % ch != 0) None
+      else {
+        val frames = n / ch
+        Some((0 until ch).map { c =>
+          var sumSq = 0L
+          var peak = 0
+          var crossings = 0L
+          var prev = 0
+          var f = 0
+          while (f < frames) {
+            val s = readLe16s(bytes, dataOff + 2 * (f * ch + c)).toInt
+            sumSq += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            val sign = Integer.signum(s)
+            if (sign != 0) {
+              if (prev != 0 && sign != prev) crossings += 1
+              prev = sign
+            }
+            f += 1
+          }
+          (c, frames.toLong, sumSq, peak, crossings)
+        })
+      }
+    }
+  }
+
   /** REAL sample-rate decimation, bytes → bytes: parse the PCM-16 WAV,
     * keep every k-th sample (no anti-alias filter — plain decimation,
     * documented as such), re-encode at rate/k. Interleaved channels are
@@ -215,18 +266,23 @@ object MediaCodecs {
   }
 
   /** Gradient variant of [[buildBmp]]: pixel (x, y) in IMAGE coordinates
-    * (y = 0 at the top) takes `f(x, y) = (r, g, b)`. File rows are
-    * written bottom-up (positive height), so builder and any consumer
-    * must agree on the row flip — which is exactly what the resize gate
-    * exercises. */
+    * (y = 0 at the top) takes `f(x, y) = (r, g, b)`. By default file
+    * rows are written bottom-up (positive height); `topDown = true`
+    * writes the other REAL-WORLD layout (negative biHeight, file rows
+    * in image order — BITMAPINFOHEADER §biHeight), so builder and any
+    * consumer must agree on reading the sign — which is exactly what
+    * the position-sensitive gates exercise. */
   def buildBmpGradient(width: Int, height: Int,
-                       f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+                       f: (Int, Int) => (Int, Int, Int),
+                       topDown: Boolean = false): Array[Byte] = {
     val rowSize = ((3 * width + 3) / 4) * 4
     val out = java.nio.ByteBuffer.allocate(54 + rowSize * height)
-    out.put(buildBmp(width, height, 0, 0, 0), 0, 54)
+    val header = buildBmp(width, height, 0, 0, 0).take(54)
+    if (topDown) System.arraycopy(le32(-height), 0, header, 22, 4)
+    out.put(header, 0, 54)
     var fileRow = 0
     while (fileRow < height) {
-      val y = height - 1 - fileRow // bottom-up storage
+      val y = if (topDown) fileRow else height - 1 - fileRow
       val row = new Array[Byte](rowSize)
       var x = 0
       while (x < width) {
@@ -244,18 +300,18 @@ object MediaCodecs {
   /** REAL nearest-neighbor resize, bytes → bytes: parses the source BMP
     * (same validity checks as [[parseBmp]]), maps every target pixel
     * (x2, y2) to source pixel (x2·w div w2, y2·h div h2) in IMAGE
-    * coordinates — handling the bottom-up row flip and the row padding
-    * of BOTH images — and re-encodes a canonical 24-bit BMP. None on
-    * any input [[parseBmp]] would reject (and, like it, top-down
-    * negative-height input is not resized here: the flip arithmetic
-    * below assumes bottom-up storage, the only layout [[buildBmp]]
-    * emits). */
+    * coordinates — handling the row flip (both biHeight orders, as in
+    * [[bmpGrayR]]) and the row padding of BOTH images — and re-encodes
+    * a canonical bottom-up 24-bit BMP. None on any input [[parseBmp]]
+    * would reject. */
   def resizeBmpNearest(bytes: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {
     if (bytes == null || bytes.length < 54 || w2 <= 0 || h2 <= 0) return None
     if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
     val pixOff = readLe32(bytes, 10)
     val w = readLe32(bytes, 18)
-    val h = readLe32(bytes, 22)
+    val hRaw = readLe32(bytes, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
     val bpp = readLe16(bytes, 28)
     val compression = readLe32(bytes, 30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
@@ -269,7 +325,7 @@ object MediaCodecs {
     while (dstFileRow < h2) {
       val y2 = h2 - 1 - dstFileRow          // image row of this file row
       val sy = y2 * h / h2                  // nearest-neighbor source row
-      val srcFileRow = h - 1 - sy
+      val srcFileRow = if (topDown) sy else h - 1 - sy
       val row = new Array[Byte](dstRowSize)
       var x2 = 0
       while (x2 < w2) {
@@ -293,13 +349,16 @@ object MediaCodecs {
     * box folds every pixel in). Integer-exact, so the synthesis gate's
     * oracle can reproduce it analytically. Requires f | width and
     * f | height (no partial edge blocks — exactness contract); None on
-    * that, or anything [[parseBmp]] rejects, or top-down storage. */
+    * that, or anything [[parseBmp]] rejects. Both biHeight row orders
+    * handled, as in [[bmpGrayR]]. */
   def resizeBmpBox(bytes: Array[Byte], f: Int): Option[Array[Byte]] = {
     if (f <= 0 || bytes == null || bytes.length < 54) return None
     if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
     val pixOff = readLe32(bytes, 10)
     val w = readLe32(bytes, 18)
-    val h = readLe32(bytes, 22)
+    val hRaw = readLe32(bytes, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
     val bpp = readLe16(bytes, 28)
     val compression = readLe32(bytes, 30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
@@ -311,7 +370,7 @@ object MediaCodecs {
     val sums = Array.ofDim[Long](3, w2 * h2) // B, G, R block sums
     var fileRow = 0
     while (fileRow < h) {
-      val y = h - 1 - fileRow // image row (bottom-up storage)
+      val y = if (topDown) fileRow else h - 1 - fileRow // image row
       val base = pixOff + fileRow * rowSize
       var x = 0
       while (x < w) {
@@ -366,17 +425,20 @@ object MediaCodecs {
     Some(BmpMeta(width, height, bpp, sumB, sumG, sumR))
   }
 
-  /** REAL pixel read: the R channel of a bottom-up 24-bit BMP in IMAGE
-    * order (index y·w + x, y = 0 the TOP row) — the flip and padding
-    * handled the same way as [[resizeBmpNearest]]. None on anything
-    * [[parseBmp]] rejects, plus top-down storage (negative height),
-    * which the flip below does not model. */
+  /** REAL pixel read: the R channel of a 24-bit BMP in IMAGE order
+    * (index y·w + x, y = 0 the TOP row) — the flip and padding
+    * handled the same way as [[resizeBmpNearest]]. Both real-world
+    * row orders are modeled (round-11): positive biHeight = bottom-up
+    * (file rows flipped), negative = top-down (file rows already in
+    * image order). None on anything [[parseBmp]] rejects. */
   def bmpGrayR(bytes: Array[Byte]): Option[Array[Int]] = {
     if (bytes == null || bytes.length < 54) return None
     if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
     val pixOff = readLe32(bytes, 10)
     val w = readLe32(bytes, 18)
-    val h = readLe32(bytes, 22)
+    val hRaw = readLe32(bytes, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
     val bpp = readLe16(bytes, 28)
     val compression = readLe32(bytes, 30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
@@ -386,7 +448,7 @@ object MediaCodecs {
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
-      val base = pixOff + (h - 1 - y) * rowSize
+      val base = pixOff + (if (topDown) y else h - 1 - y) * rowSize
       var x = 0
       while (x < w) {
         out(y * w + x) = bytes(base + 3 * x + 2) & 0xff
@@ -403,7 +465,8 @@ object MediaCodecs {
     * patch's ACTUAL bytes (same bottom-up flip + row padding arithmetic
     * as [[bmpGrayR]]). One linear pass over the pixel array; patch
     * geometry (pw, ph) travels with each sum so a consumer can
-    * normalize without re-deriving the lattice. None on anything
+    * normalize without re-deriving the lattice. Both biHeight row
+    * orders handled, as in [[bmpGrayR]]. None on anything
     * [[bmpGrayR]] rejects. */
   def bmpPatchSums(bytes: Array[Byte],
                    p: Int): Option[Seq[(Int, Int, Int, Int, Long)]] = {
@@ -411,7 +474,9 @@ object MediaCodecs {
     if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
     val pixOff = readLe32(bytes, 10)
     val w = readLe32(bytes, 18)
-    val h = readLe32(bytes, 22)
+    val hRaw = readLe32(bytes, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
     val bpp = readLe16(bytes, 28)
     val compression = readLe32(bytes, 30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
@@ -423,7 +488,7 @@ object MediaCodecs {
     val sums = new Array[Long](nx * ny)
     var fileRow = 0
     while (fileRow < h) {
-      val y = h - 1 - fileRow
+      val y = if (topDown) fileRow else h - 1 - fileRow
       val base = pixOff + fileRow * rowSize
       var x = 0
       while (x < w) {
@@ -467,50 +532,73 @@ object MediaCodecs {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  /** Adam7 pass lattice (PNG spec §8.2): (xStart, yStart, xStep,
+    * yStep) per pass; a pass whose sub-grid is empty for the image's
+    * geometry contributes NO bytes (spec: empty passes are wholly
+    * absent from the stream). */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** REAL PNG encoder for 8-bit truecolor (color type 2): pixel (x, y)
     * takes `f(x, y) = (r, g, b)` in image coordinates (top-down — PNG's
     * native row order, no BMP-style flip). Rows are filtered with the
     * full spec filter set CYCLING per row (row % 5 → None/Sub/Up/
     * Average/Paeth) so a decoder that skips filter reconstruction
     * cannot round-trip the bytes, then zlib-DEFLATEd into one IDAT.
-    * Each chunk carries its real CRC-32. */
+    * Each chunk carries its real CRC-32.
+    *
+    * `interlaced = true` writes the Adam7 seven-pass layout (spec
+    * §8.2): each pass is its own reduced image — per-pass stride,
+    * filter state (prior row and the row % 5 cycle) resetting at
+    * every pass boundary, empty passes absent — exactly the layout
+    * [[parsePng]] reconstructs. */
   def buildPng(width: Int, height: Int,
-               f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+               f: (Int, Int) => (Int, Int, Int),
+               interlaced: Boolean = false): Array[Byte] = {
     val bpp = 3
-    val stride = bpp * width
-    val raw = new Array[Byte](height * (1 + stride)) // filter byte + row
-    var prior = new Array[Byte](stride)
-    var y = 0
-    while (y < height) {
-      val row = new Array[Byte](stride)
-      var x = 0
-      while (x < width) {
-        val (r, g, b) = f(x, y)
-        row(bpp * x) = r.toByte; row(bpp * x + 1) = g.toByte
-        row(bpp * x + 2) = b.toByte
-        x += 1
-      }
-      val ft = y % 5
-      raw(y * (1 + stride)) = ft.toByte
-      var i = 0
-      while (i < stride) {
-        val cur = row(i) & 0xff
-        val left = if (i >= bpp) row(i - bpp) & 0xff else 0
-        val up = prior(i) & 0xff
-        val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
-        val filt = ft match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - (left + up) / 2
-          case 4 => cur - paeth(left, up, ul)
+    val rawOut = new java.io.ByteArrayOutputStream
+    def writePass(xs: IndexedSeq[Int], ys: IndexedSeq[Int]): Unit = {
+      if (xs.isEmpty || ys.isEmpty) return
+      val stride = bpp * xs.length
+      var prior = new Array[Byte](stride)
+      var py = 0
+      while (py < ys.length) {
+        val row = new Array[Byte](stride)
+        var ix = 0
+        while (ix < xs.length) {
+          val (r, g, b) = f(xs(ix), ys(py))
+          row(bpp * ix) = r.toByte; row(bpp * ix + 1) = g.toByte
+          row(bpp * ix + 2) = b.toByte
+          ix += 1
         }
-        raw(y * (1 + stride) + 1 + i) = filt.toByte
-        i += 1
+        val ft = py % 5
+        rawOut.write(ft)
+        var i = 0
+        while (i < stride) {
+          val cur = row(i) & 0xff
+          val left = if (i >= bpp) row(i - bpp) & 0xff else 0
+          val up = prior(i) & 0xff
+          val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+          val filt = ft match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 => cur - paeth(left, up, ul)
+          }
+          rawOut.write(filt & 0xff)
+          i += 1
+        }
+        prior = row
+        py += 1
       }
-      prior = row
-      y += 1
     }
+    if (!interlaced) writePass(0 until width, 0 until height)
+    else Adam7.foreach { case (x0, y0, dx, dy) =>
+      writePass(x0 until width by dx, y0 until height by dy)
+    }
+    val raw = rawOut.toByteArray
     val deflater = new java.util.zip.Deflater
     deflater.setInput(raw); deflater.finish()
     val zOut = new java.io.ByteArrayOutputStream
@@ -519,25 +607,33 @@ object MediaCodecs {
       zOut.write(buf, 0, deflater.deflate(buf))
     deflater.end()
     val ihdr = be32(width) ++ be32(height) ++
-      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, adaptive, no interlace
+      Array[Byte](8, 2, 0, 0, // depth 8, truecolor, deflate, adaptive
+        if (interlaced) 1 else 0)
     PngSig ++ pngChunk("IHDR", ihdr) ++
       pngChunk("IDAT", zOut.toByteArray) ++
       pngChunk("IEND", Array.empty[Byte])
   }
 
   /** REAL PNG decoder: verifies the signature, walks the chunk list
-    * CHECKING every CRC-32, parses IHDR (8-bit truecolor, no interlace
-    * only), concatenates the IDAT stream, INFLATEs it, reconstructs all
-    * five spec filters row by row, and folds the RGB grid into exact
-    * per-channel sums. None on anything malformed: bad magic, a chunk
-    * that lies about its length, a corrupted CRC, an unsupported
-    * color/depth/interlace combination, undecodable zlib data, or an
-    * inflated length that disagrees with the geometry. */
+    * CHECKING every CRC-32, parses IHDR (8-bit truecolor; sequential
+    * AND Adam7-interlaced), concatenates the IDAT stream, INFLATEs it,
+    * reconstructs all five spec filters row by row, and folds the RGB
+    * grid into exact per-channel sums. Adam7 (round-11, the way
+    * progressive JPEG was closed in round 10): the seven reduced
+    * images are unfiltered independently — per-pass stride, prior row
+    * resetting at each pass boundary, empty passes absent — and since
+    * every image pixel belongs to exactly one pass, the channel sums
+    * fold per pass without materializing the de-interlaced grid
+    * (column i of a pass row is channel i mod 3 regardless of pass).
+    * None on anything malformed: bad magic, a chunk that lies about
+    * its length, a corrupted CRC, an unsupported color/depth/interlace
+    * combination, undecodable zlib data, or an inflated length that
+    * disagrees with the pass geometry. */
   def parsePng(bytes: Array[Byte]): Option[PngMeta] = {
     if (bytes == null || bytes.length < PngSig.length + 12) return None
     if (!PngSig.indices.forall(i => bytes(i) == PngSig(i))) return None
     var off = PngSig.length
-    var ihdr: Option[(Int, Int, Int, Int)] = None // (w, h, depth, colorType)
+    var ihdr: Option[(Int, Int, Int, Int, Int)] = None
     val idat = new java.io.ByteArrayOutputStream
     var ended = false
     while (!ended && off + 12 <= bytes.length) {
@@ -555,20 +651,30 @@ object MediaCodecs {
           val depth = bytes(off + 16) & 0xff
           val ct = bytes(off + 17) & 0xff
           val interlace = bytes(off + 20) & 0xff
-          if (w <= 0 || h <= 0 || depth != 8 || ct != 2 || interlace != 0)
-            return None
-          ihdr = Some((w, h, depth, ct))
+          if (w <= 0 || h <= 0 || depth != 8 || ct != 2 ||
+            (interlace != 0 && interlace != 1)) return None
+          ihdr = Some((w, h, depth, ct, interlace))
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => ended = true
         case _ => () // ancillary chunks pass (CRC already verified)
       }
       off += 12 + len
     }
-    val (w, h, depth, ct) = ihdr.getOrElse(return None)
+    val (w, h, depth, ct, interlace) = ihdr.getOrElse(return None)
     if (!ended || idat.size == 0) return None
     val bpp = 3
-    val stride = bpp * w
-    val raw = new Array[Byte](h * (1 + stride))
+    // Pass geometry: one (width, height) per reduced image — the
+    // sequential layout is the single full-size pass.
+    val passes: Seq[(Int, Int)] =
+      if (interlace == 0) Seq((w, h))
+      else Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+        (((w - x0 + dx - 1) / dx), ((h - y0 + dy - 1) / dy))
+      }.filter { case (pw, ph) => pw > 0 && ph > 0 }
+    val rawLen = passes.map { case (pw, ph) =>
+      ph.toLong * (1 + bpp * pw)
+    }.sum
+    if (rawLen > Int.MaxValue) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater
     inflater.setInput(idat.toByteArray)
     try {
@@ -583,39 +689,47 @@ object MediaCodecs {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
     var (sumR, sumG, sumB) = (0L, 0L, 0L)
-    var prior = new Array[Byte](stride)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (1 + stride)) & 0xff
-      if (ft > 4) return None
-      val row = new Array[Byte](stride)
-      var i = 0
-      while (i < stride) {
-        val filt = raw(y * (1 + stride) + 1 + i) & 0xff
-        val left = if (i >= bpp) row(i - bpp) & 0xff else 0
-        val up = prior(i) & 0xff
-        val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
-        val recon = ft match {
-          case 0 => filt
-          case 1 => filt + left
-          case 2 => filt + up
-          case 3 => filt + (left + up) / 2
-          case 4 => filt + paeth(left, up, ul)
+    var base = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (pw, ph) = passes(pi)
+      val stride = bpp * pw
+      var prior = new Array[Byte](stride)
+      var y = 0
+      while (y < ph) {
+        val ft = raw(base + y * (1 + stride)) & 0xff
+        if (ft > 4) return None
+        val row = new Array[Byte](stride)
+        var i = 0
+        while (i < stride) {
+          val filt = raw(base + y * (1 + stride) + 1 + i) & 0xff
+          val left = if (i >= bpp) row(i - bpp) & 0xff else 0
+          val up = prior(i) & 0xff
+          val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+          val recon = ft match {
+            case 0 => filt
+            case 1 => filt + left
+            case 2 => filt + up
+            case 3 => filt + (left + up) / 2
+            case 4 => filt + paeth(left, up, ul)
+          }
+          row(i) = recon.toByte
+          i += 1
         }
-        row(i) = recon.toByte
-        i += 1
-      }
-      i = 0
-      while (i < stride) {
-        (i % bpp: @annotation.switch) match {
-          case 0 => sumR += row(i) & 0xff
-          case 1 => sumG += row(i) & 0xff
-          case 2 => sumB += row(i) & 0xff
+        i = 0
+        while (i < stride) {
+          (i % bpp: @annotation.switch) match {
+            case 0 => sumR += row(i) & 0xff
+            case 1 => sumG += row(i) & 0xff
+            case 2 => sumB += row(i) & 0xff
+          }
+          i += 1
         }
-        i += 1
+        prior = row
+        y += 1
       }
-      prior = row
-      y += 1
+      base += ph * (1 + stride)
+      pi += 1
     }
     Some(PngMeta(w, h, depth, ct, sumR, sumG, sumB))
   }
@@ -1074,23 +1188,26 @@ object MediaCodecs {
     while (off + 4 <= bytes.length) {
       if ((bytes(off) & 0xff) != 0xff) return None
       val marker = bytes(off + 1) & 0xff
-      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS first
-      val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-      if (len < 2 || off + 2 + len > bytes.length) return None
-      val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
-        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-      if (isSof) {
-        if (len < 8) return None
-        val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
-        val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
-        val n = bytes(off + 9) & 0xff
-        if (w <= 0 || h <= 0 || n < 1 || n > 4) return None
-        val prog = marker == 0xc2 || marker == 0xc6 ||
-          marker == 0xca || marker == 0xce
-        return Some(ContainerMeta("image", Some(w), Some(h), Some(n),
-          None, None, progressive = Some(prog)))
+      if (marker == 0xff) off += 1 // T.81 B.1.1.2 fill byte before marker
+      else if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS first
+      else {
+        val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > bytes.length) return None
+        val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 8) return None
+          val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
+          val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
+          val n = bytes(off + 9) & 0xff
+          if (w <= 0 || h <= 0 || n < 1 || n > 4) return None
+          val prog = marker == 0xc2 || marker == 0xc6 ||
+            marker == 0xca || marker == 0xce
+          return Some(ContainerMeta("image", Some(w), Some(h), Some(n),
+            None, None, progressive = Some(prog)))
+        }
+        off += 2 + len
       }
-      off += 2 + len
     }
     None
   }
@@ -1117,6 +1234,27 @@ object MediaCodecs {
       off += 2 + len
     }
     out
+  }
+
+  /** Fixture helper: inserts T.81-legal 0xFF fill bytes (B.1.1.2 —
+    * any marker may be preceded by any number of 0xFF bytes) before
+    * the first marker segment and, when the stream ends with EOI,
+    * before the EOI. A correct decoder treats them as padding; one
+    * that reads FF FF as "marker 0xFF" misparses the following bytes
+    * as a segment length and rejects a legal stream. */
+  def withJpegFillBytes(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.length < 4) return bytes
+    val endsWithEoi = (bytes(bytes.length - 2) & 0xff) == 0xff &&
+      (bytes(bytes.length - 1) & 0xff) == 0xd9
+    val out = new java.io.ByteArrayOutputStream
+    out.write(bytes, 0, 2) // SOI
+    out.write(0xff)        // fill before the first segment
+    if (endsWithEoi) {
+      out.write(bytes, 2, bytes.length - 4)
+      out.write(0xff)      // fill before EOI
+      out.write(bytes, bytes.length - 2, 2)
+    } else out.write(bytes, 2, bytes.length - 2)
+    out.toByteArray
   }
 
   /** PNG spec: IHDR must be the FIRST chunk after the signature. CRC is
@@ -1415,6 +1553,10 @@ object MediaCodecs {
     while (sosAt < 0) {
       if (off + 4 > bytes.length) return None
       if ((bytes(off) & 0xff) != 0xff) return None
+      // T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes.
+      while (off + 2 <= bytes.length && (bytes(off + 1) & 0xff) == 0xff)
+        off += 1
+      if (off + 4 > bytes.length) return None
       val marker = bytes(off + 1) & 0xff
       val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
       if (off + 2 + len > bytes.length || len < 2) return None
@@ -1682,6 +1824,10 @@ object MediaCodecs {
     while (!sawEoi) {
       if (off + 2 > bytes.length) return None
       if ((bytes(off) & 0xff) != 0xff) return None
+      // T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes.
+      while (off + 2 <= bytes.length && (bytes(off + 1) & 0xff) == 0xff)
+        off += 1
+      if (off + 2 > bytes.length) return None
       val marker = bytes(off + 1) & 0xff
       if (marker == 0xd9) { sawEoi = true }
       else {
@@ -1816,13 +1962,17 @@ object MediaCodecs {
               ss, se, ah, al, dcT, acT, compH, compV, mcusX, mcusY,
               bW, nbW, nbH, restartInterval, ns)) return None
             // Resume the marker walk at the next true marker after the
-            // entropy-coded data (skipping stuffed FF00 and RSTn).
+            // entropy-coded data (skipping stuffed FF00, RSTn, and
+            // T.81-legal 0xFF fill bytes before a marker — an FF FF
+            // pair is a fill byte + marker start, never marker 0xFF).
             var p = br.pos
             var found = -1
             while (found < 0 && p + 1 < bytes.length) {
               if ((bytes(p) & 0xff) == 0xff) {
                 val m2 = bytes(p + 1) & 0xff
-                if (m2 != 0x00 && !(m2 >= 0xd0 && m2 <= 0xd7)) found = p
+                if (m2 == 0xff) p += 1
+                else if (m2 != 0x00 && !(m2 >= 0xd0 && m2 <= 0xd7))
+                  found = p
                 else p += 2
               } else p += 1
             }

@@ -162,6 +162,25 @@ object MultimodalOps {
       })
   }
 
+  case class WavChRow(docId: Long, channel: Int, nSamples: Long,
+                      sumSquares: Long, peak: Int, zeroCrossings: Long)
+
+  /** Per-channel WAV features (round-11 stereo de-interleave): one row
+    * per (doc, channel) via [[MediaCodecs.wavChannelFeatures]] —
+    * crossings counted WITHIN each channel, never across the
+    * interleaved stream. Narrow flatMap, blobs never shuffle. */
+  def decodeWavChannels(media: DataFrame, idCol: String,
+                        bytesCol: String): Dataset[WavChRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.wavChannelFeatures(bytes).toSeq.flatten.map {
+          case (c, n, ss, pk, zc) => WavChRow(id, c, n, ss, pk, zc)
+        }
+      })
+  }
+
   /** REAL image decode (no stub): 24-bit uncompressed BMP parsed by
     * [[MediaCodecs.parseBmp]] — header navigation via the pixel-array
     * offset, per-row padding arithmetic, exact per-channel sums. Same

@@ -35,11 +35,14 @@ object MultimodalQueries {
         val w = (8 * (1 + id % 3)).toInt
         val h = (8 * (1 + nc % 3)).toInt
         val seed = ((id * 31 + nc * 17) % 97).toInt
+        // Half the corpus stores rows TOP-DOWN (negative biHeight) —
+        // the other real-world layout; the phash is position-sensitive
+        // so a row-order bug breaks the dup grouping downstream.
         val bytes = graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
           (x, y) => {
             val v = ((x * 8 / w) * 37 + (y * 8 / h) * 101 + seed * 29) % 256
             (v, v, v)
-          })
+          }, topDown = id % 2 == 0)
         val small = graft.multimodal.MediaCodecs
           .resizeBmpNearest(bytes, 8, 8).get
         val px = graft.multimodal.MediaCodecs.bmpGrayR(small).get
@@ -112,6 +115,52 @@ object MultimodalQueries {
              | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // REAL stereo de-interleave (round-11): per doc a TWO-channel PCM
+    // WAV whose channels carry deliberately DIFFERENT signals — L an
+    // alternating ±ampL square (n−1 crossings), R a constant +ampR
+    // (zero crossings) — folded per channel through the RIFF frame
+    // layout (positions c, c+2, c+4…). The interleaved mono fold
+    // would fabricate crossings at every L/R boundary and merge the
+    // two energies; the per-channel rows are analytic, so any
+    // de-interleave off-by-one turns the gate red.
+    QueryDef("mm_wav_stereo",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val n = ((nc % 100) + 2).toInt
+            val al = (id % 500 + 1).toInt
+            val ar = (nc % 300 + 1).toInt
+            val samples = Array.tabulate(2 * n)(i =>
+              (if (i % 2 == 0) { if ((i / 2) % 2 == 0) al else -al }
+               else ar).toShort)
+            (id, graft.multimodal.MediaCodecs.buildWav(
+              (8000 + (id % 3) * 4000).toInt, 2, samples))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.decodeWavChannels(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("channel"),
+            col("nSamples").as("n_samples"),
+            col("sumSquares").as("sum_squares"), col("peak"),
+            col("zeroCrossings").as("zero_crossings"))
+      },
+      Some("""WITH p AS (SELECT doc_id, (n_chars % 100) + 2 AS n,
+             |  doc_id % 500 + 1 AS al, n_chars % 300 + 1 AS ar
+             |  FROM documents)
+             | SELECT doc_id, CAST(0 AS INT) AS channel,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * al * al AS BIGINT) AS sum_squares,
+             |  CAST(al AS INT) AS peak,
+             |  CAST(n - 1 AS BIGINT) AS zero_crossings
+             | FROM p
+             | UNION ALL
+             | SELECT doc_id, CAST(1 AS INT) AS channel,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * ar * ar AS BIGINT) AS sum_squares,
+             |  CAST(ar AS INT) AS peak, CAST(0 AS BIGINT) AS zero_crossings
+             | FROM p ORDER BY doc_id, channel""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id", "channel")),
+
     // REAL BMP decode: per doc, build a solid-color 24-bit BMP sized by
     // (doc_id, n_chars) — width deliberately not a multiple of 4 so the
     // parser's row-padding arithmetic is load-bearing — and parse the
@@ -156,11 +205,13 @@ object MultimodalQueries {
           .map { case (id, nc) =>
             val w = (8 * (1 + id % 3)).toInt
             val h = (8 * (1 + nc % 2)).toInt
+            // Half top-down: block membership is position-sensitive.
             (id, graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
               (x, y) => (
                 ((x * 7 + y * 13 + id) % 256).toInt,
                 ((x * 11 + y * 3 + nc) % 256).toInt,
-                ((x * 5 + y * 17 + id + nc) % 256).toInt)))
+                ((x * 5 + y * 17 + id + nc) % 256).toInt),
+              topDown = id % 2 == 0))
           }.toDF("doc_id", "bytes")
         val small = MultimodalOps.resizeBmpBoxOp(blobs, "doc_id", "bytes", 4)
         MultimodalOps.decodeBmp(small, "doc_id", "bytes").toDF()
@@ -246,11 +297,15 @@ object MultimodalQueries {
           .map { case (id, nc) =>
             val w = (id % 19 + 5).toInt
             val h = (nc % 13 + 3).toInt
+            // Half the corpus is Adam7-INTERLACED (round-11, the
+            // crawl case parsePng previously rejected): seven reduced
+            // images, per-pass filter state — same analytic sums.
             (id, graft.multimodal.MediaCodecs.buildPng(w, h,
               (x, y) => (
                 ((x * 7 + y * 13 + id) % 256).toInt,
                 ((x * 11 + y * 3 + nc) % 256).toInt,
-                ((x * 5 + y * 17 + id + nc) % 256).toInt)))
+                ((x * 5 + y * 17 + id + nc) % 256).toInt),
+              interlaced = id % 2 == 0))
           }.toDF("doc_id", "bytes")
         MultimodalOps.decodePng(blobs, "doc_id", "bytes").toDF()
           .select(col("docId").as("doc_id"), col("width"), col("height"),
@@ -520,10 +575,12 @@ object MultimodalQueries {
           .map { case (id, nc) =>
             val w = (id % 21 + 4).toInt
             val h = (nc % 17 + 3).toInt
+            // Half top-down: nearest-neighbor picks are position-
+            // sensitive, so the source row-order flip is load-bearing.
             (id, graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
               (x, y) => (((x * 7 + y * 13 + id) % 256).toInt,
                 ((x * 3 + y * 5 + nc) % 256).toInt,
-                ((x + y + id + nc) % 256).toInt)))
+                ((x + y + id + nc) % 256).toInt), topDown = id % 2 == 0))
           }.toDF("doc_id", "bytes")
         val resized = MultimodalOps.resizeBmp(blobs, "doc_id", "bytes", 9, 6)
         MultimodalOps.decodeBmp(resized, "doc_id", "bytes").toDF()
@@ -568,9 +625,16 @@ object MultimodalQueries {
             // script) — the crawl-majority case the round-10 decoder
             // handles; decode_ok pins the same ±1 ImageIO bound on
             // both paths.
-            val bytes = graft.multimodal.MediaCodecs.buildJpegGray(w, h,
+            val bytes0 = graft.multimodal.MediaCodecs.buildJpegGray(w, h,
               (x, y) => ((x * 5 + y * 9 + id) % 256).toInt,
               progressive = id % 4 < 2)
+            // A third of the corpus carries T.81-legal 0xFF fill
+            // bytes before the first segment and before EOI (ADVICE
+            // r10): decode must treat them as padding, same ±1 bound.
+            val bytes =
+              if (id % 3 == 0)
+                graft.multimodal.MediaCodecs.withJpegFillBytes(bytes0)
+              else bytes0
             val m = graft.multimodal.MediaCodecs.jpegRgb(bytes)
             val dev = graft.multimodal.MediaCodecs.jpegMaxDevVsImageIO(bytes)
             (id, m.map(_._1).getOrElse(-1), m.map(_._2).getOrElse(-1),
@@ -695,11 +759,14 @@ object MultimodalQueries {
           .map { case (id, nc) =>
             val w = (id % 21 + 4).toInt
             val h = (nc % 17 + 3).toInt
+            // Half top-down (negative biHeight): patch sums are
+            // position-sensitive, so the row-order arithmetic is
+            // load-bearing in both layouts.
             (id, graft.multimodal.MediaCodecs.buildBmpGradient(w, h,
               (x, y) => {
                 val v = ((x * 7 + y * 13 + id) % 256).toInt
                 (v, v, v)
-              }))
+              }, topDown = id % 2 == 0))
           }.toDF("doc_id", "bytes")
         MultimodalOps.bmpPatches(blobs, "doc_id", "bytes", p = 8).toDF()
           .select(col("docId").as("doc_id"), col("px"), col("py"),

@@ -632,6 +632,174 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.parsePng(wrongCt).isEmpty)
   }
 
+  test("PNG Adam7 interlace: per-pass filter round-trip across geometries, " +
+    "ImageIO cross-validation both directions, malformed interlace rejects") {
+    import graft.multimodal.MediaCodecs
+    val f = (x: Int, y: Int) =>
+      ((x * 7 + y * 13) % 256, (x * 11 + y * 3) % 256, (x * 5 + y * 17) % 256)
+    def sums(w: Int, h: Int) = {
+      val cs = for (x <- 0 until w; y <- 0 until h) yield f(x, y)
+      (cs.map(_._1.toLong).sum, cs.map(_._2.toLong).sum,
+        cs.map(_._3.toLong).sum)
+    }
+    // Geometry sweep: sub-8x8 images exercise EMPTY passes (spec: an
+    // empty pass contributes no bytes), 9x7/16x10 exercise partial
+    // passes, 1x1 is pass 1 alone, 1x9/9x1 are single-column/row.
+    for ((w, h) <- Seq((1, 1), (3, 2), (2, 3), (7, 5), (8, 8), (9, 7),
+      (16, 10), (1, 9), (9, 1))) {
+      val seqBytes = MediaCodecs.buildPng(w, h, f)
+      val intBytes = MediaCodecs.buildPng(w, h, f, interlaced = true)
+      val ms = MediaCodecs.parsePng(seqBytes).get
+      val mi = MediaCodecs.parsePng(intBytes).get
+      val (sr, sg, sb) = sums(w, h)
+      assert((mi.width, mi.height) === (w, h))
+      assert((mi.sumR, mi.sumG, mi.sumB) === (sr, sg, sb),
+        s"interlaced sums at ${w}x$h")
+      assert((mi.sumR, mi.sumG, mi.sumB) === (ms.sumR, ms.sumG, ms.sumB))
+      // ImageIO (independent JDK codec) decodes our interlaced bytes
+      // PIXEL-exactly — a mis-scattered pass or wrong per-pass filter
+      // state cannot survive this, sums alone could hide a swap.
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(intBytes))
+      assert(img.getWidth === w && img.getHeight === h)
+      for (x <- 0 until w; y <- 0 until h) {
+        val (r, g, b) = f(x, y)
+        assert(img.getRGB(x, y) === (0xff000000 | (r << 16) | (g << 8) | b),
+          s"pixel ($x,$y) of ${w}x$h")
+      }
+    }
+    // The other direction: the JDK writer's OWN Adam7 stream (progressive
+    // mode) must parse to the analytic sums.
+    val (w, h) = (13, 11)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val (r, g, b) = f(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val jdkBytes = baos.toByteArray
+    assert((jdkBytes(8 + 8 + 12) & 0xff) === 1, "JDK stream is Adam7")
+    val mj = MediaCodecs.parsePng(jdkBytes).get
+    val (sr, sg, sb) = sums(w, h)
+    assert((mj.width, mj.height, mj.sumR, mj.sumG, mj.sumB) ===
+      (w, h, sr, sg, sb))
+    // Malformed: interlace byte 2 (not a spec value) rejects; an
+    // interlaced stream whose IDAT holds only the SEQUENTIAL layout
+    // (wrong total pass length) rejects on exact geometry.
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(4).putInt(data.length).array() ++ t ++
+        data ++
+        java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    }
+    val good = MediaCodecs.buildPng(6, 5, f)
+    val ihdrData = good.slice(16, 16 + 13)
+    val badIl = ihdrData.clone(); badIl(12) = 2
+    assert(MediaCodecs.parsePng(
+      good.take(8) ++ chunk("IHDR", badIl) ++ good.drop(8 + 12 + 13)).isEmpty)
+    val lieIl = ihdrData.clone(); lieIl(12) = 1
+    assert(MediaCodecs.parsePng(
+      good.take(8) ++ chunk("IHDR", lieIl) ++ good.drop(8 + 12 + 13)).isEmpty)
+  }
+
+  test("BMP top-down (negative biHeight): position-sensitive readers agree " +
+    "with the bottom-up layout and with ImageIO") {
+    import graft.multimodal.MediaCodecs
+    val f = (x: Int, y: Int) =>
+      ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y) % 256)
+    for ((w, h) <- Seq((9, 7), (8, 8), (1, 5), (16, 4))) {
+      val up = MediaCodecs.buildBmpGradient(w, h, f)
+      val dn = MediaCodecs.buildBmpGradient(w, h, f, topDown = true)
+      // channel sums are row-order invariant; positions are NOT —
+      // both must come out identical in IMAGE coordinates.
+      val (mu, md) = (MediaCodecs.parseBmp(up).get, MediaCodecs.parseBmp(dn).get)
+      assert((md.width, md.height, md.sumR, md.sumG, md.sumB) ===
+        ((mu.width, mu.height, mu.sumR, mu.sumG, mu.sumB)))
+      assert(MediaCodecs.bmpGrayR(dn).get.toSeq ===
+        MediaCodecs.bmpGrayR(up).get.toSeq)
+      assert(MediaCodecs.bmpPatchSums(dn, 4).get ===
+        MediaCodecs.bmpPatchSums(up, 4).get)
+      assert(MediaCodecs.resizeBmpNearest(dn, 5, 3).get.toSeq ===
+        MediaCodecs.resizeBmpNearest(up, 5, 3).get.toSeq)
+      // ImageIO (independent JDK BMP reader) agrees pixel-exactly on
+      // the top-down layout.
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(dn))
+      val gray = MediaCodecs.bmpGrayR(dn).get
+      for (x <- 0 until w; y <- 0 until h)
+        assert(((img.getRGB(x, y) >> 16) & 0xff) === gray(y * w + x),
+          s"R at ($x,$y) of ${w}x$h")
+    }
+    val up88 = MediaCodecs.buildBmpGradient(8, 8, f)
+    val dn88 = MediaCodecs.buildBmpGradient(8, 8, f, topDown = true)
+    assert(MediaCodecs.resizeBmpBox(dn88, 4).get.toSeq ===
+      MediaCodecs.resizeBmpBox(up88, 4).get.toSeq)
+  }
+
+  test("WAV stereo de-interleave: per-channel features from a hand fixture, " +
+    "mono parity, ragged frame reject") {
+    import graft.multimodal.MediaCodecs
+    // L = (5, -5, 5): 2 crossings; R = (-7, -7, -7): none. Interleaved
+    // frame layout (L0 R0 L1 R1 L2 R2).
+    val st = MediaCodecs.buildWav(8000, 2,
+      Array[Short](5, -7, -5, -7, 5, -7))
+    val rows = MediaCodecs.wavChannelFeatures(st).get
+    assert(rows === Seq((0, 3L, 75L, 5, 2L), (1, 3L, 147L, 7, 0L)))
+    // The interleaved mono fold fabricates crossings at L/R boundaries
+    // (5,-7,-5,-7,5,-7 has 3 sign changes ≠ 2 + 0) — the per-channel
+    // fold must not inherit them.
+    assert(MediaCodecs.parseWav(st).get.zeroCrossings === 3L)
+    // Mono parity: single row reproduces parseWav's features.
+    val mono = MediaCodecs.buildWav(8000, 1, Array[Short](3, -4, 0, 2))
+    val m = MediaCodecs.parseWav(mono).get
+    assert(MediaCodecs.wavChannelFeatures(mono).get ===
+      Seq((0, m.nSamples, m.sumSquares, m.peak, m.zeroCrossings)))
+    // A stereo data chunk with an odd sample count is not a whole
+    // number of frames: reject, never mis-align channels.
+    val ragged = MediaCodecs.buildWav(8000, 2, Array[Short](1, 2, 3))
+    assert(MediaCodecs.wavChannelFeatures(ragged).isEmpty)
+    assert(MediaCodecs.wavChannelFeatures(Array[Byte](1, 2)).isEmpty)
+  }
+
+  test("JPEG fill bytes (T.81 B.1.1.2): legal 0xFF padding before markers " +
+    "decodes identically on both paths; forged-SOF2 still rejects") {
+    import graft.multimodal.MediaCodecs
+    val f = (x: Int, y: Int) => (x * 5 + y * 9) % 256
+    for (progressive <- Seq(false, true)) {
+      val plain = MediaCodecs.buildJpegGray(18, 13, f,
+        progressive = progressive)
+      val filled = MediaCodecs.withJpegFillBytes(plain)
+      assert(filled.length === plain.length + 2)
+      val a = MediaCodecs.jpegRgb(plain).get
+      val b = MediaCodecs.jpegRgb(filled).get
+      assert(b._1 === a._1 && b._2 === a._2 && b._3 === a._3)
+      assert(b._4.toSeq === a._4.toSeq,
+        s"fill bytes changed pixels (progressive=$progressive)")
+      assert(MediaCodecs.jpegMaxDevVsImageIO(filled).exists(_ <= 1))
+      // header sniff walks the same fill bytes
+      val meta = MediaCodecs.sniffMeta(filled).get
+      assert(meta.width === Some(18) && meta.height === Some(13) &&
+        meta.progressive === Some(progressive))
+    }
+    // The malformed-reject contract survives: a baseline stream with a
+    // forged SOF2 header plus fill bytes must still be refused.
+    val forged = MediaCodecs.withJpegFillBytes(
+      MediaCodecs.withProgressiveSofHeader(
+        MediaCodecs.buildJpegGray(18, 13, f, progressive = false)))
+    assert(MediaCodecs.jpegRgb(forged).isEmpty)
+  }
+
   test("Haar band energies: hand-computed pyramid, truncation, edges") {
     // x = 1..8: level 1 a=(3,7,11,15) d=(-1,-1,-1,-1) -> E1 = 4;
     // level 2 a=(10,26) d=(-4,-4) -> E2 = 32; level 3 a=(36) d=(-16)
