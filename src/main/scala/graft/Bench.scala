@@ -73,12 +73,26 @@ object Bench {
     // Clobber-proof evidence: later runs overwrite bench_<sf>.json (a
     // clean builder artifact was lost to the driver's sweep once), so
     // every run ALSO writes a timestamped copy that survives for
-    // regression diffing and adjudication.
+    // regression diffing and adjudication — retaining only the newest
+    // KeepStamped copies per SF (ADVICE r10: unbounded accumulation).
     val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
       .format(new java.util.Date())
     java.nio.file.Files.write(
       outPath.resolveSibling(s"bench_${sfTag}_$stamp.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val keepStamped = 8
+    val dir = Option(outPath.getParent)
+      .getOrElse(java.nio.file.Paths.get("."))
+    val stampedRe = s"bench_${java.util.regex.Pattern.quote(sfTag)}_\\d{8}_\\d{6}\\.json"
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.matches(stampedRe))
+        .sortBy(_.getFileName.toString)(Ordering[String].reverse)
+        .drop(keepStamped)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally listing.close()
     spark.stop()
   }
 }

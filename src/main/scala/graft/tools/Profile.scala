@@ -24,12 +24,27 @@ object Profile {
     // Profile run measures the same amortized shared-artifact reality
     // the bench does — an unset dir made graph_diameter/graph_harmonic
     // pay a ~7 s k-NN rebuild in judge-isolated runs. The env vars pin
-    // a PRE-BUILT dir across processes.
-    spark.conf.set("graft.knn.dir", sys.env.getOrElse("SPARK_GRAFT_KNN_DIR",
-      java.nio.file.Files.createTempDirectory("graft-knn").toString))
+    // a PRE-BUILT dir across processes; process-local temp dirs are
+    // deleted on exit (ADVICE r10: they leaked one dir per run).
+    // NOTE: with a fresh (non-env) cache dir, the FIRST timed query to
+    // touch a shared artifact pays its one-off build inside its cold
+    // number — pass SPARK_GRAFT_KNN_DIR/SPARK_GRAFT_PAIRS_DIR pointing
+    // at a pre-built dir when that matters.
+    def tempDir(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }))
+      p.toString
+    }
+    spark.conf.set("graft.knn.dir",
+      sys.env.getOrElse("SPARK_GRAFT_KNN_DIR", tempDir("graft-knn")))
     spark.conf.set("graft.pairs.dir",
-      sys.env.getOrElse("SPARK_GRAFT_PAIRS_DIR",
-        java.nio.file.Files.createTempDirectory("graft-pairs").toString))
+      sys.env.getOrElse("SPARK_GRAFT_PAIRS_DIR", tempDir("graft-pairs")))
     def t(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
