@@ -893,9 +893,10 @@ object StatefulOps {
     * counts, not probabilities, so the scorer reproduces the batch
     * gate's DECIMAL-floor divisions exactly at lookup time. Size is
     * bounded by the train slice's distinct n-grams (the shard Brants
-    * et al. serve from memory); a 100 TB deployment shards these
-    * tables by n-gram hash instead of broadcasting one copy — the
-    * lookup semantics below are unchanged. */
+    * et al. serve from memory); past any broadcast budget the
+    * DISTRIBUTED path [[streamingLmScoreSharded]] serves the same
+    * rows with the tables never collected — [[sbServe]] dispatches
+    * on size. */
   case class SbModel(uni: Map[String, Long],
                      bi: Map[(String, String), Long],
                      tri: Map[(String, String, String), Long],
@@ -1003,8 +1004,10 @@ object StatefulOps {
     * the continuation probability P_cont(w2) pre-floored to micro
     * (N1+(·w2)·10⁶ div B — a per-w2 constant, so pre-flooring it is
     * exactly what the batch gate joins in). Bounded by the train
-    * slice's distinct bigrams; a 100 TB deployment shards by n-gram
-    * hash with unchanged lookup semantics. */
+    * slice's distinct bigrams; past any broadcast budget the
+    * DISTRIBUTED path [[streamingKnScoreSharded]] serves the same
+    * rows with the tables never collected — [[knServe]] dispatches
+    * on size. */
   case class KnModel(bi: Map[(String, String), Long],
                      ctx: Map[String, (Long, Long)],
                      pcont: Map[String, Long])
@@ -1091,5 +1094,266 @@ object StatefulOps {
           nBi == 0 || score < graft.ops.TextOps.SbFlagThreshold)
       }
     }
+  }
+
+  // ---- Sharded LM serving (the 100 TB fallback) -------------------------
+  //
+  // The broadcast models above are the Brants in-memory shard — correct
+  // while the train slice's distinct n-grams fit a driver Map. A 100 TB
+  // corpus vocabulary does NOT fit a broadcast (round-10 verdict #2), so
+  // past a size threshold the count tables must stay DISTRIBUTED and
+  // scoring becomes stream-static equi-joins (the decontamination
+  // broadcast pattern in reverse): explode the arriving doc to n-gram
+  // occurrences, LEFT-join the static tables, replay the identical
+  // integer ladder in COLUMNS (DECIMAL(38,0) products — the batch gate's
+  // own expressions), and fold per doc. The fold runs as
+  // flatMapGroupsWithState with NO retained state: a doc's occurrence
+  // rows all derive from its single input row, so they co-live in one
+  // trigger and the group emits exactly once.
+
+  /** Distributed [[KnModel]]: the same three count tables as
+    * DataFrames — bi(w1, w2, c12), ctx(w1, ctxc, nfollow),
+    * pcont(w2, pcont) — localCheckpoint'd so serving joins read
+    * settled leaves instead of re-running training per micro-batch. */
+  case class KnTables(bi: org.apache.spark.sql.DataFrame,
+                      ctx: org.apache.spark.sql.DataFrame,
+                      pcont: org.apache.spark.sql.DataFrame)
+
+  /** One batch pass over the train slice → [[KnTables]]. Identical
+    * arithmetic to [[trainKnModel]] (the spec pins collect-parity);
+    * only the bounded distinct-bigram TOTAL ever reaches the driver. */
+  def trainKnTables(docs: org.apache.spark.sql.DataFrame,
+                    trainPred: org.apache.spark.sql.Column): KnTables = {
+    import org.apache.spark.sql.functions._
+    val bc = docs.filter(trainPred)
+      .select(graft.ops.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> struct(a AS w1, b AS w2))""")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val ctx = bc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("ctxc"), count(lit(1)).as("nfollow"))
+      .localCheckpoint()
+    val bTot = bc.count()
+    val pcont = bc.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
+      .select(col("w2"), expr(
+        s"CAST(CAST(nprec AS DECIMAL(38,0)) * 1000000 div $bTot AS BIGINT)")
+        .as("pcont"))
+      .localCheckpoint()
+    KnTables(bc, ctx, pcont)
+  }
+
+  /** Sharded streaming KN scorer — row-identical to
+    * [[streamingKnScore]] with the tables never collected: per-bigram
+    * p_micro/level via stream-static LEFT joins and the batch gate's
+    * DECIMAL(38,0) column ladder, folded per doc by a stateless
+    * flatMapGroupsWithState. Docs too short to form a bigram ride a
+    * separate union branch straight to the −1 sentinel row. */
+  def streamingKnScoreSharded(docs: Dataset[LmDoc], t: KnTables)
+  : Dataset[KnScoreRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val d = 750000L
+    val base = docs.toDF()
+      .select(col("docId"), graft.ops.TextOps.tokens(col("text")).as("t"))
+    val shorts = base.filter(col("t").isNull || size(col("t")) < 2)
+      .select(col("docId"), lit(0L).as("nBigrams"), lit(0L).as("nKnHit"),
+        lit(0L).as("nContBack"), lit(0L).as("nOov"),
+        lit(-1.0).as("knScore"), lit(true).as("flagged"))
+      .as[KnScoreRow]
+    val folded = base.filter(size(col("t")) >= 2)
+      .select(col("docId"), explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> struct(a AS w1, b AS w2))""")).as("g"))
+      .select(col("docId"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .join(t.bi, Seq("w1", "w2"), "left")
+      .join(t.ctx, Seq("w1"), "left")
+      .join(t.pcont, Seq("w2"), "left")
+      .withColumn("p_micro", when(col("ctxc").isNotNull,
+          coalesce(expr(
+            s"CAST((CAST(c12 AS DECIMAL(38,0)) * 1000000 - $d) div ctxc" +
+              " AS BIGINT)"), lit(0L)) +
+          expr(s"(CAST($d * nfollow AS DECIMAL(38,0)) div ctxc)" +
+            " * coalesce(pcont, 0L) div 1000000L").cast("long"))
+        .otherwise(coalesce(col("pcont"), lit(0L))))
+      .withColumn("lvl", when(col("c12").isNotNull, 2)
+        .when(col("pcont").isNotNull, 1).otherwise(0))
+      .select(col("docId"), col("p_micro"), col("lvl"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, KnScoreRow](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (docId, rows, _) =>
+          var nBi = 0L; var h2 = 0L; var h1 = 0L; var h0 = 0L; var sp = 0L
+          rows.foreach { case (_, p, lvl) =>
+            nBi += 1; sp += p
+            if (lvl == 2) h2 += 1 else if (lvl == 1) h1 += 1 else h0 += 1
+          }
+          val x = sp.toDouble / (nBi * 1000000L).toDouble
+          val score = math.floor(x * 10000.0 + 0.5) / 10000.0
+          Iterator(KnScoreRow(docId, nBi, h2, h1, h0, score,
+            score < graft.ops.TextOps.SbFlagThreshold))
+      }
+    folded.union(shorts)
+  }
+
+  /** Size-thresholded KN serving dispatch (round-10 verdict #2): the
+    * distinct-bigram count decides the path — at or under
+    * `maxBroadcastNgrams`, the SAME checkpointed tables collect into
+    * the [[KnModel]] broadcast (no retrain); past it they never
+    * collect and the sharded stream-static path serves. Both paths
+    * are row-identical (StreamingSpec parity through each). */
+  def knServe(docs: Dataset[LmDoc], train: org.apache.spark.sql.DataFrame,
+              trainPred: org.apache.spark.sql.Column,
+              maxBroadcastNgrams: Long = 2000000L): Dataset[KnScoreRow] = {
+    val t = trainKnTables(train, trainPred)
+    if (t.bi.count() <= maxBroadcastNgrams) {
+      val bi = t.bi.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val ctx = t.ctx.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val pc = t.pcont.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      streamingKnScore(docs, KnModel(bi, ctx, pc))
+    } else streamingKnScoreSharded(docs, t)
+  }
+
+  /** Distributed [[SbModel]]: uni(w, c1), bi(wa, wb, c2),
+    * tri(w1, w2, w3, c3) as checkpointed DataFrames plus the scalar
+    * unigram total. */
+  case class SbTables(uni: org.apache.spark.sql.DataFrame,
+                      bi: org.apache.spark.sql.DataFrame,
+                      tri: org.apache.spark.sql.DataFrame,
+                      nTot: Long)
+
+  /** One batch pass over the train slice → [[SbTables]] (the
+    * [[trainSbModel]] tables, kept distributed). */
+  def trainSbTables(docs: org.apache.spark.sql.DataFrame,
+                    trainPred: org.apache.spark.sql.Column): SbTables = {
+    import org.apache.spark.sql.functions._
+    val t = docs.filter(trainPred)
+      .select(graft.ops.TextOps.tokens(col("text")).as("t"))
+      .filter(col("t").isNotNull)
+      .localCheckpoint()
+    val uni = t.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val bi = t.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> struct(a AS wa, b AS wb))""")).as("b"))
+      .groupBy(col("b.wa").as("wa"), col("b.wb").as("wb"))
+      .agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val tri = t.filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 2),
+           i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2,
+                       element_at(t, i + 2) AS w3))""")).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+      .localCheckpoint()
+    val nTot = uni.agg(sum(col("c1"))).collect()(0).getLong(0)
+    SbTables(uni, bi, tri, nTot)
+  }
+
+  /** Sharded streaming Stupid-Backoff scorer — row-identical to
+    * [[streamingLmScore]] with the tables never collected: trigram
+    * occurrences LEFT-join tri / the two bigram roles / the two
+    * unigram roles, the ladder replays in DECIMAL(38,0) columns
+    * (tri c3·10⁶ div c12; backoff 0.4·(c23·10⁶ div cu2) div 10⁶;
+    * 0.4²·(cu3·10⁶ div N) div 10⁶), stateless per-doc fold. */
+  def streamingLmScoreSharded(docs: Dataset[LmDoc], t: SbTables)
+  : Dataset[LmScoreRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val bi12 = t.bi.select(col("wa").as("w1"), col("wb").as("w2"),
+      col("c2").as("c12"))
+    val bi23 = t.bi.select(col("wa").as("w2"), col("wb").as("w3"),
+      col("c2").as("c23"))
+    val uni2 = t.uni.select(col("w").as("w2"), col("c1").as("cu2"))
+    val uni3 = t.uni.select(col("w").as("w3"), col("c1").as("cu3"))
+    val base = docs.toDF()
+      .select(col("docId"), graft.ops.TextOps.tokens(col("text")).as("t"))
+    val shorts = base.filter(col("t").isNull || size(col("t")) < 3)
+      .select(col("docId"), lit(0L).as("nTrigrams"), lit(0L).as("nTriHit"),
+        lit(0L).as("nBiBack"), lit(0L).as("nUniBack"), lit(0L).as("nOov"),
+        lit(-1.0).as("sbScore"), lit(true).as("flagged"))
+      .as[LmScoreRow]
+    val folded = base.filter(size(col("t")) >= 3)
+      .select(col("docId"), explode(expr(
+        """transform(sequence(1, size(t) - 2),
+           i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2,
+                       element_at(t, i + 2) AS w3))""")).as("g"))
+      .select(col("docId"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .join(t.tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi12, Seq("w1", "w2"), "left")
+      .join(bi23, Seq("w2", "w3"), "left")
+      .join(uni2, Seq("w2"), "left")
+      .join(uni3, Seq("w3"), "left")
+      .withColumn("p_micro",
+        when(col("c3").isNotNull, expr(
+          "CAST(CAST(c3 AS DECIMAL(38,0)) * 1000000 div c12 AS BIGINT)"))
+        .when(col("c23").isNotNull, expr(
+          "400000L * CAST(CAST(c23 AS DECIMAL(38,0)) * 1000000 div cu2" +
+            " AS BIGINT) div 1000000L"))
+        .when(col("cu3").isNotNull, expr(
+          s"160000L * CAST(CAST(cu3 AS DECIMAL(38,0)) * 1000000" +
+            s" div ${t.nTot} AS BIGINT) div 1000000L"))
+        .otherwise(lit(0L)))
+      .withColumn("lvl", when(col("c3").isNotNull, 3)
+        .when(col("c23").isNotNull, 2)
+        .when(col("cu3").isNotNull, 1).otherwise(0))
+      .select(col("docId"), col("p_micro"), col("lvl"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, LmScoreRow](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (docId, rows, _) =>
+          var n = 0L; var h3 = 0L; var h2 = 0L; var h1 = 0L; var h0 = 0L
+          var sp = 0L
+          rows.foreach { case (_, p, lvl) =>
+            n += 1; sp += p
+            lvl match {
+              case 3 => h3 += 1
+              case 2 => h2 += 1
+              case 1 => h1 += 1
+              case _ => h0 += 1
+            }
+          }
+          val x = sp.toDouble / (n * 1000000L).toDouble
+          val score =
+            if (x.isNaN || x.isInfinite) x
+            else math.floor(x * 10000.0 + 0.5) / 10000.0
+          Iterator(LmScoreRow(docId, n, h3, h2, h1, h0, score,
+            score < graft.ops.TextOps.SbFlagThreshold))
+      }
+    folded.union(shorts)
+  }
+
+  /** Size-thresholded Stupid-Backoff serving dispatch — total distinct
+    * n-grams across the three grains decide the path, as [[knServe]]. */
+  def sbServe(docs: Dataset[LmDoc], train: org.apache.spark.sql.DataFrame,
+              trainPred: org.apache.spark.sql.Column,
+              maxBroadcastNgrams: Long = 2000000L): Dataset[LmScoreRow] = {
+    val t = trainSbTables(train, trainPred)
+    val n = t.uni.count() + t.bi.count() + t.tri.count()
+    if (n <= maxBroadcastNgrams) {
+      val uni = t.uni.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bi = t.bi.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val tri = t.tri.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getLong(3)).toMap
+      streamingLmScore(docs, SbModel(uni, bi, tri, t.nTot))
+    } else streamingLmScoreSharded(docs, t)
   }
 }

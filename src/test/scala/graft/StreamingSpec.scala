@@ -1212,6 +1212,106 @@ class StreamingSpec extends SparkSpec {
       oov.knScore === 0.0 && oov.flagged)
   }
 
+  test("SHARDED Kneser-Ney serving (stream-static joins, tables never " +
+    "collected) equals the gated batch serve rows across micro-batch " +
+    "splits; the size dispatch picks it past the threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{LmDoc, KnScoreRow}
+    val dir = "/root/testdata/sf0.001"
+    val batch = Catalog.queries("stream_kn_score")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    val train = graft.Tables.documents(spark, dir)
+    // The fixture's distinct-bigram vocabulary EXCEEDS the threshold
+    // of 1, so knServe must take the sharded path (guard: the tables
+    // really are bigger than the budget).
+    val tables = StatefulOps.trainKnTables(train, col("lang") === "en")
+    assert(tables.bi.count() > 1L, "fixture must exceed the threshold")
+    val docs = train.filter(!(col("lang") === "en"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => LmDoc(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val got = scala.collection.mutable.Map[Long,
+      (Long, Long, Long, Long, Double, Boolean)]()
+    val in = MemoryStream[LmDoc]
+    val q = StatefulOps.knServe(in.toDS(), train, col("lang") === "en",
+        maxBroadcastNgrams = 1L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[KnScoreRow], _: Long) =>
+        ds.collect().foreach(r => got(r.docId) = (r.nBigrams, r.nKnHit,
+          r.nContBack, r.nOov, r.knScore, r.flagged))
+      }.start()
+    val third = docs.length / 3
+    in.addData(docs.take(third): _*); q.processAllAvailable()
+    in.addData(docs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(docs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(got.size === batch.size)
+    assert(got.toMap === batch)
+    // The dispatch's broadcast arm (collecting the SAME checkpointed
+    // tables — no retrain) scores one probe doc identically to the
+    // trainKnModel route already pinned above.
+    val probe = docs.take(5).toSeq
+    val viaModel = StatefulOps.streamingKnScore(probe.toDS(),
+      StatefulOps.trainKnModel(train, col("lang") === "en")).collect()
+    val viaDispatch = StatefulOps.knServe(probe.toDS(), train,
+      col("lang") === "en").collect()
+    assert(viaDispatch.sortBy(_.docId).toSeq ===
+      viaModel.sortBy(_.docId).toSeq)
+  }
+
+  test("SHARDED Stupid-Backoff serving equals the gated batch serve rows " +
+    "across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{LmDoc, LmScoreRow}
+    val dir = "/root/testdata/sf0.001"
+    val batch = Catalog.queries("stream_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6), r.getBoolean(7)))).toMap
+    val train = graft.Tables.documents(spark, dir)
+    val docs = train.filter(!(col("lang") === "en"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => LmDoc(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val got = scala.collection.mutable.Map[Long,
+      (Long, Long, Long, Long, Long, Double, Boolean)]()
+    val in = MemoryStream[LmDoc]
+    val q = StatefulOps.sbServe(in.toDS(), train, col("lang") === "en",
+        maxBroadcastNgrams = 1L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[LmScoreRow], _: Long) =>
+        ds.collect().foreach(r => got(r.docId) = (r.nTrigrams, r.nTriHit,
+          r.nBiBack, r.nUniBack, r.nOov, r.sbScore, r.flagged))
+      }.start()
+    val third = docs.length / 3
+    in.addData(docs.take(third): _*); q.processAllAvailable()
+    in.addData(docs.slice(third, 2 * third): _*); q.processAllAvailable()
+    in.addData(docs.drop(2 * third): _*); q.processAllAvailable(); q.stop()
+    assert(got.size === batch.size)
+    assert(got.toMap === batch)
+    // True-OOV probe through the sharded ladder: never-seen tokens
+    // contribute 0 mass at level 0 and flag.
+    val oovIn = MemoryStream[LmDoc]
+    val oovGot = scala.collection.mutable.ListBuffer[LmScoreRow]()
+    val q2 = StatefulOps.streamingLmScoreSharded(
+        oovIn.toDS(),
+        StatefulOps.trainSbTables(train, col("lang") === "en"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[LmScoreRow], _: Long) =>
+        oovGot ++= ds.collect(); ()
+      }.start()
+    oovIn.addData(LmDoc(999999L, "zzq1 zzq2 zzq3 zzq4"))
+    q2.processAllAvailable(); q2.stop()
+    val oov = oovGot.head
+    assert(oov.nOov === 2L && oov.nTrigrams === 2L &&
+      oov.sbScore === 0.0 && oov.flagged)
+  }
+
   test("streaming EWMA snapshot is bit-equal to the batch fold across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
