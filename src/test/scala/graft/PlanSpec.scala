@@ -598,4 +598,27 @@ class PlanSpec extends SparkSpec {
       s"no UDFs in the LM path:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
+
+  test("graph-ANN walks: the final rank plans directly over the layer " +
+    "union — no RDD round-trip above it (round-11)") {
+    graft.catalyst.GraftFunctions.register(spark)
+    for (q <- Seq("sim_topk_graph", "sim_topk_hnsw")) {
+      val p = planOf(q)
+      // The checkpointed layer LEAVES are ExistingRDD scans by design;
+      // the regression being pinned is an RDD hop BETWEEN the final
+      // Window rank and the Union feeding it (an analysis barrier that
+      // cut codegen/AQE off the final stage). In the executed-plan
+      // string the final stage prints before the first Union — assert
+      // no RDD scan appears in that prefix.
+      val head = p.substring(0, p.indexOf("Union"))
+      assert(p.contains("Union"), s"layer union missing:\n$p")
+      assert(!head.contains("ExistingRDD"),
+        s"$q: RDD round-trip above the final rank:\n$head")
+      // With the barrier gone the rank plans as the bounded-heap
+      // TopKPerKey pair with the PARTIAL below the exchange, directly
+      // over the union (strictly better than the Window it replaced).
+      assert(head.contains("TopKPerKey") || head.contains("Window"),
+        s"$q: final rank missing above the union:\n$head")
+    }
+  }
 }
