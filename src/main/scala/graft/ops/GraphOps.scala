@@ -903,7 +903,7 @@ object GraphOps {
     * resolved=false sentinel instead of certifying a bound. The probe
     * (one extra frontier join) only runs when the cap was actually
     * reached, never on inputs whose eccentricities sit under it. */
-  private def multiBfs(seeds: DataFrame, e: DataFrame, maxDepth: Int)
+  private[graft] def multiBfs(seeds: DataFrame, e: DataFrame, maxDepth: Int)
   : (DataFrame, Boolean) = {
     var layers = List(
       seeds.select(col("seed"), col("seed").as("node_id")).distinct()
@@ -954,7 +954,7 @@ object GraphOps {
     * Scale: state is n·S/64 words with S ≤ the caller's seed budget;
     * the seed→bit assignment is a row_number over ≤ S rows (one
     * bounded single-partition window, never the full graph). */
-  private def eccMaxBitBfs(seeds: DataFrame, e: DataFrame,
+  private[graft] def eccMaxBitBfs(seeds: DataFrame, e: DataFrame,
                            maxDepth: Int, nSeeds: Long): (Int, Boolean) = {
     val words = ((nSeeds + 63) / 64).toInt
     val anyBit = (c: Column) => exists(c, x => x =!= 0L)

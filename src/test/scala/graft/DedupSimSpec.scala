@@ -523,6 +523,42 @@ class DedupSimSpec extends SparkSpec {
     assert(g.getLong(9) >= lbGate, "exact must dominate the sweep lb")
   }
 
+  test("eccMaxBitBfs: bit-parallel scan equals the row-keyed walk on a " +
+    "random graph across word-boundary seed counts; capped flag agrees") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // 150-node connected pseudo-random graph (spanning path + two
+    // deterministic chords per node) — rich enough that different
+    // seeds have different eccentricities.
+    val n = 150
+    val es = (0L until (n - 1).toLong).map(i => (i, i + 1)) ++
+      (0 until n).flatMap(i => Seq(
+        (i.toLong, ((i * 37 + 11) % n).toLong),
+        (i.toLong, ((i * 53 + 29) % n).toLong)))
+        .filter { case (a, b) => a != b }
+    val e = es.toDF("src", "dst")
+      .unionAll(es.map(_.swap).toDF("src", "dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint()
+    // Seed counts straddling the 64-bit word boundaries (1 word, word
+    // edge, 2 words, 3 words) — the BitOrAgg ragged-merge edge lives
+    // exactly there.
+    for (s <- Seq(1, 63, 64, 65, 130)) {
+      val seeds = (0L until s.toLong).toDF("seed").localCheckpoint()
+      val (b, capped) = GraphOps.eccMaxBitBfs(seeds, e, 20, s.toLong)
+      val (d, cappedRow) = GraphOps.multiBfs(seeds, e, 20)
+      val bRow = d.agg(max(col("dist"))).collect()(0).getInt(0)
+      assert(b === bRow, s"B mismatch at S=$s")
+      assert(capped === cappedRow && !capped)
+    }
+    // Depth-cap agreement under truncation: cap 2 on the same graph.
+    val seeds = (0L until 65L).toDF("seed").localCheckpoint()
+    val (b2, c2) = GraphOps.eccMaxBitBfs(seeds, e, 2, 65L)
+    val (d2, c2row) = GraphOps.multiBfs(seeds, e, 2)
+    assert(b2 === d2.agg(max(col("dist"))).collect()(0).getInt(0))
+    assert(c2 === c2row && c2, "cap 2 must truncate this graph")
+  }
+
   test("diameterBounds: exact on path/star fixtures in a handful of " +
     "BFS; brute APSP cross-check; honest -1 when the budget is too " +
     "small; gate corpus resolves in 3 BFS") {
