@@ -596,7 +596,9 @@ object SimQueries {
     // resolved=false / diam_exact=−1 / diam_ub=−1 sentinel with
     // depth_capped=true; diam_lb stays a genuine lower bound
     // (observed BFS distances are true distances). Cheap by
-    // construction: every BFS touches ≤ 2·cap+1 chain nodes.
+    // construction: every BFS touches ≤ 2·cap+1 chain nodes, and the
+    // cap is the SMALLEST that still leaves the a/b/midpoint picks
+    // nondegenerate — the gate's cost is pure flat BSP rounds.
     QueryDef("graph_diameter_capped",
       (s, d) => {
         graft.catalyst.GraftFunctions.register(s)
@@ -605,14 +607,14 @@ object SimQueries {
         val edges = docs.filter(col("doc_id") >= 1)
           .select(col("doc_id").as("src"),
             (col("doc_id") - 1).as("dst"))
-        GraphOps.diameterIfub(nodes, edges, maxDepth = 6,
-          fringeLevels = 2)
+        GraphOps.diameterIfub(nodes, edges, maxDepth = 4,
+          fringeLevels = 1)
       },
       Some(GraphOps.diameterIfubSql(
         "SELECT doc_id AS node_id FROM documents",
         "SELECT doc_id AS src, doc_id - 1 AS dst FROM documents" +
           " WHERE doc_id >= 1",
-        maxDepth = 6, fringeLevels = 2)),
+        maxDepth = 4, fringeLevels = 1)),
       presentOrder = Seq("start_id")),
 
     // Same drive for BoundingDiameters: round 1's BFS hits the cap →
@@ -626,14 +628,14 @@ object SimQueries {
         val edges = docs.filter(col("doc_id") >= 1)
           .select(col("doc_id").as("src"),
             (col("doc_id") - 1).as("dst"))
-        GraphOps.diameterBounds(nodes, edges, maxDepth = 6,
-          maxRounds = 3)
+        GraphOps.diameterBounds(nodes, edges, maxDepth = 4,
+          maxRounds = 2)
       },
       Some(GraphOps.diameterBoundsSql(
         "SELECT doc_id AS node_id FROM documents",
         "SELECT doc_id AS src, doc_id - 1 AS dst FROM documents" +
           " WHERE doc_id >= 1",
-        maxDepth = 6, maxRounds = 3)),
+        maxDepth = 4, maxRounds = 2)),
       presentOrder = Seq("start_id")),
 
     // Sampled harmonic centrality over the k-NN graph: H(v) =
