@@ -1121,7 +1121,12 @@ object StatefulOps {
 
   /** One batch pass over the train slice → [[KnTables]]. Identical
     * arithmetic to [[trainKnModel]] (the spec pins collect-parity);
-    * only the bounded distinct-bigram TOTAL ever reaches the driver. */
+    * only the bounded distinct-bigram TOTAL ever reaches the driver.
+    * Each table is REPARTITIONED BY ITS SERVING JOIN KEY before the
+    * checkpoint (localCheckpoint preserves outputPartitioning): the
+    * per-micro-batch stream-static joins then shuffle only the small
+    * arriving slice — the big static side settles once at train
+    * time, never once per trigger. */
   def trainKnTables(docs: org.apache.spark.sql.DataFrame,
                     trainPred: org.apache.spark.sql.Column): KnTables = {
     import org.apache.spark.sql.functions._
@@ -1133,15 +1138,18 @@ object StatefulOps {
            (a, b) -> struct(a AS w1, b AS w2))""")).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
+      .repartition(col("w1"), col("w2"))
       .localCheckpoint()
     val ctx = bc.groupBy(col("w1"))
       .agg(sum(col("c12")).as("ctxc"), count(lit(1)).as("nfollow"))
+      .repartition(col("w1"))
       .localCheckpoint()
     val bTot = bc.count()
     val pcont = bc.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
       .select(col("w2"), expr(
         s"CAST(CAST(nprec AS DECIMAL(38,0)) * 1000000 div $bTot AS BIGINT)")
         .as("pcont"))
+      .repartition(col("w2"))
       .localCheckpoint()
     KnTables(bc, ctx, pcont)
   }
@@ -1231,7 +1239,8 @@ object StatefulOps {
                       nTot: Long)
 
   /** One batch pass over the train slice → [[SbTables]] (the
-    * [[trainSbModel]] tables, kept distributed). */
+    * [[trainSbModel]] tables, kept distributed; the
+    * [[trainKnTables]] key-repartition note applies). */
   def trainSbTables(docs: org.apache.spark.sql.DataFrame,
                     trainPred: org.apache.spark.sql.Column): SbTables = {
     import org.apache.spark.sql.functions._
@@ -1241,6 +1250,7 @@ object StatefulOps {
       .localCheckpoint()
     val uni = t.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .repartition(col("w"))
       .localCheckpoint()
     val bi = t.filter(size(col("t")) >= 2)
       .select(explode(expr(
@@ -1248,6 +1258,7 @@ object StatefulOps {
            (a, b) -> struct(a AS wa, b AS wb))""")).as("b"))
       .groupBy(col("b.wa").as("wa"), col("b.wb").as("wb"))
       .agg(count(lit(1)).as("c2"))
+      .repartition(col("wa"), col("wb"))
       .localCheckpoint()
     val tri = t.filter(size(col("t")) >= 3)
       .select(explode(expr(
@@ -1257,6 +1268,7 @@ object StatefulOps {
       .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
       .agg(count(lit(1)).as("c3"))
+      .repartition(col("w1"), col("w2"), col("w3"))
       .localCheckpoint()
     val nTot = uni.agg(sum(col("c1"))).collect()(0).getLong(0)
     SbTables(uni, bi, tri, nTot)
