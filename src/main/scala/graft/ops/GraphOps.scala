@@ -902,7 +902,16 @@ object GraphOps {
     * run may be UNDERSTATED and callers must degrade to their
     * resolved=false sentinel instead of certifying a bound. The probe
     * (one extra frontier join) only runs when the cap was actually
-    * reached, never on inputs whose eccentricities sit under it. */
+    * reached, never on inputs whose eccentricities sit under it.
+    *
+    * CONTRACT: `e` must be SYMMETRIC (every caller symmetrizes). The
+    * anti-join then needs only the LAST TWO layers (round-11): in an
+    * undirected unweighted graph a neighbor of a dist-r node has
+    * dist ∈ {r−1, r, r+1}, so a candidate already visited can only
+    * live in layer r−1 or r — per-round dedup state drops from
+    * Θ(Σ layers) (quadratic in depth overall) to Θ(two layers).
+    * A directed walk (bfsLayers) must keep the full union: a forward
+    * edge may point at an arbitrarily EARLY layer. */
   private[graft] def multiBfs(seeds: DataFrame, e: DataFrame, maxDepth: Int)
   : (DataFrame, Boolean) = {
     var layers = List(
@@ -911,7 +920,7 @@ object GraphOps {
     var depth = 0
     var done = false
     while (depth < maxDepth && !done) {
-      val visited = layers.reduce(_ unionAll _)
+      val visited = layers.take(2).reduce(_ unionAll _)
       val next = layers.head.join(e, col("node_id") === col("src"))
         .select(col("seed"), col("dst").as("node_id")).distinct()
         .join(visited, Seq("seed", "node_id"), "left_anti")
@@ -920,7 +929,7 @@ object GraphOps {
       depth += 1
     }
     val capped = !done && {
-      val visited = layers.reduce(_ unionAll _)
+      val visited = layers.take(2).reduce(_ unionAll _)
       !layers.head.join(e, col("node_id") === col("src"))
         .select(col("seed"), col("dst").as("node_id")).distinct()
         .join(visited, Seq("seed", "node_id"), "left_anti")
@@ -949,11 +958,17 @@ object GraphOps {
     *
     * Returns (B, capped): capped=true when growth would continue
     * past `maxDepth` (probed one round further, only when round
-    * maxDepth itself still grew) — same contract as [[multiBfs]].
+    * maxDepth itself still grew) — same contract as [[multiBfs]],
+    * including the SYMMETRIC-adjacency requirement: dedup rides the
+    * same last-two-layers band property (a seed's bit re-proposed at
+    * round r+1 can only have been set in rounds r−1 or r), so NO
+    * cumulative reach frame exists — per-round state is the two most
+    * recent delta frames, not Θ(reached · S/64).
     *
-    * Scale: state is n·S/64 words with S ≤ the caller's seed budget;
-    * the seed→bit assignment is a row_number over ≤ S rows (one
-    * bounded single-partition window, never the full graph). */
+    * Scale: state is two delta frames of ≤ n·S/64 words each with
+    * S ≤ the caller's seed budget; the seed→bit assignment is a
+    * row_number over ≤ S rows (one bounded single-partition window,
+    * never the full graph). */
   private[graft] def eccMaxBitBfs(seeds: DataFrame, e: DataFrame,
                            maxDepth: Int, nSeeds: Long): (Int, Boolean) = {
     val words = ((nSeeds + 63) / 64).toInt
@@ -964,22 +979,25 @@ object GraphOps {
         s"""transform(sequence(0, ${words - 1}),
             w -> IF(w = i div 64,
                     shiftleft(CAST(1 AS BIGINT), CAST(i % 64 AS INT)),
-                    CAST(0 AS BIGINT)))""").as("bits"))
+                    CAST(0 AS BIGINT)))""").as("nb"))
       .localCheckpoint()
-    var reach = init
-    var delta = init.withColumnRenamed("bits", "nb")
+    var prev = init.filter(lit(false)).localCheckpoint()
+    var cur = init
     var b = 0
     var round = 1
     var capped = false
     var grew = true
     // One probe round past the cap: it only flags truncation, its
-    // bits are never folded into reach or B.
+    // bits are never folded into B.
     while (grew && round <= maxDepth + 1 && !capped) {
-      val inc = delta.join(e, delta("node_id") === e("src"))
+      val inc = cur.join(e, cur("node_id") === e("src"))
         .groupBy(col("dst").as("node_id"))
         .agg(graft.catalyst.BitOrAgg(col("nb")).as("inc"))
         .select(col("node_id"), col("inc"))
-      val nd = inc.join(reach, Seq("node_id"), "left")
+      val seen = prev.unionAll(cur)
+        .groupBy(col("node_id"))
+        .agg(graft.catalyst.BitOrAgg(col("nb")).as("bits"))
+      val nd = inc.join(seen, Seq("node_id"), "left")
         .select(col("node_id"),
           when(col("bits").isNull, col("inc"))
             .otherwise(zip_with(col("inc"), col("bits"),
@@ -991,14 +1009,8 @@ object GraphOps {
         if (round > maxDepth) capped = true
         else {
           b = round
-          reach = reach.join(nd, Seq("node_id"), "full")
-            .select(col("node_id"),
-              when(col("bits").isNull, col("nb"))
-                .when(col("nb").isNull, col("bits"))
-                .otherwise(zip_with(col("bits"), col("nb"),
-                  (x, y) => x.bitwiseOR(y))).as("bits"))
-            .localCheckpoint()
-          delta = nd
+          prev = cur
+          cur = nd
           round += 1
         }
       }
@@ -1562,7 +1574,9 @@ object GraphOps {
       seeds.select(col("seed"), col("seed").as("node_id"))
         .localCheckpoint())
     for (_ <- 1 to maxDepth) {
-      val visited = layers.reduce(_ unionAll _)
+      // adj is symmetric, so the last TWO layers suffice for dedup
+      // (the multiBfs band property) — never the full visited union.
+      val visited = layers.take(2).reduce(_ unionAll _)
       val next = layers.head.join(adj, col("node_id") === col("src"))
         .select(col("seed"), col("dst").as("node_id")).distinct()
         .join(visited, Seq("seed", "node_id"), "left_anti")
