@@ -1715,4 +1715,251 @@ object GraphOps {
         FROM nn LEFT JOIN w USING (label) LEFT JOIN outd USING (label)
           LEFT JOIN ind USING (label) CROSS JOIN m
         ORDER BY nn.label"""
+
+  /** Pivot-sampled betweenness centrality (Brandes, "A faster algorithm
+    * for betweenness centrality", J. Math. Sociol. 2001; pivot sampling
+    * per Brandes & Pich, "Centrality estimation in large networks",
+    * IJBC 2007) — the shortest-path-brokerage score the centrality
+    * stack (pagerank / harmonic / k-core) lacks: which documents sit ON
+    * the paths between semantic regions (bridge/boilerplate detectors),
+    * not merely NEAR many documents.
+    *
+    * Two BSP passes over the symmetrized edge table, both
+    * frontier-shaped (one equi-join shuffle per round):
+    *
+    *  1. FORWARD: multi-source BFS from `k` hash-chosen pivots (the
+    *     harmonicCentrality seed rule — engine-portable order), each
+    *     layer carrying σ(s,v) = #shortest s→v paths: a round is
+    *     frontier ⋈ adj → hash-agg sum(σ) by (seed, dst) → band
+    *     anti-join. σ of a dist-(r+1) node is exactly the sum over its
+    *     dist-r predecessors (every shortest path enters through one),
+    *     and the SYMMETRIC adjacency gives the multiBfs band property:
+    *     dedup needs only the last TWO layers, never the visited union.
+    *  2. BACKWARD: Brandes' dependency accumulation, level by level
+    *     descending — δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w)·(1 + δ(w)),
+    *     where succ(v) = adjacent nodes one level deeper. Deepest
+    *     layer starts at δ=0; each level is ONE join of the layer
+    *     against (adj ⋈ next layer) and a hash-agg. In exact integer
+    *     micro-units: per-term floor division
+    *     (σ_v·(10⁶+δ_w)) div σ_w with the product in DECIMAL(38,0)
+    *     (the modularity overflow ladder — δ can reach n·10⁶ long
+    *     before the product fits Int64), then an exact integer sum, so
+    *     partial-agg order can never move a bit and DuckDB's HUGEINT
+    *     `//` replays it term-for-term.
+    *
+    * bc_micro(v) = Σ over pivot runs of δ(v), pivots themselves
+    * excluded (level 0 never accumulates) — Brandes' endpoint-free
+    * directed dependency, summed over the sampled sources; rescaling
+    * by n/k (the Brandes–Pich estimator) is a presentation constant
+    * left to the caller. `maxDepth` bounds the horizon: dependencies
+    * of paths longer than maxDepth are excluded IDENTICALLY in both
+    * engines (the harmonicCentrality truncation contract; size it
+    * above the graph's eccentricity for the exact statistic).
+    *
+    * Scale shape: per-round state is Θ(k·frontier) slim rows (pivot
+    * count × layer); layers localCheckpoint (lineage discipline) and
+    * the whole walk is k-independent of the corpus-wide pair count —
+    * never the all-pairs Θ(n·m) of exact Brandes. */
+  def betweennessCentrality(nodes: DataFrame, edges: DataFrame,
+                            k: Int = 4, maxDepth: Int = 6,
+                            salt: String = "bc"): DataFrame = {
+    require(k >= 1 && maxDepth >= 1,
+      s"betweennessCentrality bad params ($k, $maxDepth)")
+    val adj = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).persist()
+    val seeds = nodes.select(col("node_id")).distinct()
+      .withColumn("h", graft.ops.TextOps.hash64(
+        concat(lit(salt), col("node_id").cast("string"))))
+      .orderBy(col("h"), col("node_id")).limit(k)
+      .select(col("node_id").as("seed"))
+    // forward: layers of (seed, node_id, sigma), newest first
+    var layers = List(
+      seeds.select(col("seed"), col("seed").as("node_id"),
+        lit(1L).as("sigma")).localCheckpoint())
+    var depth = 0
+    var live = true
+    while (depth < maxDepth && live) {
+      val visited = layers.take(2).map(_.select(col("seed"), col("node_id")))
+        .reduce(_ unionAll _)
+      val next = layers.head.join(adj, col("node_id") === col("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("seed"), col("dst").as("node_id"), col("sigma"))
+        .join(visited, Seq("seed", "node_id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) live = false else layers = next :: layers
+      depth += 1
+    }
+    // backward: delta per layer, deepest first. layers.head is deepest.
+    val down = layers // newest (deepest) first
+    var delta = down.head.select(col("seed"), col("node_id"), col("sigma"),
+      lit(0L).as("delta"))
+    var acc = delta.select(col("seed"), col("node_id"), col("delta"))
+    for (fl <- down.tail) {
+      val succ = delta.select(col("seed"), col("node_id").as("dst"),
+        col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val terms = fl.join(adj, fl("node_id") === adj("src"))
+        .join(succ, Seq("seed", "dst"))
+        .groupBy(col("seed"), col("node_id"))
+        .agg(sum(expr(
+          "(CAST(sigma AS DECIMAL(38,0)) * (1000000 + delta_w)) div sigma_w"))
+          .cast("long").as("delta"))
+      delta = fl.join(terms, Seq("seed", "node_id"), "left")
+        .select(col("seed"), col("node_id"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      acc = acc.unionAll(delta.select(col("seed"), col("node_id"),
+        col("delta")))
+    }
+    adj.unpersist(false)
+    // pivots themselves never accumulate: drop level-0 rows (node = seed)
+    val bc = acc.filter(col("node_id") =!= col("seed"))
+      .groupBy(col("node_id"))
+      .agg(sum(col("delta")).as("bc_micro"))
+    nodes.select(col("node_id")).join(bc, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("bc_micro"), lit(0L)).as("bc_micro"))
+  }
+
+  /** Oracle twin of [[betweennessCentrality]]: identical hash-ordered
+    * pivots, the forward levels unrolled as chained CTEs (σ summed per
+    * level, band NOT-EXISTS dedup against the previous two levels),
+    * then the backward accumulation unrolled descending with the same
+    * HUGEINT product / `//` floor division per term. */
+  def betweennessCentralitySql(nodesSql: String, edgesSql: String,
+                               k: Int = 4, maxDepth: Int = 6,
+                               salt: String = "bc"): String = {
+    val h = graft.ops.TextOps.hash64Sql(
+      s"'$salt' || CAST(node_id AS VARCHAR)")
+    val fwd = (1 to maxDepth).map { l =>
+      val prev = s"f${l - 1}"
+      val prev2 = if (l >= 2) s"f${l - 2}" else ""
+      val band =
+        s"""WHERE NOT EXISTS (SELECT 1 FROM $prev p
+              WHERE p.seed = f.seed AND p.node_id = e.dst)""" +
+          (if (prev2.isEmpty) "" else
+            s""" AND NOT EXISTS (SELECT 1 FROM $prev2 q
+              WHERE q.seed = f.seed AND q.node_id = e.dst)""")
+      s"""f$l AS MATERIALIZED (
+          SELECT f.seed, e.dst AS node_id,
+                 CAST(sum(f.sigma) AS BIGINT) AS sigma
+          FROM $prev f JOIN edges e ON f.node_id = e.src
+          $band
+          GROUP BY f.seed, e.dst)"""
+    }.mkString(",\n")
+    val bwd = (maxDepth - 1 to 0 by -1).map { l =>
+      s"""b$l AS MATERIALIZED (
+          SELECT fl.seed, fl.node_id, fl.sigma,
+            CAST(COALESCE(sum(
+              (fl.sigma::HUGEINT * (1000000 + bw.delta)) // bw.sigma),
+              0) AS BIGINT) AS delta
+          FROM f$l fl
+          LEFT JOIN edges e ON fl.node_id = e.src
+          LEFT JOIN b${l + 1} bw
+            ON bw.seed = fl.seed AND bw.node_id = e.dst
+          GROUP BY fl.seed, fl.node_id, fl.sigma)"""
+    }.mkString(",\n")
+    val accArms = (1 to maxDepth)
+      .map(l => s"SELECT seed, node_id, delta FROM b$l").mkString(
+        "\n          UNION ALL ")
+    s"""WITH nodes AS ($nodesSql),
+        e0 AS ($edgesSql),
+        edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+          WHERE src <> dst),
+        seeds AS (SELECT node_id AS seed FROM (
+          SELECT DISTINCT node_id FROM nodes) n
+          ORDER BY $h, node_id LIMIT $k),
+        f0 AS (SELECT seed, seed AS node_id, CAST(1 AS BIGINT) AS sigma
+               FROM seeds),
+        $fwd,
+        b$maxDepth AS (SELECT seed, node_id, sigma,
+          CAST(0 AS BIGINT) AS delta FROM f$maxDepth),
+        $bwd,
+        acc AS ($accArms),
+        bc AS (SELECT node_id, CAST(sum(delta) AS BIGINT) AS bc_micro
+               FROM acc WHERE node_id <> seed GROUP BY node_id)
+        SELECT n.node_id, COALESCE(bc.bc_micro, 0) AS bc_micro
+        FROM nodes n LEFT JOIN bc ON n.node_id = bc.node_id
+        ORDER BY n.node_id"""
+  }
+
+  /** Hop-bounded weighted single-source shortest paths — synchronous
+    * Bellman–Ford over a DIRECTED weighted edge table (src, dst,
+    * w_micro ≥ 0), `rounds` relaxation rounds from a seed set: the
+    * weighted companion of [[bfsLayers]] (graph-distance-from-core as
+    * a curation feature, now respecting edge COST — e.g. semantic
+    * distance on the k-NN graph — instead of hop count).
+    *
+    * Contract: dist(v) = cheapest path from any seed using ≤ `rounds`
+    * hops — the BSP-natural semantics (Malewicz et al., Pregel, SIGMOD
+    * 2010 run a fixed superstep budget the same way); a cheaper path
+    * needing more hops is excluded IDENTICALLY in both engines. A
+    * round that relaxes nothing ends the walk early (result-identical:
+    * further rounds are fixpoints). Unreached nodes report −1.
+    *
+    * Scale shape: one equi-join shuffle + min hash-agg per round over
+    * slim (node, dist) rows; the frame never exceeds |reached| rows
+    * (min-folded each round, localCheckpointed lineage). At a 100 TB
+    * edge count the same loop delta-steps (bucketed priority) — the
+    * fixed-round contract here is the bounded-work variant. */
+  def sssp(nodes: DataFrame, edges: DataFrame, seedPred: Column,
+           rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"sssp bad rounds $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w_micro"))
+      .repartition(col("src")).persist()
+    var dist = nodes.select(col("node_id")).distinct().filter(seedPred)
+      .withColumn("dist_micro", lit(0L)).localCheckpoint()
+    var r = 0
+    var live = true
+    while (r < rounds && live) {
+      val relaxed = dist.join(e, col("node_id") === col("src"))
+        .select(col("dst").as("node_id"),
+          (col("dist_micro") + col("w_micro")).as("dist_micro"))
+        .unionAll(dist)
+        .groupBy(col("node_id"))
+        .agg(min(col("dist_micro")).as("dist_micro"))
+        .localCheckpoint()
+      // fixpoint probe: any node whose dist improved this round?
+      val improved = relaxed.as("n")
+        .join(dist.as("o"), Seq("node_id"), "left")
+        .filter(col("o.dist_micro").isNull ||
+          col("n.dist_micro") < col("o.dist_micro"))
+      if (improved.isEmpty) live = false
+      dist = relaxed
+      r += 1
+    }
+    e.unpersist(false)
+    nodes.select(col("node_id")).join(dist, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("dist_micro"), lit(-1L)).as("dist_micro"))
+  }
+
+  /** Oracle twin of [[sssp]]: the relaxation rounds unrolled as chained
+    * min-folded CTEs (`edgesSql` must yield (src, dst, w_micro)). */
+  def ssspSql(nodesSql: String, edgesSql: String, seedPredSql: String,
+              rounds: Int = 6): String = {
+    val relax = (1 to rounds).map { l =>
+      s"""d$l AS MATERIALIZED (
+          SELECT node_id, CAST(min(dist_micro) AS BIGINT) AS dist_micro
+          FROM (
+            SELECT e.dst AS node_id, d.dist_micro + e.w_micro AS dist_micro
+            FROM d${l - 1} d JOIN edges e ON d.node_id = e.src
+            UNION ALL
+            SELECT node_id, dist_micro FROM d${l - 1})
+          GROUP BY node_id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS ($nodesSql),
+        edges AS MATERIALIZED (SELECT src, dst, w_micro FROM ($edgesSql)),
+        d0 AS (SELECT node_id, CAST(0 AS BIGINT) AS dist_micro
+               FROM (SELECT DISTINCT node_id FROM nodes)
+               WHERE $seedPredSql),
+        $relax
+        SELECT n.node_id,
+               COALESCE(d$rounds.dist_micro, -1) AS dist_micro
+        FROM nodes n LEFT JOIN d$rounds ON n.node_id = d$rounds.node_id
+        ORDER BY n.node_id"""
+  }
 }

@@ -802,6 +802,57 @@ object SimQueries {
         "node_id < 3", maxDepth = 4)),
       presentOrder = Seq("node_id")),
 
+    // Pivot-sampled betweenness centrality (Brandes forward σ-BFS +
+    // level-descending dependency accumulation, 4 hash-chosen pivots):
+    // the brokerage score — documents ON the shortest paths between
+    // semantic regions (bridge/boilerplate detectors), complementing
+    // pagerank/harmonic's proximity scores. Exact integer micro-units
+    // end to end (per-term DECIMAL(38,0) product, floor division), so
+    // the sampled statistic hash-matches the oracle's unrolled
+    // forward/backward CTE replay bit-for-bit.
+    QueryDef("graph_betweenness",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        GraphOps.betweennessCentrality(nodes, edges, k = 4, maxDepth = 6)
+      },
+      Some(GraphOps.betweennessCentralitySql(
+        "SELECT vec_id AS node_id FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
+        k = 4, maxDepth = 6)),
+      presentOrder = Seq("node_id")),
+
+    // Hop-bounded weighted SSSP (synchronous Bellman–Ford, 6 rounds)
+    // from the curated seed set over the k-NN graph with SEMANTIC edge
+    // cost w = (1 − cosine)·10⁶: the weighted refinement of
+    // graph_bfs_layers' trust radius — a near-duplicate neighbor is
+    // nearly free, a tenuous one expensive. The weight derives from the
+    // stored quant4 cosine by one double rounding both engines compute
+    // identically; every relaxation is then exact BIGINT min-folding.
+    QueryDef("graph_sssp",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val edges = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+            expr("CAST(floor((1.0d - cosine) * 1000000.0d + 0.5d)" +
+              " AS BIGINT)").as("w_micro"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        GraphOps.sssp(nodes, edges, col("node_id") < 3, rounds = 6)
+      },
+      Some(GraphOps.ssspSql(
+        "SELECT vec_id AS node_id FROM embeddings",
+        "SELECT query_id AS src, neighbor_id AS dst, " +
+          "CAST(floor((1.0 - cosine) * 1000000.0 + 0.5) AS BIGINT)" +
+          " AS w_micro FROM (" +
+          SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
+        "node_id < 3", rounds = 6)),
+      presentOrder = Seq("node_id")),
+
     // Deterministic negative sampling over the k-NN graph — the
     // contrastive-training complement of sim_hard_negatives (those mine
     // CONFUSABLE candidates from bucket collisions; these draw

@@ -655,6 +655,73 @@ class DedupSimSpec extends SparkSpec {
       GraphOps.harmonicCentrality(nodes, edges, k = 0, maxDepth = 6))
   }
 
+  test("betweennessCentrality: exact Brandes sums on a path (endpoints " +
+    "zero, interior brokers), the diamond splits sigma 2-ways, maxDepth " +
+    "bounds the horizon") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // Path 1-2-3-4, every node a pivot (k >= |V|): directed dependency
+    // sums are hand-derivable — delta contributions per source:
+    //   from 1: delta(2)=2e6 (covers 3,4), delta(3)=1e6
+    //   from 2: delta(3)=1e6;  from 3: delta(2)=1e6
+    //   from 4: delta(3)=2e6, delta(2)=1e6
+    // => bc(2)=bc(3)=4e6, endpoints 0.
+    val pathE = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val pathN = Seq(1L, 2L, 3L, 4L).toDF("node_id")
+    val bc = GraphOps.betweennessCentrality(pathN, pathE, k = 10,
+        maxDepth = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bc === Map(1L -> 0L, 2L -> 4000000L, 3L -> 4000000L, 4L -> 0L))
+    // Diamond 1-{2,3}-4: sigma(1->4)=2, so each middle node earns
+    // (1·(1e6+0)) div 2 = 500000 per far-end pivot; sources 2 and 4
+    // likewise split their far side. Every node folds to exactly 1e6.
+    val diaE = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val diaN = Seq(1L, 2L, 3L, 4L).toDF("node_id")
+    val dia = GraphOps.betweennessCentrality(diaN, diaE, k = 10,
+        maxDepth = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dia === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L,
+      4L -> 1000000L))
+    // Horizon: depth 1 sees no length-2 paths at all (no interior
+    // node), depth 2 credits only the 2-hop pairs.
+    val d1 = GraphOps.betweennessCentrality(pathN, pathE, k = 10,
+        maxDepth = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    val d2 = GraphOps.betweennessCentrality(pathN, pathE, k = 10,
+        maxDepth = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 2000000L, 3L -> 2000000L, 4L -> 0L))
+    intercept[IllegalArgumentException](
+      GraphOps.betweennessCentrality(pathN, pathE, k = 0, maxDepth = 6))
+  }
+
+  test("sssp: min-folds a cheap 2-hop route under an expensive direct " +
+    "edge, the hop budget excludes it honestly, direction respected, " +
+    "unreached is -1") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("node_id")
+    val edges = Seq((1L, 3L, 10000000L), (1L, 2L, 1000000L),
+      (2L, 3L, 1000000L)).toDF("src", "dst", "w_micro")
+    val full = GraphOps.sssp(nodes, edges, col("node_id") === 1L,
+        rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === Map(1L -> 0L, 2L -> 1000000L, 3L -> 2000000L,
+      9L -> -1L))
+    // one round: only direct edges relax — the expensive 1->3 wins
+    val r1 = GraphOps.sssp(nodes, edges, col("node_id") === 1L,
+        rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(3L) === 10000000L && r1(2L) === 1000000L)
+    // directed: an edge INTO the seed never relaxes outward
+    val back = Seq((2L, 1L, 1000000L)).toDF("src", "dst", "w_micro")
+    val dirOut = GraphOps.sssp(Seq(1L, 2L).toDF("node_id"), back,
+        col("node_id") === 1L, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dirOut === Map(1L -> 0L, 2L -> -1L))
+    intercept[IllegalArgumentException](
+      GraphOps.sssp(nodes, edges, col("node_id") === 1L, rounds = 0))
+  }
+
   test("topKGraphBeam: exhaustive budget on a connected graph equals " +
     "brute force; bounded budget misses unreachable neighborhoods; " +
     "invalid knobs reject") {
