@@ -1370,4 +1370,223 @@ object TextOps {
                 JOIN cnt cb ON pr.doc_b = cb.doc_id
         WHERE shared >= $minShared
         ORDER BY doc_a, doc_b"""
+
+  // ---------------- WordPiece (greedy longest-match-first) ----------------
+
+  /** WordPiece vocab budget per position class (initial / continuation)
+    * and the piece-length band: multi-char entries are the top
+    * [[WpVocabTop]] most frequent word substrings of length 2..[[WpMaxLen]]
+    * per class; single characters of the [a-z0-9] alphabet are
+    * unconditionally in BOTH classes, so every in-alphabet word
+    * segments (the real tokenizer's coverage guarantee). */
+  val WpVocabTop = 24
+  val WpMaxLen = 4
+  /** Words longer than this are [UNK] wholesale — the published
+    * WordPiece long-word rule (Devlin et al., BERT, NAACL 2019 use 100;
+    * sized to the fold's step budget here: the greedy loop consumes at
+    * least one char per step, so [[WpMaxWordLen]] steps always finish). */
+  val WpMaxWordLen = 16
+  private val WpWordRe = "[a-z0-9]+"
+  private val WpAlphabet: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+
+  /** (doc_id, wpos, w) word-occurrence stream — lowercased alphanumeric
+    * runs, position preserved for the order-sensitive doc fingerprint. */
+  private def wpWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(expr(s"regexp_extract_all(lower(text), '$WpWordRe', 0)"))
+        .as(Seq("wpos", "w")))
+
+  /** Trained multi-char vocab: (class, rnk, piece, freq) — per position
+    * class, the top [[WpVocabTop]] substrings by corpus occurrence count
+    * (freq DESC, piece ASC — a deterministic total order), continuation
+    * pieces carrying the literal "##" marker (Schuster & Nakajima,
+    * "Japanese and Korean voice search", ICASSP 2012; the BERT wordpiece
+    * convention). One explode → hash-agg → two bounded rank windows:
+    * the heavy stage is the substring hash-agg (map-side combined,
+    * vocabulary-bounded output), never a corpus-wide window. */
+  def wordPieceVocab(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = wpWords(docs).groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val subs = w
+      .select(col("w"), col("cnt"),
+        explode(expr("sequence(1, char_length(w))")).as("p"))
+      .select(col("w"), col("cnt"), col("p"),
+        explode(expr(s"sequence(2, $WpMaxLen)")).as("l"))
+      .filter(expr("p + l - 1 <= char_length(w)"))
+      .select(
+        when(col("p") === 1, expr("substring(w, p, l)"))
+          .otherwise(concat(lit("##"), expr("substring(w, p, l)")))
+          .as("piece"),
+        when(col("p") === 1, lit("init")).otherwise(lit("cont"))
+          .as("class"),
+        col("cnt"))
+    subs.groupBy(col("class"), col("piece"))
+      .agg(sum(col("cnt")).as("freq"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("class"))
+        .orderBy(col("freq").desc, col("piece"))).cast("long"))
+      .filter(col("rnk") <= WpVocabTop)
+      .select(col("class"), col("rnk"), col("piece"), col("freq"))
+  }
+
+  /** Oracle twin of [[wordPieceVocab]] — identical substring explode,
+    * counts, and (freq DESC, piece ASC) rank order. */
+  def wordPieceVocabSql(table: String): String =
+    s"""WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '$WpWordRe')) AS w
+          FROM $table) GROUP BY w),
+        subs AS (
+          SELECT CASE WHEN p = 1 THEN substr(w, p, l)
+                 ELSE '##' || substr(w, p, l) END AS piece,
+                 CASE WHEN p = 1 THEN 'init' ELSE 'cont' END AS class,
+                 cnt
+          FROM (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS p FROM w),
+               (SELECT unnest(range(2, $WpMaxLen + 1)) AS l)
+          WHERE p + l - 1 <= length(w)),
+        rk AS (SELECT class, piece, CAST(sum(cnt) AS BIGINT) AS freq,
+                 CAST(row_number() OVER (PARTITION BY class
+                   ORDER BY sum(cnt) DESC, piece) AS BIGINT) AS rnk
+               FROM subs GROUP BY class, piece)
+        SELECT class, rnk, piece, freq FROM rk WHERE rnk <= $WpVocabTop
+        ORDER BY class, rnk"""
+
+  /** The greedy longest-match-first fold shared by [[wordPiece]] and its
+    * oracle: over a (w, vocab) row, `bounds` accumulates 1-based piece
+    * start positions — each step matches the longest vocab piece
+    * (length [[WpMaxLen]]..1, continuation-marked past position 1) at
+    * the cursor and advances it; −1 records an unmatchable cursor (the
+    * [UNK] signal — unreachable while the alphabet singles are in
+    * vocab, kept so a vocab change fails LOUDLY instead of silently). */
+  private def wpTry(l: Int): String = {
+    val cond =
+      if (l == 1) "" else s"element_at(acc, -1) + ${l - 1} <= char_length(w) AND "
+    s"""WHEN ${cond}array_contains(vocab,
+          CASE WHEN element_at(acc, -1) = 1
+            THEN substring(w, element_at(acc, -1), $l)
+            ELSE concat('##', substring(w, element_at(acc, -1), $l)) END)
+        THEN array_append(acc, element_at(acc, -1) + $l)"""
+  }
+
+  /** Per-document WordPiece apply — (doc_id, n_words, n_pieces, n_unk,
+    * doc_fp): greedy longest-match-first segmentation of every word
+    * against the trained vocab ([[wordPieceVocab]] top pieces + the
+    * unconditional alphabet singles), words longer than
+    * [[WpMaxWordLen]] emitted as the single [UNK] token; doc_fp is the
+    * order-sensitive fingerprint of the full token stream.
+    *
+    * Spark shape — no UDF, no driver collect anywhere: the vocab
+    * aggregates to ONE array row ([[functions.collect_list]]) that
+    * cross-joins (broadcast) onto the DISTINCT-word frame, and the
+    * greedy loop is a codegen'd `aggregate` HOF whose state is the
+    * piece-boundary array (≤ [[WpMaxWordLen]]+1 ints). Tokenization
+    * thus costs O(distinct words × fold), never O(occurrences × fold);
+    * occurrences only pay the word→tokens equi-join and the doc
+    * hash-agg (sort_array over the per-doc (wpos, tokens) structs for
+    * the order-sensitive fingerprint). At 100 TB the distinct-word
+    * frame is Heaps-law-bounded and the vocab row is O(1). */
+  def wordPiece(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val singles = spark.range(1)
+      .select(explode(array(
+        WpAlphabet.flatMap(c => Seq(c, "##" + c)).map(lit): _*)).as("piece"))
+    val vocabRow = wordPieceVocab(docs).select(col("piece"))
+      .unionAll(singles)
+      .agg(array_sort(collect_list(col("piece"))).as("vocab"))
+    val words = wpWords(docs)
+    val folded = words.select(col("w")).distinct()
+      .crossJoin(broadcast(vocabRow))
+      .withColumn("bounds", expr(s"""
+        CASE WHEN char_length(w) > $WpMaxWordLen THEN array(-1)
+        ELSE aggregate(sequence(1, $WpMaxWordLen), array(1),
+          (acc, step) -> CASE
+            WHEN element_at(acc, -1) < 0
+              OR element_at(acc, -1) > char_length(w) THEN acc
+            ${(WpMaxLen to 1 by -1).map(wpTry).mkString("\n            ")}
+            ELSE array_append(acc, -1) END) END"""))
+      .select(col("w"),
+        expr("array_contains(bounds, -1)").as("unk"),
+        expr("CASE WHEN array_contains(bounds, -1) THEN 1L" +
+          " ELSE CAST(size(bounds) - 1 AS BIGINT) END").as("n_pieces_w"),
+        expr("""CASE WHEN array_contains(bounds, -1) THEN '[UNK]'
+          ELSE array_join(transform(sequence(1, size(bounds) - 1),
+            i -> concat(CASE WHEN element_at(bounds, i) = 1 THEN ''
+                        ELSE '##' END,
+                   substring(w, element_at(bounds, i),
+                     element_at(bounds, i + 1) - element_at(bounds, i)))),
+            ' ') END""").as("tokstr"))
+    val perDoc = words.join(folded, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces_w")).as("n_pieces"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk"),
+        hash64(array_join(
+          transform(array_sort(collect_list(struct(col("wpos"),
+            col("tokstr")))), x => x.getField("tokstr")),
+          " ")).as("doc_fp"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("doc_fp"), hash64(lit(""))).as("doc_fp"))
+  }
+
+  /** Oracle twin of [[wordPiece]]: the vocab CTE folds to one LIST cell
+    * referenced inside the same greedy `list_reduce` (DuckDB's
+    * no-initial-value fold seeded by prepending the `[1]` bounds
+    * list), then the identical join/roll-up. */
+  def wordPieceSql(table: String): String = {
+    def tryL(l: Int): String = {
+      val cond =
+        if (l == 1) "" else s"acc[-1] + ${l - 1} <= length(w) AND "
+      s"""WHEN ${cond}list_contains(vocab,
+            CASE WHEN acc[-1] = 1 THEN substr(w, acc[-1], $l)
+              ELSE '##' || substr(w, acc[-1], $l) END)
+          THEN list_append(acc, acc[-1] + $l)"""
+    }
+    val singles = WpAlphabet.flatMap(c => Seq(c, "##" + c))
+      .map(p => s"'$p'").mkString(", ")
+    s"""WITH vr AS (${wordPieceVocabSql(table)}),
+        vocab1 AS (SELECT list_sort(list(piece)) AS vocab FROM (
+          SELECT piece FROM vr
+          UNION ALL SELECT unnest([$singles]) AS piece)),
+        words AS (SELECT doc_id,
+            generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS w
+          FROM (SELECT doc_id,
+              regexp_extract_all(lower(text), '$WpWordRe') AS ws
+            FROM $table)),
+        folded AS (SELECT w,
+            CASE WHEN length(w) > $WpMaxWordLen THEN [-1]
+            ELSE list_reduce(
+              list_prepend([1], list_transform(range(1, $WpMaxWordLen + 1),
+                i -> [CAST(i AS INT)])),
+              (acc, x) -> CASE
+                WHEN acc[-1] < 0 OR acc[-1] > length(w) THEN acc
+                ${(WpMaxLen to 1 by -1).map(tryL).mkString("\n                ")}
+                ELSE list_append(acc, -1) END) END AS bounds
+          FROM (SELECT DISTINCT w FROM words), vocab1),
+        toks AS (SELECT w,
+            list_contains(bounds, -1) AS unk,
+            CASE WHEN list_contains(bounds, -1) THEN CAST(1 AS BIGINT)
+              ELSE CAST(len(bounds) - 1 AS BIGINT) END AS n_pieces_w,
+            CASE WHEN list_contains(bounds, -1) THEN '[UNK]'
+              ELSE array_to_string(list_transform(range(1, len(bounds)),
+                i -> (CASE WHEN bounds[i] = 1 THEN '' ELSE '##' END) ||
+                  substr(w, bounds[i], bounds[i + 1] - bounds[i])), ' ')
+              END AS tokstr
+          FROM folded),
+        per_doc AS (SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces,
+            CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+            ${hash64Sql("string_agg(tokstr, ' ' ORDER BY wpos)")} AS doc_fp
+          FROM words JOIN toks USING (w) GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(n_words, 0) AS n_words,
+          COALESCE(n_pieces, 0) AS n_pieces,
+          COALESCE(n_unk, 0) AS n_unk,
+          COALESCE(doc_fp, ${hash64Sql("''")}) AS doc_fp
+        FROM $table d LEFT JOIN per_doc USING (doc_id)
+        ORDER BY d.doc_id"""
+  }
 }

@@ -185,6 +185,32 @@ object IndexQueries {
     QueryDef("text_bpe_apply",
       (s, d) => graft.ops.TextOps.bpeApply(Tables.documents(s, d), rounds = 3),
       Some(graft.ops.TextOps.bpeApplySql("documents", rounds = 3)),
+      presentOrder = Seq("doc_id")),
+
+    // WordPiece vocab training (Schuster–Nakajima / BERT convention):
+    // per position class (word-initial vs ##-continuation), the top-24
+    // corpus substrings of length 2..4 by occurrence count — the
+    // trained artifact the apply gate consumes. One substring explode →
+    // hash-agg (map-side combined, vocabulary-bounded) → two bounded
+    // rank windows; (freq DESC, piece ASC) is a deterministic total
+    // order, so the table is engine-exact.
+    QueryDef("text_wordpiece_vocab",
+      (s, d) => graft.ops.TextOps.wordPieceVocab(Tables.documents(s, d)),
+      Some(graft.ops.TextOps.wordPieceVocabSql("documents")),
+      presentOrder = Seq("class", "rnk")),
+
+    // WordPiece APPLY — greedy longest-match-first (max-munch)
+    // segmentation of every word against the trained vocab + the
+    // unconditional [a-z0-9] singles, >16-char words → [UNK] (the
+    // published long-word rule): the BERT-family tokenizer surface
+    // complementing BPE's merge-list tokenizer. The greedy loop is a
+    // codegen'd HOF fold over a boundary array on the DISTINCT-word
+    // frame (Heaps-law-bounded) with the vocab as ONE broadcast array
+    // row — no UDF, no driver collect; occurrences pay only an
+    // equi-join and the order-sensitive fingerprint hash-agg.
+    QueryDef("text_wordpiece",
+      (s, d) => graft.ops.TextOps.wordPiece(Tables.documents(s, d)),
+      Some(graft.ops.TextOps.wordPieceSql("documents")),
       presentOrder = Seq("doc_id"))
   )
 }

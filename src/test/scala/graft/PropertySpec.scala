@@ -60,6 +60,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("wordPiece: greedy max-munch splits zzzzab into zzzz + ##ab, the " +
+    "long-word rule emits [UNK], empty docs report zero, vocab ranks are " +
+    "the hand order") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "zzzzab zzzzab cd"),
+      (2L, "abcdefghijklmnopq cd"), // 17-char word -> [UNK]
+      (3L, "")).toDF("doc_id", "text")
+    // vocab (all candidates fit the top-24 budget here): init pieces of
+    // freq 2 are cd < zz < zzz < zzzz (piece ASC breaks the tie), so
+    // rank 1 init is "cd"; "##ab" (freq 2 from zzzzab) is in cont.
+    val vocab = TextOps.wordPieceVocab(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(vocab.forall(_._2 <= TextOps.WpVocabTop))
+    assert(vocab.filter(_._1 == "init").sortBy(_._2).take(4).map(_._3)
+      .toSeq === Seq("cd", "zz", "zzz", "zzzz"))
+    assert(vocab.exists(v => v._1 == "cont" && v._3 == "##ab" && v._4 == 2L))
+    // apply: zzzzab -> greedy l=4 "zzzz" then "##ab" (2 pieces);
+    // cd -> 1 piece; the 17-char word -> [UNK] (1 piece, n_unk 1).
+    val out = TextOps.wordPiece(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 5L, 0L))) // 2+2+1 pieces, no UNK
+    assert(out(2L) === ((2L, 2L, 1L))) // [UNK] + cd
+    assert(out(3L) === ((0L, 0L, 0L)))
+    // fingerprints: same token stream <=> same fp; doc 2 differs
+    val fps = TextOps.wordPiece(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(fps(1L) !== fps(2L))
+  }
+
   test("bpeApply reconciles with bpeTrain: piece totals and XOR fingerprint") {
     import spark.implicits._
     import graft.ops.TextOps
