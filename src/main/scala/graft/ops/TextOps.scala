@@ -1484,14 +1484,32 @@ object TextOps {
     * hash-agg (sort_array over the per-doc (wpos, tokens) structs for
     * the order-sensitive fingerprint). At 100 TB the distinct-word
     * frame is Heaps-law-bounded and the vocab row is O(1). */
-  def wordPiece(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def wordPiece(docs: DataFrame): DataFrame =
+    wordPieceCore(docs, docs)
+
+  /** Serving view of [[wordPiece]] — vocab FROZEN on the train slice,
+    * the complement tokenized against it (the knServe composition): the
+    * batch gate whose streaming twin maps arriving docs statelessly
+    * under the broadcast vocab. */
+  def wordPieceServe(docs: DataFrame, trainPred: Column): DataFrame =
+    wordPieceCore(docs.filter(!trainPred), docs.filter(trainPred))
+
+  /** The full [[wordPieceVocab]] + singles piece list as one sorted
+    * array row — the broadcastable trained artifact ([[wordPieceCore]]
+    * and the streaming twin's driver collect both read it). */
+  def wpVocabRow(trainDocs: DataFrame): DataFrame = {
+    val spark = trainDocs.sparkSession
     val singles = spark.range(1)
       .select(explode(array(
         WpAlphabet.flatMap(c => Seq(c, "##" + c)).map(lit): _*)).as("piece"))
-    val vocabRow = wordPieceVocab(docs).select(col("piece"))
+    wordPieceVocab(trainDocs).select(col("piece"))
       .unionAll(singles)
       .agg(array_sort(collect_list(col("piece"))).as("vocab"))
+  }
+
+  private def wordPieceCore(docs: DataFrame,
+                            trainDocs: DataFrame): DataFrame = {
+    val vocabRow = wpVocabRow(trainDocs)
     val words = wpWords(docs)
     val folded = words.select(col("w")).distinct()
       .crossJoin(broadcast(vocabRow))
@@ -1531,11 +1549,211 @@ object TextOps {
         coalesce(col("doc_fp"), hash64(lit(""))).as("doc_fp"))
   }
 
+  /** Viterbi cost base: segmentation cost = n_pieces·WpBig − Σ freq, a
+    * single BIGINT whose minimization is the lexicographic (min pieces,
+    * max total frequency) objective — valid while Σ freq < WpBig
+    * (≤ [[WpMaxWordLen]] pieces × per-piece corpus counts ≪ 10¹²). */
+  val WpBig = 1000000000000L
+  private val WpInf = 1000000000000000L // > any real cost, Int64-safe to add
+
+  /** Scored vocab for [[viterbiSegment]]: the trained multi-char top-24
+    * per class ([[wordPieceVocab]]) plus ALL single-char pieces with
+    * their REAL corpus counts (l=1 is never budget-capped — the coverage
+    * guarantee; any char a word needs in a position class occurs there
+    * in that very word, so segmentation can never strand). */
+  private def wpScoredVocab(docs: DataFrame): DataFrame = {
+    val w = wpWords(docs).groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ones = w
+      .select(col("w"), col("cnt"),
+        explode(expr("sequence(1, char_length(w))")).as("p"))
+      .select(
+        when(col("p") === 1, expr("substring(w, p, 1)"))
+          .otherwise(concat(lit("##"), expr("substring(w, p, 1)")))
+          .as("piece"),
+        col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+    wordPieceVocab(docs).select(col("piece"), col("freq")).unionAll(ones)
+  }
+
+  /** SQL twin of [[wpScoredVocab]] (selects piece, freq). */
+  private def wpScoredVocabSql(table: String): String =
+    s"""SELECT piece, freq FROM (${wordPieceVocabSql(table)})
+        UNION ALL
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+          SELECT CASE WHEN p = 1 THEN substr(w, p, 1)
+                 ELSE '##' || substr(w, p, 1) END AS piece, cnt
+          FROM (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS p
+                FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+                  SELECT unnest(regexp_extract_all(lower(text), '$WpWordRe'))
+                    AS w FROM $table) GROUP BY w)))
+        GROUP BY piece"""
+
+  /** OPTIMAL dictionary segmentation by dynamic programming — the
+    * Viterbi inference of the SentencePiece/unigram family (Kudo,
+    * "Subword regularization", ACL 2018) under the integer objective
+    * (min piece count, tie-break max total piece frequency), against
+    * the SAME trained vocab as [[wordPiece]]'s greedy max-munch (plus
+    * scored singles). Where greedy commits to the longest local match,
+    * the DP provably minimizes — per word, n_pieces(viterbi) ≤
+    * n_pieces(greedy), a spec-pinned invariant.
+    *
+    * The recurrence dp[j] = min over piece (i→j) of dp[i] + (WpBig −
+    * freq) runs as ONE codegen'd `aggregate` HOF per distinct word:
+    * state is the (WpMaxWordLen+1)-slot cost array, step p relaxes the
+    * ≤ [[WpMaxLen]] targets reachable from position p (left-to-right is
+    * the correct DP order — dp[p] is final before step p). Vocab and
+    * frequency ride as TWO piece-ASC-aligned broadcast array columns
+    * (`array_position` lookup, 0 = absent); no UDF, no driver collect.
+    * Per-word output is tie-safe by construction: (n_pieces,
+    * score_total) is the unique optimum even when multiple
+    * segmentations attain it. Words over [[WpMaxWordLen]] chars emit
+    * [UNK] (n=1, score 0), the [[wordPiece]] long-word rule.
+    *
+    * Scale: identical to [[wordPiece]] — O(distinct words × fold) on
+    * the Heaps-law-bounded word frame, occurrences pay one equi-join
+    * + the order-sensitive fingerprint hash-agg. */
+  def viterbiSegment(docs: DataFrame): DataFrame = {
+    val vocabRow = wpScoredVocab(docs)
+      .agg(sort_array(collect_list(struct(col("piece"), col("freq"))))
+        .as("pf"))
+      .select(expr("transform(pf, x -> x.piece)").as("vocab"),
+        expr("transform(pf, x -> x.freq)").as("freqs"))
+    val words = wpWords(docs)
+    def relax(l: Int): String =
+      s"""WHEN j = p + $l AND j <= char_length(w) + 1 THEN
+            CASE WHEN array_position(vocab,
+                CASE WHEN p = 1 THEN substring(w, p, $l)
+                  ELSE concat('##', substring(w, p, $l)) END) > 0
+              THEN least(element_at(acc, j), element_at(acc, p)
+                + ${WpBig}L
+                - element_at(freqs, CAST(array_position(vocab,
+                    CASE WHEN p = 1 THEN substring(w, p, $l)
+                      ELSE concat('##', substring(w, p, $l)) END) AS INT)))
+              ELSE element_at(acc, j) END"""
+    val folded = words.select(col("w")).distinct()
+      .crossJoin(broadcast(vocabRow))
+      .withColumn("cost", expr(s"""
+        CASE WHEN char_length(w) > $WpMaxWordLen THEN ${WpInf}L
+        ELSE element_at(
+          aggregate(sequence(1, $WpMaxWordLen),
+            concat(array(0L), transform(sequence(1, $WpMaxWordLen),
+              i -> ${WpInf}L)),
+            (acc, p) -> transform(sequence(1, ${WpMaxWordLen + 1}),
+              j -> CASE
+                ${(1 to WpMaxLen).map(relax).mkString("\n                ")}
+                ELSE element_at(acc, j) END)),
+          char_length(w) + 1) END"""))
+      .select(col("w"),
+        (col("cost") >= WpInf).as("unk"),
+        expr(s"CASE WHEN cost >= ${WpInf}L THEN 1L" +
+          s" ELSE cost div ${WpBig}L + 1L END").as("n_pieces_w"),
+        expr(s"CASE WHEN cost >= ${WpInf}L THEN 0L" +
+          s" ELSE (cost div ${WpBig}L + 1L) * ${WpBig}L - cost END")
+          .as("score_w"))
+    val perDoc = words.join(folded, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces_w")).as("n_pieces"),
+        sum(col("score_w")).as("score_total"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk"),
+        hash64(array_join(
+          transform(array_sort(collect_list(struct(col("wpos"),
+            concat(col("n_pieces_w"), lit("|"), col("score_w"))
+              .as("ns")))), x => x.getField("ns")),
+          " ")).as("doc_fp"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("score_total"), lit(0L)).as("score_total"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("doc_fp"), hash64(lit(""))).as("doc_fp"))
+  }
+
+  /** Oracle twin of [[viterbiSegment]]: vocab/freq LISTs aggregated with
+    * `ORDER BY piece` (the same piece-ASC alignment), the DP replayed as
+    * a seeded `list_reduce` with `list_position` lookups (NULL =
+    * absent), identical cost decode and roll-up. */
+  def viterbiSegmentSql(table: String): String = {
+    // The fold's step index rides inside the seeded element (st[1]) —
+    // DuckDB's list_reduce has no positional lambda argument and the
+    // accumulator/element types must match, so each step is a LIST
+    // filled with its own position.
+    def relax(l: Int): String =
+      s"""WHEN j = st[1] + $l AND j <= length(w) + 1 THEN
+            CASE WHEN list_position(vocab,
+                CASE WHEN st[1] = 1 THEN substr(w, CAST(st[1] AS INT), $l)
+                  ELSE '##' || substr(w, CAST(st[1] AS INT), $l) END)
+                IS NOT NULL
+              THEN least(acc[CAST(j AS INT)], acc[CAST(st[1] AS INT)]
+                + $WpBig
+                - freqs[list_position(vocab,
+                    CASE WHEN st[1] = 1 THEN substr(w, CAST(st[1] AS INT), $l)
+                      ELSE '##' || substr(w, CAST(st[1] AS INT), $l) END)])
+              ELSE acc[CAST(j AS INT)] END"""
+    s"""WITH sv AS (${wpScoredVocabSql(table)}),
+        vocab1 AS (SELECT list(piece ORDER BY piece) AS vocab,
+                          list(freq ORDER BY piece) AS freqs FROM sv),
+        words AS (SELECT doc_id,
+            generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS w
+          FROM (SELECT doc_id,
+              regexp_extract_all(lower(text), '$WpWordRe') AS ws
+            FROM $table)),
+        folded AS (SELECT w,
+            CASE WHEN length(w) > $WpMaxWordLen THEN CAST($WpInf AS BIGINT)
+            ELSE list_reduce(
+              list_prepend(
+                list_concat([CAST(0 AS BIGINT)],
+                  list_transform(range(1, $WpMaxWordLen + 1),
+                    i -> CAST($WpInf AS BIGINT))),
+                list_transform(range(1, $WpMaxWordLen + 1),
+                  p0 -> list_transform(range(1, ${WpMaxWordLen + 2}),
+                    i -> CAST(p0 AS BIGINT)))),
+              (acc, st) -> list_transform(range(1, ${WpMaxWordLen + 2}),
+                j -> CASE
+                  ${(1 to WpMaxLen).map(relax).mkString("\n                  ")}
+                  ELSE acc[CAST(j AS INT)] END))[length(w) + 1] END AS cost
+          FROM (SELECT DISTINCT w FROM words), vocab1),
+        toks AS (SELECT w,
+            cost >= $WpInf AS unk,
+            CASE WHEN cost >= $WpInf THEN CAST(1 AS BIGINT)
+              ELSE cost // $WpBig + 1 END AS n_pieces_w,
+            CASE WHEN cost >= $WpInf THEN CAST(0 AS BIGINT)
+              ELSE (cost // $WpBig + 1) * $WpBig - cost END AS score_w
+          FROM folded),
+        per_doc AS (SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces,
+            CAST(sum(score_w) AS BIGINT) AS score_total,
+            CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+            ${hash64Sql(
+              "string_agg(n_pieces_w || '|' || score_w, ' ' ORDER BY wpos)")}
+              AS doc_fp
+          FROM words JOIN toks USING (w) GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(n_words, 0) AS n_words,
+          COALESCE(n_pieces, 0) AS n_pieces,
+          COALESCE(score_total, 0) AS score_total,
+          COALESCE(n_unk, 0) AS n_unk,
+          COALESCE(doc_fp, ${hash64Sql("''")}) AS doc_fp
+        FROM $table d LEFT JOIN per_doc USING (doc_id)
+        ORDER BY d.doc_id"""
+  }
+
   /** Oracle twin of [[wordPiece]]: the vocab CTE folds to one LIST cell
     * referenced inside the same greedy `list_reduce` (DuckDB's
     * no-initial-value fold seeded by prepending the `[1]` bounds
     * list), then the identical join/roll-up. */
-  def wordPieceSql(table: String): String = {
+  def wordPieceSql(table: String): String =
+    wordPieceSqlCore(table, table)
+
+  /** Oracle twin of [[wordPieceServe]]. */
+  def wordPieceServeSql(table: String, trainPredSql: String): String =
+    wordPieceSqlCore(
+      s"(SELECT * FROM $table WHERE NOT ($trainPredSql))",
+      s"(SELECT * FROM $table WHERE $trainPredSql)")
+
+  private def wordPieceSqlCore(applyTbl: String, trainTbl: String): String = {
     def tryL(l: Int): String = {
       val cond =
         if (l == 1) "" else s"acc[-1] + ${l - 1} <= length(w) AND "
@@ -1546,7 +1764,7 @@ object TextOps {
     }
     val singles = WpAlphabet.flatMap(c => Seq(c, "##" + c))
       .map(p => s"'$p'").mkString(", ")
-    s"""WITH vr AS (${wordPieceVocabSql(table)}),
+    s"""WITH vr AS (${wordPieceVocabSql(trainTbl)}),
         vocab1 AS (SELECT list_sort(list(piece)) AS vocab FROM (
           SELECT piece FROM vr
           UNION ALL SELECT unnest([$singles]) AS piece)),
@@ -1554,7 +1772,7 @@ object TextOps {
             generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS w
           FROM (SELECT doc_id,
               regexp_extract_all(lower(text), '$WpWordRe') AS ws
-            FROM $table)),
+            FROM $applyTbl)),
         folded AS (SELECT w,
             CASE WHEN length(w) > $WpMaxWordLen THEN [-1]
             ELSE list_reduce(
@@ -1586,7 +1804,7 @@ object TextOps {
           COALESCE(n_pieces, 0) AS n_pieces,
           COALESCE(n_unk, 0) AS n_unk,
           COALESCE(doc_fp, ${hash64Sql("''")}) AS doc_fp
-        FROM $table d LEFT JOIN per_doc USING (doc_id)
+        FROM $applyTbl d LEFT JOIN per_doc USING (doc_id)
         ORDER BY d.doc_id"""
   }
 }

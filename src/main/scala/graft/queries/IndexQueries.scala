@@ -211,6 +211,21 @@ object IndexQueries {
     QueryDef("text_wordpiece",
       (s, d) => graft.ops.TextOps.wordPiece(Tables.documents(s, d)),
       Some(graft.ops.TextOps.wordPieceSql("documents")),
+      presentOrder = Seq("doc_id")),
+
+    // OPTIMAL segmentation by dynamic programming — the Viterbi
+    // inference of the SentencePiece/unigram family under the integer
+    // objective (min pieces, tie-break max total piece frequency),
+    // same trained vocab as the greedy gate plus scored singles:
+    // per word, n_pieces here <= the greedy max-munch count (the
+    // spec-pinned minimality invariant). The DP is one codegen'd HOF
+    // fold per DISTINCT word over a 17-slot cost array; vocab+freqs
+    // ride as two piece-ASC-aligned broadcast arrays. Tie-safe output:
+    // (n_pieces, score_total) is unique even when several segmentations
+    // attain the optimum.
+    QueryDef("text_viterbi_segment",
+      (s, d) => graft.ops.TextOps.viterbiSegment(Tables.documents(s, d)),
+      Some(graft.ops.TextOps.viterbiSegmentSql("documents")),
       presentOrder = Seq("doc_id"))
   )
 }

@@ -381,5 +381,21 @@ object StreamParityQueries {
         Tables.documents(s, d), col("lang") === "en"),
       Some(graft.ops.TextOps.knServeSql("documents", "lang = 'en'")),
       presentOrder = Seq("doc_id"))
+      ,
+
+    // Tokenizer SERVING view: WordPiece vocab FROZEN on the train slice
+    // (lang = 'en'), the complement tokenized against it — the
+    // train-then-serve composition a deployed tokenizer runs (and the
+    // honest drift surface: serve-slice languages the vocab never saw
+    // segment into singles/[UNK]). Streaming twin: the ≤~120-piece
+    // vocab broadcasts once and arriving docs tokenize statelessly in
+    // a narrow map (StreamingSpec pins row parity across micro-batch
+    // splits against this gate — an independent JVM max-munch vs the
+    // batch HOF fold).
+    QueryDef("stream_wordpiece",
+      (s, d) => graft.ops.TextOps.wordPieceServe(
+        Tables.documents(s, d), col("lang") === "en"),
+      Some(graft.ops.TextOps.wordPieceServeSql("documents", "lang = 'en'")),
+      presentOrder = Seq("doc_id"))
   )
 }

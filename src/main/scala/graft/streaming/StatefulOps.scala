@@ -1350,6 +1350,74 @@ object StatefulOps {
     folded.union(shorts)
   }
 
+  case class WpTokRow(docId: Long, nWords: Long, nPieces: Long,
+                      nUnk: Long, docFp: Long)
+
+  /** Trained WordPiece vocab as a broadcastable SET — top-24 pieces per
+    * position class + the unconditional alphabet singles, ≤ ~120
+    * entries by construction (a bounded artifact, the k-means-centroid
+    * collect discipline). */
+  def trainWpVocab(docs: org.apache.spark.sql.DataFrame,
+                   trainPred: org.apache.spark.sql.Column): Set[String] =
+    graft.ops.TextOps.wpVocabRow(docs.filter(trainPred))
+      .collect()(0).getSeq[String](0).toSet
+
+  /** Streaming twin of the gated `stream_wordpiece` serving view: the
+    * frozen vocab broadcasts once and every arriving doc tokenizes
+    * STATELESSLY in a narrow map (no keyed state, no shuffle, append
+    * mode, replay-idempotent — the streamingLmScore pattern). The
+    * greedy max-munch here is an independent JVM reimplementation of
+    * the batch gate's HOF fold (same longest-match order, same
+    * >[[graft.ops.TextOps.WpMaxWordLen]]-char [UNK] rule, same
+    * order-sensitive [[graft.ops.TextOps.hash64Scalar]] fingerprint),
+    * so StreamingSpec parity is two disjoint code paths agreeing. */
+  def streamingWordPiece(docs: Dataset[LmDoc], vocab: Set[String])
+  : Dataset[WpTokRow] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    docs.mapPartitions { rows =>
+      val v = bc.value
+      val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+      rows.map { d =>
+        val text = if (d.text == null) ""
+          else d.text.toLowerCase(java.util.Locale.ROOT)
+        val m = re.matcher(text)
+        var nW = 0L; var nP = 0L; var nU = 0L
+        val sb = new StringBuilder
+        while (m.find()) {
+          val w = m.group()
+          nW += 1
+          if (sb.nonEmpty) sb.append(' ')
+          if (w.length > graft.ops.TextOps.WpMaxWordLen) {
+            nP += 1; nU += 1; sb.append("[UNK]")
+          } else {
+            var pos = 0
+            var failed = false
+            val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (pos < w.length && !failed) {
+              var l = math.min(graft.ops.TextOps.WpMaxLen, w.length - pos)
+              var matched: String = null
+              while (l >= 1 && matched == null) {
+                val piece = w.substring(pos, pos + l)
+                val marked = if (pos == 0) piece else "##" + piece
+                if (v.contains(marked)) matched = marked else l -= 1
+              }
+              if (matched == null) failed = true
+              else {
+                toks += matched
+                pos += matched.length - (if (pos == 0) 0 else 2)
+              }
+            }
+            if (failed) { nP += 1; nU += 1; sb.append("[UNK]") }
+            else { nP += toks.length; sb.append(toks.mkString(" ")) }
+          }
+        }
+        WpTokRow(d.docId, nW, nP, nU,
+          graft.ops.TextOps.hash64Scalar(sb.toString))
+      }
+    }
+  }
+
   /** Size-thresholded Stupid-Backoff serving dispatch — total distinct
     * n-grams across the three grains decide the path, as [[knServe]]. */
   def sbServe(docs: Dataset[LmDoc], train: org.apache.spark.sql.DataFrame,

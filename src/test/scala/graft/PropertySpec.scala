@@ -92,6 +92,42 @@ class PropertySpec extends SparkSpec {
     assert(fps(1L) !== fps(2L))
   }
 
+  test("viterbiSegment: hand-exact DP on the wordPiece fixture, [UNK] " +
+    "long-word rule, and the minimality invariant n_viterbi <= n_greedy " +
+    "on a real corpus") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "zzzzab zzzzab cd"),
+      (2L, "abcdefghijklmnopq cd"),
+      (3L, "")).toDF("doc_id", "text")
+    // zzzzab: no 5+/6-char vocab piece exists, so the optimum is 2
+    // pieces; the max-frequency tie-break picks zzzz(2) + ##ab(2) =
+    // score 4 (zzza+... alternatives carry lower totals). cd: 1 piece,
+    // score 2. Doc 1 = 2 words * (2,4) + (1,2): n_pieces 5, score 10.
+    // Doc 2: 17-char word -> [UNK] (1, 0) + cd (1, 2).
+    val out = TextOps.viterbiSegment(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 5L, 10L, 0L)))
+    assert(out(2L) === ((2L, 2L, 2L, 1L)))
+    assert(out(3L) === ((0L, 0L, 0L, 0L)))
+    // minimality vs greedy on a richer corpus: the DP can never use
+    // MORE pieces than max-munch (same vocab, same [UNK] rule)
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "pack my box with five dozen liquor jugs"),
+      (12L, "sphinx of black quartz judge my vow 12345"),
+      (13L, "the the the quick quick brown")).toDF("doc_id", "text")
+    val g = TextOps.wordPiece(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val v = TextOps.viterbiSegment(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(v.keySet === g.keySet)
+    v.foreach { case (id, n) => assert(n <= g(id),
+      s"doc $id: viterbi $n > greedy ${g(id)}") }
+  }
+
   test("bpeApply reconciles with bpeTrain: piece totals and XOR fingerprint") {
     import spark.implicits._
     import graft.ops.TextOps

@@ -1212,6 +1212,48 @@ class StreamingSpec extends SparkSpec {
       oov.knScore === 0.0 && oov.flagged)
   }
 
+  test("streaming WordPiece tokenization equals the gated batch serve " +
+    "rows across micro-batch splits (JVM max-munch vs the HOF fold)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{LmDoc, WpTokRow}
+    val dir = "/root/testdata/sf0.001"
+    val batch = Catalog.queries("stream_wordpiece")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val vocab = graft.streaming.StatefulOps.trainWpVocab(
+      graft.Tables.documents(spark, dir), col("lang") === "en")
+    assert(vocab.size <= 2 * graft.ops.TextOps.WpVocabTop + 72,
+      s"vocab not bounded: ${vocab.size}")
+    val docs = graft.Tables.documents(spark, dir)
+      .filter(!(col("lang") === "en"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => LmDoc(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Long, Long)]()
+    val in = MemoryStream[LmDoc]
+    val q = graft.streaming.StatefulOps.streamingWordPiece(in.toDS(), vocab)
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[WpTokRow], _: Long) =>
+        ds.collect().foreach(r =>
+          got(r.docId) = (r.nWords, r.nPieces, r.nUnk, r.docFp))
+      }.start()
+    val half = docs.length / 2
+    in.addData(docs.take(half): _*); q.processAllAvailable()
+    in.addData(docs.drop(half): _*); q.processAllAvailable(); q.stop()
+    assert(got.size === batch.size)
+    assert(got.toMap === batch)
+    // the serve slice must actually exercise tokenization (nonzero
+    // words and multi-piece segmentations somewhere)
+    assert(got.values.map(_._1).sum > 0L)
+    assert(got.values.exists(v => v._2 > v._1),
+      "no word ever split into multiple pieces")
+    // long-word [UNK] rule through the streaming path
+    val unk = graft.streaming.StatefulOps.streamingWordPiece(
+      Seq(LmDoc(999999L, "abcdefghijklmnopq ok")).toDS(), vocab).collect()(0)
+    assert(unk.nUnk === 1L && unk.nWords === 2L)
+  }
+
   test("SHARDED Kneser-Ney serving (stream-static joins, tables never " +
     "collected) equals the gated batch serve rows across micro-batch " +
     "splits; the size dispatch picks it past the threshold") {
