@@ -1507,12 +1507,12 @@ object TextOps {
       .agg(array_sort(collect_list(col("piece"))).as("vocab"))
   }
 
-  private def wordPieceCore(docs: DataFrame,
-                            trainDocs: DataFrame): DataFrame = {
-    val vocabRow = wpVocabRow(trainDocs)
-    val words = wpWords(docs)
-    val folded = words.select(col("w")).distinct()
-      .crossJoin(broadcast(vocabRow))
+  /** The greedy fold + decode over a frame carrying (w, vocab): adds
+    * (unk, n_pieces_w, tokstr), drops the scratch columns. Shared by
+    * the gated distinct-word shape and the [[wordPieceNaive]]
+    * per-occurrence reference the WpScale harness races it against. */
+  private def wpTokenize(withVocab: DataFrame): DataFrame =
+    withVocab
       .withColumn("bounds", expr(s"""
         CASE WHEN char_length(w) > $WpMaxWordLen THEN array(-1)
         ELSE aggregate(sequence(1, $WpMaxWordLen), array(1),
@@ -1521,18 +1521,24 @@ object TextOps {
               OR element_at(acc, -1) > char_length(w) THEN acc
             ${(WpMaxLen to 1 by -1).map(wpTry).mkString("\n            ")}
             ELSE array_append(acc, -1) END) END"""))
-      .select(col("w"),
-        expr("array_contains(bounds, -1)").as("unk"),
-        expr("CASE WHEN array_contains(bounds, -1) THEN 1L" +
-          " ELSE CAST(size(bounds) - 1 AS BIGINT) END").as("n_pieces_w"),
-        expr("""CASE WHEN array_contains(bounds, -1) THEN '[UNK]'
+      .withColumn("unk", expr("array_contains(bounds, -1)"))
+      .withColumn("n_pieces_w",
+        expr("CASE WHEN unk THEN 1L" +
+          " ELSE CAST(size(bounds) - 1 AS BIGINT) END"))
+      .withColumn("tokstr",
+        expr("""CASE WHEN unk THEN '[UNK]'
           ELSE array_join(transform(sequence(1, size(bounds) - 1),
             i -> concat(CASE WHEN element_at(bounds, i) = 1 THEN ''
                         ELSE '##' END,
                    substring(w, element_at(bounds, i),
                      element_at(bounds, i + 1) - element_at(bounds, i)))),
-            ' ') END""").as("tokstr"))
-    val perDoc = words.join(folded, Seq("w"))
+            ' ') END"""))
+      .drop("bounds", "vocab")
+
+  /** Doc-grain roll-up of per-occurrence (doc_id, wpos, unk,
+    * n_pieces_w, tokstr) rows, left-joined back so empty docs report. */
+  private def wpRollup(occ: DataFrame, docs: DataFrame): DataFrame = {
+    val perDoc = occ
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces_w")).as("n_pieces"),
@@ -1548,6 +1554,26 @@ object TextOps {
         coalesce(col("n_unk"), lit(0L)).as("n_unk"),
         coalesce(col("doc_fp"), hash64(lit(""))).as("doc_fp"))
   }
+
+  private def wordPieceCore(docs: DataFrame,
+                            trainDocs: DataFrame): DataFrame = {
+    val vocabRow = wpVocabRow(trainDocs)
+    val words = wpWords(docs)
+    val folded = wpTokenize(
+      words.select(col("w")).distinct().crossJoin(broadcast(vocabRow)))
+    wpRollup(words.join(folded, Seq("w")), docs)
+  }
+
+  /** Per-OCCURRENCE reference shape — the fold runs on every word
+    * occurrence instead of the distinct-word frame: O(occurrences ×
+    * fold) where the gated plan is O(distinct × fold) + an equi-join.
+    * Results are identical by construction (WpScale asserts the full
+    * checksum); exists ONLY as the scale harness's baseline — never
+    * gate against this shape at corpus scale. */
+  def wordPieceNaive(docs: DataFrame): DataFrame =
+    wpRollup(
+      wpTokenize(wpWords(docs).crossJoin(broadcast(wpVocabRow(docs)))),
+      docs)
 
   /** Viterbi cost base: segmentation cost = n_pieces·WpBig − Σ freq, a
     * single BIGINT whose minimization is the lexicographic (min pieces,

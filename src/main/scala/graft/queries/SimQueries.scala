@@ -853,6 +853,36 @@ object SimQueries {
         "node_id < 3", rounds = 6)),
       presentOrder = Seq("node_id")),
 
+    // Connected components over the k-NN graph as a FIRST-CLASS graph
+    // operator (the same engine `dedup_clusters` runs on the dup-pair
+    // graph — label propagation with pointer jumping, O(log diameter)
+    // rounds, driver union-find fast path under the clamp, distributed
+    // fallback above it): component = min node id, isolated nodes own
+    // themselves. The semantic-island map every corpus graph analysis
+    // starts from.
+    QueryDef("graph_cc",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val pairs = SimOps.knnEdgesCached(Tables.embeddings(s, d), KnnK,
+            LshTabs)
+          .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
+        val cc = graft.ops.DedupOps.connectedComponents(pairs)
+          .withColumnRenamed("doc_id", "node_id")
+        nodes.join(cc, Seq("node_id"), "left")
+          .select(col("node_id"),
+            coalesce(col("cluster"), col("node_id")).as("component"))
+      },
+      Some(s"""WITH cc AS (${graft.ops.DedupOps.connectedComponentsSql(
+          "SELECT query_id AS doc_a, neighbor_id AS doc_b FROM (" +
+            SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) +
+            ")")})
+        SELECT n.node_id, COALESCE(cc.cluster, n.node_id) AS component
+        FROM (SELECT vec_id AS node_id FROM embeddings) n
+        LEFT JOIN cc ON n.node_id = cc.doc_id
+        ORDER BY n.node_id"""),
+      presentOrder = Seq("node_id")),
+
     // Deterministic negative sampling over the k-NN graph — the
     // contrastive-training complement of sim_hard_negatives (those mine
     // CONFUSABLE candidates from bucket collisions; these draw

@@ -621,4 +621,42 @@ class PlanSpec extends SparkSpec {
         s"$q: final rank missing above the union:\n$head")
     }
   }
+
+  test("WordPiece apply: ONE broadcast vocab row onto the distinct-word " +
+    "fold, the word->tokens join broadcasts, the vocab rank window " +
+    "rewrites to the bounded heap — and no UDF anywhere") {
+    graft.catalyst.GraftFunctions.register(spark)
+    for (q <- Seq("text_wordpiece", "text_viterbi_segment")) {
+      val p = planOf(q)
+      // the trained-vocab single row reaches the fold as a broadcast
+      // (IdentityBroadcastMode cross join of a 1-row frame), never a
+      // shuffled join of the corpus against the vocab
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("IdentityBroadcastMode"),
+        s"$q: vocab row not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+      // tokenization results join back to occurrences by hash, and the
+      // greedy/DP loop is a codegen'd HOF, not a UDF
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$q: word join missing:\n$p")
+      assert(!p.toLowerCase.contains("batchevalpython") &&
+        !p.contains("ScalaUDF"), s"$q: UDF in the hot path:\n$p")
+    }
+    // vocab training's per-class rank window rewrites to the bounded
+    // TopKPerKey heap pair (never a full Window sort over the
+    // substring table)
+    val v = planOf("text_wordpiece_vocab")
+    assert(v.contains("TopKPerKey"), s"vocab rank not heap-bounded:\n$v")
+  }
+
+  test("weighted SSSP and betweenness: frontier rounds are hash " +
+    "equi-joins over slim rows — no cartesian, no UDF, no Window") {
+    graft.catalyst.GraftFunctions.register(spark)
+    for (q <- Seq("graph_sssp", "graph_betweenness")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q: UDF:\n$p")
+      assert(!p.contains("Window"), s"$q: unbounded window:\n$p")
+    }
+  }
 }
