@@ -793,6 +793,48 @@ object RelQueries3 {
              | UNION ALL
              | SELECT o_orderkey, 'cust', CAST(o_custkey AS DOUBLE) FROM orders
              | ORDER BY o_orderkey, metric""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("o_orderkey", "metric"))
+      presentOrder = Seq("o_orderkey", "metric")),
+
+    // Sequential-pattern support (the PrefixSpan/SPAM family's length-2
+    // core): for every ORDERED event-type pair (a, b), how many users
+    // ever did a STRICTLY BEFORE some b — gap-allowed order, which
+    // neither ref_event_transitions (adjacent only) nor q_market_basket
+    // (unordered co-occurrence) expresses. "Some a before some b" ⟺
+    // min ts(a) < max ts(b) per user, so the plan is ONE hash-agg to
+    // (user, type, min_ts, max_ts) — map-side combined, type fan-out
+    // bounded — then a per-user types×types self-join (≤ |types|² slim
+    // rows per user, never event-grain) and a count-distinct-free
+    // group-count. support_permille = users·1000 div total_users.
+    QueryDef("q_seq_patterns",
+      (s, d) => {
+        val spans = Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("ts")).as("t_min"), max(col("ts")).as("t_max"))
+          .localCheckpoint()
+        val nUsers = spans.select(col("user_id")).distinct().count()
+        spans.as("a").join(spans.as("b"), Seq("user_id"))
+          .filter(col("a.event_type") =!= col("b.event_type") &&
+            col("a.t_min") < col("b.t_max"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_users"))
+          .withColumn("support_permille",
+            expr(s"(n_users * 1000) div ${nUsers}L"))
+      },
+      Some("""WITH spans AS (SELECT user_id, event_type,
+             |   min(ts) AS t_min, max(ts) AS t_max
+             |  FROM events GROUP BY 1, 2),
+             | nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+             |  FROM spans),
+             | p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |   CAST(count(*) AS BIGINT) AS n_users
+             |  FROM spans a JOIN spans b ON a.user_id = b.user_id
+             |  WHERE a.event_type <> b.event_type AND a.t_min < b.t_max
+             |  GROUP BY 1, 2)
+             | SELECT type_a, type_b, n_users,
+             |  (n_users * 1000) // (SELECT n FROM nu) AS support_permille
+             | FROM p ORDER BY type_a, type_b""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("type_a", "type_b"))
   )
 }

@@ -694,6 +694,88 @@ class DedupSimSpec extends SparkSpec {
       GraphOps.betweennessCentrality(pathN, pathE, k = 0, maxDepth = 6))
   }
 
+  test("betweennessCentrality: all-pivots run equals an independent " +
+    "driver-side exact Brandes (integer micro-unit replay) on a seeded " +
+    "random graph") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // deterministic 24-node sparse graph (no Random: fixed congruential
+    // walk), symmetric, possibly disconnected
+    val n = 24
+    val es = (0 until 60).map { i =>
+      val a = (i * 7 + 3) % n; val b = (i * i * 5 + i + 11) % n
+      (a.toLong, b.toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val nodes = (0L until n.toLong).toDF("node_id")
+    val edges = es.toDF("src", "dst")
+    val got = GraphOps.betweennessCentrality(nodes, edges, k = n,
+        maxDepth = n).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent exact Brandes with the SAME integer floor-division
+    // ladder: per source, BFS sigma counts then level-descending
+    // delta(v) = sum_w (sigma_v * (1e6 + delta_w)) / sigma_w
+    val adj = (es ++ es.map(p => (p._2, p._1))).distinct
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val bc = scala.collection.mutable.Map((0L until n.toLong)
+      .map(_ -> 0L): _*)
+    for (s0 <- 0L until n.toLong) {
+      val dist = scala.collection.mutable.Map(s0 -> 0)
+      val sigma = scala.collection.mutable.Map(s0 -> BigInt(1))
+      var frontier = Set(s0); var d0 = 0
+      val levels = scala.collection.mutable.ArrayBuffer(Set(s0))
+      while (frontier.nonEmpty) {
+        d0 += 1
+        val nxt = scala.collection.mutable.Map[Long, BigInt]()
+        for (u <- frontier; v <- adj.getOrElse(u, Set.empty)
+             if !dist.contains(v))
+          nxt(v) = nxt.getOrElse(v, BigInt(0)) + sigma(u)
+        frontier = nxt.keySet.toSet
+        frontier.foreach { v => dist(v) = d0; sigma(v) = nxt(v) }
+        if (frontier.nonEmpty) levels += frontier
+      }
+      val delta = scala.collection.mutable.Map[Long, Long]()
+      for (l <- levels.indices.reverse; v <- levels(l)) {
+        var acc = 0L
+        for (w <- adj.getOrElse(v, Set.empty)
+             if dist.get(w).contains(l + 1))
+          acc += ((sigma(v) * (1000000L + delta.getOrElse(w, 0L))) /
+            sigma(w)).toLong
+        delta(v) = acc
+        if (v != s0) bc(v) += acc
+      }
+    }
+    assert(got === bc.toMap)
+  }
+
+  test("sssp: hop-bounded run equals an independent driver Bellman-Ford " +
+    "on a seeded random weighted digraph, at tight and loose budgets") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    val n = 20
+    val es = (0 until 50).map { i =>
+      val a = (i * 11 + 5) % n; val b = (i * i * 3 + 7) % n
+      (a.toLong, b.toLong, ((i * 13) % 9 + 1) * 100000L)
+    }.filter(p => p._1 != p._2).distinct
+    val nodes = (0L until n.toLong).toDF("node_id")
+    val edges = es.toDF("src", "dst", "w_micro")
+    def reference(rounds: Int): Map[Long, Long] = {
+      var d = Map(0L -> 0L, 1L -> 0L)
+      for (_ <- 1 to rounds) {
+        val relaxed = es.flatMap { case (a, b, w) =>
+          d.get(a).map(da => b -> (da + w)) }
+        d = (d.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k2, v) => k2 -> v.map(_._2).min }
+      }
+      (0L until n.toLong).map(i => i -> d.getOrElse(i, -1L)).toMap
+    }
+    for (rounds <- Seq(1, 2, 6)) {
+      val got = GraphOps.sssp(nodes, edges, col("node_id") <= 1L,
+          rounds = rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === reference(rounds), s"diverged at rounds=$rounds")
+    }
+  }
+
   test("sssp: min-folds a cheap 2-hop route under an expensive direct " +
     "edge, the hop budget excludes it honestly, direction respected, " +
     "unreached is -1") {
