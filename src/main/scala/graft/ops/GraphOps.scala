@@ -1800,12 +1800,16 @@ object GraphOps {
     for (fl <- down.tail) {
       val succ = delta.select(col("seed"), col("node_id").as("dst"),
         col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      // Per-term floor division, then the SUM also rides DECIMAL(38,0):
+      // a Long sum would wrap silently in Spark where the twin's
+      // HUGEINT sum raises (the modularity overflow-ladder rule).
       val terms = fl.join(adj, fl("node_id") === adj("src"))
         .join(succ, Seq("seed", "dst"))
         .groupBy(col("seed"), col("node_id"))
-        .agg(sum(expr(
-          "(CAST(sigma AS DECIMAL(38,0)) * (1000000 + delta_w)) div sigma_w"))
-          .cast("long").as("delta"))
+        .agg(expr(
+          "CAST(sum(CAST((CAST(sigma AS DECIMAL(38,0)) * " +
+            "(1000000 + delta_w)) div sigma_w AS DECIMAL(38,0))) " +
+            "AS BIGINT)").as("delta"))
       delta = fl.join(terms, Seq("seed", "node_id"), "left")
         .select(col("seed"), col("node_id"), col("sigma"),
           coalesce(col("delta"), lit(0L)).as("delta"))
