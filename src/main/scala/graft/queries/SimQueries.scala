@@ -853,6 +853,64 @@ object SimQueries {
         "node_id < 3", rounds = 6)),
       presentOrder = Seq("node_id")),
 
+    // Leave-one-out k-NN label probe — the standard embedding-quality
+    // evaluation (does the geometry recover the ground-truth classes?)
+    // every training pipeline runs before trusting a new encoder: each
+    // vector is classified by the MAJORITY label of its k nearest
+    // neighbors (self excluded by the index itself; ties -> lowest
+    // label), scored against its own label, reported per class as
+    // exact counts + floor-divided permille accuracy. Reuses the
+    // cached k-NN edge table (one hash join against the slim label
+    // frame, a bounded per-query vote window, one class-grain agg) —
+    // the probe costs one pass over the edge list, never the corpus².
+    QueryDef("sim_label_probe",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val lbl = emb.select(col("vec_id"), col("label"))
+        val votes = SimOps.knnEdgesCached(emb, KnnK, LshTabs)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(lbl.select(col("vec_id").as("neighbor_id"),
+            col("label").as("nlabel")), Seq("neighbor_id"))
+          .groupBy(col("query_id"), col("nlabel"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("n").desc, col("nlabel"))
+        val pred = votes.withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+          .select(col("query_id").as("vec_id"),
+            col("nlabel").as("pred_label"))
+        lbl.join(pred, Seq("vec_id"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("pred_label") === col("label"), 1L)
+              .otherwise(0L)).as("n_correct"))
+          .withColumn("acc_permille",
+            expr("(n_correct * 1000) div n_vecs"))
+      },
+      Some(s"""WITH er AS (${SimOps.topKLshMultiSql("embeddings", "TRUE",
+                 KnnK, LshTabs)}),
+             | lbl AS (SELECT vec_id, label FROM embeddings),
+             | v AS (SELECT e.query_id, l.label AS nlabel,
+             |   CAST(count(*) AS BIGINT) AS n
+             |  FROM er e JOIN lbl l ON e.neighbor_id = l.vec_id
+             |  GROUP BY 1, 2),
+             | p AS (SELECT query_id, nlabel FROM (
+             |   SELECT query_id, nlabel, row_number() OVER (
+             |     PARTITION BY query_id ORDER BY n DESC, nlabel) AS r
+             |   FROM v) WHERE r = 1),
+             | j AS (SELECT l.label,
+             |   CASE WHEN p.nlabel = l.label THEN 1 ELSE 0 END AS c
+             |  FROM lbl l JOIN p ON l.vec_id = p.query_id)
+             | SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(sum(c) AS BIGINT) AS n_correct,
+             |  (CAST(sum(c) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT)
+             |    AS acc_permille
+             | FROM j GROUP BY label ORDER BY label""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("label")),
+
     // Connected components over the k-NN graph as a FIRST-CLASS graph
     // operator (the same engine `dedup_clusters` runs on the dup-pair
     // graph — label propagation with pointer jumping, O(log diameter)
