@@ -824,21 +824,32 @@ object GraphOps {
     * state is three scalars. */
   def diameterDoubleSweep(nodes: DataFrame, edges: DataFrame,
                           maxDepth: Int = 8,
-                          salt: String = "dia"): DataFrame = {
+                          salt: String = "dia",
+                          cacheTag: String = "",
+                          cacheDepth: Int = 0): DataFrame = {
     require(maxDepth >= 1, s"diameterDoubleSweep needs maxDepth >= 1")
+    val keyFiles = (nodes.inputFiles ++ edges.inputFiles).toSeq
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val start = nodes.select(col("node_id")).distinct()
+    val nodesD = nodes.select(col("node_id")).distinct().localCheckpoint()
+    val nDistinct = nodesD.count()
+    val start = nodesD
       .withColumn("h", graft.ops.TextOps.hash64(
         concat(lit(salt), col("node_id").cast("string"))))
       .orderBy(col("h"), col("node_id")).limit(1)
       .collect()(0).getLong(0)
+    // Sweeps ride [[bfsDistCached]] so a session that also runs the
+    // iFUB/TK gates shares the (start → antipode) chain instead of
+    // rebuilding it. Mirrors the oracle exactly: the argmax ranges
+    // over ALL reached nodes (the recursive CTE walks edges
+    // unrestricted), n_unreached counts only `nodes` rows.
     def far(seed: Long): (Long, Int, Long) = {
-      val d = bfsLayers(nodes, und, col("node_id") === seed, maxDepth)
-      val top = d.filter(col("dist") >= 0)
-        .orderBy(col("dist").desc, col("node_id")).limit(1)
+      val (d, _) = bfsDistCached(nodes, und, seed, maxDepth,
+        math.max(maxDepth, cacheDepth), cacheTag, keyFiles)
+      val top = d.orderBy(col("dist").desc, col("node_id")).limit(1)
         .collect()(0)
-      val unreached = d.filter(col("dist") < 0).count()
+      val unreached =
+        nDistinct - d.join(nodesD, Seq("node_id"), "left_semi").count()
       (top.getLong(0), top.getInt(1), unreached)
     }
     val (u, _, _) = far(start)
@@ -938,6 +949,92 @@ object GraphOps {
     (layers.reverse.zipWithIndex.map { case (f, dd) =>
       f.select(col("seed"), col("node_id"), lit(dd).as("dist"))
     }.reduce(_ unionAll _), capped)
+  }
+
+  /** Cross-gate single-source BFS sweep artifact — the
+    * `SimOps.knnEdgesCached` pattern for diameter sweeps (round-11
+    * verdict #2): [[diameterDoubleSweep]] and [[diameterIfub]] open
+    * with the SAME BFS chain (hash start → its antipode) over the same
+    * corpus graph, and an analytics session running both would
+    * otherwise rebuild sweeps the other just ran. When session conf
+    * `graft.bfs.dir` is set AND the caller passes a non-empty
+    * `graphTag`, the sweep's reached-distance frame (node_id, dist)
+    * persists as parquet keyed by (input files, graphTag, seed), with
+    * the COMPUTE depth and capped flag encoded in the directory name
+    * (`bfs_<tag>_d<depth>_c<0|1>`, `_SUCCESS`-guarded).
+    *
+    * Depth sharing is lossless because BFS layers are cap-independent:
+    * a stored sweep of depth D serves any reader needing d ≤ D — rows
+    * with dist ≤ d ARE the depth-d result, and the reader's capped
+    * flag is exact (a dist = d+1 row exists, or D = d and the writer
+    * itself capped). `computeDepth` lets a shallow gate OVER-compute
+    * once (the double sweep at the iFUB depth) so the deeper gate can
+    * share; on graphs whose eccentricity sits under the cap the extra
+    * rounds never run (the frontier empties first).
+    *
+    * `graphTag` is load-bearing exactly like knnEdgesCached's
+    * `variant`: DERIVED edge frames report their parent's inputFiles,
+    * so two different graphs over the same table (the document chain
+    * vs the document tree) MUST carry different tags. Callers sharing
+    * a tag must pass semantically equal graphs (dedup/ordering of the
+    * symmetric edge frame may differ — BFS distances don't). Unset
+    * conf / empty tag / in-memory inputs: plain compute (the Verify
+    * gate's path — correctness never depends on the cache).
+    *
+    * `keyFiles` must be the inputFiles of the op's RAW (nodes, edges)
+    * parameters, harvested BEFORE any derived frame is persisted: a
+    * persisted derivation reports NO files (CacheManager substitution
+    * replaces its optimized plan with an InMemoryRelation), which
+    * would silently fork the key and defeat cross-op sharing. */
+  private[graft] def bfsDistCached(nodes: DataFrame, eSym: DataFrame,
+      seedId: Long, maxDepth: Int, computeDepth: Int,
+      graphTag: String, keyFiles: Seq[String]): (DataFrame, Boolean) = {
+    val spark = nodes.sparkSession
+    val dir = spark.conf.get("graft.bfs.dir", "")
+    def compute(depth: Int): (DataFrame, Boolean) = {
+      val (d, tr) = multiBfs(
+        spark.createDataFrame(Seq(Tuple1(seedId))).toDF("seed"),
+        eSym, depth)
+      (d.select(col("node_id"), col("dist")), tr)
+    }
+    val corpus = keyFiles.sorted.mkString("\n")
+    if (dir.isEmpty || graphTag.isEmpty || corpus.isEmpty) {
+      val (d, tr) = compute(maxDepth)
+      (d.localCheckpoint(), tr)
+    } else {
+      val cd = math.max(maxDepth, computeDepth)
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$corpus|$graphTag|$seedId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val re = s"bfs_${tag}_d(\\d+)_c([01])".r
+      val existing =
+        if (!fs.exists(base)) None
+        else fs.listStatus(base).toSeq.map(_.getPath)
+          .flatMap { p =>
+            p.getName match {
+              case re(dS, cS) if fs.exists(
+                  new org.apache.hadoop.fs.Path(p, "_SUCCESS")) =>
+                Some((p, dS.toInt, cS == "1"))
+              case _ => None
+            }
+          }
+          .filter(_._2 >= maxDepth)
+          .sortBy(-_._2).headOption
+      val (path, storedDepth, storedCapped) = existing.getOrElse {
+        val (d, tr) = compute(cd)
+        val p = new org.apache.hadoop.fs.Path(base,
+          s"bfs_${tag}_d${cd}_c${if (tr) 1 else 0}")
+        d.write.mode("overwrite").parquet(p.toString)
+        (p, cd, tr)
+      }
+      val full = spark.read.parquet(path.toString)
+      val capped =
+        if (storedDepth == maxDepth) storedCapped
+        else !full.filter(col("dist") === maxDepth + 1).isEmpty
+      (full.filter(col("dist") <= maxDepth).localCheckpoint(), capped)
+    }
   }
 
   /** Max eccentricity over a seed SET via a BIT-PARALLEL multi-source
@@ -1069,10 +1166,15 @@ object GraphOps {
   def diameterIfub(nodes: DataFrame, edges: DataFrame,
                    maxDepth: Int = 12, fringeLevels: Int = 3,
                    seedBudget: Int = 65536,
-                   salt: String = "dia"): DataFrame = {
+                   salt: String = "dia",
+                   cacheTag: String = "",
+                   cacheDepth: Int = 0): DataFrame = {
     require(maxDepth >= 1 && fringeLevels >= 1 && seedBudget >= 0,
       "bad iFUB params")
     val spark = nodes.sparkSession
+    // Cache key from the RAW inputs, before `e` is persisted (a
+    // persisted derivation reports no inputFiles — see bfsDistCached).
+    val keyFiles = (nodes.inputFiles ++ edges.inputFiles).toSeq
     val e = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
@@ -1082,12 +1184,12 @@ object GraphOps {
         concat(lit(salt), col("node_id").cast("string"))))
       .orderBy(col("h"), col("node_id")).limit(1)
       .collect()(0).getLong(0)
-    def bfs(seedId: Long): (DataFrame, Boolean) = {
-      val (d, tr) = multiBfs(
-        spark.createDataFrame(Seq(Tuple1(seedId))).toDF("seed"),
-        e, maxDepth)
-      (d.select(col("node_id"), col("dist")).localCheckpoint(), tr)
-    }
+    // The four base sweeps ride [[bfsDistCached]]: the double-sweep
+    // gate over the same graph/tag shares its (start, a) sweeps with
+    // this walk instead of each gate rebuilding them.
+    def bfs(seedId: Long): (DataFrame, Boolean) =
+      bfsDistCached(nodes, e, seedId, maxDepth,
+        math.max(maxDepth, cacheDepth), cacheTag, keyFiles)
     def argmaxDist(d: DataFrame): (Long, Int) = {
       val r = d.orderBy(col("dist").desc, col("node_id")).limit(1)
         .collect()(0)
@@ -1379,9 +1481,14 @@ object GraphOps {
     * driver state is two scalars. */
   def diameterBounds(nodes: DataFrame, edges: DataFrame,
                      maxDepth: Int = 12, maxRounds: Int = 6,
-                     salt: String = "dia"): DataFrame = {
+                     salt: String = "dia",
+                     cacheTag: String = "",
+                     cacheDepth: Int = 0): DataFrame = {
     require(maxDepth >= 1 && maxRounds >= 1, "bad diameterBounds params")
     val spark = nodes.sparkSession
+    // Cache key from the RAW inputs, before `e` is persisted (a
+    // persisted derivation reports no inputFiles — see bfsDistCached).
+    val keyFiles = (nodes.inputFiles ++ edges.inputFiles).toSeq
     val e = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
@@ -1391,12 +1498,13 @@ object GraphOps {
         concat(lit(salt), col("node_id").cast("string"))))
       .orderBy(col("h"), col("node_id")).limit(1)
       .collect()(0).getLong(0)
-    def bfs(seedId: Long): (DataFrame, Boolean) = {
-      val (d, tr) = multiBfs(
-        spark.createDataFrame(Seq(Tuple1(seedId))).toDF("seed"),
-        e, maxDepth)
-      (d.select(col("node_id"), col("dist")).localCheckpoint(), tr)
-    }
+    // Round-1's pivot is the same hash start (same salt) the iFUB
+    // family opens with, so on a shared graph/tag that sweep comes
+    // from [[bfsDistCached]] for free; later pivots are
+    // graph-determined and cache across runs of the same corpus.
+    def bfs(seedId: Long): (DataFrame, Boolean) =
+      bfsDistCached(nodes, e, seedId, maxDepth,
+        math.max(maxDepth, cacheDepth), cacheTag, keyFiles)
     var v = start
     var dl = 0
     var du = Int.MaxValue
@@ -1761,7 +1869,7 @@ object GraphOps {
     * the whole walk is k-independent of the corpus-wide pair count —
     * never the all-pairs Θ(n·m) of exact Brandes. */
   def betweennessCentrality(nodes: DataFrame, edges: DataFrame,
-                            k: Int = 4, maxDepth: Int = 6,
+                            k: Int = 16, maxDepth: Int = 6,
                             salt: String = "bc"): DataFrame = {
     require(k >= 1 && maxDepth >= 1,
       s"betweennessCentrality bad params ($k, $maxDepth)")
@@ -1783,9 +1891,14 @@ object GraphOps {
     while (depth < maxDepth && live) {
       val visited = layers.take(2).map(_.select(col("seed"), col("node_id")))
         .reduce(_ unionAll _)
+      // σ grows exponentially with depth: sum through DECIMAL(38,0) +
+      // BIGINT cast (the overflow-ladder rule δ already follows) so a
+      // wrap fails loudly in BOTH engines instead of Spark's silent
+      // Long wraparound vs the twin's raising HUGEINT cast.
       val next = layers.head.join(adj, col("node_id") === col("src"))
         .groupBy(col("seed"), col("dst"))
-        .agg(sum(col("sigma")).as("sigma"))
+        .agg(expr("CAST(sum(CAST(sigma AS DECIMAL(38,0))) AS BIGINT)")
+          .as("sigma"))
         .select(col("seed"), col("dst").as("node_id"), col("sigma"))
         .join(visited, Seq("seed", "node_id"), "left_anti")
         .localCheckpoint()
@@ -1833,7 +1946,7 @@ object GraphOps {
     * then the backward accumulation unrolled descending with the same
     * HUGEINT product / `//` floor division per term. */
   def betweennessCentralitySql(nodesSql: String, edgesSql: String,
-                               k: Int = 4, maxDepth: Int = 6,
+                               k: Int = 16, maxDepth: Int = 6,
                                salt: String = "bc"): String = {
     val h = graft.ops.TextOps.hash64Sql(
       s"'$salt' || CAST(node_id AS VARCHAR)")
@@ -1919,20 +2032,27 @@ object GraphOps {
     var r = 0
     var live = true
     while (r < rounds && live) {
+      // old_dist rides the min-agg (min ignores nulls; each node has at
+      // most one prior row, so min(old_dist) IS its previous distance,
+      // null when first reached this round). The fixpoint probe then
+      // reads the already-materialized checkpoint — one Spark
+      // computation of the join per round, not two (the round-11 shape
+      // re-joined relaxed against dist and recomputed the round).
       val relaxed = dist.join(e, col("node_id") === col("src"))
         .select(col("dst").as("node_id"),
-          (col("dist_micro") + col("w_micro")).as("dist_micro"))
-        .unionAll(dist)
+          (col("dist_micro") + col("w_micro")).as("dist_micro"),
+          lit(null).cast("long").as("old_dist"))
+        .unionAll(dist.select(col("node_id"), col("dist_micro"),
+          col("dist_micro").as("old_dist")))
         .groupBy(col("node_id"))
-        .agg(min(col("dist_micro")).as("dist_micro"))
+        .agg(min(col("dist_micro")).as("dist_micro"),
+          min(col("old_dist")).as("old_dist"))
         .localCheckpoint()
-      // fixpoint probe: any node whose dist improved this round?
-      val improved = relaxed.as("n")
-        .join(dist.as("o"), Seq("node_id"), "left")
-        .filter(col("o.dist_micro").isNull ||
-          col("n.dist_micro") < col("o.dist_micro"))
+      // fixpoint probe over checkpointed blocks: any dist improved?
+      val improved = relaxed.filter(col("old_dist").isNull ||
+        col("dist_micro") < col("old_dist"))
       if (improved.isEmpty) live = false
-      dist = relaxed
+      dist = relaxed.select(col("node_id"), col("dist_micro"))
       r += 1
     }
     e.unpersist(false)

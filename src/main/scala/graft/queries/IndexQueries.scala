@@ -12,6 +12,14 @@ import graft.ops.TextOps
   */
 object IndexQueries {
 
+  /** Mixed-script fixture suffix for the multiscript gates: accented
+    * Latin, uppercase + lowercase Cyrillic, CJK, a script-boundary
+    * word, and an accented French word — one deterministic constant
+    * appended to every document in BOTH engines. (Defined BEFORE
+    * `defs`: the oracle SQL strings interpolate it eagerly at object
+    * init.) */
+  val MultiScript = "Étude naïve КОСМОС наука 漢字文化 漢字abc café"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Inverted-index build: per-term document frequency, total term
@@ -226,6 +234,61 @@ object IndexQueries {
     QueryDef("text_viterbi_segment",
       (s, d) => graft.ops.TextOps.viterbiSegment(Tables.documents(s, d)),
       Some(graft.ops.TextOps.viterbiSegmentSql("documents")),
+      presentOrder = Seq("doc_id")),
+
+    // Multilingual degrade drive for the WordPiece family (round-11
+    // verdict gap 3): every document gets a mixed-script suffix —
+    // accented Latin ("naïve" splits at the accent into na / [UNK] /
+    // ve), uppercase Cyrillic (NO case mapping outside ASCII, so
+    // КОСМОС never equals космос), CJK runs, and a script-boundary
+    // word (漢字abc splits into a CJK run + an ASCII word). The old
+    // extraction dropped every non-ASCII run silently (n_words
+    // reported multilingual docs as near-empty); this gate pins the
+    // honest behavior cross-engine: non-ASCII runs are COUNTED words
+    // that tokenize to [UNK] unless the trained multi-char pieces
+    // cover them, all visible in n_words / n_unk / doc_fp.
+    QueryDef("text_wordpiece_multiscript",
+      (s, d) => graft.ops.TextOps.wordPiece(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" " + MultiScript)).as("text"))),
+      Some(graft.ops.TextOps.wordPieceSql(
+        s"(SELECT doc_id, text || ' $MultiScript' AS text" +
+          " FROM documents)")),
+      presentOrder = Seq("doc_id")),
+
+    // The same drive through the Viterbi DP, which degrades DIFFERENTLY
+    // by design: its scored vocab carries ALL single chars WITH real
+    // corpus counts (not just the ASCII alphabet), so a CJK run
+    // segments into per-character pieces — the SentencePiece-style
+    // character fallback — where the greedy gate emits one [UNK].
+    // Both behaviors are pinned cross-engine; the per-word
+    // n_viterbi <= n_greedy invariant is claimed for ASCII words only
+    // (an [UNK] counts 1 piece, a char-fallback run counts its
+    // length).
+    QueryDef("text_viterbi_multiscript",
+      (s, d) => graft.ops.TextOps.viterbiSegment(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" " + MultiScript)).as("text"))),
+      Some(graft.ops.TextOps.viterbiSegmentSql(
+        s"(SELECT doc_id, text || ' $MultiScript' AS text" +
+          " FROM documents)")),
+      presentOrder = Seq("doc_id")),
+
+    // And through BPE, whose piece alphabet was ALREADY multilingual-
+    // honest (BpePieceRe gives every non-alnum char its own single-
+    // char piece — the GPT-2-style byte/char fallback): a CJK or
+    // Cyrillic run enters as per-char pieces that the learned merges
+    // may or may not fuse. Pinned cross-engine so the three tokenizer
+    // families' distinct degrade modes ([UNK] / char-fallback /
+    // char-pieces) are all gated on the same fixture.
+    QueryDef("text_bpe_multiscript",
+      (s, d) => graft.ops.TextOps.bpeApply(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" " + MultiScript)).as("text")),
+        rounds = 3),
+      Some(graft.ops.TextOps.bpeApplySql(
+        s"(SELECT doc_id, text || ' $MultiScript' AS text" +
+          " FROM documents)", rounds = 3)),
       presentOrder = Seq("doc_id"))
   )
 }

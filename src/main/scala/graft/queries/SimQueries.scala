@@ -110,7 +110,8 @@ object SimQueries {
     QueryDef("sim_topk_brute",
       (s, d) => {
         graft.catalyst.GraftFunctions.register(s)
-        SimOps.topKBruteForce(Tables.embeddings(s, d), col("vec_id") < 10, K)
+        SimOps.bruteTopKCached(Tables.embeddings(s, d), col("vec_id") < 10,
+          K, predTag = "vec_id<10")
       },
       Some(SimOps.topKBruteForceSql("embeddings", QueryPredSql, K)),
       presentOrder = Seq("query_id", "rank")),
@@ -183,7 +184,8 @@ object SimQueries {
             GraphEntries, GraphFloor)),
           ivfpqShortlist = IvfPqShortlist,
           hnswParams = Some((GraphDegree, GraphBeam, HnswBaseRounds,
-            HnswEntries, HnswLayerDeg, HnswFloor)))
+            HnswEntries, HnswLayerDeg, HnswFloor)),
+          bruteTag = "vec_id<10")
       },
       Some(SimOps.recallAuditSql("embeddings", QueryPredSql, K,
         LshTabs, Cells, NProbe, PqM, PqK, Dim, PqShortlist,
@@ -512,7 +514,8 @@ object SimQueries {
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
         val nodes = Tables.embeddings(s, d)
           .select(col("vec_id").as("node_id"))
-        GraphOps.diameterDoubleSweep(nodes, edges, maxDepth = 8)
+        GraphOps.diameterDoubleSweep(nodes, edges, maxDepth = 8,
+          cacheTag = "knn", cacheDepth = 12)
       },
       Some(GraphOps.diameterDoubleSweepSql(
         "SELECT vec_id AS node_id FROM embeddings",
@@ -544,7 +547,7 @@ object SimQueries {
         val nodes = Tables.embeddings(s, d)
           .select(col("vec_id").as("node_id"))
         GraphOps.diameterIfub(nodes, edges, maxDepth = 12,
-          fringeLevels = 3)
+          fringeLevels = 3, cacheTag = "knn")
       },
       Some(GraphOps.diameterIfubSql(
         "SELECT vec_id AS node_id FROM embeddings",
@@ -578,7 +581,7 @@ object SimQueries {
           .select(col("doc_id").as("src"),
             expr("doc_id div 8").as("dst"))
         GraphOps.diameterBounds(nodes, edges, maxDepth = 30,
-          maxRounds = 6)
+          maxRounds = 6, cacheTag = "doctree")
       },
       Some(GraphOps.diameterBoundsSql(
         "SELECT doc_id AS node_id FROM documents",
@@ -608,7 +611,7 @@ object SimQueries {
           .select(col("doc_id").as("src"),
             (col("doc_id") - 1).as("dst"))
         GraphOps.diameterIfub(nodes, edges, maxDepth = 4,
-          fringeLevels = 1)
+          fringeLevels = 1, cacheTag = "docchain")
       },
       Some(GraphOps.diameterIfubSql(
         "SELECT doc_id AS node_id FROM documents",
@@ -629,7 +632,7 @@ object SimQueries {
           .select(col("doc_id").as("src"),
             (col("doc_id") - 1).as("dst"))
         GraphOps.diameterBounds(nodes, edges, maxDepth = 4,
-          maxRounds = 2)
+          maxRounds = 2, cacheTag = "docchain")
       },
       Some(GraphOps.diameterBoundsSql(
         "SELECT doc_id AS node_id FROM documents",
@@ -803,7 +806,11 @@ object SimQueries {
       presentOrder = Seq("node_id")),
 
     // Pivot-sampled betweenness centrality (Brandes forward σ-BFS +
-    // level-descending dependency accumulation, 4 hash-chosen pivots):
+    // level-descending dependency accumulation, 16 hash-chosen pivots —
+    // the BcScale-measured sweet spot: 4× the pivots of the round-11
+    // gate for ~1.1× the wall time, since per-round BSP overhead
+    // dominates until k·frontier saturates the executor, and the
+    // Brandes–Pich estimator's variance drops with k):
     // the brokerage score — documents ON the shortest paths between
     // semantic regions (bridge/boilerplate detectors), complementing
     // pagerank/harmonic's proximity scores. Exact integer micro-units
@@ -817,13 +824,13 @@ object SimQueries {
             LshTabs)
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
         val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node_id"))
-        GraphOps.betweennessCentrality(nodes, edges, k = 4, maxDepth = 6)
+        GraphOps.betweennessCentrality(nodes, edges, k = 16, maxDepth = 6)
       },
       Some(GraphOps.betweennessCentralitySql(
         "SELECT vec_id AS node_id FROM embeddings",
         "SELECT query_id AS src, neighbor_id AS dst FROM (" +
           SimOps.topKLshMultiSql("embeddings", "TRUE", KnnK, LshTabs) + ")",
-        k = 4, maxDepth = 6)),
+        k = 16, maxDepth = 6)),
       presentOrder = Seq("node_id")),
 
     // Hop-bounded weighted SSSP (synchronous Bellman–Ford, 6 rounds)

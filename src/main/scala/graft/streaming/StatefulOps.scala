@@ -1370,22 +1370,33 @@ object StatefulOps {
     * the batch gate's HOF fold (same longest-match order, same
     * >[[graft.ops.TextOps.WpMaxWordLen]]-char [UNK] rule, same
     * order-sensitive [[graft.ops.TextOps.hash64Scalar]] fingerprint),
-    * so StreamingSpec parity is two disjoint code paths agreeing. */
+    * so StreamingSpec parity is two disjoint code paths agreeing.
+    * BMP caveat: this twin indexes by UTF-16 code units where the
+    * batch fold counts codepoints; both agree on all BMP text (and on
+    * astral runs both land on [UNK]), diverging only if a trained
+    * vocab piece straddles a surrogate pair — accepted and documented
+    * rather than papered over. */
   def streamingWordPiece(docs: Dataset[LmDoc], vocab: Set[String])
   : Dataset[WpTokRow] = {
     import docs.sparkSession.implicits._
     val bc = docs.sparkSession.sparkContext.broadcast(vocab)
     docs.mapPartitions { rows =>
       val v = bc.value
-      val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+      // Same multilingual-honest extraction as TextOps.WpWordRe: ASCII
+      // runs lowercased (engine-safe), non-ASCII runs verbatim — they
+      // count as words and fall to [UNK] below instead of vanishing.
+      val re = java.util.regex.Pattern.compile(
+        "[a-zA-Z0-9]+|[^\\x00-\\x7f]+")
       rows.map { d =>
-        val text = if (d.text == null) ""
-          else d.text.toLowerCase(java.util.Locale.ROOT)
+        val text = if (d.text == null) "" else d.text
         val m = re.matcher(text)
         var nW = 0L; var nP = 0L; var nU = 0L
         val sb = new StringBuilder
         while (m.find()) {
-          val w = m.group()
+          val w0 = m.group()
+          val w =
+            if (w0.charAt(0) < 0x80) w0.toLowerCase(java.util.Locale.ROOT)
+            else w0
           nW += 1
           if (sb.nonEmpty) sb.append(' ')
           if (w.length > graft.ops.TextOps.WpMaxWordLen) {

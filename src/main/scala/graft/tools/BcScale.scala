@@ -12,8 +12,11 @@ import graft.ops.GraphOps
   * k must roughly double the row work while wall time stays dominated
   * by the FIXED per-round BSP overhead until k·frontier saturates the
   * executor. Drives k doubling 4→64 on the gated corpus k-NN expander
-  * and prints seconds and ms/pivot; the k=4 run must equal the gate's
-  * own result row-for-row (checksum-asserted).
+  * and prints seconds and ms/pivot; the k=16 run's checksum is
+  * asserted equal to the `graph_betweenness` GATE's own result
+  * (computed through `SparkEntry.queries`, the driver's code path),
+  * so the harness pins gate equality — not merely run-to-run
+  * determinism.
   *
   * Usage: runMain graft.tools.BcScale [sfDir] [maxK] (default sf0.1,
   * maxK 64). */
@@ -46,12 +49,18 @@ object BcScale {
       (cs, (System.nanoTime() - t0) / 1e9)
     }
     run(4) // warm codegen/JIT before any timed row
-    val (gateCs, _) = run(4)
+    // The gate's own result through the driver's code path: the k=16
+    // harness run below must checksum-equal it (gate equality, not
+    // just determinism).
+    val gateCs = graft.SparkEntry.queries("graph_betweenness")(spark, sfDir)
+      .agg(expr("CAST(bit_xor(hash(node_id, bc_micro)) AS BIGINT)"))
+      .collect()(0).getLong(0)
     println("BCSCALE    k    sec  ms/pivot")
     var k = 4
     while (k <= maxK) {
       val (cs, s) = run(k)
-      if (k == 4) assert(cs == gateCs, "k=4 rerun diverged from itself")
+      if (k == 16) assert(cs == gateCs,
+        s"k=16 harness run diverged from the graph_betweenness gate")
       println(f"BCSCALE $k%4d $s%6.2f  ${s * 1000 / k}%8.1f")
       k *= 2
     }

@@ -45,6 +45,8 @@ object Profile {
       sys.env.getOrElse("SPARK_GRAFT_KNN_DIR", tempDir("graft-knn")))
     spark.conf.set("graft.pairs.dir",
       sys.env.getOrElse("SPARK_GRAFT_PAIRS_DIR", tempDir("graft-pairs")))
+    spark.conf.set("graft.bfs.dir",
+      sys.env.getOrElse("SPARK_GRAFT_BFS_DIR", tempDir("graft-bfs")))
     def t(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -36,6 +36,12 @@ object WpScale {
     val base = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).localCheckpoint()
     val nBase = base.count()
+    // The replica shift must clear every base doc_id or replicas
+    // collide and corrupt the asserted checksums (fine for the sf*
+    // defaults, guarded for caller-supplied corpora).
+    val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    require(maxId < 10000000L,
+      s"WpScale replica shift 1e7 would collide: max doc_id $maxId")
     def corpus(reps: Int): DataFrame =
       (0 until reps).map(r => base.select(
         (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),

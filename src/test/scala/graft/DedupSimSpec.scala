@@ -804,6 +804,163 @@ class DedupSimSpec extends SparkSpec {
       GraphOps.sssp(nodes, edges, col("node_id") === 1L, rounds = 0))
   }
 
+  test("bruteTopKCached: parquet-backed corpus writes the artifact " +
+    "once, re-reads it bit-equal; in-memory or untagged calls " +
+    "recompute without touching the cache") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    val vecs = (0 until 10).map { i =>
+      val th = 2.0 * math.Pi * i / 40.0
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("vec_id", "embedding")
+    val plain = SimOps.topKBruteForce(vecs, col("vec_id") < 3, 4)
+      .collect().toSeq
+    val dataDir = java.nio.file.Files.createTempDirectory("bruteg").toString
+    vecs.write.parquet(s"$dataDir/emb")
+    val vP = spark.read.parquet(s"$dataDir/emb")
+    val cacheDir = java.nio.file.Files.createTempDirectory("brutec").toString
+    def entries(): Seq[String] =
+      Option(new java.io.File(cacheDir).listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("brute_")).toSeq
+    spark.conf.set("graft.knn.dir", cacheDir)
+    try {
+      // in-memory frame: no input files, cache bypassed
+      assert(SimOps.bruteTopKCached(vecs, col("vec_id") < 3, 4, "t")
+        .collect().toSeq === plain)
+      assert(entries().isEmpty)
+      // empty tag: explicit bypass even for file-backed corpora
+      assert(SimOps.bruteTopKCached(vP, col("vec_id") < 3, 4, "")
+        .collect().toSeq === plain)
+      assert(entries().isEmpty)
+      // tagged + file-backed: write once, then a pure parquet read
+      assert(SimOps.bruteTopKCached(vP, col("vec_id") < 3, 4, "t")
+        .collect().toSeq === plain)
+      assert(entries().size === 1)
+      assert(SimOps.bruteTopKCached(vP, col("vec_id") < 3, 4, "t")
+        .collect().toSeq === plain)
+      assert(entries().size === 1)
+    } finally spark.conf.unset("graft.knn.dir")
+  }
+
+  test("bfsDistCached: double sweep at cacheDepth 12 equals the " +
+    "uncached depth-8 run on a deeper-than-cap path; a following iFUB " +
+    "REUSES the shared sweeps (one new cache dir on the shallow path, " +
+    "not four); in-memory inputs bypass the cache") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // 12-node path: ecc(endpoints) = 11 > 8 exercises the cap-filter
+    // equivalence (a depth-12 stored sweep truncated to 8 must BE the
+    // depth-8 result); 11 < 12 keeps the iFUB run uncapped/resolvable.
+    val nodes = (0L until 12L).toDF("node_id")
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val unSweep = GraphOps.diameterDoubleSweep(nodes, edges, maxDepth = 8)
+      .collect().toSeq
+    val unIfub = GraphOps.diameterIfub(nodes, edges, maxDepth = 12,
+      fringeLevels = 3).collect().toSeq
+    val cacheDir = java.nio.file.Files.createTempDirectory("bfsc").toString
+    def cacheDirs(): Seq[String] =
+      Option(new java.io.File(cacheDir).listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("bfs_")).sorted.toSeq
+    val dataDir = java.nio.file.Files.createTempDirectory("bfsg").toString
+    nodes.write.parquet(s"$dataDir/nodes")
+    edges.write.parquet(s"$dataDir/edges")
+    val nP = spark.read.parquet(s"$dataDir/nodes")
+    val eP = spark.read.parquet(s"$dataDir/edges")
+    spark.conf.set("graft.bfs.dir", cacheDir)
+    try {
+      // in-memory inputs: no files, no cache entry, honest recompute
+      assert(GraphOps.diameterDoubleSweep(nodes, edges, maxDepth = 8,
+        cacheTag = "p", cacheDepth = 12).collect().toSeq === unSweep)
+      assert(cacheDirs().isEmpty)
+      // parquet-backed: over-computes at depth 12, result still the
+      // depth-8 one; two sweeps (start, antipode) land in the cache.
+      // (On THIS deep path the two gates' antipodes differ — the
+      // depth-8 argmax can't see past dist 8 — so only the start
+      // sweep is shared here; full sharing is pinned on the shallow
+      // fixture below, the real corpora's regime.)
+      assert(GraphOps.diameterDoubleSweep(nP, eP, maxDepth = 8,
+        cacheTag = "p", cacheDepth = 12).collect().toSeq === unSweep)
+      assert(cacheDirs().size === 2, cacheDirs().mkString(","))
+      assert(GraphOps.diameterIfub(nP, eP, maxDepth = 12,
+        fringeLevels = 3, cacheTag = "p").collect().toSeq === unIfub)
+      // a repeat double sweep is a pure cache read: no new dirs
+      val afterIfub = cacheDirs().size
+      assert(GraphOps.diameterDoubleSweep(nP, eP, maxDepth = 8,
+        cacheTag = "p", cacheDepth = 12).collect().toSeq === unSweep)
+      assert(cacheDirs().size === afterIfub)
+      // Shallow fixture (8-node path, ecc <= 7 < 8): both gates see
+      // the full graph, antipodes coincide, and iFUB reuses BOTH
+      // double-sweep sweeps — exactly two new dirs (b, midpoint).
+      val nodes8 = (0L until 8L).toDF("node_id")
+      val edges8 = (0L until 7L).map(i => (i, i + 1)).toDF("src", "dst")
+      nodes8.write.parquet(s"$dataDir/nodes8")
+      edges8.write.parquet(s"$dataDir/edges8")
+      val n8 = spark.read.parquet(s"$dataDir/nodes8")
+      val e8 = spark.read.parquet(s"$dataDir/edges8")
+      val unSweep8 = GraphOps.diameterDoubleSweep(nodes8, edges8,
+        maxDepth = 8).collect().toSeq
+      val unIfub8 = GraphOps.diameterIfub(nodes8, edges8, maxDepth = 12,
+        fringeLevels = 3).collect().toSeq
+      val before8 = cacheDirs().size
+      assert(GraphOps.diameterDoubleSweep(n8, e8, maxDepth = 8,
+        cacheTag = "p", cacheDepth = 12).collect().toSeq === unSweep8)
+      assert(cacheDirs().size === before8 + 2, cacheDirs().mkString(","))
+      // iFUB's four sweeps are (start, a, b, midpoint); on this path
+      // start and a coincide with the double-sweep pair and b lands
+      // back on start — ONE new dir (the midpoint), three cache reads.
+      assert(GraphOps.diameterIfub(n8, e8, maxDepth = 12,
+        fringeLevels = 3, cacheTag = "p").collect().toSeq === unIfub8)
+      assert(cacheDirs().size === before8 + 3, cacheDirs().mkString(","))
+    } finally spark.conf.unset("graft.bfs.dir")
+  }
+
+  test("sssp: the fixpoint probe costs no shuffle — shuffle-map stages " +
+    "grow by the same per-round constant as the join alone (the round " +
+    "is computed ONCE, not re-joined for the probe)") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // A long path graph: every round relaxes exactly one new node, so
+    // no run below terminates early and the per-round stage cost is
+    // the clean delta between round budgets.
+    val nodes = (0L until 12L).toDF("node_id")
+    val edges = (0L until 11L).map(i => (i, i + 1, 100000L))
+      .toDF("src", "dst", "w_micro")
+    def shuffleStages(rounds: Int): Int = {
+      // StageInfo.shuffleDepId is private[spark]; a shuffle-map stage
+      // is identified by its tasks' public taskType instead.
+      val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskType == "ShuffleMapTask") { ids.add(e.stageId); () }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        GraphOps.sssp(nodes, edges, col("node_id") === 0L,
+          rounds = rounds).collect()
+        // listener delivery is async: poll until the count is stable
+        var last = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val c = ids.size
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      ids.size
+    }
+    val s2 = shuffleStages(2)
+    val s4 = shuffleStages(4)
+    val perRound = (s4 - s2) / 2.0
+    // The round-11 shape's probe re-joined relaxed against dist (two
+    // more shuffle-map stages per round). With the probe riding the
+    // checkpointed frame, a round is the relax join + min-agg only:
+    // at most 3 shuffle-map stages. A regression to probe-re-join
+    // reads >= 5 here.
+    assert(perRound <= 3.0,
+      s"probe shuffles again: $perRound shuffle-map stages/round " +
+        s"(s2=$s2, s4=$s4)")
+  }
+
   test("topKGraphBeam: exhaustive budget on a connected graph equals " +
     "brute force; bounded budget misses unreachable neighborhoods; " +
     "invalid knobs reject") {

@@ -1252,6 +1252,29 @@ class StreamingSpec extends SparkSpec {
     val unk = graft.streaming.StatefulOps.streamingWordPiece(
       Seq(LmDoc(999999L, "abcdefghijklmnopq ok")).toDS(), vocab).collect()(0)
     assert(unk.nUnk === 1L && unk.nWords === 2L)
+    // multilingual degrade through the streaming path: non-ASCII runs
+    // are COUNTED [UNK] words (naïve = na/[UNK ï]/ve, Cyrillic and CJK
+    // runs one [UNK] each), matching the widened batch extraction —
+    // and the JVM twin agrees with the batch HOF fold on the same text
+    val ms = graft.streaming.StatefulOps.streamingWordPiece(
+      Seq(LmDoc(999998L, "naïve КОСМОС 漢字 ok")).toDS(), vocab).collect()(0)
+    assert(ms.nWords === 6L, s"words counted, not dropped: $ms")
+    assert(ms.nUnk >= 3L, s"non-ASCII runs degrade to [UNK]: $ms")
+    val msBatch = graft.ops.TextOps.wordPieceServe(
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .limit(0)
+        .unionAll(Seq((999998L, "naïve КОСМОС 漢字 ok"))
+          .toDF("doc_id", "text"))
+        .unionAll(graft.Tables.documents(spark, dir)
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), col("text"))),
+      col("doc_id") =!= 999998L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).find(_._1 == 999998L).get
+    assert((msBatch._2, msBatch._3, msBatch._4, msBatch._5) ===
+      ((ms.nWords, ms.nPieces, ms.nUnk, ms.docFp)),
+      s"batch $msBatch vs stream $ms")
   }
 
   test("SHARDED Kneser-Ney serving (stream-static joins, tables never " +
