@@ -161,6 +161,69 @@ object MultimodalQueries {
              | FROM p ORDER BY doc_id, channel""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "channel")),
 
+    // REAL FLAC decode (RFC 9639): per doc a stereo stream — L an
+    // alternating ±al square, R a constant ar — ENCODED to FLAC
+    // (fixed-predictor + Rice residuals, CONSTANT detection, 64-sample
+    // frames incl. a short last frame) with the stereo decorrelation
+    // mode CYCLING by doc_id over all four channel assignments
+    // (independent / left-side / right-side / mid-side, the side
+    // channel at 17-bit depth), then DECODED by the real bit-level
+    // parser (sync walk, CRC-8/16 verification, Rice un-zigzag,
+    // predictor reconstruction, decorrelation inverse). FLAC is
+    // lossless, so the per-channel features are assignment-invariant
+    // and analytic — any Rice/predictor/decorrelation bug lands on
+    // exactly the doc_ids of one assignment class and turns the gate
+    // red. Narrow maps end to end; blobs never shuffle.
+    QueryDef("mm_flac_decode",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val n = ((nc % 130) + 8).toInt
+            val al = (id % 500 + 1).toInt
+            val ar = (nc % 300 + 1).toInt
+            val samples = Array.tabulate(2 * n)(i =>
+              (if (i % 2 == 0) { if ((i / 2) % 2 == 0) al else -al }
+               else ar).toShort)
+            val mode = (id % 4) match {
+              case 0 => graft.multimodal.FlacCodec.ChIndep
+              case 1 => graft.multimodal.FlacCodec.ChLeftSide
+              case 2 => graft.multimodal.FlacCodec.ChRightSide
+              case _ => graft.multimodal.FlacCodec.ChMidSide
+            }
+            (id, graft.multimodal.FlacCodec.buildFlac(
+              (8000 + (id % 3) * 4000).toInt, 2, samples,
+              blockSize = 64, assignment = mode))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.decodeFlacChannels(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"),
+            col("sampleRate").as("sample_rate"), col("channels"),
+            col("channel"), col("nSamples").as("n_samples"),
+            col("sumSquares").as("sum_squares"), col("peak"),
+            col("zeroCrossings").as("zero_crossings"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             |  (n_chars % 130) + 8 AS n,
+             |  doc_id % 500 + 1 AS al, n_chars % 300 + 1 AS ar
+             |  FROM documents)
+             | SELECT doc_id, sample_rate, CAST(2 AS INT) AS channels,
+             |  CAST(0 AS INT) AS channel,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * al * al AS BIGINT) AS sum_squares,
+             |  CAST(al AS INT) AS peak,
+             |  CAST(n - 1 AS BIGINT) AS zero_crossings
+             | FROM p
+             | UNION ALL
+             | SELECT doc_id, sample_rate, CAST(2 AS INT) AS channels,
+             |  CAST(1 AS INT) AS channel,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * ar * ar AS BIGINT) AS sum_squares,
+             |  CAST(ar AS INT) AS peak, CAST(0 AS BIGINT) AS zero_crossings
+             | FROM p ORDER BY doc_id, channel""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id", "channel")),
+
     // REAL BMP decode: per doc, build a solid-color 24-bit BMP sized by
     // (doc_id, n_chars) — width deliberately not a multiple of 4 so the
     // parser's row-padding arithmetic is load-bearing — and parse the
