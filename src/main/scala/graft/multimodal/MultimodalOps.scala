@@ -223,6 +223,40 @@ object MultimodalOps {
       })
   }
 
+  /** REAL bytes→bytes transcode: FLAC decoded by [[FlacCodec]], the
+    * reconstructed planes re-interleaved and re-encoded as PCM-16 WAV
+    * by [[MediaCodecs.buildWav]], and the RESULT re-parsed — the
+    * [[decodeWav]] row over the transcoded container, so the two audio
+    * byte layouts meet end-to-end in one op (the decimateWav/trimWav
+    * transform-family contract: the edit and its decoded outcome are
+    * verified together). Invalid FLAC drops; narrow map; blobs never
+    * shuffle. */
+  def transcodeFlacToWav(media: DataFrame, idCol: String,
+                         bytesCol: String): Dataset[WavRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        FlacCodec.decodeFlac(bytes).flatMap { case (info, planes) =>
+          val n = planes(0).length
+          val inter = new Array[Short](n * info.channels)
+          var i = 0
+          while (i < n) {
+            var c = 0
+            while (c < info.channels) {
+              inter(i * info.channels + c) = planes(c)(i).toShort
+              c += 1
+            }
+            i += 1
+          }
+          val wav = MediaCodecs.buildWav(info.sampleRate, info.channels,
+            inter)
+          MediaCodecs.parseWav(wav).map(m =>
+            WavRow(id, m.sampleRate, m.channels, m.nSamples, m.sumSquares))
+        }
+      })
+  }
+
   /** REAL image decode (no stub): 24-bit uncompressed BMP parsed by
     * [[MediaCodecs.parseBmp]] — header navigation via the pixel-array
     * offset, per-row padding arithmetic, exact per-channel sums. Same

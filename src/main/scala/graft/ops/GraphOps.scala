@@ -1026,7 +1026,13 @@ object GraphOps {
         val (d, tr) = compute(cd)
         val p = new org.apache.hadoop.fs.Path(base,
           s"bfs_${tag}_d${cd}_c${if (tr) 1 else 0}")
-        d.write.mode("overwrite").parquet(p.toString)
+        // The sweep frame is O(|V|) slim (node_id, dist) rows; at the
+        // analytics grain one file is the right write shape (32 tiny
+        // part files cost ~0.3 s each write+list — measured as the
+        // graph_diameter_tk bench regression). Graphs past ~10M nodes
+        // should raise the knob.
+        val wp = spark.conf.get("graft.bfs.write.partitions", "1").toInt
+        d.coalesce(wp).write.mode("overwrite").parquet(p.toString)
         (p, cd, tr)
       }
       val full = spark.read.parquet(path.toString)

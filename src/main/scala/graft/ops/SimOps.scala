@@ -141,8 +141,9 @@ object SimOps {
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
+        // |queries|·k slim rows — one file is the right write grain
         topKBruteForce(vectors, queryPred, k)
-          .write.mode("overwrite").parquet(path)
+          .coalesce(1).write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
   }

@@ -1879,4 +1879,86 @@ object TextOps {
         FROM $applyTbl d LEFT JOIN per_doc USING (doc_id)
         ORDER BY d.doc_id"""
   }
+
+  // ---- script profile ---------------------------------------------------
+
+  /** Codepoint-range classes for [[scriptProfile]]: (name, regex char
+    * class). Ranges chosen so both regex dialects read them identically
+    * (`\x{...}` codepoint escapes work in Java regex and RE2); classes
+    * are DISJOINT and "other" is the remainder, so the counts always
+    * sum to n_cp. */
+  private val ScriptClasses: Seq[(String, String)] = Seq(
+    ("ascii", "[\\x00-\\x7f]"),
+    ("latin_ext", "[\\x{0080}-\\x{024f}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04ff}]"),
+    ("cjk", "[\\x{4e00}-\\x{9fff}]"))
+
+  /** Per-document SCRIPT histogram — the multilingual-observability
+    * panel every corpus intake needs next to language-ID: codepoint
+    * counts per script class (ASCII, extended Latin, Cyrillic, CJK,
+    * other) plus the dominant class (max count; ties resolve in the
+    * fixed class order, 'other' last). A pipeline that silently drops
+    * or mangles a script (the round-11 tokenizer gap) shows up here as
+    * a corpus-level distribution shift BEFORE any model does.
+    *
+    * Shape: each count is char_length(text) −
+    * char_length(regexp_replace(text, class, '')) — codegen'd
+    * per-row string ops, no explode, no shuffle beyond the scan;
+    * patterns ride `lit` (never the SQL parser's backslash
+    * unescaping), and the same raw pattern lands on DuckDB's RE2. */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      coalesce(col("text"), lit("")).as("t"))
+      .withColumn("n_cp", length(col("t")).cast("long"))
+    val counted = ScriptClasses.foldLeft(base) { case (df, (name, re)) =>
+      df.withColumn(s"n_$name",
+        (col("n_cp") - length(regexp_replace(col("t"), lit(re),
+          lit(""))).cast("long")).as(s"n_$name"))
+    }
+    val known = ScriptClasses.map(c => col(s"n_${c._1}"))
+      .reduce(_ + _)
+    val names = ScriptClasses.map(_._1) :+ "other"
+    val withOther = counted.withColumn("n_other", col("n_cp") - known)
+    // dominant: first class (fixed order) attaining the max count
+    val dom = names.tail.foldLeft(
+        when(lit(true), lit(names.head))) { (acc, n) =>
+      when(names.takeWhile(_ != n)
+          .map(m => col(s"n_$n") > col(s"n_$m")).reduce(_ && _),
+        lit(n)).otherwise(acc)
+    }
+    withOther.select(
+      (Seq(col("doc_id"), col("n_cp")) ++
+        names.map(n => col(s"n_$n")) :+
+        dom.as("dominant")): _*)
+  }
+
+  /** Oracle twin of [[scriptProfile]] — identical disjoint classes,
+    * remainder, and tie order. */
+  def scriptProfileSql(table: String): String = {
+    val counts = ScriptClasses.map { case (name, re) =>
+      s"length(t) - length(regexp_replace(t, '$re', '', 'g')) AS n_$name"
+    }.mkString(",\n          ")
+    val names = ScriptClasses.map(_._1) :+ "other"
+    val known = ScriptClasses.map(c => s"n_${c._1}").mkString(" + ")
+    // same fold as the Spark side: later classes win only when STRICTLY
+    // greater than every earlier class
+    val dom = names.tail.foldLeft(s"'${names.head}'") { (acc, n) =>
+      val cond = names.takeWhile(_ != n)
+        .map(m => s"n_$n > n_$m").mkString(" AND ")
+      s"CASE WHEN $cond THEN '$n' ELSE $acc END"
+    }
+    s"""WITH b AS (SELECT doc_id, COALESCE(text, '') AS t FROM $table),
+        c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_cp,
+          $counts
+          FROM b),
+        o AS (SELECT doc_id, n_cp,
+          ${ScriptClasses.map(c => s"CAST(n_${c._1} AS BIGINT) AS n_${c._1}")
+            .mkString(", ")},
+          CAST(n_cp - ($known) AS BIGINT) AS n_other
+          FROM c)
+        SELECT doc_id, n_cp,
+          ${names.map(n => s"n_$n").mkString(", ")},
+          $dom AS dominant
+        FROM o ORDER BY doc_id"""
+  }
 }

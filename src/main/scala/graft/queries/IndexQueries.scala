@@ -289,6 +289,24 @@ object IndexQueries {
       Some(graft.ops.TextOps.bpeApplySql(
         s"(SELECT doc_id, text || ' $MultiScript' AS text" +
           " FROM documents)", rounds = 3)),
+      presentOrder = Seq("doc_id")),
+
+    // Per-doc SCRIPT histogram — the multilingual-observability panel
+    // beside language-ID: codepoint counts per script class (ASCII /
+    // extended Latin / Cyrillic / CJK / other) + the dominant class.
+    // Run over the mixed-script frame so the distribution is
+    // nontrivial; pure codegen'd per-row string ops (regexp_replace +
+    // length), no explode, no shuffle beyond the scan — the shape that
+    // profiles 100 TB in one pass. A pipeline that silently drops or
+    // mangles a script (the round-11 tokenizer gap) shows here as a
+    // corpus-level shift BEFORE any model does.
+    QueryDef("text_script_profile",
+      (s, d) => graft.ops.TextOps.scriptProfile(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" " + MultiScript)).as("text"))),
+      Some(graft.ops.TextOps.scriptProfileSql(
+        s"(SELECT doc_id, text || ' $MultiScript' AS text" +
+          " FROM documents)")),
       presentOrder = Seq("doc_id"))
   )
 }

@@ -224,6 +224,52 @@ object MultimodalQueries {
              | FROM p ORDER BY doc_id, channel""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id", "channel")),
 
+    // REAL FLAC → WAV transcode: the SAME synthesized streams as
+    // mm_flac_decode (all four decorrelation modes cycling), decoded,
+    // re-interleaved, re-encoded as PCM WAV, and the RESULT re-parsed
+    // by the independent RIFF walker — the two audio byte layouts meet
+    // end to end, and the analytic oracle (totals over the interleaved
+    // stream) certifies the full decode→encode→decode chain. The
+    // bytes→bytes transform contract of decimateWav/trimWav.
+    QueryDef("mm_flac_transcode",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val n = ((nc % 130) + 8).toInt
+            val al = (id % 500 + 1).toInt
+            val ar = (nc % 300 + 1).toInt
+            val samples = Array.tabulate(2 * n)(i =>
+              (if (i % 2 == 0) { if ((i / 2) % 2 == 0) al else -al }
+               else ar).toShort)
+            val mode = (id % 4) match {
+              case 0 => graft.multimodal.FlacCodec.ChIndep
+              case 1 => graft.multimodal.FlacCodec.ChLeftSide
+              case 2 => graft.multimodal.FlacCodec.ChRightSide
+              case _ => graft.multimodal.FlacCodec.ChMidSide
+            }
+            (id, graft.multimodal.FlacCodec.buildFlac(
+              (8000 + (id % 3) * 4000).toInt, 2, samples,
+              blockSize = 64, assignment = mode))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.transcodeFlacToWav(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"),
+            col("sampleRate").as("sample_rate"), col("channels"),
+            col("nSamples").as("n_samples"),
+            col("sumSquares").as("sum_squares"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             |  (n_chars % 130) + 8 AS n,
+             |  doc_id % 500 + 1 AS al, n_chars % 300 + 1 AS ar
+             |  FROM documents)
+             | SELECT doc_id, sample_rate, CAST(2 AS INT) AS channels,
+             |  CAST(2 * n AS BIGINT) AS n_samples,
+             |  CAST(n * al * al + n * ar * ar AS BIGINT) AS sum_squares
+             | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // REAL BMP decode: per doc, build a solid-color 24-bit BMP sized by
     // (doc_id, n_chars) — width deliberately not a multiple of 4 so the
     // parser's row-padding arithmetic is load-bearing — and parse the

@@ -804,6 +804,36 @@ class DedupSimSpec extends SparkSpec {
       GraphOps.sssp(nodes, edges, col("node_id") === 1L, rounds = 0))
   }
 
+  test("scriptProfile: disjoint class counts sum to n_cp, dominant " +
+    "resolves by fixed order on ties, null text reports zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc Ж 漢 é ¡"),          // mixed; ascii dominant (incl. spaces)
+      (2L, "Жa"),                    // 1-1 tie -> ascii (first in order)
+      (3L, "漢字文"),                 // cjk dominant
+      (4L, null.asInstanceOf[String]),
+      (5L, "ничего кроме кириллицы") // cyrillic dominant
+    ).toDF("doc_id", "text")
+    val out = TextOps.scriptProfile(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def row(id: Long): (Long, Long, Long, Long, Long, Long, String) = {
+      val r = out(id)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7))
+    }
+    // "abc Ж 漢 é ¡": 11 codepoints = 3+4 spaces... count: a,b,c,4
+    // spaces, Ж, 漢, é, ¡ -> ascii 7, latin_ext 2 (é,¡), cyr 1, cjk 1
+    assert(row(1L) === ((11L, 7L, 2L, 1L, 1L, 0L, "ascii")))
+    assert(row(2L) === ((2L, 1L, 0L, 1L, 0L, 0L, "ascii")))
+    assert(row(3L) === ((3L, 0L, 0L, 0L, 3L, 0L, "cjk")))
+    assert(row(4L) === ((0L, 0L, 0L, 0L, 0L, 0L, "ascii")))
+    assert(row(5L)._7 === "cyrillic")
+    // counts always sum to n_cp
+    out.values.foreach { r =>
+      assert(r.getLong(1) === (2 to 6).map(r.getLong).sum)
+    }
+  }
+
   test("bruteTopKCached: parquet-backed corpus writes the artifact " +
     "once, re-reads it bit-equal; in-memory or untagged calls " +
     "recompute without touching the cache") {

@@ -1032,6 +1032,27 @@ class MultimodalSpec extends SparkSpec {
       wild.map(_.toInt).toSeq)
   }
 
+  test("transcodeFlacToWav: the transcoded WAV parses to exactly the " +
+    "direct PCM encode of the same signal; corrupt FLAC drops") {
+    import spark.implicits._
+    val n = 50
+    val inter = Array.tabulate(2 * n)(i =>
+      (if (i % 2 == 0) (i / 2 - 25) * 100 else 77).toShort)
+    val flac = FlacCodec.buildFlac(12000, 2, inter, blockSize = 32,
+      assignment = FlacCodec.ChLeftSide)
+    val direct = MediaCodecs.parseWav(
+      MediaCodecs.buildWav(12000, 2, inter)).get
+    val bad = flac.clone(); bad(5) = (bad(5) ^ 0x7).toByte
+    val rows = MultimodalOps.transcodeFlacToWav(
+      Seq((1L, flac), (2L, bad)).toDF("doc_id", "bytes"),
+      "doc_id", "bytes").collect()
+    assert(rows.length === 1 && rows(0).docId === 1L)
+    assert(rows(0).sampleRate === direct.sampleRate &&
+      rows(0).channels === direct.channels &&
+      rows(0).nSamples === direct.nSamples &&
+      rows(0).sumSquares === direct.sumSquares)
+  }
+
   test("decodeFlacChannels: dataset wrapper drops corrupt blobs and " +
     "reports per-channel features matching the WAV crossing rule") {
     import spark.implicits._

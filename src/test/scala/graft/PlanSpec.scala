@@ -659,4 +659,14 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"$q: unbounded window:\n$p")
     }
   }
+
+  test("script profile is one shuffle-free codegen'd scan pass — the " +
+    "100 TB observability shape (no Exchange, no explode, no UDF)") {
+    val p = planOf("text_script_profile")
+    assert(!p.contains("Exchange"), s"script profile shuffles:\n$p")
+    assert(!p.contains("Generate"), s"script profile explodes:\n$p")
+    assert(!p.contains("ScalaUDF"), s"script profile uses a UDF:\n$p")
+    // executedPlan.toString marks whole-stage codegen as "*(n)"
+    assert(p.contains("*(1)"), s"not codegen'd:\n$p")
+  }
 }
