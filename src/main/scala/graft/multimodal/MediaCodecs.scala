@@ -1172,7 +1172,30 @@ object MediaCodecs {
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       sniffJpeg(bytes)
     else if (tag(bytes, 4, "ftyp")) sniffMp4(bytes)
+    else if (tag(bytes, 0, "fLaC")) sniffFlac(bytes)
     else None
+  }
+
+  /** FLAC STREAMINFO header-only sniff (RFC 9639 §8.2): the magic plus
+    * the MANDATORY first metadata block — rate (20 bits), channels−1
+    * (3), bps−1 (5), total samples (36) unpacked straight from the
+    * fixed byte layout; frames are never visited, so the catalog pass
+    * stays O(header) on compressed audio exactly as on WAV/MP4. */
+  private def sniffFlac(bytes: Array[Byte]): Option[ContainerMeta] = {
+    if (bytes.length < 4 + 4 + 34) return None
+    if ((bytes(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    val len = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) |
+      (bytes(7) & 0xff)
+    if (len < 34 || 8 + len > bytes.length) return None
+    def b(i: Int): Int = bytes(8 + i) & 0xff
+    val rate = (b(10) << 12) | (b(11) << 4) | (b(12) >> 4)
+    val ch = ((b(12) >> 1) & 0x7) + 1
+    val total = ((b(13) & 0xf).toLong << 32) | (b(14).toLong << 24) |
+      (b(15).toLong << 16) | (b(16).toLong << 8) | b(17).toLong
+    if (rate <= 0) return None
+    Some(ContainerMeta("audio", None, None, Some(ch), Some(rate), None,
+      durationMs = Some((total * 1000L / rate).toInt),
+      codec = Some("flac")))
   }
 
   /** JPEG marker walk to the first SOFn (any DCT process — frame

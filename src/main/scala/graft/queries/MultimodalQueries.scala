@@ -848,6 +848,42 @@ object MultimodalQueries {
              | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // FLAC through the header-only catalog sniff (the seventh
+    // container): rate/channels/duration unpacked straight from the
+    // STREAMINFO byte layout, frames never visited — compressed audio
+    // now costs O(header) in the intake catalog pass exactly like
+    // WAV/MP4. Oracle recomputes every field from the synthesis
+    // formulas incl. the floored duration arithmetic.
+    QueryDef("mm_flac_meta",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val ch = (1 + id % 2).toInt
+            val n = ((nc % 200) + 4).toInt
+            val samples = Array.tabulate(ch * n)(i =>
+              (if (i % 2 == 0) 50 else -50).toShort)
+            (id, graft.multimodal.FlacCodec.buildFlac(
+              (8000 + (id % 3) * 4000).toInt, ch, samples,
+              blockSize = 128))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.decodeMeta(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("kind"),
+            col("channels"), col("sampleRate").as("sample_rate"),
+            col("durationMs").as("duration_ms"), col("codec"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+             |  CAST(1 + doc_id % 2 AS INT) AS ch,
+             |  (n_chars % 200) + 4 AS n FROM documents)
+             | SELECT doc_id, 'audio' AS kind, ch AS channels,
+             |  rate AS sample_rate,
+             |  CAST((n * 1000) // rate AS INT) AS duration_ms,
+             |  'flac' AS codec
+             | FROM p ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // Frame-sampling stub: blob → every-k-th fixed-size frame slice,
     // exploded one row per sampled frame (the per-frame fan-out shape a
     // video pipeline needs before feature extraction).

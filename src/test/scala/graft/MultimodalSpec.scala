@@ -1032,6 +1032,24 @@ class MultimodalSpec extends SparkSpec {
       wild.map(_.toInt).toSeq)
   }
 
+  test("sniffFlac: STREAMINFO fields unpack from the fixed byte layout " +
+    "without visiting frames; corrupt magic/short/lying-length reject") {
+    val inter = Array.tabulate(2 * 123)(i =>
+      (if (i % 2 == 0) 99 else -5).toShort)
+    val enc = FlacCodec.buildFlac(22050, 2, inter, blockSize = 64)
+    val m = MediaCodecs.sniffMeta(enc).get
+    assert(m.kind === "audio" && m.channels === Some(2) &&
+      m.sampleRate === Some(22050) && m.codec === Some("flac") &&
+      m.durationMs === Some(123 * 1000 / 22050))
+    // header-only: truncating to the metadata region still sniffs
+    assert(MediaCodecs.sniffMeta(enc.take(4 + 4 + 34)).isDefined)
+    val badMagic = enc.clone(); badMagic(2) = 'x'.toByte
+    assert(MediaCodecs.sniffMeta(badMagic).isEmpty)
+    assert(MediaCodecs.sniffMeta(enc.take(20)).isEmpty)
+    val lyingLen = enc.clone(); lyingLen(7) = 5.toByte // STREAMINFO len < 34
+    assert(MediaCodecs.sniffMeta(lyingLen).isEmpty)
+  }
+
   test("transcodeFlacToWav: the transcoded WAV parses to exactly the " +
     "direct PCM encode of the same signal; corrupt FLAC drops") {
     import spark.implicits._
