@@ -918,6 +918,42 @@ object SimQueries {
         .replace("\n", "")),
       presentOrder = Seq("label")),
 
+    // Hubness profile — the OTHER standard embedding-quality probe
+    // beside the label probe (Radovanović et al., "Hubs in space",
+    // JMLR 2010): in high dimensions some points become near-neighbor
+    // HUBS (huge k-NN in-degree) while many become anti-hubs (never
+    // anyone's neighbor), and a skewed in-degree distribution predicts
+    // degraded retrieval/clustering before any downstream model shows
+    // it. Exact-integer histogram over the cached k-NN edge table:
+    // in-degree per node (0 included via the left join), then one
+    // count per in-degree value — two hash-aggs on slim rows, k-bounded
+    // edge list, never corpus².
+    QueryDef("sim_hubness",
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val indeg = SimOps.knnEdgesCached(emb, KnnK, LshTabs)
+          .groupBy(col("neighbor_id").as("node_id"))
+          .agg(count(lit(1)).as("in_degree"))
+        emb.select(col("vec_id").as("node_id"))
+          .join(indeg, Seq("node_id"), "left")
+          .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+          .groupBy(col("in_degree"))
+          .agg(count(lit(1)).as("n_nodes"))
+      },
+      Some(s"""WITH er AS (${SimOps.topKLshMultiSql("embeddings", "TRUE",
+                 KnnK, LshTabs)}),
+             | ind AS (SELECT neighbor_id AS node_id,
+             |   CAST(count(*) AS BIGINT) AS in_degree
+             |  FROM er GROUP BY neighbor_id),
+             | a AS (SELECT COALESCE(ind.in_degree, 0) AS in_degree
+             |  FROM (SELECT vec_id AS node_id FROM embeddings) n
+             |  LEFT JOIN ind USING (node_id))
+             | SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes
+             | FROM a GROUP BY in_degree ORDER BY in_degree""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("in_degree")),
+
     // Connected components over the k-NN graph as a FIRST-CLASS graph
     // operator (the same engine `dedup_clusters` runs on the dup-pair
     // graph — label propagation with pointer jumping, O(log diameter)

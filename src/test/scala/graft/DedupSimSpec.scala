@@ -804,6 +804,22 @@ class DedupSimSpec extends SparkSpec {
       GraphOps.sssp(nodes, edges, col("node_id") === 1L, rounds = 0))
   }
 
+  test("sim_hubness: histogram masses conserve — n_nodes sums to the " +
+    "corpus size and in-degree mass sums to the k-NN edge count") {
+    graft.catalyst.GraftFunctions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    val rows = Catalog.queries("sim_hubness")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = graft.Tables.embeddings(spark, d).count()
+    val edges = SimOps.topKLshMulti(graft.Tables.embeddings(spark, d),
+      col("vec_id").isNotNull, graft.queries.SimQueries.KnnK,
+      graft.queries.SimQueries.LshTabs).count()
+    assert(rows.map(_._2).sum === n, "node mass")
+    assert(rows.map(p => p._1 * p._2).sum === edges, "edge mass")
+    assert(rows.forall(_._1 >= 0) && rows.map(_._1).distinct.length ===
+      rows.length)
+  }
+
   test("scriptProfile: disjoint class counts sum to n_cp, dominant " +
     "resolves by fixed order on ties, null text reports zeros") {
     import spark.implicits._
