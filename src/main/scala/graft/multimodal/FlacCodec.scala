@@ -225,9 +225,17 @@ object FlacCodec {
     * shift 0 — residuals identical to fixed-2 but through the LPC
     * header/coefficient path), "fixedN" (forced order). `wasted`:
     * every sample must be divisible by 2^wasted; the subframe stores
-    * samples >> wasted with the unary wasted-bits flag. */
+    * samples >> wasted with the unary wasted-bits flag. `po`: Rice
+    * partition order (block size must divide by 2^po with the first
+    * partition keeping ≥ 0 residuals). `riceMethod`: 0 = 4-bit
+    * parameters, 1 = the 5-bit RICE2 width. `escapeBits`: ≥ 0 forces
+    * every partition onto the raw-bits ESCAPE path with that width
+    * (the caller guarantees all residuals fit) — these knobs exist so
+    * the spec can drive every decoder branch with real streams. */
   private def writeSubframe(w: BitW, samples0: Array[Int], bps: Int,
-                            mode: String, wasted: Int): Unit = {
+                            mode: String, wasted: Int,
+                            po: Int = 0, riceMethod: Int = 0,
+                            escapeBits: Int = -1): Unit = {
     require(wasted == 0 || samples0.forall(s => (s & ((1 << wasted) - 1)) == 0),
       "wasted bits not actually zero")
     val samples = if (wasted == 0) samples0 else samples0.map(_ >> wasted)
@@ -254,12 +262,8 @@ object FlacCodec {
       w.put(0, 5) // shift 0
       Seq(2, -1).foreach(c =>
         w.put(c.toLong & ((1L << precision) - 1), precision))
-      val res = fixedResidual(samples, order)
-      val k = bestRiceK(res)
-      w.put(0, 2) // rice method 0 (4-bit params)
-      w.put(0, 4) // partition order 0
-      w.put(k, 4)
-      writeRice(w, res, k)
+      writeResidual(w, fixedResidual(samples, order), samples.length,
+        order, po, riceMethod, escapeBits)
     } else {
       val order =
         if (mode.startsWith("fixed")) mode.stripPrefix("fixed").toInt
@@ -269,12 +273,44 @@ object FlacCodec {
       w.put(8 + order, 6); wastedFlag()
       samples.take(order).foreach(s =>
         w.put(s.toLong & ((1L << ebps) - 1), ebps))
-      val res = fixedResidual(samples, order)
-      val k = bestRiceK(res)
-      w.put(0, 2)
-      w.put(0, 4)
-      w.put(k, 4)
-      writeRice(w, res, k)
+      writeResidual(w, fixedResidual(samples, order), samples.length,
+        order, po, riceMethod, escapeBits)
+    }
+  }
+
+  /** Partitioned residual block: 2^po partitions, the first short by
+    * `order`; per partition either a searched Rice parameter (4- or
+    * 5-bit width by `method`) or, when `escapeBits` >= 0, the raw-bits
+    * ESCAPE (parameter all-ones, 5-bit width, unencoded signed
+    * residuals — the caller guarantees they fit). */
+  private def writeResidual(w: BitW, res: Array[Int], n: Int, order: Int,
+                            po: Int, method: Int, escapeBits: Int): Unit = {
+    require(method == 0 || method == 1, "bad rice method")
+    val nPart = 1 << po
+    require(n % nPart == 0 && (n >> po) >= order,
+      s"bad partition order $po for n=$n order=$order")
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    w.put(method, 2)
+    w.put(po, 4)
+    var idx = 0
+    var part = 0
+    while (part < nPart) {
+      val cnt = (n >> po) - (if (part == 0) order else 0)
+      val slice = res.slice(idx, idx + cnt)
+      if (escapeBits >= 0) {
+        w.put(escape, pBits)
+        w.put(escapeBits, 5)
+        slice.foreach(r =>
+          if (escapeBits > 0)
+            w.put(r.toLong & ((1L << escapeBits) - 1), escapeBits))
+      } else {
+        val k = math.min(bestRiceK(slice), escape - 1)
+        w.put(k, pBits)
+        writeRice(w, slice, k)
+      }
+      idx += cnt
+      part += 1
     }
   }
 
@@ -283,7 +319,9 @@ object FlacCodec {
     * ChMidSide (stereo only). */
   def buildFlac(sampleRate: Int, channels: Int, samples: Array[Short],
                 blockSize: Int = 256, assignment: Int = ChIndep,
-                mode: String = "auto", wasted: Int = 0): Array[Byte] = {
+                mode: String = "auto", wasted: Int = 0,
+                po: Int = 0, riceMethod: Int = 0,
+                escapeBits: Int = -1): Array[Byte] = {
     require(channels == 1 || channels == 2, "1 or 2 channels")
     require(samples.length % channels == 0, "ragged interleave")
     require(samples.nonEmpty, "empty stream")
@@ -341,7 +379,8 @@ object FlacCodec {
           }
         }
       planes.foreach { case (plane, pbps) =>
-        writeSubframe(w, plane, pbps, mode, wasted)
+        writeSubframe(w, plane, pbps, mode, wasted, po, riceMethod,
+          escapeBits)
       }
       w.align()
       val frameNoCrc = w.bytes

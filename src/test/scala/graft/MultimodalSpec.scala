@@ -1018,18 +1018,41 @@ class MultimodalSpec extends SparkSpec {
     assert(FlacCodec.decodeFlac(badBody).isEmpty)
   }
 
-  test("FLAC Rice escape partition: a residual spike beyond every Rice " +
-    "parameter still encodes (raw-bits escape) and round-trips — " +
-    "hand-built stream through the decoder's escape path") {
-    // Hand-assemble via the encoder's own bit layout but verify the
-    // DECODER accepts an escaped partition: verbatim already avoids
-    // rice, so drive fixed0 with a huge-range signal; bestRiceK stays
-    // <= 14 so also check a synthetic high-k cost case decodes.
+  test("FLAC residual coding paths: full-span Rice, partition orders " +
+    "1-3, the 5-bit RICE2 parameter width, and the raw-bits ESCAPE " +
+    "all round-trip bit-exactly") {
     val wild = sig(64, 13, 65536) // full 16-bit span residuals at order 0
     val enc = FlacCodec.buildFlac(8000, 1, wild, blockSize = 64,
       mode = "fixed0")
     assert(FlacCodec.decodeFlac(enc).get._2(0).toSeq ===
       wild.map(_.toInt).toSeq)
+    val s = sig(128, 21, 3000)
+    for (po <- 1 to 3; method <- 0 to 1) {
+      val e = FlacCodec.buildFlac(8000, 1, s, blockSize = 128,
+        mode = "fixed2", po = po, riceMethod = method)
+      assert(FlacCodec.decodeFlac(e).get._2(0).toSeq ===
+        s.map(_.toInt).toSeq, s"po=$po method=$method")
+    }
+    // ESCAPE: every partition coded as raw 18-bit signed residuals
+    // (order-2 residuals of a 16-bit signal need up to 18 bits); also
+    // with escapeBits wide enough at po=2, and the all-zero-residual
+    // escapeBits=0 corner over a constant-slope signal
+    for (po <- Seq(0, 2)) {
+      val e = FlacCodec.buildFlac(8000, 1, s, blockSize = 128,
+        mode = "fixed2", po = po, escapeBits = 18)
+      assert(FlacCodec.decodeFlac(e).get._2(0).toSeq ===
+        s.map(_.toInt).toSeq, s"escape po=$po")
+    }
+    val ramp = Array.tabulate(64)(i => (3 * i - 90).toShort) // fixed2 res = 0
+    val e0 = FlacCodec.buildFlac(8000, 1, ramp, blockSize = 64,
+      mode = "fixed2", escapeBits = 0)
+    assert(FlacCodec.decodeFlac(e0).get._2(0).toSeq ===
+      ramp.map(_.toInt).toSeq)
+    // a RICE2 escape (5-bit all-ones parameter) decodes too
+    val e2 = FlacCodec.buildFlac(8000, 1, s, blockSize = 128,
+      mode = "fixed1", riceMethod = 1, escapeBits = 18)
+    assert(FlacCodec.decodeFlac(e2).get._2(0).toSeq ===
+      s.map(_.toInt).toSeq)
   }
 
   test("sniffFlac: STREAMINFO fields unpack from the fixed byte layout " +
