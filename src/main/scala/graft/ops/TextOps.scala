@@ -1932,6 +1932,37 @@ object TextOps {
         dom.as("dominant")): _*)
   }
 
+  /** Mojibake signature — UTF-8 read as Latin-1: a two-byte UTF-8
+    * sequence (lead 0xC2/0xC3 for the Latin-1 supplement) mis-decoded
+    * becomes the CHARACTER U+00C2/U+00C3 followed by a character in
+    * U+0080–U+00BF, a pair essentially absent from clean text ("Ã©"
+    * where "é" was meant). Counting these pairs is the standard intake
+    * probe for the double-encoding defect that plagues web crawls. */
+  val MojibakeRe = "[\\x{00c2}\\x{00c3}][\\x{0080}-\\x{00bf}]"
+
+  /** Per-doc mojibake profile: pair count + flag. Codegen'd single-pass
+    * regex count per row (no explode, no shuffle beyond the scan — the
+    * scriptProfile shape); patterns ride `lit`, the raw regex lands on
+    * RE2 unchanged. Detection only: the REPAIR transform
+    * (re-encode Latin-1 → decode UTF-8) is Spark-expressible via
+    * encode/decode but has no DuckDB twin (no Latin-1 codec there), so
+    * it is deliberately not gated — the detector is the scale-relevant
+    * pass (repair runs on the flagged sliver). */
+  def mojibakeProfile(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(coalesce(col("text"), lit("")),
+        lit(MojibakeRe), lit(0))).cast("long").as("n_mojibake"))
+      .withColumn("flagged", col("n_mojibake") > 0)
+
+  /** Oracle twin of [[mojibakeProfile]]. */
+  def mojibakeProfileSql(table: String): String =
+    s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(COALESCE(text, ''), '$MojibakeRe'))
+            AS BIGINT) AS n_mojibake,
+          len(regexp_extract_all(COALESCE(text, ''), '$MojibakeRe')) > 0
+            AS flagged
+        FROM $table ORDER BY doc_id"""
+
   /** Oracle twin of [[scriptProfile]] — identical disjoint classes,
     * remainder, and tie order. */
   def scriptProfileSql(table: String): String = {

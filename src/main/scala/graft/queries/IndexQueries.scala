@@ -20,6 +20,14 @@ object IndexQueries {
     * init.) */
   val MultiScript = "Étude naïve КОСМОС наука 漢字文化 漢字abc café"
 
+  /** Deterministic mojibake fixture: "café élève" after a UTF-8 →
+    * Latin-1 mis-decode — three C2/C3+continuation pairs. Written as
+    * unicode escapes so the defect is explicit, not invisible in
+    * source. (Also BEFORE `defs`: the oracle SQL interpolates it
+    * eagerly at object init.) */
+  val MojibakeFix =
+    "caf\u00c3\u00a9 \u00c3\u00a9l\u00c3\u00a8ve"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Inverted-index build: per-term document frequency, total term
@@ -306,6 +314,25 @@ object IndexQueries {
           concat(col("text"), lit(" " + MultiScript)).as("text"))),
       Some(graft.ops.TextOps.scriptProfileSql(
         s"(SELECT doc_id, text || ' $MultiScript' AS text" +
+          " FROM documents)")),
+      presentOrder = Seq("doc_id")),
+
+    // Mojibake (double-encoding) detector — the web-crawl intake probe
+    // for UTF-8 read as Latin-1: every third doc gets a synthesized
+    // mojibake suffix ("cafÃ© Ã©lÃ¨ve", three C2/C3+continuation
+    // pairs), the rest carry the CORRECTLY-encoded multiscript suffix
+    // (é, café — zero pairs), so the gate pins both that defects are
+    // caught and that clean accents are NOT false-flagged. Single
+    // codegen'd regex-count pass per row.
+    QueryDef("text_mojibake",
+      (s, d) => graft.ops.TextOps.mojibakeProfile(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" " + MojibakeFix))
+              .otherwise(lit(" " + MultiScript))).as("text"))),
+      Some(graft.ops.TextOps.mojibakeProfileSql(
+        s"(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0" +
+          s" THEN ' $MojibakeFix' ELSE ' $MultiScript' END AS text" +
           " FROM documents)")),
       presentOrder = Seq("doc_id"))
   )

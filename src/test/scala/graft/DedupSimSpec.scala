@@ -804,6 +804,25 @@ class DedupSimSpec extends SparkSpec {
       GraphOps.sssp(nodes, edges, col("node_id") === 1L, rounds = 0))
   }
 
+  test("mojibakeProfile: double-encoded pairs count, correctly-encoded " +
+    "accents and CJK never false-flag, null text is clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cafÃ© and Ã©lÃ¨ve"), // 3 pairs
+      (2L, "café élève naïve"),   // correct UTF-8: zero pairs
+      (3L, "漢字 КОСМОС"),        // non-Latin scripts: zero pairs
+      (4L, null.asInstanceOf[String]),
+      (5L, "\u00c2\u00a0hard space mojibake") // C2 A0 = nbsp mis-decode
+    ).toDF("doc_id", "text")
+    val out = TextOps.mojibakeProfile(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((3L, true)))
+    assert(out(2L) === ((0L, false)))
+    assert(out(3L) === ((0L, false)))
+    assert(out(4L) === ((0L, false)))
+    assert(out(5L) === ((1L, true)))
+  }
+
   test("sim_hubness: histogram masses conserve — n_nodes sums to the " +
     "corpus size and in-degree mass sums to the k-NN edge count") {
     graft.catalyst.GraftFunctions.register(spark)
