@@ -1963,6 +1963,64 @@ object TextOps {
             AS flagged
         FROM $table ORDER BY doc_id"""
 
+  /** HTML → text strip, the canonical crawl-intake transform, in the
+    * standard order: (1) script/style/comment BLOCKS removed whole
+    * (their payload may contain bare '<' that is not markup), (2) all
+    * remaining tags removed, (3) a fixed entity set decoded with
+    * `&amp;` LAST (so `&amp;lt;` decodes to the literal `&lt;`, never
+    * double-decodes — and a decoded '<' can no longer be eaten as
+    * markup because tags are already gone), (4) whitespace runs
+    * collapsed and trimmed. Output is slim metrics + the cleaned-text
+    * fingerprint: raw/clean lengths, the removed-tag count, and
+    * hash64(clean). Every step is a codegen'd regexp_replace/replace
+    * chain per row — no explode, no shuffle beyond the scan; the (?is)
+    * flags and non-greedy repeats read identically in Java regex and
+    * RE2. */
+  def htmlStrip(docs: DataFrame): DataFrame = {
+    val blocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(coalesce(col("text"), lit("")),
+          lit("(?is)<script[^>]*>.*?</script>"), lit(" ")),
+        lit("(?is)<style[^>]*>.*?</style>"), lit(" ")),
+      lit("(?s)<!--.*?-->"), lit(" "))
+    val noTags = regexp_replace(blocks, lit("<[^>]*>"), lit(" "))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    val clean = trim(regexp_replace(decoded, lit("[ \\t\\n\\r]+"),
+      lit(" ")))
+    docs.select(col("doc_id"),
+      length(coalesce(col("text"), lit(""))).cast("long").as("n_raw"),
+      size(regexp_extract_all(blocks, lit("<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags"),
+      length(clean).cast("long").as("n_clean"),
+      hash64(clean).as("clean_fp"))
+  }
+
+  /** Oracle twin of [[htmlStrip]] — identical block/tag/entity/space
+    * order (entity decode folded with `&amp;` last). */
+  def htmlStripSql(table: String): String = {
+    val blocks =
+      """regexp_replace(regexp_replace(regexp_replace(
+           COALESCE(text, ''),
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g')"""
+    val noTags = s"regexp_replace($blocks, '<[^>]*>', ' ', 'g')"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => s"replace($c, '$e', '$v')" }
+    val clean =
+      s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
+    s"""SELECT doc_id,
+          CAST(length(COALESCE(text, '')) AS BIGINT) AS n_raw,
+          CAST(len(regexp_extract_all($blocks, '<[^>]*>')) AS BIGINT)
+            AS n_tags,
+          CAST(length($clean) AS BIGINT) AS n_clean,
+          ${hash64Sql(clean)} AS clean_fp
+        FROM $table ORDER BY doc_id"""
+  }
+
   /** Oracle twin of [[scriptProfile]] — identical disjoint classes,
     * remainder, and tie order. */
   def scriptProfileSql(table: String): String = {

@@ -28,6 +28,18 @@ object IndexQueries {
   val MojibakeFix =
     "caf\u00c3\u00a9 \u00c3\u00a9l\u00c3\u00a8ve"
 
+  /** HTML wrapper for the strip gate: a style block and a script block
+    * whose payloads contain bare '<' (block removal must eat them
+    * whole), a comment holding a tag, real tags with attributes, and a
+    * trailer exercising the entity set incl. the `&amp;amp;`
+    * no-double-decode pin. No single quotes (the SQL literal embeds
+    * verbatim); both constants sit BEFORE `defs` (eager-oracle
+    * init-order rule). */
+  val HtmlPre = "<html><head><style>p {c:1<2}</style>" +
+    "<script type=\"a\">if (1 < 2) x();</script></head>" +
+    "<body><!-- boiler <b> --><h1>T</h1><p class=\"t\">"
+  val HtmlPost = " it&#39;s &amp;amp; &lt;kept&gt;&nbsp;.</p></body></html>"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Inverted-index build: per-term document frequency, total term
@@ -334,6 +346,25 @@ object IndexQueries {
         s"(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0" +
           s" THEN ' $MojibakeFix' ELSE ' $MultiScript' END AS text" +
           " FROM documents)")),
+      presentOrder = Seq("doc_id")),
+
+    // HTML -> text strip — the FIRST transform of every crawl intake:
+    // script/style/comment blocks removed whole (their payload holds
+    // bare '<' that is not markup), remaining tags stripped, the fixed
+    // entity set decoded with &amp; last (the no-double-decode order:
+    // "&amp;amp;" must come out as the literal "&amp;"), whitespace
+    // collapsed. Gated over per-doc documents wrapped in a real HTML
+    // shell; the oracle replays the identical regex/replace chain, so
+    // any ordering or greediness bug in either engine breaks the
+    // cleaned-text fingerprint.
+    QueryDef("text_html_strip",
+      (s, d) => graft.ops.TextOps.htmlStrip(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit(HtmlPre), coalesce(col("text"), lit("")),
+            lit(HtmlPost)).as("text"))),
+      Some(graft.ops.TextOps.htmlStripSql(
+        s"(SELECT doc_id, '$HtmlPre' || COALESCE(text, '')" +
+          s" || '$HtmlPost' AS text FROM documents)")),
       presentOrder = Seq("doc_id"))
   )
 }

@@ -804,6 +804,33 @@ class DedupSimSpec extends SparkSpec {
       GraphOps.sssp(nodes, edges, col("node_id") === 1L, rounds = 0))
   }
 
+  test("htmlStrip: blocks eaten whole (bare < inside script), entities " +
+    "decode once with &amp; last, tags counted after block removal, " +
+    "whitespace collapsed, null text clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<p>a &amp;amp; b</p><script>if(1<2)x;</script>"),
+      (2L, "<style>p{a:1<2}</style><b>x&nbsp;&lt;y&gt;</b>  z"),
+      (3L, "<!-- <fake> tag -->plain &#39;q&#39;"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.htmlStrip(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def fp(s: String): Long = TextOps.hash64Scalar(s)
+    // doc 1: script gone whole -> "a &amp;amp; b" tags(2) -> decode
+    // (&amp; LAST, single pass) -> "a &amp; b"
+    assert(out(1L)._2 === 2L, "tags after block removal")
+    assert(out(1L)._4 === fp("a &amp; b"), "no-double-decode pin")
+    // doc 2: style gone, <b></b> stripped, nbsp->space collapsed
+    assert(out(2L)._2 === 2L)
+    assert(out(2L)._4 === fp("x <y> z"))
+    // doc 3: comment (holding a tag-shaped payload) gone whole
+    assert(out(3L)._2 === 0L)
+    assert(out(3L)._4 === fp("plain 'q'"))
+    assert(out(4L) === ((0L, 0L, 0L, fp(""))))
+  }
+
   test("mojibakeProfile: double-encoded pairs count, correctly-encoded " +
     "accents and CJK never false-flag, null text is clean") {
     import spark.implicits._
