@@ -1976,19 +1976,36 @@ object TextOps {
     * chain per row — no explode, no shuffle beyond the scan; the (?is)
     * flags and non-greedy repeats read identically in Java regex and
     * RE2. */
-  def htmlStrip(docs: DataFrame): DataFrame = {
-    val blocks = regexp_replace(
+  /** The block-removal stage of [[htmlStrip]] (script/style/comment
+    * gone whole), shared so the tag count and the clean text derive
+    * from the same intermediate. */
+  private def htmlBlocksCol(text: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(coalesce(col("text"), lit("")),
+        regexp_replace(coalesce(text, lit("")),
           lit("(?is)<script[^>]*>.*?</script>"), lit(" ")),
         lit("(?is)<style[^>]*>.*?</style>"), lit(" ")),
       lit("(?s)<!--.*?-->"), lit(" "))
+
+  /** Cleaned text as a COLUMN (the [[htmlStrip]] chain after block
+    * removal) — exposed so pipeline gates can feed the stripped text
+    * into downstream intake ops. */
+  private def htmlCleanCol(blocks: Column): Column = {
     val noTags = regexp_replace(blocks, lit("<[^>]*>"), lit(" "))
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
-    val clean = trim(regexp_replace(decoded, lit("[ \\t\\n\\r]+"),
-      lit(" ")))
+    trim(regexp_replace(decoded, lit("[ \\t\\n\\r]+"), lit(" ")))
+  }
+
+  /** (doc_id, text=stripped) — the composable form of [[htmlStrip]]. */
+  def htmlCleanText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      htmlCleanCol(htmlBlocksCol(col("text"))).as("text"))
+
+  def htmlStrip(docs: DataFrame): DataFrame = {
+    val blocks = htmlBlocksCol(col("text"))
+    val clean = htmlCleanCol(blocks)
     docs.select(col("doc_id"),
       length(coalesce(col("text"), lit(""))).cast("long").as("n_raw"),
       size(regexp_extract_all(blocks, lit("<[^>]*>"), lit(0)))
@@ -1997,21 +2014,33 @@ object TextOps {
       hash64(clean).as("clean_fp"))
   }
 
-  /** Oracle twin of [[htmlStrip]] — identical block/tag/entity/space
-    * order (entity decode folded with `&amp;` last). */
-  def htmlStripSql(table: String): String = {
-    val blocks =
-      """regexp_replace(regexp_replace(regexp_replace(
-           COALESCE(text, ''),
-           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-           '(?s)<!--.*?-->', ' ', 'g')"""
+  /** SQL twin of [[htmlBlocksCol]]. */
+  private def htmlBlocksSql(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(
+         COALESCE($e, ''),
+         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         '(?s)<!--.*?-->', ' ', 'g')"""
+
+  /** SQL twin of [[htmlCleanCol]] (over a blocks expression). */
+  private def htmlCleanSqlExpr(blocks: String): String = {
     val noTags = s"regexp_replace($blocks, '<[^>]*>', ' ', 'g')"
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, v)) => s"replace($c, '$e', '$v')" }
-    val clean =
-      s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
+    s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
+  }
+
+  /** SQL twin of [[htmlCleanText]] (selects doc_id, text). */
+  def htmlCleanTextSql(table: String): String =
+    s"""SELECT doc_id, ${htmlCleanSqlExpr(htmlBlocksSql("text"))} AS text
+        FROM $table"""
+
+  /** Oracle twin of [[htmlStrip]] — identical block/tag/entity/space
+    * order (entity decode folded with `&amp;` last). */
+  def htmlStripSql(table: String): String = {
+    val blocks = htmlBlocksSql("text")
+    val clean = htmlCleanSqlExpr(blocks)
     s"""SELECT doc_id,
           CAST(length(COALESCE(text, '')) AS BIGINT) AS n_raw,
           CAST(len(regexp_extract_all($blocks, '<[^>]*>')) AS BIGINT)

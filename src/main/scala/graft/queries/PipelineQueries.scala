@@ -1078,6 +1078,55 @@ object PipelineQueries {
              |  n_entities
              | FROM nm LEFT JOIN cc ON nm.nid = cc.id
              | ORDER BY name_id""".stripMargin.replace("\n", "")),
-      presentOrder = Seq("name_id"))
+      presentOrder = Seq("name_id")),
+
+    // Crawl-intake composition — the FIRST mile of the pipeline, run
+    // end to end as one gate: raw per-doc "pages" (an HTML shell around
+    // the text, every third doc carrying a planted mojibake defect, the
+    // rest the correctly-encoded multiscript suffix) flow through
+    // HTML-strip → mojibake detection → script profiling, and the keep
+    // decision composes all three (no encoding defect, ASCII-dominant,
+    // minimum clean length). Proves the round's intake operators chain
+    // on one frame with the whole derivation mirrored in a single
+    // oracle; still one codegen'd pass per row per probe — no explode,
+    // no shuffle beyond the scan and the slim doc-grain join.
+    QueryDef("pipeline_crawl_intake",
+      (s, d) => {
+        val iq = graft.queries.IndexQueries
+        val raw = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit(iq.HtmlPre), coalesce(col("text"), lit("")),
+            when(col("doc_id") % 3 === 0, lit(" " + iq.MojibakeFix))
+              .otherwise(lit(" " + iq.MultiScript)),
+            lit(iq.HtmlPost)).as("text"))
+        val clean = TextOps.htmlCleanText(raw)
+        val mj = TextOps.mojibakeProfile(clean)
+          .select(col("doc_id"), col("n_mojibake"))
+        val sp = TextOps.scriptProfile(clean)
+          .select(col("doc_id"), col("n_cp"), col("dominant"))
+        mj.join(sp, Seq("doc_id"))
+          .select(col("doc_id"), col("n_cp").as("n_clean"),
+            col("n_mojibake"), col("dominant"),
+            (col("n_mojibake") === 0 && col("dominant") === "ascii" &&
+              col("n_cp") >= 20).as("keep"))
+      },
+      Some {
+        val iq = graft.queries.IndexQueries
+        s"""WITH raw AS (SELECT doc_id,
+             '${iq.HtmlPre}' || COALESCE(text, '') ||
+             CASE WHEN doc_id % 3 = 0 THEN ' ${iq.MojibakeFix}'
+               ELSE ' ${iq.MultiScript}' END || '${iq.HtmlPost}' AS text
+             FROM documents),
+           clean AS (${TextOps.htmlCleanTextSql("raw")}),
+           m AS (SELECT doc_id, n_mojibake FROM
+             (${TextOps.mojibakeProfileSql("clean")})),
+           sp AS (SELECT doc_id, n_cp, dominant FROM
+             (${TextOps.scriptProfileSql("clean")}))
+           SELECT m.doc_id, n_cp AS n_clean, n_mojibake, dominant,
+             (n_mojibake = 0 AND dominant = 'ascii' AND n_cp >= 20)
+               AS keep
+           FROM m JOIN sp ON m.doc_id = sp.doc_id
+           ORDER BY m.doc_id"""
+      },
+      presentOrder = Seq("doc_id"))
   )
 }
