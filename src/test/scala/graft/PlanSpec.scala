@@ -660,13 +660,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("script profile is one shuffle-free codegen'd scan pass — the " +
-    "100 TB observability shape (no Exchange, no explode, no UDF)") {
-    val p = planOf("text_script_profile")
-    assert(!p.contains("Exchange"), s"script profile shuffles:\n$p")
-    assert(!p.contains("Generate"), s"script profile explodes:\n$p")
-    assert(!p.contains("ScalaUDF"), s"script profile uses a UDF:\n$p")
-    // executedPlan.toString marks whole-stage codegen as "*(n)"
-    assert(p.contains("*(1)"), s"not codegen'd:\n$p")
+  test("intake text probes are shuffle-free codegen'd scan passes — " +
+    "the 100 TB observability shape (no Exchange, no explode, no UDF)") {
+    for (q <- Seq("text_script_profile", "text_mojibake",
+        "text_html_strip")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Generate"), s"$q explodes:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q uses a UDF:\n$p")
+      // executedPlan.toString marks whole-stage codegen as "*(n)"
+      assert(p.contains("*(1)"), s"$q not codegen'd:\n$p")
+    }
+    // the composition pipeline may join at doc grain but must never
+    // explode or fall out of codegen
+    val p = planOf("pipeline_crawl_intake")
+    assert(!p.contains("Generate") && !p.contains("ScalaUDF"),
+      s"intake pipeline shape:\n$p")
   }
 }
