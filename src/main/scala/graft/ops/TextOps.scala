@@ -2050,6 +2050,56 @@ object TextOps {
         FROM $table ORDER BY doc_id"""
   }
 
+  /** URL pattern for [[urlProfile]] — scheme + a run of
+    * non-whitespace/non-markup chars (single-quote also terminates: a
+    * quoted URL ends at the quote — documented, engine-identical).
+    * Group 1 captures the host for the distinct-domain count. */
+  val UrlRe = "https?://([^/ \\t\\n\\r<>\"']+)[^ \\t\\n\\r<>\"']*"
+
+  /** Per-doc URL/link-density profile — the spam/boilerplate signal
+    * every crawl quality classifier carries (link-farm pages are
+    * mostly URLs by volume): URL count, DISTINCT host count, and
+    * link-density permille = URL chars ÷ total chars. Single
+    * codegen'd pass per row (counts via regexp_extract_all sizes,
+    * URL chars via the length-of-removal trick — no explode, no
+    * HOF in the hot path). */
+  def urlProfile(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    docs.select(col("doc_id"),
+      length(t).cast("long").as("n_cp"),
+      size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long")
+        .as("n_urls"),
+      size(array_distinct(regexp_extract_all(t, lit(UrlRe), lit(1))))
+        .cast("long").as("n_domains"),
+      (length(t).cast("long") -
+        length(regexp_replace(t, lit(UrlRe), lit(""))).cast("long"))
+        .as("url_chars"))
+      // exact integer floor division (Column `/` would be double)
+      .withColumn("link_permille",
+        expr("CASE WHEN n_cp = 0 THEN 0L" +
+          " ELSE (url_chars * 1000L) div n_cp END"))
+      .drop("url_chars")
+  }
+
+  /** Oracle twin of [[urlProfile]] (the regex's single quote doubles
+    * for the SQL literal). */
+  def urlProfileSql(table: String): String = {
+    val re = UrlRe.replace("'", "''")
+    s"""SELECT doc_id,
+          CAST(length(COALESCE(text, '')) AS BIGINT) AS n_cp,
+          CAST(len(regexp_extract_all(COALESCE(text, ''), '$re'))
+            AS BIGINT) AS n_urls,
+          CAST(len(list_distinct(regexp_extract_all(
+            COALESCE(text, ''), '$re', 1))) AS BIGINT) AS n_domains,
+          CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+            ELSE CAST((length(COALESCE(text, '')) -
+              length(regexp_replace(COALESCE(text, ''), '$re', '',
+                'g'))) AS BIGINT) * 1000
+              // CAST(length(COALESCE(text, '')) AS BIGINT) END
+            AS link_permille
+        FROM $table ORDER BY doc_id"""
+  }
+
   /** Oracle twin of [[scriptProfile]] — identical disjoint classes,
     * remainder, and tie order. */
   def scriptProfileSql(table: String): String = {

@@ -365,6 +365,28 @@ object IndexQueries {
       Some(graft.ops.TextOps.htmlStripSql(
         s"(SELECT doc_id, '$HtmlPre' || COALESCE(text, '')" +
           s" || '$HtmlPost' AS text FROM documents)")),
+      presentOrder = Seq("doc_id")),
+
+    // URL / link-density profile — the spam and boilerplate signal
+    // every crawl quality classifier carries (link farms are mostly
+    // URLs by volume): URL count, DISTINCT host count, link-density
+    // permille, one codegen'd pass per row. Two formula-varying URLs
+    // planted on two thirds of the docs (hosts always distinct), the
+    // remaining third none — both branches and the zero case gated.
+    QueryDef("text_url_profile",
+      (s, d) => graft.ops.TextOps.urlProfile(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 2, lit(""))
+              .otherwise(concat(lit(" see https://ex"),
+                col("doc_id") % 5, lit(".org/a/"), col("doc_id"),
+                lit(" and http://www.site"), col("n_chars") % 3,
+                lit(".com/x")))).as("text"))),
+      Some(graft.ops.TextOps.urlProfileSql(
+        "(SELECT doc_id, text || CASE WHEN doc_id % 3 = 2 THEN ''" +
+          " ELSE ' see https://ex' || (doc_id % 5) || '.org/a/'" +
+          " || doc_id || ' and http://www.site' || (n_chars % 3)" +
+          " || '.com/x' END AS text FROM documents)")),
       presentOrder = Seq("doc_id"))
   )
 }

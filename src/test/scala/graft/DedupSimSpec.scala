@@ -804,6 +804,29 @@ class DedupSimSpec extends SparkSpec {
       GraphOps.sssp(nodes, edges, col("node_id") === 1L, rounds = 0))
   }
 
+  test("urlProfile: counts and distinct hosts, quoted URLs terminate " +
+    "at the quote, link density is exact floor permille, empty/null " +
+    "text reports zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x https://a.org/p http://a.org/q end"),   // same host twice
+      (2L, "see \"https://b.com/r\" and https://c.net"),
+      (3L, "no links here"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.urlProfile(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: 2 urls, 1 distinct host; url chars = 15+14=29 of 36
+    assert(out(1L)._1 === 36L)
+    assert(out(1L)._2 === 2L && out(1L)._3 === 1L)
+    assert(out(1L)._4 === 29L * 1000L / 36L)
+    // doc 2: the quote ends the first URL (b.com/r, not b.com/r")
+    assert(out(2L)._2 === 2L && out(2L)._3 === 2L)
+    assert(out(3L) === ((13L, 0L, 0L, 0L)))
+    assert(out(4L) === ((0L, 0L, 0L, 0L)))
+  }
+
   test("htmlStrip: blocks eaten whole (bare < inside script), entities " +
     "decode once with &amp; last, tags counted after block removal, " +
     "whitespace collapsed, null text clean") {

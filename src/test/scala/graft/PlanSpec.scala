@@ -663,7 +663,7 @@ class PlanSpec extends SparkSpec {
   test("intake text probes are shuffle-free codegen'd scan passes — " +
     "the 100 TB observability shape (no Exchange, no explode, no UDF)") {
     for (q <- Seq("text_script_profile", "text_mojibake",
-        "text_html_strip")) {
+        "text_html_strip", "text_url_profile")) {
       val p = planOf(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       assert(!p.contains("Generate"), s"$q explodes:\n$p")
