@@ -1447,4 +1447,69 @@ object StatefulOps {
       streamingLmScore(docs, SbModel(uni, bi, tri, t.nTot))
     } else streamingLmScoreSharded(docs, t)
   }
+
+  case class IntakeRow(docId: Long, nClean: Long, nMojibake: Long,
+                       dominant: String, keep: Boolean)
+
+  /** Streaming twin of the `pipeline_crawl_intake` gate — an
+    * INDEPENDENT JVM reimplementation of the whole intake chain
+    * (HTML strip with block-whole removal and `&amp;`-last entity
+    * decode, mojibake pair count, script-class histogram with the
+    * fixed dominant tie order, the keep rule), stateless per row in a
+    * narrow map: the batch gate composes two probe frames with a
+    * doc-grain join, which a pure stream cannot replay in append mode
+    * — the per-row twin is the streamable shape AND a disjoint code
+    * path, so StreamingSpec parity across micro-batch splits checks
+    * both engines' regex semantics against plain java.util.regex. */
+  def streamingCrawlIntake(docs: Dataset[LmDoc]): Dataset[IntakeRow] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { rows =>
+      val script = java.util.regex.Pattern.compile(
+        "(?is)<script[^>]*>.*?</script>")
+      val style = java.util.regex.Pattern.compile(
+        "(?is)<style[^>]*>.*?</style>")
+      val comment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+      val tags = java.util.regex.Pattern.compile("<[^>]*>")
+      val spaces = java.util.regex.Pattern.compile("[ \\t\\n\\r]+")
+      val moji = java.util.regex.Pattern.compile(
+        "[\\x{00c2}\\x{00c3}][\\x{0080}-\\x{00bf}]")
+      rows.map { d =>
+        val raw = if (d.text == null) "" else d.text
+        var t = script.matcher(raw).replaceAll(" ")
+        t = style.matcher(t).replaceAll(" ")
+        t = comment.matcher(t).replaceAll(" ")
+        t = tags.matcher(t).replaceAll(" ")
+        for ((e, v) <- Seq("&lt;" -> "<", "&gt;" -> ">",
+            "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+            "&amp;" -> "&"))
+          t = t.replace(e, v)
+        val clean = spaces.matcher(t).replaceAll(" ").trim
+        var nMoji = 0L
+        val mm = moji.matcher(clean)
+        while (mm.find()) nMoji += 1
+        // script classes over CODEPOINTS (the engines' length())
+        var ascii = 0L; var latinExt = 0L; var cyr = 0L; var cjk = 0L
+        var nCp = 0L
+        var i = 0
+        while (i < clean.length) {
+          val cp = clean.codePointAt(i)
+          nCp += 1
+          if (cp <= 0x7f) ascii += 1
+          else if (cp >= 0x80 && cp <= 0x24f) latinExt += 1
+          else if (cp >= 0x400 && cp <= 0x4ff) cyr += 1
+          else if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+          i += Character.charCount(cp)
+        }
+        val other = nCp - ascii - latinExt - cyr - cjk
+        // the gate's dominant fold: first class attaining the max in
+        // the fixed order ascii/latin_ext/cyrillic/cjk/other
+        val classes = Seq("ascii" -> ascii, "latin_ext" -> latinExt,
+          "cyrillic" -> cyr, "cjk" -> cjk, "other" -> other)
+        val best = classes.map(_._2).max
+        val dominant = classes.find(_._2 == best).get._1
+        IntakeRow(d.docId, nCp, nMoji, dominant,
+          nMoji == 0 && dominant == "ascii" && nCp >= 20)
+      }
+    }
+  }
 }

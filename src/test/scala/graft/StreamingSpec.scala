@@ -1277,6 +1277,46 @@ class StreamingSpec extends SparkSpec {
       s"batch $msBatch vs stream $ms")
   }
 
+  test("streaming crawl-intake equals the gated batch pipeline rows " +
+    "across micro-batch splits (independent JVM regex chain vs the " +
+    "codegen'd probe frames)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{IntakeRow, LmDoc}
+    val d = "/root/testdata/sf0.001"
+    val batch = Catalog.queries("pipeline_crawl_intake")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    val iq = graft.queries.IndexQueries
+    // the gate's own raw-page derivation, composed in plain Scala
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = if (r.isNullAt(1)) "" else r.getString(1)
+        val suffix = if (r.getLong(0) % 3 == 0) " " + iq.MojibakeFix
+                     else " " + iq.MultiScript
+        LmDoc(r.getLong(0), iq.HtmlPre + t + suffix + iq.HtmlPost)
+      }
+    val got = scala.collection.mutable
+      .Map[Long, (Long, Long, String, Boolean)]()
+    val in = MemoryStream[LmDoc]
+    val q = graft.streaming.StatefulOps.streamingCrawlIntake(in.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[IntakeRow],
+                       _: Long) =>
+        ds.collect().foreach(r =>
+          got(r.docId) = (r.nClean, r.nMojibake, r.dominant, r.keep))
+      }.start()
+    val half = docs.length / 2
+    in.addData(docs.take(half): _*); q.processAllAvailable()
+    in.addData(docs.drop(half): _*); q.processAllAvailable(); q.stop()
+    assert(got.size === batch.size)
+    assert(got.toMap === batch)
+    // the fixture must exercise BOTH keep branches
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
+
   test("SHARDED Kneser-Ney serving (stream-static joins, tables never " +
     "collected) equals the gated batch serve rows across micro-batch " +
     "splits; the size dispatch picks it past the threshold") {
