@@ -900,8 +900,10 @@ object DedupOps {
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
-        jaccardPairs(docs, textCol, idCol, threshold, maxShingleFreq)
-          .write.mode("overwrite").parquet(path)
+        graft.BuildLedger.timed(s"jaccard_$tag") {
+          jaccardPairs(docs, textCol, idCol, threshold, maxShingleFreq)
+            .write.mode("overwrite").parquet(path)
+        }
       spark.read.parquet(path)
     }
   }

@@ -988,7 +988,8 @@ object GraphOps {
     * would silently fork the key and defeat cross-op sharing. */
   private[graft] def bfsDistCached(nodes: DataFrame, eSym: DataFrame,
       seedId: Long, maxDepth: Int, computeDepth: Int,
-      graphTag: String, keyFiles: Seq[String]): (DataFrame, Boolean) = {
+      graphTag: String, keyFiles: Seq[String],
+      persist: Boolean = true): (DataFrame, Boolean) = {
     val spark = nodes.sparkSession
     val dir = spark.conf.get("graft.bfs.dir", "")
     def compute(depth: Int): (DataFrame, Boolean) = {
@@ -998,6 +999,11 @@ object GraphOps {
       (d.select(col("node_id"), col("dist")), tr)
     }
     val corpus = keyFiles.sorted.mkString("\n")
+    // `persist = false` callers (round-12 verdict #7: iFUB's graph-
+    // determined later pivots, which no other gate can ever share)
+    // still READ a hit if one exists, but a miss computes without
+    // paying the write — the artifact dir stays reserved for sweeps
+    // with actual cross-gate reuse (the hash start and its antipodes).
     if (dir.isEmpty || graphTag.isEmpty || corpus.isEmpty) {
       val (d, tr) = compute(maxDepth)
       (d.localCheckpoint(), tr)
@@ -1022,24 +1028,31 @@ object GraphOps {
           }
           .filter(_._2 >= maxDepth)
           .sortBy(-_._2).headOption
-      val (path, storedDepth, storedCapped) = existing.getOrElse {
-        val (d, tr) = compute(cd)
-        val p = new org.apache.hadoop.fs.Path(base,
-          s"bfs_${tag}_d${cd}_c${if (tr) 1 else 0}")
-        // The sweep frame is O(|V|) slim (node_id, dist) rows; at the
-        // analytics grain one file is the right write shape (32 tiny
-        // part files cost ~0.3 s each write+list — measured as the
-        // graph_diameter_tk bench regression). Graphs past ~10M nodes
-        // should raise the knob.
-        val wp = spark.conf.get("graft.bfs.write.partitions", "1").toInt
-        d.coalesce(wp).write.mode("overwrite").parquet(p.toString)
-        (p, cd, tr)
+      if (existing.isEmpty && !persist) {
+        val (d, tr) = compute(maxDepth)
+        (d.localCheckpoint(), tr)
+      } else {
+        val (path, storedDepth, storedCapped) = existing.getOrElse {
+          graft.BuildLedger.timed(s"bfs_${tag}_s$seedId") {
+            val (d, tr) = compute(cd)
+            val p = new org.apache.hadoop.fs.Path(base,
+              s"bfs_${tag}_d${cd}_c${if (tr) 1 else 0}")
+            // The sweep frame is O(|V|) slim (node_id, dist) rows; at
+            // the analytics grain one file is the right write shape (32
+            // tiny part files cost ~0.3 s each write+list — measured as
+            // the graph_diameter_tk bench regression). Graphs past ~10M
+            // nodes should raise the knob.
+            val wp = spark.conf.get("graft.bfs.write.partitions", "1").toInt
+            d.coalesce(wp).write.mode("overwrite").parquet(p.toString)
+            (p, cd, tr)
+          }
+        }
+        val full = spark.read.parquet(path.toString)
+        val capped =
+          if (storedDepth == maxDepth) storedCapped
+          else !full.filter(col("dist") === maxDepth + 1).isEmpty
+        (full.filter(col("dist") <= maxDepth).localCheckpoint(), capped)
       }
-      val full = spark.read.parquet(path.toString)
-      val capped =
-        if (storedDepth == maxDepth) storedCapped
-        else !full.filter(col("dist") === maxDepth + 1).isEmpty
-      (full.filter(col("dist") <= maxDepth).localCheckpoint(), capped)
     }
   }
 
@@ -1506,11 +1519,16 @@ object GraphOps {
       .collect()(0).getLong(0)
     // Round-1's pivot is the same hash start (same salt) the iFUB
     // family opens with, so on a shared graph/tag that sweep comes
-    // from [[bfsDistCached]] for free; later pivots are
-    // graph-determined and cache across runs of the same corpus.
+    // from [[bfsDistCached]] for free; later pivots are graph-
+    // determined and NO other gate can ever want them, so they
+    // compute without paying the artifact write (round-12 verdict
+    // #7: each cold write cost ~1 s of graph_diameter_tk for reuse
+    // that never happens in a fresh cache dir). A pre-existing hit
+    // is still read.
     def bfs(seedId: Long): (DataFrame, Boolean) =
       bfsDistCached(nodes, e, seedId, maxDepth,
-        math.max(maxDepth, cacheDepth), cacheTag, keyFiles)
+        math.max(maxDepth, cacheDepth), cacheTag, keyFiles,
+        persist = seedId == start)
     var v = start
     var dl = 0
     var du = Int.MaxValue

@@ -142,8 +142,10 @@ object SimOps {
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
         // |queries|·k slim rows — one file is the right write grain
-        topKBruteForce(vectors, queryPred, k)
-          .coalesce(1).write.mode("overwrite").parquet(path)
+        graft.BuildLedger.timed(s"brute_$tag") {
+          topKBruteForce(vectors, queryPred, k)
+            .coalesce(1).write.mode("overwrite").parquet(path)
+        }
       spark.read.parquet(path)
     }
   }
@@ -1348,8 +1350,10 @@ object SimOps {
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
-        topKLshMulti(vectors, lit(true), k, tables)
-          .write.mode("overwrite").parquet(path)
+        graft.BuildLedger.timed(s"knn_$tag") {
+          topKLshMulti(vectors, lit(true), k, tables)
+            .write.mode("overwrite").parquet(path)
+        }
       spark.read.parquet(path)
     }
   }
