@@ -19,6 +19,10 @@ package graft.multimodal
   *    mid/side — including the side channel's +1 bit depth; CRC-16
   *    (poly 0x8005) over the whole frame. Any CRC or structure
   *    violation rejects (None) — never a silent wrong decode.
+  *    totalSamples = 0 (unknown length per RFC 9639) decodes frames to
+  *    EOF and reports the actual count. Effective bit depths past 31
+  *    (32-bit streams / their 33-bit side channels) reject rather than
+  *    wrap the Int sample planes — all 8/16/24-bit material decodes.
   *
   *  - '''encoder''' (for the synthesis-then-decode gates, the
   *    PNG/JPEG closure pattern): fixed-blocksize streams, short last
@@ -58,7 +62,10 @@ object FlacCodec {
     def bytes: Array[Byte] = buf.toArray
   }
 
-  private final class BitR(data: Array[Byte], startByte: Int) {
+  // private[graft] so the spec can drive decodeSubframe's bit-depth
+  // guard directly (a full 32-bit stream can't be synthesized: our
+  // encoder and the Int planes both top out below it by design).
+  private[graft] final class BitR(data: Array[Byte], startByte: Int) {
     var pos: Long = startByte.toLong * 8
     def ok(n: Int): Boolean = pos + n <= data.length.toLong * 8
     def bits(n: Int): Long = {
@@ -396,8 +403,16 @@ object FlacCodec {
 
   /** Full decode: STREAMINFO + every frame, CRC-verified. Returns
     * per-channel sample planes (after stereo reconstruction), or None
-    * on ANY structural/CRC violation. */
-  def decodeFlac(bytes: Array[Byte]): Option[(FlacStreamInfo, Array[Array[Int]])] = {
+    * on ANY structural/CRC violation. The catch-all is defense in
+    * depth for untrusted crawl bytes: every known reject path returns
+    * None explicitly (and the specs drive them), but a crafted stream
+    * hitting an unforeseen parser edge must drop the blob, not kill
+    * the Spark job that flatMapped it. */
+  def decodeFlac(bytes: Array[Byte]): Option[(FlacStreamInfo, Array[Array[Int]])] =
+    try decodeFlacImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeFlacImpl(bytes: Array[Byte]): Option[(FlacStreamInfo, Array[Array[Int]])] = {
     if (bytes.length < 4 + 4 + 34) return None
     if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C'))
       return None
@@ -413,6 +428,11 @@ object FlacCodec {
         (bytes(p + 3) & 0xff)
       if (p + 4 + len > bytes.length) return None
       if (btype == 0) {
+        // A lying short declared length would let the 34-byte fixed
+        // STREAMINFO read run past the block (and, near the buffer
+        // tail, past the array): reject, mirroring sniffFlac. RFC 9639
+        // fixes the STREAMINFO body at exactly 34 bytes.
+        if (len < 34) return None
         val r = new BitR(bytes, p + 4)
         val minB = r.bits(16).toInt; val maxB = r.bits(16).toInt
         r.bits(24); r.bits(24)
@@ -427,8 +447,15 @@ object FlacCodec {
     if (info == null) return None
     val planes = Array.fill(info.channels)(
       scala.collection.mutable.ArrayBuffer.empty[Int])
+    // totalSamples == 0 means UNKNOWN in RFC 9639 (a streamed encode
+    // that never patched the header), not "empty": decode frames until
+    // EOF and report the actual count, so a spec-legal unknown-length
+    // stream is a real decode, never a silent empty one. Known-length
+    // streams keep the exact-count check (trailing garbage after the
+    // declared samples still rejects via the frame-sync parse below).
+    val unknownLen = info.totalSamples == 0L
     var total = 0L
-    while (p < bytes.length && total < info.totalSamples) {
+    while (p < bytes.length && (unknownLen || total < info.totalSamples)) {
       val fr = decodeFrame(bytes, p, info) match {
         case Some(x) => x
         case None => return None
@@ -440,8 +467,9 @@ object FlacCodec {
       total += chans(0).length
       p = nextP
     }
-    if (total != info.totalSamples) return None
-    Some((info, planes.map(_.toArray)))
+    if (!unknownLen && total != info.totalSamples) return None
+    Some((if (unknownLen) info.copy(totalSamples = total) else info,
+      planes.map(_.toArray)))
   }
 
   /** One frame starting at byte `p`; returns (channel planes, next byte
@@ -532,7 +560,7 @@ object FlacCodec {
     Some((chans, r.bytePos))
   }
 
-  private def decodeSubframe(r: BitR, n: Int, bps: Int): Option[Array[Int]] = {
+  private[graft] def decodeSubframe(r: BitR, n: Int, bps: Int): Option[Array[Int]] = {
     if (!r.ok(8)) return None
     if (r.bits(1) != 0) return None
     val tpe = r.bits(6).toInt
@@ -544,7 +572,12 @@ object FlacCodec {
         q + 1
       }
     val ebps = bps - wasted
-    if (ebps <= 0 || ebps > 33) return None
+    // Planes are Int: an effective depth past 31 bits (a 32-bit stream,
+    // or its side channel at 33) would silently wrap in sbits(ebps)
+    // .toInt — wrong samples under passing CRCs. Reject instead of
+    // mis-decoding; ≤31 covers every 8/16/24-bit stream including the
+    // +1-bit side channels (25 bits), i.e. all real crawl audio.
+    if (ebps <= 0 || ebps > 31) return None
     val out: Array[Int] =
       if (tpe == 0) {
         if (!r.ok(ebps)) return None

@@ -82,6 +82,31 @@ object MultimodalOps {
       }
   }
 
+  case class Mp3MetaRow(docId: Long, version: String, layer: Int,
+                        channels: Int, sampleRate: Int, nFrames: Long,
+                        durationMs: Long, avgKbps: Long, vbr: Boolean,
+                        hasId3: Boolean, hasXing: Boolean, nBytes: Long)
+
+  /** MPEG-audio frame walk over blobs ([[Mp3Codec.parseMp3]]): ID3v2
+    * skip, per-frame header validation, exact frame-length hops,
+    * Xing/Info detection, stream-consistency checks. Structurally
+    * invalid blobs are DROPPED (the ingest filter-invalid contract).
+    * Narrow map; per blob the walk touches 4 header bytes per frame
+    * plus the hop arithmetic — payload bytes are never read, so this
+    * catalogs 100 TB of audio at I/O speed. */
+  def mp3Meta(media: DataFrame, idCol: String,
+              bytesCol: String): Dataset[Mp3MetaRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Mp3Codec.parseMp3(bytes).map(m =>
+          Mp3MetaRow(id, m.version, m.layer, m.channels, m.sampleRate,
+            m.nFrames, m.durationMs, m.avgKbps, m.vbr, m.hasId3,
+            m.hasXing, m.nBytes))
+      })
+  }
+
   case class MediaFeature(mediaId: Long, nBytes: Int, feature: Array[Long])
 
   /** REAL feature extraction — partition-batched `mapPartitions` with an

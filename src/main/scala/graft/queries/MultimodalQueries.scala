@@ -848,6 +848,81 @@ object MultimodalQueries {
              | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // MP3 frame walk (Mp3Codec) — lossy audio's exact-gateable surface
+    // (the decode itself is float IMDCT, refused with a dated note in
+    // COVERAGE.md): ID3v2 syncsafe skip, per-frame header validation,
+    // exact frame-length hops across all three MPEG versions, VBR
+    // detection, Xing tag at the version/mode-dependent side-info
+    // offset, ID3v1 trailer. The fixture sweeps version x rate x
+    // mono/stereo x CBR/VBR x ID3/Xing/TAG presence; the oracle
+    // recomputes every field — including total BYTE length through
+    // the per-frame length formula with alternating bitrate and
+    // padding — from the generation arithmetic, so a single hop or
+    // table error desynchronizes the walk and breaks the gate.
+    QueryDef("mm_mp3_meta",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val ver = (id % 3) match { case 0 => 3; case 1 => 2; case _ => 0 }
+            val vbrDoc = id % 2 == 0
+            val lo = if (id % 3 == 0) 9 else 8   // 128 / 64 kbps
+            val hi = if (id % 3 == 0) 11 else 12 // 192 / 128 kbps
+            val n = ((nc % 9) + 2).toInt
+            (id, graft.multimodal.Mp3Codec.buildMp3(ver, 3,
+              srIdx = (id % 3).toInt, mono = id % 2 == 1, nFrames = n,
+              kbpsIdx = i => if (vbrDoc && i % 2 == 1) hi else lo,
+              pad = i => ((i + id) % 2).toInt,
+              withId3 = id % 4 == 0, withXing = id % 5 == 0,
+              withTag = id % 6 == 0))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.mp3Meta(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("version"),
+            col("layer"), col("channels"),
+            col("sampleRate").as("sample_rate"),
+            col("nFrames").as("n_frames"),
+            col("durationMs").as("duration_ms"),
+            col("avgKbps").as("avg_kbps"), col("vbr"),
+            col("hasId3").as("has_id3"), col("hasXing").as("has_xing"),
+            col("nBytes").as("n_bytes"))
+      },
+      Some("""WITH p AS (SELECT doc_id, (n_chars % 9) + 2 AS n,
+             |  doc_id % 3 AS v, doc_id % 2 = 0 AS vbr_doc,
+             |  CASE WHEN doc_id % 3 = 0 THEN 128 ELSE 64 END AS lo,
+             |  CASE WHEN doc_id % 3 = 0 THEN 192 ELSE 128 END AS hi,
+             |  CASE WHEN doc_id % 3 = 0 THEN 44100
+             |    WHEN doc_id % 3 = 1 THEN 24000 ELSE 8000 END AS sr,
+             |  CASE WHEN doc_id % 3 = 0 THEN 1152 ELSE 576 END AS spf,
+             |  CASE WHEN doc_id % 3 = 0 THEN 144000 ELSE 72000 END AS c
+             | FROM documents),
+             | q AS (SELECT doc_id, n, v, vbr_doc, lo, hi, sr, spf, c,
+             |  CASE WHEN vbr_doc THEN (n + 1) // 2 ELSE n END AS n_lo,
+             |  CASE WHEN vbr_doc THEN n // 2 ELSE 0 END AS n_hi,
+             |  CASE WHEN doc_id % 2 = 0 THEN n // 2
+             |    ELSE (n + 1) // 2 END AS sum_pad
+             | FROM p)
+             | SELECT doc_id,
+             |  CASE WHEN v = 0 THEN '1' WHEN v = 1 THEN '2'
+             |    ELSE '2.5' END AS version,
+             |  CAST(3 AS INT) AS layer,
+             |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INT)
+             |    AS channels,
+             |  CAST(sr AS INT) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_frames,
+             |  CAST(n * spf * 1000 // sr AS BIGINT) AS duration_ms,
+             |  CAST((n_lo * lo + n_hi * hi) // n AS BIGINT) AS avg_kbps,
+             |  vbr_doc AS vbr,
+             |  doc_id % 4 = 0 AS has_id3,
+             |  doc_id % 5 = 0 AS has_xing,
+             |  CAST(CASE WHEN doc_id % 4 = 0 THEN 74 ELSE 0 END
+             |    + n_lo * (c * lo // sr) + n_hi * (c * hi // sr)
+             |    + sum_pad
+             |    + CASE WHEN doc_id % 6 = 0 THEN 128 ELSE 0 END
+             |    AS BIGINT) AS n_bytes
+             | FROM q ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // FLAC through the header-only catalog sniff (the seventh
     // container): rate/channels/duration unpacked straight from the
     // STREAMINFO byte layout, frames never visited — compressed audio

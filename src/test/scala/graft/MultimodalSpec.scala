@@ -1018,6 +1018,127 @@ class MultimodalSpec extends SparkSpec {
     assert(FlacCodec.decodeFlac(badBody).isEmpty)
   }
 
+  test("FLAC hardening: a STREAMINFO block whose declared length lies " +
+    "short rejects cleanly (no out-of-bounds read on crafted input)") {
+    val s = sig(80, 13, 500)
+    val enc = FlacCodec.buildFlac(8000, 1, s, blockSize = 64)
+    // patch the 24-bit block length (bytes 5-7) from 34 down to 10
+    val lie = enc.clone(); lie(5) = 0; lie(6) = 0; lie(7) = 10
+    assert(FlacCodec.decodeFlac(lie).isEmpty)
+    // minimal crafted file: magic + last-flagged STREAMINFO header whose
+    // lying short length (2) sits exactly at the buffer tail — pre-fix
+    // the fixed 34-byte body read indexed past the array here
+    val tail = Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 2, 0, 0)
+    assert(FlacCodec.decodeFlac(tail).isEmpty)
+  }
+
+  test("FLAC hardening: totalSamples = 0 (unknown length, RFC 9639) " +
+    "decodes frames to EOF and reports the actual count, never a " +
+    "silent empty decode") {
+    val s = sig(150, 17, 900)
+    val enc = FlacCodec.buildFlac(8000, 1, s, blockSize = 64)
+    val unk = enc.clone()
+    // totalSamples = STREAMINFO body bits 108..143 = low nibble of
+    // body byte 13 plus body bytes 14..17 (body starts at offset 8)
+    unk(8 + 13) = (unk(8 + 13) & 0xf0).toByte
+    for (i <- 14 to 17) unk(8 + i) = 0
+    val (info, planes) = FlacCodec.decodeFlac(unk).get
+    assert(info.totalSamples === 150L)
+    assert(planes(0).toSeq === s.map(_.toInt).toSeq)
+    // a truncated unknown-length stream still rejects: the final
+    // partial frame fails its parse instead of quietly shortening
+    assert(FlacCodec.decodeFlac(unk.dropRight(3)).isEmpty)
+  }
+
+  test("MP3 frame walk: all three MPEG versions round-trip exact field " +
+    "recovery incl. VBR average, ID3v2 syncsafe skip, Xing at the " +
+    "version/mode side-info offset, ID3v1 trailer") {
+    import graft.multimodal.Mp3Codec
+    // MPEG-1, stereo, VBR 128/192, ID3 + Xing + TAG
+    val a = Mp3Codec.buildMp3(3, 3, srIdx = 0, mono = false, nFrames = 6,
+      kbpsIdx = i => if (i % 2 == 1) 11 else 9, pad = i => i % 2,
+      withId3 = true, withXing = true, withTag = true)
+    val ma = Mp3Codec.parseMp3(a).get
+    assert(ma.version === "1" && ma.layer === 3 && ma.channels === 2 &&
+      ma.sampleRate === 44100 && ma.nFrames === 6L)
+    assert(ma.vbr && ma.hasId3 && ma.hasXing)
+    assert(ma.avgKbps === (3 * 128 + 3 * 192) / 6)
+    assert(ma.durationMs === 6L * 1152 * 1000 / 44100)
+    assert(ma.nBytes === a.length.toLong)
+    // MPEG-2 mono CBR — LSF: 576 samples/frame, 72000 length constant
+    val b = Mp3Codec.buildMp3(2, 3, srIdx = 1, mono = true, nFrames = 4,
+      kbpsIdx = _ => 8, pad = _ => 0)
+    val mb = Mp3Codec.parseMp3(b).get
+    assert(mb.version === "2" && mb.channels === 1 &&
+      mb.sampleRate === 24000 && !mb.vbr && !mb.hasId3 && !mb.hasXing)
+    assert(mb.durationMs === 4L * 576 * 1000 / 24000)
+    assert(b.length === 4 * (72000 * 64 / 24000))
+    // MPEG-2.5 — the de-facto extension rates
+    val c = Mp3Codec.buildMp3(0, 3, srIdx = 2, mono = false, nFrames = 3,
+      kbpsIdx = _ => 12, pad = i => 1 - i % 2)
+    val mc = Mp3Codec.parseMp3(c).get
+    assert(mc.version === "2.5" && mc.sampleRate === 8000 &&
+      mc.nFrames === 3L)
+  }
+
+  test("MP3 frame walk: Layer I quad-slot and Layer II lengths hop " +
+    "correctly") {
+    import graft.multimodal.Mp3Codec
+    val l1 = Mp3Codec.buildMp3(3, 1, srIdx = 1, mono = false, nFrames = 5,
+      kbpsIdx = _ => 4, pad = i => i % 2) // 128 kbps L1
+    val m1 = Mp3Codec.parseMp3(l1).get
+    assert(m1.layer === 1 && m1.nFrames === 5L &&
+      m1.durationMs === 5L * 384 * 1000 / 48000)
+    val l2 = Mp3Codec.buildMp3(3, 2, srIdx = 0, mono = true, nFrames = 4,
+      kbpsIdx = _ => 7, pad = _ => 0) // 112 kbps L2
+    val m2 = Mp3Codec.parseMp3(l2).get
+    assert(m2.layer === 2 && m2.nFrames === 4L &&
+      m2.durationMs === 4L * 1152 * 1000 / 44100)
+  }
+
+  test("MP3 frame walk rejects: truncation, sync loss, free-format and " +
+    "invalid bitrate indices, reserved version/layer/rate, " +
+    "mid-stream parameter change, empty stream") {
+    import graft.multimodal.Mp3Codec
+    val good = Mp3Codec.buildMp3(3, 3, srIdx = 0, mono = false,
+      nFrames = 3, kbpsIdx = _ => 9, pad = _ => 0)
+    assert(Mp3Codec.parseMp3(good).isDefined)
+    assert(Mp3Codec.parseMp3(good.dropRight(5)).isEmpty, "truncated")
+    val noSync = good.clone(); noSync(0) = 0x12
+    assert(Mp3Codec.parseMp3(noSync).isEmpty, "sync loss")
+    def hdr(b1: Int, b2: Int): Array[Byte] =
+      Array(0xFF.toByte, b1.toByte, b2.toByte, 0x00.toByte)
+    // free format (bitrate idx 0) and invalid idx 15
+    assert(Mp3Codec.parseMp3(hdr(0xFB, 0x00)).isEmpty, "free format")
+    assert(Mp3Codec.parseMp3(hdr(0xFB, 0xF0)).isEmpty, "bad bitrate")
+    // reserved version (01), reserved layer (00), reserved rate (11)
+    assert(Mp3Codec.parseMp3(hdr(0xEB, 0x90)).isEmpty, "reserved version")
+    assert(Mp3Codec.parseMp3(hdr(0xF9, 0x90)).isEmpty, "reserved layer")
+    assert(Mp3Codec.parseMp3(hdr(0xFB, 0x9C)).isEmpty, "reserved rate")
+    // two self-consistent streams with different rates concatenated
+    val other = Mp3Codec.buildMp3(3, 3, srIdx = 1, mono = false,
+      nFrames = 2, kbpsIdx = _ => 9, pad = _ => 0)
+    assert(Mp3Codec.parseMp3(good ++ other).isEmpty, "parameter change")
+    assert(Mp3Codec.parseMp3(Array.emptyByteArray).isEmpty, "empty")
+    assert(Mp3Codec.parseMp3("ID3".getBytes).isEmpty, "bare ID3 magic")
+  }
+
+  test("FLAC hardening: effective bit depths past 31 reject instead of " +
+    "wrapping the Int planes; 31 itself decodes exactly") {
+    // VERBATIM subframe header (pad 0 | type 000001 | wasted-flag 0)
+    // = 0x02, then one raw ebps-bit sample, driven straight through
+    // decodeSubframe (a real 32-bit stream can't be synthesized: the
+    // encoder tops out below it by design)
+    def sub(bps: Int, payload: Array[Byte]): Option[Array[Int]] =
+      FlacCodec.decodeSubframe(
+        new FlacCodec.BitR(Array[Byte](0x02) ++ payload, 0), 1, bps)
+    assert(sub(32, Array.fill(5)(0x55.toByte)).isEmpty)
+    assert(sub(33, Array.fill(6)(0x55.toByte)).isEmpty)
+    val got = sub(31, Array.fill(5)(0x55.toByte))
+    // first 31 bits of 0x55555555: sign 0, value 0x2AAAAAAA
+    assert(got.isDefined && got.get.toSeq === Seq(0x2AAAAAAA))
+  }
+
   test("FLAC residual coding paths: full-span Rice, partition orders " +
     "1-3, the 5-bit RICE2 parameter width, and the raw-bits ESCAPE " +
     "all round-trip bit-exactly") {
