@@ -118,7 +118,11 @@ object GraftFunctions {
         PqEncode(children(0), children(1), children(2), children(3))),
     (FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
-      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))),
+    (FunctionIdentifier("html_entity_decode"),
+      new ExpressionInfo(classOf[HtmlEntityDecode].getName,
+        "html_entity_decode"),
+      (children: Seq[Expression]) => HtmlEntityDecode(children(0))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config). Also registers the `minhash_sketch` UDAF — the

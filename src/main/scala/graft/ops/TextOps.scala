@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface (north star):
@@ -1989,21 +1990,27 @@ object TextOps {
 
   /** Cleaned text as a COLUMN (the [[htmlStrip]] chain after block
     * removal) — exposed so pipeline gates can feed the stripped text
-    * into downstream intake ops. */
+    * into downstream intake ops. Entity decode is ONE single pass
+    * ([[graft.catalyst.HtmlEntityDecode]]): the named set plus decimal
+    * and hex numeric references (round-12 verdict #2), with the
+    * no-double-decode property by construction — the scan never
+    * re-reads produced text, so `&amp;amp;` still comes out as the
+    * literal `&amp;` and `&#38;lt;` as the literal `&lt;`. */
   private def htmlCleanCol(blocks: Column): Column = {
     val noTags = regexp_replace(blocks, lit("<[^>]*>"), lit(" "))
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    val decoded = call_function("html_entity_decode", noTags)
     trim(regexp_replace(decoded, lit("[ \\t\\n\\r]+"), lit(" ")))
   }
 
   /** (doc_id, text=stripped) — the composable form of [[htmlStrip]]. */
-  def htmlCleanText(docs: DataFrame): DataFrame =
+  def htmlCleanText(docs: DataFrame): DataFrame = {
+    graft.catalyst.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
       htmlCleanCol(htmlBlocksCol(col("text"))).as("text"))
+  }
 
   def htmlStrip(docs: DataFrame): DataFrame = {
+    graft.catalyst.GraftFunctions.register(docs.sparkSession)
     val blocks = htmlBlocksCol(col("text"))
     val clean = htmlCleanCol(blocks)
     docs.select(col("doc_id"),
@@ -2022,12 +2029,47 @@ object TextOps {
          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
          '(?s)<!--.*?-->', ' ', 'g')"""
 
+  /** SQL twin of [[graft.catalyst.HtmlEntityDecode]]: split on the
+    * same reference grammar, decode each match, reassemble — the
+    * single-pass semantics expressed as (n+1 parts, n matches) →
+    * parts[1] ‖ dec(m₁) ‖ parts[2] ‖ …. Named set by CASE; numeric by
+    * digit fold (hex via the strpos-alphabet trick — DuckDB has no
+    * hex-string cast); invalid code points (0, surrogates, >10FFFF)
+    * → U+FFFD before chr(), which would otherwise error. The
+    * one-element list_transform binds the computed code point to a
+    * lambda variable so the validity CASE doesn't recompute it. */
+  private def htmlEntityDecodeSql(e: String): String = {
+    val re = graft.catalyst.HtmlEntityDecode.EntityRe
+    val cp =
+      """CASE WHEN substr(m, 3, 1) IN ('x', 'X')
+           THEN list_reduce(list_transform(
+                  string_split(lower(substr(m, 4, length(m) - 4)), ''),
+                  c -> strpos('0123456789abcdef', c) - 1),
+                (a, b) -> a * 16 + b)
+           ELSE CAST(substr(m, 3, length(m) - 3) AS BIGINT) END"""
+    val numeric =
+      s"""list_transform([$cp], cp ->
+            CASE WHEN cp = 0 OR cp > 1114111
+                      OR cp BETWEEN 55296 AND 57343
+                 THEN chr(65533) ELSE chr(CAST(cp AS INTEGER)) END)[1]"""
+    val dec =
+      s"""CASE m WHEN '&lt;' THEN '<' WHEN '&gt;' THEN '>'
+            WHEN '&quot;' THEN '"' WHEN '&nbsp;' THEN ' '
+            WHEN '&amp;' THEN '&' ELSE $numeric END"""
+    // COALESCE: DuckDB 1.0's array_to_string([], '') is NULL, which
+    // would null out every no-reference row through the '||'.
+    s"""(list_transform([$e], s ->
+          regexp_split_to_array(s, '$re')[1] ||
+          COALESCE(array_to_string(list_transform(
+            regexp_extract_all(s, '$re'),
+            (m, i) -> ($dec) || regexp_split_to_array(s, '$re')[i + 1]),
+            ''), ''))[1])"""
+  }
+
   /** SQL twin of [[htmlCleanCol]] (over a blocks expression). */
   private def htmlCleanSqlExpr(blocks: String): String = {
     val noTags = s"regexp_replace($blocks, '<[^>]*>', ' ', 'g')"
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, v)) => s"replace($c, '$e', '$v')" }
+    val decoded = htmlEntityDecodeSql(noTags)
     s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
   }
 
@@ -2099,6 +2141,195 @@ object TextOps {
             AS link_permille
         FROM $table ORDER BY doc_id"""
   }
+
+  /** Documented static multi-label public-suffix subset for
+    * [[urlDomains]]' registrable-domain rule (round-12 verdict #3).
+    * The full Public Suffix List is a maintained external artifact; a
+    * crawl frontier needs the RULE (one label under the public
+    * suffix), and this subset covers the high-traffic two-label
+    * suffixes. The rule: host ends with a listed suffix → last THREE
+    * labels are the registrable domain; otherwise last two; bare
+    * suffixes/single labels/IPv4 literals are their own domain. */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "ac.jp", "com.au", "net.au", "org.au", "edu.au", "co.in", "co.nz",
+    "com.br", "com.cn", "com.mx", "com.tr", "co.za", "com.ar",
+    "com.sg", "co.kr")
+
+  private val SuffixAltRe =
+    MultiLabelSuffixes.map(_.replace(".", "\\.")).mkString("|")
+  /** last 3 labels when the tail 2 are a listed public suffix */
+  private val RegDom3Re = s"([^.]+\\.(?:$SuffixAltRe))$$"
+  /** plain last-2-labels fallback */
+  private val RegDom2Re = "([^.]+\\.[^.]+)$"
+  private val HostIpRe = "^[0-9.]+$"
+
+  /** URL canonicalization + registrable-domain roll-up — the crawl
+    * frontier / URL-dedup key (round-12 verdict #3). Canonical form
+    * (pinned, engine-identical): lowercase scheme and host, fragment
+    * stripped, the scheme's DEFAULT port stripped (http:80 / https:443
+    * — a non-default port is identity-bearing and stays), path case
+    * preserved. Registrable domain: IPv4 literal → itself; host ending
+    * in a [[MultiLabelSuffixes]] entry → last three labels; else last
+    * two (regex-derived — no array ops, so the whole canonicalize
+    * stage is codegen'd per-row work with zero shuffle). Roll-up per
+    * domain: total URL occurrences, distinct canonical URLs, distinct
+    * hosts, distinct docs, lexicographic first canonical. The three
+    * exact distincts ride Spark's expand plan (one expand ×4, keyed
+    * exchanges on slim (domain, dim) rows); at the 100 TB grain the
+    * rows entering the agg are already slim URL strings — linear in
+    * URL occurrences, never in corpus text. */
+  /** (canonical URL, bare host) column pair for one extracted URL —
+    * the shared canonicalization core of [[urlDomains]] and
+    * [[robotsFilter]]. */
+  private def urlCanonHost(urlCol: Column): (Column, Column) = {
+    val noFrag = regexp_replace(urlCol, lit("#.*$"), lit(""))
+    val scheme = lower(regexp_extract(noFrag, "^(https?)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^https?://([^/?#]+)", 1))
+    val rest = regexp_replace(noFrag, lit("^https?://[^/?#]+"), lit(""))
+    val hostNd = when(scheme === "http",
+        regexp_replace(hostPort, lit(":80$"), lit("")))
+      .otherwise(regexp_replace(hostPort, lit(":443$"), lit("")))
+    (concat(scheme, lit("://"), hostNd, rest),
+      regexp_replace(hostNd, lit(":[0-9]+$"), lit("")))
+  }
+
+  def urlDomains(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val urls = docs.select(col("doc_id"),
+      explode(regexp_extract_all(t, lit(UrlRe), lit(0))).as("url"))
+    val (canon, host) = urlCanonHost(col("url"))
+    val dom3 = regexp_extract(host, RegDom3Re, 1)
+    val dom2 = regexp_extract(host, RegDom2Re, 1)
+    val domain = when(host.rlike(HostIpRe), host)
+      .when(dom3 =!= "", dom3)
+      .when(dom2 =!= "", dom2)
+      .otherwise(host)
+    urls.select(col("doc_id"), canon.as("url_canon"), host.as("host"),
+        domain.as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url_canon")).as("n_unique_urls"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("url_canon")).as("first_url"))
+      .orderBy(col("domain"))
+  }
+
+  /** Oracle twin of [[urlDomains]] — same extraction regex, canonical
+    * steps, and registrable-domain regexes, staged through CTEs. */
+  /** Shared CTE chain u → c for the URL SQL twins: extraction +
+    * canonicalization ending in c(doc_id, url_canon, host). */
+  private def urlCanonCtes(table: String): String = {
+    val re = UrlRe.replace("'", "''")
+    s"""u AS (SELECT doc_id,
+            unnest(regexp_extract_all(COALESCE(text, ''), '$re')) AS url
+          FROM $table),
+        nf AS (SELECT doc_id,
+            regexp_replace(url, '#.*$$', '') AS url FROM u),
+        p AS (SELECT doc_id,
+            lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
+            lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS hp,
+            regexp_replace(url, '^https?://[^/?#]+', '') AS rest
+          FROM nf),
+        h AS (SELECT doc_id, scheme, rest,
+            CASE WHEN scheme = 'http'
+                 THEN regexp_replace(hp, ':80$$', '')
+                 ELSE regexp_replace(hp, ':443$$', '') END AS hostnd
+          FROM p),
+        c AS (SELECT doc_id,
+            scheme || '://' || hostnd || rest AS url_canon,
+            regexp_replace(hostnd, ':[0-9]+$$', '') AS host
+          FROM h)"""
+  }
+
+  def urlDomainsSql(table: String): String = {
+    s"""WITH ${urlCanonCtes(table)},
+        d AS (SELECT doc_id, url_canon, host,
+            CASE WHEN regexp_matches(host, '$HostIpRe') THEN host
+              WHEN regexp_extract(host, '$RegDom3Re', 1) <> ''
+                THEN regexp_extract(host, '$RegDom3Re', 1)
+              WHEN regexp_extract(host, '$RegDom2Re', 1) <> ''
+                THEN regexp_extract(host, '$RegDom2Re', 1)
+              ELSE host END AS domain
+          FROM c)
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+          CAST(count(DISTINCT url_canon) AS BIGINT) AS n_unique_urls,
+          CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          min(url_canon) AS first_url
+        FROM d GROUP BY domain ORDER BY domain"""
+  }
+
+  /** robots.txt crawl-permission filter — the decision every frontier
+    * applies before fetching (RFC 9309 §2.2.2 longest-match subset):
+    * URLs extracted and canonicalized ([[urlCanonHost]]), deduplicated
+    * per (doc, canonical URL), then matched against per-HOST rules
+    * (pattern, allow). The most specific (longest) matching pattern
+    * wins; an exact length tie goes to ALLOW (the RFC's
+    * least-restrictive tie rule); no matching rule → allowed (the
+    * implicit allow-all). Patterns are literal path prefixes matched
+    * against path+query — the `*`/`$` wildcard extension is out of
+    * scope and documented (a production frontier compiles wildcards
+    * to the same ranked-match join). Shape at 100 TB: rules are tiny
+    * per host (robots.txt is a small file), so the match is a
+    * host-equi join Spark broadcasts when the rule table fits, then
+    * one window over (doc, url) candidate groups whose size is
+    * bounded by rules-per-host — linear in extracted URLs, never in
+    * corpus text. */
+  def robotsFilter(docs: DataFrame, rules: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val urls = docs.select(col("doc_id"),
+      explode(regexp_extract_all(t, lit(UrlRe), lit(0))).as("url"))
+    val (canonC, hostC) = urlCanonHost(col("url"))
+    // empty path (scheme://host) matches rules as the root "/"
+    val u = urls.select(col("doc_id"), canonC.as("url_canon"),
+        hostC.as("host")).distinct()
+      .withColumn("path", {
+        val p = regexp_extract(col("url_canon"),
+          "^https?://[^/?#]+(/.*)$", 1)
+        when(p === "", lit("/")).otherwise(p)
+      })
+    val hits = u.join(rules, Seq("host"))
+      .filter(col("path").startsWith(col("pattern")))
+    val w = Window.partitionBy(col("doc_id"), col("url_canon"))
+      .orderBy(length(col("pattern")).desc, col("allow").desc,
+        col("pattern"))
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("url_canon"),
+        col("pattern").as("rule"), col("allow"))
+    u.join(best, Seq("doc_id", "url_canon"), "left")
+      .select(col("doc_id"), col("url_canon"), col("host"),
+        coalesce(col("rule"), lit("")).as("rule"),
+        coalesce(col("allow"), lit(true)).as("allowed"))
+      .orderBy(col("doc_id"), col("url_canon"))
+  }
+
+  /** Oracle twin of [[robotsFilter]]; `rulesValues` is a SQL VALUES
+    * body `('host','/prefix',bool), ...`. */
+  def robotsFilterSql(table: String, rulesValues: String): String =
+    s"""WITH ${urlCanonCtes(table)},
+        r(host, pattern, allow) AS (VALUES $rulesValues),
+        uq AS (SELECT DISTINCT doc_id, url_canon, host FROM c),
+        up AS (SELECT doc_id, url_canon, host,
+            CASE WHEN regexp_extract(url_canon,
+                '^https?://[^/?#]+(/.*)$$', 1) = '' THEN '/'
+              ELSE regexp_extract(url_canon,
+                '^https?://[^/?#]+(/.*)$$', 1) END AS path
+          FROM uq),
+        hits AS (SELECT doc_id, url_canon, pattern, allow,
+            row_number() OVER (PARTITION BY doc_id, url_canon
+              ORDER BY length(pattern) DESC, allow DESC, pattern)
+              AS rn
+          FROM up JOIN r USING (host)
+          WHERE starts_with(path, pattern))
+        SELECT up.doc_id, up.url_canon, up.host,
+          COALESCE(h.pattern, '') AS rule,
+          COALESCE(h.allow, true) AS allowed
+        FROM up LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
+          ON up.doc_id = h.doc_id AND up.url_canon = h.url_canon
+        ORDER BY up.doc_id, up.url_canon"""
 
   /** Oracle twin of [[scriptProfile]] — identical disjoint classes,
     * remainder, and tie order. */

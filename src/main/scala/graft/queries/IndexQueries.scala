@@ -38,7 +38,60 @@ object IndexQueries {
   val HtmlPre = "<html><head><style>p {c:1<2}</style>" +
     "<script type=\"a\">if (1 < 2) x();</script></head>" +
     "<body><!-- boiler <b> --><h1>T</h1><p class=\"t\">"
-  val HtmlPost = " it&#39;s &amp;amp; &lt;kept&gt;&nbsp;.</p></body></html>"
+  // The entity tail drives the whole reference grammar cross-engine:
+  // named set, decimal + hex numeric (&#8217; / &#x2019; / &#X42;
+  // incl. a supplementary plane &#x1F600;), the invalid-code-point →
+  // U+FFFD rule (0, surrogate, > 10FFFF in both spellings), malformed
+  // forms passing through literally (8 digits, empty, bad hex digit),
+  // and the single-pass no-double-decode cases (&amp;amp; → literal
+  // &amp;, &#38;lt; → literal &lt;, &amp;#60; → literal &#60;).
+  val HtmlPost = " it&#39;s &amp;amp; &lt;kept&gt;&nbsp;. " +
+    "n&#8217;r &#x2019; &#X42; &#x1F600; &#0; &#55296; &#1114112; " +
+    "&#x110000; &#99999999; &#; &#xG; &amp;#60; &#38;lt; end.</p></body></html>"
+
+  /** Planted-URL fixture shared by `text_url_domains` and
+    * `pipeline_robots_filter` (Spark column + SQL table forms built
+    * from the same shapes): 3 of 4 docs get a mixed-case co.uk host
+    * at the http default port with a fragment, the same .org host at
+    * the https default AND a non-default port, an IPv4 literal, and
+    * one URL twice in different raw spellings; the rest get nothing. */
+  private def urlFixtureCol =
+    concat(col("text"),
+      when(col("doc_id") % 4 === 3, lit(""))
+        .otherwise(concat(
+          lit(" http://WWW.Shop"), col("doc_id") % 3,
+          lit(".CO.UK:80/p/"), col("doc_id"), lit("#frag"),
+          lit(" https://News.Site"), col("doc_id") % 5,
+          lit(".org:443/a?q=1"),
+          lit(" http://news.site"), col("doc_id") % 5,
+          lit(".org:8080/b"),
+          lit(" https://10.0.0."), col("doc_id") % 7, lit("/raw"),
+          lit(" https://SHARED.Example.com:443/home"),
+          lit(" https://shared.example.com/home#x")))).as("text")
+
+  private val UrlFixtureTable =
+    "(SELECT doc_id, text || CASE WHEN doc_id % 4 = 3 THEN ''" +
+      " ELSE ' http://WWW.Shop' || (doc_id % 3) ||" +
+      " '.CO.UK:80/p/' || doc_id || '#frag' ||" +
+      " ' https://News.Site' || (doc_id % 5) || '.org:443/a?q=1' ||" +
+      " ' http://news.site' || (doc_id % 5) || '.org:8080/b' ||" +
+      " ' https://10.0.0.' || (doc_id % 7) || '/raw' ||" +
+      " ' https://SHARED.Example.com:443/home' ||" +
+      " ' https://shared.example.com/home#x' END AS text" +
+      " FROM documents)"
+
+  /** One rule constant drives BOTH engines of `pipeline_robots_filter`
+    * (host, literal path-prefix pattern, allow). */
+  val RobotsRules: Seq[(String, String, Boolean)] = Seq(
+    ("www.shop0.co.uk", "/p/", false),
+    ("www.shop0.co.uk", "/p/1", true), // longest match re-allows /p/1*
+    ("www.shop1.co.uk", "/", false), // block-all
+    ("news.site0.org", "/a", false), // matches path+query "/a?q=1"
+    ("news.site1.org", "/b", false), // hits only the :8080 canonical
+    ("news.site2.org", "/a", false), // exact-length tie with the next:
+    ("news.site2.org", "/a", true), //   ALLOW wins (least restrictive)
+    ("shared.example.com", "/home", false),
+    ("10.0.0.1", "/", false))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -350,13 +403,16 @@ object IndexQueries {
 
     // HTML -> text strip — the FIRST transform of every crawl intake:
     // script/style/comment blocks removed whole (their payload holds
-    // bare '<' that is not markup), remaining tags stripped, the fixed
-    // entity set decoded with &amp; last (the no-double-decode order:
-    // "&amp;amp;" must come out as the literal "&amp;"), whitespace
-    // collapsed. Gated over per-doc documents wrapped in a real HTML
-    // shell; the oracle replays the identical regex/replace chain, so
-    // any ordering or greediness bug in either engine breaks the
-    // cleaned-text fingerprint.
+    // bare '<' that is not markup), remaining tags stripped, character
+    // references decoded in ONE single pass (named set + decimal/hex
+    // numeric with the U+FFFD invalid rule — HtmlEntityDecode; the
+    // single pass IS the no-double-decode order: "&amp;amp;" comes out
+    // as the literal "&amp;"), whitespace collapsed. Gated over
+    // per-doc documents wrapped in a real HTML shell whose tail
+    // exercises the full reference grammar (see HtmlPost); the oracle
+    // replays the identical semantics via split/decode/reassemble, so
+    // any ordering, greediness, or code-point bug in either engine
+    // breaks the cleaned-text fingerprint.
     QueryDef("text_html_strip",
       (s, d) => graft.ops.TextOps.htmlStrip(
         Tables.documents(s, d).select(col("doc_id"),
@@ -387,6 +443,44 @@ object IndexQueries {
           " ELSE ' see https://ex' || (doc_id % 5) || '.org/a/'" +
           " || doc_id || ' and http://www.site' || (n_chars % 3)" +
           " || '.com/x' END AS text FROM documents)")),
-      presentOrder = Seq("doc_id"))
+      presentOrder = Seq("doc_id")),
+
+    // URL canonicalization + registrable-domain roll-up — the crawl
+    // frontier / URL-dedup key (round-12 verdict #3). The fixture
+    // plants, on 3 of every 4 docs: a mixed-case co.uk host with the
+    // http default port AND a fragment (all three canonical rules at
+    // once), the same .org host once at the https default port and
+    // once at a NON-default port (same host, different canonicals —
+    // :8080 must survive), an IPv4 literal (its own domain), and one
+    // URL twice in different raw spellings (case + :443 + fragment)
+    // that must collapse to ONE canonical. The remaining quarter
+    // plants nothing, so extraction zeros are exercised too.
+    QueryDef("text_url_domains",
+      (s, d) => graft.ops.TextOps.urlDomains(
+        Tables.documents(s, d).select(col("doc_id"), urlFixtureCol)),
+      Some(graft.ops.TextOps.urlDomainsSql(UrlFixtureTable)),
+      presentOrder = Seq("domain")),
+
+    // robots.txt longest-match filter (RFC 9309 §2.2.2 subset) over
+    // the same planted-URL corpus — the frontier's fetch/skip
+    // decision. The rule set (ONE constant driving both engines)
+    // exercises: longest-match allow override under a shorter
+    // disallow (/p/ blocked, /p/1 re-allowed — doc_ids starting with
+    // digit 1 split from the rest), a block-all root rule, a rule
+    // matching path+query, a rule hitting only the non-default-port
+    // canonical, an exact-length tie resolved to ALLOW, an IPv4 host
+    // rule, and unlisted hosts falling through to the implicit
+    // allow-all with an empty rule.
+    QueryDef("pipeline_robots_filter",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.TextOps.robotsFilter(
+          Tables.documents(s, d).select(col("doc_id"), urlFixtureCol),
+          RobotsRules.toDF("host", "pattern", "allow"))
+      },
+      Some(graft.ops.TextOps.robotsFilterSql(UrlFixtureTable,
+        RobotsRules.map { case (h, p, a) => s"('$h', '$p', $a)" }
+          .mkString(", "))),
+      presentOrder = Seq("doc_id", "url_canon"))
   )
 }

@@ -1471,6 +1471,16 @@ object StatefulOps {
       val comment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
       val tags = java.util.regex.Pattern.compile("<[^>]*>")
       val spaces = java.util.regex.Pattern.compile("[ \\t\\n\\r]+")
+      // Independent single-pass reimplementation of the batch gate's
+      // entity decode (HtmlEntityDecode): same grammar — named set +
+      // decimal (1-7 digits) + hex (1-6) numeric references, invalid
+      // code points (0 / surrogate / > 10FFFF) → U+FFFD — via a
+      // capture-group matcher loop instead of the expression's offset
+      // walk. Single pass = no double decode, same as the gate.
+      val ent = java.util.regex.Pattern.compile(
+        "&(?:(lt|gt|quot|nbsp|amp)|#([0-9]{1,7})|#[xX]([0-9a-fA-F]{1,6}));")
+      val named = Map("lt" -> "<", "gt" -> ">", "quot" -> "\"",
+        "nbsp" -> " ", "amp" -> "&")
       val moji = java.util.regex.Pattern.compile(
         "[\\x{00c2}\\x{00c3}][\\x{0080}-\\x{00bf}]")
       rows.map { d =>
@@ -1479,10 +1489,24 @@ object StatefulOps {
         t = style.matcher(t).replaceAll(" ")
         t = comment.matcher(t).replaceAll(" ")
         t = tags.matcher(t).replaceAll(" ")
-        for ((e, v) <- Seq("&lt;" -> "<", "&gt;" -> ">",
-            "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
-            "&amp;" -> "&"))
-          t = t.replace(e, v)
+        val em = ent.matcher(t)
+        val sb = new java.lang.StringBuilder(t.length)
+        while (em.find()) {
+          val rep =
+            if (em.group(1) != null) named(em.group(1))
+            else {
+              val cp =
+                if (em.group(2) != null) em.group(2).toInt
+                else Integer.parseInt(em.group(3), 16)
+              if (cp == 0 || cp > 0x10FFFF ||
+                  (cp >= 0xD800 && cp <= 0xDFFF)) "�"
+              else new String(Character.toChars(cp))
+            }
+          em.appendReplacement(sb,
+            java.util.regex.Matcher.quoteReplacement(rep))
+        }
+        em.appendTail(sb)
+        t = sb.toString
         val clean = spaces.matcher(t).replaceAll(" ").trim
         var nMoji = 0L
         val mm = moji.matcher(clean)

@@ -854,6 +854,65 @@ class DedupSimSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0L, fp(""))))
   }
 
+  test("html entity decode: numeric decimal/hex forms, invalid code " +
+    "points -> U+FFFD, malformed forms pass through, single pass " +
+    "never double-decodes") {
+    import graft.catalyst.HtmlEntityDecode.decode
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def d(s: String): String = decode(u(s)).toString
+    assert(d("a&#8217;b") === "a’b", "decimal")
+    assert(d("x&#x2019;y&#X42;") === "x’yB", "hex both cases")
+    assert(d("&#x1F600;") === new String(Character.toChars(0x1F600)),
+      "supplementary plane")
+    assert(d("&#0; &#55296; &#1114112; &#x110000;") ===
+      "� � � �", "invalid code points -> U+FFFD")
+    assert(d("&#99999999; &#; &#xG; &#38") ===
+      "&#99999999; &#; &#xG; &#38", "malformed forms pass through")
+    assert(d("&amp;amp; &amp;#60; &#38;lt; &#38;amp;") ===
+      "&amp; &#60; &lt; &amp;", "single pass never double-decodes")
+    assert(d("&lt;&gt;&quot;&nbsp;&#39;") === "<>\" '", "named set")
+    assert(d("plain & text") === "plain & text", "bare ampersand")
+  }
+
+  test("htmlStrip: numeric character references decode in the clean " +
+    "text fingerprint") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<p>it&#8217;s &#x2713; fine</p>"),
+      (2L, "<p>bad &#1114112; stays &#99999999;</p>")
+    ).toDF("doc_id", "text")
+    val out = TextOps.htmlStrip(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    def fp(s: String): Long = TextOps.hash64Scalar(s)
+    assert(out(1L) === fp("it’s ✓ fine"))
+    assert(out(2L) === fp("bad � stays &#99999999;"))
+  }
+
+  test("robotsFilter: longest match wins, exact tie goes to allow, no " +
+    "rule means implicit allow, same-doc duplicate spellings collapse " +
+    "to one canonical decision, path+query matched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x http://A.com:80/p/10#f http://a.com/p/2 http://a.com/q?k=1"),
+      (2L, "y https://b.org/any https://B.ORG:443/any")
+    ).toDF("doc_id", "text")
+    val rules = Seq(
+      ("a.com", "/p/", false), ("a.com", "/p/1", true),
+      ("a.com", "/q", false), ("a.com", "/q", true)
+    ).toDF("host", "pattern", "allow")
+    val out = TextOps.robotsFilter(docs, rules).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getString(3), r.getBoolean(4)))).toMap
+    assert(out((1L, "http://a.com/p/10")) === (("/p/1", true)),
+      "longest match re-allows")
+    assert(out((1L, "http://a.com/p/2")) === (("/p/", false)))
+    assert(out((1L, "http://a.com/q?k=1")) === (("/q", true)),
+      "exact tie -> allow")
+    // doc 2: two spellings, ONE canonical row, no rule -> allowed
+    assert(out.keys.count(_._1 == 2L) === 1)
+    assert(out((2L, "https://b.org/any")) === (("", true)))
+  }
+
   test("mojibakeProfile: double-encoded pairs count, correctly-encoded " +
     "accents and CJK never false-flag, null text is clean") {
     import spark.implicits._
