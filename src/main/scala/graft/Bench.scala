@@ -75,7 +75,11 @@ object Bench {
       "pipeline_contrastive_pairs", // knnEdgesCached: pipeline k
       "graph_diameter",             // bfsDistCached: start/antipode
       "graph_diameter_exact",       // bfsDistCached: + b and midpoint
-      "graph_diameter_tk")          // bfsDistCached: shared round-1 pivot
+      "graph_diameter_tk",          // bfsDistCached: shared round-1 pivot
+      "graph_diameter_capped")      // bfsDistCached: the docchain family
+                                    //   shared with graph_diameter_tk_capped
+                                    //   (named by in_pass in the first
+                                    //   round-13 artifact)
     val preMark = BuildLedger.mark()
     val preT0 = System.nanoTime()
     artifactProducers.foreach { n =>

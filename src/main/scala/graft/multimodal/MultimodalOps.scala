@@ -107,6 +107,29 @@ object MultimodalOps {
       })
   }
 
+  case class WarcRow(docId: Long, recIdx: Int, recType: String,
+                     targetUri: String, contentLength: Long,
+                     recOffset: Long, compressed: Boolean)
+
+  /** WARC record walk over blobs ([[graft.sources.WarcCodec]]): plain
+    * or gzip-member streams, one slim row per record, offsets in
+    * decompressed space (identical across both layouts — the
+    * invariant that lets one analytic oracle gate both). Structurally
+    * invalid blobs drop (ingest contract). Narrow flatMap. */
+  def warcRecords(media: DataFrame, idCol: String,
+                  bytesCol: String): Dataset[WarcRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        graft.sources.WarcCodec.parseWarc(bytes).toSeq.flatMap {
+          case (gz, recs) => recs.map(r =>
+            WarcRow(id, r.idx, r.recType, r.targetUri, r.contentLength,
+              r.offset, gz))
+        }
+      })
+  }
+
   case class MediaFeature(mediaId: Long, nBytes: Int, feature: Array[Long])
 
   /** REAL feature extraction — partition-batched `mapPartitions` with an

@@ -848,6 +848,71 @@ object MultimodalQueries {
              | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // WARC record walk (sources/WarcCodec) — the crawl corpus' NATIVE
+    // container, the true first mile before any HTML ever strips:
+    // version line, named headers, Content-Length payload hops, CRLF
+    // framing, with gzip-member streams (the shipping layout) inflated
+    // through the JDK multi-member reader and walked identically.
+    // Offsets are reported in DECOMPRESSED space, so one closed-form
+    // oracle gates plain and gzip variants alike (odd doc_ids gzip) —
+    // the offset column is a running sum of exact per-record header +
+    // payload + framing lengths, so a single hop or header-length
+    // error desynchronizes every later record of the doc.
+    QueryDef("mm_warc_records",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val n = ((nc % 4) + 2).toInt
+            val recs = (0 until n).map { i =>
+              val tpe =
+                if (i == 0) "warcinfo"
+                else if (i % 2 == 1) "response" else "request"
+              val uri =
+                if (i == 0) ""
+                else s"https://ex${id % 5}.org/p/$id/$i"
+              val len = ((id + i * 7) % 50 + 10).toInt
+              (tpe, uri, Array.tabulate(len)(k => ((id + k) % 251).toByte))
+            }
+            (id, graft.sources.WarcCodec.buildWarc(recs,
+              gzipPerRecord = id % 2 == 1))
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.warcRecords(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("recIdx").as("rec_idx"),
+            col("recType").as("rec_type"),
+            col("targetUri").as("target_uri"),
+            col("contentLength").as("content_length"),
+            col("recOffset").as("rec_offset"), col("compressed"))
+      },
+      Some("""WITH d AS (SELECT doc_id, (n_chars % 4) + 2 AS n
+             |  FROM documents),
+             | r AS (SELECT doc_id, unnest(range(n)) AS i FROM d),
+             | f AS (SELECT doc_id, CAST(i AS INT) AS rec_idx,
+             |  CASE WHEN i = 0 THEN 'warcinfo'
+             |    WHEN i % 2 = 1 THEN 'response' ELSE 'request' END
+             |    AS rec_type,
+             |  CASE WHEN i = 0 THEN '' ELSE 'https://ex' || (doc_id % 5)
+             |    || '.org/p/' || doc_id || '/' || i END AS target_uri,
+             |  ((doc_id + i * 7) % 50) + 10 AS content_length,
+             |  doc_id % 2 = 1 AS compressed FROM r),
+             | g AS (SELECT *,
+             |  10 + length('WARC-Type: ' || rec_type) + 2
+             |  + CASE WHEN target_uri = '' THEN 0
+             |      ELSE length('WARC-Target-URI: ' || target_uri) + 2 END
+             |  + 33
+             |  + length('Content-Length: ' || content_length) + 2
+             |  + 2 + content_length + 4 AS rec_len FROM f)
+             | SELECT doc_id, rec_idx, rec_type, target_uri,
+             |  CAST(content_length AS BIGINT) AS content_length,
+             |  CAST(COALESCE(sum(rec_len) OVER (PARTITION BY doc_id
+             |    ORDER BY rec_idx ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset,
+             |  compressed
+             | FROM g ORDER BY doc_id, rec_idx""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("doc_id", "rec_idx")),
+
     // MP3 frame walk (Mp3Codec) — lossy audio's exact-gateable surface
     // (the decode itself is float IMDCT, refused with a dated note in
     // COVERAGE.md): ID3v2 syncsafe skip, per-frame header validation,

@@ -1050,6 +1050,45 @@ class MultimodalSpec extends SparkSpec {
     assert(FlacCodec.decodeFlac(unk.dropRight(3)).isEmpty)
   }
 
+  test("WARC record walk: plain and gzip-member streams yield identical " +
+    "records with decompressed-space offsets; unknown headers skip; " +
+    "structural violations reject") {
+    import graft.sources.WarcCodec
+    val recs = Seq(
+      ("warcinfo", "", Array.tabulate(10)(_.toByte)),
+      ("response", "https://ex.org/a", Array.tabulate(25)(i => (i * 3).toByte)),
+      ("request", "https://ex.org/b", Array.emptyByteArray))
+    val plain = WarcCodec.buildWarc(recs)
+    val gzipd = WarcCodec.buildWarc(recs, gzipPerRecord = true)
+    val (gz0, rp) = WarcCodec.parseWarc(plain).get
+    val (gz1, rg) = WarcCodec.parseWarc(gzipd).get
+    assert(!gz0 && gz1)
+    assert(rp === rg, "gzip layout must be invisible to the walk")
+    assert(rp.map(_.recType) === Seq("warcinfo", "response", "request"))
+    assert(rp.map(_.contentLength) === Seq(10L, 25L, 0L))
+    // exact offset arithmetic: version(10) + type + date(33) + CL + blank
+    val r0len = 10 + ("WARC-Type: warcinfo".length + 2) + 33 +
+      ("Content-Length: 10".length + 2) + 2 + 10 + 4
+    assert(rp(1).offset === r0len.toLong)
+    // an unknown header is legal and skipped
+    val extra = new String(plain, "ISO-8859-1").replaceFirst(
+      "WARC-Date", "X-Custom: v\r\nWARC-Date").getBytes("ISO-8859-1")
+    assert(WarcCodec.parseWarc(extra).get._2.map(_.recType) ===
+      rp.map(_.recType))
+    // rejects: bad version, truncated payload, broken trailer, missing
+    // Content-Length, trailing garbage
+    val badV = plain.clone(); badV(5) = '2'
+    assert(WarcCodec.parseWarc(badV).isEmpty)
+    assert(WarcCodec.parseWarc(plain.dropRight(3)).isEmpty)
+    val badT = plain.clone(); badT(badT.length - 1) = 'x'
+    assert(WarcCodec.parseWarc(badT).isEmpty)
+    val noCl = new String(plain, "ISO-8859-1").replaceFirst(
+      "Content-Length", "Content-Size").getBytes("ISO-8859-1")
+    assert(WarcCodec.parseWarc(noCl).isEmpty)
+    assert(WarcCodec.parseWarc(plain ++ Array[Byte](1, 2)).isEmpty)
+    assert(WarcCodec.parseWarc(Array.emptyByteArray).isEmpty)
+  }
+
   test("MP3 frame walk: all three MPEG versions round-trip exact field " +
     "recovery incl. VBR average, ID3v2 syncsafe skip, Xing at the " +
     "version/mode side-info offset, ID3v1 trailer") {

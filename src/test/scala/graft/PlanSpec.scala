@@ -677,4 +677,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate") && !p.contains("ScalaUDF"),
       s"intake pipeline shape:\n$p")
   }
+
+  test("URL frontier ops: domains rolls up through the expand-distinct " +
+    "plan with a codegen'd canonicalize; robots broadcasts the tiny " +
+    "rule table — no cartesian, no UDF in either") {
+    val pd = planOf("text_url_domains")
+    // one explode to URL grain, the documented multi-distinct expand,
+    // canonicalize inside whole-stage codegen
+    assert(pd.contains("Generate") && pd.contains("Expand"),
+      s"url_domains shape:\n$pd")
+    assert(!pd.contains("CartesianProduct") && !pd.contains("ScalaUDF"),
+      s"url_domains shape:\n$pd")
+    // (no *(n) assert: exchange-bearing plans print AQE-wrapped here,
+    // before whole-stage spans are stamped — codegen of the
+    // canonicalize Project is covered by the shuffle-free strip loop
+    // above, which shares the same expression family)
+    val pr = planOf("pipeline_robots_filter")
+    assert(pr.contains("BroadcastExchange"),
+      s"robots rule table must broadcast:\n$pr")
+    assert(!pr.contains("CartesianProduct") && !pr.contains("ScalaUDF"),
+      s"robots shape:\n$pr")
+  }
 }
