@@ -130,6 +130,108 @@ object MultimodalOps {
       })
   }
 
+  case class WetRow(docId: Long, recIdx: Int, targetUri: String,
+                    text: String)
+
+  /** WET derivation, step 1 of 2 (the Common-Crawl pattern: WARC in,
+    * extracted text out): walk each blob, keep the `response` records,
+    * surface their payloads as text rows for the HTML strip to
+    * consume. US-ASCII decode — the gate's synthesis is ASCII by
+    * construction; a production reader would charset-sniff here
+    * (Content-Type header + BOM), which changes decoding, not the
+    * walk or the strip this gates. Stateless narrow flatMap: the same
+    * function body serves a readStream of WARC segments unchanged. */
+  def warcHtmlText(media: DataFrame, idCol: String,
+                   bytesCol: String): Dataset[WetRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        graft.sources.WarcCodec.parseWarc(bytes).toSeq.flatMap {
+          case (_, recs) => recs.filter(_.recType == "response").map(r =>
+            WetRow(id, r.idx, r.targetUri,
+              new String(r.payload, "US-ASCII")))
+        }
+      })
+  }
+
+  case class CharsetRow(docId: Long, charset: String, nBytes: Long,
+                        nSeq: Long)
+
+  /** Charset sniff — the decode decision the WET step defers to
+    * ([[warcHtmlText]]'s documented gap): BOMs first (EF BB BF /
+    * FF FE / FE FF), then pure-ASCII, then a REAL RFC 3629 UTF-8
+    * validity scan — prefix-length dispatch with the exact
+    * continuation ranges that reject overlong encodings (C0/C1, E0
+    * 80–9F, F0 80–8F), surrogates (ED A0–BF), code points past
+    * U+10FFFF (F4 90+, F5+), and truncated tails. Valid non-ASCII →
+    * `utf8` with the multibyte-sequence count; anything else →
+    * `unknown-8bit` (the latin-1-or-binary fallback a crawl pipeline
+    * quarantines). One narrow pass per blob, O(bytes). */
+  def charsetSniff(media: DataFrame, idCol: String,
+                   bytesCol: String): Dataset[CharsetRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        def at(i: Int): Int = b(i) & 0xff
+        val cs =
+          if (b.length >= 3 && at(0) == 0xEF && at(1) == 0xBB &&
+              at(2) == 0xBF) "utf8-bom"
+          else if (b.length >= 2 && at(0) == 0xFF && at(1) == 0xFE)
+            "utf16le-bom"
+          else if (b.length >= 2 && at(0) == 0xFE && at(1) == 0xFF)
+            "utf16be-bom"
+          else null
+        var nSeq = 0L
+        val charset =
+          if (cs == "utf16le-bom" || cs == "utf16be-bom") cs
+          else {
+            val from = if (cs == "utf8-bom") 3 else 0
+            var i = from
+            var ascii = true
+            var valid = true
+            while (valid && i < b.length) {
+              val c = at(i)
+              if (c < 0x80) i += 1
+              else {
+                ascii = false
+                val (need, lo, hi) =
+                  if (c >= 0xC2 && c <= 0xDF) (1, 0x80, 0xBF)
+                  else if (c == 0xE0) (2, 0xA0, 0xBF)
+                  else if (c >= 0xE1 && c <= 0xEC) (2, 0x80, 0xBF)
+                  else if (c == 0xED) (2, 0x80, 0x9F) // no surrogates
+                  else if (c >= 0xEE && c <= 0xEF) (2, 0x80, 0xBF)
+                  else if (c == 0xF0) (3, 0x90, 0xBF)
+                  else if (c >= 0xF1 && c <= 0xF3) (3, 0x80, 0xBF)
+                  else if (c == 0xF4) (3, 0x80, 0x8F) // <= U+10FFFF
+                  else (-1, 0, 0) // 80-C1 (stray cont/overlong), F5-FF
+                if (need < 0 || i + need >= b.length) valid = false
+                else {
+                  // first continuation carries the special range; the
+                  // rest are plain 80-BF
+                  var j = 1
+                  var okSeq = at(i + 1) >= lo && at(i + 1) <= hi
+                  j = 2
+                  while (okSeq && j <= need) {
+                    okSeq = at(i + j) >= 0x80 && at(i + j) <= 0xBF
+                    j += 1
+                  }
+                  if (!okSeq) valid = false
+                  else { nSeq += 1; i += need + 1 }
+                }
+              }
+            }
+            if (!valid) { nSeq = 0L; "unknown-8bit" }
+            else if (cs == "utf8-bom") "utf8-bom"
+            else if (ascii) "ascii"
+            else "utf8"
+          }
+        CharsetRow(id, charset, b.length.toLong, nSeq)
+      })
+  }
+
   case class MediaFeature(mediaId: Long, nBytes: Int, feature: Array[Long])
 
   /** REAL feature extraction — partition-batched `mapPartitions` with an

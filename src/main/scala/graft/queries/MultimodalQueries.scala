@@ -913,6 +913,109 @@ object MultimodalQueries {
         .replace("\n", "")),
       presentOrder = Seq("doc_id", "rec_idx")),
 
+    // Charset sniff — the decode decision ahead of the WET text
+    // extraction: BOM dispatch, pure-ASCII, and a REAL RFC 3629 UTF-8
+    // validity scan (overlongs, surrogates, >U+10FFFF, truncation all
+    // reject to the quarantine class). Five fixture classes by id%5 —
+    // ASCII, valid UTF-8 (k two-byte sequences, k formula-varying),
+    // UTF-8 with BOM, UTF-16LE BOM, and a broken continuation byte;
+    // the oracle recomputes class, byte count, and sequence count
+    // from the generation formula while the Spark side runs the
+    // validity machine over the actual bytes.
+    QueryDef("mm_charset_sniff",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val k = (nc % 9 + 1).toInt
+            val utf8 = ("xxx" + "é" * k).getBytes("UTF-8")
+            val bytes = (id % 5) match {
+              case 0 => s"Doc $id plain text".getBytes("US-ASCII")
+              case 1 => utf8
+              case 2 => Array[Byte](0xEF.toByte, 0xBB.toByte,
+                0xBF.toByte) ++ utf8
+              case 3 => Array[Byte](0xFF.toByte, 0xFE.toByte,
+                'h', 0, 'i', 0)
+              case _ => "bad".getBytes("US-ASCII") ++
+                Array[Byte](0xC3.toByte, 'x'.toByte)
+            }
+            (id, bytes)
+          }.toDF("doc_id", "bytes")
+        MultimodalOps.charsetSniff(blobs, "doc_id", "bytes").toDF()
+          .select(col("docId").as("doc_id"), col("charset"),
+            col("nBytes").as("n_bytes"), col("nSeq").as("n_seq"))
+      },
+      Some("""SELECT doc_id,
+             | CASE doc_id % 5 WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf8'
+             |   WHEN 2 THEN 'utf8-bom' WHEN 3 THEN 'utf16le-bom'
+             |   ELSE 'unknown-8bit' END AS charset,
+             | CAST(CASE doc_id % 5
+             |   WHEN 0 THEN length('Doc ' || doc_id || ' plain text')
+             |   WHEN 1 THEN 3 + 2 * ((n_chars % 9) + 1)
+             |   WHEN 2 THEN 6 + 2 * ((n_chars % 9) + 1)
+             |   WHEN 3 THEN 6 ELSE 5 END AS BIGINT) AS n_bytes,
+             | CAST(CASE WHEN doc_id % 5 IN (1, 2)
+             |   THEN (n_chars % 9) + 1 ELSE 0 END AS BIGINT) AS n_seq
+             | FROM documents ORDER BY doc_id""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // WARC → WET composition — the Common-Crawl derivation run end to
+    // end as one gate: container walk (gzip or plain) → response
+    // payload extraction → the full HTML strip with single-pass
+    // entity decode, all over REAL bytes the Spark side parses while
+    // the oracle rebuilds the payload string from the generation
+    // formula and strips it in SQL. Each doc's WARC carries a
+    // warcinfo record (binary fill), ONE response record whose
+    // payload IS an HTML page (tags + comment + numeric/named entity
+    // references), and a request record (fill); odd doc_ids gzip.
+    // Any error anywhere in the chain — a hop that misaligns the
+    // payload slice, a charset slip, an entity decoded twice —
+    // lands in the cleaned-text fingerprint.
+    QueryDef("pipeline_warc_to_wet",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val html = ("<html><head><style>a{x:1<2}</style></head>" +
+              s"<body><!-- skip --><p>Rec $id n${nc % 7} it&#8217;s " +
+              "&amp;amp; fine</p></body></html>").getBytes("US-ASCII")
+            val recs = Seq(
+              ("warcinfo", "",
+                Array.tabulate(12)(k => ((id + k) % 251).toByte)),
+              ("response", s"https://ex${id % 5}.org/p/$id", html),
+              ("request", s"https://ex${id % 5}.org/p/$id",
+                Array.tabulate(9)(k => ((id * 3 + k) % 251).toByte)))
+            (id, graft.sources.WarcCodec.buildWarc(recs,
+              gzipPerRecord = id % 2 == 1))
+          }.toDF("doc_id", "bytes")
+        val wet = MultimodalOps.warcHtmlText(blobs, "doc_id", "bytes")
+          .toDF()
+        val stripped = graft.ops.TextOps.htmlStrip(
+          wet.select(col("docId").as("doc_id"), col("text")))
+        wet.select(col("docId").as("doc_id"),
+            col("targetUri").as("target_uri"))
+          .join(stripped, Seq("doc_id"))
+          .select(col("doc_id"), col("target_uri"), col("n_raw"),
+            col("n_tags"), col("n_clean"), col("clean_fp"))
+      },
+      Some {
+        val html = "'<html><head><style>a{x:1<2}</style></head>" +
+          "<body><!-- skip --><p>Rec ' || doc_id || ' n' || " +
+          "(n_chars % 7) || ' it&#8217;s &amp;amp; fine</p>" +
+          "</body></html>'"
+        s"""WITH w AS (SELECT doc_id, $html AS text FROM documents),
+            m AS (${graft.ops.TextOps.htmlStripSql("w")})
+            SELECT doc_id,
+              'https://ex' || (doc_id % 5) || '.org/p/' || doc_id
+                AS target_uri,
+              n_raw, n_tags, n_clean, clean_fp
+            FROM m ORDER BY doc_id""".replace("\n", " ")
+      },
+      presentOrder = Seq("doc_id")),
+
     // MP3 frame walk (Mp3Codec) — lossy audio's exact-gateable surface
     // (the decode itself is float IMDCT, refused with a dated note in
     // COVERAGE.md): ID3v2 syncsafe skip, per-frame header validation,

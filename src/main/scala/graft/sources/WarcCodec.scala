@@ -29,7 +29,8 @@ package graft.sources
 object WarcCodec {
 
   final case class WarcRec(idx: Int, recType: String, targetUri: String,
-                           contentLength: Long, offset: Long)
+                           contentLength: Long, offset: Long,
+                           payload: Array[Byte])
 
   private val Crlf = "\r\n"
 
@@ -130,7 +131,8 @@ object WarcCodec {
       if (!(b(endPay.toInt) == '\r' && b(endPay.toInt + 1) == '\n' &&
           b(endPay.toInt + 2) == '\r' && b(endPay.toInt + 3) == '\n'))
         return None
-      out += WarcRec(idx, tpe, uri, clen, off)
+      out += WarcRec(idx, tpe, uri, clen, off,
+        java.util.Arrays.copyOfRange(b, q, endPay.toInt))
       idx += 1
       p = endPay.toInt + 4
     }

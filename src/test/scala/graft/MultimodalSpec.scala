@@ -1063,7 +1063,14 @@ class MultimodalSpec extends SparkSpec {
     val (gz0, rp) = WarcCodec.parseWarc(plain).get
     val (gz1, rg) = WarcCodec.parseWarc(gzipd).get
     assert(!gz0 && gz1)
-    assert(rp === rg, "gzip layout must be invisible to the walk")
+    // Array payload defeats case-class ==: compare fields + bytes
+    assert(rp.map(r => (r.idx, r.recType, r.targetUri, r.contentLength,
+        r.offset, r.payload.toSeq)) ===
+      rg.map(r => (r.idx, r.recType, r.targetUri, r.contentLength,
+        r.offset, r.payload.toSeq)),
+      "gzip layout must be invisible to the walk")
+    assert(rp(1).payload.toSeq === recs(1)._3.toSeq,
+      "payload bytes extracted exactly")
     assert(rp.map(_.recType) === Seq("warcinfo", "response", "request"))
     assert(rp.map(_.contentLength) === Seq(10L, 25L, 0L))
     // exact offset arithmetic: version(10) + type + date(33) + CL + blank
@@ -1087,6 +1094,37 @@ class MultimodalSpec extends SparkSpec {
     assert(WarcCodec.parseWarc(noCl).isEmpty)
     assert(WarcCodec.parseWarc(plain ++ Array[Byte](1, 2)).isEmpty)
     assert(WarcCodec.parseWarc(Array.emptyByteArray).isEmpty)
+  }
+
+  test("charset sniff: RFC 3629 edges — overlongs, surrogates, " +
+    "past-10FFFF, truncation all quarantine; BOMs dispatch; valid " +
+    "multibyte counts sequences") {
+    import spark.implicits._
+    def row(id: Long, b: Array[Byte]) = (id, b)
+    val cases = Seq(
+      row(1L, "plain".getBytes("US-ASCII")),
+      row(2L, "naïve café".getBytes("UTF-8")), // 2 two-byte seqs
+      row(3L, new String(Character.toChars(0x10348)).getBytes("UTF-8")),
+      row(4L, Array[Byte](0xC0.toByte, 0xAF.toByte)), // overlong '/'
+      row(5L, Array[Byte](0xE0.toByte, 0x80.toByte, 0x80.toByte)), // overlong
+      row(6L, Array[Byte](0xED.toByte, 0xA0.toByte, 0x80.toByte)), // surrogate
+      row(7L, Array[Byte](0xF4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte)), // > 10FFFF
+      row(8L, Array[Byte](0xC3.toByte)), // truncated tail
+      row(9L, Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        "ok".getBytes("US-ASCII")),
+      row(10L, Array[Byte](0xFE.toByte, 0xFF.toByte, 0, 'h')),
+      row(11L, Array[Byte](0x80.toByte)) // stray continuation
+    )
+    val out = graft.multimodal.MultimodalOps.charsetSniff(
+      cases.toDF("doc_id", "bytes"), "doc_id", "bytes")
+      .collect().map(r => r.docId -> ((r.charset, r.nSeq))).toMap
+    assert(out(1L) === (("ascii", 0L)))
+    assert(out(2L) === (("utf8", 2L)))
+    assert(out(3L) === (("utf8", 1L)), "4-byte supplementary is one seq")
+    for (id <- Seq(4L, 5L, 6L, 7L, 8L, 11L))
+      assert(out(id) === (("unknown-8bit", 0L)), s"case $id")
+    assert(out(9L) === (("utf8-bom", 0L)))
+    assert(out(10L) === (("utf16be-bom", 0L)))
   }
 
   test("MP3 frame walk: all three MPEG versions round-trip exact field " +

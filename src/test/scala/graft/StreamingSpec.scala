@@ -1481,4 +1481,38 @@ class StreamingSpec extends SparkSpec {
       assert(latest(g).sketchN === sk.length)
     }
   }
+
+  test("WARC -> WET extraction is stream-stateless: the SAME " +
+    "warcHtmlText body over a readStream of segments equals the batch " +
+    "rows across micro-batch splits, gzip and plain members mixed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.MultimodalOps
+    import graft.sources.WarcCodec
+    def blob(id: Long): (Long, Array[Byte]) = {
+      val html = s"<p>page $id &#8217;</p>".getBytes("US-ASCII")
+      (id, WarcCodec.buildWarc(Seq(
+        ("warcinfo", "", Array.tabulate(7)(_.toByte)),
+        ("response", s"https://s.org/$id", html)),
+        gzipPerRecord = id % 2 == 1))
+    }
+    val blobs = (1L to 20L).map(blob)
+    val batch = MultimodalOps.warcHtmlText(
+        blobs.toDF("doc_id", "bytes"), "doc_id", "bytes")
+      .collect().map(r => r.docId -> ((r.targetUri, r.text))).toMap
+    val got = scala.collection.mutable.Map[Long, (String, String)]()
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = MultimodalOps.warcHtmlText(
+        in.toDS().toDF("doc_id", "bytes"), "doc_id", "bytes")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[MultimodalOps.WetRow],
+         _: Long) =>
+          ds.collect().foreach(r => got(r.docId) = (r.targetUri, r.text))
+      }.start()
+    in.addData(blobs.take(9): _*); q.processAllAvailable()
+    in.addData(blobs.drop(9): _*); q.processAllAvailable(); q.stop()
+    assert(got.toMap === batch)
+    assert(batch(3L)._2.contains("page 3"), "payload really extracted")
+  }
 }
