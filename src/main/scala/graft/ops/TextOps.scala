@@ -2194,17 +2194,33 @@ object TextOps {
       regexp_replace(hostNd, lit(":[0-9]+$"), lit("")))
   }
 
+  /** Registrable domain of a bare host — the [[urlDomains]] rule as a
+    * reusable Column (IPv4 → itself; listed 2-label suffix → last 3
+    * labels; else last 2; bare/single stays). */
+  def registrableDomain(host: Column): Column = {
+    val dom3 = regexp_extract(host, RegDom3Re, 1)
+    val dom2 = regexp_extract(host, RegDom2Re, 1)
+    when(host.rlike(HostIpRe), host)
+      .when(dom3 =!= "", dom3)
+      .when(dom2 =!= "", dom2)
+      .otherwise(host)
+  }
+
+  /** SQL twin of [[registrableDomain]] over a host expression. */
+  def registrableDomainSql(host: String): String =
+    s"""CASE WHEN regexp_matches($host, '$HostIpRe') THEN $host
+          WHEN regexp_extract($host, '$RegDom3Re', 1) <> ''
+            THEN regexp_extract($host, '$RegDom3Re', 1)
+          WHEN regexp_extract($host, '$RegDom2Re', 1) <> ''
+            THEN regexp_extract($host, '$RegDom2Re', 1)
+          ELSE $host END"""
+
   def urlDomains(docs: DataFrame): DataFrame = {
     val t = coalesce(col("text"), lit(""))
     val urls = docs.select(col("doc_id"),
       explode(regexp_extract_all(t, lit(UrlRe), lit(0))).as("url"))
     val (canon, host) = urlCanonHost(col("url"))
-    val dom3 = regexp_extract(host, RegDom3Re, 1)
-    val dom2 = regexp_extract(host, RegDom2Re, 1)
-    val domain = when(host.rlike(HostIpRe), host)
-      .when(dom3 =!= "", dom3)
-      .when(dom2 =!= "", dom2)
-      .otherwise(host)
+    val domain = registrableDomain(host)
     urls.select(col("doc_id"), canon.as("url_canon"), host.as("host"),
         domain.as("domain"))
       .groupBy(col("domain"))
@@ -2246,12 +2262,7 @@ object TextOps {
   def urlDomainsSql(table: String): String = {
     s"""WITH ${urlCanonCtes(table)},
         d AS (SELECT doc_id, url_canon, host,
-            CASE WHEN regexp_matches(host, '$HostIpRe') THEN host
-              WHEN regexp_extract(host, '$RegDom3Re', 1) <> ''
-                THEN regexp_extract(host, '$RegDom3Re', 1)
-              WHEN regexp_extract(host, '$RegDom2Re', 1) <> ''
-                THEN regexp_extract(host, '$RegDom2Re', 1)
-              ELSE host END AS domain
+            ${registrableDomainSql("host")} AS domain
           FROM c)
         SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
           CAST(count(DISTINCT url_canon) AS BIGINT) AS n_unique_urls,
@@ -2305,6 +2316,33 @@ object TextOps {
         coalesce(col("allow"), lit(true)).as("allowed"))
       .orderBy(col("doc_id"), col("url_canon"))
   }
+
+  /** Crawl-frontier roll-up — the composition a fetch scheduler
+    * actually consumes: [[robotsFilter]] decisions grouped per
+    * registrable domain into (fetchable, blocked, distinct hosts,
+    * first allowed URL). The frontier at 100 TB is exactly this
+    * table, partitioned by domain for politeness scheduling; the agg
+    * adds one slim-row shuffle over the robots output. */
+  def crawlFrontier(docs: DataFrame, rules: DataFrame): DataFrame =
+    robotsFilter(docs, rules)
+      .groupBy(registrableDomain(col("host")).as("domain"))
+      .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_fetchable"),
+        sum(when(col("allowed"), 0L).otherwise(1L)).as("n_blocked"),
+        countDistinct(col("host")).as("n_hosts"),
+        min(when(col("allowed"), col("url_canon"))).as("first_fetch"))
+      .orderBy(col("domain"))
+
+  /** Oracle twin of [[crawlFrontier]] over the robots twin. */
+  def crawlFrontierSql(table: String, rulesValues: String): String =
+    s"""WITH r AS (${robotsFilterSql(table, rulesValues)})
+        SELECT ${registrableDomainSql("host")} AS domain,
+          CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fetchable,
+          CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_blocked,
+          CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+          min(CASE WHEN allowed THEN url_canon END) AS first_fetch
+        FROM r GROUP BY 1 ORDER BY domain"""
 
   /** Oracle twin of [[robotsFilter]]; `rulesValues` is a SQL VALUES
     * body `('host','/prefix',bool), ...`. */

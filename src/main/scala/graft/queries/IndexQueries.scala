@@ -481,6 +481,23 @@ object IndexQueries {
       Some(graft.ops.TextOps.robotsFilterSql(UrlFixtureTable,
         RobotsRules.map { case (h, p, a) => s"('$h', '$p', $a)" }
           .mkString(", "))),
-      presentOrder = Seq("doc_id", "url_canon"))
+      presentOrder = Seq("doc_id", "url_canon")),
+
+    // Frontier roll-up — the composition a fetch scheduler consumes:
+    // robots decisions grouped per registrable domain into
+    // fetchable/blocked counts, distinct hosts, and the first allowed
+    // URL (NULL for fully-blocked domains — shop1.co.uk's block-all
+    // rule makes that branch non-vacuous on this fixture).
+    QueryDef("pipeline_crawl_frontier",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.TextOps.crawlFrontier(
+          Tables.documents(s, d).select(col("doc_id"), urlFixtureCol),
+          RobotsRules.toDF("host", "pattern", "allow"))
+      },
+      Some(graft.ops.TextOps.crawlFrontierSql(UrlFixtureTable,
+        RobotsRules.map { case (h, p, a) => s"('$h', '$p', $a)" }
+          .mkString(", "))),
+      presentOrder = Seq("domain"))
   )
 }
