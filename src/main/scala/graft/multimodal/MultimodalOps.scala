@@ -232,6 +232,55 @@ object MultimodalOps {
       })
   }
 
+  case class HttpRow(docId: Long, recIdx: Int, targetUri: String,
+                     status: Int, contentType: String, body: String)
+
+  /** HTTP envelope parse inside WARC response payloads — how crawl
+    * WARCs actually store pages (`WARC-Type: response` wraps the full
+    * HTTP message, status line + headers + body), so the real chain
+    * is WARC walk → THIS → charset/strip. Strict per record: the
+    * status line must read `HTTP/1.<x> <3-digit code> [reason]`, the
+    * header block must terminate with the CRLF CRLF blank line;
+    * Content-Type is surfaced (first occurrence, case-insensitive
+    * name per RFC 9110, '' when absent); anything malformed drops
+    * the RECORD (ingest contract — one bad capture never kills the
+    * segment). US-ASCII envelope decode per the RFC; body decode
+    * stays the [[charsetSniff]] decision (the gate's synthesis is
+    * ASCII). Stateless narrow flatMap. */
+  def warcHttpResponses(media: DataFrame, idCol: String,
+                        bytesCol: String): Dataset[HttpRow] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        graft.sources.WarcCodec.parseWarc(bytes).toSeq.flatMap {
+          case (_, recs) =>
+            recs.filter(_.recType == "response").flatMap { r =>
+              val p = new String(r.payload, "US-ASCII")
+              val hdrEnd = p.indexOf("\r\n\r\n")
+              val eol = p.indexOf("\r\n")
+              if (hdrEnd < 0 || eol < 0) None
+              else {
+                val status = p.substring(0, eol)
+                val m = java.util.regex.Pattern
+                  .compile("^HTTP/1\\.[01] ([0-9]{3})(?: .*)?$")
+                  .matcher(status)
+                if (!m.matches()) None
+                else {
+                  val ct = p.substring(eol + 2, hdrEnd).split("\r\n")
+                    .collectFirst {
+                      case h if h.toLowerCase.startsWith("content-type:") =>
+                        h.substring("content-type:".length).trim
+                    }.getOrElse("")
+                  Some(HttpRow(id, r.idx, r.targetUri,
+                    m.group(1).toInt, ct, p.substring(hdrEnd + 4)))
+                }
+              }
+            }
+        }
+      })
+  }
+
   case class MediaFeature(mediaId: Long, nBytes: Int, feature: Array[Long])
 
   /** REAL feature extraction — partition-batched `mapPartitions` with an

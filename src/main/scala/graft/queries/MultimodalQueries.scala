@@ -1016,6 +1016,66 @@ object MultimodalQueries {
       },
       presentOrder = Seq("doc_id")),
 
+    // WARC + HTTP envelope — how crawl WARCs really store pages: the
+    // response record wraps the full HTTP message, so the true chain
+    // is container walk → status/header parse → (keep 200s) → strip.
+    // Gated end to end: per-doc WARCs (gzip on odd ids) whose response
+    // payload is an HTTP/1.1 message with a formula status (404 on
+    // id%4==1), a Content-Type that alternates, and an HTML body; the
+    // strip metrics are surfaced ONLY for 200s (NULL otherwise — the
+    // keep-branch a crawl applies), and the oracle recomputes status,
+    // content type, body length, and the stripped fingerprint from
+    // the generation formula.
+    QueryDef("pipeline_warc_http",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .map { case (id, nc) =>
+            val html = "<html><body><p>Page " + id +
+              " v" + (nc % 5) + " it&#8217;s fine</p></body></html>"
+            val code = if (id % 4 == 1) 404 else 200
+            val ct = if (id % 3 == 0) "text/html"
+              else "text/html; charset=UTF-8"
+            val msg = (s"HTTP/1.1 $code OK\r\nServer: g\r\n" +
+              s"Content-Type: $ct\r\n\r\n" + html).getBytes("US-ASCII")
+            (id, graft.sources.WarcCodec.buildWarc(Seq(
+              ("warcinfo", "", Array.tabulate(8)(k => ((id + k) % 251).toByte)),
+              ("response", s"https://ex${id % 5}.org/p/$id", msg)),
+              gzipPerRecord = id % 2 == 1))
+          }.toDF("doc_id", "bytes")
+        val http = MultimodalOps.warcHttpResponses(blobs, "doc_id",
+          "bytes").toDF()
+        val stripped = graft.ops.TextOps.htmlStrip(
+          http.select(col("docId").as("doc_id"), col("body").as("text")))
+        http.select(col("docId").as("doc_id"), col("status"),
+            col("contentType").as("content_type"),
+            length(col("body")).cast("long").as("body_len"))
+          .join(stripped, Seq("doc_id"))
+          .select(col("doc_id"), col("status"), col("content_type"),
+            col("body_len"),
+            when(col("status") === 200, col("n_clean")).as("n_clean"),
+            when(col("status") === 200, col("clean_fp")).as("clean_fp"))
+      },
+      Some {
+        val html = "'<html><body><p>Page ' || doc_id || ' v' || " +
+          "(n_chars % 5) || ' it&#8217;s fine</p></body></html>'"
+        s"""WITH w AS (SELECT doc_id, $html AS text FROM documents),
+            m AS (${graft.ops.TextOps.htmlStripSql("w")})
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 4 = 1 THEN 404 ELSE 200 END
+                AS INT) AS status,
+              CASE WHEN doc_id % 3 = 0 THEN 'text/html'
+                ELSE 'text/html; charset=UTF-8' END AS content_type,
+              CAST(n_raw AS BIGINT) AS body_len,
+              CASE WHEN doc_id % 4 = 1 THEN NULL ELSE n_clean END
+                AS n_clean,
+              CASE WHEN doc_id % 4 = 1 THEN NULL ELSE clean_fp END
+                AS clean_fp
+            FROM m ORDER BY doc_id""".replace("\n", " ")
+      },
+      presentOrder = Seq("doc_id")),
+
     // MP3 frame walk (Mp3Codec) — lossy audio's exact-gateable surface
     // (the decode itself is float IMDCT, refused with a dated note in
     // COVERAGE.md): ID3v2 syncsafe skip, per-frame header validation,

@@ -1127,6 +1127,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out(10L) === (("utf16be-bom", 0L)))
   }
 
+  test("WARC HTTP envelope: status line + case-insensitive Content-Type " +
+    "parse, exact body split, malformed messages drop the record only") {
+    import spark.implicits._
+    import graft.multimodal.MultimodalOps
+    import graft.sources.WarcCodec
+    def warc(id: Long, msg: String): (Long, Array[Byte]) =
+      (id, WarcCodec.buildWarc(Seq(
+        ("response", s"https://s.org/$id", msg.getBytes("US-ASCII")))))
+    val rows = MultimodalOps.warcHttpResponses(Seq(
+      warc(1L, "HTTP/1.1 200 OK\r\ncontent-TYPE: text/html\r\n\r\n<p>a</p>"),
+      warc(2L, "HTTP/1.0 404 Not Found\r\nX: y\r\n\r\nmissing"),
+      warc(3L, "HTTP/1.1 301\r\nLocation: /x\r\n\r\n"),
+      warc(4L, "ICY 200 OK\r\n\r\nnope"),          // not HTTP
+      warc(5L, "HTTP/1.1 200 OK\r\nNo-Blank-Line: 1"), // unterminated
+      warc(6L, "HTTP/1.1 20 OK\r\n\r\nshort code")  // 2-digit code
+    ).toDF("doc_id", "bytes"), "doc_id", "bytes")
+      .collect().map(r => r.docId ->
+        ((r.status, r.contentType, r.body))).toMap
+    assert(rows(1L) === ((200, "text/html", "<p>a</p>")),
+      "case-insensitive header name, exact body split")
+    assert(rows(2L) === ((404, "", "missing")))
+    assert(rows(3L) === ((301, "", "")), "reasonless status line, empty body")
+    assert(!rows.contains(4L) && !rows.contains(5L) && !rows.contains(6L),
+      "malformed envelopes drop")
+  }
+
   test("MP3 frame walk: all three MPEG versions round-trip exact field " +
     "recovery incl. VBR average, ID3v2 syncsafe skip, Xing at the " +
     "version/mode side-info offset, ID3v1 trailer") {
