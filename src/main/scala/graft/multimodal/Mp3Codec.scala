@@ -48,8 +48,13 @@ object Mp3Codec {
     Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
   private val KbpsV1L1 =
     Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
-  private val KbpsV2L12 =
+  private val KbpsV2L2 =
     Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  // 13818-3 gives LSF Layer I its OWN table (it is NOT the Layer
+  // II/III one): a Layer-I MPEG-2 stream read through the L2/L3 table
+  // would compute 4x-short frame hops and reject valid files.
+  private val KbpsV2L1 =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
 
   private val SrV1 = Array(44100, 48000, 32000)
   private val SrV2 = Array(22050, 24000, 16000)
@@ -60,8 +65,8 @@ object Mp3Codec {
       case (3, 3) => KbpsV1L3
       case (3, 2) => KbpsV1L2
       case (3, 1) => KbpsV1L1
-      case (_, 1) => KbpsV2L12
-      case (_, 2) => KbpsV2L12
+      case (_, 1) => KbpsV2L1
+      case (_, 2) => KbpsV2L2
       case _ => KbpsV2L3
     }
 
@@ -152,11 +157,14 @@ object Mp3Codec {
     var hasId3 = false
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
         bytes(2) == '3') {
-      // syncsafe 28-bit length, header 10 bytes (footer flag ignored:
-      // the synthesis never sets it and a real footer re-syncs below)
+      // syncsafe 28-bit length EXCLUDES the 10-byte header and, when
+      // the ID3v2.4 footer flag (bit 4 of the flags byte) is set, the
+      // 10-byte footer too — a footered tag needs 20 bytes of framing
+      // skipped or the walk lands on '3DI' and rejects a legal file.
       val len = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      p = 10 + len
+      val footer = (bytes(5) & 0x10) != 0
+      p = 10 + len + (if (footer) 10 else 0)
       hasId3 = true
       if (p >= bytes.length) return None
     }

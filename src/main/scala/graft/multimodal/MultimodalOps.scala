@@ -82,6 +82,24 @@ object MultimodalOps {
       }
   }
 
+  /** Shared per-blob flatMap scaffolding for the byte-walk ops below:
+    * one copy of the select/cast/encoder plumbing, so each op owns
+    * only its decode body (and a guard fixed once is fixed for all). */
+  private def blobFlatMap[T: org.apache.spark.sql.Encoder](
+      media: DataFrame, idCol: String, bytesCol: String)(
+      f: (Long, Array[Byte]) => IterableOnce[T]): Dataset[T] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => f(id, bytes) })
+  }
+
+  /** The response-record walk shared by the WET and HTTP ops. */
+  private def responseRecords(bytes: Array[Byte]) =
+    graft.sources.WarcCodec.parseWarc(bytes).toSeq.flatMap {
+      case (_, recs) => recs.filter(_.recType == "response")
+    }
+
   case class Mp3MetaRow(docId: Long, version: String, layer: Int,
                         channels: Int, sampleRate: Int, nFrames: Long,
                         durationMs: Long, avgKbps: Long, vbr: Boolean,
@@ -97,14 +115,12 @@ object MultimodalOps {
   def mp3Meta(media: DataFrame, idCol: String,
               bytesCol: String): Dataset[Mp3MetaRow] = {
     import media.sparkSession.implicits._
-    media.select(col(idCol).cast("long"), col(bytesCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        Mp3Codec.parseMp3(bytes).map(m =>
-          Mp3MetaRow(id, m.version, m.layer, m.channels, m.sampleRate,
-            m.nFrames, m.durationMs, m.avgKbps, m.vbr, m.hasId3,
-            m.hasXing, m.nBytes))
-      })
+    blobFlatMap(media, idCol, bytesCol) { (id, bytes) =>
+      Mp3Codec.parseMp3(bytes).map(m =>
+        Mp3MetaRow(id, m.version, m.layer, m.channels, m.sampleRate,
+          m.nFrames, m.durationMs, m.avgKbps, m.vbr, m.hasId3,
+          m.hasXing, m.nBytes))
+    }
   }
 
   case class WarcRow(docId: Long, recIdx: Int, recType: String,
@@ -119,15 +135,13 @@ object MultimodalOps {
   def warcRecords(media: DataFrame, idCol: String,
                   bytesCol: String): Dataset[WarcRow] = {
     import media.sparkSession.implicits._
-    media.select(col(idCol).cast("long"), col(bytesCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        graft.sources.WarcCodec.parseWarc(bytes).toSeq.flatMap {
-          case (gz, recs) => recs.map(r =>
-            WarcRow(id, r.idx, r.recType, r.targetUri, r.contentLength,
-              r.offset, gz))
-        }
-      })
+    blobFlatMap(media, idCol, bytesCol) { (id, bytes) =>
+      graft.sources.WarcCodec.parseWarc(bytes).toSeq.flatMap {
+        case (gz, recs) => recs.map(r =>
+          WarcRow(id, r.idx, r.recType, r.targetUri, r.contentLength,
+            r.offset, gz))
+      }
+    }
   }
 
   case class WetRow(docId: Long, recIdx: Int, targetUri: String,
@@ -144,15 +158,10 @@ object MultimodalOps {
   def warcHtmlText(media: DataFrame, idCol: String,
                    bytesCol: String): Dataset[WetRow] = {
     import media.sparkSession.implicits._
-    media.select(col(idCol).cast("long"), col(bytesCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        graft.sources.WarcCodec.parseWarc(bytes).toSeq.flatMap {
-          case (_, recs) => recs.filter(_.recType == "response").map(r =>
-            WetRow(id, r.idx, r.targetUri,
-              new String(r.payload, "US-ASCII")))
-        }
-      })
+    blobFlatMap(media, idCol, bytesCol) { (id, bytes) =>
+      responseRecords(bytes).map(r =>
+        WetRow(id, r.idx, r.targetUri, new String(r.payload, "US-ASCII")))
+    }
   }
 
   case class CharsetRow(docId: Long, charset: String, nBytes: Long,
@@ -171,9 +180,8 @@ object MultimodalOps {
   def charsetSniff(media: DataFrame, idCol: String,
                    bytesCol: String): Dataset[CharsetRow] = {
     import media.sparkSession.implicits._
-    media.select(col(idCol).cast("long"), col(bytesCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+    blobFlatMap(media, idCol, bytesCol) { (id, bytes) =>
+      Some {
         val b = if (bytes == null) Array.emptyByteArray else bytes
         def at(i: Int): Int = b(i) & 0xff
         val cs =
@@ -229,7 +237,8 @@ object MultimodalOps {
             else "utf8"
           }
         CharsetRow(id, charset, b.length.toLong, nSeq)
-      })
+      }
+    }
   }
 
   case class HttpRow(docId: Long, recIdx: Int, targetUri: String,
@@ -247,38 +256,37 @@ object MultimodalOps {
     * segment). US-ASCII envelope decode per the RFC; body decode
     * stays the [[charsetSniff]] decision (the gate's synthesis is
     * ASCII). Stateless narrow flatMap. */
+  private val StatusLineRe =
+    java.util.regex.Pattern.compile("^HTTP/1\\.[01] ([0-9]{3})(?: .*)?$")
+
   def warcHttpResponses(media: DataFrame, idCol: String,
                         bytesCol: String): Dataset[HttpRow] = {
     import media.sparkSession.implicits._
-    media.select(col(idCol).cast("long"), col(bytesCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        graft.sources.WarcCodec.parseWarc(bytes).toSeq.flatMap {
-          case (_, recs) =>
-            recs.filter(_.recType == "response").flatMap { r =>
-              val p = new String(r.payload, "US-ASCII")
-              val hdrEnd = p.indexOf("\r\n\r\n")
-              val eol = p.indexOf("\r\n")
-              if (hdrEnd < 0 || eol < 0) None
-              else {
-                val status = p.substring(0, eol)
-                val m = java.util.regex.Pattern
-                  .compile("^HTTP/1\\.[01] ([0-9]{3})(?: .*)?$")
-                  .matcher(status)
-                if (!m.matches()) None
-                else {
-                  val ct = p.substring(eol + 2, hdrEnd).split("\r\n")
-                    .collectFirst {
-                      case h if h.toLowerCase.startsWith("content-type:") =>
-                        h.substring("content-type:".length).trim
-                    }.getOrElse("")
-                  Some(HttpRow(id, r.idx, r.targetUri,
-                    m.group(1).toInt, ct, p.substring(hdrEnd + 4)))
-                }
-              }
-            }
+    blobFlatMap(media, idCol, bytesCol) { (id, bytes) =>
+      responseRecords(bytes).flatMap { r =>
+        val p = new String(r.payload, "US-ASCII")
+        val hdrEnd = p.indexOf("\r\n\r\n")
+        val eol = p.indexOf("\r\n")
+        if (hdrEnd < 0 || eol < 0) None
+        else {
+          val m = StatusLineRe.matcher(p.substring(0, eol))
+          if (!m.matches()) None
+          else {
+            // hdrEnd == eol is a LEGAL zero-header message (the status
+            // line's own CRLF starts the blank-line terminator) —
+            // substring(eol + 2, hdrEnd) would throw on it.
+            val hdrBlock =
+              if (hdrEnd <= eol) "" else p.substring(eol + 2, hdrEnd)
+            val ct = hdrBlock.split("\r\n").collectFirst {
+              case h if h.toLowerCase.startsWith("content-type:") =>
+                h.substring("content-type:".length).trim
+            }.getOrElse("")
+            Some(HttpRow(id, r.idx, r.targetUri,
+              m.group(1).toInt, ct, p.substring(hdrEnd + 4)))
+          }
         }
-      })
+      }
+    }
   }
 
   case class MediaFeature(mediaId: Long, nBytes: Int, feature: Array[Long])

@@ -2293,13 +2293,19 @@ object TextOps {
     val urls = docs.select(col("doc_id"),
       explode(regexp_extract_all(t, lit(UrlRe), lit(0))).as("url"))
     val (canonC, hostC) = urlCanonHost(col("url"))
-    // empty path (scheme://host) matches rules as the root "/"
+    // RFC 9309 matches against path + query. Empty path
+    // (scheme://host) is the root "/"; a query WITHOUT a path
+    // (scheme://host?q=1) matches as "/?q=1" — the [/?] class keeps
+    // the query when no slash precedes it (a /-only regex silently
+    // dropped it).
     val u = urls.select(col("doc_id"), canonC.as("url_canon"),
         hostC.as("host")).distinct()
       .withColumn("path", {
         val p = regexp_extract(col("url_canon"),
-          "^https?://[^/?#]+(/.*)$", 1)
-        when(p === "", lit("/")).otherwise(p)
+          "^https?://[^/?#]+([/?].*)$", 1)
+        when(p === "", lit("/"))
+          .when(p.startsWith("?"), concat(lit("/"), p))
+          .otherwise(p)
       })
     val hits = u.join(rules, Seq("host"))
       .filter(col("path").startsWith(col("pattern")))
@@ -2352,9 +2358,13 @@ object TextOps {
         uq AS (SELECT DISTINCT doc_id, url_canon, host FROM c),
         up AS (SELECT doc_id, url_canon, host,
             CASE WHEN regexp_extract(url_canon,
-                '^https?://[^/?#]+(/.*)$$', 1) = '' THEN '/'
+                '^https?://[^/?#]+([/?].*)$$', 1) = '' THEN '/'
+              WHEN starts_with(regexp_extract(url_canon,
+                '^https?://[^/?#]+([/?].*)$$', 1), '?')
+                THEN '/' || regexp_extract(url_canon,
+                  '^https?://[^/?#]+([/?].*)$$', 1)
               ELSE regexp_extract(url_canon,
-                '^https?://[^/?#]+(/.*)$$', 1) END AS path
+                '^https?://[^/?#]+([/?].*)$$', 1) END AS path
           FROM uq),
         hits AS (SELECT doc_id, url_canon, pattern, allow,
             row_number() OVER (PARTITION BY doc_id, url_canon

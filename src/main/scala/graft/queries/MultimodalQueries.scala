@@ -79,6 +79,23 @@ object MultimodalQueries {
          AS BIGINT) AS phash
        FROM phu)"""
 
+  /** The `mm_warc_records` fixture blob, shared with
+    * `tools/IntakeScale` so the scale tool's conservation baseline and
+    * the gate always measure the SAME corpus (the oracle mirrors these
+    * formulas in SQL). */
+  def warcFixtureBlob(id: Long, nc: Long): Array[Byte] = {
+    val n = ((nc % 4) + 2).toInt
+    val recs = (0 until n).map { i =>
+      val tpe =
+        if (i == 0) "warcinfo"
+        else if (i % 2 == 1) "response" else "request"
+      val uri = if (i == 0) "" else s"https://ex${id % 5}.org/p/$id/$i"
+      val len = ((id + i * 7) % 50 + 10).toInt
+      (tpe, uri, Array.tabulate(len)(k => ((id + k) % 251).toByte))
+    }
+    graft.sources.WarcCodec.buildWarc(recs, gzipPerRecord = id % 2 == 1)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // REAL WAV decode: per doc, build a PCM-16 WAV whose rate/channels/
@@ -863,21 +880,8 @@ object MultimodalQueries {
         import s.implicits._
         val blobs = Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
-          .map { case (id, nc) =>
-            val n = ((nc % 4) + 2).toInt
-            val recs = (0 until n).map { i =>
-              val tpe =
-                if (i == 0) "warcinfo"
-                else if (i % 2 == 1) "response" else "request"
-              val uri =
-                if (i == 0) ""
-                else s"https://ex${id % 5}.org/p/$id/$i"
-              val len = ((id + i * 7) % 50 + 10).toInt
-              (tpe, uri, Array.tabulate(len)(k => ((id + k) % 251).toByte))
-            }
-            (id, graft.sources.WarcCodec.buildWarc(recs,
-              gzipPerRecord = id % 2 == 1))
-          }.toDF("doc_id", "bytes")
+          .map { case (id, nc) => (id, warcFixtureBlob(id, nc)) }
+          .toDF("doc_id", "bytes")
         MultimodalOps.warcRecords(blobs, "doc_id", "bytes").toDF()
           .select(col("docId").as("doc_id"), col("recIdx").as("rec_idx"),
             col("recType").as("rec_type"),

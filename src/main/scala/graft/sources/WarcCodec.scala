@@ -15,7 +15,10 @@ package graft.sources
   *    — never a resynchronized guess.
   *  - gzip streams (how WARCs ship: one gzip MEMBER per record,
   *    members concatenated): detected by the 1F 8B magic and inflated
-  *    through the JDK's multi-member GZIPInputStream, then the SAME
+  *    by a strict hand-walked RFC 1952 member reader (CRC32 + ISIZE
+  *    verified per member; truncation, mid-stream corruption, and
+  *    trailing garbage ALL reject — the JDK reader would silently
+  *    truncate those), then the SAME
   *    walk runs over the decompressed stream — so record offsets are
   *    reported in decompressed space, identical to the plain layout,
   *    and an analytic oracle covers BOTH variants with one closed
@@ -60,7 +63,11 @@ object WarcCodec {
       else {
         val gz = new java.util.zip.GZIPOutputStream(out)
         gz.write(rec)
-        gz.finish()
+        // close(), not finish(): close ends the native Deflater too
+        // (finish alone leaks zlib memory until GC on a per-record hot
+        // path); BAOS.close() is a documented no-op, so the shared
+        // sink survives.
+        gz.close()
       }
     }
     out.toByteArray
@@ -72,19 +79,72 @@ object WarcCodec {
     try {
       val gz = bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
         (bytes(1) & 0xff) == 0x8b
-      val plain =
-        if (!gz) bytes
-        else {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-          out.toByteArray
-        }
-      walk(plain).map(rs => (gz, rs))
+      val plain = if (!gz) Some(bytes) else gunzipMembers(bytes)
+      plain.flatMap(walk).map(rs => (gz, rs))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Strict multi-member gunzip. NOT the JDK GZIPInputStream: that
+    * reader treats a malformed later member header as plain EOF
+    * (readTrailer swallows the exception), which would silently
+    * TRUNCATE a corrupted segment to its earlier records — a
+    * resynchronized guess the plain layout rejects. This walks the
+    * RFC 1952 members by hand — header (magic, CM=8, FEXTRA/FNAME/
+    * FCOMMENT/FHCRC fields by FLG), raw-deflate body via Inflater
+    * (ended in finally: per-blob native zlib memory must not wait for
+    * GC), then the CRC32 + ISIZE trailer both VERIFIED — and rejects
+    * trailing garbage, truncation, or any mid-stream corruption, so
+    * gzip and plain layouts fail identically. */
+  private def gunzipMembers(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    def le32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    while (p < b.length) {
+      if (p + 10 > b.length) return None
+      if ((b(p) & 0xff) != 0x1f || (b(p + 1) & 0xff) != 0x8b ||
+          b(p + 2) != 8) return None
+      val flg = b(p + 3) & 0xff
+      var q = p + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (q + 2 > b.length) return None
+        q += 2 + ((b(q) & 0xff) | ((b(q + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { // FNAME, NUL-terminated
+        while (q < b.length && b(q) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (q < b.length && b(q) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 2) != 0) q += 2 // FHCRC (not verified; body CRC is)
+      if (q >= b.length) return None
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(b, q, b.length - q)
+        val buf = new Array[Byte](8192)
+        val crc = new java.util.zip.CRC32()
+        var msize = 0L
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None // truncated / underspecified member
+          crc.update(buf, 0, n)
+          out.write(buf, 0, n)
+          msize += n
+        }
+        val t = q + (b.length - q - inf.getRemaining)
+        if (t + 8 > b.length) return None
+        if (le32(t) != crc.getValue) return None
+        if (le32(t + 4) != (msize & 0xffffffffL)) return None
+        p = t + 8
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+    }
+    Some(out.toByteArray)
+  }
 
   private def walk(b: Array[Byte]): Option[Seq[WarcRec]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]

@@ -40,19 +40,12 @@ object IntakeScale {
           lit(" and http://WWW.Shop"), col("doc_id") % 3,
           lit(".CO.UK:80/x#f")).as("text"))
       .localCheckpoint()
+    // the mm_warc_records fixture builder, SHARED with the gate so the
+    // conservation baseline always measures the corpus the gate verifies
     val warcs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, nc) =>
-        val n = ((nc % 4) + 2).toInt
-        val recs = (0 until n).map { i =>
-          val tpe = if (i == 0) "warcinfo"
-            else if (i % 2 == 1) "response" else "request"
-          val uri = if (i == 0) "" else s"https://ex${id % 5}.org/p/$id/$i"
-          val len = ((id + i * 7) % 50 + 10).toInt
-          (tpe, uri, Array.tabulate(len)(k => ((id + k) % 251).toByte))
-        }
-        (id, graft.sources.WarcCodec.buildWarc(recs,
-          gzipPerRecord = id % 2 == 1))
+        (id, graft.queries.MultimodalQueries.warcFixtureBlob(id, nc))
       }.toDF("doc_id", "bytes").localCheckpoint()
     val baseMb = (docsTxt.select(sum(length(col("text")))).collect()(0)
       .getLong(0) +

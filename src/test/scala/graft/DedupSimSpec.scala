@@ -911,6 +911,15 @@ class DedupSimSpec extends SparkSpec {
     // doc 2: two spellings, ONE canonical row, no rule -> allowed
     assert(out.keys.count(_._1 == 2L) === 1)
     assert(out((2L, "https://b.org/any")) === (("", true)))
+    // RFC 9309 matches path + QUERY: a query with no path must read
+    // as "/?..." so a /?-prefix rule can reach it (a /-only extractor
+    // silently dropped the query)
+    val qOut = TextOps.robotsFilter(
+      Seq((9L, "go http://q.org?track=1 now")).toDF("doc_id", "text"),
+      Seq(("q.org", "/?track", false)).toDF("host", "pattern", "allow"))
+      .collect().map(r => (r.getString(3), r.getBoolean(4)))
+    assert(qOut.toSeq === Seq(("/?track", false)),
+      "query-only URL matches path+query rules")
   }
 
   test("mojibakeProfile: double-encoded pairs count, correctly-encoded " +

@@ -1096,6 +1096,34 @@ class MultimodalSpec extends SparkSpec {
     assert(WarcCodec.parseWarc(Array.emptyByteArray).isEmpty)
   }
 
+  test("WARC gzip strictness: corrupt later member, flipped CRC, and " +
+    "trailing garbage all reject — never a silently truncated decode " +
+    "(the JDK reader's EOF-swallow behavior)") {
+    import graft.sources.WarcCodec
+    val recs = Seq(
+      ("warcinfo", "", Array.tabulate(6)(_.toByte)),
+      ("response", "https://g.org/a", Array.tabulate(20)(i => (i * 5).toByte)),
+      ("response", "https://g.org/b", Array.tabulate(11)(i => (i + 9).toByte)))
+    val gz = WarcCodec.buildWarc(recs, gzipPerRecord = true)
+    assert(WarcCodec.parseWarc(gz).get._2.size === 3)
+    // find the SECOND member's magic and corrupt its header: a lenient
+    // reader would return the first record only
+    val second = {
+      var i = 2
+      while (!((gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b)) i += 1
+      i
+    }
+    val badHdr = gz.clone(); badHdr(second + 2) = 7 // CM != deflate
+    assert(WarcCodec.parseWarc(badHdr).isEmpty, "corrupt member header")
+    // flip a byte in the LAST member's trailer (CRC32 area)
+    val badCrc = gz.clone()
+    badCrc(badCrc.length - 6) = (badCrc(badCrc.length - 6) ^ 0x1).toByte
+    assert(WarcCodec.parseWarc(badCrc).isEmpty, "CRC mismatch")
+    assert(WarcCodec.parseWarc(gz ++ Array[Byte](9, 9, 9)).isEmpty,
+      "trailing garbage after the last member")
+    assert(WarcCodec.parseWarc(gz.dropRight(4)).isEmpty, "truncated member")
+  }
+
   test("charset sniff: RFC 3629 edges — overlongs, surrogates, " +
     "past-10FFFF, truncation all quarantine; BOMs dispatch; valid " +
     "multibyte counts sequences") {
@@ -1151,6 +1179,15 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L) === ((301, "", "")), "reasonless status line, empty body")
     assert(!rows.contains(4L) && !rows.contains(5L) && !rows.contains(6L),
       "malformed envelopes drop")
+    // zero-header message is LEGAL HTTP: the status line's own CRLF
+    // starts the blank-line terminator (eol == hdrEnd) — this once
+    // threw StringIndexOutOfBounds and killed the task
+    val zh = MultimodalOps.warcHttpResponses(Seq(
+      warc(7L, "HTTP/1.1 200 OK\r\n\r\n<p>zero headers</p>"))
+      .toDF("doc_id", "bytes"), "doc_id", "bytes").collect()
+    assert(zh.length === 1 &&
+      zh(0).status === 200 && zh(0).contentType === "" &&
+      zh(0).body === "<p>zero headers</p>")
   }
 
   test("MP3 frame walk: all three MPEG versions round-trip exact field " +
@@ -1197,6 +1234,30 @@ class MultimodalSpec extends SparkSpec {
     val m2 = Mp3Codec.parseMp3(l2).get
     assert(m2.layer === 2 && m2.nFrames === 4L &&
       m2.durationMs === 4L * 1152 * 1000 / 44100)
+    // MPEG-2 (LSF) Layer I has its OWN 13818-3 bitrate table — idx 1
+    // is 32 kbps there, not the L2/L3 table's 8: the frame length must
+    // hop (12*32000/24000 + pad)*4 = 64-byte frames, which only works
+    // if the right table is used on BOTH build and parse sides.
+    val l1v2 = Mp3Codec.buildMp3(2, 1, srIdx = 1, mono = true, nFrames = 3,
+      kbpsIdx = _ => 1, pad = _ => 0)
+    assert(l1v2.length === 3 * 64, "LSF Layer I frame length")
+    val m1v2 = Mp3Codec.parseMp3(l1v2).get
+    assert(m1v2.version === "2" && m1v2.layer === 1 &&
+      m1v2.avgKbps === 32L && m1v2.nFrames === 3L)
+  }
+
+  test("MP3: an ID3v2.4 tag WITH the footer flag skips header + body + " +
+    "footer and the frames still parse") {
+    import graft.multimodal.Mp3Codec
+    val frames = Mp3Codec.buildMp3(3, 3, srIdx = 0, mono = false,
+      nFrames = 2, kbpsIdx = _ => 9, pad = _ => 0)
+    val body = Array.tabulate(30)(i => (i % 5).toByte)
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0,
+      body.length.toByte) ++ body ++
+      (Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 0,
+        body.length.toByte))
+    val m = Mp3Codec.parseMp3(tag ++ frames).get
+    assert(m.hasId3 && m.nFrames === 2L && m.sampleRate === 44100)
   }
 
   test("MP3 frame walk rejects: truncation, sync loss, free-format and " +
