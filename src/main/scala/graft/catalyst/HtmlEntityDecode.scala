@@ -15,7 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * every real page, corrupting downstream token/dedup/LM statistics):
   *
   *  - named: `&lt; &gt; &quot; &nbsp; &amp;` (the fixed set the strip
-  *    stage has always carried; `&#39;` now rides the numeric path);
+  *    stage has always carried; `&#39;` now rides the numeric path).
+  *    `&nbsp;` decodes to the spec-correct U+00A0 (round 14; it was
+  *    U+0020 through round 13) in all three twins at once — batch
+  *    expression, DuckDB SQL, streaming reimplementation — so a
+  *    decoded `&nbsp;` now survives the downstream whitespace
+  *    collapse exactly like a raw NBSP byte already did;
   *  - decimal: `&#D;` with 1–7 digits; hex: `&#xH;`/`&#XH;` with 1–6
   *    hex digits. The bounded lengths are the spec: longer digit runs
   *    are NOT references and pass through literally (they also cannot
@@ -97,7 +102,10 @@ object HtmlEntityDecode {
         case "&lt;" => "<"
         case "&gt;" => ">"
         case "&quot;" => "\""
-        case "&nbsp;" => " "
+        case "&nbsp;" => "\u00A0" // HTML5: U+00A0, NOT a plain space
+                                   // (its whole purpose is surviving
+                                   // the whitespace collapse, like a
+                                   // raw NBSP byte does) — ADVICE r13
         case _ => "&" // "&amp;" — the only remaining named form
       }
     else {

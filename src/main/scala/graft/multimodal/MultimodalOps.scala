@@ -242,7 +242,8 @@ object MultimodalOps {
   }
 
   case class HttpRow(docId: Long, recIdx: Int, targetUri: String,
-                     status: Int, contentType: String, body: String)
+                     status: Int, contentType: String, body: String,
+                     chunked: Boolean)
 
   /** HTTP envelope parse inside WARC response payloads — how crawl
     * WARCs actually store pages (`WARC-Type: response` wraps the full
@@ -253,11 +254,60 @@ object MultimodalOps {
     * Content-Type is surfaced (first occurrence, case-insensitive
     * name per RFC 9110, '' when absent); anything malformed drops
     * the RECORD (ingest contract — one bad capture never kills the
-    * segment). US-ASCII envelope decode per the RFC; body decode
-    * stays the [[charsetSniff]] decision (the gate's synthesis is
-    * ASCII). Stateless narrow flatMap. */
+    * segment). `Transfer-Encoding: chunked` bodies (how crawl WARCs —
+    * Common Crawl pre-2019 especially — store chunked responses: the
+    * chunk-size framing is captured intact) are de-chunked per RFC
+    * 9112 §7.1 here, so hex-length lines and trailing CRLFs never
+    * leak into the WET text; a malformed chunk (bad hex, truncated
+    * data, broken CRLF, garbage after the last chunk) or an
+    * unsupported Transfer-Encoding value drops the record. US-ASCII
+    * envelope decode per the RFC; body decode stays the
+    * [[charsetSniff]] decision (the gate's synthesis is ASCII).
+    * Stateless narrow flatMap. */
   private val StatusLineRe =
     java.util.regex.Pattern.compile("^HTTP/1\\.[01] ([0-9]{3})(?: .*)?$")
+
+  /** RFC 9112 §7.1 chunked-body decode. Operates on the US-ASCII
+    * decoded string, which is 1:1 byte-per-char (invalid bytes decode
+    * to one U+FFFD each), so char offsets ARE byte offsets and the
+    * hex chunk sizes count correctly. Grammar enforced exactly:
+    * `chunk-size [;ext] CRLF data CRLF` repeated, the `0` last chunk,
+    * optional trailer fields, the final CRLF, nothing after. Any
+    * violation — non-hex size, empty size, truncated data, missing
+    * CRLF, trailing garbage — returns None (drop the record). */
+  private def dechunk(s: String): Option[String] = {
+    val sb = new java.lang.StringBuilder
+    var p = 0
+    while (true) {
+      val eol = s.indexOf("\r\n", p)
+      if (eol < 0) return None
+      val sizeLine = s.substring(p, eol)
+      val semi = sizeLine.indexOf(';')
+      val hex = if (semi >= 0) sizeLine.substring(0, semi) else sizeLine
+      if (hex.isEmpty || hex.length > 15 ||
+          !hex.forall(c => Character.digit(c, 16) >= 0)) return None
+      val size = java.lang.Long.parseLong(hex, 16)
+      if (size > Int.MaxValue) return None // oversized-size guard
+      p = eol + 2
+      if (size == 0L) {
+        // trailer section: zero or more non-empty field lines, then
+        // the terminating blank line; anything after it is garbage
+        while (!s.startsWith("\r\n", p)) {
+          val te = s.indexOf("\r\n", p)
+          if (te < 0) return None
+          p = te + 2
+        }
+        return if (p + 2 == s.length) Some(sb.toString) else None
+      }
+      val n = size.toInt
+      if (p + n + 2 > s.length) return None // truncated chunk data
+      sb.append(s, p, p + n)
+      if (s.charAt(p + n) != '\r' || s.charAt(p + n + 1) != '\n')
+        return None // chunk data must end at its own CRLF exactly
+      p += n + 2
+    }
+    None // unreachable
+  }
 
   def warcHttpResponses(media: DataFrame, idCol: String,
                         bytesCol: String): Dataset[HttpRow] = {
@@ -277,12 +327,32 @@ object MultimodalOps {
             // substring(eol + 2, hdrEnd) would throw on it.
             val hdrBlock =
               if (hdrEnd <= eol) "" else p.substring(eol + 2, hdrEnd)
-            val ct = hdrBlock.split("\r\n").collectFirst {
-              case h if h.toLowerCase.startsWith("content-type:") =>
-                h.substring("content-type:".length).trim
-            }.getOrElse("")
-            Some(HttpRow(id, r.idx, r.targetUri,
-              m.group(1).toInt, ct, p.substring(hdrEnd + 4)))
+            val hdrs = hdrBlock.split("\r\n")
+            def header(name: String): Option[String] = {
+              val pfx = name + ":"
+              hdrs.collectFirst {
+                case h if h.length >= pfx.length &&
+                    h.substring(0, pfx.length).equalsIgnoreCase(pfx) =>
+                  h.substring(pfx.length).trim
+              }
+            }
+            val ct = header("Content-Type").getOrElse("")
+            val raw = p.substring(hdrEnd + 4)
+            val te = header("Transfer-Encoding")
+              .map(_.toLowerCase(java.util.Locale.ROOT))
+            te match {
+              case None =>
+                Some(HttpRow(id, r.idx, r.targetUri, m.group(1).toInt,
+                  ct, raw, chunked = false))
+              case Some("chunked") =>
+                dechunk(raw).map(body =>
+                  HttpRow(id, r.idx, r.targetUri, m.group(1).toInt,
+                    ct, body, chunked = true))
+              case Some("identity") =>
+                Some(HttpRow(id, r.idx, r.targetUri, m.group(1).toInt,
+                  ct, raw, chunked = false))
+              case Some(_) => None // gzip/deflate/stacked: undecodable
+            }
           }
         }
       }

@@ -53,8 +53,12 @@ object IndexQueries {
     * `pipeline_robots_filter` (Spark column + SQL table forms built
     * from the same shapes): 3 of 4 docs get a mixed-case co.uk host
     * at the http default port with a fragment, the same .org host at
-    * the https default AND a non-default port, an IPv4 literal, and
-    * one URL twice in different raw spellings; the rest get nothing. */
+    * the https default AND a non-default port, an IPv4 literal, one
+    * URL twice in different raw spellings, and a host under `co.bw` —
+    * a REAL public suffix deliberately outside the static PSL subset,
+    * so the documented fallback-to-last-2 boundary is executable:
+    * corp0/corp1 group at the wrong `co.bw` grain, and a full-PSL
+    * drop-in flips exactly those rows; the rest get nothing. */
   private def urlFixtureCol =
     concat(col("text"),
       when(col("doc_id") % 4 === 3, lit(""))
@@ -67,7 +71,9 @@ object IndexQueries {
           lit(".org:8080/b"),
           lit(" https://10.0.0."), col("doc_id") % 7, lit("/raw"),
           lit(" https://SHARED.Example.com:443/home"),
-          lit(" https://shared.example.com/home#x")))).as("text")
+          lit(" https://shared.example.com/home#x"),
+          lit(" http://Sub.Corp"), col("doc_id") % 2,
+          lit(".CO.BW/f")))).as("text")
 
   private val UrlFixtureTable =
     "(SELECT doc_id, text || CASE WHEN doc_id % 4 = 3 THEN ''" +
@@ -77,11 +83,15 @@ object IndexQueries {
       " ' http://news.site' || (doc_id % 5) || '.org:8080/b' ||" +
       " ' https://10.0.0.' || (doc_id % 7) || '/raw' ||" +
       " ' https://SHARED.Example.com:443/home' ||" +
-      " ' https://shared.example.com/home#x' END AS text" +
+      " ' https://shared.example.com/home#x' ||" +
+      " ' http://Sub.Corp' || (doc_id % 2) || '.CO.BW/f' END AS text" +
       " FROM documents)"
 
   /** One rule constant drives BOTH engines of `pipeline_robots_filter`
-    * (host, literal path-prefix pattern, allow). */
+    * (host, path pattern, allow). Literal prefixes AND the RFC 9309
+    * §2.2.3 wildcard grammar: `*` (any char sequence), trailing `$`
+    * (end-of-URL anchor), with a regex metachar (`?`) that the
+    * translation must escape. */
   val RobotsRules: Seq[(String, String, Boolean)] = Seq(
     ("www.shop0.co.uk", "/p/", false),
     ("www.shop0.co.uk", "/p/1", true), // longest match re-allows /p/1*
@@ -91,7 +101,19 @@ object IndexQueries {
     ("news.site2.org", "/a", false), // exact-length tie with the next:
     ("news.site2.org", "/a", true), //   ALLOW wins (least restrictive)
     ("shared.example.com", "/home", false),
-    ("10.0.0.1", "/", false))
+    ("10.0.0.1", "/", false),
+    // §2.2.3 wildcards (the /*?sessionid= class a prefix-only
+    // frontier over-fetches): `*` + escaped `?` blocks the query
+    // URL on site3; the `$` anchor on site4 blocks exactly /b while
+    // NOT reaching /a?q=1 (no end match — the negative branch);
+    // shop2 combines both: /p/ disallowed, /p/*1$ (longer by the
+    // RFC octet count, wildcards counting as themselves) re-allows
+    // ids ending in 1.
+    ("news.site3.org", "/*?q=", false),
+    ("news.site4.org", "/a$", false),
+    ("news.site4.org", "/b$", false),
+    ("www.shop2.co.uk", "/p/", false),
+    ("www.shop2.co.uk", "/p/*1$", true))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -461,16 +483,21 @@ object IndexQueries {
       Some(graft.ops.TextOps.urlDomainsSql(UrlFixtureTable)),
       presentOrder = Seq("domain")),
 
-    // robots.txt longest-match filter (RFC 9309 §2.2.2 subset) over
-    // the same planted-URL corpus — the frontier's fetch/skip
-    // decision. The rule set (ONE constant driving both engines)
-    // exercises: longest-match allow override under a shorter
-    // disallow (/p/ blocked, /p/1 re-allowed — doc_ids starting with
-    // digit 1 split from the rest), a block-all root rule, a rule
-    // matching path+query, a rule hitting only the non-default-port
-    // canonical, an exact-length tie resolved to ALLOW, an IPv4 host
-    // rule, and unlisted hosts falling through to the implicit
-    // allow-all with an empty rule.
+    // robots.txt longest-match filter (RFC 9309 §2.2.2 precedence +
+    // §2.2.3 wildcards) over the same planted-URL corpus — the
+    // frontier's fetch/skip decision. The rule set (ONE constant
+    // driving both engines) exercises: longest-match allow override
+    // under a shorter disallow (/p/ blocked, /p/1 re-allowed —
+    // doc_ids starting with digit 1 split from the rest), a
+    // block-all root rule, a rule matching path+query, a rule
+    // hitting only the non-default-port canonical, an exact-length
+    // tie resolved to ALLOW, an IPv4 host rule, unlisted hosts
+    // falling through to the implicit allow-all with an empty rule,
+    // and the wildcard grammar: `/*?q=` (a `*` plus a regex
+    // metachar the translation must escape), `$` end anchors in
+    // both the matching and NON-matching direction, and a combined
+    // `/p/*1$` allow overriding a shorter literal disallow by the
+    // RFC octet count.
     QueryDef("pipeline_robots_filter",
       (s, d) => {
         import s.implicits._

@@ -93,7 +93,34 @@ object MultimodalQueries {
       val len = ((id + i * 7) % 50 + 10).toInt
       (tpe, uri, Array.tabulate(len)(k => ((id + k) % 251).toByte))
     }
-    graft.sources.WarcCodec.buildWarc(recs, gzipPerRecord = id % 2 == 1)
+    // Records alternate spec revisions (WARC/1.0 / WARC/1.1 interleave
+    // legally; both version lines are 8 octets so the offset oracle is
+    // untouched) — the 1.1-acceptance path is exercised at gate scale.
+    graft.sources.WarcCodec.buildWarc(recs, gzipPerRecord = id % 2 == 1,
+      version = i => if ((id + i) % 3 == 0) "WARC/1.1" else "WARC/1.0")
+  }
+
+  /** RFC 9112 §7.1 chunked framing ENCODER for the `pipeline_warc_http`
+    * fixture: the body split into `sz`-byte chunks (hex size line, data,
+    * CRLF each), the `0` last chunk, optionally a chunk extension on the
+    * first size line and a trailer field — grammar surface the decode
+    * must hop without leaking a byte into the de-chunked body. */
+  def chunkEncode(s: String, sz: Int, ext: Boolean,
+                  trailer: Boolean): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var first = true
+    while (i < s.length) {
+      val n = math.min(sz, s.length - i)
+      sb.append(java.lang.Integer.toHexString(n))
+      if (ext && first) sb.append(";x=1")
+      first = false
+      sb.append("\r\n").append(s, i, i + n).append("\r\n")
+      i += n
+    }
+    sb.append("0\r\n")
+    if (trailer) sb.append("X-Trailer: t\r\n")
+    sb.append("\r\n").toString
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -867,9 +894,13 @@ object MultimodalQueries {
 
     // WARC record walk (sources/WarcCodec) — the crawl corpus' NATIVE
     // container, the true first mile before any HTML ever strips:
-    // version line, named headers, Content-Length payload hops, CRLF
-    // framing, with gzip-member streams (the shipping layout) inflated
-    // through the JDK multi-member reader and walked identically.
+    // version line (1.0 and 1.1 records interleaved in one segment —
+    // both revisions are legal and 8 octets, so offsets never move),
+    // named headers, Content-Length payload hops, CRLF framing, with
+    // gzip-member streams (the shipping layout) inflated by the
+    // strict hand-walked RFC 1952 member reader (CRC32 + ISIZE
+    // verified per member — the JDK reader silently truncates on a
+    // corrupt later member) and walked identically.
     // Offsets are reported in DECOMPRESSED space, so one closed-form
     // oracle gates plain and gzip variants alike (odd doc_ids gzip) —
     // the offset column is a running sum of exact per-record header +
@@ -878,10 +909,12 @@ object MultimodalQueries {
     QueryDef("mm_warc_records",
       (s, d) => {
         import s.implicits._
-        val blobs = Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
-          .map { case (id, nc) => (id, warcFixtureBlob(id, nc)) }
-          .toDF("doc_id", "bytes")
+        val blobs = FixtureCache.blobs(s, d, "warc_records", 2) {
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+            .map { case (id, nc) => (id, warcFixtureBlob(id, nc)) }
+            .toDF("doc_id", "bytes")
+        }
         MultimodalOps.warcRecords(blobs, "doc_id", "bytes").toDF()
           .select(col("docId").as("doc_id"), col("recIdx").as("rec_idx"),
             col("recType").as("rec_type"),
@@ -980,7 +1013,8 @@ object MultimodalQueries {
     QueryDef("pipeline_warc_to_wet",
       (s, d) => {
         import s.implicits._
-        val blobs = Tables.documents(s, d)
+        val blobs = FixtureCache.blobs(s, d, "warc_wet", 1) {
+          Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
           .map { case (id, nc) =>
             val html = ("<html><head><style>a{x:1<2}</style></head>" +
@@ -995,6 +1029,7 @@ object MultimodalQueries {
             (id, graft.sources.WarcCodec.buildWarc(recs,
               gzipPerRecord = id % 2 == 1))
           }.toDF("doc_id", "bytes")
+        }
         val wet = MultimodalOps.warcHtmlText(blobs, "doc_id", "bytes")
           .toDF()
         val stripped = graft.ops.TextOps.htmlStrip(
@@ -1025,15 +1060,23 @@ object MultimodalQueries {
     // is container walk → status/header parse → (keep 200s) → strip.
     // Gated end to end: per-doc WARCs (gzip on odd ids) whose response
     // payload is an HTTP/1.1 message with a formula status (404 on
-    // id%4==1), a Content-Type that alternates, and an HTML body; the
-    // strip metrics are surfaced ONLY for 200s (NULL otherwise — the
-    // keep-branch a crawl applies), and the oracle recomputes status,
-    // content type, body length, and the stripped fingerprint from
-    // the generation formula.
+    // id%4==1), a Content-Type that alternates, and an HTML body that
+    // on EVEN ids ships with `Transfer-Encoding: chunked` framing
+    // intact (the Common Crawl pre-2019 capture layout): formula-sized
+    // chunks, a chunk extension on id%7==0, a trailer field on
+    // id%5==0. The parse must de-chunk (RFC 9112 §7.1) so the hex
+    // size lines and trailing CRLFs never reach the strip — the
+    // oracle recomputes status, content type, BODY length (the
+    // de-chunked length == the raw html length, which is exactly the
+    // proof framing never leaked), the chunked flag, and the stripped
+    // fingerprint from the generation formula; strip metrics surface
+    // ONLY for 200s (NULL otherwise — the keep-branch a crawl
+    // applies).
     QueryDef("pipeline_warc_http",
       (s, d) => {
         import s.implicits._
-        val blobs = Tables.documents(s, d)
+        val blobs = FixtureCache.blobs(s, d, "warc_http", 2) {
+          Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
           .map { case (id, nc) =>
             val html = "<html><body><p>Page " + id +
@@ -1041,23 +1084,31 @@ object MultimodalQueries {
             val code = if (id % 4 == 1) 404 else 200
             val ct = if (id % 3 == 0) "text/html"
               else "text/html; charset=UTF-8"
-            val msg = (s"HTTP/1.1 $code OK\r\nServer: g\r\n" +
-              s"Content-Type: $ct\r\n\r\n" + html).getBytes("US-ASCII")
+            val body =
+              if (id % 2 == 0) chunkEncode(html, (id % 7 + 3).toInt,
+                ext = id % 7 == 0, trailer = id % 5 == 0)
+              else html
+            val teHdr =
+              if (id % 2 == 0) "Transfer-Encoding: chunked\r\n" else ""
+            val msg = (s"HTTP/1.1 $code OK\r\nServer: g\r\n$teHdr" +
+              s"Content-Type: $ct\r\n\r\n" + body).getBytes("US-ASCII")
             (id, graft.sources.WarcCodec.buildWarc(Seq(
               ("warcinfo", "", Array.tabulate(8)(k => ((id + k) % 251).toByte)),
               ("response", s"https://ex${id % 5}.org/p/$id", msg)),
               gzipPerRecord = id % 2 == 1))
           }.toDF("doc_id", "bytes")
+        }
         val http = MultimodalOps.warcHttpResponses(blobs, "doc_id",
           "bytes").toDF()
         val stripped = graft.ops.TextOps.htmlStrip(
           http.select(col("docId").as("doc_id"), col("body").as("text")))
         http.select(col("docId").as("doc_id"), col("status"),
             col("contentType").as("content_type"),
-            length(col("body")).cast("long").as("body_len"))
+            length(col("body")).cast("long").as("body_len"),
+            col("chunked"))
           .join(stripped, Seq("doc_id"))
           .select(col("doc_id"), col("status"), col("content_type"),
-            col("body_len"),
+            col("body_len"), col("chunked"),
             when(col("status") === 200, col("n_clean")).as("n_clean"),
             when(col("status") === 200, col("clean_fp")).as("clean_fp"))
       },
@@ -1072,6 +1123,7 @@ object MultimodalQueries {
               CASE WHEN doc_id % 3 = 0 THEN 'text/html'
                 ELSE 'text/html; charset=UTF-8' END AS content_type,
               CAST(n_raw AS BIGINT) AS body_len,
+              doc_id % 2 = 0 AS chunked,
               CASE WHEN doc_id % 4 = 1 THEN NULL ELSE n_clean END
                 AS n_clean,
               CASE WHEN doc_id % 4 = 1 THEN NULL ELSE clean_fp END
@@ -1094,7 +1146,8 @@ object MultimodalQueries {
     QueryDef("mm_mp3_meta",
       (s, d) => {
         import s.implicits._
-        val blobs = Tables.documents(s, d)
+        val blobs = FixtureCache.blobs(s, d, "mp3_meta", 1) {
+          Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
           .map { case (id, nc) =>
             val ver = (id % 3) match { case 0 => 3; case 1 => 2; case _ => 0 }
@@ -1109,6 +1162,7 @@ object MultimodalQueries {
               withId3 = id % 4 == 0, withXing = id % 5 == 0,
               withTag = id % 6 == 0))
           }.toDF("doc_id", "bytes")
+        }
         MultimodalOps.mp3Meta(blobs, "doc_id", "bytes").toDF()
           .select(col("docId").as("doc_id"), col("version"),
             col("layer"), col("channels"),

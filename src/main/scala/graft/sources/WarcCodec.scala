@@ -1,13 +1,17 @@
 package graft.sources
 
-/** WARC (ISO 28500 / WARC/1.0) record walk — the crawl corpus' NATIVE
-  * container: every large-scale text pipeline's first mile reads WARC
-  * segments before any HTML strip runs. Same byte-exact scope
-  * discipline as the media codecs: the gateable surface is the record
-  * STRUCTURE — version line, named headers, Content-Length payload
-  * hop, CRLF framing — which this parses for real, strictly:
+/** WARC (ISO 28500, WARC/1.0 and WARC/1.1) record walk — the crawl
+  * corpus' NATIVE container: every large-scale text pipeline's first
+  * mile reads WARC segments before any HTML strip runs. Same
+  * byte-exact scope discipline as the media codecs: the gateable
+  * surface is the record STRUCTURE — version line, named headers,
+  * Content-Length payload hop, CRLF framing — which this parses for
+  * real, strictly:
   *
-  *  - plain streams: `WARC/1.0\r\n`, header lines `Name: value\r\n`
+  *  - plain streams: `WARC/1.0\r\n` or `WARC/1.1\r\n` (the two IIPC
+  *    spec revisions — 1.1 only tightens WARC-Date precision, which
+  *    this walk does not interpret, so records of both revisions may
+  *    interleave in one segment), header lines `Name: value\r\n`
   *    until the empty line, exactly Content-Length payload bytes, then
   *    the mandatory `\r\n\r\n` record trailer; records walk back to
   *    back to EOF. Missing version line / Content-Length, a malformed
@@ -25,11 +29,27 @@ package graft.sources
   *    form (compression never changes the gated fields, exactly the
   *    invariant a first-mile reader relies on).
   *
+  * Untrusted-bytes contract: the inflate loop enforces
+  * [[WarcCodec.MaxInflatedBytes]] (overridable per call) on the TOTAL
+  * decompressed size, so a crafted high-ratio member (a gzip bomb —
+  * RFC 1952 deflate reaches ~1032:1) rejects the BLOB with None like
+  * every other structural violation instead of raising
+  * OutOfMemoryError through the NonFatal catch and killing the
+  * executor — drop the blob, never the job.
+  *
   * At 100 TB this is a narrow per-blob map: headers are a few hundred
   * bytes, payload bytes are hopped over (plain) or streamed once
   * (gzip inflate); nothing is retained but the slim record rows.
   */
 object WarcCodec {
+
+  /** Default cap on a blob's total decompressed bytes (all members).
+    * 256 MiB: an order of magnitude above Common Crawl's ~1 GiB
+    * COMPRESSED segment grain divided across its per-record members
+    * (individual records decompress to a few MB at most), and far
+    * below executor-heap scale — a member that inflates past this is
+    * a bomb, not a capture. */
+  val MaxInflatedBytes: Long = 256L << 20
 
   final case class WarcRec(idx: Int, recType: String, targetUri: String,
                            contentLength: Long, offset: Long,
@@ -40,13 +60,16 @@ object WarcCodec {
   /** Synthesize a WARC stream; `records` = (type, targetUri, payload).
     * An empty targetUri omits the WARC-Target-URI header (warcinfo
     * records have none). `gzipPerRecord` wraps each record in its own
-    * gzip member, the shipping layout. */
+    * gzip member, the shipping layout. `version(i)` picks the record's
+    * spec revision ("WARC/1.0" or "WARC/1.1" — both 8 octets, so
+    * mixing revisions never moves offsets). */
   def buildWarc(records: Seq[(String, String, Array[Byte])],
-                gzipPerRecord: Boolean = false): Array[Byte] = {
+                gzipPerRecord: Boolean = false,
+                version: Int => String = _ => "WARC/1.0"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    records.foreach { case (tpe, uri, payload) =>
+    records.zipWithIndex.foreach { case ((tpe, uri, payload), ri) =>
       val h = new StringBuilder()
-      h.append("WARC/1.0").append(Crlf)
+      h.append(version(ri)).append(Crlf)
       h.append("WARC-Type: ").append(tpe).append(Crlf)
       if (uri.nonEmpty)
         h.append("WARC-Target-URI: ").append(uri).append(Crlf)
@@ -73,13 +96,17 @@ object WarcCodec {
     out.toByteArray
   }
 
-  /** Strict record walk; None on any structural violation. Offsets are
-    * in the (decompressed, for gzip inputs) record stream. */
-  def parseWarc(bytes: Array[Byte]): Option[(Boolean, Seq[WarcRec])] =
+  /** Strict record walk; None on any structural violation (including
+    * a decompressed size past `maxInflated` — the gzip-bomb guard).
+    * Offsets are in the (decompressed, for gzip inputs) record
+    * stream. */
+  def parseWarc(bytes: Array[Byte],
+                maxInflated: Long = MaxInflatedBytes)
+      : Option[(Boolean, Seq[WarcRec])] =
     try {
       val gz = bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
         (bytes(1) & 0xff) == 0x8b
-      val plain = if (!gz) Some(bytes) else gunzipMembers(bytes)
+      val plain = if (!gz) Some(bytes) else gunzipMembers(bytes, maxInflated)
       plain.flatMap(walk).map(rs => (gz, rs))
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -93,8 +120,13 @@ object WarcCodec {
     * (ended in finally: per-blob native zlib memory must not wait for
     * GC), then the CRC32 + ISIZE trailer both VERIFIED — and rejects
     * trailing garbage, truncation, or any mid-stream corruption, so
-    * gzip and plain layouts fail identically. */
-  private def gunzipMembers(b: Array[Byte]): Option[Array[Byte]] = {
+    * gzip and plain layouts fail identically. The running TOTAL of
+    * inflated bytes is capped at `maxInflated` INSIDE the loop —
+    * checked before the next buffer is retained, so a gzip bomb never
+    * allocates past the cap before rejecting (the untrusted-bytes
+    * drop-the-blob contract). */
+  private def gunzipMembers(b: Array[Byte],
+                            maxInflated: Long): Option[Array[Byte]] = {
     val out = new java.io.ByteArrayOutputStream()
     var p = 0
     def le32(i: Int): Long =
@@ -130,6 +162,8 @@ object WarcCodec {
           val n = inf.inflate(buf)
           if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
             return None // truncated / underspecified member
+          if (out.size().toLong + n > maxInflated)
+            return None // gzip bomb: cap TOTAL inflated bytes
           crc.update(buf, 0, n)
           out.write(buf, 0, n)
           msize += n
@@ -159,7 +193,7 @@ object WarcCodec {
     while (p < b.length) {
       val off = p.toLong
       val v = line(p) match {
-        case Some(("WARC/1.0", next)) => next
+        case Some(("WARC/1.0" | "WARC/1.1", next)) => next
         case _ => return None
       }
       var q = v

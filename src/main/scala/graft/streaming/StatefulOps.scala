@@ -1480,7 +1480,7 @@ object StatefulOps {
       val ent = java.util.regex.Pattern.compile(
         "&(?:(lt|gt|quot|nbsp|amp)|#([0-9]{1,7})|#[xX]([0-9a-fA-F]{1,6}));")
       val named = Map("lt" -> "<", "gt" -> ">", "quot" -> "\"",
-        "nbsp" -> " ", "amp" -> "&")
+        "nbsp" -> "\u00a0", "amp" -> "&")
       val moji = java.util.regex.Pattern.compile(
         "[\\x{00c2}\\x{00c3}][\\x{0080}-\\x{00bf}]")
       rows.map { d =>

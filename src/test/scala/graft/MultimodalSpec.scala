@@ -1124,6 +1124,57 @@ class MultimodalSpec extends SparkSpec {
     assert(WarcCodec.parseWarc(gz.dropRight(4)).isEmpty, "truncated member")
   }
 
+  test("WARC gzip bomb: a member inflating past the cap drops the BLOB " +
+    "(None) instead of allocating through to OutOfMemoryError — the " +
+    "untrusted-bytes drop-the-blob contract") {
+    import graft.sources.WarcCodec
+    // a high-ratio member: 4 MiB of zeros deflates to ~4 KiB (~1000x)
+    val big = ("response", "https://bomb.org/z", new Array[Byte](4 << 20))
+    val gz = WarcCodec.buildWarc(Seq(big), gzipPerRecord = true)
+    assert(gz.length < (16 << 10), "fixture really is high-ratio")
+    // cap below the payload: reject; the default 256 MiB cap: parse
+    assert(WarcCodec.parseWarc(gz, maxInflated = 1 << 20).isEmpty,
+      "inflate past the cap rejects")
+    assert(WarcCodec.parseWarc(gz).get._2.head.contentLength === (4 << 20).toLong,
+      "the default cap still admits a legitimate large record")
+    // the cap is on the TOTAL across members, not per member: many
+    // small members that sum past it reject too
+    val many = WarcCodec.buildWarc(
+      Seq.fill(8)(("response", "https://bomb.org/m", new Array[Byte](256 << 10))),
+      gzipPerRecord = true)
+    assert(WarcCodec.parseWarc(many, maxInflated = 1 << 20).isEmpty,
+      "cumulative total past the cap rejects")
+    assert(WarcCodec.parseWarc(many, maxInflated = 4 << 20).get._2.size === 8)
+  }
+
+  test("WARC/1.1 version lines are accepted, per record and " +
+    "interleaved with 1.0; other versions still reject") {
+    import graft.sources.WarcCodec
+    val recs = Seq(
+      ("warcinfo", "", Array.tabulate(7)(_.toByte)),
+      ("response", "https://v.org/a", Array.tabulate(13)(i => (i * 2).toByte)))
+    val v10 = WarcCodec.buildWarc(recs)
+    val v11 = WarcCodec.buildWarc(recs, version = _ => "WARC/1.1")
+    val mixed = WarcCodec.buildWarc(recs,
+      version = i => if (i == 0) "WARC/1.1" else "WARC/1.0")
+    val base = WarcCodec.parseWarc(v10).get._2
+      .map(r => (r.idx, r.recType, r.targetUri, r.contentLength, r.offset))
+    for (b <- Seq(v11, mixed)) {
+      assert(WarcCodec.parseWarc(b).get._2
+        .map(r => (r.idx, r.recType, r.targetUri, r.contentLength, r.offset))
+        === base,
+        "1.1 and mixed-revision segments walk identically (8-octet " +
+          "version lines keep offsets fixed)")
+    }
+    // gzip layout too
+    assert(WarcCodec.parseWarc(WarcCodec.buildWarc(recs,
+        gzipPerRecord = true, version = _ => "WARC/1.1")).get._2.size === 2)
+    // 0.9 / 2.0 / 1.2 are NOT silently admitted
+    for (v <- Seq("WARC/0.9", "WARC/2.0", "WARC/1.2"))
+      assert(WarcCodec.parseWarc(WarcCodec.buildWarc(recs,
+        version = _ => v)).isEmpty, s"$v must reject")
+  }
+
   test("charset sniff: RFC 3629 edges — overlongs, surrogates, " +
     "past-10FFFF, truncation all quarantine; BOMs dispatch; valid " +
     "multibyte counts sequences") {
@@ -1188,6 +1239,53 @@ class MultimodalSpec extends SparkSpec {
     assert(zh.length === 1 &&
       zh(0).status === 200 && zh(0).contentType === "" &&
       zh(0).body === "<p>zero headers</p>")
+  }
+
+  test("HTTP chunked transfer-encoding: framing is de-chunked exactly " +
+    "(extensions + trailers hopped); truncated, oversized, bad-hex, and " +
+    "trailing-garbage chunks drop the record; identity passes through; " +
+    "undecodable encodings drop") {
+    import spark.implicits._
+    import graft.multimodal.MultimodalOps
+    import graft.sources.WarcCodec
+    def warc(id: Long, msg: String): (Long, Array[Byte]) =
+      (id, WarcCodec.buildWarc(Seq(
+        ("response", s"https://c.org/$id", msg.getBytes("US-ASCII")))))
+    def chunkedMsg(body: String): String =
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    val rows = MultimodalOps.warcHttpResponses(Seq(
+      // 2 chunks + empty-trailer terminator
+      warc(1L, chunkedMsg("5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")),
+      // chunk extension on the size line + a trailer field
+      warc(2L, chunkedMsg("b;x=\"1\"\r\nhello world\r\n0\r\nX-T: v\r\n\r\n")),
+      // case-insensitive TE header name and value
+      warc(3L, "HTTP/1.1 200 OK\r\ntransfer-encoding: CHUNKED\r\n\r\n" +
+        "3\r\nabc\r\n0\r\n\r\n"),
+      // identity is a pass-through
+      warc(4L, "HTTP/1.1 200 OK\r\nTransfer-Encoding: identity\r\n\r\nraw"),
+      // hex sizes beyond one digit (0x10 = 16 bytes)
+      warc(5L, chunkedMsg("10\r\n0123456789abcdef\r\n0\r\n\r\n")),
+      // rejects: truncated data, size line without CRLF end, bad hex,
+      // garbage after the last chunk, data not ending at its CRLF,
+      // oversized size, undecodable encoding
+      warc(10L, chunkedMsg("5\r\nhel")),
+      warc(11L, chunkedMsg("5\r\nhello\r\n")),
+      warc(12L, chunkedMsg("5g\r\nhello\r\n0\r\n\r\n")),
+      warc(13L, chunkedMsg("3\r\nabc\r\n0\r\n\r\nextra")),
+      warc(14L, chunkedMsg("2\r\nabc\r\n0\r\n\r\n")),
+      warc(15L, chunkedMsg("ffffffffffffffff\r\nx\r\n0\r\n\r\n")),
+      warc(16L, chunkedMsg("\r\nabc\r\n0\r\n\r\n")), // empty size
+      warc(17L, "HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked" +
+        "\r\n\r\n3\r\nabc\r\n0\r\n\r\n")
+    ).toDF("doc_id", "bytes"), "doc_id", "bytes")
+      .collect().map(r => r.docId -> ((r.body, r.chunked))).toMap
+    assert(rows(1L) === (("hello world", true)))
+    assert(rows(2L) === (("hello world", true)), "extension + trailer hop")
+    assert(rows(3L) === (("abc", true)), "case-insensitive TE")
+    assert(rows(4L) === (("raw", false)), "identity pass-through")
+    assert(rows(5L) === (("0123456789abcdef", true)), "multi-digit hex")
+    for (id <- 10L to 17L)
+      assert(!rows.contains(id), s"case $id must drop the record")
   }
 
   test("MP3 frame walk: all three MPEG versions round-trip exact field " +

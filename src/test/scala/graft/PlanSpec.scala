@@ -697,5 +697,16 @@ class PlanSpec extends SparkSpec {
       s"robots rule table must broadcast:\n$pr")
     assert(!pr.contains("CartesianProduct") && !pr.contains("ScalaUDF"),
       s"robots shape:\n$pr")
+    // Presentation order lives in QueryDef.presentOrder, NOT the run
+    // body (r13 verdict #1): Bench must not time a presentation
+    // Sort+Exchange. An orderBy compiles to a rangepartitioning
+    // exchange; the robots window sort is a LOCAL sort over hash
+    // partitioning, so this assert pins exactly the removed shape.
+    for (n <- Seq("text_url_domains", "pipeline_robots_filter",
+        "pipeline_crawl_frontier")) {
+      val p = planOf(n)
+      assert(!p.contains("rangepartitioning"),
+        s"$n times a presentation sort:\n$p")
+    }
   }
 }
