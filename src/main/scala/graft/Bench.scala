@@ -92,7 +92,9 @@ object Bench {
       "mm_warc_records",            // FixtureCache: warc_records blobs
       "pipeline_warc_to_wet",       // FixtureCache: warc_wet blobs
       "pipeline_warc_http",         // FixtureCache: warc_http blobs
-      "mm_mp3_meta")                // FixtureCache: mp3_meta blobs
+      "mm_mp3_meta",                // FixtureCache: mp3_meta blobs
+      "pipeline_http_redirects",    // FixtureCache: http_redirects blobs
+      "dedup_warc_digest")          // FixtureCache: warc_digest blobs
     val preMark = BuildLedger.mark()
     val preT0 = System.nanoTime()
     artifactProducers.foreach { n =>

@@ -144,6 +144,41 @@ object MultimodalOps {
     }
   }
 
+  case class DigestRow(docId: Long, recIdx: Int, recType: String,
+                       contentLength: Long, digest: Long)
+
+  /** Per-record payload digest — crawl-native EXACT dedup before any
+    * byte ever decodes (the `WARC-Payload-Digest` pattern: Common
+    * Crawl marks `revisit` records by payload digest so identical
+    * captures are stored once and deduped downstream without reading
+    * payloads twice). The digest here is a Horner fold
+    * `acc = (acc * 31 + byte) mod 1e9+7` over the payload bytes —
+    * chosen over SHA-1 for the same reason every gated hash in this
+    * engine is integer-exact: a DuckDB oracle can recompute it in
+    * closed form from the fixture's generation formula, so the gate
+    * proves the WALK delivered exactly the right payload slices
+    * (production swaps in SHA-1 without touching the plan). Narrow
+    * flatMap, one pass over payload bytes, slim rows out; the dedup
+    * consumer groups on (digest, length) — one shuffle of hashes,
+    * never of payloads, the 100 TB shape. */
+  def warcPayloadDigests(media: DataFrame, idCol: String,
+                         bytesCol: String): Dataset[DigestRow] = {
+    import media.sparkSession.implicits._
+    blobFlatMap(media, idCol, bytesCol) { (id, bytes) =>
+      graft.sources.WarcCodec.parseWarc(bytes).toSeq.flatMap {
+        case (_, recs) => recs.map { r =>
+          var acc = 0L
+          var i = 0
+          while (i < r.payload.length) {
+            acc = (acc * 31 + (r.payload(i) & 0xff)) % 1000000007L
+            i += 1
+          }
+          DigestRow(id, r.idx, r.recType, r.contentLength, acc)
+        }
+      }
+    }
+  }
+
   case class WetRow(docId: Long, recIdx: Int, targetUri: String,
                     text: String)
 
@@ -243,7 +278,7 @@ object MultimodalOps {
 
   case class HttpRow(docId: Long, recIdx: Int, targetUri: String,
                      status: Int, contentType: String, body: String,
-                     chunked: Boolean)
+                     chunked: Boolean, location: String)
 
   /** HTTP envelope parse inside WARC response payloads — how crawl
     * WARCs actually store pages (`WARC-Type: response` wraps the full
@@ -337,20 +372,21 @@ object MultimodalOps {
               }
             }
             val ct = header("Content-Type").getOrElse("")
+            val loc = header("Location").getOrElse("")
             val raw = p.substring(hdrEnd + 4)
             val te = header("Transfer-Encoding")
               .map(_.toLowerCase(java.util.Locale.ROOT))
             te match {
               case None =>
                 Some(HttpRow(id, r.idx, r.targetUri, m.group(1).toInt,
-                  ct, raw, chunked = false))
+                  ct, raw, chunked = false, loc))
               case Some("chunked") =>
                 dechunk(raw).map(body =>
                   HttpRow(id, r.idx, r.targetUri, m.group(1).toInt,
-                    ct, body, chunked = true))
+                    ct, body, chunked = true, location = loc))
               case Some("identity") =>
                 Some(HttpRow(id, r.idx, r.targetUri, m.group(1).toInt,
-                  ct, raw, chunked = false))
+                  ct, raw, chunked = false, loc))
               case Some(_) => None // gzip/deflate/stacked: undecodable
             }
           }

@@ -2255,6 +2255,11 @@ object TextOps {
       regexp_replace(hostNd, lit(":[0-9]+$"), lit("")))
   }
 
+  /** Canonical form of a URL column — the [[urlDomains]] rules
+    * (fragment strip, lowercase scheme/host, default-port strip) as a
+    * public helper for composers (redirect surfacing, link graph). */
+  def canonicalUrl(url: Column): Column = urlCanonHost(url)._1
+
   /** Registrable domain of a bare host — the [[urlDomains]] rule as a
     * reusable Column (IPv4 → itself; listed 2-label suffix → last 3
     * labels; else last 2; bare/single stays). */
@@ -2414,6 +2419,86 @@ object TextOps {
         sum(when(col("allowed"), 0L).otherwise(1L)).as("n_blocked"),
         countDistinct(col("host")).as("n_hosts"),
         min(when(col("allowed"), col("url_canon"))).as("first_fetch"))
+
+  /** `href` attribute values in an HTML string — double- OR
+    * single-quoted, case-insensitive attribute name. A value
+    * containing the other quote char terminates at it (documented,
+    * engine-identical — the same single-regex scope discipline as
+    * [[UrlRe]]). */
+  val HrefRe = "(?i)href\\s*=\\s*[\"']([^\"'>]*)[\"']"
+
+  /** RFC 3986 §5-lite reference resolution for crawl links, shared by
+    * [[htmlLinkGraph]] and the redirect surface: absolute http(s)
+    * targets pass through; protocol-relative `//host/...` takes the
+    * source scheme; root-relative `/path` resolves against the
+    * source's canonical scheme://host. Everything else — relative
+    * paths, fragments, mailto/javascript/data schemes — resolves to
+    * NULL (dropped): a frontier only enqueues fetchable absolute
+    * URLs, and full relative-path resolution (dot-segment merge
+    * against the base path) is documented out of scope. */
+  def resolveHref(target: Column, srcScheme: Column,
+                  srcHost: Column): Column =
+    when(target.rlike("^https?://"), target)
+      .when(target.startsWith("//"),
+        concat(srcScheme, lit(":"), target))
+      .when(target.startsWith("/"),
+        concat(srcScheme, lit("://"), srcHost, target))
+      .otherwise(lit(null))
+
+  /** SQL twin of [[resolveHref]] over expressions. */
+  def resolveHrefSql(target: String, srcScheme: String,
+                     srcHost: String): String =
+    s"""CASE WHEN regexp_matches($target, '^https?://') THEN $target
+          WHEN starts_with($target, '//')
+            THEN $srcScheme || ':' || $target
+          WHEN starts_with($target, '/')
+            THEN $srcScheme || '://' || $srcHost || $target
+          ELSE NULL END"""
+
+  /** Domain-grain link graph from crawled HTML — the edge table that
+    * SEEDS the whole graph stack (pagerank/HITS at domain grain run
+    * over exactly this roll-up in a production crawl; the engine's
+    * `graph_*` gates consume such edges): per page, `href` targets
+    * are extracted ([[HrefRe]]), resolved ([[resolveHref]] — absolute,
+    * protocol-relative, and root-relative forms; the rest drop),
+    * canonicalized (fragment strip, lowercase scheme/host, default
+    * port strip — the [[urlDomains]] rules), and rolled up to
+    * (source registrable domain → target registrable domain) with
+    * link, page, and distinct-target counts. Input: one row per page
+    * (`doc_id`, `page_url`, `text` = the HTML). Shape at 100 TB: one
+    * codegen'd extract-resolve-canonicalize projection per page, one
+    * explode at link grain, ONE shuffle for the domain-pair agg with
+    * map-side combine — rows entering the shuffle are slim domain
+    * pairs, never page bytes. Self-edges (intra-domain navigation)
+    * are kept: their ratio is the classic template/boilerplate
+    * signal, and pagerank treats them per its own damping. */
+  def htmlLinkGraph(pages: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    // source scheme + canonical host (default port stripped, explicit
+    // non-default port kept — the resolution base), same regex steps
+    // as urlCanonHost
+    val noFrag = regexp_replace(col("page_url"), lit("#.*$"), lit(""))
+    val sScheme = lower(regexp_extract(noFrag, "^(https?)://", 1))
+    val sHp = lower(regexp_extract(noFrag, "^https?://([^/?#]+)", 1))
+    val sHost = when(sScheme === "http",
+        regexp_replace(sHp, lit(":80$"), lit("")))
+      .otherwise(regexp_replace(sHp, lit(":443$"), lit("")))
+    val links = pages.select(col("doc_id"),
+        sScheme.as("__s"), sHost.as("__h"),
+        explode(regexp_extract_all(t, lit(HrefRe), lit(1))).as("target"))
+      .select(col("doc_id"), col("__h"),
+        resolveHref(col("target"), col("__s"), col("__h")).as("resolved"))
+      .filter(col("resolved").isNotNull)
+    val (canon, host) = urlCanonHost(col("resolved"))
+    links.select(col("doc_id"),
+        registrableDomain(regexp_replace(col("__h"), lit(":[0-9]+$"),
+          lit(""))).as("src_domain"),
+        canon.as("url_canon"), registrableDomain(host).as("dst_domain"))
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_pages"),
+        countDistinct(col("url_canon")).as("n_targets"))
+  }
 
   /** Oracle twin of [[crawlFrontier]] over the robots twin. */
   def crawlFrontierSql(table: String, rulesValues: String): String =

@@ -525,6 +525,67 @@ object IndexQueries {
       Some(graft.ops.TextOps.crawlFrontierSql(UrlFixtureTable,
         RobotsRules.map { case (h, p, a) => s"('$h', '$p', $a)" }
           .mkString(", "))),
-      presentOrder = Seq("domain"))
+      presentOrder = Seq("domain")),
+
+    // Domain-grain link graph from HTML — the edge table that seeds
+    // pagerank/HITS in a real crawl (the graph stack's gates consume
+    // exactly this roll-up shape). Fixture per page (3 of 4 docs; the
+    // fourth has no links — the zero case): an absolute href with a
+    // mixed-case host, an explicit :443, and a fragment (all three
+    // canonical rules on the TARGET), a single-quoted root-relative
+    // href resolving against the page's own host (self-edge — the
+    // template-navigation signal), an uppercase-HREF protocol-relative
+    // target taking the source scheme, and three UNRESOLVABLE forms
+    // (relative path, bare fragment, mailto) that must drop. The
+    // oracle rebuilds the edge list from the generation formulas and
+    // aggregates identically — a resolution slip, a canonical miss,
+    // or an over-extracted href lands in the counts.
+    QueryDef("pipeline_link_graph",
+      (s, d) => {
+        val pageUrl = concat(lit("https://www.ex"), col("doc_id") % 5,
+          lit(".co.uk/p/"), col("doc_id"))
+        val html = when(col("doc_id") % 4 === 3,
+            concat(lit("<html><body>no links "), col("doc_id"),
+              lit("</body></html>")))
+          .otherwise(concat(
+            lit("<html><body><a href=\"https://News.Site"),
+            col("doc_id") % 3, lit(".org:443/a/"), col("doc_id"),
+            lit("#x\">n</a> <a href='/local/"), col("doc_id") % 4,
+            lit("'>l</a> <a HREF=\"//cdn.assets"), col("doc_id") % 2,
+            lit(".com/l.css\">c</a> <a href=\"rel/path\">r</a>" +
+              " <a href=\"#top\">t</a>" +
+              " <a href=\"mailto:a@b.c\">m</a></body></html>")))
+        graft.ops.TextOps.htmlLinkGraph(Tables.documents(s, d)
+          .select(col("doc_id"), pageUrl.as("page_url"),
+            html.as("text")))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+             |   WHERE doc_id % 4 <> 3),
+             | e AS (
+             |  SELECT doc_id,
+             |   'ex' || (doc_id % 5) || '.co.uk' AS src_domain,
+             |   'site' || (doc_id % 3) || '.org' AS dst_domain,
+             |   'https://news.site' || (doc_id % 3) || '.org/a/'
+             |     || doc_id AS target
+             |  FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 'ex' || (doc_id % 5) || '.co.uk',
+             |   'ex' || (doc_id % 5) || '.co.uk',
+             |   'https://www.ex' || (doc_id % 5) || '.co.uk/local/'
+             |     || (doc_id % 4)
+             |  FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 'ex' || (doc_id % 5) || '.co.uk',
+             |   'assets' || (doc_id % 2) || '.com',
+             |   'https://cdn.assets' || (doc_id % 2) || '.com/l.css'
+             |  FROM d)
+             | SELECT src_domain, dst_domain,
+             |  CAST(count(*) AS BIGINT) AS n_links,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+             |  CAST(count(DISTINCT target) AS BIGINT) AS n_targets
+             | FROM e GROUP BY 1, 2
+             | ORDER BY src_domain, dst_domain""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("src_domain", "dst_domain"))
   )
 }

@@ -1132,6 +1132,130 @@ object MultimodalQueries {
       },
       presentOrder = Seq("doc_id")),
 
+    // HTTP redirect surfacing — the frontier's OTHER input besides
+    // robots: 3xx captures carry the next fetch in their Location
+    // header, and a crawl that drops them loses every moved page.
+    // Chain: WARC walk → HTTP envelope (Location surfaced like
+    // Content-Type) → keep 3xx → resolve the target (absolute pass
+    // through incl. canonical rules on a mixed-case :443 fragment
+    // form; root-relative resolves against the capture's own host) →
+    // canonicalize both ends. 200s must NOT appear (the keep-filter
+    // branch). Oracle recomputes the whole redirect edge table from
+    // the generation formulas.
+    QueryDef("pipeline_http_redirects",
+      (s, d) => {
+        import s.implicits._
+        val blobs = FixtureCache.blobs(s, d, "http_redirects", 1) {
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+            .map { case (id, _) =>
+              val msg = (id % 3) match {
+                case 0 => "HTTP/1.1 301 Moved\r\nLocation: " +
+                  s"https://Move.Ex${id % 4}.org:443/new/$id#f\r\n\r\ngone"
+                case 1 => s"HTTP/1.1 302 Found\r\nLocation: /alt/${id % 5}" +
+                  "\r\n\r\nx"
+                case _ => "HTTP/1.1 200 OK\r\n\r\nok"
+              }
+              (id, graft.sources.WarcCodec.buildWarc(Seq(
+                ("response", s"https://ex${id % 5}.org/p/$id",
+                  msg.getBytes("US-ASCII"))),
+                gzipPerRecord = id % 2 == 1))
+            }.toDF("doc_id", "bytes")
+        }
+        val http = MultimodalOps.warcHttpResponses(blobs, "doc_id",
+          "bytes").toDF()
+        val scheme = lower(regexp_extract(col("targetUri"),
+          "^(https?)://", 1))
+        val host = lower(regexp_extract(col("targetUri"),
+          "^https?://([^/?#]+)", 1))
+        http.filter(col("status").between(300, 399))
+          .select(col("docId").as("doc_id"),
+            graft.ops.TextOps.canonicalUrl(col("targetUri"))
+              .as("src_url"),
+            col("status"),
+            graft.ops.TextOps.canonicalUrl(graft.ops.TextOps
+              .resolveHref(col("location"), scheme, host))
+              .as("redirect_to"))
+      },
+      Some("""SELECT doc_id,
+             | 'https://ex' || (doc_id % 5) || '.org/p/' || doc_id
+             |   AS src_url,
+             | CAST(CASE WHEN doc_id % 3 = 0 THEN 301 ELSE 302 END
+             |   AS INT) AS status,
+             | CASE WHEN doc_id % 3 = 0
+             |   THEN 'https://move.ex' || (doc_id % 4) || '.org/new/'
+             |     || doc_id
+             |   ELSE 'https://ex' || (doc_id % 5) || '.org/alt/'
+             |     || (doc_id % 5) END AS redirect_to
+             | FROM documents WHERE doc_id % 3 <> 2
+             | ORDER BY doc_id""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
+    // Payload-digest dedup — crawl-native EXACT dedup before any byte
+    // decodes (the WARC-Payload-Digest / revisit-record pattern):
+    // per-record Horner digests over the payload bytes, clustered on
+    // (digest, length). The fixture plants COLLIDING payloads by
+    // construction — response payloads depend only on (id%4, id%3)
+    // and request payloads on (id%5, id%2), so thousands of docs
+    // collapse to ≤22 clusters — while the oracle recomputes each
+    // class digest with the same fold over the generation formula in
+    // SQL (list_reduce) and aggregates identically: a mis-hopped
+    // payload slice, a masked-byte slip, or a lost record changes a
+    // digest or a count. Gzip on odd ids proves compression is
+    // digest-invariant.
+    QueryDef("dedup_warc_digest",
+      (s, d) => {
+        import s.implicits._
+        val blobs = FixtureCache.blobs(s, d, "warc_digest", 1) {
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+            .map { case (id, _) =>
+              val len0 = ((id % 3) + 8).toInt
+              val len1 = ((id % 2) + 5).toInt
+              (id, graft.sources.WarcCodec.buildWarc(Seq(
+                ("response", s"https://ex${id % 5}.org/p/$id",
+                  Array.tabulate(len0)(k =>
+                    (((id % 4) * 7 + k) % 251).toByte)),
+                ("request", s"https://ex${id % 5}.org/p/$id",
+                  Array.tabulate(len1)(k =>
+                    (((id % 5) * 11 + k) % 251).toByte))),
+                gzipPerRecord = id % 2 == 1))
+            }.toDF("doc_id", "bytes")
+        }
+        MultimodalOps.warcPayloadDigests(blobs, "doc_id", "bytes")
+          .toDF()
+          .select(col("digest"),
+            col("contentLength").as("content_length"),
+            col("recType"), col("docId"))
+          .groupBy("digest", "content_length")
+          .agg(min(col("recType")).as("rec_type"),
+            count(lit(1)).as("n_records"),
+            countDistinct(col("docId")).as("n_docs"))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, 'response' AS rec_type,
+             |   CAST((doc_id % 3) + 8 AS BIGINT) AS content_length,
+             |   (doc_id % 4) * 7 AS c
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 'request',
+             |   CAST((doc_id % 2) + 5 AS BIGINT), (doc_id % 5) * 11
+             |  FROM documents),
+             | dg AS (SELECT doc_id, rec_type, content_length,
+             |   list_reduce(list_transform(
+             |     generate_series(0, CAST(content_length AS INT) - 1),
+             |     k -> (c + k) % 251),
+             |    (a, b) -> (a * 31 + b) % 1000000007) AS digest
+             |  FROM r)
+             | SELECT digest, content_length,
+             |  min(rec_type) AS rec_type,
+             |  CAST(count(*) AS BIGINT) AS n_records,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             | FROM dg GROUP BY 1, 2
+             | ORDER BY digest, content_length""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("digest", "content_length")),
+
     // MP3 frame walk (Mp3Codec) — lossy audio's exact-gateable surface
     // (the decode itself is float IMDCT, refused with a dated note in
     // COVERAGE.md): ID3v2 syncsafe skip, per-frame header validation,

@@ -987,6 +987,50 @@ class DedupSimSpec extends SparkSpec {
     assert(out("co.uk") === "co.uk", "a bare listed suffix stays itself")
   }
 
+  test("htmlLinkGraph: href forms resolve (absolute canonicalized, " +
+    "root-relative against the page host, protocol-relative takes the " +
+    "scheme), unresolvable forms drop, edges roll up per domain pair " +
+    "with self-edges kept") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://www.a.co.uk/p/1",
+        "<a href=\"https://News.B.ORG:443/x#f\">n</a>" +
+          " <a href='/nav'>s</a> <a HREF=\"//cdn.c.com/l\">c</a>" +
+          " <a href=\"rel/p\">r</a> <a href=\"#t\">t</a>" +
+          " <a href=\"mailto:x@y.z\">m</a>"),
+      (2L, "https://www.a.co.uk/p/2",
+        "<a href=\"https://news.b.org/x\">same target as doc 1</a>"),
+      (3L, "http://other.net/q", "no links here"),
+      (4L, "https://www.a.co.uk/p/4", null.asInstanceOf[String])
+    ).toDF("doc_id", "page_url", "text")
+    val out = TextOps.htmlLinkGraph(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // absolute: docs 1+2 hit the SAME canonical target (case + :443 +
+    // fragment all normalize) -> 2 links, 2 pages, 1 distinct target
+    assert(out(("a.co.uk", "b.org")) === ((2L, 2L, 1L)))
+    // self-edge from the root-relative nav link
+    assert(out(("a.co.uk", "a.co.uk")) === ((1L, 1L, 1L)))
+    // protocol-relative takes https from the source page
+    assert(out(("a.co.uk", "c.com")) === ((1L, 1L, 1L)))
+    assert(out.size === 3, "rel/frag/mailto and linkless pages drop")
+  }
+
+  test("resolveHref: absolute passes, protocol-relative takes scheme, " +
+    "root-relative takes scheme://host, everything else nulls") {
+    import spark.implicits._
+    val out = Seq(
+      "https://x.org/a", "//cdn.z.com/l", "/path?q=1",
+      "rel/p", "#frag", "mailto:a@b.c", "javascript:void(0)"
+    ).toDF("t")
+      .select(TextOps.resolveHref(col("t"), lit("https"),
+        lit("h.example.org")).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.toSeq === Seq(
+      "https://x.org/a", "https://cdn.z.com/l",
+      "https://h.example.org/path?q=1", null, null, null, null))
+  }
+
   test("mojibakeProfile: double-encoded pairs count, correctly-encoded " +
     "accents and CJK never false-flag, null text is clean") {
     import spark.implicits._

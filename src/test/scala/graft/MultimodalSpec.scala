@@ -1288,6 +1288,35 @@ class MultimodalSpec extends SparkSpec {
       assert(!rows.contains(id), s"case $id must drop the record")
   }
 
+  test("WARC payload digests: Horner fold over exact payload slices, " +
+    "identical across plain and gzip layouts, high bytes unsigned") {
+    import spark.implicits._
+    import graft.multimodal.MultimodalOps
+    import graft.sources.WarcCodec
+    // payload with bytes > 0x7F: the signed-byte trap
+    val pay = Array.tabulate(9)(k => ((200 + k) % 251).toByte)
+    def horner(bs: Array[Byte]): Long =
+      bs.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val recs = Seq(
+      ("response", "https://d.org/a", pay),
+      ("request", "https://d.org/a", pay.reverse),
+      ("response", "https://d.org/b", pay)) // duplicate payload
+    for (gz <- Seq(false, true)) {
+      val rows = MultimodalOps.warcPayloadDigests(
+        Seq((7L, WarcCodec.buildWarc(recs, gzipPerRecord = gz)))
+          .toDF("doc_id", "bytes"), "doc_id", "bytes")
+        .collect().sortBy(_.recIdx)
+      assert(rows.map(_.digest).toSeq ===
+        Seq(horner(pay), horner(pay.reverse), horner(pay)),
+        s"gz=$gz digests")
+      assert(rows(0).digest === rows(2).digest,
+        "identical payloads collide (the dedup key)")
+      assert(rows(0).digest !== rows(1).digest,
+        "reversed payload differs (order-sensitive fold)")
+      assert(rows.map(_.contentLength).toSeq === Seq(9L, 9L, 9L))
+    }
+  }
+
   test("MP3 frame walk: all three MPEG versions round-trip exact field " +
     "recovery incl. VBR average, ID3v2 syncsafe skip, Xing at the " +
     "version/mode side-info offset, ID3v1 trailer") {

@@ -708,5 +708,14 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("rangepartitioning"),
         s"$n times a presentation sort:\n$p")
     }
+    // link graph: one explode at link grain into the expand-distinct
+    // roll-up — same family as url_domains; page bytes never join or
+    // shuffle, and the presentation sort stays out of the run body
+    val pl = planOf("pipeline_link_graph")
+    assert(pl.contains("Generate") && pl.contains("Expand"),
+      s"link_graph shape:\n$pl")
+    assert(!pl.contains("CartesianProduct") && !pl.contains("ScalaUDF") &&
+      !pl.contains("rangepartitioning"),
+      s"link_graph shape:\n$pl")
   }
 }
