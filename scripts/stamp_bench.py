@@ -9,9 +9,9 @@ defense. The judge's own adjudication used min-of-N across the round's
 stamped runs as the interference-free plan-cost number, so the round
 artifact now carries BOTH readings:
 
-  queries      - the newest single run, untouched (one honest wall)
+  queries      - the primary run (the FIRST file argument), untouched
   queries_min  - per-query min across the round's N runs
-  value_min    - sum of queries_min over queries timed in the newest
+  value_min    - sum of queries_min over queries timed in the primary
                  run (so totals stay comparable run-to-run)
   min_runs     - the exact run files the min was taken over (N recorded)
 
@@ -55,7 +55,12 @@ def main() -> int:
         qmin[n] = min(vals) if vals else -1.0
     artifact = dict(primary)
     artifact["queries_min"] = qmin
-    artifact["value_min"] = sum(v for v in qmin.values() if v >= 0)
+    # same query set as the primary's "value": a query that crashed in
+    # the primary run (-1) is excluded even when an older run timed it,
+    # so value and value_min stay comparable (review r14)
+    artifact["value_min"] = sum(
+        v for n, v in qmin.items()
+        if v >= 0 and primary["queries"][n] >= 0)
     artifact["min_runs"] = [p for p, _ in runs]
     with open(out_path, "w") as f:
         json.dump(artifact, f)

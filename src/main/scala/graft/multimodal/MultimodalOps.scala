@@ -322,7 +322,6 @@ object MultimodalOps {
       if (hex.isEmpty || hex.length > 15 ||
           !hex.forall(c => Character.digit(c, 16) >= 0)) return None
       val size = java.lang.Long.parseLong(hex, 16)
-      if (size > Int.MaxValue) return None // oversized-size guard
       p = eol + 2
       if (size == 0L) {
         // trailer section: zero or more non-empty field lines, then
@@ -334,8 +333,11 @@ object MultimodalOps {
         }
         return if (p + 2 == s.length) Some(sb.toString) else None
       }
+      // LONG arithmetic for the truncation guard: a declared size near
+      // Int.MaxValue must not wrap `p + n + 2` negative and sneak past
+      // the bound into an uncaught IndexOutOfBounds (drop, never throw)
+      if (p.toLong + size + 2 > s.length) return None // truncated chunk
       val n = size.toInt
-      if (p + n + 2 > s.length) return None // truncated chunk data
       sb.append(s, p, p + n)
       if (s.charAt(p + n) != '\r' || s.charAt(p + n + 1) != '\n')
         return None // chunk data must end at its own CRLF exactly

@@ -2244,6 +2244,17 @@ object TextOps {
     * the shared canonicalization core of [[urlDomains]] and
     * [[robotsFilter]]. */
   private def urlCanonHost(urlCol: Column): (Column, Column) = {
+    val p = urlCanonParts(urlCol)
+    (p._1, p._2)
+  }
+
+  /** The full canonical decomposition behind [[urlCanonHost]] —
+    * (canonical URL, bare host, scheme, host-with-non-default-port) —
+    * the ONE place the fragment-strip / scheme-extract / host-extract /
+    * default-port-strip sequence lives (review r14: the link graph and
+    * redirect composer each hand-rolled a copy before this). */
+  private[graft] def urlCanonParts(urlCol: Column)
+      : (Column, Column, Column, Column) = {
     val noFrag = regexp_replace(urlCol, lit("#.*$"), lit(""))
     val scheme = lower(regexp_extract(noFrag, "^(https?)://", 1))
     val hostPort = lower(regexp_extract(noFrag, "^https?://([^/?#]+)", 1))
@@ -2252,13 +2263,22 @@ object TextOps {
         regexp_replace(hostPort, lit(":80$"), lit("")))
       .otherwise(regexp_replace(hostPort, lit(":443$"), lit("")))
     (concat(scheme, lit("://"), hostNd, rest),
-      regexp_replace(hostNd, lit(":[0-9]+$"), lit("")))
+      regexp_replace(hostNd, lit(":[0-9]+$"), lit("")),
+      scheme, hostNd)
   }
 
   /** Canonical form of a URL column — the [[urlDomains]] rules
     * (fragment strip, lowercase scheme/host, default-port strip) as a
     * public helper for composers (redirect surfacing, link graph). */
   def canonicalUrl(url: Column): Column = urlCanonHost(url)._1
+
+  /** (scheme, host-with-non-default-port) of a URL column — the
+    * [[resolveHref]] resolution base, from the same shared
+    * decomposition as [[canonicalUrl]] (one source of truth). */
+  def urlSchemeHost(url: Column): (Column, Column) = {
+    val p = urlCanonParts(url)
+    (p._3, p._4)
+  }
 
   /** Registrable domain of a bare host — the [[urlDomains]] rule as a
     * reusable Column (IPv4 → itself; listed 2-label suffix → last 3
@@ -2349,16 +2369,24 @@ object TextOps {
     * match against path+query: a literal pattern is a path prefix
     * (codegen'd startsWith — the common case stays cheap); a pattern
     * carrying `*` (any char sequence) or a trailing `$` (end-of-URL
-    * anchor) is compiled ONCE per rule row into an anchored regex —
-    * regex metachars escaped, `*`→`.*`, trailing `$`→end anchor —
+    * anchor) is TRANSLATED once per rule row into anchored-regex TEXT
+    * — regex metachars escaped, `*`→`.*`, trailing `$`→end anchor —
     * the §2.2.3 grammar that real robots files use heavily (e.g. a
     * `Disallow:` of star-then-`?sessionid=`); a prefix-only frontier
-    * would over-fetch those. Shape at 100 TB: rules are tiny per host
-    * (robots.txt is a small file), so the match is a host-equi join
-    * Spark broadcasts when the rule table fits (the regex compile
-    * rides on the tiny side), then one window over (doc, url)
-    * candidate groups whose size is bounded by rules-per-host —
-    * linear in extracted URLs, never in corpus text. */
+    * would over-fetch those. Honesty note on the match cost: the
+    * translation happens on the tiny side, but `regexp_like` with a
+    * per-row pattern column recompiles the Pattern per evaluated
+    * CANDIDATE (url × rule-of-host) — Spark's RLike codegen has no
+    * non-foldable-pattern cache — so each URL pays a few µs per
+    * wildcard rule on its host. Rules-per-host is robots.txt-grain
+    * small, so the tax is a bounded constant per URL, not a scale
+    * term; a frontier hot enough to care pre-partitions by host and
+    * compiles each host's rules once per partition. Shape at 100 TB:
+    * rules are tiny per host, so the match is a host-equi join Spark
+    * broadcasts when the rule table fits, then one window over
+    * (doc, url) candidate groups whose size is bounded by
+    * rules-per-host — linear in extracted URLs, never in corpus
+    * text. */
   def robotsFilter(docs: DataFrame, rules: DataFrame): DataFrame = {
     val t = coalesce(col("text"), lit(""))
     val urls = docs.select(col("doc_id"),
@@ -2438,7 +2466,14 @@ object TextOps {
     * against the base path) is documented out of scope. */
   def resolveHref(target: Column, srcScheme: Column,
                   srcHost: Column): Column =
-    when(target.rlike("^https?://"), target)
+    // scheme match is case-INSENSITIVE (RFC 3986 §3.1; real pages
+    // carry HTTP:// links) and the absolute branch lowercases the
+    // scheme prefix so the downstream canonicalization — whose own
+    // extraction regexes are lowercase-anchored — always sees it
+    when(target.rlike("(?i)^https?://"),
+        concat(lower(regexp_extract(target, "(?i)^(https?)://", 1)),
+          lit("://"),
+          regexp_replace(target, lit("(?i)^https?://"), lit(""))))
       .when(target.startsWith("//"),
         concat(srcScheme, lit(":"), target))
       .when(target.startsWith("/"),
@@ -2448,7 +2483,9 @@ object TextOps {
   /** SQL twin of [[resolveHref]] over expressions. */
   def resolveHrefSql(target: String, srcScheme: String,
                      srcHost: String): String =
-    s"""CASE WHEN regexp_matches($target, '^https?://') THEN $target
+    s"""CASE WHEN regexp_matches($target, '(?i)^https?://')
+            THEN lower(regexp_extract($target, '(?i)^(https?)://', 1))
+              || '://' || regexp_replace($target, '(?i)^https?://', '')
           WHEN starts_with($target, '//')
             THEN $srcScheme || ':' || $target
           WHEN starts_with($target, '/')
@@ -2474,25 +2511,24 @@ object TextOps {
     * signal, and pagerank treats them per its own damping. */
   def htmlLinkGraph(pages: DataFrame): DataFrame = {
     val t = coalesce(col("text"), lit(""))
-    // source scheme + canonical host (default port stripped, explicit
-    // non-default port kept — the resolution base), same regex steps
-    // as urlCanonHost
-    val noFrag = regexp_replace(col("page_url"), lit("#.*$"), lit(""))
-    val sScheme = lower(regexp_extract(noFrag, "^(https?)://", 1))
-    val sHp = lower(regexp_extract(noFrag, "^https?://([^/?#]+)", 1))
-    val sHost = when(sScheme === "http",
-        regexp_replace(sHp, lit(":80$"), lit("")))
-      .otherwise(regexp_replace(sHp, lit(":443$"), lit("")))
-    val links = pages.select(col("doc_id"),
-        sScheme.as("__s"), sHost.as("__h"),
+    // source decomposition through the ONE shared canonicalizer
+    // (urlCanonParts); pages whose page_url is not an http(s) URL
+    // (scheme extraction empty) DROP here — resolving against an
+    // empty base would otherwise emit ':///nav'-shaped edges that all
+    // aggregate under an empty-string domain and pollute the seed
+    // table (review r14)
+    val (_, sBare, sScheme, sHostNd) = urlCanonParts(col("page_url"))
+    val links = pages
+      .select(col("doc_id"), sBare.as("__b"), sScheme.as("__s"),
+        sHostNd.as("__h"),
         explode(regexp_extract_all(t, lit(HrefRe), lit(1))).as("target"))
-      .select(col("doc_id"), col("__h"),
+      .filter(col("__s") =!= "")
+      .select(col("doc_id"), col("__b"),
         resolveHref(col("target"), col("__s"), col("__h")).as("resolved"))
       .filter(col("resolved").isNotNull)
     val (canon, host) = urlCanonHost(col("resolved"))
     links.select(col("doc_id"),
-        registrableDomain(regexp_replace(col("__h"), lit(":[0-9]+$"),
-          lit(""))).as("src_domain"),
+        registrableDomain(col("__b")).as("src_domain"),
         canon.as("url_canon"), registrableDomain(host).as("dst_domain"))
       .groupBy(col("src_domain"), col("dst_domain"))
       .agg(count(lit(1)).as("n_links"),

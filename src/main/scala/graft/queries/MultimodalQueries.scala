@@ -1164,10 +1164,8 @@ object MultimodalQueries {
         }
         val http = MultimodalOps.warcHttpResponses(blobs, "doc_id",
           "bytes").toDF()
-        val scheme = lower(regexp_extract(col("targetUri"),
-          "^(https?)://", 1))
-        val host = lower(regexp_extract(col("targetUri"),
-          "^https?://([^/?#]+)", 1))
+        val (scheme, host) =
+          graft.ops.TextOps.urlSchemeHost(col("targetUri"))
         http.filter(col("status").between(300, 399))
           .select(col("docId").as("doc_id"),
             graft.ops.TextOps.canonicalUrl(col("targetUri"))

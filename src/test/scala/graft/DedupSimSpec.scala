@@ -1001,34 +1001,47 @@ class DedupSimSpec extends SparkSpec {
       (2L, "https://www.a.co.uk/p/2",
         "<a href=\"https://news.b.org/x\">same target as doc 1</a>"),
       (3L, "http://other.net/q", "no links here"),
-      (4L, "https://www.a.co.uk/p/4", null.asInstanceOf[String])
+      (4L, "https://www.a.co.uk/p/4", null.asInstanceOf[String]),
+      // non-http source page: must DROP entirely, never emit
+      // ':///nav'-shaped edges under an empty domain (review r14)
+      (5L, "ftp://files.x.org/f",
+        "<a href=\"/nav\">s</a> <a href=\"https://news.b.org/x\">n</a>"),
+      // uppercase absolute scheme resolves (RFC 3986 case-insensitive)
+      // and canonicalizes to the same lowercase target as docs 1+2
+      (6L, "https://www.a.co.uk/p/6",
+        "<a href=\"HTTPS://News.B.org/x\">N</a>")
     ).toDF("doc_id", "page_url", "text")
     val out = TextOps.htmlLinkGraph(pages).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    // absolute: docs 1+2 hit the SAME canonical target (case + :443 +
-    // fragment all normalize) -> 2 links, 2 pages, 1 distinct target
-    assert(out(("a.co.uk", "b.org")) === ((2L, 2L, 1L)))
+    // absolute: docs 1+2+6 hit the SAME canonical target (scheme case,
+    // host case, :443, fragment all normalize) -> 3 links, 3 pages,
+    // 1 distinct target
+    assert(out(("a.co.uk", "b.org")) === ((3L, 3L, 1L)))
     // self-edge from the root-relative nav link
     assert(out(("a.co.uk", "a.co.uk")) === ((1L, 1L, 1L)))
     // protocol-relative takes https from the source page
     assert(out(("a.co.uk", "c.com")) === ((1L, 1L, 1L)))
-    assert(out.size === 3, "rel/frag/mailto and linkless pages drop")
+    assert(out.size === 3,
+      "rel/frag/mailto links, linkless pages, and non-http SOURCE " +
+        "pages all drop — no empty-domain edges")
   }
 
   test("resolveHref: absolute passes, protocol-relative takes scheme, " +
     "root-relative takes scheme://host, everything else nulls") {
     import spark.implicits._
     val out = Seq(
-      "https://x.org/a", "//cdn.z.com/l", "/path?q=1",
+      "https://x.org/a", "HTTP://Y.ORG/b", "//cdn.z.com/l", "/path?q=1",
       "rel/p", "#frag", "mailto:a@b.c", "javascript:void(0)"
     ).toDF("t")
       .select(TextOps.resolveHref(col("t"), lit("https"),
         lit("h.example.org")).as("r"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
     assert(out.toSeq === Seq(
-      "https://x.org/a", "https://cdn.z.com/l",
-      "https://h.example.org/path?q=1", null, null, null, null))
+      "https://x.org/a", "http://Y.ORG/b", "https://cdn.z.com/l",
+      "https://h.example.org/path?q=1", null, null, null, null),
+      "uppercase scheme resolves with the scheme lowercased (host " +
+        "case is the canonicalizer's job)")
   }
 
   test("mojibakeProfile: double-encoded pairs count, correctly-encoded " +

@@ -1274,6 +1274,11 @@ class MultimodalSpec extends SparkSpec {
       warc(13L, chunkedMsg("3\r\nabc\r\n0\r\n\r\nextra")),
       warc(14L, chunkedMsg("2\r\nabc\r\n0\r\n\r\n")),
       warc(15L, chunkedMsg("ffffffffffffffff\r\nx\r\n0\r\n\r\n")),
+      // Int.MaxValue-class declared size: the truncation guard must
+      // use LONG arithmetic — p + n + 2 wrapping negative once threw
+      // an uncaught IndexOutOfBounds and killed the task (review r14)
+      warc(18L, chunkedMsg("7fffffff\r\nx\r\n0\r\n\r\n")),
+      warc(19L, chunkedMsg("7ffffffa\r\nx\r\n0\r\n\r\n")),
       warc(16L, chunkedMsg("\r\nabc\r\n0\r\n\r\n")), // empty size
       warc(17L, "HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked" +
         "\r\n\r\n3\r\nabc\r\n0\r\n\r\n")
@@ -1284,7 +1289,7 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L) === (("abc", true)), "case-insensitive TE")
     assert(rows(4L) === (("raw", false)), "identity pass-through")
     assert(rows(5L) === (("0123456789abcdef", true)), "multi-digit hex")
-    for (id <- 10L to 17L)
+    for (id <- (10L to 17L) ++ Seq(18L, 19L))
       assert(!rows.contains(id), s"case $id must drop the record")
   }
 
