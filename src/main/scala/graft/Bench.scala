@@ -94,7 +94,8 @@ object Bench {
       "pipeline_warc_http",         // FixtureCache: warc_http blobs
       "mm_mp3_meta",                // FixtureCache: mp3_meta blobs
       "pipeline_http_redirects",    // FixtureCache: http_redirects blobs
-      "dedup_warc_digest")          // FixtureCache: warc_digest blobs
+      "dedup_warc_digest",          // FixtureCache: warc_digest blobs
+      "pipeline_http_revisit")      // FixtureCache: http_revisit blobs
     val preMark = BuildLedger.mark()
     val preT0 = System.nanoTime()
     artifactProducers.foreach { n =>

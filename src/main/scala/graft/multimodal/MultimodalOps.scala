@@ -278,7 +278,8 @@ object MultimodalOps {
 
   case class HttpRow(docId: Long, recIdx: Int, targetUri: String,
                      status: Int, contentType: String, body: String,
-                     chunked: Boolean, location: String)
+                     chunked: Boolean, location: String, etag: String,
+                     lastModified: String)
 
   /** HTTP envelope parse inside WARC response payloads — how crawl
     * WARCs actually store pages (`WARC-Type: response` wraps the full
@@ -375,20 +376,25 @@ object MultimodalOps {
             }
             val ct = header("Content-Type").getOrElse("")
             val loc = header("Location").getOrElse("")
+            // the two RFC 9110 revisit validators a recrawl scheduler
+            // conditions on (If-None-Match / If-Modified-Since)
+            val etag = header("ETag").getOrElse("")
+            val lastMod = header("Last-Modified").getOrElse("")
             val raw = p.substring(hdrEnd + 4)
             val te = header("Transfer-Encoding")
               .map(_.toLowerCase(java.util.Locale.ROOT))
             te match {
               case None =>
                 Some(HttpRow(id, r.idx, r.targetUri, m.group(1).toInt,
-                  ct, raw, chunked = false, loc))
+                  ct, raw, chunked = false, loc, etag, lastMod))
               case Some("chunked") =>
                 dechunk(raw).map(body =>
                   HttpRow(id, r.idx, r.targetUri, m.group(1).toInt,
-                    ct, body, chunked = true, location = loc))
+                    ct, body, chunked = true, location = loc,
+                    etag = etag, lastModified = lastMod))
               case Some("identity") =>
                 Some(HttpRow(id, r.idx, r.targetUri, m.group(1).toInt,
-                  ct, raw, chunked = false, loc))
+                  ct, raw, chunked = false, loc, etag, lastMod))
               case Some(_) => None // gzip/deflate/stacked: undecodable
             }
           }

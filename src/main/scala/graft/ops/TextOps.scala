@@ -2492,6 +2492,88 @@ object TextOps {
             THEN $srcScheme || '://' || $srcHost || $target
           ELSE NULL END"""
 
+  /** `<url>…</url>` blocks of a sitemaps.org urlset document. */
+  val SitemapUrlBlockRe = "(?is)<url>(.*?)</url>"
+
+  /** Sitemap (sitemaps.org protocol) URL extraction — the crawl
+    * frontier's THIRD input beside page links and redirects: sites
+    * publish their fetchable URL inventory (with optional lastmod
+    * freshness hints) as urlset XML, and a crawler that skips it
+    * cold-starts every site from its homepage. Per doc: `<url>`
+    * blocks extract, each block's `<loc>` (whitespace-trimmed per
+    * the spec's examples) canonicalizes under the [[urlDomains]]
+    * rules, `<lastmod>` is surfaced ('' when absent), and the
+    * roll-up per registrable domain gives the scheduler its
+    * site-inventory row: URL count, distinct canonical count,
+    * freshest lastmod, first URL. `<sitemapindex>` files contain no
+    * `<url>` blocks and legally contribute zero rows (the recursion
+    * to child sitemaps is the fetch loop's job, not the parser's).
+    * Full XML parsing is deliberately out of scope: the sitemap
+    * grammar in the wild is machine-generated and regular — the
+    * regex pair IS the format; a CDATA/entity-escaped loc is rare
+    * and documented out. Shape: two nested codegen extractions, one
+    * explode at URL grain, one slim-row shuffle for the domain agg. */
+  def sitemapUrls(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val blocks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(t, lit(SitemapUrlBlockRe), lit(1)))
+        .as("block"))
+    val loc = regexp_extract(col("block"),
+      "(?is)<loc>\\s*(.*?)\\s*</loc>", 1)
+    val lastmod = regexp_extract(col("block"),
+      "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)
+    val (canon, host) = urlCanonHost(loc)
+    blocks.filter(loc =!= "")
+      .select(col("doc_id"), canon.as("url_canon"),
+        registrableDomain(host).as("domain"), lastmod.as("lastmod"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url_canon")).as("n_unique_urls"),
+        max(col("lastmod")).as("latest_lastmod"),
+        min(col("url_canon")).as("first_url"))
+  }
+
+  /** Anchor-text corpus builder — the classic IR/link-text signal
+    * (anchor words describing the TARGET page; search rankers and
+    * link-text training corpora are built from exactly this table):
+    * `<a …href=…>inner</a>` pairs extract per page, the inner text
+    * is tag-stripped / entity-light / lowercased / whitespace-split,
+    * the href resolves ([[resolveHref]]) and canonicalizes, and the
+    * roll-up is (target registrable domain, term) → mention count +
+    * distinct source pages. Nested `<a>` elements are out of scope
+    * (the non-greedy pair regex stops at the first `</a>` — real
+    * crawl HTML virtually never nests anchors because HTML forbids
+    * it). Shape: one codegen extraction per page, explode at anchor
+    * grain, split-explode at term grain, ONE shuffle of slim
+    * (domain, term) rows with map-side combine. */
+  val AnchorRe =
+    "(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*>(.*?)</a>"
+
+  def anchorText(pages: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val (_, _, sScheme, sHostNd) = urlCanonParts(col("page_url"))
+    val anchors = pages
+      .select(col("doc_id"), sScheme.as("__s"), sHostNd.as("__h"),
+        explode(arrays_zip(
+          regexp_extract_all(t, lit(AnchorRe), lit(1)),
+          regexp_extract_all(t, lit(AnchorRe), lit(2)))).as("a"))
+      .filter(col("__s") =!= "")
+      .select(col("doc_id"),
+        resolveHref(col("a.0"), col("__s"), col("__h")).as("resolved"),
+        col("a.1").as("inner"))
+      .filter(col("resolved").isNotNull)
+    val cleanInner = trim(regexp_replace(regexp_replace(
+      lower(col("inner")), "<[^>]*>", " "), "[ \\t\\n\\r]+", " "))
+    val (_, host) = urlCanonHost(col("resolved"))
+    anchors.select(col("doc_id"),
+        registrableDomain(host).as("dst_domain"),
+        explode(split(cleanInner, " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("dst_domain"), col("term"))
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col("doc_id")).as("n_pages"))
+  }
+
   /** Domain-grain link graph from crawled HTML — the edge table that
     * SEEDS the whole graph stack (pagerank/HITS at domain grain run
     * over exactly this roll-up in a production crawl; the engine's

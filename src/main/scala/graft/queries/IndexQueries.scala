@@ -586,6 +586,104 @@ object IndexQueries {
              | FROM e GROUP BY 1, 2
              | ORDER BY src_domain, dst_domain""".stripMargin
         .replace("\n", "")),
-      presentOrder = Seq("src_domain", "dst_domain"))
+      presentOrder = Seq("src_domain", "dst_domain")),
+
+    // Sitemap inventory (sitemaps.org) — the frontier's third input
+    // beside page links and redirects: per-site URL inventories with
+    // lastmod freshness hints. Fixture per doc (3 of 4): a urlset
+    // with two <url> blocks — one loc whitespace-padded, mixed-case
+    // host, explicit :443 (trim + both canonical rules), with a
+    // formula lastmod; one plain loc with a fragment and NO lastmod
+    // (the ''-absent branch). The fourth doc is a sitemapindex —
+    // legally zero <url> blocks, zero rows. Oracle rebuilds the
+    // inventory from the formulas.
+    QueryDef("text_sitemap",
+      (s, d) => {
+        val xml = when(col("doc_id") % 4 === 3,
+            concat(lit("<?xml version=\"1.0\"?><sitemapindex><sitemap>" +
+              "<loc>https://idx"), col("doc_id"),
+              lit(".org/s.xml</loc></sitemap></sitemapindex>")))
+          .otherwise(concat(
+            lit("<?xml version=\"1.0\"?><urlset><url><loc> " +
+              "https://www.Shop"), col("doc_id") % 3,
+            lit(".CO.UK:443/p/"), col("doc_id"),
+            lit(" </loc><lastmod>2026-0"), col("doc_id") % 9 + 1,
+            lit("-01</lastmod></url><url><loc>https://News.Site"),
+            col("doc_id") % 5, lit(".org/a/"), col("doc_id"),
+            lit("#frag</loc></url></urlset>")))
+        graft.ops.TextOps.sitemapUrls(Tables.documents(s, d)
+          .select(col("doc_id"), xml.as("text")))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+             |   WHERE doc_id % 4 <> 3),
+             | u AS (
+             |  SELECT doc_id,
+             |   'https://www.shop' || (doc_id % 3) || '.co.uk/p/'
+             |     || doc_id AS url_canon,
+             |   'shop' || (doc_id % 3) || '.co.uk' AS domain,
+             |   '2026-0' || ((doc_id % 9) + 1) || '-01' AS lastmod
+             |  FROM d
+             |  UNION ALL
+             |  SELECT doc_id,
+             |   'https://news.site' || (doc_id % 5) || '.org/a/'
+             |     || doc_id,
+             |   'site' || (doc_id % 5) || '.org', ''
+             |  FROM d)
+             | SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+             |  CAST(count(DISTINCT url_canon) AS BIGINT)
+             |    AS n_unique_urls,
+             |  max(lastmod) AS latest_lastmod,
+             |  min(url_canon) AS first_url
+             | FROM u GROUP BY domain ORDER BY domain""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("domain")),
+
+    // Anchor-text corpus — the classic link-text signal (terms in
+    // <a> elements describe the TARGET page; rankers and link-text
+    // corpora train on exactly this roll-up). Fixture per page (3 of
+    // 4): an external anchor whose inner text carries a NESTED tag
+    // the strip must eat and a formula-varying term, a single-quoted
+    // root-relative self anchor, and a fragment anchor that must
+    // drop. Oracle rebuilds (dst_domain, term) mentions from the
+    // formulas — an extraction slip, a missed tag strip, or a
+    // resolution miss changes a count.
+    QueryDef("text_anchor_text",
+      (s, d) => {
+        val pageUrl = concat(lit("https://www.src"), col("doc_id") % 4,
+          lit(".co.uk/p/"), col("doc_id"))
+        val html = when(col("doc_id") % 4 === 3, lit("<p>no anchors</p>"))
+          .otherwise(concat(
+            lit("<p><a href=\"https://Target.T"), col("doc_id") % 3,
+            lit(".org/x\">Best <b>Deal</b> "), col("doc_id") % 5,
+            lit("</a> noise <a href='/self'>Home  Page</a>" +
+              " <a href=\"#f\">skip</a></p>")))
+        graft.ops.TextOps.anchorText(Tables.documents(s, d)
+          .select(col("doc_id"), pageUrl.as("page_url"),
+            html.as("text")))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+             |   WHERE doc_id % 4 <> 3),
+             | a AS (
+             |  SELECT doc_id, 't' || (doc_id % 3) || '.org' AS dst,
+             |   'best' AS term FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 't' || (doc_id % 3) || '.org', 'deal'
+             |  FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 't' || (doc_id % 3) || '.org',
+             |   CAST(doc_id % 5 AS VARCHAR) FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 'src' || (doc_id % 4) || '.co.uk',
+             |   'home' FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 'src' || (doc_id % 4) || '.co.uk',
+             |   'page' FROM d)
+             | SELECT dst AS dst_domain, term,
+             |  CAST(count(*) AS BIGINT) AS n_mentions,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+             | FROM a GROUP BY 1, 2
+             | ORDER BY dst_domain, term""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("dst_domain", "term"))
   )
 }

@@ -1189,6 +1189,59 @@ object MultimodalQueries {
              | ORDER BY doc_id""".stripMargin.replace("\n", "")),
       presentOrder = Seq("doc_id")),
 
+    // Revisit-policy table — what a recrawl scheduler conditions on:
+    // RFC 9110 validators (ETag / Last-Modified) surfaced from the
+    // HTTP envelope decide between a cheap conditional refetch
+    // (If-None-Match / If-Modified-Since) and a full unconditional
+    // one. Three fixture classes: ETag only, Last-Modified only,
+    // neither; the policy column is the branch a scheduler takes.
+    // Oracle recomputes headers and policy from the formulas.
+    QueryDef("pipeline_http_revisit",
+      (s, d) => {
+        import s.implicits._
+        val blobs = FixtureCache.blobs(s, d, "http_revisit", 1) {
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+            .map { case (id, _) =>
+              val validators = (id % 3) match {
+                case 0 => "ETag: \"v" + (id % 7) + "\"\r\n"
+                case 1 => "Last-Modified: Mon, 0" + (id % 9 + 1) +
+                  " Jan 2026 00:00:00 GMT\r\n"
+                case _ => ""
+              }
+              val msg = ("HTTP/1.1 200 OK\r\n" + validators +
+                "Content-Type: text/html\r\n\r\nbody " + id)
+                .getBytes("US-ASCII")
+              (id, graft.sources.WarcCodec.buildWarc(Seq(
+                ("response", s"https://ex${id % 5}.org/p/$id", msg)),
+                gzipPerRecord = id % 2 == 1))
+            }.toDF("doc_id", "bytes")
+        }
+        val http = MultimodalOps.warcHttpResponses(blobs, "doc_id",
+          "bytes").toDF()
+        http.select(col("docId").as("doc_id"),
+          graft.ops.TextOps.canonicalUrl(col("targetUri")).as("url"),
+          col("etag"), col("lastModified").as("last_modified"),
+          when(col("etag") =!= "", "conditional-etag")
+            .when(col("lastModified") =!= "", "conditional-modified")
+            .otherwise("unconditional").as("policy"))
+      },
+      Some("""SELECT doc_id,
+             | 'https://ex' || (doc_id % 5) || '.org/p/' || doc_id
+             |   AS url,
+             | CASE WHEN doc_id % 3 = 0
+             |   THEN '"v' || (doc_id % 7) || '"' ELSE '' END AS etag,
+             | CASE WHEN doc_id % 3 = 1
+             |   THEN 'Mon, 0' || ((doc_id % 9) + 1)
+             |     || ' Jan 2026 00:00:00 GMT' ELSE '' END
+             |   AS last_modified,
+             | CASE WHEN doc_id % 3 = 0 THEN 'conditional-etag'
+             |   WHEN doc_id % 3 = 1 THEN 'conditional-modified'
+             |   ELSE 'unconditional' END AS policy
+             | FROM documents ORDER BY doc_id""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("doc_id")),
+
     // Payload-digest dedup — crawl-native EXACT dedup before any byte
     // decodes (the WARC-Payload-Digest / revisit-record pattern):
     // per-record Horner digests over the payload bytes, clustered on

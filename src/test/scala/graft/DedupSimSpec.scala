@@ -1027,6 +1027,52 @@ class DedupSimSpec extends SparkSpec {
         "pages all drop — no empty-domain edges")
   }
 
+  test("sitemapUrls: loc trims + canonicalizes, lastmod optional, " +
+    "sitemapindex docs contribute zero rows, domains roll up") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<urlset><url><loc> https://WWW.A.CO.UK:443/p/1 </loc>" +
+        "<lastmod>2026-03-01</lastmod></url>" +
+        "<url><loc>https://www.a.co.uk/p/2#f</loc></url></urlset>"),
+      (2L, "<urlset><url><loc>https://b.org/x</loc></url>" +
+        "<url><loc>https://b.org/x</loc></url></urlset>"), // dup loc
+      (3L, "<sitemapindex><sitemap><loc>https://c.net/s.xml</loc>" +
+        "</sitemap></sitemapindex>"), // no <url> blocks -> nothing
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.sitemapUrls(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(out("a.co.uk") ===
+      ((2L, 2L, "2026-03-01", "https://www.a.co.uk/p/1")),
+      "trim + case + :443 + fragment all canonicalize; max lastmod")
+    assert(out("b.org") === ((2L, 1L, "", "https://b.org/x")),
+      "duplicate locs count raw but collapse in n_unique")
+    assert(out.size === 2, "sitemapindex and null docs contribute zero")
+  }
+
+  test("anchorText: inner tags strip, terms lowercase and split, " +
+    "fragment anchors drop, self and external anchors roll up per " +
+    "target domain") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://www.s.co.uk/p/1",
+        "<a href=\"https://T.ORG/x\">Best <b>Deal</b>  Now</a>" +
+          " <a href='/self'>Home</a> <a href=\"#f\">skip</a>"),
+      (2L, "https://www.s.co.uk/p/2",
+        "<a href=\"https://t.org/y\">best now</a>")
+    ).toDF("doc_id", "page_url", "text")
+    val out = TextOps.anchorText(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("t.org", "best")) === ((2L, 2L)))
+    assert(out(("t.org", "deal")) === ((1L, 1L)), "nested tag stripped")
+    assert(out(("t.org", "now")) === ((2L, 2L)))
+    assert(out(("s.co.uk", "home")) === ((1L, 1L)), "self anchor")
+    assert(!out.keys.exists(_._2 == "skip"), "fragment anchor drops")
+  }
+
   test("resolveHref: absolute passes, protocol-relative takes scheme, " +
     "root-relative takes scheme://host, everything else nulls") {
     import spark.implicits._
