@@ -2217,11 +2217,10 @@ object TextOps {
     "co.tz", "or.tz", "ac.tz", "go.tz",
     "com.gh", "org.gh", "edu.gh", "gov.gh")
 
-  private val SuffixAltRe =
-    MultiLabelSuffixes.map(_.replace(".", "\\.")).mkString("|")
-  /** last 3 labels when the tail 2 are a listed public suffix */
-  private val RegDom3Re = s"([^.]+\\.(?:$SuffixAltRe))$$"
-  /** plain last-2-labels fallback */
+  /** last 3 labels (any), for the listed-suffix branch */
+  private val Last3Re = "([^.]+\\.[^.]+\\.[^.]+)$"
+  /** plain last-2-labels extraction — doubles as the candidate public
+    * suffix for the set membership test */
   private val RegDom2Re = "([^.]+\\.[^.]+)$"
   private val HostIpRe = "^[0-9.]+$"
 
@@ -2284,22 +2283,34 @@ object TextOps {
     * reusable Column (IPv4 → itself; listed 2-label suffix → last 3
     * labels; else last 2; bare/single stays). */
   def registrableDomain(host: Column): Column = {
-    val dom3 = regexp_extract(host, RegDom3Re, 1)
+    // Set-membership form (round 14): extract the last-2 labels once
+    // and test them against the suffix SET — Catalyst compiles a
+    // 150-literal isin to an O(1) InSet hash probe, where the old
+    // 150-way regex ALTERNATION cost O(|list|·|host|) per row on the
+    // hot canonicalize path (four gates, every URL). Semantics are
+    // unchanged: listed last-2 suffix AND a third label present →
+    // last 3; otherwise last 2; bare suffixes/single labels/IPv4
+    // stay themselves (spec-pinned).
+    val dom3 = regexp_extract(host, Last3Re, 1)
     val dom2 = regexp_extract(host, RegDom2Re, 1)
     when(host.rlike(HostIpRe), host)
-      .when(dom3 =!= "", dom3)
+      .when(dom3 =!= "" && dom2.isin(MultiLabelSuffixes: _*), dom3)
       .when(dom2 =!= "", dom2)
       .otherwise(host)
   }
 
   /** SQL twin of [[registrableDomain]] over a host expression. */
-  def registrableDomainSql(host: String): String =
+  def registrableDomainSql(host: String): String = {
+    val inList = MultiLabelSuffixes.map(x => s"'$x'").mkString(", ")
     s"""CASE WHEN regexp_matches($host, '$HostIpRe') THEN $host
-          WHEN regexp_extract($host, '$RegDom3Re', 1) <> ''
-            THEN regexp_extract($host, '$RegDom3Re', 1)
+          WHEN regexp_extract($host, '$Last3Re', 1) <> ''
+               AND regexp_extract($host, '$RegDom2Re', 1)
+                 IN ($inList)
+            THEN regexp_extract($host, '$Last3Re', 1)
           WHEN regexp_extract($host, '$RegDom2Re', 1) <> ''
             THEN regexp_extract($host, '$RegDom2Re', 1)
           ELSE $host END"""
+  }
 
   def urlDomains(docs: DataFrame): DataFrame = {
     val t = coalesce(col("text"), lit(""))

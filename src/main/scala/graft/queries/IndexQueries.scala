@@ -115,6 +115,54 @@ object IndexQueries {
     ("www.shop2.co.uk", "/p/", false),
     ("www.shop2.co.uk", "/p/*1$", true))
 
+  /** The `pipeline_link_graph` / `graph_domain_rank` shared fixture:
+    * per page (3 of 4 docs) an absolute href (mixed-case host, :443,
+    * fragment), a single-quoted root-relative self link, an
+    * uppercase-HREF protocol-relative target, and three unresolvable
+    * forms; the fourth doc has no links. */
+  private def linkGraphPages(s: org.apache.spark.sql.SparkSession,
+                             d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val pageUrl = concat(lit("https://www.ex"), col("doc_id") % 5,
+      lit(".co.uk/p/"), col("doc_id"))
+    val html = when(col("doc_id") % 4 === 3,
+        concat(lit("<html><body>no links "), col("doc_id"),
+          lit("</body></html>")))
+      .otherwise(concat(
+        lit("<html><body><a href=\"https://News.Site"),
+        col("doc_id") % 3, lit(".org:443/a/"), col("doc_id"),
+        lit("#x\">n</a> <a href='/local/"), col("doc_id") % 4,
+        lit("'>l</a> <a HREF=\"//cdn.assets"), col("doc_id") % 2,
+        lit(".com/l.css\">c</a> <a href=\"rel/path\">r</a>" +
+          " <a href=\"#top\">t</a>" +
+          " <a href=\"mailto:a@b.c\">m</a></body></html>")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), pageUrl.as("page_url"), html.as("text"))
+  }
+
+  /** The fixture's resolved edge list rebuilt from the generation
+    * formulas — the `e` body shared by the link-graph oracle and the
+    * domain-rank oracle's edge/node derivations. */
+  private val LinkEdgesSql: String =
+    """SELECT doc_id,
+      |   'ex' || (doc_id % 5) || '.co.uk' AS src_domain,
+      |   'site' || (doc_id % 3) || '.org' AS dst_domain,
+      |   'https://news.site' || (doc_id % 3) || '.org/a/'
+      |     || doc_id AS target
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 3)
+      |  UNION ALL
+      |  SELECT doc_id, 'ex' || (doc_id % 5) || '.co.uk',
+      |   'ex' || (doc_id % 5) || '.co.uk',
+      |   'https://www.ex' || (doc_id % 5) || '.co.uk/local/'
+      |     || (doc_id % 4)
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 3)
+      |  UNION ALL
+      |  SELECT doc_id, 'ex' || (doc_id % 5) || '.co.uk',
+      |   'assets' || (doc_id % 2) || '.com',
+      |   'https://cdn.assets' || (doc_id % 2) || '.com/l.css'
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 3)"""
+      .stripMargin.replace("\n", "")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Inverted-index build: per-term document frequency, total term
@@ -541,52 +589,44 @@ object IndexQueries {
     // aggregates identically — a resolution slip, a canonical miss,
     // or an over-extracted href lands in the counts.
     QueryDef("pipeline_link_graph",
-      (s, d) => {
-        val pageUrl = concat(lit("https://www.ex"), col("doc_id") % 5,
-          lit(".co.uk/p/"), col("doc_id"))
-        val html = when(col("doc_id") % 4 === 3,
-            concat(lit("<html><body>no links "), col("doc_id"),
-              lit("</body></html>")))
-          .otherwise(concat(
-            lit("<html><body><a href=\"https://News.Site"),
-            col("doc_id") % 3, lit(".org:443/a/"), col("doc_id"),
-            lit("#x\">n</a> <a href='/local/"), col("doc_id") % 4,
-            lit("'>l</a> <a HREF=\"//cdn.assets"), col("doc_id") % 2,
-            lit(".com/l.css\">c</a> <a href=\"rel/path\">r</a>" +
-              " <a href=\"#top\">t</a>" +
-              " <a href=\"mailto:a@b.c\">m</a></body></html>")))
-        graft.ops.TextOps.htmlLinkGraph(Tables.documents(s, d)
-          .select(col("doc_id"), pageUrl.as("page_url"),
-            html.as("text")))
-      },
-      Some("""WITH d AS (SELECT doc_id FROM documents
-             |   WHERE doc_id % 4 <> 3),
-             | e AS (
-             |  SELECT doc_id,
-             |   'ex' || (doc_id % 5) || '.co.uk' AS src_domain,
-             |   'site' || (doc_id % 3) || '.org' AS dst_domain,
-             |   'https://news.site' || (doc_id % 3) || '.org/a/'
-             |     || doc_id AS target
-             |  FROM d
-             |  UNION ALL
-             |  SELECT doc_id, 'ex' || (doc_id % 5) || '.co.uk',
-             |   'ex' || (doc_id % 5) || '.co.uk',
-             |   'https://www.ex' || (doc_id % 5) || '.co.uk/local/'
-             |     || (doc_id % 4)
-             |  FROM d
-             |  UNION ALL
-             |  SELECT doc_id, 'ex' || (doc_id % 5) || '.co.uk',
-             |   'assets' || (doc_id % 2) || '.com',
-             |   'https://cdn.assets' || (doc_id % 2) || '.com/l.css'
-             |  FROM d)
-             | SELECT src_domain, dst_domain,
-             |  CAST(count(*) AS BIGINT) AS n_links,
-             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
-             |  CAST(count(DISTINCT target) AS BIGINT) AS n_targets
-             | FROM e GROUP BY 1, 2
-             | ORDER BY src_domain, dst_domain""".stripMargin
+      (s, d) => graft.ops.TextOps.htmlLinkGraph(linkGraphPages(s, d)),
+      Some(s"""WITH e AS ($LinkEdgesSql)
+              | SELECT src_domain, dst_domain,
+              |  CAST(count(*) AS BIGINT) AS n_links,
+              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+              |  CAST(count(DISTINCT target) AS BIGINT) AS n_targets
+              | FROM e GROUP BY 1, 2
+              | ORDER BY src_domain, dst_domain""".stripMargin
         .replace("\n", "")),
       presentOrder = Seq("src_domain", "dst_domain")),
+
+    // Domain PageRank over the crawled link graph — the loop CLOSED:
+    // crawl bytes → href extraction/resolution → domain edges →
+    // damped PageRank, the reputation score a frontier uses to
+    // prioritize fetches and a curation pass uses to weight sources.
+    // Reuses GraphOps.pageRank (exact-integer micro-unit damping, one
+    // shuffle per round) on the link-graph fixture's distinct domain
+    // pairs — node ids here are STRINGS, which the operator is
+    // agnostic to (same join/agg plan as the k-NN gates). Oracle:
+    // the same unrolled-CTE replay over the formula edge list.
+    QueryDef("graph_domain_rank",
+      (s, d) => {
+        val lg = graft.ops.TextOps.htmlLinkGraph(linkGraphPages(s, d))
+        val edges = lg.select(col("src_domain").as("src"),
+          col("dst_domain").as("dst"))
+        val nodes = edges.select(col("src").as("node_id"))
+          .union(edges.select(col("dst"))).distinct()
+        graft.ops.GraphOps.pageRank(nodes, edges)
+      },
+      Some {
+        val edgeSql = s"SELECT DISTINCT src_domain AS src," +
+          s" dst_domain AS dst FROM ($LinkEdgesSql)"
+        graft.ops.GraphOps.pageRankSql(
+          s"SELECT DISTINCT node_id FROM (SELECT src AS node_id" +
+            s" FROM ($edgeSql) UNION ALL SELECT dst FROM ($edgeSql))",
+          edgeSql)
+      },
+      presentOrder = Seq("node_id")),
 
     // Sitemap inventory (sitemaps.org) — the frontier's third input
     // beside page links and redirects: per-site URL inventories with
