@@ -49,6 +49,7 @@ object Catalog {
     graft.queries.TextQueries.defs ++
     graft.queries.QualityQueries.defs ++
     graft.queries.IndexQueries.defs ++
+    graft.queries.CrawlQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimQueries.defs ++
     graft.queries.StreamParityQueries.defs ++

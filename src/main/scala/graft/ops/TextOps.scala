@@ -2680,6 +2680,234 @@ object TextOps {
           ON up.doc_id = h.doc_id AND up.url_canon = h.url_canon
         ORDER BY up.doc_id, up.url_canon"""
 
+  /** `<link …>` elements of an HTML head (self-closing or not). */
+  val LinkTagRe = "(?is)<link\\s[^>]*>"
+
+  /** `rel="canonical"` attribute test, case-insensitive in both the
+    * attribute name and the token value (HTML rel tokens are ASCII
+    * case-insensitive), either quote style. A multi-token rel list
+    * containing canonical is out of scope (documented — real pages
+    * emit the bare token). */
+  val RelCanonicalRe = "(?i)rel\\s*=\\s*[\"']\\s*canonical\\s*[\"']"
+
+  /** Canonical-link clusters — the `<link rel="canonical">` dedup
+    * signal every crawl pipeline applies before content dedup: sites
+    * self-declare which URL is the authoritative copy of a page
+    * (print views, tracking-parameter variants, mirrors all point at
+    * one target), and grouping pages by their declared target yields
+    * dedup clusters for free, BEFORE any content hashing. Per page:
+    * `<link>` tags extract, the FIRST tag in document order carrying
+    * `rel=canonical` (either attribute order, either quote style)
+    * yields its `href`, which resolves ([[resolveHref]] — absolute /
+    * protocol-relative / root-relative; the rest unresolvable) and
+    * canonicalizes under the [[urlDomains]] rules; a page with no
+    * canonical link, or an unresolvable href, is its own canonical
+    * (the self branch — exactly how indexers treat a missing
+    * declaration). Roll-up per canonical target: pointing pages,
+    * self-declarations, and non-self duplicates (the dedup yield).
+    * Shape at 100 TB: the whole extract-resolve-canonicalize chain is
+    * ONE codegen'd projection per page (array filter + `get`, no
+    * explode, no join back), then one slim-row shuffle at canonical-
+    * URL grain with map-side combine. Pages whose own `page_url` is
+    * not http(s) drop (same rule as [[htmlLinkGraph]]). */
+  def canonicalClusters(pages: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val (pageCanon, pBare, sScheme, sHostNd) =
+      urlCanonParts(col("page_url"))
+    val canonTags = filter(
+      regexp_extract_all(t, lit(LinkTagRe), lit(0)),
+      tag => tag.rlike(RelCanonicalRe))
+    // get() (not element_at/apply) — NULL on the empty array instead
+    // of an ANSI index error
+    val href = regexp_extract(get(canonTags, lit(0)), HrefRe, 1)
+    val base = pages
+      .select(col("doc_id"), pageCanon.as("__page"), pBare.as("__phost"),
+        sScheme.as("__s"),
+        resolveHref(href, sScheme, sHostNd).as("__resolved"))
+      .filter(col("__s") =!= "")
+    val (tCanon, tHost) = urlCanonHost(col("__resolved"))
+    val target = coalesce(tCanon, col("__page"))
+    val tDomain = registrableDomain(coalesce(tHost, col("__phost")))
+    base
+      .select(col("doc_id"), target.as("canonical_url"),
+        tDomain.as("domain"),
+        (target === col("__page")).as("__self"))
+      .groupBy(col("canonical_url"), col("domain"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("__self"), 1L).otherwise(0L)).as("n_self"),
+        sum(when(col("__self"), 0L).otherwise(1L)).as("n_dupes"))
+  }
+
+  /** `<meta …>` elements of an HTML head (self-closing or not). */
+  val MetaTagRe = "(?is)<meta\\s[^>]*>"
+
+  /** Page-level robots-meta index policy — the in-page counterpart of
+    * robots.txt ([[robotsFilter]] gates FETCHING; `<meta
+    * name="robots">` gates INDEXING/FOLLOWING after the fetch): per
+    * page, robots meta tags extract (attribute order and case free,
+    * either quote style; non-robots metas ignored), their `content`
+    * token lists parse under the standard grammar — `noindex`,
+    * `nofollow`, `none` (= both), comma/space separated, ASCII
+    * case-insensitive — and MULTIPLE robots metas combine most-
+    * restrictive (union), exactly as crawlers do. A page with no
+    * robots meta is indexable and followable (the implicit default).
+    * Roll-up per registrable domain of the PAGE: page counts by
+    * policy — the table a corpus builder joins to drop noindex pages
+    * and a link-graph builder joins to drop nofollow sources.
+    * Shape at 100 TB: one codegen'd array-filter + token-test
+    * projection per page (no explode), one slim-row domain agg. */
+  def metaRobots(pages: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val (_, pHost, sScheme, _) = urlCanonParts(col("page_url"))
+    val robotsContents = transform(
+      filter(regexp_extract_all(t, lit(MetaTagRe), lit(0)),
+        tag => tag.rlike("(?i)name\\s*=\\s*[\"']\\s*robots\\s*[\"']")),
+      tag => lower(regexp_extract(tag,
+        "(?i)content\\s*=\\s*[\"']([^\"'>]*)[\"']", 1)))
+    // union of all robots metas on the page: token membership over the
+    // comma-joined lists (most-restrictive combine)
+    val joined = concat_ws(",", robotsContents)
+    val noindex = joined.rlike("(^|[,\\s])(noindex|none)([,\\s]|$)")
+    val nofollow = joined.rlike("(^|[,\\s])(nofollow|none)([,\\s]|$)")
+    pages
+      .select(registrableDomain(pHost).as("domain"), sScheme.as("__s"),
+        noindex.as("__ni"), nofollow.as("__nf"))
+      .filter(col("__s") =!= "")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("__ni"), 1L).otherwise(0L)).as("n_noindex"),
+        sum(when(col("__nf"), 1L).otherwise(0L)).as("n_nofollow"),
+        sum(when(!col("__ni"), 1L).otherwise(0L)).as("n_indexable"))
+  }
+
+  /** Politeness fetch schedule — the frontier consumer that turns a
+    * URL inventory into per-domain fetch slots: crawlers rate-limit
+    * per registrable domain (one connection, `delay_ms` between
+    * fetches — the Crawl-delay convention), so a domain's URLs
+    * serialize while domains proceed in parallel. URLs extract and
+    * canonicalize ([[urlDomains]] rules), deduplicate, join the
+    * per-domain delay table (tiny — broadcast; unlisted domains take
+    * the 1000 ms default), slot k-th URL (url_canon order) at
+    * `(k-1)·delay`, and roll up the scheduler's planning row per
+    * domain: URL count, delay, makespan (the last slot — the
+    * domain's wall-clock cost, exactly the number a crawl planner
+    * balances shards by), and the median-slot URL (the window
+    * witness: a slotting slip moves it). Shape at 100 TB: one
+    * broadcast join, ONE shuffle by domain serving both the window
+    * and the roll-up (Spark reuses the partitioning), slim URL rows
+    * throughout. Skew honesty: a single giant domain serializes in
+    * ONE partition's window — real frontiers cap per-domain batch
+    * size per cycle, which is a LIMIT over this same window. */
+  def crawlSchedule(docs: DataFrame, delays: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val urls = docs.select(
+      explode(regexp_extract_all(t, lit(UrlRe), lit(0))).as("url"))
+    val (canon, host) = urlCanonHost(col("url"))
+    val u = urls
+      .select(canon.as("url_canon"), registrableDomain(host).as("domain"))
+      .distinct()
+      .join(broadcast(delays), Seq("domain"), "left")
+      .withColumn("delay_ms", coalesce(col("delay_ms"), lit(1000L)))
+    val byDom = Window.partitionBy(col("domain"))
+    val slotted = u
+      .withColumn("rn", row_number().over(byDom.orderBy(col("url_canon"))))
+      .withColumn("n", count(lit(1)).over(byDom))
+    slotted.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        max(col("delay_ms")).as("delay_ms"),
+        ((max(col("rn")) - 1L) * max(col("delay_ms"))).as("makespan_ms"),
+        min(when(col("rn") === expr("(n + 1L) div 2"), col("url_canon")))
+          .as("median_url"))
+  }
+
+  /** Oracle twin of [[crawlSchedule]]; `delaysValues` is a SQL VALUES
+    * body `('domain', ms), ...`. */
+  def crawlScheduleSql(table: String, delaysValues: String): String =
+    s"""WITH ${urlCanonCtes(table)},
+        d AS (SELECT DISTINCT url_canon,
+            ${registrableDomainSql("host")} AS domain
+          FROM c),
+        dl(domain, delay_ms) AS (VALUES $delaysValues),
+        j AS (SELECT d.url_canon, d.domain,
+            COALESCE(dl.delay_ms, 1000) AS delay_ms
+          FROM d LEFT JOIN dl USING (domain)),
+        r AS (SELECT *,
+            row_number() OVER (PARTITION BY domain
+              ORDER BY url_canon) AS rn,
+            count(*) OVER (PARTITION BY domain) AS n
+          FROM j)
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+          CAST(max(delay_ms) AS BIGINT) AS delay_ms,
+          CAST((max(rn) - 1) * max(delay_ms) AS BIGINT) AS makespan_ms,
+          min(CASE WHEN rn = (n + 1) // 2 THEN url_canon END)
+            AS median_url
+        FROM r GROUP BY domain ORDER BY domain"""
+
+  /** Crawler-trap detection — the frontier's self-defense: infinite
+    * URL spaces (calendars, session ids, faceted filters) generate
+    * unbounded DISTINCT URLs over a bounded set of path TEMPLATES,
+    * and a frontier that cannot see the explosion crawls one domain
+    * forever. Template = the URL's path (query EXCLUDED — query-
+    * parameter traps explode distinct URLs under one path template,
+    * which is precisely the signal) with every digit run folded to
+    * `N`; per (domain, template) the distinct canonical URL count;
+    * per domain the planning row: template count, the largest
+    * template's URL count, how many templates exceed `minUrls`
+    * (traps), and the first trap template (`''` when none — the
+    * healthy-domain branch). Thresholding at template grain, not URL
+    * grain, is what keeps large-but-healthy sites (many templates,
+    * few URLs each) unflagged. Shape at 100 TB: codegen'd
+    * extract-canonicalize-template projection, two slim-row aggs
+    * (template grain then domain grain) — linear in extracted URLs. */
+  def crawlTraps(docs: DataFrame, minUrls: Int = 8): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val urls = docs.select(
+      explode(regexp_extract_all(t, lit(UrlRe), lit(0))).as("url"))
+    val (canon, host) = urlCanonHost(col("url"))
+    val path = regexp_extract(col("url_canon"),
+      "^https?://[^/?#]+([^?#]*)", 1)
+    val template = regexp_replace(
+      when(path === "", lit("/")).otherwise(path), "[0-9]+", "N")
+    val perTemplate = urls
+      .select(canon.as("url_canon"), registrableDomain(host).as("domain"))
+      .distinct()
+      .select(col("domain"), template.as("template"), col("url_canon"))
+      .groupBy(col("domain"), col("template"))
+      .agg(count(lit(1)).as("n_urls"))
+    perTemplate.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_templates"),
+        max(col("n_urls")).as("max_urls_per_template"),
+        sum(when(col("n_urls") >= minUrls, 1L).otherwise(0L))
+          .as("n_trap_templates"),
+        coalesce(min(when(col("n_urls") >= minUrls, col("template"))),
+          lit("")).as("trap_template"))
+  }
+
+  /** Oracle twin of [[crawlTraps]]. */
+  def crawlTrapsSql(table: String, minUrls: Int = 8): String =
+    s"""WITH ${urlCanonCtes(table)},
+        d AS (SELECT DISTINCT url_canon,
+            ${registrableDomainSql("host")} AS domain
+          FROM c),
+        tp AS (SELECT domain,
+            regexp_replace(
+              CASE WHEN regexp_extract(url_canon,
+                  '^https?://[^/?#]+([^?#]*)', 1) = '' THEN '/'
+                ELSE regexp_extract(url_canon,
+                  '^https?://[^/?#]+([^?#]*)', 1) END,
+              '[0-9]+', 'N', 'g') AS template,
+            url_canon
+          FROM d),
+        g AS (SELECT domain, template, count(*) AS n_urls
+          FROM tp GROUP BY 1, 2)
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_templates,
+          CAST(max(n_urls) AS BIGINT) AS max_urls_per_template,
+          CAST(sum(CASE WHEN n_urls >= $minUrls THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_trap_templates,
+          COALESCE(min(CASE WHEN n_urls >= $minUrls THEN template END),
+            '') AS trap_template
+        FROM g GROUP BY domain ORDER BY domain"""
+
   /** Oracle twin of [[scriptProfile]] — identical disjoint classes,
     * remainder, and tie order. */
   def scriptProfileSql(table: String): String = {

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextOps
+
+/** Crawl post-fetch surface (round-14 batch 3): the page-level policy
+  * and frontier-hygiene operators a crawl applies AFTER the bytes
+  * arrive — canonical-link dedup clusters, robots-meta index policy,
+  * the politeness fetch schedule, and crawler-trap detection. The
+  * first mile (WARC → HTTP → charset → strip) and the link/robots/
+  * sitemap gates live in MultimodalQueries / IndexQueries; these four
+  * consume the same URL canonicalization core ([[TextOps]]).
+  */
+object CrawlQueries {
+
+  /** Per-domain Crawl-delay table for the schedule gate — one constant
+    * drives the Spark DF and the SQL VALUES body. Domains absent here
+    * take the operator's 1000 ms default (shop1/shop2 exercise it). */
+  val CrawlDelays: Seq[(String, Long)] =
+    Seq(("trap.example.net", 100L), ("shop0.com", 250L))
+
+  private def crawlDelaysValues: String =
+    CrawlDelays.map { case (dom, ms) => s"('$dom', $ms)" }.mkString(", ")
+
+  /** Planted-URL fixture shared by the schedule and trap gates,
+    * appended to the real document text (the extractor must coexist
+    * with prose): a calendar-shaped PATH trap (500 distinct
+    * `/cal/<id>/<id%7>` URLs folding to ONE `/cal/N/N` template), a
+    * healthy mixed-case+:443 shop catalog (5 distinct `/p/<id%5>`
+    * paths per domain — under any trap threshold), and a session-id
+    * QUERY trap (`/s?sid=<id>` — one `/s` template, ~167 distinct
+    * canonical URLs per shop domain, the query-parameter explosion
+    * class). */
+  private def crawlUrlFixtureCol =
+    concat(col("text"),
+      lit(" https://trap.example.net/cal/"), col("doc_id"),
+      lit("/"), col("doc_id") % 7,
+      lit(" https://Shop"), col("doc_id") % 3,
+      lit(".COM:443/p/"), col("doc_id") % 5,
+      lit(" http://shop"), col("doc_id") % 3,
+      lit(".com/s?sid="), col("doc_id")).as("text")
+
+  private val CrawlUrlFixtureTable =
+    "(SELECT doc_id, text" +
+      " || ' https://trap.example.net/cal/' || doc_id || '/'" +
+      " || (doc_id % 7)" +
+      " || ' https://Shop' || (doc_id % 3) || '.COM:443/p/'" +
+      " || (doc_id % 5)" +
+      " || ' http://shop' || (doc_id % 3) || '.com/s?sid=' || doc_id" +
+      " AS text FROM documents)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Canonical-link dedup clusters — sites self-declare the
+    // authoritative copy of each page via <link rel="canonical">, and
+    // grouping pages by their declared target yields dedup clusters
+    // BEFORE any content hashing. Fixture per page (page_url carries
+    // mixed case + :443): %4==0 → a stylesheet distractor FIRST, an
+    // absolute canonical (mixed-case host + fragment) to the shared
+    // /c/<id%10> target, then a SECOND conflicting canonical that
+    // must lose (first-in-document-order wins); %4==1 → href-before-
+    // rel, single quotes, root-relative target resolving against the
+    // page host; %4==2 → uppercase REL/Canonical pointing at the
+    // page's OWN url (the self-declaration branch); %4==3 → no
+    // canonical link at all (implicit self). Oracle rebuilds targets
+    // from the formulas — a grammar slip, a resolution miss, or a
+    // wrong-tag pick changes a cluster count.
+    QueryDef("pipeline_canonical_cluster",
+      (s, d) => {
+        val pageUrl = concat(lit("https://www.Page"), col("doc_id") % 6,
+          lit(".co.uk:443/p/"), col("doc_id"))
+        val html = when(col("doc_id") % 4 === 0,
+            concat(lit("<head><link rel=\"stylesheet\" href=\"/s.css\">" +
+              "<link rel=\"canonical\" href=\"https://www.Page"),
+              col("doc_id") % 6, lit(".CO.UK/c/"), col("doc_id") % 10,
+              lit("#v\"><link rel=\"canonical\" " +
+                "href=\"https://evil.example.org/x\"></head>")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("<head><link href='/c/"), col("doc_id") % 10,
+              lit("' rel='canonical'></head>")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("<head><link REL=\"Canonical\" " +
+              "href=\"https://www.Page"), col("doc_id") % 6,
+              lit(".co.uk:443/p/"), col("doc_id"), lit("\"></head>")))
+          .otherwise(lit("<head><link rel=\"icon\" " +
+            "href=\"/i.png\"></head>"))
+        TextOps.canonicalClusters(Tables.documents(s, d)
+          .select(col("doc_id"), pageUrl.as("page_url"),
+            html.as("text")))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |   CASE WHEN doc_id % 4 IN (0, 1)
+             |     THEN 'https://www.page' || (doc_id % 6)
+             |       || '.co.uk/c/' || (doc_id % 10)
+             |     ELSE 'https://www.page' || (doc_id % 6)
+             |       || '.co.uk/p/' || doc_id END AS canonical_url,
+             |   'page' || (doc_id % 6) || '.co.uk' AS domain,
+             |   CASE WHEN doc_id % 4 IN (0, 1) THEN 0 ELSE 1 END
+             |     AS self
+             |  FROM documents)
+             | SELECT canonical_url, domain,
+             |  CAST(count(*) AS BIGINT) AS n_pages,
+             |  CAST(sum(self) AS BIGINT) AS n_self,
+             |  CAST(count(*) - sum(self) AS BIGINT) AS n_dupes
+             | FROM t GROUP BY 1, 2
+             | ORDER BY canonical_url""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("canonical_url")),
+
+    // Robots-meta index policy — the in-page counterpart of
+    // robots.txt: fetching was allowed, but the page says what the
+    // INDEX may do with it. Fixture per page by %5: plain noindex
+    // (plus a viewport distractor the name filter must skip),
+    // content-BEFORE-name single-quoted 'NOFOLLOW , x' (token parse
+    // under case + spacing + an unknown token), 'none' (= both),
+    // no robots meta at all (implicit indexable), and TWO robots
+    // metas whose union must combine most-restrictive. Oracle
+    // rebuilds the policy bits from the %5 formulas.
+    QueryDef("text_meta_robots",
+      (s, d) => {
+        val pageUrl = concat(lit("https://www.M"), col("doc_id") % 4,
+          lit(".ORG/p/"), col("doc_id"))
+        val html = when(col("doc_id") % 5 === 0,
+            lit("<head><meta name=\"viewport\" content=\"width=1\">" +
+              "<meta name=\"robots\" content=\"noindex\"></head>"))
+          .when(col("doc_id") % 5 === 1,
+            lit("<head><meta content='NOFOLLOW , x' name='Robots'>" +
+              "</head>"))
+          .when(col("doc_id") % 5 === 2,
+            lit("<head><meta name=\"ROBOTS\" content=\"none\"></head>"))
+          .when(col("doc_id") % 5 === 3,
+            lit("<head><meta name=\"author\" content=\"x\"></head>"))
+          .otherwise(
+            lit("<head><meta name=\"robots\" content=\"noindex\">" +
+              "<meta name=\"robots\" content=\"nofollow\"></head>"))
+        TextOps.metaRobots(Tables.documents(s, d)
+          .select(col("doc_id"), pageUrl.as("page_url"),
+            html.as("text")))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |   'm' || (doc_id % 4) || '.org' AS domain,
+             |   CASE WHEN doc_id % 5 IN (0, 2, 4) THEN 1 ELSE 0 END
+             |     AS ni,
+             |   CASE WHEN doc_id % 5 IN (1, 2, 4) THEN 1 ELSE 0 END
+             |     AS nf
+             |  FROM documents)
+             | SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+             |  CAST(sum(ni) AS BIGINT) AS n_noindex,
+             |  CAST(sum(nf) AS BIGINT) AS n_nofollow,
+             |  CAST(count(*) - sum(ni) AS BIGINT) AS n_indexable
+             | FROM t GROUP BY domain ORDER BY domain""".stripMargin
+        .replace("\n", "")),
+      presentOrder = Seq("domain")),
+
+    // Politeness fetch schedule — the frontier's output: per-domain
+    // serialized fetch slots under Crawl-delay rate limits. The
+    // trap domain (500 URLs at 100 ms) and shop0 (250 ms override)
+    // exercise the delay join; shop1/shop2 take the 1000 ms default;
+    // the median-slot URL witnesses the window ordering. Oracle
+    // recomputes the WHOLE pipeline (extract → canonicalize →
+    // dedup → delay join → window → roll-up) in SQL over the same
+    // fixture table — prose URLs in the real text flow through both
+    // engines identically.
+    QueryDef("pipeline_crawl_schedule",
+      (s, d) => {
+        import s.implicits._
+        TextOps.crawlSchedule(
+          Tables.documents(s, d).select(col("doc_id"),
+            crawlUrlFixtureCol),
+          CrawlDelays.toDF("domain", "delay_ms"))
+      },
+      Some(TextOps.crawlScheduleSql(CrawlUrlFixtureTable,
+        crawlDelaysValues)),
+      presentOrder = Seq("domain")),
+
+    // Crawler-trap detection — the frontier's self-defense against
+    // infinite URL spaces: distinct-URL explosion over a bounded
+    // path-template set. The fixture plants both trap classes (path
+    // trap /cal/N/N at 500 URLs; query trap /s at ~167 per shop
+    // domain) beside a healthy catalog template (/p/N at 5 — under
+    // the threshold) so the template-grain threshold separates them.
+    // Oracle recomputes the pipeline in SQL.
+    QueryDef("pipeline_crawl_traps",
+      (s, d) => TextOps.crawlTraps(
+        Tables.documents(s, d).select(col("doc_id"),
+          crawlUrlFixtureCol), minUrls = 8),
+      Some(TextOps.crawlTrapsSql(CrawlUrlFixtureTable, minUrls = 8)),
+      presentOrder = Seq("domain"))
+  )
+}

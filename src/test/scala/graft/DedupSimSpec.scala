@@ -2533,4 +2533,123 @@ class DedupSimSpec extends SparkSpec {
       ((3L, 0L, 1L, 2L)))
     assert((r.getLong(5), r.getLong(6)) === ((6516050L, 950L)))
   }
+
+  test("canonicalClusters: rel/href in either order and case, first " +
+    "canonical in document order wins, unresolvable href and missing " +
+    "link are self-canonical, non-http pages drop") {
+    import spark.implicits._
+    val pages = Seq(
+      // stylesheet distractor first; absolute canonical (mixed case,
+      // :443, fragment); a SECOND canonical that must lose
+      (1L, "https://www.A.com:443/p/1",
+        "<link rel=\"stylesheet\" href=\"/s.css\">" +
+          "<link rel=\"canonical\" href=\"https://A.COM:443/c/1#v\">" +
+          "<link rel=\"canonical\" href=\"https://evil.org/x\">"),
+      // href before rel, single quotes, root-relative resolution
+      (2L, "https://www.a.com/p/2",
+        "<link href='/c/1' rel='canonical'>"),
+      // uppercase REL + Canonical token case; unresolvable (relative)
+      // href -> self
+      (3L, "https://b.org/p/3",
+        "<link REL=\"Canonical\" href=\"rel/x\">"),
+      // no link element at all -> self
+      (4L, "https://b.org/p/4", "<p>no head</p>"),
+      // non-http page url -> dropped entirely
+      (5L, "ftp://c.net/f", "<link rel=\"canonical\" href=\"/c\">")
+    ).toDF("doc_id", "page_url", "text")
+    val out = TextOps.canonicalClusters(pages).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // docs 1 (absolute, canonicalized) and 2 (root-relative against
+    // www.a.com) land on DIFFERENT canonical urls: host a.com vs
+    // www.a.com — resolution uses the page's own host verbatim
+    assert(out("https://a.com/c/1") === (("a.com", 1L, 0L, 1L)),
+      "first canonical wins over the later evil.org declaration")
+    assert(out("https://www.a.com/c/1") === (("a.com", 1L, 0L, 1L)))
+    assert(out("https://b.org/p/3") === (("b.org", 1L, 1L, 0L)),
+      "unresolvable href falls back to self")
+    assert(out("https://b.org/p/4") === (("b.org", 1L, 1L, 0L)))
+    assert(out.size === 4, "ftp page contributes nothing")
+  }
+
+  test("metaRobots: token grammar (boundary-exact, case-free, " +
+    "comma/space separated), none implies both, multiple metas union " +
+    "most-restrictive, absent meta is indexable, attribute order " +
+    "free, non-robots metas ignored") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://www.X.org/1",
+        "<meta name=\"viewport\" content=\"w=1\">" +
+          "<meta name=\"robots\" content=\"noindex\">"),
+      // content before name; spacing + unknown token; token case
+      (2L, "https://x.org/2",
+        "<meta content='NOFOLLOW , archive' name='Robots'>"),
+      (3L, "https://x.org/3",
+        "<meta name=\"ROBOTS\" content=\"none\">"),
+      // noindexx must NOT token-match noindex
+      (4L, "https://x.org/4",
+        "<meta name=\"robots\" content=\"noindexx\">"),
+      // two robots metas -> union
+      (5L, "https://x.org/5",
+        "<meta name=\"robots\" content=\"noindex\">" +
+          "<meta name=\"robots\" content=\"nofollow\">"),
+      (6L, "https://x.org/6", "<p>plain</p>")
+    ).toDF("doc_id", "page_url", "text")
+    val out = TextOps.metaRobots(pages).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getString(0) === "x.org")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((6L, 3L, 3L, 3L)),
+      "noindex: docs 1,3,5; nofollow: docs 2,3,5; indexable: 2,4,6")
+  }
+
+  test("crawlSchedule: per-domain slots at url_canon order, delay " +
+    "override vs 1000ms default, makespan = (n-1)*delay, median-slot " +
+    "url, duplicate spellings collapse before slotting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x https://d.com/a https://D.COM:443/a https://d.com/b" +
+        " https://d.com/c"),
+      (2L, "y https://e.org/p https://e.org/q")
+    ).toDF("doc_id", "text")
+    val delays = Seq(("d.com", 200L)).toDF("domain", "delay_ms")
+    val out = TextOps.crawlSchedule(docs, delays).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // d.com: 3 distinct urls (two /a spellings collapse), delay 200,
+    // makespan 400, median rn = (3+1) div 2 = 2 -> /b
+    assert(out("d.com") === ((3L, 200L, 400L, "https://d.com/b")))
+    // e.org: default delay, even n -> median rn = (2+1) div 2 = 1
+    assert(out("e.org") === ((2L, 1000L, 1000L, "https://e.org/p")))
+  }
+
+  test("crawlTraps: digit runs fold to one template, query variants " +
+    "explode under the path template, threshold is >= at template " +
+    "grain, healthy domains report an empty trap_template, bare-host " +
+    "urls template as /") {
+    import spark.implicits._
+    // t.com: 8 distinct /cal/<i> urls -> template /cal/N with n=8,
+    // exactly AT the threshold (>= counts it); plus /p/1 and /p/2
+    // (template /p/N, n=2, healthy). q.net: 9 session-id query
+    // variants of ONE path -> template /s with n=9. h.org: bare host
+    // (path '') and /about -> 2 templates, no traps.
+    val urls = (0 until 8).map(i => s"https://t.com/cal/$i") ++
+      Seq("https://t.com/p/1", "https://t.com/p/2") ++
+      (0 until 9).map(i => s"http://q.net/s?sid=$i") ++
+      Seq("https://h.org", "https://h.org/about")
+    val docs = Seq((1L, urls.mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.crawlTraps(docs, minUrls = 8).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out("t.com") === ((2L, 8L, 1L, "/cal/N")),
+      "n_urls == minUrls is a trap (>=); /p/N stays healthy")
+    assert(out("q.net") === ((1L, 9L, 1L, "/s")),
+      "query explosion under one path template is the trap signal")
+    assert(out("h.org") === ((2L, 1L, 0L, "")),
+      "bare host templates as / ; healthy domain, empty trap_template")
+  }
 }
