@@ -2738,6 +2738,135 @@ object TextOps {
         sum(when(col("__self"), 0L).otherwise(1L)).as("n_dupes"))
   }
 
+  /** `rel="alternate"` attribute test (same grammar scope as
+    * [[RelCanonicalRe]]). */
+  val RelAlternateRe = "(?i)rel\\s*=\\s*[\"']\\s*alternate\\s*[\"']"
+
+  /** `hreflang` attribute value of a link tag. */
+  val HreflangAttrRe = "(?i)hreflang\\s*=\\s*[\"']([^\"'>]*)[\"']"
+
+  /** Hreflang parallel-page pairs — the multilingual parallel-corpus
+    * mining signal: sites declare their language variants via `<link
+    * rel="alternate" hreflang="…" href="…">`, and every page carrying
+    * the declaration set yields (language a, language b, URL a, URL b)
+    * PARALLEL DOCUMENT pairs — the alignment seed multilingual
+    * training corpora (and MT mining pipelines) are built from. Per
+    * page: alternate+hreflang link tags extract (attribute order,
+    * case, and quote style free), each yields (lowercased language
+    * tag, href resolved via [[resolveHref]] and canonicalized);
+    * `x-default` rows drop (a fallback pointer, not a language);
+    * unresolvable hrefs and empty language tags drop; the page's own
+    * alternate SET then crosses with itself, keeping `lang_a <
+    * lang_b` (each unordered language pair once; same-language
+    * duplicates are spec anomalies and drop). Roll-up per language
+    * pair: pair count, distinct declaring pages, distinct URL pairs,
+    * first pair sample. Shape at 100 TB: the extract → parse →
+    * resolve → per-page self-cross is ONE codegen'd projection over
+    * nested array HOFs (bounded by a page's language count, no
+    * explode until pair grain, no join), then one slim-row shuffle at
+    * language-pair grain with map-side combine. */
+  def hreflangPairs(pages: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val (_, _, sScheme, sHostNd) = urlCanonParts(col("page_url"))
+    val altTags = filter(regexp_extract_all(t, lit(LinkTagRe), lit(0)),
+      tag => tag.rlike(RelAlternateRe) && tag.rlike(HreflangAttrRe))
+    val alts = filter(
+      transform(altTags, tag => struct(
+        lower(regexp_extract(tag, HreflangAttrRe, 1)).as("lang"),
+        urlCanonHost(resolveHref(regexp_extract(tag, HrefRe, 1),
+          sScheme, sHostNd))._1.as("url"))),
+      a => a.getField("url").isNotNull &&
+        a.getField("lang") =!= "" && a.getField("lang") =!= "x-default")
+    val pairs = filter(
+      flatten(transform(alts, a => transform(alts, b => struct(
+        a.getField("lang").as("lang_a"), a.getField("url").as("url_a"),
+        b.getField("lang").as("lang_b"),
+        b.getField("url").as("url_b"))))),
+      p => p.getField("lang_a") < p.getField("lang_b"))
+    pages
+      .select(col("doc_id"), sScheme.as("__s"), explode(pairs).as("p"))
+      .filter(col("__s") =!= "")
+      .select(col("doc_id"), col("p.lang_a"), col("p.url_a"),
+        col("p.lang_b"), col("p.url_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_pages"),
+        countDistinct(concat(col("url_a"), lit("|"), col("url_b")))
+          .as("n_unique_pairs"),
+        min(concat(col("url_a"), lit(" "), col("url_b")))
+          .as("first_pair"))
+  }
+
+  /** `Sitemap:` lines of a robots.txt body (RFC 9309 §2.3 / the
+    * sitemaps.org robots extension): key is case-insensitive,
+    * leading whitespace legal, value runs to end of line. */
+  val RobotsSitemapRe = "(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^ \\t\\r\\n]+)"
+
+  /** Sitemap discovery from robots.txt — how a crawler FINDS the
+    * sitemap inventory ([[sitemapUrls]] parses it afterwards): every
+    * robots.txt may carry `Sitemap: <absolute-url>` lines (the
+    * sitemaps.org extension; key case-insensitive, multiple lines
+    * legal, position independent of user-agent groups). Per doc
+    * (one robots.txt body): sitemap lines extract, values
+    * canonicalize under the [[urlDomains]] rules (non-http(s) values
+    * drop — the spec requires absolute URLs), duplicates collapse
+    * per doc, and the roll-up per registrable domain of the SITEMAP
+    * URL is the discovery table a fetch scheduler seeds from:
+    * distinct sitemap count, declaring robots files, first URL.
+    * Shape: one codegen multiline extraction, one explode at line
+    * grain, one slim-row shuffle. */
+  def robotsSitemaps(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val lines = docs.select(col("doc_id"),
+      explode(regexp_extract_all(t, lit(RobotsSitemapRe), lit(1)))
+        .as("sm"))
+    val (canon, host) = urlCanonHost(col("sm"))
+    lines
+      .filter(col("sm").rlike("(?i)^https?://"))
+      .select(col("doc_id"), canon.as("url_canon"),
+        registrableDomain(host).as("domain"))
+      .distinct()
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("url_canon")).as("n_sitemaps"),
+        countDistinct(col("doc_id")).as("n_robots_files"),
+        min(col("url_canon")).as("first_sitemap"))
+  }
+
+  /** Oracle twin of [[robotsSitemaps]]. */
+  def robotsSitemapsSql(table: String): String = {
+    val re = RobotsSitemapRe.replace("'", "''")
+    s"""WITH l AS (SELECT doc_id,
+            unnest(regexp_extract_all(COALESCE(text, ''), '$re', 1))
+              AS sm
+          FROM $table),
+        f AS (SELECT doc_id, sm FROM l
+          WHERE regexp_matches(sm, '(?i)^https?://')),
+        nf AS (SELECT doc_id,
+            regexp_replace(sm, '#.*$$', '') AS url FROM f),
+        p AS (SELECT doc_id,
+            lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
+            lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS hp,
+            regexp_replace(url, '^https?://[^/?#]+', '') AS rest
+          FROM nf),
+        h AS (SELECT doc_id, scheme, rest,
+            CASE WHEN scheme = 'http'
+                 THEN regexp_replace(hp, ':80$$', '')
+                 ELSE regexp_replace(hp, ':443$$', '') END AS hostnd
+          FROM p),
+        c AS (SELECT DISTINCT doc_id,
+            scheme || '://' || hostnd || rest AS url_canon,
+            regexp_replace(hostnd, ':[0-9]+$$', '') AS host
+          FROM h),
+        d AS (SELECT doc_id, url_canon,
+            ${registrableDomainSql("host")} AS domain
+          FROM c)
+        SELECT domain,
+          CAST(count(DISTINCT url_canon) AS BIGINT) AS n_sitemaps,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_robots_files,
+          min(url_canon) AS first_sitemap
+        FROM d GROUP BY domain ORDER BY domain"""
+  }
+
   /** `<meta …>` elements of an HTML head (self-closing or not). */
   val MetaTagRe = "(?is)<meta\\s[^>]*>"
 

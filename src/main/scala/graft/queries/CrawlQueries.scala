@@ -174,6 +174,108 @@ object CrawlQueries {
         crawlDelaysValues)),
       presentOrder = Seq("domain")),
 
+    // Hreflang parallel-page pairs — the multilingual parallel-corpus
+    // mining seed: pages declare language variants via <link
+    // rel="alternate" hreflang>, and each page's declaration set
+    // yields (lang_a, lang_b, url_a, url_b) parallel document pairs.
+    // Fixture per page (3 of 4): an absolute en alternate, a
+    // single-quoted hreflang-BEFORE-rel uppercase-FR root-relative
+    // alternate, a de-AT alternate with mixed-case host + :443 +
+    // fragment (all canonical rules), an x-default that must drop,
+    // and a stylesheet distractor; the fourth page has none. Pairs
+    // per page: (de-at,en), (de-at,fr), (en,fr). Oracle rebuilds the
+    // pair table from the formulas — a grammar slip, a dropped
+    // x-default, or a resolution miss changes a count.
+    QueryDef("pipeline_hreflang_pairs",
+      (s, d) => {
+        val pageUrl = concat(lit("https://www.L"), col("doc_id") % 4,
+          lit(".com/p/"), col("doc_id"))
+        val html = when(col("doc_id") % 4 === 3,
+            lit("<head><link rel=\"stylesheet\" href=\"/s.css\">" +
+              "</head>"))
+          .otherwise(concat(
+            lit("<head><link rel=\"stylesheet\" href=\"/s.css\">" +
+              "<link rel=\"alternate\" hreflang=\"en\" " +
+              "href=\"https://www.L"), col("doc_id") % 4,
+            lit(".com/en/"), col("doc_id") % 8,
+            lit("\"><link hreflang='FR' rel='alternate' href='/fr/"),
+            col("doc_id") % 8,
+            lit("'><link rel=\"alternate\" hreflang=\"de-AT\" " +
+              "href=\"https://www.L"), col("doc_id") % 4,
+            lit(".COM:443/de/"), col("doc_id") % 8,
+            lit("#x\"><link rel=\"alternate\" " +
+              "hreflang=\"x-default\" href=\"/d\"></head>")))
+        TextOps.hreflangPairs(Tables.documents(s, d)
+          .select(col("doc_id"), pageUrl.as("page_url"),
+            html.as("text")))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+             |   WHERE doc_id % 4 <> 3),
+             | e AS (SELECT doc_id,
+             |   'https://www.l' || (doc_id % 4) || '.com/de/'
+             |     || (doc_id % 8) AS u_de,
+             |   'https://www.l' || (doc_id % 4) || '.com/en/'
+             |     || (doc_id % 8) AS u_en,
+             |   'https://www.l' || (doc_id % 4) || '.com/fr/'
+             |     || (doc_id % 8) AS u_fr
+             |  FROM d),
+             | p AS (
+             |  SELECT doc_id, 'de-at' AS lang_a, u_de AS url_a,
+             |    'en' AS lang_b, u_en AS url_b FROM e
+             |  UNION ALL SELECT doc_id, 'de-at', u_de, 'fr', u_fr
+             |  FROM e
+             |  UNION ALL SELECT doc_id, 'en', u_en, 'fr', u_fr
+             |  FROM e)
+             | SELECT lang_a, lang_b,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+             |  CAST(count(DISTINCT url_a || '|' || url_b) AS BIGINT)
+             |    AS n_unique_pairs,
+             |  min(url_a || ' ' || url_b) AS first_pair
+             | FROM p GROUP BY 1, 2
+             | ORDER BY lang_a, lang_b""".stripMargin.replace("\n", "")),
+      presentOrder = Seq("lang_a", "lang_b")),
+
+    // Sitemap discovery from robots.txt — how the crawler FINDS the
+    // inventories text_sitemap parses: `Sitemap:` lines (key case-
+    // insensitive, leading whitespace legal, multiple lines, absolute
+    // URLs required). Fixture per doc (3 of 4 are robots bodies with
+    // sitemap lines): a mixed-case-host + :443 value, the SAME url in
+    // a second spelling (lowercase key — must collapse after
+    // canonicalization), a leading-space `SiteMap:` CDN value, and a
+    // relative value that must drop; the fourth doc has no sitemap
+    // lines. Oracle recomputes the whole extraction + canonicalize +
+    // dedup + roll-up in SQL over the same fixture.
+    QueryDef("text_robots_sitemaps",
+      (s, d) => {
+        val body = when(col("doc_id") % 4 === 3,
+            lit("User-agent: *\nAllow: /"))
+          .otherwise(concat(
+            lit("User-agent: *\nDisallow: /private\n" +
+              "Sitemap: https://www.R"), col("doc_id") % 4,
+            lit(".COM:443/s/"), col("doc_id") % 6,
+            lit(".xml\nsitemap: https://www.r"), col("doc_id") % 4,
+            lit(".com/s/"), col("doc_id") % 6,
+            lit(".xml\n SiteMap: https://cdn.maps"), col("doc_id") % 2,
+            lit(".net/m/"), col("doc_id") % 5,
+            lit(".xml\nSitemap: /relative.xml")))
+        TextOps.robotsSitemaps(Tables.documents(s, d)
+          .select(col("doc_id"), body.as("text")))
+      },
+      Some(TextOps.robotsSitemapsSql(
+        "(SELECT doc_id, CASE WHEN doc_id % 4 = 3" +
+          " THEN 'User-agent: *' || chr(10) || 'Allow: /'" +
+          " ELSE 'User-agent: *' || chr(10) || 'Disallow: /private'" +
+          " || chr(10) || 'Sitemap: https://www.R' || (doc_id % 4)" +
+          " || '.COM:443/s/' || (doc_id % 6) || '.xml'" +
+          " || chr(10) || 'sitemap: https://www.r' || (doc_id % 4)" +
+          " || '.com/s/' || (doc_id % 6) || '.xml'" +
+          " || chr(10) || ' SiteMap: https://cdn.maps' || (doc_id % 2)" +
+          " || '.net/m/' || (doc_id % 5) || '.xml'" +
+          " || chr(10) || 'Sitemap: /relative.xml' END AS text" +
+          " FROM documents)")),
+      presentOrder = Seq("domain")),
+
     // Crawler-trap detection — the frontier's self-defense against
     // infinite URL spaces: distinct-URL explosion over a bounded
     // path-template set. The fixture plants both trap classes (path

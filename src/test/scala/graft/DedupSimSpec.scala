@@ -2626,6 +2626,63 @@ class DedupSimSpec extends SparkSpec {
     assert(out("e.org") === ((2L, 1000L, 1000L, "https://e.org/p")))
   }
 
+  test("hreflangPairs: attribute order/case/quote free, x-default and " +
+    "unresolvable hrefs drop, langs lowercase, each unordered language " +
+    "pair once per page, targets canonicalize, non-http pages drop") {
+    import spark.implicits._
+    val pages = Seq(
+      // three langs in mixed grammar + x-default + distractor:
+      // pairs (de-at,en), (de-at,fr), (en,fr)
+      (1L, "https://www.a.com/p/1",
+        "<link rel=\"stylesheet\" href=\"/s.css\">" +
+          "<link rel=\"alternate\" hreflang=\"en\" " +
+          "href=\"https://A.COM:443/en/1#v\">" +
+          "<link hreflang='FR' rel='alternate' href='/fr/1'>" +
+          "<link rel=\"alternate\" hreflang=\"de-AT\" href=\"/de/1\">" +
+          "<link rel=\"alternate\" hreflang=\"x-default\" href=\"/d\">"),
+      // one lang only -> no pair; unresolvable alternate drops
+      (2L, "https://www.a.com/p/2",
+        "<link rel=\"alternate\" hreflang=\"en\" href=\"/en/2\">" +
+          "<link rel=\"alternate\" hreflang=\"fr\" href=\"rel/x\">"),
+      // non-http page drops wholesale
+      (3L, "ftp://c.net/f",
+        "<link rel=\"alternate\" hreflang=\"en\" href=\"/en\">" +
+          "<link rel=\"alternate\" hreflang=\"fr\" href=\"/fr\">")
+    ).toDF("doc_id", "page_url", "text")
+    val out = TextOps.hreflangPairs(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(out.keySet === Set(("de-at", "en"), ("de-at", "fr"),
+      ("en", "fr")), "page 2 has one resolvable lang; page 3 is ftp")
+    assert(out(("en", "fr")) ===
+      ((1L, 1L, 1L, "https://a.com/en/1 https://www.a.com/fr/1")),
+      "absolute alternate canonicalizes (a.com); root-relative " +
+        "resolves against the page's own www host")
+  }
+
+  test("robotsSitemaps: Sitemap key case-insensitive with leading " +
+    "whitespace, values canonicalize and dedup per doc, relative " +
+    "values drop, domains roll up") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "User-agent: *\nDisallow: /p\n" +
+        "Sitemap: https://A.COM:443/s1.xml\n" +
+        "sitemap: https://a.com/s1.xml\n" +
+        " SiteMap: http://Maps.B.NET/m.xml\n" +
+        "Sitemap: /relative.xml"),
+      (2L, "User-agent: x\nSitemap: https://a.com/s2.xml"),
+      (3L, "User-agent: *\nAllow: /")
+    ).toDF("doc_id", "text")
+    val out = TextOps.robotsSitemaps(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("a.com") === ((2L, 2L, "https://a.com/s1.xml")),
+      "two spellings of s1 collapse; s2 from doc 2; relative dropped")
+    assert(out("b.net") === ((1L, 1L, "http://maps.b.net/m.xml")))
+    assert(out.size === 2, "doc 3 contributes nothing")
+  }
+
   test("crawlTraps: digit runs fold to one template, query variants " +
     "explode under the path template, threshold is >= at template " +
     "grain, healthy domains report an empty trap_template, bare-host " +

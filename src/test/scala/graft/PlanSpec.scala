@@ -718,4 +718,41 @@ class PlanSpec extends SparkSpec {
       !pl.contains("rangepartitioning"),
       s"link_graph shape:\n$pl")
   }
+
+  test("crawl batch 3/4 ops: the HTML policy gates are single-shuffle " +
+    "explode-free codegen projections; hreflang self-crosses per page " +
+    "without a join; the schedule broadcasts its delay table; no " +
+    "cartesian, UDF, or presentation sort anywhere") {
+    // canonical clusters + meta robots: the whole extract/parse chain
+    // is array HOFs inside ONE projection — no Generate — and the only
+    // exchange is the final slim-row agg shuffle
+    for (n <- Seq("pipeline_canonical_cluster", "text_meta_robots")) {
+      val p = planOf(n)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+        s"$n must have exactly one shuffle:\n$p")
+      assert(!p.contains("Generate"),
+        s"$n must not explode (array HOFs only):\n$p")
+    }
+    // hreflang: pairs build per page via nested array HOFs; the ONLY
+    // exchanges are the distinct-expand agg pair — never a join of the
+    // page with itself
+    val ph = planOf("pipeline_hreflang_pairs")
+    assert(!ph.contains("Join"),
+      s"hreflang pairs must not self-join:\n$ph")
+    assert(ph.contains("Expand"), s"hreflang distinct shape:\n$ph")
+    // schedule: tiny delay table broadcasts onto the URL side
+    val ps = planOf("pipeline_crawl_schedule")
+    assert(ps.contains("BroadcastExchange"),
+      s"delay table must broadcast:\n$ps")
+    assert(!ps.contains("SortMergeJoin"),
+      s"delay join must not sort-merge:\n$ps")
+    for (n <- Seq("pipeline_canonical_cluster", "text_meta_robots",
+        "pipeline_hreflang_pairs", "pipeline_crawl_schedule",
+        "pipeline_crawl_traps", "text_robots_sitemaps")) {
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF") &&
+        !p.contains("rangepartitioning"),
+        s"$n shape:\n$p")
+    }
+  }
 }
