@@ -2646,8 +2646,17 @@ object TextOps {
     * Spark side's §2.2.3 wildcard compile char for char (escape
     * metachars, `*`→`.*`, trailing `\$`→end anchor, `^` prefix). */
   def robotsFilterSql(table: String, rulesValues: String): String =
+    robotsFilterSqlFrom(table,
+      s"(SELECT * FROM (VALUES $rulesValues) v(host, pattern, allow))")
+
+  /** [[robotsFilterSql]] with the rule table supplied as an arbitrary
+    * subquery producing (host, pattern, allow) — the composition form:
+    * feed it [[robotsParseSql]] and the oracle runs the parse→filter
+    * chain end to end, exactly like `robotsFilter(docs,
+    * robotsParse(robotsDocs))` on the Spark side. */
+  def robotsFilterSqlFrom(table: String, rulesSql: String): String =
     s"""WITH ${urlCanonCtes(table)},
-        r(host, pattern, allow) AS (VALUES $rulesValues),
+        r AS (SELECT * FROM $rulesSql),
         rw AS (SELECT host, pattern, allow,
             (pattern LIKE '%*%' OR pattern LIKE '%$$') AS is_wild,
             '^' || regexp_replace(
@@ -2865,6 +2874,138 @@ object TextOps {
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_robots_files,
           min(url_canon) AS first_sitemap
         FROM d GROUP BY domain ORDER BY domain"""
+  }
+
+  /** robots.txt group parser (RFC 9309 §2.1–§2.2) — the producer of
+    * the (host, pattern, allow) rule table [[robotsFilter]] consumes;
+    * until now that table was hand-supplied, this closes the chain
+    * from raw fetched robots.txt bytes. Input: one row per robots
+    * file (`doc_id`, `host`, `text` = the body). Grammar: lines are
+    * `key: value` with optional leading whitespace and
+    * case-insensitive keys; `#` starts a comment anywhere on the
+    * line; blank/alien lines are ignored. One or more consecutive
+    * `User-agent` lines START a group whose rules are the following
+    * `Allow`/`Disallow` lines; rules BEFORE any user-agent line
+    * belong to no group and drop (§2.1); an EMPTY Disallow/Allow
+    * value is the spec's explicit allow-all idiom and emits no rule.
+    * Group selection for the crawler's product token (§2.2.1,
+    * case-insensitive exact token match — substring/most-specific
+    * product matching documented out of scope): if ANY group in the
+    * file names the token exactly, all such groups apply (multiple
+    * groups for the same agent MERGE per the RFC); otherwise all `*`
+    * groups apply; a group matches via any of its stacked agent
+    * lines. Output: (host, pattern, allow) distinct — feed it
+    * straight to [[robotsFilter]]. CRLF files parse identically (the
+    * trailing \r strips with the value whitespace — a pattern or
+    * agent ending in \r would otherwise match nothing). Non-group
+    * records BETWEEN stacked user-agent lines (e.g. a `Sitemap:`
+    * line) do not break the stack — the reference parsers' common
+    * interpretation; only rules end a ua run.
+    *
+    * Shape at 100 TB: line posexplode, then every group/selection
+    * decision is a WINDOW over (doc, line-order) — running group id
+    * by cumulative sum over the ua-run boundary flag, group-agent
+    * membership via max-over-(doc, gid), file-level exact-match via
+    * max-over-doc — so the whole parse is ONE shuffle by doc with no
+    * self-joins; robots files are KB-grain so per-doc windows are
+    * trivially bounded. */
+  def robotsParse(docs: DataFrame, agent: String = "graftbot")
+      : DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val t = coalesce(col("text"), lit(""))
+    val lines = docs.select(col("doc_id"), col("host"),
+      posexplode(split(t, "\n")).as(Seq("pos", "raw")))
+    // CRLF robots files are the common case in the wild: the split is
+    // on \n, so every line may carry a trailing \r — it must strip
+    // with the whitespace (a pattern or agent token ending in \r
+    // would silently match nothing)
+    val noComment = regexp_replace(col("raw"), "#.*$", "")
+    val key = lower(regexp_extract(noComment,
+      "^[ \\t]*([A-Za-z-]+)[ \\t]*:", 1))
+    val value = regexp_replace(regexp_replace(
+      regexp_extract(noComment, "^[ \\t]*[A-Za-z-]+[ \\t]*:(.*)$", 1),
+      "^[ \\t]+", ""), "[ \\t\\r]+$", "")
+    val typed = lines
+      .select(col("doc_id"), col("host"), col("pos"),
+        key.as("key"), value.as("value"))
+      .filter(col("key").isin("user-agent", "allow", "disallow"))
+      .withColumn("is_ua", col("key") === "user-agent")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wholeDoc = Window.partitionBy(col("doc_id"))
+    // a ua line opens a NEW group iff the previous kept line was not
+    // a ua line (stacked ua lines share the group); cumulative sum of
+    // the boundary flag is the group id — 0 = before any group
+    val grouped = typed
+      .withColumn("__newg",
+        when(col("is_ua") &&
+          !coalesce(lag(col("is_ua"), 1).over(byPos), lit(false)), 1L)
+          .otherwise(0L))
+      .withColumn("gid", sum(col("__newg")).over(byPos))
+    val byGroup = Window.partitionBy(col("doc_id"), col("gid"))
+    val selected = grouped
+      .withColumn("__gexact",
+        max(when(col("is_ua") && lower(col("value")) === a, 1L)
+          .otherwise(0L)).over(byGroup))
+      .withColumn("__gstar",
+        max(when(col("is_ua") && col("value") === "*", 1L)
+          .otherwise(0L)).over(byGroup))
+      .withColumn("__dexact", max(col("__gexact")).over(wholeDoc))
+      .filter(!col("is_ua") && col("gid") > 0 && col("value") =!= "" &&
+        (col("__gexact") === 1L ||
+          (col("__dexact") === 0L && col("__gstar") === 1L)))
+    selected
+      .select(col("host"), col("value").as("pattern"),
+        (col("key") === "allow").as("allow"))
+      .distinct()
+  }
+
+  /** Oracle twin of [[robotsParse]] — the same line scan, window
+    * group ids, and selection logic in SQL. */
+  def robotsParseSql(table: String, agent: String = "graftbot")
+      : String = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    s"""WITH l AS (SELECT doc_id, host, p.pos AS pos,
+            regexp_replace(p.line, '#.*$$', '') AS line
+          FROM (SELECT doc_id, host,
+              generate_subscripts(
+                string_split(COALESCE(text, ''), chr(10)), 1) AS pos,
+              unnest(string_split(COALESCE(text, ''), chr(10))) AS line
+            FROM $table) p),
+        kv AS (SELECT doc_id, host, pos,
+            lower(regexp_extract(line,
+              '^[ \\t]*([A-Za-z-]+)[ \\t]*:', 1)) AS key,
+            regexp_replace(regexp_replace(
+              regexp_extract(line,
+                '^[ \\t]*[A-Za-z-]+[ \\t]*:(.*)$$', 1),
+              '^[ \\t]+', ''), '[ \\t\\r]+$$', '') AS value
+          FROM l
+          WHERE lower(regexp_extract(line,
+              '^[ \\t]*([A-Za-z-]+)[ \\t]*:', 1))
+            IN ('user-agent', 'allow', 'disallow')),
+        g AS (SELECT *, (key = 'user-agent') AS is_ua,
+            CASE WHEN key = 'user-agent' AND NOT COALESCE(
+                lag(key = 'user-agent') OVER (PARTITION BY doc_id
+                  ORDER BY pos), false)
+              THEN 1 ELSE 0 END AS newg
+          FROM kv),
+        gg AS (SELECT *, sum(newg) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+          FROM g),
+        sel AS (SELECT *,
+            max(CASE WHEN is_ua AND lower(value) = '$a' THEN 1
+              ELSE 0 END) OVER (PARTITION BY doc_id, gid) AS gexact,
+            max(CASE WHEN is_ua AND value = '*' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id, gid) AS gstar
+          FROM gg),
+        sel2 AS (SELECT *,
+            max(gexact) OVER (PARTITION BY doc_id) AS dexact
+          FROM sel)
+        SELECT DISTINCT host, value AS pattern,
+          (key = 'allow') AS allow
+        FROM sel2
+        WHERE NOT is_ua AND gid > 0 AND value <> ''
+          AND (gexact = 1 OR (dexact = 0 AND gstar = 1))
+        ORDER BY host, pattern, allow"""
   }
 
   /** `<meta …>` elements of an HTML head (self-closing or not). */

@@ -51,6 +51,52 @@ object CrawlQueries {
       " || ' http://shop' || (doc_id % 3) || '.com/s?sid=' || doc_id" +
       " AS text FROM documents)"
 
+  /** robots.txt body fixture shared by the parse gate and the
+    * parse→filter e2e gate: per file by %5 — a star group followed by
+    * TWO exact-agent groups (merge; star drops), stacked user-agent
+    * lines, a star-only file, comments + empty Disallow + uppercase
+    * key + trailing comment, and an orphan rule before any group.
+    * Hosts are per-doc (`h<doc_id>.com`). */
+  private def robotsBodyCol =
+    when(col("doc_id") % 5 === 0,
+      concat(lit("User-agent: *\nDisallow: /a\nAllow: /a/b\n" +
+        "User-agent: GraftBot\nDisallow: /g"), col("doc_id") % 3,
+        lit("\nUser-agent: graftbot\nAllow: /g-ok")))
+    .when(col("doc_id") % 5 === 1,
+      lit("User-agent: graftbot\nUser-agent: other\nDisallow: /x"))
+    .when(col("doc_id") % 5 === 2,
+      concat(lit("User-agent: *\nDisallow: /star"), col("doc_id") % 4))
+    .when(col("doc_id") % 5 === 3,
+      lit("# top\nUser-agent: graftbot\nDisallow:\nALLOW: /ok # tail"))
+    .otherwise(
+      lit("Disallow: /orphan\nUser-agent: *\nDisallow: /tail"))
+
+  private val RobotsBodyTable =
+    "(SELECT doc_id, 'h' || doc_id || '.com' AS host," +
+      " CASE doc_id % 5" +
+      " WHEN 0 THEN 'User-agent: *' || chr(10) ||" +
+      " 'Disallow: /a' || chr(10) || 'Allow: /a/b' || chr(10) ||" +
+      " 'User-agent: GraftBot' || chr(10) || 'Disallow: /g' ||" +
+      " (doc_id % 3) || chr(10) || 'User-agent: graftbot' ||" +
+      " chr(10) || 'Allow: /g-ok'" +
+      " WHEN 1 THEN 'User-agent: graftbot' || chr(10) ||" +
+      " 'User-agent: other' || chr(10) || 'Disallow: /x'" +
+      " WHEN 2 THEN 'User-agent: *' || chr(10) ||" +
+      " 'Disallow: /star' || (doc_id % 4)" +
+      " WHEN 3 THEN '# top' || chr(10) ||" +
+      " 'User-agent: graftbot' || chr(10) || 'Disallow:' ||" +
+      " chr(10) || 'ALLOW: /ok # tail'" +
+      " ELSE 'Disallow: /orphan' || chr(10) ||" +
+      " 'User-agent: *' || chr(10) || 'Disallow: /tail' END" +
+      " AS text FROM documents)"
+
+  private def robotsDocs(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("h"), col("doc_id"), lit(".com")).as("host"),
+        robotsBodyCol.as("text"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // Canonical-link dedup clusters — sites self-declare the
@@ -173,6 +219,60 @@ object CrawlQueries {
       Some(TextOps.crawlScheduleSql(CrawlUrlFixtureTable,
         crawlDelaysValues)),
       presentOrder = Seq("domain")),
+
+    // robots.txt group parser — the PRODUCER of the rule table
+    // pipeline_robots_filter consumes (until now hand-supplied; this
+    // closes the chain from raw fetched robots bytes). Fixture per
+    // file by %5: a star group followed by TWO exact-agent groups
+    // that must both apply (merge) while the star group drops; stacked
+    // user-agent lines sharing one group; a star-only file (the
+    // fallback branch); comments + an EMPTY Disallow (the allow-all
+    // idiom — no rule) + an uppercase key + a trailing comment; and a
+    // rule BEFORE any group that must drop ahead of a star group.
+    // Oracle recomputes the same line scan + window group ids +
+    // selection in SQL.
+    QueryDef("pipeline_robots_parse",
+      (s, d) => TextOps.robotsParse(robotsDocs(s, d)),
+      Some(TextOps.robotsParseSql(RobotsBodyTable)),
+      presentOrder = Seq("host", "pattern", "allow")),
+
+    // Parse → filter composition, end to end from RAW robots bytes:
+    // the rules pipeline_robots_filter consumes come from
+    // robotsParse over the body fixture above, and the URL corpus
+    // plants one URL per rule class on each doc's OWN host — /g<id%3>z
+    // (blocked by the merged exact group on %5==0 hosts), /a/b/c
+    // (allowed there: the star group dropped), /ok-ish and /tail and
+    // /star<id%4>x hitting the other branches, and /free (no rule
+    // anywhere -> implicit allow). Oracle runs the SAME composed
+    // chain: robotsFilterSqlFrom(robotsParseSql) — both engines parse
+    // the bytes, derive the rules, and filter, with zero hand-typed
+    // rule values.
+    QueryDef("pipeline_robots_e2e",
+      (s, d) => {
+        val urls = concat(
+          lit("see https://h"), col("doc_id"), lit(".com/g"),
+          col("doc_id") % 3, lit("z https://h"), col("doc_id"),
+          lit(".com/a/b/c https://h"), col("doc_id"),
+          lit(".com/ok https://h"), col("doc_id"),
+          lit(".com/tail9 https://h"), col("doc_id"),
+          lit(".com/star"), col("doc_id") % 4,
+          lit("x https://h"), col("doc_id"), lit(".com/free"))
+        TextOps.robotsFilter(
+          Tables.documents(s, d).select(col("doc_id"),
+            urls.as("text")),
+          TextOps.robotsParse(robotsDocs(s, d)))
+      },
+      Some(TextOps.robotsFilterSqlFrom(
+        "(SELECT doc_id," +
+          " 'see https://h' || doc_id || '.com/g' || (doc_id % 3) ||" +
+          " 'z https://h' || doc_id || '.com/a/b/c' ||" +
+          " ' https://h' || doc_id || '.com/ok' ||" +
+          " ' https://h' || doc_id || '.com/tail9' ||" +
+          " ' https://h' || doc_id || '.com/star' || (doc_id % 4) ||" +
+          " 'x https://h' || doc_id || '.com/free' AS text" +
+          " FROM documents)",
+        s"(${TextOps.robotsParseSql(RobotsBodyTable)})")),
+      presentOrder = Seq("doc_id", "url_canon")),
 
     // Hreflang parallel-page pairs — the multilingual parallel-corpus
     // mining seed: pages declare language variants via <link

@@ -2626,6 +2626,38 @@ class DedupSimSpec extends SparkSpec {
     assert(out("e.org") === ((2L, 1000L, 1000L, "https://e.org/p")))
   }
 
+  test("robotsParse (RFC 9309): exact-agent groups beat star and " +
+    "MERGE across the file, stacked ua lines share a group, rules " +
+    "before any group drop, empty Disallow emits no rule, comments " +
+    "strip anywhere, keys case-free, star only when no exact exists") {
+    import spark.implicits._
+    val docs = Seq(
+      // exact beats star; two exact groups merge; stacked ua lines
+      (1L, "a.com",
+        "User-agent: *\nDisallow: /a\n" +
+          "User-agent: GraftBot\nUser-agent: other\nDisallow: /g\n" +
+          "# note\nUser-agent: graftbot\nAllow: /g/ok # tail"),
+      // star fallback when no exact group anywhere
+      (2L, "b.com", "USER-AGENT: *\nDISALLOW: /star"),
+      // orphan rule before any group drops; empty Disallow no rule
+      (3L, "c.com",
+        "Disallow: /orphan\nUser-agent: graftbot\nDisallow:\n" +
+          "Allow: /keep"),
+      // a file with no matching group at all -> zero rules
+      (4L, "d.com", "User-agent: elsebot\nDisallow: /private"),
+      // CRLF file: \r must strip from agent token and pattern alike
+      (5L, "e.com", "User-agent: graftbot\r\nDisallow: /crlf\r\n")
+    ).toDF("doc_id", "host", "text")
+    val out = TextOps.robotsParse(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    assert(out === Set(
+      ("a.com", "/g", false), ("a.com", "/g/ok", true),
+      ("b.com", "/star", false),
+      ("c.com", "/keep", true),
+      ("e.com", "/crlf", false)))
+  }
+
   test("hreflangPairs: attribute order/case/quote free, x-default and " +
     "unresolvable hrefs drop, langs lowercase, each unordered language " +
     "pair once per page, targets canonicalize, non-http pages drop") {
