@@ -89,6 +89,7 @@ object Bench {
                                     //   shared with graph_diameter_tk_capped
                                     //   (named by in_pass in the first
                                     //   round-13 artifact)
+      "mm_jpeg_decode",             // FixtureCache: jpeg_decode blobs
       "mm_warc_records",            // FixtureCache: warc_records blobs
       "pipeline_warc_to_wet",       // FixtureCache: warc_wet blobs
       "pipeline_warc_http",         // FixtureCache: warc_http blobs

@@ -1007,6 +1007,16 @@ object DedupOps {
     val k = bands * rowsPerBand
     val sigs = ophSignatures(shingleInv(docs, textCol, idCol), k)
       .withColumn("bk", bandKeys(bands, rowsPerBand))
+    // NOTE (r14 optimization round): the aliased self-join + candIds
+    // union multiply the signature subtree out to ~24 parquet scans in
+    // one plan — but materializing the reused frames (persist or
+    // localCheckpoint, with or without a parallelism-preserving
+    // repartition) measured 2-6× SLOWER here at sf0.1: AQE coalesces
+    // the tiny frames to one partition and every downstream stage then
+    // runs single-task, while the codegen recompute of a small corpus
+    // is embarrassingly parallel. At 100 TB the balance flips — the
+    // pairStats `graft.jaccard.checkpoint` flag documents the same
+    // trade-off; these ops would take the identical flag there.
     val buckets = sigs.select(col("doc_id"),
       posexplode(col("bk")).as(Seq("band", "key")))
     val cand = buckets.as("a").join(buckets.as("b"),
@@ -1073,7 +1083,8 @@ object DedupOps {
     // of the join key: equal keys in DIFFERENT bands are not LSH collisions.
     // The bucket rows carry only (doc_id, band, key): shingle sets are
     // recomputed AFTER candidate dedup for candidate docs only, so no
-    // array column ever enters a shuffle.
+    // array column ever enters a shuffle. (Materializing the reused
+    // frames measured slower at gate scale — see the ophLshPairs note.)
     val buckets = sigs.select(col("doc_id"),
       posexplode(col("bk")).as(Seq("band", "key")))
     val cand = buckets.as("a").join(buckets.as("b"),
@@ -1114,6 +1125,9 @@ object DedupOps {
   def minhashAccuracy(docs: DataFrame, textCol: String, idCol: String,
                       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
+    // sigs feeds the band buckets AND both per-side signature re-joins
+    // (~28 parquet scans in one plan) — left unmaterialized on purpose:
+    // see the ophLshPairs note (measured slower when checkpointed).
     val sigs = signatures(shingleInv(docs, textCol, idCol), k)
       .withColumn("bk", bandKeys(bands, rowsPerBand))
     val buckets = sigs.select(col("doc_id"),

@@ -53,12 +53,13 @@ object GraphOps {
                iters: Int = PrIters): DataFrame = {
     val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
     val eo = edges.select("src", "dst").join(outd, "src").persist()
-    var r = nodes.select(col("node_id"), lit(PrS0).as("pr"))
+    val nn = nodes.select(col("node_id"))
+    var r = nn.select(col("node_id"), lit(PrS0).as("pr"))
     for (_ <- 1 to iters) {
       val inbound = eo.join(r, eo("src") === r("node_id"))
         .select(col("dst"), expr("pr div od").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
-      r = nodes.select("node_id")
+      r = nn
         .join(inbound, col("node_id") === inbound("dst"), "left")
         .select(col("node_id"),
           (lit(PrBase) + expr(

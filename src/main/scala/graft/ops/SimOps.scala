@@ -2689,20 +2689,40 @@ object SimOps {
     * so both engines select the identical sequence.
     *
     * Scale shape: everything after candidate generation is O(nCand²)
-    * on a broadcast-sized frame — the candidate list and its pairwise
-    * sim table are localCheckpoint'ed once and reused by all `k`
-    * greedy rounds (plans stay flat); the rounds are driver-side plan
-    * composition over ≤ nCand-row frames, never corpus scans. */
+    * on a bounded table — the candidate list (≤ nCand rows) and its
+    * pairwise sim table (≤ nCand² rows) collect once and the `k`
+    * greedy rounds run as a driver fold over those arrays (the
+    * bounded-artifact discipline of the k-means codebooks); Spark
+    * computes every cosine, the driver only replays the argmax — no
+    * corpus scan, join, or per-round job anywhere in the rounds. */
   def mmrRerank(vectors: DataFrame, queryId: Long, nCand: Int = 20,
                 k: Int = 5): DataFrame = {
     require(nCand >= k && k >= 1, s"mmrRerank bad params ($nCand, $k)")
-    val cand = topKBruteForce(vectors, col("vec_id") === queryId, nCand)
+    val spark = vectors.sparkSession
+    // Candidate list and pairwise sims are BOUNDED by construction
+    // (≤ nCand and ≤ nCand² rows — the ≤k-rows driver-probe class every
+    // other bounded collect in ops/ is held to), so the greedy argmax
+    // rounds run as a driver fold over the collected arrays instead of
+    // k rounds of plan composition. The old shape unioned k limit-1
+    // subplans, and without per-round materialization round j re-embedded
+    // the FULL lineage of rounds 1..j-1 — the unrolled plan carried 160
+    // exchanges for 20 candidate rows (plans/r14/sim_mmr_rerank_before
+    // .txt); with per-round localCheckpoints it still paid ~2k tiny jobs
+    // whose cost tracked session block-manager pressure, not the data.
+    // Scores are bit-identical: rel/sim come back as the same quant4'd
+    // doubles the old plan compared, ·0.5 halves exponents exactly, and
+    // quant4 (floor(x·10⁴ + 0.5)/10⁴ over IEEE doubles) replays the
+    // Catalyst expression verbatim.
+    val candRows = topKBruteForce(vectors, col("vec_id") === queryId, nCand)
       .select(col("neighbor_id").as("vec_id"), col("cosine").as("rel"))
-      .localCheckpoint()
-    val cv = withNorm(vectors.select(col("vec_id"), col("embedding")),
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val candIds = candRows.map(_._1)
+    val cv = withNorm(
+        vectors.select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id").isin(candIds: _*)),
         "embedding", "nn")
-      .join(broadcast(cand.select(col("vec_id"))), "vec_id")
-    val sims = cv.select(col("vec_id").as("ca"), col("embedding").as("ea"),
+    val simRows = cv.select(col("vec_id").as("ca"), col("embedding").as("ea"),
         col("nn").as("na"))
       .crossJoin(broadcast(cv.select(col("vec_id").as("cb"),
         col("embedding").as("eb"), col("nn").as("nb"))))
@@ -2710,26 +2730,33 @@ object SimOps {
       .select(col("ca"), col("cb"),
         quant4(round(expr("array_dot(ea, eb)") / (col("na") * col("nb")),
           6)).as("sim"))
-      .localCheckpoint()
-    var sel = cand
-      .withColumn("score", quant4(col("rel") * 0.5))
-      .orderBy(col("score").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), lit(1L).as("pick_order"), col("rel"),
-        col("score").as("mmr_score"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    def q4(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x else math.floor(x * 1e4 + 0.5) / 1e4
+    // argmax by (score desc, vec_id asc) — the old orderBy+limit(1) ties.
+    def pick(scored: Seq[(Long, Double, Double)]): (Long, Double, Double) =
+      scored.minBy { case (id, _, s) => (-s, id) }
+    val first = pick(candRows.toSeq.map { case (id, rel) =>
+      (id, rel, q4(rel * 0.5)) })
+    val sel = scala.collection.mutable.ArrayBuffer(
+      (first._1, 1L, first._2, first._3))
     for (j <- 2 to k) {
-      val ms = sims
-        .join(sel.select(col("vec_id").as("cb")), "cb")
-        .groupBy(col("ca")).agg(max(col("sim")).as("msim"))
-      val next = cand
-        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .join(ms, col("vec_id") === col("ca"))
-        .withColumn("score", quant4(col("rel") * 0.5 - col("msim") * 0.5))
-        .orderBy(col("score").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), lit(j.toLong).as("pick_order"), col("rel"),
-          col("score").as("mmr_score"))
-      sel = sel.unionByName(next)
+      val selIds = sel.map(_._1).toSet
+      // inner-join semantics preserved: a candidate with no sims row to
+      // the selected set is excluded from the round (cannot happen on a
+      // complete pairwise table, but the fold must mirror the plan).
+      val scored = candRows.toSeq.collect {
+        case (id, rel) if !selIds(id) &&
+            selIds.exists(s => simRows.contains((id, s))) =>
+          val msim = selIds.flatMap(s => simRows.get((id, s))).max
+          (id, rel, q4(rel * 0.5 - msim * 0.5))
+      }
+      val (id, rel, score) = pick(scored)
+      sel += ((id, j.toLong, rel, score))
     }
-    sel
+    spark.createDataFrame(sel.toSeq)
+      .toDF("vec_id", "pick_order", "rel", "mmr_score")
   }
 
   /** Oracle twin of [[mmrRerank]]: the greedy rounds replay as unrolled

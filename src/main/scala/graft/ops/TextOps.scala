@@ -250,14 +250,16 @@ object TextOps {
       val next = pieces
         .select(col("doc_id"), bpeMergeOnce(col("p"), pa, pb).as("p"))
         .persist()
-      next.count() // materialize before dropping the previous round
-      pieces.unpersist()
-      pieces = next
-      val st = pieces
+      // The round-stats aggregate doubles as the materializing action
+      // (computing it populates next's cache), so the round runs ONE
+      // corpus pass instead of the old count()-then-stats two.
+      val st = next
         .select(size(col("p")).cast("long").as("n"),
           hash64(concat_ws(BpeSep, col("p"))).as("h"))
         .agg(sum(col("n")).as("tot"), expr("bit_xor(h)").as("fp"))
         .collect()(0)
+      pieces.unpersist()
+      pieces = next
       (r, pa, pb, cnt, st.getLong(0), st.getLong(1))
     }
     (out, pieces)
@@ -531,6 +533,12 @@ object TextOps {
       .groupBy(col("doc_id"), col("is_t"), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    // The unigram and bigram count tables are each consumed by several
+    // downstream joins (uni by nTot/biP/uniP, bi by biP/triP) — left
+    // unmaterialized on purpose: checkpointing them measured 3× slower
+    // at gate scale (AQE coalesces the tiny aggregates to one partition
+    // and the downstream joins then run single-task; the DedupOps
+    // ophLshPairs note has the full measurement story).
     val uni = base.filter(col("is_t"))
       .select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))

@@ -768,26 +768,40 @@ object MultimodalQueries {
     QueryDef("mm_jpeg_decode",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
-          .map { case (id, nc) =>
-            val w = (id % 16 + 8).toInt
-            val h = (nc % 12 + 8).toInt
-            // Half the corpus is PROGRESSIVE (SOF2, the JDK encoder's
-            // 6-scan spectral-selection + successive-approximation
-            // script) — the crawl-majority case the round-10 decoder
-            // handles; decode_ok pins the same ±1 ImageIO bound on
-            // both paths.
-            val bytes0 = graft.multimodal.MediaCodecs.buildJpegGray(w, h,
-              (x, y) => ((x * 5 + y * 9 + id) % 256).toInt,
-              progressive = id % 4 < 2)
-            // A third of the corpus carries T.81-legal 0xFF fill
-            // bytes before the first segment and before EOI (ADVICE
-            // r10): decode must treat them as padding, same ±1 bound.
-            val bytes =
-              if (id % 3 == 0)
-                graft.multimodal.MediaCodecs.withJpegFillBytes(bytes0)
-              else bytes0
+        // Fixture ENCODE (the JDK ImageIO writer run per doc) rides the
+        // FixtureCache like the WARC/MP3 gates (r13 verdict #4): with
+        // `graft.fixture.dir` set the synthesized bytes materialize once
+        // per corpus in the untimed prebuild and the bench line measures
+        // the DECODE walk + the ImageIO deviation audit — the parse-path
+        // cost the 100 TB story cares about (real crawl JPEGs arrive as
+        // corpus bytes). Verify leaves the conf unset: builder inline,
+        // same bytes, oracle unchanged.
+        val blobs = graft.queries.FixtureCache.blobs(s, d, "jpeg_decode", 1) {
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+            .map { case (id, nc) =>
+              val w = (id % 16 + 8).toInt
+              val h = (nc % 12 + 8).toInt
+              // Half the corpus is PROGRESSIVE (SOF2, the JDK encoder's
+              // 6-scan spectral-selection + successive-approximation
+              // script) — the crawl-majority case the round-10 decoder
+              // handles; decode_ok pins the same ±1 ImageIO bound on
+              // both paths.
+              val bytes0 = graft.multimodal.MediaCodecs.buildJpegGray(w, h,
+                (x, y) => ((x * 5 + y * 9 + id) % 256).toInt,
+                progressive = id % 4 < 2)
+              // A third of the corpus carries T.81-legal 0xFF fill
+              // bytes before the first segment and before EOI (ADVICE
+              // r10): decode must treat them as padding, same ±1 bound.
+              val bytes =
+                if (id % 3 == 0)
+                  graft.multimodal.MediaCodecs.withJpegFillBytes(bytes0)
+                else bytes0
+              (id, bytes)
+            }.toDF("doc_id", "bytes")
+        }
+        blobs.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
             val m = graft.multimodal.MediaCodecs.jpegRgb(bytes)
             val dev = graft.multimodal.MediaCodecs.jpegMaxDevVsImageIO(bytes)
             (id, m.map(_._1).getOrElse(-1), m.map(_._2).getOrElse(-1),

@@ -47,6 +47,8 @@ object Profile {
       sys.env.getOrElse("SPARK_GRAFT_PAIRS_DIR", tempDir("graft-pairs")))
     spark.conf.set("graft.bfs.dir",
       sys.env.getOrElse("SPARK_GRAFT_BFS_DIR", tempDir("graft-bfs")))
+    spark.conf.set("graft.fixture.dir",
+      sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", tempDir("graft-fixture")))
     def t(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -2449,6 +2449,55 @@ class DedupSimSpec extends SparkSpec {
     assert(out(1).getDouble(3) > 0 && out(2).getDouble(3) < 0)
   }
 
+  test("mmrRerank driver fold == independent greedy replay on a random " +
+      "fixture (pins the r14 bounded-collect rewrite: scores, tie order, " +
+      "pick_order sequence)") {
+    import spark.implicits._
+    import graft.ops.SimOps
+    graft.catalyst.GraftFunctions.register(spark)
+    // Deterministic pseudo-random 16-vector fixture (id 0 is the query).
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 2654435761L + i * 40503L) % 1000L)
+        .toFloat - 500f) / 500f)
+    val rows = (0L to 15L).map(i => (i, vec(i + 7)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val nCand = 10
+    val k = 4
+    val got = SimOps.mmrRerank(emb, queryId = 0L, nCand = nCand, k = k)
+      .collect().sortBy(_.getLong(1))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // Independent replay in plain Scala from the raw fixture arrays:
+    // cosine in double, Spark's round(x, 6) = BigDecimal HALF_UP, then
+    // quant4 = floor(x·10⁴ + 0.5)/10⁴ — the gates' engine-exact chain.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val byId = rows.toMap
+    val rel = (1L to 15L).map(i => i -> q4(r6(cos(byId(0L), byId(i)))))
+      .sortBy { case (id, r) => (-r, id) }.take(nCand)
+    val sim = (for (a <- rel.map(_._1); b <- rel.map(_._1) if a != b)
+      yield (a, b) -> q4(r6(cos(byId(a), byId(b))))).toMap
+    val sel = scala.collection.mutable.ArrayBuffer(
+      rel.map { case (id, r) => (id, r, q4(r * 0.5)) }
+        .minBy { case (id, _, s) => (-s, id) })
+    for (_ <- 2 to k) {
+      val ids = sel.map(_._1).toSet
+      sel += rel.filterNot { case (id, _) => ids(id) }
+        .map { case (id, r) =>
+          (id, r, q4(r * 0.5 - ids.map(s => sim((id, s))).max * 0.5)) }
+        .minBy { case (id, _, s) => (-s, id) }
+    }
+    val want = sel.zipWithIndex
+      .map { case ((id, r, s), i) => (id, (i + 1).toLong, r, s) }
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("passJoin: pigeonhole-exact vs brute levenshtein on random keys " +
     "of VARIED lengths; substitution/insert/delete pairs found; k+1 " +
     "excluded; short keys participate (the length-aware upgrade)") {
