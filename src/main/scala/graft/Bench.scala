@@ -205,10 +205,14 @@ object Bench {
         name -> (if (t2 > 0) math.min(t, t2) else t)
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal floats (r14 verdict #1): at 307 queries the full line is
+    // ~13 KB with 9-decimal doubles; ms precision is far below run noise.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map(e => s"\"" + e + "\"").mkString("[", ",", "]")
-    val reranJson = reran.map { case (k, v) => s"\"" + k + "\":" + v }
+    val reranJson = reran.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val bip = builtInPass.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
@@ -221,12 +225,21 @@ object Bench {
     // wall, build + first consume) — both reported so neither hides.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","artifact_build_secs":$artifactBuildSecs,"artifact_prebuild_wall_secs":$prebuildWallSecs,"artifact_builds_in_pass":$bip,"queries":$qs,"errors":$errs,"reran":$reranJson,"materialization":"noop-sink","sf":"$sfDir"}"""
     println(line)
-    // The driver captures only the stdout tail, which a 190+-query map
-    // overflows — persist the full line to a file too so every round's
-    // complete per-query timings survive for regression diffing.
     val sfTag = sfDir.replaceAll(".*/", "")
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"target/bench_$sfTag.json"))
+    // Driver-parseable summary (r14 verdict #1): the full line above is
+    // ~8 KB at 307 queries and the driver captures only a ~2000-char
+    // stdout tail, so its parse has been null since r09. Print a second,
+    // compact JSON line LAST — small enough that the tail always contains
+    // it whole — carrying the totals and pointing at the full per-query
+    // file. Additions-only: the full line keeps every field it ever had.
+    val errsCompact = errors.take(8).map(e => s"\"" + e + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errsCompact,"artifact_build_secs":${fmt(artifactBuildSecs)},"queries_file":"$outPath","materialization":"noop-sink","sf":"$sfDir"}""")
+    // The driver captures only the stdout tail, which a 190+-query map
+    // overflows — persist the full line to a file too so every round's
+    // complete per-query timings survive for regression diffing.
     if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath,
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
