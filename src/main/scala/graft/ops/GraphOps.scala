@@ -830,8 +830,14 @@ object GraphOps {
                           cacheDepth: Int = 0): DataFrame = {
     require(maxDepth >= 1, s"diameterDoubleSweep needs maxDepth >= 1")
     val keyFiles = (nodes.inputFiles ++ edges.inputFiles).toSeq
+    // repartition(src)+persist: the two sweeps' per-level expand joins
+    // are then co-partitioned with the frontier (see [[singleBfs]]) —
+    // without it every BFS level re-unioned and re-shuffled the edge
+    // frame. Same rows in any order — BFS distances are order-free.
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(graphParts(nodes.sparkSession, keyFiles), col("src"))
+      .persist()
     val nodesD = nodes.select(col("node_id")).distinct().localCheckpoint()
     val nDistinct = nodesD.count()
     val start = nodesD
@@ -855,6 +861,7 @@ object GraphOps {
     }
     val (u, _, _) = far(start)
     val (v, eccU, unreachedU) = far(u)
+    und.unpersist(false)
     nodes.sparkSession.createDataFrame(Seq(
         (start, u, v, eccU.toLong, unreachedU)))
       .toDF("start_id", "far_a", "far_b", "diam_lb", "n_unreached")
@@ -924,6 +931,78 @@ object GraphOps {
     * Θ(Σ layers) (quadratic in depth overall) to Θ(two layers).
     * A directed walk (bfsLayers) must keep the full union: a forward
     * edge may point at an arbitrarily EARLY layer. */
+  /** Scale-adaptive partition count for an iterative graph op's working
+    * set (frontiers, adjacency, per-round aggregations), derived from
+    * the RAW inputs' on-disk bytes — guide §2: never a constant tuned
+    * to one box. At gate scale a k-NN edge table is a few hundred KB,
+    * so every per-level job runs 1 task instead of `shuffle.partitions`
+    * tiny ones (the per-job fixed overhead dominated the diameter
+    * family's bench lines); at crawl scale bytes/4 MB grows past any
+    * core count and the same expression yields full parallelism.
+    * In-memory inputs (no files — the spec fixtures) fall back to the
+    * session default parallelism. */
+  private[graft] def graphParts(spark: org.apache.spark.sql.SparkSession,
+                                keyFiles: Seq[String]): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = keyFiles.distinct.map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      } catch { case _: Throwable => 0L }
+    }.sum
+    if (bytes <= 0L) spark.sparkContext.defaultParallelism
+    else math.max(1, math.min(bytes / (4L << 20), 1L << 20).toInt + 1)
+  }
+
+  /** Single-source specialization of [[multiBfs]] — the shape every
+    * [[bfsDistCached]] sweep actually runs (one seed per call). Three
+    * §2.2/§2.3/§2.4 savings over the general multi-seed walk:
+    *
+    *  - rows are (node_id) only — no constant `seed` column rides every
+    *    frontier shuffle;
+    *  - every frame is explicitly hash-partitioned by node_id into the
+    *    caller's `parts` (from [[graphParts]]): the expand join
+    *    (frontier.node_id = e.src) is co-partitioned with the callers'
+    *    `repartition(parts, src)`-persisted adjacency, and the visited
+    *    check anti-joins the last two layers ONE AT A TIME (each
+    *    checkpointed layer already node_id-partitioned) instead of
+    *    unioning them (a union discards partitioning and forced a
+    *    re-exchange);
+    *  - the explicit repartition replaces distinct's own exchange (the
+    *    aggregation's clustering requirement is satisfied by the
+    *    repartition), pinning the level layout against AQE re-coalescing
+    *    it away from the adjacency's.
+    *
+    * Net: one Exchange per level where the general walk paid three, at
+    * a task count that tracks the graph's bytes. Layer SETS are
+    * identical to multiBfs — BFS levels don't depend on join order or
+    * partitioning — so every consumer is value-unchanged. */
+  private[graft] def singleBfs(spark: org.apache.spark.sql.SparkSession,
+                               seedId: Long, e: DataFrame, maxDepth: Int,
+                               parts: Int)
+  : (DataFrame, Boolean) = {
+    def expand(frontier: DataFrame, prev: List[DataFrame]): DataFrame =
+      prev.take(2).foldLeft(
+        frontier.join(e, col("node_id") === col("src"))
+          .select(col("dst").as("node_id"))
+          .repartition(parts, col("node_id")).distinct()
+      )((acc, l) => acc.join(l, Seq("node_id"), "left_anti"))
+    var layers = List(
+      spark.createDataFrame(Seq(Tuple1(seedId))).toDF("node_id")
+        .repartition(parts, col("node_id")).localCheckpoint())
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val next = expand(layers.head, layers).localCheckpoint()
+      if (next.isEmpty) done = true else layers = next :: layers
+      depth += 1
+    }
+    val capped = !done && !expand(layers.head, layers).isEmpty
+    (layers.reverse.zipWithIndex.map { case (f, dd) =>
+      f.select(col("node_id"), lit(dd).as("dist"))
+    }.reduce(_ unionAll _), capped)
+  }
+
   private[graft] def multiBfs(seeds: DataFrame, e: DataFrame, maxDepth: Int)
   : (DataFrame, Boolean) = {
     var layers = List(
@@ -993,12 +1072,8 @@ object GraphOps {
       persist: Boolean = true): (DataFrame, Boolean) = {
     val spark = nodes.sparkSession
     val dir = spark.conf.get("graft.bfs.dir", "")
-    def compute(depth: Int): (DataFrame, Boolean) = {
-      val (d, tr) = multiBfs(
-        spark.createDataFrame(Seq(Tuple1(seedId))).toDF("seed"),
-        eSym, depth)
-      (d.select(col("node_id"), col("dist")), tr)
-    }
+    def compute(depth: Int): (DataFrame, Boolean) =
+      singleBfs(spark, seedId, eSym, depth, graphParts(spark, keyFiles))
     val corpus = keyFiles.sorted.mkString("\n")
     // `persist = false` callers (round-12 verdict #7: iFUB's graph-
     // determined later pivots, which no other gate can ever share)
@@ -1087,9 +1162,17 @@ object GraphOps {
     * row_number over ≤ S rows (one bounded single-partition window,
     * never the full graph). */
   private[graft] def eccMaxBitBfs(seeds: DataFrame, e: DataFrame,
-                           maxDepth: Int, nSeeds: Long): (Int, Boolean) = {
+                           maxDepth: Int, nSeeds: Long,
+                           parts: Int = 0): (Int, Boolean) = {
     val words = ((nSeeds + 63) / 64).toInt
     val anyBit = (c: Column) => exists(c, x => x =!= 0L)
+    // parts (from [[graphParts]]): pin every per-round frame to the
+    // adjacency's explicit node-keyed layout — co-partitioned expand
+    // joins, and task counts that track graph bytes instead of the
+    // session shuffle default (see [[singleBfs]]).
+    val p =
+      if (parts > 0) parts
+      else seeds.sparkSession.sparkContext.defaultParallelism
     val init = seeds.select(col("seed"))
       .withColumn("i", row_number().over(Window.orderBy("seed")) - 1)
       .select(col("seed").as("node_id"), expr(
@@ -1097,6 +1180,7 @@ object GraphOps {
             w -> IF(w = i div 64,
                     shiftleft(CAST(1 AS BIGINT), CAST(i % 64 AS INT)),
                     CAST(0 AS BIGINT)))""").as("nb"))
+      .repartition(p, col("node_id"))
       .localCheckpoint()
     var prev = init.filter(lit(false)).localCheckpoint()
     var cur = init
@@ -1108,10 +1192,13 @@ object GraphOps {
     // bits are never folded into B.
     while (grew && round <= maxDepth + 1 && !capped) {
       val inc = cur.join(e, cur("node_id") === e("src"))
-        .groupBy(col("dst").as("node_id"))
+        .select(col("dst").as("node_id"), col("nb"))
+        .repartition(p, col("node_id"))
+        .groupBy(col("node_id"))
         .agg(graft.catalyst.BitOrAgg(col("nb")).as("inc"))
         .select(col("node_id"), col("inc"))
       val seen = prev.unionAll(cur)
+        .repartition(p, col("node_id"))
         .groupBy(col("node_id"))
         .agg(graft.catalyst.BitOrAgg(col("nb")).as("bits"))
       val nd = inc.join(seen, Seq("node_id"), "left")
@@ -1195,10 +1282,11 @@ object GraphOps {
     // Cache key from the RAW inputs, before `e` is persisted (a
     // persisted derivation reports no inputFiles — see bfsDistCached).
     val keyFiles = (nodes.inputFiles ++ edges.inputFiles).toSeq
+    val eParts = graphParts(spark, keyFiles)
     val e = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).persist()
+      .repartition(eParts, col("src")).persist()
     val start = nodes.select(col("node_id")).distinct()
       .withColumn("h", graft.ops.TextOps.hash64(
         concat(lit(salt), col("node_id").cast("string"))))
@@ -1273,7 +1361,7 @@ object GraphOps {
         val bI =
           if (cntI == 0L) 0
           else {
-            val (bi, tr) = eccMaxBitBfs(seedsI, e, maxDepth, cntI)
+            val (bi, tr) = eccMaxBitBfs(seedsI, e, maxDepth, cntI, eParts)
             if (tr) capped = true
             bi
           }
@@ -1509,10 +1597,11 @@ object GraphOps {
     // Cache key from the RAW inputs, before `e` is persisted (a
     // persisted derivation reports no inputFiles — see bfsDistCached).
     val keyFiles = (nodes.inputFiles ++ edges.inputFiles).toSeq
+    val eParts = graphParts(spark, keyFiles)
     val e = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).persist()
+      .repartition(eParts, col("src")).persist()
     val start = nodes.select(col("node_id")).distinct()
       .withColumn("h", graft.ops.TextOps.hash64(
         concat(lit(salt), col("node_id").cast("string"))))
@@ -1559,15 +1648,24 @@ object GraphOps {
             !(col("eu") <= dl && col("el") * 2 >= du))
           .localCheckpoint()
         r += 1
-        val nActive = bounds.filter(col("active")).count()
+        // ONE aggregate replaces the active count plus the orderBy-limit
+        // pick (two driver jobs per round, guide §1.2): count the active
+        // set and compute BOTH interchange picks in the same pass.
+        // max_by/min_by over (key, node_id) structs replay the exact
+        // (eu DESC, node_id) / (el ASC, node_id) tie orders — inactive
+        // rows carry a NULL ordering struct, which the aggregates skip.
+        val st = bounds.agg(
+          sum(when(col("active"), 1L).otherwise(0L)).as("n_active"),
+          max_by(col("node_id"),
+            when(col("active"), struct(col("eu"), -col("node_id"))))
+            .as("pick_eu"),
+          min_by(col("node_id"),
+            when(col("active"), struct(col("el"), col("node_id"))))
+            .as("pick_el")).collect()(0)
+        val nActive = st.getLong(0)
         resolved = du <= dl || nActive == 0L
-        if (!resolved && r < maxRounds) {
-          val act = bounds.filter(col("active"))
-          val pick =
-            if (r % 2 == 1) act.orderBy(col("eu").desc, col("node_id"))
-            else act.orderBy(col("el").asc, col("node_id"))
-          v = pick.limit(1).collect()(0).getLong(0)
-        }
+        if (!resolved && r < maxRounds)
+          v = if (r % 2 == 1) st.getLong(1) else st.getLong(2)
       }
     }
     e.unpersist(false)
@@ -1898,19 +1996,28 @@ object GraphOps {
                             salt: String = "bc"): DataFrame = {
     require(k >= 1 && maxDepth >= 1,
       s"betweennessCentrality bad params ($k, $maxDepth)")
+    val bParts = graphParts(nodes.sparkSession,
+      (nodes.inputFiles ++ edges.inputFiles).toSeq)
     val adj = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).persist()
+      .repartition(bParts, col("src")).persist()
     val seeds = nodes.select(col("node_id")).distinct()
       .withColumn("h", graft.ops.TextOps.hash64(
         concat(lit(salt), col("node_id").cast("string"))))
       .orderBy(col("h"), col("node_id")).limit(k)
       .select(col("node_id").as("seed"))
-    // forward: layers of (seed, node_id, sigma), newest first
+    // forward: layers of (seed, node_id, sigma), newest first. Every
+    // layer is hash-partitioned by node_id ALONE (not (seed, node_id)):
+    // node_id partitioning satisfies the (seed, dst) aggregation's
+    // clustering requirement (subset rule) AND co-partitions the next
+    // level's expand join with the `repartition(src)`-persisted
+    // adjacency — the general shape paid a frontier exchange per level
+    // for each (guide §2.4; the singleBfs lesson at multi-seed grain).
     var layers = List(
       seeds.select(col("seed"), col("seed").as("node_id"),
-        lit(1L).as("sigma")).localCheckpoint())
+        lit(1L).as("sigma"))
+        .repartition(bParts, col("node_id")).localCheckpoint())
     var depth = 0
     var live = true
     while (depth < maxDepth && live) {
@@ -1921,6 +2028,7 @@ object GraphOps {
       // wrap fails loudly in BOTH engines instead of Spark's silent
       // Long wraparound vs the twin's raising HUGEINT cast.
       val next = layers.head.join(adj, col("node_id") === col("src"))
+        .repartition(bParts, col("dst"))
         .groupBy(col("seed"), col("dst"))
         .agg(expr("CAST(sum(CAST(sigma AS DECIMAL(38,0))) AS BIGINT)")
           .as("sigma"))
@@ -1943,6 +2051,7 @@ object GraphOps {
       // HUGEINT sum raises (the modularity overflow-ladder rule).
       val terms = fl.join(adj, fl("node_id") === adj("src"))
         .join(succ, Seq("seed", "dst"))
+        .repartition(bParts, col("node_id"))
         .groupBy(col("seed"), col("node_id"))
         .agg(expr(
           "CAST(sum(CAST((CAST(sigma AS DECIMAL(38,0)) * " +

@@ -352,9 +352,27 @@ object SimOps {
                     tables: Seq[Seq[Seq[Double]]]): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
+    // The band test runs on floor(score·10⁴ + 0.5) — the INTEGER inside
+    // quant4 — instead of the quant4'd double. Equivalent row set for
+    // 4-dp-grid bounds (enforced below): n/10⁴ is a correctly-rounded
+    // strictly-increasing map, so quant4(x) >= lo ⟺ floor(x·10⁴+0.5) >=
+    // lo·10⁴, and the non-finite exclusions match (NaN/±Inf floor to
+    // 0/±Long.Max under Spark's double→long floor, all outside [lo·10⁴,
+    // hi·10⁴)). Why: Catalyst pushes the filter into the LSH verify
+    // join's condition, where each quant4 CASE re-evaluates the
+    // round(array_dot)/norm score ~3× (no subexpression elimination in
+    // join-condition codegen) — 6 dot products per candidate pair. The
+    // integer band pays 2. The published `cosine` column stays quant4.
+    val loQ = math.floor(lo * 1e4 + 0.5).toLong
+    val hiQ = math.floor(hi * 1e4 + 0.5).toLong
+    // loQ > 0 also pins the NaN exclusion: NaN floors to 0L, which must
+    // fall below the band exactly as quant4-NaN fell outside [lo, hi).
+    require(lo == loQ / 1e4 && hi == hiQ / 1e4 && loQ > 0,
+      s"hardNegatives band bounds must sit on the 4-dp grid, lo > 0 ($lo, $hi)")
     lshScored(vectors, queryPred, tables)
+      .filter(floor(col("score") * lit(1e4) + lit(0.5)) >= lit(loQ) &&
+        floor(col("score") * lit(1e4) + lit(0.5)) < lit(hiQ))
       .withColumn("cosine", quant4(col("score")))
-      .filter(col("cosine") >= lo && col("cosine") < hi)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -1849,10 +1867,14 @@ object SimOps {
         ivfTrainRounds, dim, "ivfkm")
       else sampledCells(vA, queryPred, c, nprobe, "ivf")
     val cellsShared = Some((a0.localCheckpoint(), p0.localCheckpoint(), cc0))
+    // broadcast: each approx arm's OUTPUT is top-k-bounded (≤ k rows per
+    // query), so the audit join never needs the SortMergeJoin the planner
+    // picked (each branch re-sorted + re-exchanged the persisted brute
+    // relation — 4 Exchanges + 2 Sorts per method, r14 verdict #2/§3.1).
     def one(name: String, approx: DataFrame, floor: Double): DataFrame =
       bruteK.join(
-          approx.select(col("query_id"), col("neighbor_id"))
-            .withColumn("hit", lit(1)),
+          broadcast(approx.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1))),
           Seq("query_id", "neighbor_id"), "left")
         .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
         // quant4, not round(x,4): matched/total ratios land on 4-dp half
@@ -2697,7 +2719,13 @@ object SimOps {
     * corpus scan, join, or per-round job anywhere in the rounds. */
   def mmrRerank(vectors: DataFrame, queryId: Long, nCand: Int = 20,
                 k: Int = 5): DataFrame = {
-    require(nCand >= k && k >= 1, s"mmrRerank bad params ($nCand, $k)")
+    // nCand is also the DRIVER-memory envelope: the greedy fold collects
+    // ≤ nCand candidate rows plus the ≤ nCand² pairwise sim table (the
+    // bounded-collect class every other driver probe in ops/ is held
+    // to). 1024 caps the pair table at ~1M slim rows (~tens of MB) —
+    // rerank pools beyond that belong in a distributed rerank, not here.
+    require(nCand >= k && k >= 1 && nCand <= 1024,
+      s"mmrRerank bad params ($nCand, $k): need k >= 1, k <= nCand <= 1024")
     val spark = vectors.sparkSession
     // Candidate list and pairwise sims are BOUNDED by construction
     // (≤ nCand and ≤ nCand² rows — the ≤k-rows driver-probe class every
@@ -2734,26 +2762,45 @@ object SimOps {
       .toMap
     def q4(x: Double): Double =
       if (x.isNaN || x.isInfinite) x else math.floor(x * 1e4 + 0.5) / 1e4
-    // argmax by (score desc, vec_id asc) — the old orderBy+limit(1) ties.
+    // argmax by (score desc, vec_id asc) under SPARK's ordering: NaN
+    // sorts GREATEST (java.lang.Double.compare), so a NaN score (a
+    // zero-norm embedding's cosine) wins the round exactly as the old
+    // orderBy(score.desc) plan and the oracle twin rank it — tuple-key
+    // negation ((-s, id)) would have sorted NaN LAST instead.
     def pick(scored: Seq[(Long, Double, Double)]): (Long, Double, Double) =
-      scored.minBy { case (id, _, s) => (-s, id) }
-    val first = pick(candRows.toSeq.map { case (id, rel) =>
-      (id, rel, q4(rel * 0.5)) })
-    val sel = scala.collection.mutable.ArrayBuffer(
-      (first._1, 1L, first._2, first._3))
-    for (j <- 2 to k) {
-      val selIds = sel.map(_._1).toSet
-      // inner-join semantics preserved: a candidate with no sims row to
-      // the selected set is excluded from the round (cannot happen on a
-      // complete pairwise table, but the fold must mirror the plan).
-      val scored = candRows.toSeq.collect {
-        case (id, rel) if !selIds(id) &&
-            selIds.exists(s => simRows.contains((id, s))) =>
-          val msim = selIds.flatMap(s => simRows.get((id, s))).max
-          (id, rel, q4(rel * 0.5 - msim * 0.5))
+      scored.reduceLeft { (a, b) =>
+        val c = java.lang.Double.compare(a._3, b._3)
+        if (c > 0 || (c == 0 && a._1 <= b._1)) a else b
       }
-      val (id, rel, score) = pick(scored)
-      sel += ((id, j.toLong, rel, score))
+    val sel = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Double, Double)]
+    // Degenerate pools (queryId absent, corpus smaller than k) yield
+    // FEWER than k rows, matching the old unrolled-union plan and the
+    // SQL twin — the fold must not crash on an empty round.
+    if (candRows.nonEmpty) {
+      val first = pick(candRows.toSeq.map { case (id, rel) =>
+        (id, rel, q4(rel * 0.5)) })
+      sel += ((first._1, 1L, first._2, first._3))
+      var j = 2
+      var exhausted = false
+      while (j <= k && !exhausted) {
+        val selIds = sel.map(_._1).toSet
+        // inner-join semantics preserved: a candidate with no sims row to
+        // the selected set is excluded from the round (cannot happen on a
+        // complete pairwise table, but the fold must mirror the plan).
+        val scored = candRows.toSeq.collect {
+          case (id, rel) if !selIds(id) &&
+              selIds.exists(s => simRows.contains((id, s))) =>
+            val msim = selIds.flatMap(s => simRows.get((id, s))).max
+            (id, rel, q4(rel * 0.5 - msim * 0.5))
+        }
+        if (scored.isEmpty) exhausted = true
+        else {
+          val (id, rel, score) = pick(scored)
+          sel += ((id, j.toLong, rel, score))
+          j += 1
+        }
+      }
     }
     spark.createDataFrame(sel.toSeq)
       .toDF("vec_id", "pick_order", "rel", "mmr_score")

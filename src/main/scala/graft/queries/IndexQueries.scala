@@ -611,7 +611,14 @@ object IndexQueries {
     // the same unrolled-CTE replay over the formula edge list.
     QueryDef("graph_domain_rank",
       (s, d) => {
+        // localCheckpoint: the regex href-extraction pipeline feeds the
+        // edge table AND the node derivation inside every unrolled
+        // pageRank round — unmaterialized it re-executed ~8× (eo build
+        // 2×, nodes 2× per round × 3 rounds; the 1042-line r14 plan).
+        // The resolved link graph is a tiny (page, src, dst) frame;
+        // checkpointing it runs the extraction exactly once.
         val lg = graft.ops.TextOps.htmlLinkGraph(linkGraphPages(s, d))
+          .localCheckpoint()
         val edges = lg.select(col("src_domain").as("src"),
           col("dst_domain").as("dst"))
         val nodes = edges.select(col("src").as("node_id"))

@@ -29,23 +29,26 @@ object MatExp {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val docs = graft.Tables.documents(spark, sfDir)
-    def accuracy(mat: DataFrame => DataFrame): DataFrame = {
+    // Each mat() site names its repartition key EXPLICITLY (ADVICE r14:
+    // the old call-order counter silently misassigned keys if a mat()
+    // call was added or reordered).
+    def accuracy(mat: (DataFrame, String) => DataFrame): DataFrame = {
       val k = 16
       val sigs = mat(DedupOps.signatures(
         DedupOps.shingleInv(docs, "text", "doc_id"), k)
-        .withColumn("bk", DedupOps.bandKeys(4, 4)))
+        .withColumn("bk", DedupOps.bandKeys(4, 4)), "doc_id")
       val buckets = sigs.select(col("doc_id"),
         posexplode(col("bk")).as(Seq("band", "key")))
       val cand = mat(buckets.as("a").join(buckets.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b"))
+        .dropDuplicates("doc_a", "doc_b"), "doc_a")
       val candIds = cand.select(col("doc_a").as("cid"))
         .union(cand.select(col("doc_b").as("cid"))).distinct()
       val candSets = mat(DedupOps.shingleSets(
         docs.join(candIds, col("doc_id") === col("cid"), "left_semi"),
-        "text", "doc_id"))
+        "text", "doc_id"), "doc_id")
       val sigA = sigs.select(
         col("doc_id").as("doc_a") +: (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
       val sigB = sigs.select(
@@ -70,18 +73,13 @@ object MatExp {
     // preserving materialization variant (bare localCheckpoint freezes
     // the AQE-coalesced 1-partition layout and serializes every
     // downstream stage).
-    var step = 0
-    val keys = Array("doc_id", "doc_a", "doc_id")
-    def rchk(df: DataFrame): DataFrame = {
-      val key = keys(step % 3); step += 1
+    def rchk(df: DataFrame, key: String): DataFrame =
       df.repartition(df.sparkSession.sparkContext.defaultParallelism,
         col(key)).localCheckpoint()
-    }
-    val strategies: Seq[(String, DataFrame => DataFrame)] = Seq(
-      ("none", identity[DataFrame] _),
+    val strategies: Seq[(String, (DataFrame, String) => DataFrame)] = Seq(
+      ("none", (df: DataFrame, _: String) => df),
       ("rchk", rchk _))
     for (pass <- 1 to 3; (name, mat) <- strategies) {
-      step = 0
       val secs = t(graft.Materialize(accuracy(mat)))
       println(f"MATEXP pass$pass $name%-6s $secs%7.2f s")
     }
