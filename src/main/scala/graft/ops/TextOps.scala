@@ -1064,8 +1064,21 @@ object TextOps {
     val toks = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("dl"),
       explode(tokens(col("text"))).as("term"))
+    // localCheckpoint: tf feeds BOTH the query-term derivation (via
+    // termStats) and the scored probe side; unmaterialized, Catalyst
+    // re-embeds the whole tokenize→explode→hash-agg subtree in each
+    // consumer, so every bm25 gate ran the corpus tokenize twice (plans
+    // r14: two identical Scan+Generate+Exchange chains). tf is the
+    // (term, doc) grain — far smaller than the token stream — so one
+    // checkpoint write costs less than the saved pass. Repartition by
+    // term first: the checkpoint freezes the AQE-coalesced layout, and
+    // every downstream consumer (termStats agg, qterms join, the
+    // per-term rank windows) is term-keyed, so the term layout serves
+    // them without another exchange at any scale.
     val tf = toks.groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
+      .localCheckpoint()
     val termStats = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
     // TakeOrderedAndProject caps the vocabulary scan at skip+n rows; the
@@ -1345,8 +1358,15 @@ object TextOps {
     * the production knob is the same df cap the LSH index uses
     * ([[graft.catalyst.BoundedCollectSet]] discipline). */
   def winnowPairs(docs: DataFrame, w: Int, minShared: Int): DataFrame = {
+    // localCheckpoint: the selected-print set feeds THREE consumers (the
+    // per-doc counts and both sides of the hash self-join) and Spark
+    // re-embeds the whole shingle→md5→window-explode→min-agg pipeline in
+    // each — the w-fold explode ran 3×. Repartition by h first: the
+    // self-join on h is then co-partitioned on both sides (zero join
+    // exchange) and the layout survives the checkpoint at any scale.
     val sel = winnowSelected(docs, w)
       .select(col("doc_id"), col("h")).distinct()
+      .repartition(col("h")).localCheckpoint()
     val cnt = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
     val pr = sel.toDF("doc_a", "h")
       .join(sel.toDF("doc_b", "h"), "h")

@@ -258,11 +258,19 @@ object DedupQueries {
           SimOps.guardBruteAudit(
             Tables.embeddings(s, d).select("vec_id", "embedding"),
             "dedup_embedding_cosine"), "embedding", "n")
-        v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+        // The threshold lives IN the join condition, AFTER the id check:
+        // Catalyst used to push the score filter in front of the written
+        // a<b conjunct, so the 64-dim dot product ran for all n² ordered
+        // pairs; with the cheap id test first, && short-circuits and the
+        // dot is evaluated for the n²/2 unordered pairs only (the score
+        // recompute in the select touches survivors alone).
+        val scoreExpr = round(expr("array_dot(a.embedding, b.embedding)") /
+          (col("a.n") * col("b.n")), 6)
+        v.as("a").join(v.as("b"),
+            col("a.vec_id") < col("b.vec_id") &&
+              scoreExpr >= CosineThreshold)
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            round(expr("array_dot(a.embedding, b.embedding)") /
-              (col("a.n") * col("b.n")), 6).as("score"))
-          .filter(col("score") >= CosineThreshold)
+            scoreExpr.as("score"))
           .select(col("vec_a"), col("vec_b"),
             SimOps.quant4(col("score")).as("cosine"))
       },

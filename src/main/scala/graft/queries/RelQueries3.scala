@@ -23,9 +23,14 @@ object RelQueries3 {
     // dim joined back twice; TakeOrderedAndProject caps the output.
     QueryDef("q_market_basket",
       (s, d) => {
+        // localCheckpoint: the distinct (order, part) set feeds both
+        // self-join sides, the item counts, and the order count —
+        // unmaterialized, the scan+distinct re-executed 4×. ok-keyed
+        // layout co-partitions the pair self-join.
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .repartition(col("ok")).localCheckpoint()
         val pairs = li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("p1"), col("b.pk").as("p2"))

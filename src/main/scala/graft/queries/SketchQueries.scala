@@ -80,12 +80,18 @@ object SketchQueries {
     // rounded up to 0.05/3 per sketch); the oracle pins the boolean.
     QueryDef("sketch_overlap_matrix",
       (s, d) => {
+        // localCheckpoint: the distinct (source, shingle-hash) table
+        // feeds the per-source sketch agg AND both sides of the exact
+        // self-join — unmaterialized, the tokenize→shingle→md5 pipeline
+        // re-executed 4× (the r14 plan's four identical Generate
+        // chains). h-keyed layout co-partitions the self-join sides.
         val sh = Tables.documents(s, d)
           .withColumn("__toks", TextOps.tokens(col("text")))
           .select(col("source"),
             explode(TextOps.shingleStrings("__toks")).as("sg"))
           .select(col("source"), TextOps.hash64(col("sg")).as("h"))
           .distinct()
+          .repartition(col("h")).localCheckpoint()
         val per = sh.groupBy("source").agg(
           count(lit(1)).as("n"), expr("hll_sketch_agg(h)").as("sk"))
         val a = per.select(col("source").as("source_a"),
@@ -334,9 +340,14 @@ object SketchQueries {
           .select(col("source"),
             explode(TextOps.shingleStrings("__toks")).as("sg"))
           .select(col("source"), TextOps.hash64(col("sg")).as("h"))
+        // localCheckpoint: the per-source sketch table (a handful of
+        // k-long-array rows) feeds the published rows AND the __ALL__
+        // union-closure re-aggregation — unmaterialized, each consumer
+        // re-ran the full shingle explode + sketch fold.
         val perSource = sh.groupBy(col("source")).agg(
           KmvSketchAgg.kmvSketch(col("h")).as("__sk"),
           countDistinct(col("h")).as("exact_distinct"))
+          .localCheckpoint()
         val globalRow = perSource
           .select(explode(col("__sk")).as("h"))
           .agg(KmvSketchAgg.kmvSketch(col("h")).as("__sk"))

@@ -295,9 +295,15 @@ object TextQueries {
                (a, b) -> struct(a AS w1, b AS w2))""")).as("b"))
           .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
           .filter(col("w1") =!= col("w2"))
+        // localCheckpoint: the symmetrized co-occurrence edge set feeds
+        // the degree build, the node derivation, AND every unrolled
+        // pageRank round — unmaterialized, the tokenize+zip_with bigram
+        // extraction re-executed per consumer (32 corpus scans in the
+        // r14 plan; the graph_domain_rank shape at word grain).
         val edges = bg.select(col("w1").as("src"), col("w2").as("dst"))
           .union(bg.select(col("w2").as("src"), col("w1").as("dst")))
           .distinct()
+          .localCheckpoint()
         val nodes = edges.select(col("src").as("node_id")).distinct()
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("pagerank").desc, col("node_id"))
