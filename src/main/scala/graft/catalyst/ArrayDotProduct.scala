@@ -119,6 +119,9 @@ object GraftFunctions {
     (FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))),
+    (FunctionIdentifier("cell_dists"),
+      new ExpressionInfo(classOf[CellDists].getName, "cell_dists"),
+      (children: Seq[Expression]) => CellDists(children(0), children(1))),
     (FunctionIdentifier("html_entity_decode"),
       new ExpressionInfo(classOf[HtmlEntityDecode].getName,
         "html_entity_decode"),

@@ -2046,13 +2046,16 @@ object SimOps {
   /** Assignment of micro-unit vectors against a fixed centroid set:
     * exact integer Σ(vᵢ−cᵢ)² distances, first-minimum (= lowest cluster
     * id) tie-break. A NARROW map — the k×dim centroid table rides along
-    * as one array literal; nothing shuffles. */
+    * as one array literal; nothing shuffles. The distance array comes
+    * from the native [[graft.catalyst.CellDists]] loop: the old
+    * transform→aggregate(zip_with) tree paid k·dim boxed lambda steps
+    * per row, and lambda-body column inlining re-evaluated the whole
+    * upstream normalize→micro chain once PER CELL (see CellDists). */
   private def assignedToCells(micro: DataFrame,
                               cents: Seq[Seq[Long]]): DataFrame =
     micro
-      .withColumn("dists", transform(typedLit(cents), c =>
-        aggregate(zip_with(col("vm"), c, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)))
+      .withColumn("dists",
+        call_function("cell_dists", col("vm"), typedLit(cents)))
       .withColumn("cl",
         array_position(col("dists"), array_min(col("dists"))).cast("int"))
       .withColumn("d", array_min(col("dists")))

@@ -1044,8 +1044,11 @@ object SimQueries {
     // emits k summary rows (size, centroid checksums, inertia), all
     // engine-exact; the oracle replays the identical rounds as CTEs.
     QueryDef("sim_kmeans",
-      (s, d) => SimOps.kmeans(Tables.embeddings(s, d), k = KmK,
-        rounds = KmRounds, dim = Dim),
+      (s, d) => {
+        graft.catalyst.GraftFunctions.register(s)
+        SimOps.kmeans(Tables.embeddings(s, d), k = KmK,
+          rounds = KmRounds, dim = Dim)
+      },
       Some(SimOps.kmeansSql("embeddings", k = KmK, rounds = KmRounds,
         dim = Dim)),
       presentOrder = Seq("cluster")),

@@ -282,6 +282,94 @@ object Scratch {
     // Which TgtHllType does Spark's hll_sketch_agg build? Compare the SQL
     // aggregate's estimate against driver-side DataSketches HllSketch in
     // HLL_4 and HLL_8 on identical ids.
+    // IVF assignment probe: is the nested-HOF integer-L2 distance map
+    // (transform -> aggregate(zip_with)) the hot part of the trained-IVF
+    // pipelines, and what does the codegen'd array_dot decomposition
+    // (v·v + c·c − 2·v·c) buy at the same exact-integer values?
+    if (args.contains("ivfassign")) {
+      graft.catalyst.GraftFunctions.register(spark)
+      val rnd = new scala.util.Random(7)
+      val cents: Seq[Seq[Long]] =
+        Seq.fill(32)(Seq.fill(64)((rnd.nextDouble() * 2e6 - 1e6).toLong))
+      val micro = Tables.embeddings(spark, d)
+        .select(col("vec_id"), expr(
+          """transform(embedding, x ->
+             CAST(floor(CAST(x AS DOUBLE) * 1000000.0d + 0.5d) AS BIGINT))""")
+          .as("vm"))
+      def t(tag: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"IVFASSIGN $tag ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      val n = micro.count()
+      println(s"IVFASSIGN n=$n")
+      for (pass <- 1 to 2) {
+        t(s"hof$pass") {
+          graft.Materialize(micro
+            .withColumn("dists", transform(typedLit(cents), c =>
+              aggregate(zip_with(col("vm"), c, (a, b) => (a - b) * (a - b)),
+                lit(0L), (acc, x) => acc + x)))
+            .withColumn("cl", array_position(col("dists"),
+              array_min(col("dists"))).cast("int"))
+            .select(col("vec_id"), col("cl")))
+        }
+        t(s"dot$pass") {
+          val centsD = cents.map(_.map(_.toDouble))
+          val cc = cents.map(c => c.map(x => x.toDouble * x).sum)
+          val vmd = transform(col("vm"), _.cast("double"))
+          val dists = array(cents.indices.map(i =>
+            (col("__vv") + lit(cc(i)) -
+              lit(2.0) * expr(s"array_dot(__vmd, __c$i)")).cast("long")): _*)
+          var df = micro.withColumn("__vmd", vmd)
+            .withColumn("__vv", expr("array_dot(__vmd, __vmd)"))
+          cents.indices.foreach(i =>
+            df = df.withColumn(s"__c$i", typedLit(centsD(i))))
+          graft.Materialize(df.withColumn("dists", dists)
+            .withColumn("cl", array_position(col("dists"),
+              array_min(col("dists"))).cast("int"))
+            .select(col("vec_id"), col("cl")))
+        }
+        t(s"seq$pass") {
+          val cmLit = typedLit(cents.map(_.map(_.toDouble)))
+          val ccLit = typedLit(cents.map(_.map(x => x.toDouble * x).sum))
+          graft.Materialize(micro
+            .withColumn("__vmd", transform(col("vm"), x => x.cast("double")))
+            .withColumn("__vv",
+              call_function("array_dot", col("__vmd"), col("__vmd")))
+            .withColumn("dists",
+              transform(sequence(lit(1), lit(cents.size)), i =>
+                (col("__vv") + element_at(ccLit, i) - lit(2.0d) *
+                  call_function("array_dot", col("__vmd"),
+                    element_at(cmLit, i))).cast("long")))
+            .withColumn("cl", array_position(col("dists"),
+              array_min(col("dists"))).cast("int"))
+            .select(col("vec_id"), col("cl")))
+        }
+      }
+    }
+    // Decompose the trained-IVF gate: training (cold + memo-hit), the
+    // full query, and the query again warm — where do the seconds sit?
+    if (args.contains("ivfpipe")) {
+      graft.catalyst.GraftFunctions.register(spark)
+      import graft.ops.SimOps
+      def t(tag: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"IVFPIPE $tag ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      val emb = Tables.embeddings(spark, d)
+      t("train_cold") {
+        SimOps.kmeansCentroidsMicro(emb, 32, 4, 64, "ivfkm",
+          normalize = true, trainCap = SimOps.IvfTrainCap * 32)
+      }
+      t("train_again") {
+        SimOps.kmeansCentroidsMicro(emb, 32, 4, 64, "ivfkm",
+          normalize = true, trainCap = SimOps.IvfTrainCap * 32)
+      }
+      for (pass <- 1 to 3)
+        t(s"query$pass") {
+          graft.Materialize(SimOps.topKIvf(emb, col("vec_id") < 10, 10,
+            c = 32, nprobe = 10, trainRounds = 4, dim = 64))
+        }
+    }
     if (args.contains("hll")) {
       import org.apache.datasketches.hll.{HllSketch, TgtHllType}
       val ids = Tables.documents(spark, "/root/testdata/sf0.01")

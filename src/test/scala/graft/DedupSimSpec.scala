@@ -2790,4 +2790,32 @@ class DedupSimSpec extends SparkSpec {
     assert(out("h.org") === ((2L, 1L, 0L, "")),
       "bare host templates as / ; healthy domain, empty trap_template")
   }
+
+  test("cell_dists: native loop == the transform/aggregate/zip_with " +
+    "tree it replaced — values, null vector, null element, and " +
+    "length-mismatch corners") {
+    import spark.implicits._
+    graft.catalyst.GraftFunctions.register(spark)
+    val cents = Seq(Seq(1L, 2L, 3L), Seq(-4L, 0L, 7L), Seq(1L, 2L))
+    val vm = Seq(
+      (1L, Seq[java.lang.Long](5L, -1L, 2L)), // plain values
+      (2L, Seq[java.lang.Long](1L, 2L, 3L)),  // exact zero distance
+      (3L, null),                             // null vector
+      (4L, Seq[java.lang.Long](5L, null, 2L)) // null element
+    ).toDF("id", "vm")
+    val centsLit = typedLit(cents)
+    val native = vm.select(col("id"),
+      call_function("cell_dists", col("vm"), centsLit).as("d"))
+    val hof = vm.select(col("id"),
+      transform(centsLit, c =>
+        aggregate(zip_with(col("vm"), c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)).as("d"))
+    val n = native.orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Any](1)))
+    val h = hof.orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Any](1)))
+    assert(n.toSeq === h.toSeq,
+      "cell_dists must replicate the HOF tree on every corner")
+    // sanity on the plain row: hand-computed distances, mismatch cell null
+    assert(n(0)._2 === Seq(26L, 107L, null),
+      "(5,-1,2) vs rows: 16+9+1, 81+1+25, len-mismatch null")
+  }
 }
