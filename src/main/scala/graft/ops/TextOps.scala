@@ -1358,15 +1358,17 @@ object TextOps {
     * the production knob is the same df cap the LSH index uses
     * ([[graft.catalyst.BoundedCollectSet]] discipline). */
   def winnowPairs(docs: DataFrame, w: Int, minShared: Int): DataFrame = {
-    // localCheckpoint: the selected-print set feeds THREE consumers (the
-    // per-doc counts and both sides of the hash self-join) and Spark
-    // re-embeds the whole shingle→md5→window-explode→min-agg pipeline in
-    // each — the w-fold explode ran 3×. Repartition by h first: the
-    // self-join on h is then co-partitioned on both sides (zero join
-    // exchange) and the layout survives the checkpoint at any scale.
+    // The selected-print set feeds THREE consumers (per-doc counts and
+    // both self-join sides), so the shingle→md5→window-explode→min-agg
+    // pipeline re-executes 3× — left UNMATERIALIZED on purpose, round
+    // 15's measurement: an h-keyed repartition+localCheckpoint won the
+    // isolated profile (2.17 → 1.96 s warm) but measured consistently
+    // SLOWER inside the full 307-query bench session (+0.4–1.4 s across
+    // three runs) — the r14 MatExp block-manager-pressure mechanism.
+    // At 100 TB the balance flips; a cluster deployment would take the
+    // pairStats `graft.jaccard.checkpoint`-style flag here.
     val sel = winnowSelected(docs, w)
       .select(col("doc_id"), col("h")).distinct()
-      .repartition(col("h")).localCheckpoint()
     val cnt = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
     val pr = sel.toDF("doc_a", "h")
       .join(sel.toDF("doc_b", "h"), "h")

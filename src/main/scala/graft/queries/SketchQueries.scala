@@ -340,14 +340,18 @@ object SketchQueries {
           .select(col("source"),
             explode(TextOps.shingleStrings("__toks")).as("sg"))
           .select(col("source"), TextOps.hash64(col("sg")).as("h"))
-        // localCheckpoint: the per-source sketch table (a handful of
-        // k-long-array rows) feeds the published rows AND the __ALL__
-        // union-closure re-aggregation — unmaterialized, each consumer
-        // re-ran the full shingle explode + sketch fold.
+        // perSource feeds the published rows AND the __ALL__ union-
+        // closure re-aggregation, so the shingle explode + sketch fold
+        // re-executes — left UNMATERIALIZED on purpose, round 15's
+        // measurement: a localCheckpoint won the isolated profile
+        // (2.57 → 2.22 s warm) but measured consistently SLOWER inside
+        // the full bench session (+1.4–1.6 s across three runs; the
+        // column-pruned globalRow copy recomputes a CHEAPER perSource
+        // than the checkpoint materializes, and checkpoint cost tracks
+        // session block pressure — the r14 MatExp story).
         val perSource = sh.groupBy(col("source")).agg(
           KmvSketchAgg.kmvSketch(col("h")).as("__sk"),
           countDistinct(col("h")).as("exact_distinct"))
-          .localCheckpoint()
         val globalRow = perSource
           .select(explode(col("__sk")).as("h"))
           .agg(KmvSketchAgg.kmvSketch(col("h")).as("__sk"))
